@@ -1,0 +1,64 @@
+"""O(1) partition catalog: ``_catalog/state.json``.
+
+Re-expresses ``/root/reference/zcollection/partitioning/catalog.py:72-167``:
+a JSON document holding the complete sorted partition relpath list plus a
+sha256 checksum.  A corrupted or checksum-mismatched document is treated as
+missing (the reference's intent behind its broken ``except A, B:`` at
+``catalog.py:98`` — SURVEY quirk Q1), falling back to a store walk.
+
+At 100 TB scale this is the difference between one small GET and a recursive
+object-store LIST over thousands of prefixes on every read.  The write is a
+single atomic PUT (tmp+rename locally), so readers see either the old or the
+new complete list — the commit point of the insert protocol.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+CATALOG_RELPATH = "_catalog/state.json"
+
+
+def _checksum(partitions: list[str]) -> str:
+    return hashlib.sha256("\n".join(partitions).encode()).hexdigest()
+
+
+class Catalog:
+    def __init__(self, fs, root: str):
+        self._fs = fs
+        self._path = f"{root.rstrip('/')}/{CATALOG_RELPATH}"
+
+    def read(self) -> list[str] | None:
+        """Sorted partition relpaths, or None if absent/corrupt."""
+        if not self._fs.exists(self._path):
+            return None
+        try:
+            doc = json.loads(self._fs.read_text(self._path))
+            partitions = list(doc["partitions"])
+            if doc.get("checksum") != _checksum(partitions):
+                return None  # corrupt → treated missing (quirk Q1 intent)
+            return partitions
+        except (ValueError, KeyError, OSError):
+            return None
+
+    def write(self, partitions: list[str]) -> None:
+        partitions = sorted(set(partitions))
+        doc = {"format_version": 1, "partitions": partitions,
+               "checksum": _checksum(partitions)}
+        self._fs.write_text(self._path, json.dumps(doc, indent=1))
+
+    def add(self, new: list[str]) -> list[str]:
+        current = self.read() or []
+        merged = sorted(set(current) | set(new))
+        self.write(merged)
+        return merged
+
+    def remove(self, gone: list[str]) -> list[str]:
+        current = self.read() or []
+        merged = sorted(set(current) - set(gone))
+        self.write(merged)
+        return merged
+
+    def drop(self) -> None:
+        self._fs.delete(self._path)

@@ -1,0 +1,506 @@
+"""Partitioned collection over a Hive-style parquet layout.
+
+The Spark-native re-expression of
+``/root/reference/zcollection/collection/base.py:81`` (``Collection``).  The
+reference's Zarr-v3-group-per-partition layout maps 1:1 onto Spark's
+partitioned-table model (SURVEY §1.4): data lives under ``key=value/``
+directories, read natively (with partition pruning and column pruning from
+Catalyst), written with shuffle-by-partition-key + dynamic partition
+overwrite.
+
+Layout::
+
+    collection/
+    ├── _zcollection.json        # schema + axis + partitioning (serde below)
+    ├── _catalog/state.json      # sorted partition list + sha256 (catalog.py)
+    ├── _immutable/data.parquet  # one-row table of non-axis variables
+    └── year=2024/month=3/…      # parquet files per partition
+
+``_``-prefixed entries are invisible to Spark's partition discovery, so the
+metadata never pollutes reads.
+
+Scale design notes (the parts that matter at 100 TB / 1000 executors):
+
+- **reads are declarative**: ``query`` builds ``read.parquet → filter →
+  select`` so Catalyst does partition pruning + column pruning + parquet
+  predicate pushdown; the driver-side catalog only *shortcuts the listing*
+  (one small GET instead of a recursive object-store LIST).
+- **writes shuffle once**: rows are hash-repartitioned by the partition-key
+  columns, sorted within partitions by the axis, and written with
+  ``partitionBy``; all rows of one partition meet in one task (fixing the
+  reference's fragmented-key race, SURVEY Q3) and produce axis-ordered files.
+- **merges never loop over partitions**: each strategy is one DataFrame
+  program joining existing colliding partitions (pruned scan) against the
+  (broadcast) incoming batch — see ``merge.py``.
+- **immutables are a broadcast**: the one-row ``_immutable`` table is
+  crossJoin(broadcast(...))-attached, i.e. a map-side literal, not a shuffle.
+
+Deliberate deviations (SURVEY §2.8): Q2 fixed — partition order is numeric
+(explicit ``orderBy``), not lexicographic.  Q3 fixed by the shuffle.  Q4
+tightened — ``update`` must return all partitioned variables unless
+``allow_variable_drop=True``.  Q5/Q6/Q7/Q8 preserved.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import fs as fsmod
+from ..errors import (CollectionExistsError, CollectionNotFoundError,
+                      ReadOnlyError, SchemaError, StoreError)
+from ..partitioning import Partitioning, compile_filter
+from ..partitioning import from_json as partitioning_from_json
+from ..schema import DatasetSchema, FORMAT_VERSION, upgrade
+from .catalog import Catalog
+from .merge import (MergeCallable, concat as merge_concat,
+                    replace as merge_replace, resolve_merge)
+
+CONFIG_NAME = "_zcollection.json"
+IMMUTABLE_RELPATH = "_immutable/data.parquet"
+ROW_IDX = "_row_idx"
+
+
+def create_collection(spark: SparkSession, path: str, *,
+                      schema: DatasetSchema, axis: str,
+                      partitioning: Partitioning,
+                      catalog_enabled: bool = True,
+                      overwrite: bool = False) -> "Collection":
+    """DDL: bind the schema to the axis and write the root config
+    (``/root/reference/zcollection/api.py:19-62`` →
+    ``collection/base.py:161-234``)."""
+    path = fsmod.strip_scheme(path).rstrip("/")
+    fs = fsmod.fs_for(path, spark)
+    config_path = f"{path}/{CONFIG_NAME}"
+    if fs.exists(config_path):
+        if not overwrite:
+            raise CollectionExistsError(f"collection exists at {path!r}")
+        fs.delete(path)
+    bound = schema.with_partition_axis(axis)
+    var_map = bound.variable_map
+    for var in partitioning.variables:
+        if var not in var_map:
+            raise SchemaError(
+                f"partitioning variable {var!r} is not in the schema")
+        if var_map[var].immutable:
+            raise SchemaError(
+                f"partitioning variable {var!r} does not span the axis")
+    doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
+           "partitioning": partitioning.to_json(),
+           "catalog_enabled": catalog_enabled}
+    fs.write_text(config_path, json.dumps(doc, indent=1, sort_keys=True))
+    coll = Collection(spark, path, bound, partitioning, mode="rw",
+                      catalog_enabled=catalog_enabled)
+    if catalog_enabled:
+        coll._catalog.write([])
+    return coll
+
+
+def open_collection(spark: SparkSession, path: str, *,
+                    mode: str = "r") -> "Collection":
+    """Open an existing collection root (``api.py:65-95``)."""
+    path = fsmod.strip_scheme(path).rstrip("/")
+    fs = fsmod.fs_for(path, spark)
+    config_path = f"{path}/{CONFIG_NAME}"
+    if not fs.exists(config_path):
+        raise CollectionNotFoundError(f"no collection at {path!r}")
+    try:
+        doc = upgrade(json.loads(fs.read_text(config_path)))
+    except ValueError as exc:
+        raise StoreError(f"unreadable collection config: {exc}") from None
+    schema = DatasetSchema.from_json(doc["schema"])
+    partitioning = partitioning_from_json(doc["partitioning"])
+    return Collection(spark, path, schema, partitioning, mode=mode,
+                      catalog_enabled=doc.get("catalog_enabled", True))
+
+
+class Collection:
+    """All public reads/writes on one partitioned collection."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 schema: DatasetSchema, partitioning: Partitioning, *,
+                 mode: str = "r", catalog_enabled: bool = True):
+        if schema.axis is None:
+            raise SchemaError("collection schema must be axis-bound")
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.schema = schema
+        self.partitioning = partitioning
+        self.axis = schema.axis
+        self.mode = mode
+        self.catalog_enabled = catalog_enabled
+        self._fs = fsmod.fs_for(self.path, spark)
+        self._catalog = Catalog(self._fs, self.path)
+
+    # ------------------------------------------------------------------
+    # partition enumeration + pruning (collection/base.py:302-386)
+    # ------------------------------------------------------------------
+    def partitions(self, *, filters: str | None = None) -> list[str]:
+        """Matching partition relpaths in numeric key order (Q2 fixed).
+
+        Catalog hit = one GET; miss = depth-limited store walk
+        (``base.py:340-386``) — on object stores the walk is the expensive
+        path, which is why inserts keep the catalog current.
+        """
+        predicate = compile_filter(filters)
+        relpaths = self._catalog.read() if self.catalog_enabled else None
+        if relpaths is None:
+            relpaths = self._fs.list_partition_dirs(
+                self.path, self.partitioning.depth)
+        decoded = [(rel, self.partitioning.decode(rel)) for rel in relpaths]
+        matched = [(rel, key) for rel, key in decoded if predicate.evaluate(key)]
+        matched.sort(key=lambda item: tuple(item[1][k]
+                                            for k in self.partitioning.keys))
+        return [rel for rel, _ in matched]
+
+    def repair_catalog(self) -> list[str]:
+        """Re-walk the store and rewrite the catalog
+        (``base.py:352-375``; ≈ MSCK REPAIR TABLE)."""
+        self._require_writable()
+        relpaths = self._fs.list_partition_dirs(self.path,
+                                                self.partitioning.depth)
+        self._catalog.write(relpaths)
+        return sorted(relpaths)
+
+    # ------------------------------------------------------------------
+    # read path (collection/base.py:524-595)
+    # ------------------------------------------------------------------
+    def _read_partitions(self, relpaths: list[str]) -> DataFrame:
+        reader = self.spark.read.option("basePath", self.path)
+        return reader.parquet(*(f"{self.path}/{rel}" for rel in relpaths))
+
+    def _immutable_df(self) -> DataFrame | None:
+        imm_path = f"{self.path}/{IMMUTABLE_RELPATH}"
+        if not self.schema.immutable_variables or not self._fs.exists(imm_path):
+            return None
+        return self.spark.read.parquet(imm_path)
+
+    def _attach_immutable(self, df: DataFrame,
+                          wanted: set[str] | None) -> DataFrame:
+        """Broadcast-attach ``_immutable`` variables; partition data wins on
+        name conflict (quirk Q5, ``base.py:819-836``)."""
+        imm = self._immutable_df()
+        if imm is None:
+            return df
+        cols = [c for c in imm.columns if c not in df.columns]
+        if wanted is not None:
+            # short-name match at any depth — quirk Q8 (io/immutable.py:135-137)
+            cols = [c for c in cols
+                    if c in wanted or c.rsplit("/", 1)[-1] in wanted]
+        if not cols:
+            return df
+        return df.crossJoin(F.broadcast(imm.select(*cols)))
+
+    def _cast_restored_keys(self, df: DataFrame) -> DataFrame:
+        """Partition-value inference may narrow types (int64 → int32); cast
+        key columns that are ALSO data variables back to their declared
+        dtype."""
+        var_map = self.schema.variable_map
+        dims = self.schema.dim_map
+        casts = {}
+        for key in self.partitioning.keys:
+            if key in var_map and key in df.columns:
+                target = var_map[key].spark_type(dims, self.axis)
+                if df.schema[key].dataType != target:
+                    casts[key] = F.col(key).cast(target)
+        return df.withColumns(casts) if casts else df
+
+    def _load(self, *, filters: str | None = None,
+              keep_internal: bool = False) -> DataFrame | None:
+        """Pruned scan with partition-key columns attached.
+
+        Uses the catalog for listing-time pruning when available, and ALWAYS
+        also applies the predicate as a Catalyst filter so the plan is
+        correct (and prunes) even on a bare directory tree.
+        """
+        predicate = compile_filter(filters)
+        relpaths = self.partitions(filters=filters)
+        if not relpaths:
+            return None
+        df = self._read_partitions(relpaths)
+        if predicate.expr is not None:
+            df = df.where(predicate.to_column())
+        df = self._cast_restored_keys(df)
+        if not keep_internal and ROW_IDX in df.columns:
+            df = df.drop(ROW_IDX)
+        return df
+
+    def query(self, *, filters: str | None = None,
+              variables: Iterable[str] | None = None,
+              ordered: bool = True) -> DataFrame | None:
+        """``filter → project → concat → attach immutables``
+        (``base.py:524-595``).
+
+        Returns ``None`` when no partition matches (quirk Q6).  The result
+        is the DataFrame concatenation of matching partitions — ordered
+        numerically by partition key then axis when ``ordered=True`` (a fix
+        of quirk Q2; the hash-order of the reference's path sort is not
+        reproduced).
+        """
+        df = self._load(filters=filters)
+        if df is None:
+            return None
+        if ordered:
+            df = df.orderBy(*self.partitioning.keys, self.axis)
+        wanted = None
+        if variables is not None:
+            wanted = set(variables)
+            projected = self.schema.select(wanted)
+            keep = [v.name for v in projected.variables
+                    if not v.immutable and v.name in df.columns]
+            df = df.select(*keep)
+        else:
+            keep = [v.name for v in self.schema.partitioned_variables
+                    if v.name in df.columns]
+            df = df.select(*keep)
+        return self._attach_immutable(df, wanted)
+
+    # ------------------------------------------------------------------
+    # write path (collection/base.py:390-522)
+    # ------------------------------------------------------------------
+    def _require_writable(self) -> None:
+        if self.mode != "rw":
+            raise ReadOnlyError(f"collection at {self.path!r} opened "
+                                f"read-only")
+
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Rebind incoming columns to the collection schema
+        (``base.py:805-816``): project to declared variables, cast dtypes."""
+        var_map = self.schema.variable_map
+        dims = self.schema.dim_map
+        missing = [v.name for v in self.schema.partitioned_variables
+                   if v.name not in df.columns]
+        if missing:
+            raise SchemaError(f"insert is missing partitioned variables "
+                              f"{missing}")
+        cols = []
+        for var in self.schema.variables:
+            if var.name not in df.columns:
+                continue
+            target = var.spark_type(dims, self.axis)
+            src = F.col(var.name)
+            cols.append(src.cast(target).alias(var.name)
+                        if df.schema[var.name].dataType != target else src)
+        return df.select(*cols)
+
+    def _write_immutable(self, df: DataFrame) -> None:
+        """Lift non-axis variables into the write-once ``_immutable`` table
+        (``io/immutable.py:48-98``): first row's values, written once."""
+        imm_names = [v.name for v in self.schema.immutable_variables
+                     if v.name in df.columns]
+        if not imm_names:
+            return
+        imm_path = f"{self.path}/{IMMUTABLE_RELPATH}"
+        if self._fs.exists(imm_path):
+            return  # write-once
+        (df.select(*imm_names).limit(1)
+           .coalesce(1).write.mode("overwrite").parquet(imm_path))
+
+    def _with_row_idx(self, df: DataFrame) -> DataFrame:
+        """Persist positional identity: ``_row_idx`` = 0-based rank within
+        the partition ordered by axis.  Spark is unordered; this column is
+        the engine's durable replacement for the reference's implicit array
+        position (SURVEY §7 'row position semantics')."""
+        win = (Window.partitionBy(*self.partitioning.keys)
+               .orderBy(F.col(self.axis).asc_nulls_last()))
+        return df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
+
+    def _write(self, derived: DataFrame, *, mode: str) -> None:
+        keys = list(self.partitioning.keys)
+        chunks = None
+        axis_dim = self.schema.dim_map.get(self.axis)
+        if axis_dim is not None and axis_dim.chunks:
+            chunks = axis_dim.chunks
+        writer = (self._with_row_idx(derived)
+                  .repartition(*[F.col(k) for k in keys])
+                  .sortWithinPartitions(*keys, self.axis)
+                  .write.mode(mode).partitionBy(*keys))
+        if chunks:
+            writer = writer.option("maxRecordsPerFile", chunks)
+        writer.parquet(self.path)
+
+    def insert(self, df: DataFrame, *,
+               merge: str | MergeCallable | None = None) -> list[str]:
+        """Partitioned write with optional merge
+        (``base.py:390-522``; strategies in ``merge.py``).
+
+        One shuffle on the partition-key columns groups every row of a key
+        into one task (fixes quirk Q3); dynamic partition overwrite rewrites
+        ONLY touched partitions.  Returns the written partition relpaths.
+        """
+        self._require_writable()
+        df = self._conform(df)
+        self._write_immutable(df)
+        part_names = [v.name for v in self.schema.partitioned_variables
+                      if v.name in df.columns]
+        derived = self.partitioning.derive(df.select(*part_names))
+        keys = list(self.partitioning.keys)
+        incoming_keys = [tuple(int(row[k]) for k in keys)
+                         for row in derived.select(*keys).distinct().collect()]
+        if not incoming_keys:
+            return []
+        incoming_rel = [self.partitioning.encode(dict(zip(keys, key)))
+                        for key in incoming_keys]
+        existing_rel = set(self.partitions())
+        colliding = sorted(set(incoming_rel) & existing_rel)
+        strategy = resolve_merge(merge)
+
+        if not colliding or strategy is merge_replace:
+            self._write(derived, mode="overwrite")
+        elif strategy is merge_concat:
+            # true append: never rewrites existing data; only the _row_idx
+            # offsets of colliding partitions are read (a count per key)
+            offsets = (self._read_partitions(colliding)
+                       .groupBy(*keys)
+                       .agg((F.max(ROW_IDX) + 1).alias("__offset")))
+            win = (Window.partitionBy(*keys)
+                   .orderBy(F.col(self.axis).asc_nulls_last()))
+            appended = (derived
+                        .join(F.broadcast(offsets), on=keys, how="left")
+                        .withColumn("__offset",
+                                    F.coalesce(F.col("__offset"), F.lit(0)))
+                        .withColumn(ROW_IDX,
+                                    F.row_number().over(win) - 1
+                                    + F.col("__offset"))
+                        .drop("__offset"))
+            (appended.repartition(*[F.col(k) for k in keys])
+             .sortWithinPartitions(*keys, self.axis)
+             .write.mode("append").partitionBy(*keys).parquet(self.path))
+        else:
+            existing = (self._read_partitions(colliding).drop(ROW_IDX))
+            existing = self._cast_restored_keys(existing)
+            merged = strategy(existing, derived, axis=self.axis,
+                              keys=tuple(keys))
+            self._write(merged, mode="overwrite")
+
+        if self.catalog_enabled:
+            self._catalog.add(incoming_rel)
+        return sorted(incoming_rel)
+
+    def drop_partitions(self, *, filters: str | None = None) -> list[str]:
+        """Delete matching partitions — ALL when ``filters=None``
+        (``base.py:599-634``; ≈ ALTER TABLE DROP PARTITION)."""
+        self._require_writable()
+        doomed = self.partitions(filters=filters)
+        for rel in doomed:
+            self._fs.delete(f"{self.path}/{rel}")
+        if self.catalog_enabled:
+            self._catalog.remove(doomed)
+        return doomed
+
+    # ------------------------------------------------------------------
+    # per-partition UDF surface (collection/base.py:638-794)
+    # ------------------------------------------------------------------
+    def map(self, fn: Callable, schema: T.StructType | str, *,
+            filters: str | None = None,
+            variables: Iterable[str] | None = None) -> DataFrame | None:
+        """Apply ``fn(pandas.DataFrame) -> pandas.DataFrame`` to each
+        partition (``base.py:638-696``).
+
+        The reference collects ``{path: result}`` on the driver; here the
+        result STAYS distributed (one ``applyInPandas`` over the partition
+        grouping — the shuffle IS the partition grouping).  Use
+        :meth:`map_collect` for the reference's driver-side dict shape.
+        Immutable variables are attached before ``fn`` runs (quirk-parity
+        with ``_attach_immutable``).
+        """
+        df = self._load(filters=filters)
+        if df is None:
+            return None
+        wanted = set(variables) if variables is not None else None
+        if wanted is not None:
+            keep = [c for c in df.columns
+                    if c in wanted or c in self.partitioning.keys]
+            df = df.select(*keep)
+        df = self._attach_immutable(df, wanted)
+        return df.groupBy(*self.partitioning.keys).applyInPandas(fn, schema)
+
+    def map_collect(self, fn: Callable, schema: T.StructType | str, *,
+                    filters: str | None = None,
+                    variables: Iterable[str] | None = None
+                    ) -> dict[str, Any]:
+        """Driver-side ``{partition_relpath: pandas.DataFrame}`` — the
+        reference's ``map`` return shape (``base.py:638-665``)."""
+        result = self.map(fn, schema, filters=filters, variables=variables)
+        if result is None:
+            return {}
+        keys = list(self.partitioning.keys)
+        out: dict[str, Any] = {}
+        pdf = result.toPandas()
+        missing = [k for k in keys if k not in pdf.columns]
+        if missing:
+            raise SchemaError(
+                f"map fn output must retain partition keys {missing} for "
+                f"map_collect")
+        for key_vals, group in pdf.groupby(keys, sort=True):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            rel = self.partitioning.encode(
+                dict(zip(keys, (int(v) for v in key_vals))))
+            out[rel] = group.reset_index(drop=True)
+        return out
+
+    def update(self, fn: Callable, *, filters: str | None = None,
+               variables: Iterable[str] | None = None,
+               allow_variable_drop: bool = False) -> list[str]:
+        """Read → ``fn`` → rewrite matching partitions wholesale
+        (``base.py:698-794``).
+
+        ``fn(pandas.DataFrame) -> pandas.DataFrame`` must return the
+        partitioning source columns plus (by default) every partitioned
+        variable.  Quirk Q4 (silently dropping unreturned variables) is
+        tightened into an error unless ``allow_variable_drop=True``.
+        Executed as one ``applyInPandas`` + dynamic partition overwrite —
+        only matching partitions are rewritten.
+        """
+        self._require_writable()
+        df = self._load(filters=filters)
+        if df is None:
+            return []
+        relpaths = self.partitions(filters=filters)
+        wanted = set(variables) if variables is not None else None
+        if wanted is not None:
+            keep = [c for c in df.columns
+                    if c in wanted or c in self.partitioning.keys
+                    or c in self.partitioning.variables]
+            df = df.select(*keep)
+        df = self._attach_immutable(df, wanted)
+
+        sample = fn(df.limit(0).toPandas())
+        out_cols = list(sample.columns)
+        var_map = self.schema.variable_map
+        dims = self.schema.dim_map
+        missing = [v.name for v in self.schema.partitioned_variables
+                   if v.name not in out_cols]
+        if missing and not allow_variable_drop:
+            raise SchemaError(
+                f"update fn dropped partitioned variables {missing}; the "
+                f"reference rewrites partitions wholesale (quirk Q4) — pass "
+                f"allow_variable_drop=True to accept that")
+        for src in self.partitioning.variables:
+            if src not in out_cols:
+                raise SchemaError(
+                    f"update fn must retain partitioning column {src!r}")
+        out_fields = []
+        for name in out_cols:
+            if name in var_map:
+                out_fields.append(T.StructField(
+                    name, var_map[name].spark_type(dims, self.axis)))
+            else:
+                raise SchemaError(
+                    f"update fn produced unknown variable {name!r}")
+        out_schema = T.StructType(out_fields)
+        updated = (df.groupBy(*self.partitioning.keys)
+                   .applyInPandas(lambda pdf: fn(pdf), out_schema))
+        derived = self.partitioning.derive(updated)
+        self._write(derived, mode="overwrite")
+        return relpaths
+
+    # ------------------------------------------------------------------
+    def __repr__(self) -> str:
+        return (f"Collection(path={self.path!r}, axis={self.axis!r}, "
+                f"partitioning={self.partitioning!r}, mode={self.mode!r})")

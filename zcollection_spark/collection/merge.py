@@ -1,0 +1,136 @@
+"""Merge strategies — the reference's upsert family as DataFrame programs.
+
+Re-expresses ``/root/reference/zcollection/collection/merge.py``.  The
+reference invokes a ``MergeCallable`` once per colliding partition with both
+sides materialized in driver memory; here each strategy is ONE distributed
+DataFrame program over *all* colliding partitions at once, with the
+per-partition semantics recovered by grouping/joining on the partition-key
+columns.  That keeps the merge shuffle-parallel (no per-partition driver
+loop) and broadcast-friendly: the inserted batch is typically small relative
+to the collection, so its per-partition bounds / axis sets are broadcast.
+
+Signature: ``fn(existing, inserted, *, axis, keys) -> DataFrame`` where both
+frames carry the partition-key columns.  String aliases resolved by
+:func:`resolve_merge` (``merge.py:424-462``; ``None`` → replace).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Protocol
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class MergeCallable(Protocol):
+    def __call__(self, existing: DataFrame, inserted: DataFrame, *,
+                 axis: str, keys: tuple[str, ...]) -> DataFrame: ...
+
+
+def _union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Outer-union: one-sided variables pass through as nulls
+    (the reference's ``_concat_along``, ``merge.py:329-361``)."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def replace(existing: DataFrame, inserted: DataFrame, *, axis: str,
+            keys: tuple[str, ...]) -> DataFrame:
+    """Inserted wins outright (``merge.py:87-106``)."""
+    return inserted
+
+
+def concat(existing: DataFrame, inserted: DataFrame, *, axis: str,
+           keys: tuple[str, ...]) -> DataFrame:
+    """Append after existing; no dedup, no sort (``merge.py:109-129``)."""
+    return _union(existing, inserted)
+
+
+def time_series(existing: DataFrame, inserted: DataFrame, *, axis: str,
+                keys: tuple[str, ...]) -> DataFrame:
+    """Drop existing rows with ``axis ∈ [inserted.min, inserted.max]``
+    *per partition*, then concat (``merge.py:132-186``).
+
+    The window bounds are the per-partition min/max of the inserted slice —
+    computed with a tiny groupBy and broadcast into a left join, so existing
+    data streams through one scan with no driver round-trip.
+    """
+    bounds = inserted.groupBy(*keys).agg(
+        F.min(axis).alias("__lo"), F.max(axis).alias("__hi"))
+    kept = (existing
+            .join(F.broadcast(bounds), on=list(keys), how="left")
+            .where(F.col("__lo").isNull()
+                   | (F.col(axis) < F.col("__lo"))
+                   | (F.col(axis) > F.col("__hi")))
+            .drop("__lo", "__hi"))
+    return _union(kept, inserted)
+
+
+def _axis_distance(left: Column, right: Column, dtype: T.DataType) -> Column:
+    """|left - right| in axis units (seconds for timestamps)."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.abs(left.cast("double") - right.cast("double"))
+    return F.abs(left - right)
+
+
+def upsert(existing: DataFrame, inserted: DataFrame, *, axis: str,
+           keys: tuple[str, ...], tolerance: float | None = None
+           ) -> DataFrame:
+    """Keep existing rows whose axis value has no match in the inserted
+    slice of the same partition; then concat (``merge.py:189-279``).
+
+    Exact mode: a left-anti join on ``keys + axis`` (equal axis ⇒ same
+    partition, so this is exactly the reference's per-partition
+    ``numpy.isin``).  Tolerance mode: an existing row is dropped when ANY
+    inserted axis value in the same partition lies within ``tolerance`` —
+    equivalent to the reference's nearest-within-tolerance ``searchsorted``
+    check (``merge.py:262-272``: the nearest value is within tolerance iff
+    any value is).  The inserted axis set is broadcast; the range condition
+    stays JVM-side.
+    """
+    ins_axis = inserted.select(*keys, axis).distinct()
+    if tolerance is None:
+        kept = existing.join(F.broadcast(ins_axis), on=[*keys, axis],
+                             how="left_anti")
+    else:
+        dtype = existing.schema[axis].dataType
+        renamed = ins_axis.withColumnRenamed(axis, "__ins_axis")
+        cond = F.lit(True)
+        for key in keys:
+            cond = cond & (existing[key] == renamed[key])
+        cond = cond & (_axis_distance(existing[axis], renamed["__ins_axis"],
+                                      dtype) <= F.lit(float(tolerance)))
+        kept = existing.join(F.broadcast(renamed), on=cond, how="left_anti")
+    return _union(kept, inserted)
+
+
+def upsert_within(tolerance: float) -> MergeCallable:
+    """Factory baking a tolerance into :func:`upsert`
+    (``merge.py:282-323`` — string aliases can't carry arguments)."""
+    def merge(existing: DataFrame, inserted: DataFrame, *, axis: str,
+              keys: tuple[str, ...]) -> DataFrame:
+        return upsert(existing, inserted, axis=axis, keys=keys,
+                      tolerance=tolerance)
+    merge.__name__ = f"upsert_within({tolerance})"
+    return merge
+
+
+_ALIASES: dict[str, MergeCallable] = {
+    "replace": replace, "concat": concat, "time_series": time_series,
+    "upsert": upsert,
+}
+
+
+def resolve_merge(merge: str | MergeCallable | None) -> MergeCallable:
+    """``None`` → replace; strings resolved; callables passed through
+    (``merge.py:424-462``)."""
+    if merge is None:
+        return replace
+    if callable(merge):
+        return merge
+    try:
+        return _ALIASES[merge]
+    except KeyError:
+        raise ValueError(
+            f"unknown merge strategy {merge!r}; one of {sorted(_ALIASES)} "
+            f"or a callable") from None

@@ -1,0 +1,52 @@
+"""Error taxonomy.
+
+Mirrors the reference's exception design (``/root/reference/zcollection/errors.py:8-45``)
+so user code can catch the same class of failures, re-expressed for the Spark
+engine (no async/store-session errors; Spark surfaces those as AnalysisException).
+"""
+
+from __future__ import annotations
+
+
+class ZCollectionError(Exception):
+    """Base class for all engine errors."""
+
+
+class SchemaError(ZCollectionError):
+    """Invalid schema construction or bind-time violation."""
+
+
+class PartitioningError(ZCollectionError):
+    """Invalid partitioning definition or key decode failure."""
+
+
+class ExpressionError(ZCollectionError):
+    """Invalid partition-filter expression (syntax or unknown key)."""
+
+
+class StoreError(ZCollectionError):
+    """Storage-layer failure (unreadable config, bad layout)."""
+
+
+class CollectionExistsError(StoreError):
+    """``create_collection`` target already exists and overwrite=False."""
+
+
+class CollectionNotFoundError(StoreError):
+    """``open_collection`` target has no ``_zcollection.json``."""
+
+
+class ReadOnlyError(ZCollectionError):
+    """Write attempted on a collection opened with mode='r'."""
+
+
+class FormatVersionError(SchemaError):
+    """On-disk format_version is newer than this library supports."""
+
+
+class ViewError(ZCollectionError):
+    """Invalid view definition (name collision, unknown dimension)."""
+
+
+class IndexerError(ZCollectionError):
+    """Secondary-index build/lookup failure (e.g. unknown column)."""
