@@ -244,8 +244,6 @@ class Collection:
         df = self._load(filters=filters)
         if df is None:
             return None
-        if ordered:
-            df = df.orderBy(*self.partitioning.keys, self.axis)
         wanted = None
         if variables is not None:
             wanted = set(variables)
@@ -257,7 +255,15 @@ class Collection:
             keep = [v.name for v in self.schema.partitioned_variables
                     if v.name in df.columns]
             df = df.select(*keep)
-        return self._attach_immutable(df, wanted)
+        df = self._attach_immutable(df, wanted)
+        if ordered:
+            # the sort must be the LAST operator — Catalyst's EliminateSorts
+            # drops sorts buried under joins/projections
+            sort_cols = [c for c in (*self.partitioning.keys, self.axis)
+                         if c in df.columns]
+            if sort_cols:
+                df = df.orderBy(*sort_cols)
+        return df
 
     # ------------------------------------------------------------------
     # write path (collection/base.py:390-522)
@@ -300,13 +306,23 @@ class Collection:
         (df.select(*imm_names).limit(1)
            .coalesce(1).write.mode("overwrite").parquet(imm_path))
 
+    def _axis_order(self, df: DataFrame):
+        """Ordering expression along the axis.  The axis is a *dimension*;
+        when a coordinate variable of the same name exists (the common
+        case) rows order by it.  Without one the reference orders by array
+        position, which Spark does not preserve — fall back to an arrival
+        order (stable within a task, arbitrary across runs; documented)."""
+        if self.axis in df.columns:
+            return F.col(self.axis).asc_nulls_last()
+        return F.monotonically_increasing_id().asc()
+
     def _with_row_idx(self, df: DataFrame) -> DataFrame:
         """Persist positional identity: ``_row_idx`` = 0-based rank within
         the partition ordered by axis.  Spark is unordered; this column is
         the engine's durable replacement for the reference's implicit array
         position (SURVEY §7 'row position semantics')."""
         win = (Window.partitionBy(*self.partitioning.keys)
-               .orderBy(F.col(self.axis).asc_nulls_last()))
+               .orderBy(self._axis_order(df)))
         return df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
 
     def _write(self, derived: DataFrame, *, mode: str) -> None:
@@ -315,9 +331,11 @@ class Collection:
         axis_dim = self.schema.dim_map.get(self.axis)
         if axis_dim is not None and axis_dim.chunks:
             chunks = axis_dim.chunks
+        sort_cols = ([*keys, self.axis] if self.axis in derived.columns
+                     else [*keys, ROW_IDX])
         writer = (self._with_row_idx(derived)
                   .repartition(*[F.col(k) for k in keys])
-                  .sortWithinPartitions(*keys, self.axis)
+                  .sortWithinPartitions(*sort_cols)
                   .write.mode(mode).partitionBy(*keys))
         if chunks:
             writer = writer.option("maxRecordsPerFile", chunks)
@@ -358,7 +376,7 @@ class Collection:
                        .groupBy(*keys)
                        .agg((F.max(ROW_IDX) + 1).alias("__offset")))
             win = (Window.partitionBy(*keys)
-                   .orderBy(F.col(self.axis).asc_nulls_last()))
+                   .orderBy(self._axis_order(derived)))
             appended = (derived
                         .join(F.broadcast(offsets), on=keys, how="left")
                         .withColumn("__offset",
@@ -367,8 +385,10 @@ class Collection:
                                     F.row_number().over(win) - 1
                                     + F.col("__offset"))
                         .drop("__offset"))
+            app_sort = ([*keys, self.axis]
+                        if self.axis in appended.columns else [*keys, ROW_IDX])
             (appended.repartition(*[F.col(k) for k in keys])
-             .sortWithinPartitions(*keys, self.axis)
+             .sortWithinPartitions(*app_sort)
              .write.mode("append").partitionBy(*keys).parquet(self.path))
         else:
             existing = (self._read_partitions(colliding).drop(ROW_IDX))
@@ -397,7 +417,8 @@ class Collection:
     # ------------------------------------------------------------------
     def map(self, fn: Callable, schema: T.StructType | str, *,
             filters: str | None = None,
-            variables: Iterable[str] | None = None) -> DataFrame | None:
+            variables: Iterable[str] | None = None,
+            keep_internal: bool = False) -> DataFrame | None:
         """Apply ``fn(pandas.DataFrame) -> pandas.DataFrame`` to each
         partition (``base.py:638-696``).
 
@@ -408,13 +429,14 @@ class Collection:
         Immutable variables are attached before ``fn`` runs (quirk-parity
         with ``_attach_immutable``).
         """
-        df = self._load(filters=filters)
+        df = self._load(filters=filters, keep_internal=keep_internal)
         if df is None:
             return None
         wanted = set(variables) if variables is not None else None
         if wanted is not None:
             keep = [c for c in df.columns
-                    if c in wanted or c in self.partitioning.keys]
+                    if c in wanted or c in self.partitioning.keys
+                    or (keep_internal and c == ROW_IDX)]
             df = df.select(*keep)
         df = self._attach_immutable(df, wanted)
         return df.groupBy(*self.partitioning.keys).applyInPandas(fn, schema)
