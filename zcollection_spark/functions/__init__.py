@@ -1,0 +1,28 @@
+"""Large-scale training-data-pipeline operators.
+
+Beyond the reference's own surface (BASELINE.json north star): exact and
+near deduplication, similarity search over embeddings, text analysis, and
+multimodal-column plumbing — all designed partition-parallel for 100 TB
+(JVM-side expressions wherever possible; Arrow-batched pandas only where
+Spark lacks a primitive).
+"""
+
+from .multimodal import (attach_fake_payload, extract_image_features,
+                         sample_frames)
+from .dedup import (dedup_exact, exact_duplicate_groups, md5_long,
+                    minhash_signatures, lsh_candidate_pairs,
+                    ngram_jaccard_pairs, simhash, simhash_duplicate_pairs)
+from .similarity import (cosine_similarity_col, brute_force_topk,
+                         lsh_bucket_topk)
+from .text import (fingerprint, language_id, text_stats, token_count,
+                   word_shingles, words)
+
+__all__ = [
+    "dedup_exact", "exact_duplicate_groups", "md5_long",
+    "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
+    "simhash", "simhash_duplicate_pairs",
+    "cosine_similarity_col", "brute_force_topk", "lsh_bucket_topk",
+    "fingerprint", "language_id", "text_stats", "token_count",
+    "word_shingles", "words",
+    "attach_fake_payload", "extract_image_features", "sample_frames",
+]

@@ -1,0 +1,200 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant is a pure DataFrame program whose heavy step is
+one shuffle.
+
+- exact: hash-groupBy on the dedup key (map-side partial aggregation).
+- MinHash+LSH: shingle → md5 hash → k permutation-min aggregates → band →
+  bucket self-join.  The self-join keys on (band, bucket-hash), so only
+  genuinely colliding docs meet — never an O(n²) cross join.
+- SimHash: per-token bit votes aggregated per doc, then bucket-join on the
+  whole signature (near-dup = identical 16-bit simhash here; a banded
+  variant would split the signature).
+- n-gram Jaccard: candidate pairs from a shared-shingle join, Jaccard from
+  exact distinct-shingle counts.
+
+The hash primitive is md5 (``md5_long``), bit-identical in DuckDB —
+every variant has an EXACT SQL oracle, unusual for LSH pipelines and done
+deliberately so the driver can hash-match results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_shingles, words
+
+#: Mersenne prime 2^31-1: modulus of the minhash permutation family.
+#: Small enough that (x % P) * a + b stays below 2^63 (Spark 4 runs ANSI
+#: mode — integer overflow is an error, not a wrap).
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def md5_long(col: Column | str) -> Column:
+    """First 15 hex chars of md5 as a non-negative int64 (60 bits).
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — bit
+    identical, which is what makes the dedup family oracle-checkable.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, cols: list[str],
+                           id_col: str) -> DataFrame:
+    """Groups with >1 member: (cols..., n_dups, keep_id=min id)."""
+    return (df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min(id_col).alias("keep_id"))
+            .where(F.col("n_dups") > 1))
+
+
+def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """One representative row (min ``id_col``) per distinct ``cols``.
+
+    Implemented as min-id per group + semi-join back — two map-side
+    combinable aggregations, no window over the full table.
+    """
+    keep = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*cols, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_params(i: int) -> tuple[int, int]:
+    """Deterministic permutation family: h_i(x) = (a_i·x + b_i) mod P."""
+    return 2 * i + 1, (i * 0x9E3779B1 + 7) % MINHASH_PRIME
+
+
+def minhash_signatures(df: DataFrame, *, id_col: str, text_col: str,
+                       num_hashes: int = 16,
+                       shingle_size: int = 3) -> DataFrame:
+    """(id, h0..h{k-1}) minhash signature per document.
+
+    One explode + one groupBy: the k permutation-mins are k aggregate
+    expressions over the same shuffled rows (not k passes).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            word_shingles(text_col, shingle_size))).alias("__shingle"))
+    hashed = shingled.select(
+        id_col, md5_long(F.col("__shingle")).alias("__x"))
+    aggs = []
+    x_mod = F.col("__x") % F.lit(MINHASH_PRIME)
+    for i in range(num_hashes):
+        a, b = _perm_params(i)
+        aggs.append(F.min((x_mod * F.lit(a) + F.lit(b))
+                          % F.lit(MINHASH_PRIME)).alias(f"h{i}"))
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str,
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """LSH banding: docs sharing any band bucket → candidate pairs
+    (id_a < id_b, distinct).
+
+    The band signature is md5 over the concatenated band values; the
+    self-join keys on (band_id, bucket) so only real collisions pair up.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        bucket = F.md5(F.concat_ws("-", *[c.cast("string") for c in cols]))
+        band_structs.append(F.struct(F.lit(b).alias("band"),
+                                     bucket.alias("bucket")))
+    banded = signatures.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right, on=["band", "bucket"])
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, *, id_col: str, text_col: str,
+            n_bits: int = 16) -> DataFrame:
+    """(id, simhash) — bit j set iff the sum over distinct tokens of
+    ±1 votes (sign from token-hash bit j) is positive."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words(text_col))).alias("__tok"))
+    hashed = toks.select(id_col, md5_long(F.col("__tok")).alias("__h"))
+    votes = [
+        F.sum(F.when((F.col("__h") / F.lit(1 << j)).cast("long")
+                     % 2 == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(n_bits)]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(n_bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
+                            n_bits: int = 16) -> DataFrame:
+    """Docs with IDENTICAL simhash → near-dup pairs (id_a < id_b)."""
+    sig = simhash(df, id_col=id_col, text_col=text_col, n_bits=n_bits)
+    left, right = sig.alias("l"), sig.alias("r")
+    return (left.join(right, on="simhash")
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
+                        shingle_size: int = 5,
+                        threshold: float = 0.8) -> DataFrame:
+    """Pairs with Jaccard(shingle sets) ≥ threshold.
+
+    Candidates come from a shared-shingle equi-join (selective for large
+    n), so cost scales with real overlap, not n².  Returns
+    (id_a, id_b, jaccard) with jaccard computed from exact distinct
+    counts: ``|∩| / (|A| + |B| - |∩|)``.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            word_shingles(text_col, shingle_size))).alias("__sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    left, right = sh.alias("l"), sh.alias("r")
+    shared = (left.join(right, on="__sh")
+              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+              .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                       F.col(f"r.{id_col}").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("__shared")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("__n").alias("__nb"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("__shared")
+                        / (F.col("__na") + F.col("__nb")
+                           - F.col("__shared")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB pipeline needs both:
+
+- :func:`brute_force_topk` — exact cosine top-k.  The query set is
+  broadcast (small side), the corpus streams through one scan, and the
+  per-query top-k is a window rank.  Exact baseline; O(corpus × queries).
+- :func:`lsh_bucket_topk` — random-hyperplane LSH: corpus and queries get
+  a sign-bit signature against shared (seed-deterministic) hyperplanes;
+  candidates meet in a bucket equi-join, cosine is computed only inside
+  buckets.  The scale path: the join is keyed, never a cross join, and
+  multi-probe comes free by adding permuted signatures.
+
+All arithmetic is ``F.zip_with``/``F.aggregate`` over doubles — Catalyst
+expressions, Arrow-free, no UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_col(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array columns, computed in float64."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    a = F.transform(a, lambda v: v.cast("double"))
+    b = F.transform(b, lambda v: v.cast("double"))
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
+                     id_col: str, vec_col: str, query_id_col: str,
+                     query_vec_col: str | None = None,
+                     k: int = 10) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Returns (query_id, id, cosine, rank) with deterministic tie-breaking
+    on the corpus id.  ``queries`` is broadcast — suitable for query sets
+    up to ~10⁵ rows; beyond that use :func:`lsh_bucket_topk`.
+    """
+    query_vec_col = query_vec_col or vec_col
+    q = queries.select(F.col(query_id_col).alias("__qid"),
+                       F.col(query_vec_col).alias("__qvec"))
+    joined = corpus.crossJoin(F.broadcast(q))
+    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    scored = joined.select(
+        F.col("__qid").alias("query_id"),
+        F.col(id_col),
+        sim.alias("cosine"))
+    win = (Window.partitionBy("query_id")
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    seeded LCG — reproducible across engines and runs, no numpy RNG
+    state)."""
+    state = seed & 0x7FFFFFFF or 1
+
+    def lcg() -> float:
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return state / float(1 << 31)
+
+    planes = []
+    for _ in range(n_planes):
+        vec = []
+        while len(vec) < dim:
+            u1, u2 = max(lcg(), 1e-12), lcg()
+            r = math.sqrt(-2.0 * math.log(u1))
+            vec.append(r * math.cos(2 * math.pi * u2))
+            if len(vec) < dim:
+                vec.append(r * math.sin(2 * math.pi * u2))
+        norm = math.sqrt(sum(v * v for v in vec)) or 1.0
+        planes.append([v / norm for v in vec])
+    return planes
+
+
+def lsh_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i = 1 iff dot(vec, plane_i) >= 0."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vec = F.transform(vec, lambda v: v.cast("double"))
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = _dot(vec, F.lit(plane))
+        sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
+                    id_col: str, vec_col: str, query_id_col: str,
+                    query_vec_col: str | None = None, k: int = 10,
+                    dim: int | None = None, n_planes: int = 8,
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k: cosine ranked only within shared LSH buckets.
+
+    Recall is tunable via ``n_planes`` (fewer planes → bigger buckets →
+    higher recall, more compute).  Candidates that share no bucket with a
+    query are simply absent — callers needing guaranteed k should fall
+    back to :func:`brute_force_topk` for starved queries.
+    """
+    query_vec_col = query_vec_col or vec_col
+    if dim is None:
+        sample = corpus.select(F.size(vec_col).alias("n")).first()
+        dim = int(sample["n"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("__bucket", lsh_signature(vec_col, planes))
+    q = (queries.select(F.col(query_id_col).alias("__qid"),
+                        F.col(query_vec_col).alias("__qvec"))
+         .withColumn("__bucket", lsh_signature(F.col("__qvec"), planes)))
+    joined = c.join(F.broadcast(q), on="__bucket")
+    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    scored = joined.select(F.col("__qid").alias("query_id"), F.col(id_col),
+                           sim.alias("cosine"))
+    win = (Window.partitionBy("query_id")
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k))

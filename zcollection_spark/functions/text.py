@@ -1,0 +1,122 @@
+"""Text analysis: tokenization, stats, language-ID, fingerprinting.
+
+All JVM-side column expressions (whole-stage codegen; no Python in the hot
+path) so they hold up on a 100 TB documents table.  Every function here has
+an exact ANSI-SQL twin runnable by DuckDB — the driver's correctness oracle
+— because the hashing primitive is md5 (bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+#: Restricted to constructs with identical semantics in Java regex (Spark)
+#: and RE2 (DuckDB).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish placeholder
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """All word n-grams of ``col`` joined by single spaces; shorter texts
+    yield their full token string as the single shingle.
+
+    Built from ``transform(sequence(...), slice(...))`` — pure Catalyst
+    expressions, no UDF.
+    """
+    toks = words(col)
+    full = F.array(F.array_join(toks, " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(full)
+
+
+def token_count(col: Column | str,
+                pattern: str = TOKEN_PATTERN) -> Column:
+    """Count of regex tokens (the BPE-ish tokenizer length proxy)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality stats: lengths, token counts, ratios.
+
+    Quality-scoring features of the usual LLM-data pipelines
+    (length/stopword/distinct ratios), all as built-in expressions.
+    """
+    toks = words(text_col)
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.array_intersect(toks, F.lit(list(STOPWORDS))))
+    return df.select(
+        "*",
+        F.length(text_col).alias("n_chars_computed"),
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)) / n_toks).alias("distinct_ratio"),
+        ((F.length(text_col) - (n_toks - 1)) / n_toks)
+        .alias("avg_token_len"),
+        (stop_hits / F.size(F.array_distinct(toks)))
+        .alias("stopword_distinct_ratio"),
+        token_count(text_col).alias("n_bpe_tokens"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """Marker-lexicon language heuristic: score = count of DISTINCT marker
+    words present; argmax with lexicographic tie-break.
+
+    The classic fasttext-style langid is out of scope (no model deps); this
+    deterministic heuristic exercises the same plumbing and has an exact
+    SQL twin.
+    """
+    toks = F.array_distinct(words(text_col))
+    scores = {lang: F.size(F.array_intersect(toks, F.lit(list(markers))))
+              for lang, markers in sorted(LANG_MARKERS.items())}
+    # argmax with lexicographic tiebreak: fold over sorted langs, strictly
+    # greater wins (first/lowest lang wins ties)
+    best_lang = F.lit(None).cast("string")
+    best_score = F.lit(-1)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return df.withColumn(out_col, best_lang)
+
+
+#: modulus for the rolling fingerprint (2^40 keeps 31*acc+h < 2^63)
+FP_MOD = 1 << 40
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    md5-hashed tokens, mod 2^40.
+
+    ``fp = fold(tokens, 0, (acc, t) -> (acc*31 + md5_long(t) % M) % M)`` —
+    the reference-free analog of a rolling-hash fingerprint, exact-oracle
+    reproducible in DuckDB via ``list_reduce``.
+    """
+    from .dedup import md5_long
+    toks = words(col)
+    return F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + md5_long(t) % F.lit(FP_MOD))
+        % F.lit(FP_MOD))
