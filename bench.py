@@ -1,0 +1,128 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Mirrors the reference bench scenarios (``/root/reference/zcollection/
+benches/harness.py:111-153``: insert_full_dataset / open_collection_cold /
+query_one_partition_full / query_full) plus the engine's beyond-parity
+headliners (relational aggregation, minhash dedup, knn, streaming).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import zcollection_spark as zc  # noqa: E402
+from zcollection_spark import entry_queries as eq  # noqa: E402
+from zcollection_spark.data import load_table  # noqa: E402
+from zcollection_spark.schema import infer_schema  # noqa: E402
+
+
+def _consume(df) -> int:
+    """Force a full materializing read of every column (count() alone
+    would let column pruning skip the data)."""
+    cols = [F.col(c) for c in df.columns]
+    return df.select(F.xxhash64(*cols).alias("h")).agg(
+        F.count("h")).collect()[0][0] or 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = zc.get_spark("zcs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="zcs_bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+        return deco
+
+    try:
+        events = load_table(spark, sf_dir, "events")
+
+        @timed("insert_full_dataset")
+        def _():
+            coll = zc.create_collection(
+                spark, f"{tmp}/events", overwrite=True,
+                schema=infer_schema(events.schema, axis="ts"),
+                axis="ts", partitioning=zc.Date(("ts",), resolution="D"))
+            coll.insert(events)
+
+        @timed("open_collection_cold")
+        def _():
+            coll = zc.open_collection(spark, f"{tmp}/events")
+            coll.partitions()
+
+        coll = zc.open_collection(spark, f"{tmp}/events")
+
+        @timed("query_one_partition_full")
+        def _():
+            _consume(coll.query(
+                filters="year == 2024 and month == 1 and day == 5"))
+
+        @timed("query_full")
+        def _():
+            _consume(coll.query())
+
+        @timed("pricing_summary")
+        def _():
+            eq.q_pricing_summary(spark, sf_dir).collect()
+
+        @timed("top_revenue_orders")
+        def _():
+            eq.q_top_revenue_orders(spark, sf_dir).collect()
+
+        @timed("user_sessions")
+        def _():
+            eq.q_user_sessions(spark, sf_dir).collect()
+
+        @timed("dedup_minhash")
+        def _():
+            eq.q_dedup_minhash(spark, sf_dir).count()
+
+        @timed("dedup_jaccard")
+        def _():
+            eq.q_dedup_jaccard(spark, sf_dir).count()
+
+        @timed("knn_bruteforce")
+        def _():
+            eq.q_knn_bruteforce(spark, sf_dir).collect()
+
+        @timed("text_stats")
+        def _():
+            _consume(eq.q_text_stats(spark, sf_dir))
+
+        @timed("streaming_hourly")
+        def _():
+            eq.q_streaming_hourly(spark, sf_dir).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+    print(json.dumps({
+        "metric": "zcollection_spark headline suite wall-clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,807 @@
+"""Driver-contract query registry: Spark queries + exact DuckDB oracles.
+
+Every operator from SURVEY.md §2 (and the LLM-pipeline extras) gets a
+``queries()`` entry returning a DataFrame plus an ``oracle_sql()`` ANSI-SQL
+twin the driver runs through DuckDB on the same parquet tables.  Design
+rules that make the hash-match hold:
+
+- every computed column aliased identically on both sides;
+- float aggregations go through DECIMAL casts (exact arithmetic on both
+  engines) or are rounded where bit-parity is expected anyway;
+- the hashing primitive everywhere is md5 (bit-identical across engines);
+- integer arithmetic stays below 2^63 (Spark 4 runs ANSI mode).
+
+Collections are materialized once per process in a temp dir (deterministic
+contents, so caching is sound); queries that MUTATE collection state
+(merges, update) build their final state once and only query it afterward.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import (Date, GroupedSequence, Sequence, SchemaBuilder,
+               create_collection, upsert_within)
+from .data import load_table
+from .indexing import Indexer, ranges_for
+from .schema import VariableSchema, infer_schema
+from .view import View
+from .functions import (brute_force_topk, dedup_exact, fingerprint,
+                        language_id, lsh_candidate_pairs, md5_long,
+                        minhash_signatures, ngram_jaccard_pairs, text_stats,
+                        attach_fake_payload, extract_image_features)
+from .functions.dedup import MINHASH_PRIME, _perm_params
+from .functions.text import FP_MOD, LANG_MARKERS, TOKEN_PATTERN
+
+# ---------------------------------------------------------------------------
+# collection cache (deterministic builds, one per process)
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+_TMPROOT: list[str] = []
+
+
+def _tmp() -> str:
+    if not _TMPROOT:
+        _TMPROOT.append(tempfile.mkdtemp(prefix="zcs_entry_"))
+    return _TMPROOT[0]
+
+
+def _cached(key, build):
+    if key not in _CACHE:
+        _CACHE[key] = build()
+    return _CACHE[key]
+
+
+def _events3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("event_id", "ts",
+                                                      "value")
+
+
+def _events_coll(spark: SparkSession, sf_dir: str):
+    """Full events table as a Date("D")-partitioned collection."""
+    def build():
+        events = load_table(spark, sf_dir, "events")
+        coll = create_collection(
+            spark, f"{_tmp()}/events_d_{abs(hash(sf_dir))}",
+            schema=infer_schema(events.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(events)
+        return coll
+    return _cached(("events_d", sf_dir), build)
+
+
+def _events3_coll(spark: SparkSession, sf_dir: str, tag: str):
+    """Fresh 3-column events collection (for state-mutating scenarios)."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/events3_{tag}_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df)
+        return coll
+    return _cached(("events3", tag, sf_dir), build)
+
+
+EVENTS3 = "event_id, ts, value"
+
+
+# ---------------------------------------------------------------------------
+# §2.2 scans, pruning, projection
+# ---------------------------------------------------------------------------
+
+def q_collection_query_prune(spark, sf_dir):
+    """Partition-predicate pushdown + projection + ordered concat
+    (reference ``Collection.query``, collection/base.py:524-595)."""
+    coll = _events_coll(spark, sf_dir)
+    return coll.query(filters="year == 2024 and month == 1 and "
+                              "day in (3, 4, 5)",
+                      variables=["event_id", "ts", "value"])
+
+
+ORACLE_QUERY_PRUNE = f"""
+SELECT {EVENTS3} FROM events
+WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) IN (3, 4, 5)
+"""
+
+
+def q_collection_projection(spark, sf_dir):
+    """Column whitelist projection (variables=, io/partition.py:250-256)."""
+    coll = _events_coll(spark, sf_dir)
+    return coll.query(variables=["event_id", "event_type"])
+
+
+ORACLE_PROJECTION = "SELECT event_id, event_type FROM events"
+
+
+def q_collection_sequence(spark, sf_dir):
+    """Sequence partitioning round-trip + pruning
+    (partitioning/sequence.py:20-156)."""
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        coll = create_collection(
+            spark, f"{_tmp()}/lineitem_seq_{abs(hash(sf_dir))}",
+            schema=infer_schema(li.schema, axis="l_orderkey"),
+            axis="l_orderkey", partitioning=Sequence(("l_linenumber",)))
+        coll.insert(li)
+        return coll
+    coll = _cached(("lineitem_seq", sf_dir), build)
+    return coll.query(filters="l_linenumber >= 5")
+
+
+ORACLE_SEQUENCE = "SELECT * FROM lineitem WHERE l_linenumber >= 5"
+
+
+def q_collection_grouped_sequence(spark, sf_dir):
+    """GroupedSequence bucketing ((v-start)//size*size+start,
+    partitioning/grouped.py:112-114)."""
+    def build():
+        events = load_table(spark, sf_dir, "events")
+        coll = create_collection(
+            spark, f"{_tmp()}/events_gseq_{abs(hash(sf_dir))}",
+            schema=infer_schema(events.schema, axis="ts"),
+            axis="ts",
+            partitioning=GroupedSequence(("user_id",), size=50, start=0))
+        coll.insert(events)
+        return coll
+    coll = _cached(("events_gseq", sf_dir), build)
+    res = coll.query(filters="user_id_bucket == 100",
+                     variables=["event_id", "user_id", "value"])
+    return res
+
+
+ORACLE_GROUPED_SEQUENCE = """
+SELECT event_id, user_id, value FROM events
+WHERE user_id >= 100 AND user_id < 150
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 merge strategies
+# ---------------------------------------------------------------------------
+
+def _batch_ts(spark, sf_dir):
+    base = _events3(spark, sf_dir)
+    return (base.where(F.dayofmonth("ts").between(8, 12))
+            .select((F.col("event_id") + 1000000).alias("event_id"),
+                    "ts", (F.col("value") + 1000.0).alias("value")))
+
+
+def q_merge_time_series(spark, sf_dir):
+    """time_series merge: per-partition [min,max] window drop + concat
+    (merge.py:132-186)."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/merge_ts_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df.where(F.dayofmonth("ts") <= 10))
+        coll.insert(_batch_ts(spark, sf_dir), merge="time_series")
+        return coll
+    coll = _cached(("merge_ts", sf_dir), build)
+    return coll.query()
+
+
+ORACLE_MERGE_TIME_SERIES = f"""
+WITH base AS (SELECT {EVENTS3} FROM events WHERE day(ts) <= 10),
+batch AS (SELECT event_id + 1000000 AS event_id, ts,
+                 value + 1000.0 AS value
+          FROM events WHERE day(ts) BETWEEN 8 AND 12),
+bounds AS (SELECT date_trunc('day', ts) AS d, min(ts) AS lo, max(ts) AS hi
+           FROM batch GROUP BY 1)
+SELECT b.event_id, b.ts, b.value FROM base b
+LEFT JOIN bounds ON date_trunc('day', b.ts) = bounds.d
+                AND b.ts BETWEEN bounds.lo AND bounds.hi
+WHERE bounds.d IS NULL
+UNION ALL SELECT {EVENTS3} FROM batch
+"""
+
+
+def q_merge_upsert(spark, sf_dir):
+    """upsert: keep existing rows with unmatched axis, else replace
+    (merge.py:189-279)."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/merge_up_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df)
+        replaced = (df.where(F.dayofmonth("ts").isin(5, 6))
+                    .select("event_id", "ts",
+                            (F.col("value") + 500.0).alias("value")))
+        added = (df.where(F.dayofmonth("ts") == 7)
+                 .select((F.col("event_id") + 2000000).alias("event_id"),
+                         F.expr("ts + INTERVAL 40 DAYS").alias("ts"),
+                         "value"))
+        coll.insert(replaced.unionByName(added), merge="upsert")
+        return coll
+    coll = _cached(("merge_up", sf_dir), build)
+    return coll.query()
+
+
+ORACLE_MERGE_UPSERT = f"""
+WITH batch AS (
+  SELECT event_id, ts, value + 500.0 AS value FROM events
+  WHERE day(ts) IN (5, 6)
+  UNION ALL
+  SELECT event_id + 2000000 AS event_id, ts + INTERVAL 40 DAY AS ts, value
+  FROM events WHERE day(ts) = 7)
+SELECT {EVENTS3} FROM events WHERE ts NOT IN (SELECT ts FROM batch)
+UNION ALL SELECT {EVENTS3} FROM batch
+"""
+
+
+def q_merge_concat(spark, sf_dir):
+    """concat merge: append without dedup (merge.py:109-129)."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/merge_cat_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df)
+        batch = (df.where(F.dayofmonth("ts") == 1)
+                 .select((F.col("event_id") + 3000000).alias("event_id"),
+                         "ts", "value"))
+        coll.insert(batch, merge="concat")
+        return coll
+    coll = _cached(("merge_cat", sf_dir), build)
+    return coll.query()
+
+
+ORACLE_MERGE_CONCAT = f"""
+SELECT {EVENTS3} FROM events
+UNION ALL
+SELECT event_id + 3000000 AS event_id, ts, value FROM events
+WHERE day(ts) = 1
+"""
+
+
+def q_merge_upsert_tolerance(spark, sf_dir):
+    """upsert_within(tolerance): nearest-within-tolerance axis matching
+    (merge.py:262-272).  Batch = events of day 3 with ts jittered +30 s
+    and tolerance 60 s → every jittered row replaces its source row."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/merge_tol_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df)
+        batch = (df.where(F.dayofmonth("ts") == 3)
+                 .select((F.col("event_id") + 4000000).alias("event_id"),
+                         F.expr("ts + INTERVAL 30 SECONDS").alias("ts"),
+                         (F.col("value") + 7.0).alias("value")))
+        coll.insert(batch, merge=upsert_within(60.0))
+        return coll
+    coll = _cached(("merge_tol", sf_dir), build)
+    return coll.query()
+
+
+# existing row dropped iff some batch ts within 60 s in the SAME day
+# partition (per-partition merge); jitter keeps rows inside day 3 except
+# possibly the last 30 s of the day — the EXISTS condition reproduces the
+# partition scoping exactly.
+ORACLE_MERGE_UPSERT_TOLERANCE = f"""
+WITH batch AS (
+  SELECT event_id + 4000000 AS event_id, ts + INTERVAL 30 SECOND AS ts,
+         value + 7.0 AS value
+  FROM events WHERE day(ts) = 3)
+SELECT e.event_id, e.ts, e.value FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM batch b
+  WHERE date_trunc('day', b.ts) = date_trunc('day', e.ts)
+    AND abs(epoch(b.ts) - epoch(e.ts)) <= 60.0)
+UNION ALL SELECT {EVENTS3} FROM batch
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 per-partition UDF surface
+# ---------------------------------------------------------------------------
+
+def q_map_partition_stats(spark, sf_dir):
+    """Collection.map: per-partition pandas fn (collection/base.py:638-696).
+    Emits per-day count + rounded sum."""
+    coll = _events_coll(spark, sf_dir)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "year": [int(pdf["year"].iloc[0])],
+            "month": [int(pdf["month"].iloc[0])],
+            "day": [int(pdf["day"].iloc[0])],
+            "n": [len(pdf)],
+            "sum_value": [round(float(pdf["value"].sum()), 6)],
+        })
+
+    return coll.map(stats,
+                    "year bigint, month bigint, day bigint, n bigint, "
+                    "sum_value double")
+
+
+ORACLE_MAP_STATS = """
+SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_update_derived(spark, sf_dir):
+    """Collection.update: read → fn → dynamic-overwrite rewrite
+    (collection/base.py:698-794)."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/update_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df)
+
+        def double_value(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.copy()
+            pdf["value"] = pdf["value"] * 2.0
+            return pdf[["event_id", "ts", "value"]]
+
+        coll.update(double_value, filters="day <= 5")
+        return coll
+    coll = _cached(("update", sf_dir), build)
+    return coll.query(filters="day <= 5",
+                      variables=["event_id", "value"])
+
+
+ORACLE_UPDATE = """
+SELECT event_id, value * 2.0 AS value FROM events WHERE day(ts) <= 5
+"""
+
+
+def q_view_overlay(spark, sf_dir):
+    """View overlay: positional (_row_idx) join of derived variables
+    (view/base.py:232-407)."""
+    def build():
+        base = _events_coll(spark, sf_dir)
+        view = View.create(
+            spark, f"{_tmp()}/view_{abs(hash(sf_dir))}", base=base,
+            variables=[VariableSchema(name="derived", dtype="float64",
+                                      dimensions=("ts",))])
+
+        def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"derived": pdf["value"] * 3.0 + 1.0})
+
+        view.update(compute)
+        return view
+    view = _cached(("view", sf_dir), build)
+    return view.query(variables=["event_id", "ts", "value", "derived"])
+
+
+ORACLE_VIEW = """
+SELECT event_id, ts, value, value * 3.0 + 1.0 AS derived FROM events
+"""
+
+
+def q_index_lookup(spark, sf_dir):
+    """Secondary index: contiguous-run ranges + pushdown read
+    (indexing/parquet.py:65-195)."""
+    def build():
+        coll = _events_coll(spark, sf_dir)
+        indexer = Indexer(spark, f"{_tmp()}/index_{abs(hash(sf_dir))}")
+        indexer.build(coll,
+                      builder=lambda p: ranges_for(p, ["event_type"]),
+                      schema="event_type string")
+        return coll, indexer
+    coll, indexer = _cached(("index", sf_dir), build)
+    return indexer.query(coll, event_type="click",
+                         variables=["event_id", "ts", "event_type"])
+
+
+ORACLE_INDEX = """
+SELECT event_id, ts, event_type FROM events WHERE event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational showcase (bench headliners)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregation; DECIMAL sums for exact cross-engine
+    arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # DECIMAL(12,4) inputs keep every product EXACT (price*disc = (25,8),
+    # *tax = (38,12) — no precision overflow, hence no engine-specific
+    # rounding); final casts only WIDEN scale (zero-pad), never round
+    qty = F.col("l_quantity").cast("decimal(12,4)")
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)")
+    tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(12,4)")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("decimal(38,12)").alias("sum_qty"),
+                 F.sum(price).cast("decimal(38,12)")
+                 .alias("sum_base_price"),
+                 F.sum(price * disc).cast("decimal(38,12)")
+                 .alias("sum_disc_price"),
+                 F.sum(price * disc * tax).cast("decimal(38,12)")
+                 .alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,12))
+         AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,12))
+         AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))
+         AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(12,4))
+           * CAST(1.0 + l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12))
+         AS sum_charge,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-style join: broadcast dims, decimal-exact revenue,
+    deterministic top-10."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
+    return (li
+            .join(F.broadcast(orders.where(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+                .select("o_orderkey", "o_custkey", "o_orderdate")),
+                on=F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust.where(
+                F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey")),
+                on=F.col("o_custkey") == F.col("c_custkey"))
+            .where(F.col("l_shipdate")
+                   > F.lit("1998-01-01").cast("date"))
+            .groupBy("o_orderkey")
+            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+ORACLE_TOP_REVENUE = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8))
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-01-01'
+  AND l_shipdate > DATE '1998-01-01'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionization via window lag: sessions split on >30 min gaps."""
+    from pyspark.sql import Window
+    events = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(win)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0))
+    return (flagged.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("new_session").cast("long").alias("n_sessions")))
+
+
+ORACLE_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts)) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM flagged GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators
+# ---------------------------------------------------------------------------
+
+_SPLIT = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: representative (min doc_id) per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["text"], "doc_id").select("doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB twin of functions.text.word_shingles(col, n)."""
+    return f"""
+words AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= {n}
+              THEN array_to_string(list_slice(w, gs, gs + {n - 1}), ' ')
+              ELSE array_to_string(w, ' ') END AS s
+       FROM words,
+            UNNEST(generate_series(
+              1, CASE WHEN len(w) >= {n} THEN len(w) - {n - 1}
+                      ELSE 1 END)) t(gs))"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH candidate pairs — exact oracle via the shared md5
+    permutation family."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text",
+                              num_hashes=8, shingle_size=3)
+    return lsh_candidate_pairs(sigs, id_col="doc_id", num_hashes=8,
+                               bands=4)
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4,
+                    shingle: int = 3) -> str:
+    rows = num_hashes // bands
+    mins = []
+    for i in range(num_hashes):
+        a, b = _perm_params(i)
+        mins.append(f"min((x * {a} + {b}) % {MINHASH_PRIME}) AS h{i}")
+    band_selects = []
+    for bnd in range(bands):
+        cols = [f"h{bnd * rows + r}" for r in range(rows)]
+        concat = " || '-' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, md5({concat}) AS bucket "
+            f"FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_shingle_sql(shingle)},
+hx AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_PRIME} AS x
+       FROM sh),
+sig AS (SELECT doc_id, {', '.join(mins)} FROM hx GROUP BY doc_id),
+bands AS ({bands_sql})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs from a shared-shingle join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                               shingle_size=5, threshold=0.5)
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {_shingle_sql(5)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+           FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Quality-scoring stats per doc (all JVM-side expressions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs)
+    return stats.select(
+        "doc_id",
+        F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("distinct_ratio"))
+
+
+ORACLE_TEXT_STATS = f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars_computed,
+                  {_SPLIT} AS w,
+                  regexp_extract_all(text, '{TOKEN_PATTERN}') AS bpe
+           FROM documents)
+SELECT doc_id, n_chars_computed,
+       len(w) AS n_tokens,
+       len(list_distinct(w)) AS n_distinct_tokens,
+       len(bpe) AS n_bpe_tokens,
+       CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio
+FROM t
+"""
+
+
+def q_language_id(spark, sf_dir):
+    """Marker-lexicon language heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def _langid_oracle() -> str:
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = ", ".join(f"'{m}'" for m in markers)
+        scores.append(
+            f"len(list_intersect(list_distinct({_SPLIT}), [{arr}]))"
+            f" AS s_{lang}")
+    langs = sorted(LANG_MARKERS)
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    cases = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+WITH scored AS (SELECT doc_id, {', '.join(scores)} FROM documents),
+m AS (SELECT doc_id, greatest({greatest}) AS m, * FROM scored)
+SELECT doc_id, CASE {cases} END AS lang_pred FROM m
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_SPLIT},
+             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {FP_MOD})),
+         (acc, h) -> (acc * 31 + h) % {FP_MOD}) AS fp
+FROM documents
+"""
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 per query vector (vec_id < 5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    topk = brute_force_topk(emb, queries, id_col="vec_id",
+                            vec_col="embedding", query_id_col="vec_id",
+                            k=10)
+    return topk.select("query_id", "vec_id",
+                       F.round("cosine", 6).alias("cosine"),
+                       F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_KNN = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (SELECT qid, cid,
+             list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM q, c),
+r AS (SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rank
+      FROM s)
+SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload plumbing: Arrow-batched mapInPandas feature
+    extraction over a synthetic payload column."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_fake_payload(docs, text_col="text")
+    feats = extract_image_features(payloads, id_col="doc_id")
+    return feats.select(F.col("id"),
+                        F.col("n_bytes").cast("long").alias("n_bytes"),
+                        F.col("first_byte").cast("long").alias("first_byte"))
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+FROM documents
+"""
+
+
+def q_streaming_hourly(spark, sf_dir):
+    """Structured Streaming (availableNow) hourly event counts — the
+    stream path of the engine; batch-equivalent oracle."""
+    from .streaming import hourly_event_counts
+    return hourly_event_counts(spark, sf_dir)
+
+
+ORACLE_STREAMING = """
+SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "collection_query_prune": q_collection_query_prune,
+        "collection_projection": q_collection_projection,
+        "collection_sequence": q_collection_sequence,
+        "collection_grouped_sequence": q_collection_grouped_sequence,
+        "merge_time_series": q_merge_time_series,
+        "merge_upsert": q_merge_upsert,
+        "merge_upsert_tolerance": q_merge_upsert_tolerance,
+        "merge_concat": q_merge_concat,
+        "map_partition_stats": q_map_partition_stats,
+        "update_derived": q_update_derived,
+        "view_overlay": q_view_overlay,
+        "index_lookup": q_index_lookup,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "user_sessions": q_user_sessions,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "knn_bruteforce": q_knn_bruteforce,
+        "multimodal_features": q_multimodal_features,
+        "streaming_hourly": q_streaming_hourly,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "collection_query_prune": ORACLE_QUERY_PRUNE,
+        "collection_projection": ORACLE_PROJECTION,
+        "collection_sequence": ORACLE_SEQUENCE,
+        "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,
+        "merge_time_series": ORACLE_MERGE_TIME_SERIES,
+        "merge_upsert": ORACLE_MERGE_UPSERT,
+        "merge_upsert_tolerance": ORACLE_MERGE_UPSERT_TOLERANCE,
+        "merge_concat": ORACLE_MERGE_CONCAT,
+        "map_partition_stats": ORACLE_MAP_STATS,
+        "update_derived": ORACLE_UPDATE,
+        "view_overlay": ORACLE_VIEW,
+        "index_lookup": ORACLE_INDEX,
+        "pricing_summary": ORACLE_PRICING,
+        "top_revenue_orders": ORACLE_TOP_REVENUE,
+        "user_sessions": ORACLE_SESSIONS,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_minhash": _minhash_oracle(),
+        "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "text_stats": ORACLE_TEXT_STATS,
+        "language_id": _langid_oracle(),
+        "fingerprint": ORACLE_FINGERPRINT,
+        "knn_bruteforce": ORACLE_KNN,
+        "multimodal_features": ORACLE_MULTIMODAL,
+        "streaming_hourly": ORACLE_STREAMING,
+    }

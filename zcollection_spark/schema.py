@@ -54,7 +54,7 @@ _SPARK_TO_DTYPE: dict[str, str] = {
     "tinyint": "int8", "smallint": "int16", "int": "int32", "bigint": "int64",
     "float": "float32", "double": "float64", "boolean": "bool",
     "string": "str", "binary": "bytes", "timestamp": "datetime64[us]",
-    "date": "datetime64[D]",
+    "timestamp_ntz": "datetime64[us]", "date": "datetime64[D]",
 }
 
 

@@ -36,6 +36,9 @@ SESSION_CONF: dict[str, str] = {
     # (/root/reference/zcollection/partitioning/sequence.py:114-122).
     "spark.sql.sources.partitionColumnTypeInference.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # read parquet naive timestamps as TimestampType (UTC), not NTZ —
+    # one timestamp type throughout the engine and its oracle comparisons
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -1,0 +1,85 @@
+"""Structured Streaming surface.
+
+The reference has no streaming (SURVEY §2: "no streaming"); this module is
+part of the beyond-parity scope: a collection's partition directory tree IS
+a valid streaming file source, so continuous ingestion pipelines get
+watermarked windowed aggregation for free.
+
+Two entry points:
+
+- :func:`stream_events` — stream the driver testdata ``events`` table
+  (handles the nanos-timestamp parquet the same way ``data.load_table``
+  does);
+- :func:`Collection`-level: ``read_collection_stream`` streams new files
+  appearing under a collection root with the collection's schema.
+
+Both are demonstrated with availableNow triggers (bounded, testable); in
+production the same code runs unbounded with watermarks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .collection.collection import Collection, ROW_IDX
+from .data import _nanos_columns
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (schema must be explicit for
+    streaming sources; nanos timestamps read as long + converted)."""
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    nanos = set(_nanos_columns(path))
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # static schema matching the driver tables
+    fields = [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType() if "ts" in nanos
+                      else T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+    sdf = (spark.readStream.schema(T.StructType(fields))
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir.rstrip("/")))
+    if "ts" in nanos:
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation, run to completion with an
+    availableNow trigger and returned as a static DataFrame.
+
+    The plan is the canonical streaming shape: event-time window + count;
+    with an unbounded source you'd add ``withWatermark("ts", "1 hour")``
+    and an append sink.
+    """
+    sdf = stream_events(spark, sf_dir)
+    counts = (sdf.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("window_start"), "n"))
+    sink = f"zcs_stream_{uuid.uuid4().hex[:8]}"
+    query = (counts.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(sink)
+
+
+def read_collection_stream(spark: SparkSession,
+                           collection: Collection) -> DataFrame:
+    """Stream a collection: new partition files are picked up as they
+    land.  Schema = collection schema + partition keys; ``_row_idx``
+    dropped."""
+    struct = collection.schema.to_struct_type()
+    sdf = (spark.readStream.schema(struct)
+           .option("basePath", collection.path)
+           .parquet(collection.path + "/*" * collection.partitioning.depth))
+    return sdf.drop(ROW_IDX)
