@@ -117,6 +117,9 @@ def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str,
         id_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    # both sides of the self-join read the banding — materialize once so
+    # the signature aggregation (explode + k min-aggs) runs a single time
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right, on=["band", "bucket"])
@@ -153,7 +156,8 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
 def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
                             n_bits: int = 16) -> DataFrame:
     """Docs with IDENTICAL simhash → near-dup pairs (id_a < id_b)."""
-    sig = simhash(df, id_col=id_col, text_col=text_col, n_bits=n_bits)
+    sig = simhash(df, id_col=id_col, text_col=text_col,
+                  n_bits=n_bits).persist()
     left, right = sig.alias("l"), sig.alias("r")
     return (left.join(right, on="simhash")
             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -180,6 +184,10 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
         F.col(id_col),
         F.explode(F.array_distinct(
             word_shingles(text_col, shingle_size))).alias("__sh"))
+    # the shingle expansion feeds THREE plan branches (both join sides +
+    # the size aggregate); Spark has no cross-branch CSE, so materialize it
+    # once.  At 100 TB this becomes an explicit intermediate parquet table.
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     left, right = sh.alias("l"), sh.alias("r")
     shared = (left.join(right, on="__sh")

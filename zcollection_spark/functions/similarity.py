@@ -52,10 +52,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
     up to ~10⁵ rows; beyond that use :func:`lsh_bucket_topk`.
     """
     query_vec_col = query_vec_col or vec_col
-    q = queries.select(F.col(query_id_col).alias("__qid"),
-                       F.col(query_vec_col).alias("__qvec"))
-    joined = corpus.crossJoin(F.broadcast(q))
-    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    # pre-cast and pre-normalize each side ONCE; the per-pair work inside
+    # the cross join is then a single dot product (higher-order functions
+    # are interpreted per element — don't repeat casts/norms per pair)
+    c = corpus.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("__cvec"),
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.transform(query_vec_col,
+                    lambda v: v.cast("double")).alias("__qvec"),
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    joined = c.crossJoin(F.broadcast(q))
+    sim = (_dot(F.col("__cvec"), F.col("__qvec"))
+           / (F.col("__cnorm") * F.col("__qnorm")))
     scored = joined.select(
         F.col("__qid").alias("query_id"),
         F.col(id_col),

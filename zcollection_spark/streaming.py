@@ -67,9 +67,17 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n"))
               .select(F.col("w.start").alias("window_start"), "n"))
     sink = f"zcs_stream_{uuid.uuid4().hex[:8]}"
-    query = (counts.writeStream.format("memory").queryName(sink)
-             .outputMode("complete").trigger(availableNow=True).start())
-    query.awaitTermination()
+    # streaming state-store cost is per shuffle partition (a store instance
+    # each); a bounded ~10³-key aggregation wants a handful, not 32.
+    # The conf is captured at stream START, so scope the override to it.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (counts.writeStream.format("memory").queryName(sink)
+                 .outputMode("complete").trigger(availableNow=True).start())
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
 
 
