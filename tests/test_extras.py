@@ -1,0 +1,121 @@
+"""Nested groups, config/codec profiles, CLI, atomic-visibility behavior."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import zcollection_spark as zc
+from zcollection_spark import cli, config
+
+
+# -- nested groups (F5 hier fixture, tests/test_group.py) ------------------
+
+@pytest.fixture()
+def hier_collection(spark, tmp_path):
+    pdf = pd.DataFrame({
+        "time": np.arange(5, dtype=np.int64),
+        "data_01/ku/power": [list(r) for r in
+                             np.arange(20, dtype=np.float32).reshape(5, 4)],
+    })
+    schema = (zc.SchemaBuilder()
+              .add_dimension("time").add_dimension("range", size=4)
+              .add_group("data_01", {"product": "L2"})
+              .add_group("data_01/ku", {"band": "Ku"})
+              .add_variable("time", "int64", ("time",))
+              .add_variable("data_01/ku/power", "float32",
+                            ("time", "range"))
+              .build("time"))
+    coll = zc.create_collection(spark, str(tmp_path / "hier"),
+                                schema=schema, axis="time",
+                                partitioning=zc.Sequence(("time",)))
+    coll.insert(spark.createDataFrame(pdf,
+                                      schema=schema.to_struct_type()))
+    return coll
+
+
+def test_nested_group_roundtrip(spark, hier_collection):
+    out = hier_collection.query().toPandas()
+    assert list(out.columns) == ["time", "data_01/ku/power"]
+    got = np.array(out["data_01/ku/power"].tolist(), dtype=np.float32)
+    np.testing.assert_array_equal(
+        got, np.arange(20, dtype=np.float32).reshape(5, 4))
+
+
+def test_nested_group_short_name_projection(spark, hier_collection):
+    out = hier_collection.query(variables=["power"])  # quirk Q8
+    assert out.columns == ["data_01/ku/power"]
+
+
+def test_group_attrs_persisted(spark, hier_collection):
+    reopened = zc.open_collection(spark, hier_collection.path)
+    assert reopened.schema.group_attrs["data_01"] == {"product": "L2"}
+    assert reopened.schema.group_attrs["data_01/ku"] == {"band": "Ku"}
+
+
+# -- config / codec profiles ----------------------------------------------
+
+def test_config_override():
+    assert config.get("codec.profile") == "cloud-balanced"
+    with config.override(**{"codec.profile": "cloud-cold"}):
+        assert config.profile().level == 9
+    assert config.get("codec.profile") == "cloud-balanced"
+
+
+def test_config_unknown_key():
+    with pytest.raises(KeyError):
+        config.get("bogus")
+    with pytest.raises(KeyError):
+        config.set_option("bogus", 1)
+
+
+def test_codec_profiles_parity():
+    # reference profiles: local-fast zstd3, cloud-balanced sharded 128MiB
+    # zstd3 (default), cloud-cold sharded 512MiB zstd9
+    assert config.PROFILES["local-fast"].level == 3
+    assert config.PROFILES["cloud-balanced"].target_file_bytes == 128 << 20
+    assert config.PROFILES["cloud-cold"].level == 9
+
+
+# -- CLI -------------------------------------------------------------------
+
+def test_cli_ls_and_inspect(spark, seq_collection, capsys):
+    assert cli.main(["ls", seq_collection.path]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["num=0", "num=1", "num=2"]
+
+    assert cli.main(["ls", seq_collection.path, "--filter", "num >= 1",
+                     "--json"]) == 0
+    assert json.loads(capsys.readouterr().out) == ["num=1", "num=2"]
+
+    assert cli.main(["inspect", seq_collection.path]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["axis"] == "num"
+    assert doc["n_partitions"] == 3
+    assert {v["name"] for v in doc["variables"]} == {"num", "value",
+                                                     "static"}
+
+
+def test_cli_drop_guarded(spark, seq_collection, capsys):
+    assert cli.main(["drop", seq_collection.path, "--filter", "num == 0",
+                     "--yes"]) == 0
+    assert "dropped 1" in capsys.readouterr().out
+    assert len(seq_collection.partitions()) == 2
+
+
+# -- atomic visibility -----------------------------------------------------
+
+def test_catalog_is_visibility_gate(spark, seq_collection, seq_pdf,
+                                    tmp_path):
+    """Insert visibility = catalog swap (the staging+swap protocol of
+    SURVEY §7): data files land first, the atomic catalog PUT commits."""
+    # a partition dir present on disk but not in the catalog is invisible
+    # to catalog-backed listing (until repair_catalog)
+    rogue = tmp_path / "seq" / "num=99"
+    rogue.mkdir()
+    (rogue / "part-0.parquet").write_bytes(b"")
+    assert "num=99" not in seq_collection.partitions()
+    # repair() makes the store the source of truth again
+    seq_collection.repair_catalog()
+    assert "num=99" in seq_collection.partitions()

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the pure-logic layers: the
+expression compiler and partition-key path round-trips.  No SparkSession —
+these run in milliseconds and probe the corners example tests miss."""
+
+import ast
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import zcollection_spark as zc
+from zcollection_spark.partitioning import from_json as part_from_json
+
+KEYS = ("year", "month", "day")
+key_values = st.fixed_dictionaries(
+    {k: st.integers(min_value=-10**6, max_value=10**6) for k in KEYS})
+
+
+@st.composite
+def filter_exprs(draw) -> str:
+    """Random well-formed filter expressions over KEYS."""
+    def leaf():
+        key = draw(st.sampled_from(KEYS))
+        kind = draw(st.sampled_from(["cmp", "in", "chain"]))
+        if kind == "cmp":
+            op = draw(st.sampled_from(["==", "!=", "<", "<=", ">", ">="]))
+            val = draw(st.integers(-100, 100))
+            return f"{key} {op} {val}"
+        if kind == "in":
+            vals = draw(st.lists(st.integers(-100, 100), min_size=1,
+                                 max_size=4))
+            neg = draw(st.booleans())
+            return f"{key} {'not in' if neg else 'in'} " \
+                   f"({', '.join(map(str, vals))},)"
+        lo = draw(st.integers(-100, 0))
+        hi = draw(st.integers(1, 100))
+        return f"{lo} <= {key} <= {hi}"
+
+    terms = [leaf() for _ in range(draw(st.integers(1, 4)))]
+    expr = terms[0]
+    for term in terms[1:]:
+        joiner = draw(st.sampled_from(["and", "or"]))
+        wrap = draw(st.booleans())
+        rhs = f"not ({term})" if wrap else term
+        expr = f"({expr}) {joiner} {rhs}"
+    return expr
+
+
+@given(expr=filter_exprs(), key=key_values)
+@settings(max_examples=300, deadline=None)
+def test_filter_matches_python_eval(expr: str, key: dict):
+    """The compiled predicate agrees with Python's own eval of the same
+    expression (the grammar is a strict Python subset — eval is the spec)."""
+    pred = zc.compile_filter(expr)
+    expected = bool(eval(expr, {"__builtins__": {}}, dict(key)))
+    assert pred.evaluate(key) == expected
+
+
+@given(key=key_values)
+@settings(max_examples=200, deadline=None)
+def test_date_encode_decode_roundtrip(key: dict):
+    part = zc.Date(("ts",), resolution="D")
+    rel = part.encode(key)
+    assert part.decode(rel) == key
+
+
+@given(values=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=3))
+@settings(max_examples=200, deadline=None)
+def test_sequence_roundtrip(values):
+    names = tuple(f"k{i}" for i in range(len(values)))
+    part = zc.Sequence(names)
+    key = dict(zip(names, values))
+    assert part.decode(part.encode(key)) == key
+
+
+@given(v=st.integers(-10**6, 10**6),
+       size=st.integers(2, 1000), start=st.integers(-100, 100))
+@settings(max_examples=300, deadline=None)
+def test_grouped_bucket_matches_numpy_floordiv(v, size, start):
+    """Bucket expr must equal the reference's (v - start)//size*size+start
+    (numpy floor-division semantics, grouped.py:112-114)."""
+    bucket = (v - start) // size * size + start
+    assert bucket <= v < bucket + size
+
+
+@given(expr=filter_exprs())
+@settings(max_examples=100, deadline=None)
+def test_partitioning_json_stable(expr):
+    for part in (zc.Date(("ts",), resolution="M"),
+                 zc.GroupedSequence(("a", "b"), size=7, start=-3)):
+        assert part_from_json(part.to_json()).to_json() == part.to_json()
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_filter_never_crashes_unexpectedly(text):
+    """Arbitrary input either compiles or raises ExpressionError — nothing
+    else escapes."""
+    try:
+        zc.compile_filter(text)
+    except zc.ExpressionError:
+        pass

@@ -326,6 +326,7 @@ class Collection:
         return df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
 
     def _write(self, derived: DataFrame, *, mode: str) -> None:
+        from .. import config as engine_config
         keys = list(self.partitioning.keys)
         chunks = None
         axis_dim = self.schema.dim_map.get(self.axis)
@@ -336,8 +337,12 @@ class Collection:
         writer = (self._with_row_idx(derived)
                   .repartition(*[F.col(k) for k in keys])
                   .sortWithinPartitions(*sort_cols)
-                  .write.mode(mode).partitionBy(*keys))
+                  .write.mode(mode).partitionBy(*keys)
+                  .option("compression",
+                          engine_config.profile().compression))
         if chunks:
+            # chunk geometry → row-group/file sizing (the reference's
+            # shard-size targeting, codecs/sharding.py:32-159)
             writer = writer.option("maxRecordsPerFile", chunks)
         writer.parquet(self.path)
 

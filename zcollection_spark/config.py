@@ -1,0 +1,75 @@
+"""Engine configuration + codec profiles.
+
+Re-expresses ``/root/reference/zcollection/config.py:18-55`` (global config
+with an ``override`` context manager) and the codec profiles of
+``codecs/defaults.py:133-156``.  On Spark, a codec profile maps to parquet
+compression + target file sizing (the reference's shard-size targeting,
+``codecs/sharding.py:32-159``, becomes ``maxRecordsPerFile`` /
+``files.maxPartitionBytes``).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+from typing import Any, Iterator
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecProfile:
+    """Write-side codec/file-sizing policy."""
+    name: str
+    compression: str            # parquet codec
+    level: int | None           # codec level (zstd)
+    target_file_bytes: int      # analog of the reference's shard target
+
+    def writer_options(self) -> dict[str, str]:
+        opts = {"compression": self.compression}
+        if self.level is not None:
+            opts["parquet.compression.codec.zstd.level"] = str(self.level)
+        return opts
+
+
+#: parity with the reference's three profiles (codecs/defaults.py:133-156)
+PROFILES: dict[str, CodecProfile] = {
+    "local-fast": CodecProfile("local-fast", "zstd", 3, 64 << 20),
+    "cloud-balanced": CodecProfile("cloud-balanced", "zstd", 3, 128 << 20),
+    "cloud-cold": CodecProfile("cloud-cold", "zstd", 9, 512 << 20),
+}
+
+_DEFAULTS: dict[str, Any] = {
+    "codec.profile": "cloud-balanced",   # reference default
+    "catalog.enabled": True,
+    "partition.files": 1,                # output files per partition write
+}
+
+_config: dict[str, Any] = dict(_DEFAULTS)
+
+
+def get(key: str) -> Any:
+    try:
+        return _config[key]
+    except KeyError:
+        raise KeyError(f"unknown config key {key!r}; known: "
+                       f"{sorted(_DEFAULTS)}") from None
+
+
+def set_option(key: str, value: Any) -> None:
+    get(key)  # validate key
+    _config[key] = value
+
+
+def profile() -> CodecProfile:
+    return PROFILES[get("codec.profile")]
+
+
+@contextlib.contextmanager
+def override(**options: Any) -> Iterator[None]:
+    """Temporarily override config keys (``config.py:40-55``)."""
+    saved = {k: _config[k] for k in options}
+    for key, value in options.items():
+        set_option(key, value)
+    try:
+        yield
+    finally:
+        _config.update(saved)
