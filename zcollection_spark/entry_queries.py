@@ -732,6 +732,29 @@ FROM documents
 """
 
 
+def q_zarr_roundtrip(spark, sf_dir):
+    """Zarr v3 custom datasource round-trip: distributed executor-side
+    group writes, pruned + projected read through the registered Python
+    DataSource (the reference's native storage format — README.rst:21-54)."""
+    from .zarr3.collection import create_zarr_collection
+
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_zarr_collection(
+            spark, f"{_tmp()}/zarr_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df)
+        return coll
+    coll = _cached(("zarr", sf_dir), build)
+    return coll.query(filters="day in (3, 4, 5)")
+
+
+ORACLE_ZARR = f"""
+SELECT {EVENTS3} FROM events WHERE day(ts) IN (3, 4, 5)
+"""
+
+
 def q_streaming_hourly(spark, sf_dir):
     """Structured Streaming (availableNow) hourly event counts — the
     stream path of the engine; batch-equivalent oracle."""
@@ -774,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
         "multimodal_features": q_multimodal_features,
+        "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_hourly": q_streaming_hourly,
     }
 
@@ -803,5 +827,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": ORACLE_FINGERPRINT,
         "knn_bruteforce": ORACLE_KNN,
         "multimodal_features": ORACLE_MULTIMODAL,
+        "zarr_roundtrip": ORACLE_ZARR,
         "streaming_hourly": ORACLE_STREAMING,
     }

@@ -39,6 +39,8 @@ SESSION_CONF: dict[str, str] = {
     # read parquet naive timestamps as TimestampType (UTC), not NTZ —
     # one timestamp type throughout the engine and its oracle comparisons
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # the zarr3 Python DataSource pushes partition-key filters
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
