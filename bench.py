@@ -100,6 +100,10 @@ def main() -> None:
         def _():
             eq.q_dedup_jaccard(spark, sf_dir).count()
 
+        @timed("dedup_simhash")
+        def _():
+            eq.q_dedup_simhash(spark, sf_dir).count()
+
         @timed("knn_bruteforce")
         def _():
             eq.q_knn_bruteforce(spark, sf_dir).collect()

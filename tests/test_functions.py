@@ -1,0 +1,110 @@
+"""Unit tests for the LLM-pipeline functions on small synthetic frames."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zcollection_spark.functions import (brute_force_topk, dedup_exact,
+                                         embedding_dup_pairs,
+                                         exact_duplicate_groups,
+                                         lsh_candidate_pairs,
+                                         minhash_signatures,
+                                         ngram_jaccard_pairs, simhash,
+                                         simhash_duplicate_pairs,
+                                         text_stats, token_count, words)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different words entirely here now"),
+        (4, "zzz yyy xxx www vvv uuu"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicate_groups(docs, ["text"], "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 0 \
+        and groups[0]["n_dups"] == 2
+    kept = dedup_exact(docs, ["text"], "doc_id")
+    assert kept.count() == 4
+    assert 2 not in {r["doc_id"] for r in kept.collect()}
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+            for r in minhash_signatures(docs, id_col="doc_id",
+                                        text_col="text",
+                                        num_hashes=8).collect()}
+    assert sigs[0] == sigs[2]          # exact dup → identical signature
+    assert sigs[0] != sigs[3]          # unrelated → different
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text",
+                              num_hashes=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(sigs, id_col="doc_id", num_hashes=8,
+                                 bands=4).collect()}
+    assert (0, 2) in pairs             # exact dup always collides
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                 shingle_size=3,
+                                 threshold=0.1).collect()}
+    assert pairs[(0, 2)] == 1.0        # identical shingle sets
+    assert 0 < pairs[(0, 1)] < 1.0     # near-dup
+    assert (0, 3) not in pairs
+
+
+def test_simhash_exact_dup_identical(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash(docs, id_col="doc_id", text_col="text").collect()}
+    assert sigs[0] == sigs[2]
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_duplicate_pairs(docs, id_col="doc_id",
+                                     text_col="text").collect()}
+    assert (0, 2) in pairs
+
+
+def test_embedding_dup_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # ~parallel to 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = embedding_dup_pairs(df, id_col="vec_id", vec_col="embedding",
+                                threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_brute_force_topk_self_is_rank1(spark):
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(20, dtype=np.int64),
+        "embedding": [rng.normal(size=8).astype(np.float32).tolist()
+                      for _ in range(20)]})
+    df = spark.createDataFrame(pdf)
+    topk = brute_force_topk(df, df.where(F.col("vec_id") < 3),
+                            id_col="vec_id", vec_col="embedding",
+                            query_id_col="vec_id", k=3)
+    first = {r["query_id"]: r["vec_id"] for r in
+             topk.where(F.col("rank") == 1).collect()}
+    assert first == {0: 0, 1: 1, 2: 2}  # every vector's NN is itself
+
+
+def test_text_stats_and_tokens(spark, docs):
+    stats = text_stats(docs).where(F.col("doc_id") == 0).collect()[0]
+    assert stats["n_tokens"] == 9
+    assert stats["n_distinct_tokens"] == 8   # 'the' twice
+    row = docs.select(token_count("text").alias("n")).limit(1).collect()[0]
+    assert row["n"] == 9

@@ -1,0 +1,42 @@
+"""Structured Streaming surfaces: windowed counts, collection stream,
+stateful applyInPandasWithState."""
+
+from pyspark.sql import functions as F
+
+from zcollection_spark.data import load_table
+from zcollection_spark.streaming import (hourly_event_counts,
+                                         read_collection_stream,
+                                         stateful_user_totals)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hourly_counts_match_batch(spark):
+    streamed = hourly_event_counts(spark, SF)
+    batch = (load_table(spark, SF, "events")
+             .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    s = {(r["window_start"], r["n"]) for r in streamed.collect()}
+    b = {(r["window_start"], r["n"]) for r in batch.collect()}
+    assert s == b
+
+
+def test_stateful_totals_match_batch(spark):
+    streamed = stateful_user_totals(spark, SF)
+    batch = (load_table(spark, SF, "events").groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 6).alias("total_value")))
+    s = {(r["user_id"], r["n_events"]) for r in streamed.collect()}
+    b = {(r["user_id"], r["n_events"]) for r in batch.collect()}
+    assert s == b
+
+
+def test_collection_stream_reads_partitions(spark, seq_collection):
+    sdf = read_collection_stream(spark, seq_collection)
+    assert sdf.isStreaming
+    query = (sdf.writeStream.format("memory").queryName("coll_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+    query.awaitTermination()
+    out = spark.table("coll_stream")
+    assert out.count() == 7
+    assert "num" in out.columns and "_row_idx" not in out.columns

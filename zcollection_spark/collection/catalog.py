@@ -16,8 +16,15 @@ from __future__ import annotations
 
 import hashlib
 import json
+import threading
+from collections import defaultdict
 
 CATALOG_RELPATH = "_catalog/state.json"
+
+#: per-path locks serializing read-modify-write catalog updates within a
+#: process (concurrent driver threads).  Cross-process writers still race
+#: last-wins — as in the reference — and ``repair_catalog`` reconciles.
+_LOCKS: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
 
 
 def _checksum(partitions: list[str]) -> str:
@@ -49,16 +56,18 @@ class Catalog:
         self._fs.write_text(self._path, json.dumps(doc, indent=1))
 
     def add(self, new: list[str]) -> list[str]:
-        current = self.read() or []
-        merged = sorted(set(current) | set(new))
-        self.write(merged)
-        return merged
+        with _LOCKS[self._path]:
+            current = self.read() or []
+            merged = sorted(set(current) | set(new))
+            self.write(merged)
+            return merged
 
     def remove(self, gone: list[str]) -> list[str]:
-        current = self.read() or []
-        merged = sorted(set(current) - set(gone))
-        self.write(merged)
-        return merged
+        with _LOCKS[self._path]:
+            current = self.read() or []
+            merged = sorted(set(current) - set(gone))
+            self.write(merged)
+            return merged
 
     def drop(self) -> None:
         self._fs.delete(self._path)

@@ -303,8 +303,16 @@ class Collection:
         imm_path = f"{self.path}/{IMMUTABLE_RELPATH}"
         if self._fs.exists(imm_path):
             return  # write-once
+        # concurrent inserts race to create this; write to a unique temp
+        # dir and publish with an atomic rename — the loser just discards
+        # (contents are identical by the write-once contract)
+        import uuid as _uuid
+        staging = f"{self.path}/_immutable/.tmp_{_uuid.uuid4().hex}"
         (df.select(*imm_names).limit(1)
-           .coalesce(1).write.mode("overwrite").parquet(imm_path))
+           .coalesce(1).write.mode("overwrite").parquet(staging))
+        if not (not self._fs.exists(imm_path)
+                and self._fs.rename(staging, imm_path)):
+            self._fs.delete(staging)
 
     def _axis_order(self, df: DataFrame):
         """Ordering expression along the axis.  The axis is a *dimension*;

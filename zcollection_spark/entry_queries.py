@@ -613,6 +613,62 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 """
 
 
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (identical 32-bit signature)."""
+    from .functions import simhash_duplicate_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_duplicate_pairs(docs, id_col="doc_id",
+                                   text_col="text", n_bits=32)
+
+
+def _simhash_oracle(n_bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS b{j}" for j in range(n_bits))
+    bits = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(n_bits))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest({_SPLIT}) AS t FROM documents)),
+hx AS (SELECT doc_id,
+              ('0x' || substr(md5(t), 1, 15))::BIGINT
+                % {1 << n_bits} AS h
+       FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hx GROUP BY doc_id),
+sig AS (SELECT doc_id, {bits} AS simhash FROM votes)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM sig l JOIN sig r
+  ON l.simhash = r.simhash AND l.doc_id < r.doc_id
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    from .functions import embedding_dup_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, id_col="vec_id", vec_col="embedding",
+                                threshold=0.4)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM c a, c b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Quality-scoring stats per doc (all JVM-side expressions)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -713,6 +769,21 @@ FROM r WHERE rank <= 10
 """
 
 
+def q_knn_lsh(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH buckets — the scale
+    path of similarity search.  Approximate by design → rows-only check
+    (no SQL oracle)."""
+    from .functions import lsh_bucket_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    topk = lsh_bucket_topk(emb, queries_df, id_col="vec_id",
+                           vec_col="embedding", query_id_col="vec_id",
+                           k=10, n_planes=6)
+    return topk.select("query_id", "vec_id",
+                       F.round("cosine", 6).alias("cosine"),
+                       F.col("rank").cast("long").alias("rank"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload plumbing: Arrow-batched mapInPandas feature
     extraction over a synthetic payload column."""
@@ -768,6 +839,21 @@ FROM events GROUP BY 1
 """
 
 
+def q_streaming_stateful(spark, sf_dir):
+    """applyInPandasWithState custom stateful operator (per-user running
+    totals); with one availableNow batch the final state equals the batch
+    aggregation — which is the oracle."""
+    from .streaming import stateful_user_totals
+    return stateful_user_totals(spark, sf_dir)
+
+
+ORACLE_STREAMING_STATEFUL = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -792,13 +878,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
         "multimodal_features": q_multimodal_features,
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_hourly": q_streaming_hourly,
+        "streaming_stateful": q_streaming_stateful,
     }
 
 
@@ -822,6 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash": _minhash_oracle(),
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "text_stats": ORACLE_TEXT_STATS,
         "language_id": _langid_oracle(),
         "fingerprint": ORACLE_FINGERPRINT,
@@ -829,4 +921,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": ORACLE_MULTIMODAL,
         "zarr_roundtrip": ORACLE_ZARR,
         "streaming_hourly": ORACLE_STREAMING,
+        "streaming_stateful": ORACLE_STREAMING_STATEFUL,
     }

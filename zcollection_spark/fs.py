@@ -54,6 +54,14 @@ class LocalFS:
     def mkdirs(self, path: str) -> None:
         Path(path).mkdir(parents=True, exist_ok=True)
 
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic move; False if the destination already exists."""
+        try:
+            os.rename(src, dst)
+            return True
+        except OSError:
+            return False
+
     def list_partition_dirs(self, root: str, depth: int) -> list[str]:
         """Relative ``key=value/.../key=value`` dirs exactly ``depth`` deep.
 
@@ -127,6 +135,11 @@ class HadoopFS:
     def mkdirs(self, path: str) -> None:
         fs, jpath = self._fs_path(path)
         fs.mkdirs(jpath)
+
+    def rename(self, src: str, dst: str) -> bool:
+        fs, jsrc = self._fs_path(src)
+        _, jdst = self._fs_path(dst)
+        return bool(fs.rename(jsrc, jdst))
 
     def list_partition_dirs(self, root: str, depth: int) -> list[str]:
         fs, jroot = self._fs_path(root)

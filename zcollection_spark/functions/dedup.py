@@ -134,16 +134,25 @@ def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str,
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, *, id_col: str, text_col: str,
-            n_bits: int = 16) -> DataFrame:
+            n_bits: int = 32) -> DataFrame:
     """(id, simhash) — bit j set iff the sum over distinct tokens of
-    ±1 votes (sign from token-hash bit j) is positive."""
+    ±1 votes (sign from token-hash bit j) is positive.
+
+    Bit extraction uses INTEGER division (``h div 2^j``) — float division
+    would silently mangle low bits of a 60-bit hash.  The hash domain is
+    folded to ``n_bits`` bits so every vote bit genuinely varies.
+    """
+    if not 1 <= n_bits <= 62:
+        raise ValueError("n_bits must be in [1, 62]")
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(words(text_col))).alias("__tok"))
-    hashed = toks.select(id_col, md5_long(F.col("__tok")).alias("__h"))
+    hashed = toks.select(
+        id_col,
+        (md5_long(F.col("__tok")) % F.lit(1 << n_bits)).alias("__h"))
     votes = [
-        F.sum(F.when((F.col("__h") / F.lit(1 << j)).cast("long")
-                     % 2 == 1, 1).otherwise(-1)).alias(f"b{j}")
+        F.sum(F.when(F.expr(f"__h div {1 << j}") % 2 == 1, 1)
+              .otherwise(-1)).alias(f"b{j}")
         for j in range(n_bits)]
     agg = hashed.groupBy(id_col).agg(*votes)
     sig = None
@@ -154,7 +163,7 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
 
 
 def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
-                            n_bits: int = 16) -> DataFrame:
+                            n_bits: int = 32) -> DataFrame:
     """Docs with IDENTICAL simhash → near-dup pairs (id_a < id_b)."""
     sig = simhash(df, id_col=id_col, text_col=text_col,
                   n_bits=n_bits).persist()

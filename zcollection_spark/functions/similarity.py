@@ -77,6 +77,36 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
             .where(F.col("rank") <= k))
 
 
+def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
+                        threshold: float = 0.95,
+                        broadcast_side: bool = True) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ t).
+
+    Exact all-pairs variant: one side broadcast, per-pair work is a single
+    dot product over pre-normalized vectors.  Quadratic by nature — the
+    scale path replaces the cross join with :func:`lsh_bucket_topk`-style
+    bucket candidates before the exact cosine.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("__v"),
+    ).withColumn("__n", _norm(F.col("__v")))
+    left = base.select(F.col(id_col).alias("id_a"),
+                       F.col("__v").alias("__va"),
+                       F.col("__n").alias("__na"))
+    right = base.select(F.col(id_col).alias("id_b"),
+                        F.col("__v").alias("__vb"),
+                        F.col("__n").alias("__nb"))
+    if broadcast_side:
+        right = F.broadcast(right)
+    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na")
+                                                * F.col("__nb"))
+    return (left.join(right, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", sim)
+            .where(F.col("cosine") >= F.lit(threshold))
+            .select("id_a", "id_b", "cosine"))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
     seeded LCG — reproducible across engines and runs, no numpy RNG

@@ -81,13 +81,66 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running (n_events, total_value) accumulator.
+
+    The state survives across micro-batches (GroupState); with an
+    unbounded source this is the building block for custom sessionization
+    / dedup-by-key operators the built-in window aggs can't express.  Run
+    here with availableNow so tests observe the final state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sdf = stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 6)]})
+
+    out = (sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, "
+                         "total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    sink = f"zcs_state_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (out.writeStream.format("memory").queryName(sink)
+                 .outputMode("update").trigger(availableNow=True).start())
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # update-mode sink may hold one row per user per batch — keep the last
+    result = spark.table(sink)
+    from pyspark.sql import Window
+    win = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (result.withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
 def read_collection_stream(spark: SparkSession,
                            collection: Collection) -> DataFrame:
     """Stream a collection: new partition files are picked up as they
     land.  Schema = collection schema + partition keys; ``_row_idx``
     dropped."""
-    struct = collection.schema.to_struct_type()
+    struct = T.StructType(
+        [f for f in collection.schema.to_struct_type().fields
+         if not collection.schema.variable_map[f.name].immutable])
+    struct = struct.add(ROW_IDX, T.IntegerType())
+    for kname in collection.partitioning.keys:
+        if kname not in struct.fieldNames():
+            struct = struct.add(kname, T.IntegerType())
     sdf = (spark.readStream.schema(struct)
            .option("basePath", collection.path)
-           .parquet(collection.path + "/*" * collection.partitioning.depth))
+           .parquet(collection.path))
     return sdf.drop(ROW_IDX)
