@@ -340,11 +340,10 @@ class Collection:
         axis_dim = self.schema.dim_map.get(self.axis)
         if axis_dim is not None and axis_dim.chunks:
             chunks = axis_dim.chunks
-        sort_cols = ([*keys, self.axis] if self.axis in derived.columns
-                     else [*keys, ROW_IDX])
+        # ONE shuffle: the _row_idx window exchanges on hash(keys) and
+        # sorts by (keys, axis) within tasks — exactly the distribution
+        # partitionBy needs, so no extra repartition/sortWithinPartitions
         writer = (self._with_row_idx(derived)
-                  .repartition(*[F.col(k) for k in keys])
-                  .sortWithinPartitions(*sort_cols)
                   .write.mode(mode).partitionBy(*keys)
                   .option("compression",
                           engine_config.profile().compression))
@@ -398,11 +397,9 @@ class Collection:
                                     F.row_number().over(win) - 1
                                     + F.col("__offset"))
                         .drop("__offset"))
-            app_sort = ([*keys, self.axis]
-                        if self.axis in appended.columns else [*keys, ROW_IDX])
-            (appended.repartition(*[F.col(k) for k in keys])
-             .sortWithinPartitions(*app_sort)
-             .write.mode("append").partitionBy(*keys).parquet(self.path))
+            # the row_number window above already shuffled+sorted by keys
+            (appended.write.mode("append").partitionBy(*keys)
+             .parquet(self.path))
         else:
             existing = (self._read_partitions(colliding).drop(ROW_IDX))
             existing = self._cast_restored_keys(existing)

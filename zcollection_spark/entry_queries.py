@@ -493,6 +493,95 @@ LIMIT 10
 """
 
 
+def q_revenue_delta(spark, sf_dir):
+    """TPC-H Q6-style filter-scan aggregation (predicate pushdown to the
+    parquet scan; decimal-exact sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
+           * F.col("l_discount").cast("decimal(12,4)"))
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+                     & (F.col("l_discount").cast("decimal(12,4)")
+                        .between(0.05, 0.07))
+                     & (F.col("l_quantity") < 24))
+            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue")))
+
+
+ORACLE_REVENUE_DELTA = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                * CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8))
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(12,4)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-style multi-join (customer⋈orders⋈lineitem⋈supplier⋈
+    nation⋈region) with every dimension broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
+    return (li
+            .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nation.select("n_nationkey", "n_name",
+                                            "n_regionkey")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region.where(F.col("r_name") == "ASIA")
+                              .select("r_regionkey")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue")))
+
+
+ORACLE_REGIONAL_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                * CAST(1.0 - l_discount AS DECIMAL(12,4)))
+            AS DECIMAL(38,8)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_rollup_hourly(spark, sf_dir):
+    """Hierarchical rollup (day → hour → grand total) — the hypertable
+    continuous-aggregate shape on the events stream table."""
+    events = load_table(spark, sf_dir, "events")
+    return (events
+            .withColumn("day", F.dayofmonth("ts"))
+            .withColumn("hour", F.hour("ts"))
+            .rollup("day", "hour")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+ORACLE_ROLLUP = """
+SELECT day(ts) AS day, hour(ts) AS hour, count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY ROLLUP (day(ts), hour(ts))
+"""
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization via window lag: sessions split on >30 min gaps."""
     from pyspark.sql import Window
@@ -874,6 +963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_lookup": q_index_lookup,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
+        "revenue_delta": q_revenue_delta,
+        "regional_revenue": q_regional_revenue,
+        "rollup_hourly": q_rollup_hourly,
         "user_sessions": q_user_sessions,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -908,6 +1000,9 @@ def oracle_sql() -> dict[str, str]:
         "index_lookup": ORACLE_INDEX,
         "pricing_summary": ORACLE_PRICING,
         "top_revenue_orders": ORACLE_TOP_REVENUE,
+        "revenue_delta": ORACLE_REVENUE_DELTA,
+        "regional_revenue": ORACLE_REGIONAL_REVENUE,
+        "rollup_hourly": ORACLE_ROLLUP,
         "user_sessions": ORACLE_SESSIONS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash": _minhash_oracle(),
