@@ -19,8 +19,9 @@ collection — this module is the storage-format parity piece.
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
-from typing import Iterable
+from typing import Callable, Iterable
 
 import numpy as np
 import pandas as pd
@@ -30,6 +31,8 @@ from pyspark.sql import functions as F
 
 from .. import config as engine_config
 from ..collection.catalog import Catalog
+from ..collection.merge import MergeCallable, resolve_merge
+from ..collection.merge import replace as merge_replace
 from ..errors import (CollectionExistsError, CollectionNotFoundError,
                       SchemaError)
 from ..fs import LocalFS, strip_scheme
@@ -37,7 +40,7 @@ from ..partitioning import Partitioning, compile_filter
 from ..partitioning import from_json as partitioning_from_json
 from ..schema import FORMAT_VERSION, DatasetSchema
 from . import datasource
-from .core import write_array, write_group
+from .core import read_array, write_array, write_group
 
 CONFIG_NAME = "_zcollection.json"
 
@@ -93,15 +96,80 @@ class ZarrCollection:
         datasource.register(spark)
 
     # ------------------------------------------------------------------
-    def insert(self, df: DataFrame) -> list[str]:
+    def _write_immutable(self, df: DataFrame) -> None:
+        """Lift non-axis variables into a write-once ``_immutable`` Zarr
+        group (``io/immutable.py:48-98`` parity)."""
+        imm_vars = [v for v in self.schema.immutable_variables
+                    if v.name in df.columns]
+        if not imm_vars:
+            return
+        imm_path = Path(self.path) / "_immutable"
+        if (imm_path / "zarr.json").exists():
+            return
+        row = df.select(*[v.name for v in imm_vars]).limit(1).collect()
+        if not row:
+            return
+        write_group(imm_path, {"immutable": True})
+        for var in imm_vars:
+            value = np.asarray(row[0][var.name], dtype=np.dtype(
+                var.dtype if not var.dtype.startswith("datetime")
+                else "datetime64[us]"))
+            write_array(imm_path / var.name, np.atleast_1d(value))
+
+    def _immutable_row(self) -> dict | None:
+        imm_path = Path(self.path) / "_immutable"
+        if not (imm_path / "zarr.json").exists():
+            return None
+        out = {}
+        for var in self.schema.immutable_variables:
+            if (imm_path / var.name / "zarr.json").exists():
+                out[var.name] = read_array(imm_path / var.name).tolist()
+        return out or None
+
+    def insert(self, df: DataFrame,
+               merge: str | MergeCallable | None = None) -> list[str]:
         """Shuffle by partition keys, write one Zarr group per partition
-        from the executors, commit the catalog."""
+        from the executors, commit the catalog.
+
+        ``merge`` mirrors the parquet collection's strategies; colliding
+        partitions are read back through the datasource, merged with one
+        DataFrame program, and rewritten wholesale (Zarr groups are
+        replaced atomically per partition — stale chunks are removed)."""
+        self._write_immutable(df)
+        part_names = [v.name for v in self.schema.partitioned_variables
+                      if v.name in df.columns]
+        df = df.select(*part_names)
         keys = list(self.partitioning.keys)
         derived = self.partitioning.derive(df)
+        incoming_rel = [
+            self.partitioning.encode(
+                {k: int(row[k]) for k in keys})
+            for row in derived.select(*keys).distinct().collect()]
+        if not incoming_rel:
+            return []
+        existing_rel = set(self.partitions())
+        colliding = sorted(set(incoming_rel) & existing_rel)
+        strategy = resolve_merge(merge)
+        if colliding and strategy is not merge_replace:
+            filters = " or ".join(
+                "(" + " and ".join(
+                    f"{k} == {v}" for k, v in
+                    self.partitioning.decode(rel).items()) + ")"
+                for rel in colliding)
+            existing = self.to_df().where(
+                compile_filter(filters).to_column())
+            derived = strategy(existing, derived, axis=self.axis,
+                               keys=tuple(keys))
+        written = self._write_partitions(derived)
+        self._catalog.add(written)
+        return sorted(set(written) | set(incoming_rel))
+
+    def _write_partitions(self, derived: DataFrame) -> list[str]:
+        keys = list(self.partitioning.keys)
         axis = self.axis
         root = self.path
         var_schemas = [v for v in self.schema.partitioned_variables
-                       if v.name in df.columns]
+                       if v.name in derived.columns]
         dim_map = self.schema.dim_map
         chunk_rows = (dim_map[axis].chunks or (1 << 16)) if axis in dim_map \
             else (1 << 16)
@@ -113,12 +181,18 @@ class ZarrCollection:
                     for v in var_schemas]
 
         def write_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+            import shutil as _shutil
             from ..partitioning import from_json as pj
             part = pj(json.loads(partitioning_json))
             key = {k: int(pdf[k].iloc[0]) for k in keys}
             rel = part.encode(key)
             group_path = Path(root) / rel
-            pdf = pdf.sort_values(axis).reset_index(drop=True)
+            pdf = (pdf.sort_values(axis).reset_index(drop=True)
+                   if axis in pdf.columns else pdf.reset_index(drop=True))
+            # partition rewrite is wholesale: clear stale chunks from any
+            # previous (larger) incarnation before writing
+            if group_path.exists():
+                _shutil.rmtree(group_path, ignore_errors=True)
             write_group(group_path,
                         {"_zc_partition_key": json.dumps(key)})
             for name, dtype, extra in var_meta:
@@ -142,15 +216,13 @@ class ZarrCollection:
             return pd.DataFrame({"relpath": [rel]})
 
         part_cols = [c for c in derived.columns
-                     if c in df.columns or c in keys]
+                     if c in {v.name for v in var_schemas} or c in keys]
         written = (derived.select(*part_cols)
                    .repartition(*[F.col(k) for k in keys])
                    .groupBy(*keys)
                    .applyInPandas(write_partition, "relpath string")
                    .collect())
-        relpaths = sorted(r["relpath"] for r in written)
-        self._catalog.add(relpaths)
-        return relpaths
+        return sorted(r["relpath"] for r in written)
 
     # ------------------------------------------------------------------
     def to_df(self, *, variables: Iterable[str] | None = None) -> DataFrame:
@@ -182,7 +254,52 @@ class ZarrCollection:
             keep = [v.name for v in self.schema.partitioned_variables
                     if v.name in df.columns]
             df = df.select(*keep)
+        # attach immutables (broadcast one-row table; partition wins on
+        # conflict — quirk Q5 parity)
+        imm = self._immutable_row()
+        if imm is not None:
+            wanted = set(variables) if variables is not None else None
+            cols = {}
+            dims = self.schema.dim_map
+            for var in self.schema.immutable_variables:
+                if var.name not in imm or var.name in df.columns:
+                    continue
+                if wanted is not None and var.name not in wanted \
+                        and var.name.rsplit("/", 1)[-1] not in wanted:
+                    continue
+                value = imm[var.name]
+                if len(var.dimensions) == 0 or (
+                        len(value) == 1 and not isinstance(value[0], list)):
+                    lit = F.lit(value[0])
+                else:
+                    lit = F.lit(value)
+                cols[var.name] = lit.cast(
+                    var.spark_type(dims, self.axis))
+            if cols:
+                df = df.withColumns(cols)
         return df
+
+    def drop_partitions(self, *, filters: str | None = None) -> list[str]:
+        """Delete matching partition groups + catalog update
+        (``collection/base.py:599-634`` parity)."""
+        doomed = self.partitions(filters=filters)
+        for rel in doomed:
+            shutil.rmtree(Path(self.path) / rel, ignore_errors=True)
+        self._catalog.remove(doomed)
+        return doomed
+
+    def map(self, fn: Callable, schema, *,
+            filters: str | None = None,
+            variables: Iterable[str] | None = None) -> DataFrame | None:
+        """Per-partition pandas fn over the zarr datasource read
+        (``collection/base.py:638-696`` parity)."""
+        predicate = compile_filter(filters)
+        if not self.partitions(filters=filters):
+            return None
+        df = self.to_df(variables=variables)
+        if predicate.expr is not None:
+            df = df.where(predicate.to_column())
+        return df.groupBy(*self.partitioning.keys).applyInPandas(fn, schema)
 
     def partitions(self, *, filters: str | None = None) -> list[str]:
         predicate = compile_filter(filters)

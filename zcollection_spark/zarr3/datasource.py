@@ -118,11 +118,13 @@ class ZarrReader(DataSourceReader):
         wanted = self.columns
         arrays: dict[str, pa.Array] = {}
         length = None
+        var_map = self.dataset_schema.variable_map
         for field in self.spark_schema.fields:
             name = field.name
-            if name in self.partitioning.keys and \
-                    name not in self.dataset_schema.variable_map:
+            if name in self.partitioning.keys and name not in var_map:
                 continue  # derived key columns appended below
+            if name in var_map and var_map[name].immutable:
+                continue  # lives in _immutable/, attached by the caller
             if wanted is not None and name not in wanted:
                 continue
             array_path = group_path / name
@@ -160,7 +162,11 @@ class ZarrDataSource(DataSource):
     def schema(self) -> T.StructType:
         root = self.options["path"]
         dataset_schema, partitioning = _load_config(root)
-        struct = dataset_schema.to_struct_type()
+        # immutable (non-axis) variables live in _immutable/, not in the
+        # partition groups — the collection layer broadcast-attaches them
+        struct = T.StructType(
+            [f for f in dataset_schema.to_struct_type().fields
+             if not dataset_schema.variable_map[f.name].immutable])
         columns = self.options.get("columns")
         if columns:
             wanted = {c.strip() for c in columns.split(",")}
