@@ -96,3 +96,16 @@ def test_zarr_immutable_attach(spark, tmp_path):
     assert "static" in out.columns
     for row in out["static"]:
         assert list(row) == [10.0, 20.0, 30.0]
+
+
+def test_zarr_update(spark, zdates):
+    def double(pdf):
+        pdf = pdf.copy()
+        pdf["v"] = pdf["v"] * 2.0
+        return pdf
+
+    updated = zdates.update(double, filters="month == 2")
+    assert updated == ["year=2024/month=2"]
+    assert _result(zdates) == [
+        ("2024-01-05", 0.0), ("2024-01-20", 1.0), ("2024-02-03", 4.0),
+        ("2024-02-15", 6.0), ("2024-03-01", 4.0)]

@@ -873,6 +873,20 @@ def q_knn_lsh(spark, sf_dir):
                        F.col("rank").cast("long").alias("rank"))
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF approximate top-k (KMeans cells + n_probe search) — the other
+    ANN scale path.  Approximate → rows-only check."""
+    from .functions import ivf_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    topk = ivf_topk(emb, queries_df, id_col="vec_id",
+                    vec_col="embedding", query_id_col="vec_id",
+                    k=10, n_cells=8, n_probe=3)
+    return topk.select("query_id", "vec_id",
+                       F.round("cosine", 6).alias("cosine"),
+                       F.col("rank").cast("long").alias("rank"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload plumbing: Arrow-batched mapInPandas feature
     extraction over a synthetic payload column."""
@@ -977,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "multimodal_features": q_multimodal_features,
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_hourly": q_streaming_hourly,

@@ -13,7 +13,7 @@ from .dedup import (dedup_exact, exact_duplicate_groups, md5_long,
                     minhash_signatures, lsh_candidate_pairs,
                     ngram_jaccard_pairs, simhash, simhash_duplicate_pairs)
 from .similarity import (cosine_similarity_col, brute_force_topk,
-                         embedding_dup_pairs, lsh_bucket_topk)
+                         embedding_dup_pairs, ivf_topk, lsh_bucket_topk)
 from .text import (fingerprint, language_id, text_stats, token_count,
                    word_shingles, words)
 
@@ -22,7 +22,7 @@ __all__ = [
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
     "simhash", "simhash_duplicate_pairs",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
-    "lsh_bucket_topk",
+    "ivf_topk", "lsh_bucket_topk",
     "fingerprint", "language_id", "text_stats", "token_count",
     "word_shingles", "words",
     "attach_fake_payload", "extract_image_features", "sample_frames",

@@ -77,6 +77,64 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
             .where(F.col("rank") <= k))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
+             vec_col: str, query_id_col: str,
+             query_vec_col: str | None = None, k: int = 10,
+             n_cells: int = 16, n_probe: int = 2,
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans partitions the
+    corpus into cells, each query probes its ``n_probe`` nearest cells,
+    and exact cosine ranks only within probed cells.
+
+    The corpus→cell assignment is one ML transform (JVM); the centroid
+    table is tiny and broadcast.  At 100 TB the cell column becomes a
+    partition/bucket key so a probe reads only its cells' files —
+    the classic IVF layout expressed as Spark partitioning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    query_vec_col = query_vec_col or vec_col
+    c = corpus.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("__cvec"),
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    with_vec = c.withColumn("__mlvec", array_to_vector("__cvec"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__mlvec",
+                   predictionCol="__cell").fit(with_vec)
+    cells = model.transform(with_vec).drop("__mlvec")
+
+    centroids = [(i, [float(x) for x in center])
+                 for i, center in enumerate(model.clusterCenters())]
+    cent_df = corpus.sparkSession.createDataFrame(
+        centroids, "__cell int, __centroid array<double>")
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.transform(query_vec_col,
+                    lambda v: v.cast("double")).alias("__qvec"),
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    # per-query probe cells: rank centroids by euclidean distance
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("__qvec"), F.col("__centroid"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v))
+    probe_win = (Window.partitionBy("__qid").orderBy(dist.asc(),
+                                                     F.col("__cell")))
+    probes = (q.crossJoin(F.broadcast(cent_df))
+              .withColumn("__prank", F.row_number().over(probe_win))
+              .where(F.col("__prank") <= n_probe)
+              .select("__qid", "__qvec", "__qnorm", "__cell"))
+    joined = cells.join(F.broadcast(probes), on="__cell")
+    sim = (_dot(F.col("__cvec"), F.col("__qvec"))
+           / (F.col("__cnorm") * F.col("__qnorm")))
+    scored = joined.select(F.col("__qid").alias("query_id"), F.col(id_col),
+                           sim.alias("cosine"))
+    win = (Window.partitionBy("query_id")
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k))
+
+
 def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
                         threshold: float = 0.95,
                         broadcast_side: bool = True) -> DataFrame:

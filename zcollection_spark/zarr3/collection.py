@@ -288,6 +288,32 @@ class ZarrCollection:
         self._catalog.remove(doomed)
         return doomed
 
+    def update(self, fn: Callable, *,
+               filters: str | None = None) -> list[str]:
+        """Read → ``fn(pdf) -> pdf`` → rewrite matching partitions
+        wholesale (``collection/base.py:698-794`` parity; strict about
+        returned columns like the parquet collection)."""
+        relpaths = self.partitions(filters=filters)
+        if not relpaths:
+            return []
+        predicate = compile_filter(filters)
+        df = self.to_df()
+        if predicate.expr is not None:
+            df = df.where(predicate.to_column())
+        keys = list(self.partitioning.keys)
+        var_names = [v.name for v in self.schema.partitioned_variables]
+        sample = fn(df.limit(0).toPandas())
+        missing = [n for n in var_names if n not in sample.columns]
+        if missing:
+            raise SchemaError(
+                f"update fn dropped partitioned variables {missing}")
+        updated = (df.groupBy(*keys).applyInPandas(
+            lambda pdf: fn(pdf)[var_names],
+            df.select(*var_names).schema))
+        derived = self.partitioning.derive(updated)
+        self._write_partitions(derived)
+        return relpaths
+
     def map(self, fn: Callable, schema, *,
             filters: str | None = None,
             variables: Iterable[str] | None = None) -> DataFrame | None:
