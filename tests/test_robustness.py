@@ -82,3 +82,22 @@ def test_upgrader_must_advance():
 def test_missing_intermediate_upgrader():
     with pytest.raises(zc.FormatVersionError, match="no upgrader"):
         upgrade({"format_version": -1})
+
+
+def test_aio_facade(spark, tmp_path, seq_schema, seq_pdf):
+    """Async facade parity (reference aio.py:23-58): the sync API awaited
+    off the event loop."""
+    import asyncio
+    from zcollection_spark import aio
+
+    async def flow():
+        bound = seq_schema.with_partition_axis("num")
+        coll = await aio.create_collection(
+            spark, str(tmp_path / "aio"), schema=seq_schema, axis="num",
+            partitioning=zc.Sequence(("num",)))
+        await aio.insert(coll, spark.createDataFrame(
+            seq_pdf, schema=bound.to_struct_type()))
+        df = await aio.query(coll, filters="num >= 1")
+        return df.count()
+
+    assert asyncio.run(flow()) == 5
