@@ -122,9 +122,39 @@ def main() -> None:
         def _():
             eq.q_dedup_simhash(spark, sf_dir).count()
 
+        # release the dedup stages' persisted intermediates so later
+        # scenarios aren't measured under their memory pressure
+        spark.catalog.clearCache()
+
         @timed("knn_bruteforce")
         def _():
             eq.q_knn_bruteforce(spark, sf_dir).collect()
+
+        @timed("knn_ivf")
+        def _():
+            eq.q_knn_ivf(spark, sf_dir).collect()
+
+        from zcollection_spark.zarr3.collection import (
+            create_zarr_collection, open_zarr_collection)
+        ev3 = events.select("event_id", "ts", "value")
+
+        @timed("zarr_insert_full")
+        def _():
+            zcoll = create_zarr_collection(
+                spark, f"{tmp}/zarr_events", overwrite=True,
+                schema=infer_schema(ev3.schema, axis="ts"),
+                axis="ts", partitioning=zc.Date(("ts",), resolution="D"))
+            zcoll.insert(ev3)
+
+        zcoll = open_zarr_collection(spark, f"{tmp}/zarr_events")
+
+        @timed("zarr_query_one_partition")
+        def _():
+            _consume(zcoll.query(filters="day == 5"))
+
+        @timed("zarr_query_full")
+        def _():
+            _consume(zcoll.query())
 
         @timed("text_stats")
         def _():

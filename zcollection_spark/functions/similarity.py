@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,11 +79,38 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
             .where(F.col("rank") <= k))
 
 
+def _lloyd_kmeans(sample: list, k: int, *, seed: int,
+                  iters: int) -> "list[list[float]]":
+    """Plain Lloyd k-means over a driver-sized sample (numpy).
+
+    Deterministic for a given seed; empty clusters keep their previous
+    centroid.  Returns ``k`` centroids as lists of floats.
+    """
+    vecs = np.asarray(sample, dtype=np.float64)
+    if len(vecs) == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    k = min(k, len(vecs))
+    rng = np.random.default_rng(seed)
+    cent = vecs[rng.choice(len(vecs), size=k, replace=False)].copy()
+    for _ in range(iters):
+        # (n, k) squared distances without materializing (n, k, d)
+        d2 = ((vecs * vecs).sum(1)[:, None]
+              - 2.0 * vecs @ cent.T
+              + (cent * cent).sum(1)[None, :])
+        labels = d2.argmin(1)
+        for j in range(k):
+            mask = labels == j
+            if mask.any():
+                cent[j] = vecs[mask].mean(0)
+    return [list(map(float, c_)) for c_ in cent]
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
              vec_col: str, query_id_col: str,
              query_vec_col: str | None = None, k: int = 10,
              n_cells: int = 16, n_probe: int = 2,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, train_cap: int = 100_000,
+             max_iter: int = 10) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the
     corpus into cells, each query probes its ``n_probe`` nearest cells,
     and exact cosine ranks only within probed cells.
@@ -91,23 +120,44 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     partition/bucket key so a probe reads only its cells' files —
     the classic IVF layout expressed as Spark partitioning.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     query_vec_col = query_vec_col or vec_col
-    c = corpus.select(
+    # Centroids train driver-side on a bounded sample — the standard IVF
+    # recipe (faiss-style: you never k-means the full corpus; train_cap
+    # rows is driver-sized BY DESIGN).  Spark ML KMeans runs one Spark
+    # job per iteration, which at small-to-medium scale costs seconds of
+    # pure scheduling; a numpy Lloyd loop on the sample is milliseconds
+    # and bit-deterministic for a given seed.
+    sample = [r[0] for r in corpus.select(vec_col)
+              .limit(max(train_cap, n_cells)).collect()]
+    cent = _lloyd_kmeans(sample, n_cells, seed=seed, iters=max_iter)
+
+    # corpus -> cell assignment: vectorized Arrow-batched pandas UDF, one
+    # (batch x dim) @ (dim x cells) matmul per batch with the centroid
+    # matrix carried in the closure.  A literal-centroid Catalyst
+    # expression was tried first and loses badly: n_cells*dim F.lit calls
+    # make plan construction + analysis cost seconds, and the per-element
+    # interpreted HOF distance is slower than one BLAS matmul.  No
+    # shuffle — assignment fuses into the one corpus scan.  At 100 TB the
+    # resulting __cell column becomes the bucket/partition key.
+    cent_np = np.asarray(cent, dtype=np.float64)
+    cent_sq = (cent_np * cent_np).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        # |v - c|^2 = |v|^2 - 2 v.c + |c|^2 ; |v|^2 constant per row
+        d2 = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    cells = corpus.select(
         F.col(id_col),
         F.transform(vec_col, lambda v: v.cast("double")).alias("__cvec"),
+        _assign(vec_col).alias("__cell"),
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
-    with_vec = c.withColumn("__mlvec", array_to_vector("__cvec"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__mlvec",
-                   predictionCol="__cell").fit(with_vec)
-    cells = model.transform(with_vec).drop("__mlvec")
 
-    centroids = [(i, [float(x) for x in center])
-                 for i, center in enumerate(model.clusterCenters())]
     cent_df = corpus.sparkSession.createDataFrame(
-        centroids, "__cell int, __centroid array<double>")
+        [(i, [float(x) for x in c_]) for i, c_ in enumerate(cent)],
+        "__cell int, __centroid array<double>")
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.transform(query_vec_col,
