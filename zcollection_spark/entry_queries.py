@@ -563,6 +563,36 @@ GROUP BY n_name
 """
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style promo revenue by ship year: fact⋈broadcast part
+    dim, decimal-exact sums (same widen-only cast discipline as Q1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
+    return (li
+            .join(F.broadcast(part.select("p_partkey", "p_type")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+            .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                 .cast("decimal(38,12)").alias("promo_revenue"),
+                 F.sum(rev).cast("decimal(38,12)").alias("total_revenue")))
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(1.0 - l_discount AS DECIMAL(12,4)) END)
+            AS DECIMAL(38,12)) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                * CAST(1.0 - l_discount AS DECIMAL(12,4)))
+            AS DECIMAL(38,12)) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY year(l_shipdate)
+"""
+
+
 def q_rollup_hourly(spark, sf_dir):
     """Hierarchical rollup (day → hour → grand total) — the hypertable
     continuous-aggregate shape on the events stream table."""
@@ -979,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_delta": q_revenue_delta,
         "regional_revenue": q_regional_revenue,
+        "promo_revenue": q_promo_revenue,
         "rollup_hourly": q_rollup_hourly,
         "user_sessions": q_user_sessions,
         "dedup_exact": q_dedup_exact,
@@ -1017,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": ORACLE_TOP_REVENUE,
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,
+        "promo_revenue": ORACLE_PROMO_REVENUE,
         "rollup_hourly": ORACLE_ROLLUP,
         "user_sessions": ORACLE_SESSIONS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
