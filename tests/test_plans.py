@@ -1,0 +1,121 @@
+"""Physical-plan assertions backing the SCALING.md claims.
+
+These tests pin the *shape* of the plans Catalyst produces, not the
+results: partition pruning reaches the scan, projection prunes the read
+schema, dimension joins broadcast instead of shuffling, aggregations do a
+map-side partial pass, and candidate-pair dedup never degrades to a
+cartesian product.  A regression here is a 100 TB incident that sf0.001
+correctness tests cannot see.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import zcollection_spark as zc
+from zcollection_spark import entry_queries as eq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def executed_plan(df) -> str:
+    """Final (post-AQE) physical plan; forces execution first."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def read_schemas(plan: str) -> list[str]:
+    """Every ``ReadSchema: struct<...>`` clause in a plan string."""
+    return re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+
+
+# -- scan-level pruning (SCALING.md "Read path") ----------------------------
+
+def test_query_partition_pruning_reaches_scan(spark, date_collection):
+    df = date_collection.query(filters="month == 2")
+    plan = executed_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "month" in m.group(1), m.group(1)
+    # non-matching partitions are not even listed as input files
+    assert df.inputFiles(), "expected pruned-but-nonempty scan"
+    assert all("month=2/" in f for f in df.inputFiles())
+
+
+def test_query_projection_prunes_read_schema(spark, seq_collection):
+    df = seq_collection.query(variables=["num"])
+    plan = executed_plan(df)
+    schemas = read_schemas(plan)
+    assert schemas, plan
+    assert all("value" not in s for s in schemas), schemas
+
+
+def test_zarr_pruning_limits_input_partitions(spark, tmp_path):
+    import pandas as pd
+    import numpy as np
+    from zcollection_spark.schema import SchemaBuilder
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+
+    times = pd.to_datetime(
+        ["2024-01-05", "2024-01-20", "2024-02-03", "2024-03-01"])
+    pdf = pd.DataFrame({"time": times,
+                        "v": np.arange(4, dtype=np.float64)})
+    schema = (SchemaBuilder()
+              .add_dimension("time")
+              .add_variable("time", "datetime64[us]", ("time",))
+              .add_variable("v", "float64", ("time",))
+              .build())
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "z"), schema=schema, axis="time",
+        partitioning=zc.Date(("time",), resolution="M"))
+    coll.insert(spark.createDataFrame(
+        pdf, schema=schema.with_partition_axis("time").to_struct_type()))
+    # 3 of 4 rows fall in months 1-2 -> exactly 2 of 3 partition groups
+    # become InputPartitions; pruning happens before any chunk I/O
+    df = coll.query(filters="month in (1, 2)", ordered=False)
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 3
+
+
+# -- join strategy (SCALING.md "Relational showcase") -----------------------
+
+def test_regional_revenue_broadcasts_every_dimension(spark):
+    plan = executed_plan(eq.q_regional_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_revenue_broadcasts_part_dim(spark):
+    plan = executed_plan(eq.q_promo_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# -- aggregation shape (map-side combine + codegen) -------------------------
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = executed_plan(eq.q_pricing_summary(spark, SF_DIR))
+    assert "partial_" in plan, "no map-side partial aggregation"
+    # "*(n)" prefixes mark whole-stage-codegen spans in plan.toString()
+    assert "*(1)" in plan, "hot path fell out of whole-stage codegen"
+
+
+# -- dedup candidate generation never goes quadratic ------------------------
+
+@pytest.mark.parametrize("query", [eq.q_dedup_minhash, eq.q_dedup_jaccard,
+                                   eq.q_dedup_simhash])
+def test_dedup_candidates_are_equi_joins(spark, query):
+    plan = executed_plan(query(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_bruteforce_broadcasts_query_side(spark):
+    # the cross join is intentional (exact baseline) but the small side
+    # must broadcast -- a shuffled cross join would be the scale bug
+    plan = executed_plan(eq.q_knn_bruteforce(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
