@@ -46,7 +46,9 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="zcs_bench_")
     timings: dict[str, float] = {}
 
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    # best-of-N: transient host flukes tax individual scenarios 5-20x;
+    # three repeats make the recorded best robust to a bad window
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
 
     def timed(name):
         def deco(fn):

@@ -155,25 +155,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
         _assign(vec_col).alias("__cell"),
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
 
-    cent_df = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c_]) for i, c_ in enumerate(cent)],
-        "__cell int, __centroid array<double>")
-    q = queries.select(
+    # per-query probe cells: the n_probe nearest centroids by euclidean
+    # distance, as one vectorized argsort per Arrow batch (ties broken by
+    # cell index — numpy stable sort) — no centroid cross join, no
+    # window shuffle
+    n_probe_eff = min(n_probe, len(cent))
+
+    @F.pandas_udf("array<int>")
+    def _probe(batch: pd.Series) -> pd.Series:
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        d2 = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe_eff]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    probes = (queries.select(
         F.col(query_id_col).alias("__qid"),
         F.transform(query_vec_col,
                     lambda v: v.cast("double")).alias("__qvec"),
-    ).withColumn("__qnorm", _norm(F.col("__qvec")))
-    # per-query probe cells: rank centroids by euclidean distance
-    dist = F.sqrt(F.aggregate(
-        F.zip_with(F.col("__qvec"), F.col("__centroid"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, v: acc + v))
-    probe_win = (Window.partitionBy("__qid").orderBy(dist.asc(),
-                                                     F.col("__cell")))
-    probes = (q.crossJoin(F.broadcast(cent_df))
-              .withColumn("__prank", F.row_number().over(probe_win))
-              .where(F.col("__prank") <= n_probe)
-              .select("__qid", "__qvec", "__qnorm", "__cell"))
+        F.explode(_probe(query_vec_col)).alias("__cell"))
+        .withColumn("__qnorm", _norm(F.col("__qvec"))))
     joined = cells.join(F.broadcast(probes), on="__cell")
     sim = (_dot(F.col("__cvec"), F.col("__qvec"))
            / (F.col("__cnorm") * F.col("__qnorm")))
