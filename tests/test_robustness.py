@@ -47,6 +47,37 @@ def test_concurrent_inserts_distinct_partitions(spark, tmp_path,
     assert coll.query().count() == 8
 
 
+def test_failed_insert_leaves_no_new_partitions_visible(spark,
+                                                        seq_collection):
+    """The reference's transactional-store contract, observably: a failed
+    insert publishes nothing (``tests/test_icechunk.py:64`` — failed
+    insert fully rolled back).  Here the catalog is the visibility gate:
+    it is only updated after the write job succeeds, so partitions whose
+    files half-landed are never listed or queried."""
+    from pyspark.sql import functions as F
+
+    before = seq_collection.partitions()
+
+    @F.udf("array<float>")
+    def boom(v):
+        raise RuntimeError("mid-write failure")
+
+    pdf = pd.DataFrame({
+        "num": np.array([9, 9], dtype=np.int64),
+        "value": [[1.0, 2.0, 3.0]] * 2,
+        "static": [[10.0, 20.0, 30.0]] * 2})
+    bad = (spark.createDataFrame(
+        pdf, schema=seq_collection.schema.to_struct_type())
+        .withColumn("value", boom("value")))
+    # key derivation prunes `value`, so the failure fires inside the
+    # write job itself, after partition dirs may have been created
+    with pytest.raises(Exception):
+        seq_collection.insert(bad)
+    assert seq_collection.partitions() == before
+    assert seq_collection.query(filters="num == 9") is None
+    assert seq_collection.query().count() == 7
+
+
 def test_empty_insert_is_noop(spark, seq_collection, seq_pdf):
     bound_schema = seq_collection.schema
     empty = spark.createDataFrame([], schema=bound_schema.to_struct_type())
