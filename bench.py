@@ -77,7 +77,7 @@ def main() -> None:
             coll = zc.open_collection(spark, f"{tmp}/events")
             coll.partitions()
 
-        coll = zc.open_collection(spark, f"{tmp}/events")
+        coll = zc.open_collection(spark, f"{tmp}/events", mode="rw")
 
         @timed("query_one_partition_full")
         def _():
@@ -87,6 +87,12 @@ def main() -> None:
         @timed("query_full")
         def _():
             _consume(coll.query())
+
+        @timed("merge_upsert_insert")
+        def _():
+            batch = (events.where(F.dayofmonth("ts").isin(5, 6))
+                     .withColumn("value", F.col("value") + 1.0))
+            coll.insert(batch, merge="upsert")
 
         # zarr scenarios run here, before the pandas-UDF-heavy dedup/knn
         # groups bloat the reusable Python workers — measured in isolation
