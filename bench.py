@@ -61,6 +61,18 @@ def main() -> None:
             timings[name] = round(best, 3)
         return deco
 
+    counters: dict[str, dict] = {}
+
+    def _tree_stats(root: str) -> dict:
+        """File/byte counts under a collection root — the analog of the
+        reference's CountingProbe set/put tallies (benches/probe.py)."""
+        files = bytes_ = 0
+        for p in Path(root).rglob("*"):
+            if p.is_file():
+                files += 1
+                bytes_ += p.stat().st_size
+        return {"files": files, "bytes": bytes_}
+
     try:
         events = load_table(spark, sf_dir, "events")
 
@@ -71,6 +83,8 @@ def main() -> None:
                 schema=infer_schema(events.schema, axis="ts"),
                 axis="ts", partitioning=zc.Date(("ts",), resolution="D"))
             coll.insert(events)
+
+        counters["insert_full_dataset"] = _tree_stats(f"{tmp}/events")
 
         @timed("open_collection_cold")
         def _():
@@ -83,6 +97,13 @@ def main() -> None:
         def _():
             _consume(coll.query(
                 filters="year == 2024 and month == 1 and day == 5"))
+
+        counters["query_one_partition_full"] = {
+            "files_read": len(coll.query(
+                filters="year == 2024 and month == 1 and day == 5")
+                .inputFiles())}
+        counters["query_full"] = {
+            "files_read": len(coll.query().inputFiles())}
 
         @timed("query_full")
         def _():
@@ -173,6 +194,10 @@ def main() -> None:
         def _():
             eq.q_knn_bruteforce(spark, sf_dir).collect()
 
+        @timed("knn_lsh")
+        def _():
+            eq.q_knn_lsh(spark, sf_dir).collect()
+
         @timed("knn_ivf")
         def _():
             eq.q_knn_ivf(spark, sf_dir).collect()
@@ -193,6 +218,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "counters": counters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
