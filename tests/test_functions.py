@@ -8,11 +8,13 @@ from pyspark.sql import functions as F
 from zcollection_spark.functions import (brute_force_topk, dedup_exact,
                                          embedding_dup_pairs,
                                          exact_duplicate_groups,
+                                         ivf_topk, lsh_bucket_topk,
                                          lsh_candidate_pairs,
                                          minhash_signatures,
                                          ngram_jaccard_pairs, simhash,
                                          simhash_duplicate_pairs,
                                          text_stats, token_count, words)
+from zcollection_spark.functions.similarity import _lloyd_kmeans
 
 
 @pytest.fixture()
@@ -100,6 +102,68 @@ def test_brute_force_topk_self_is_rank1(spark):
     first = {r["query_id"]: r["vec_id"] for r in
              topk.where(F.col("rank") == 1).collect()}
     assert first == {0: 0, 1: 1, 2: 2}  # every vector's NN is itself
+
+
+def _vec_df(spark, n=20, dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(size=dim).astype(np.float32).tolist()
+                      for _ in range(n)]})
+    return spark.createDataFrame(pdf)
+
+
+def test_ivf_topk_self_rank1_and_deterministic(spark):
+    df = _vec_df(spark)
+    queries = df.where(F.col("vec_id") < 3)
+    kwargs = dict(id_col="vec_id", vec_col="embedding",
+                  query_id_col="vec_id", k=3, n_cells=4, n_probe=2)
+    run1 = sorted(map(tuple, ivf_topk(df, queries, **kwargs)
+                      .select("query_id", "vec_id", "rank").collect()))
+    run2 = sorted(map(tuple, ivf_topk(df, queries, **kwargs)
+                      .select("query_id", "vec_id", "rank").collect()))
+    assert run1 == run2  # seeded centroids + stable tie-breaks
+    # a query drawn from the corpus probes its own cell first, so its
+    # nearest neighbor is itself
+    first = {q: v for q, v, r in run1 if r == 1}
+    assert first == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_topk_clamps_cells_to_corpus(spark):
+    df = _vec_df(spark, n=3)
+    out = ivf_topk(df, df, id_col="vec_id", vec_col="embedding",
+                   query_id_col="vec_id", k=2, n_cells=8,
+                   n_probe=4).collect()
+    assert len(out) == 6  # 3 queries x top-2 from 3 candidates
+
+
+def test_lsh_bucket_topk_self_rank1(spark):
+    df = _vec_df(spark)
+    topk = lsh_bucket_topk(df, df.where(F.col("vec_id") < 3),
+                           id_col="vec_id", vec_col="embedding",
+                           query_id_col="vec_id", k=3, n_planes=4)
+    first = {r["query_id"]: r["vec_id"] for r in
+             topk.where(F.col("rank") == 1).collect()}
+    assert first == {0: 0, 1: 1, 2: 2}  # self shares its own bucket
+
+
+def test_embedding_dup_pairs_empty_result_keeps_schema(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]  # orthogonal
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = embedding_dup_pairs(df, id_col="vec_id", vec_col="embedding",
+                              threshold=0.9)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+
+def test_lloyd_kmeans_deterministic_and_clamped():
+    sample = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]]
+    c1 = _lloyd_kmeans(sample, 2, seed=7, iters=5)
+    c2 = _lloyd_kmeans(sample, 2, seed=7, iters=5)
+    assert c1 == c2
+    assert len(_lloyd_kmeans(sample, 10, seed=7, iters=3)) == 4  # k > n
+    with pytest.raises(ValueError):
+        _lloyd_kmeans([], 2, seed=7, iters=3)
 
 
 def test_text_stats_and_tokens(spark, docs):
