@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 from zcollection_spark.data import load_table
 from zcollection_spark.streaming import (hourly_event_counts,
                                          read_collection_stream,
-                                         stateful_user_totals)
+                                         stateful_user_totals,
+                                         stream_events,
+                                         write_stream_to_collection)
 
 SF = "/root/testdata/sf0.001"
 
@@ -29,6 +31,27 @@ def test_stateful_totals_match_batch(spark):
     s = {(r["user_id"], r["n_events"]) for r in streamed.collect()}
     b = {(r["user_id"], r["n_events"]) for r in batch.collect()}
     assert s == b
+
+
+def test_stream_ingest_into_collection(spark, tmp_path):
+    """availableNow stream of the events table lands in a Date-partitioned
+    collection via the batch insert path (merge semantics, catalog)."""
+    import zcollection_spark as zc
+    from zcollection_spark.schema import infer_schema
+
+    batch = load_table(spark, SF, "events")
+    coll = zc.create_collection(
+        spark, str(tmp_path / "ingest"),
+        schema=infer_schema(batch.schema, axis="ts"), axis="ts",
+        partitioning=zc.Date(("ts",), resolution="D"))
+    q = write_stream_to_collection(
+        stream_events(spark, SF), coll, merge="upsert",
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert coll.query().count() == batch.count()
+    # ingested rows are partition-pruned like any batch insert
+    assert coll.query(filters="day == 5").count() == \
+        batch.where(F.dayofmonth("ts") == 5).count()
 
 
 def test_collection_stream_reads_partitions(spark, seq_collection):

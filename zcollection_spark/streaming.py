@@ -128,6 +128,38 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("__rn") == 1).drop("__rn"))
 
 
+def write_stream_to_collection(stream_df: DataFrame,
+                               collection: Collection, *,
+                               merge: str | None = None,
+                               checkpoint_dir: str | None = None,
+                               available_now: bool = True):
+    """Continuous ingestion into a collection via ``foreachBatch``.
+
+    Each micro-batch runs the exact batch-path ``insert`` (one shuffle on
+    the partition keys, then the chosen merge strategy), so late or
+    replayed data gets the collection's upsert/time_series semantics
+    rather than blind appends.  Checkpointing gives at-least-once
+    micro-batch delivery; with ``merge="upsert"`` a replayed batch is
+    idempotent, and the catalog-gated visibility means a batch that dies
+    mid-insert publishes nothing.
+
+    Returns the started ``StreamingQuery`` — callers own
+    ``awaitTermination``/``stop``.
+    """
+    checkpoint_dir = checkpoint_dir or (
+        f"{collection.path}/_checkpoints/ingest_{uuid.uuid4().hex}")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            collection.insert(batch_df, merge=merge)
+
+    writer = (stream_df.writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_collection_stream(spark: SparkSession,
                            collection: Collection) -> DataFrame:
     """Stream a collection: new partition files are picked up as they
