@@ -136,3 +136,118 @@ def test_zarr_2d_variable(spark, tmp_path):
     got = np.array(out["value"].tolist(), dtype=np.float32)
     np.testing.assert_array_equal(
         got, np.arange(21, dtype=np.float32).reshape(7, 3))
+
+
+# -- sharding_indexed codec ------------------------------------------------
+
+def test_sharded_roundtrip_1d(tmp_path):
+    from zcollection_spark.zarr3.core import ZarrArrayMeta
+    data = np.arange(1000, dtype=np.int64)
+    write_array(tmp_path / "s", data, chunk_shape=(100,), shard_shape=(400,))
+    np.testing.assert_array_equal(read_array(tmp_path / "s"), data)
+    doc = json.loads((tmp_path / "s" / "zarr.json").read_text())
+    assert doc["codecs"][0]["name"] == "sharding_indexed"
+    cfg = doc["codecs"][0]["configuration"]
+    assert cfg["chunk_shape"] == [100] and cfg["index_location"] == "end"
+    assert doc["chunk_grid"]["configuration"]["chunk_shape"] == [400]
+    # 1000 rows / 400-row shards -> 3 shard files (not 10 chunk files)
+    assert len(list((tmp_path / "s" / "c").rglob("*"))) == 3
+    meta = ZarrArrayMeta.from_document(doc)
+    assert meta.shard_shape == (400,) and meta.chunk_shape == (100,)
+
+
+def test_sharded_roundtrip_2d_edge(tmp_path):
+    data = np.arange(37 * 7, dtype=np.float64).reshape(37, 7)
+    write_array(tmp_path / "s2", data, chunk_shape=(10, 7),
+                shard_shape=(20, 7))
+    np.testing.assert_array_equal(read_array(tmp_path / "s2"), data)
+
+
+def test_sharded_datetime_and_gzip(tmp_path):
+    data = np.array(["2024-01-01", "2024-06-01", "2025-01-01"],
+                    dtype="datetime64[us]")
+    write_array(tmp_path / "t", data, chunk_shape=(1,), shard_shape=(2,),
+                codec="gzip")
+    got = read_array(tmp_path / "t")
+    assert got.dtype == np.dtype("datetime64[us]")
+    np.testing.assert_array_equal(got, data)
+
+
+def test_shard_shape_rounded_to_chunk_multiple(tmp_path):
+    data = np.arange(50, dtype=np.int32)
+    # 25 is not a multiple of 10 -> writer rounds the shard up to 30
+    write_array(tmp_path / "r", data, chunk_shape=(10,), shard_shape=(25,))
+    doc = json.loads((tmp_path / "r" / "zarr.json").read_text())
+    assert doc["chunk_grid"]["configuration"]["chunk_shape"] == [30]
+    np.testing.assert_array_equal(read_array(tmp_path / "r"), data)
+
+
+def test_missing_shard_is_fill(tmp_path):
+    data = np.arange(8, dtype=np.int16)
+    write_array(tmp_path / "m", data, chunk_shape=(2,), shard_shape=(4,),
+                fill_value=-9)
+    (tmp_path / "m" / "c" / "1").unlink()
+    got = read_array(tmp_path / "m")
+    np.testing.assert_array_equal(got[:4], data[:4])
+    assert (got[4:] == -9).all()
+
+
+def test_shard_decision_semantics():
+    from zcollection_spark.zarr3.sharding import (compute_shard_shape,
+                                                  shard_decision)
+    i64 = np.dtype("int64")
+    # grows by doubling the largest dim, stays <= target
+    got = compute_shard_shape((100,), (100000,), i64, 6400)
+    assert got == (800,)          # 100*8 rows * 8 B = 6400 <= target
+    # inner chunk already >= target -> clipped chunk unchanged
+    assert compute_shard_shape((100,), (100000,), i64, 100) == (100,)
+    # disabled or no growth -> None
+    assert shard_decision((100,), (100000,), i64, None) is None
+    assert shard_decision((100,), (100,), i64, 1 << 30) is None
+    assert shard_decision((100,), (100000,), i64, 6400) == (800,)
+    # rank mismatch raises
+    with pytest.raises(ValueError):
+        compute_shard_shape((10, 10), (100,), i64, 1 << 20)
+
+
+def test_zarr_collection_sharded_profile(spark, tmp_path):
+    """A profile with a shard budget -> sharded arrays on disk (fewer
+    store objects), identical query results."""
+    from zcollection_spark import config as zconfig
+    from zcollection_spark.data import load_table
+    from zcollection_spark.schema import SchemaBuilder
+    ev = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "value")
+    # small inner chunks so the shard policy has room to grow: 25-row
+    # chunks of int64/float64 = 200 B; a 1600 B budget -> 200-row shards
+    schema = (SchemaBuilder()
+              .add_dimension("ts", chunks=25)
+              .add_variable("event_id", "int64", ("ts",))
+              .add_variable("ts", "datetime64[us]", ("ts",))
+              .add_variable("value", "float64", ("ts",))
+              .build("ts"))
+    zconfig.PROFILES["test-shard"] = zconfig.CodecProfile(
+        "test-shard", "zstd", 3, 64 << 20, 1600)
+    try:
+        with zconfig.override(**{"codec.profile": "test-shard"}):
+            coll = create_zarr_collection(
+                spark, str(tmp_path / "zc"), schema=schema, axis="ts",
+                partitioning=zc.Date(("ts",), resolution="M"))
+            coll.insert(ev)
+    finally:
+        del zconfig.PROFILES["test-shard"]
+    docs = [json.loads(p.read_text())
+            for p in Path(tmp_path / "zc").rglob("zarr.json")
+            if json.loads(p.read_text()).get("node_type") == "array"]
+    assert docs, "no arrays written"
+    sharded = [d for d in docs
+               if d["codecs"][0]["name"] == "sharding_indexed"]
+    assert sharded, "shard budget should have produced sharded arrays"
+    for doc in sharded:
+        inner = doc["codecs"][0]["configuration"]["chunk_shape"]
+        outer = doc["chunk_grid"]["configuration"]["chunk_shape"]
+        assert all(o % i == 0 for o, i in zip(outer, inner))
+    got = coll.query().orderBy("event_id")
+    pd.testing.assert_frame_equal(
+        got.toPandas(),
+        ev.orderBy("event_id").select(*got.columns).toPandas())

@@ -22,6 +22,7 @@ class CodecProfile:
     compression: str            # parquet codec
     level: int | None           # codec level (zstd)
     target_file_bytes: int      # analog of the reference's shard target
+    shard_target_bytes: int | None = None   # zarr shard budget, None = off
 
     def writer_options(self) -> dict[str, str]:
         opts = {"compression": self.compression}
@@ -30,11 +31,14 @@ class CodecProfile:
         return opts
 
 
-#: parity with the reference's three profiles (codecs/defaults.py:133-156)
+#: parity with the reference's three profiles (codecs/defaults.py:133-156):
+#: local-fast is unsharded; the cloud profiles shard at 128/512 MiB
 PROFILES: dict[str, CodecProfile] = {
-    "local-fast": CodecProfile("local-fast", "zstd", 3, 64 << 20),
-    "cloud-balanced": CodecProfile("cloud-balanced", "zstd", 3, 128 << 20),
-    "cloud-cold": CodecProfile("cloud-cold", "zstd", 9, 512 << 20),
+    "local-fast": CodecProfile("local-fast", "zstd", 3, 64 << 20, None),
+    "cloud-balanced": CodecProfile("cloud-balanced", "zstd", 3, 128 << 20,
+                                   128 << 20),
+    "cloud-cold": CodecProfile("cloud-cold", "zstd", 9, 512 << 20,
+                               512 << 20),
 }
 
 _DEFAULTS: dict[str, Any] = {

@@ -41,6 +41,7 @@ from ..partitioning import from_json as partitioning_from_json
 from ..schema import FORMAT_VERSION, DatasetSchema
 from . import datasource
 from .core import read_array, write_array, write_group
+from .sharding import shard_decision
 
 CONFIG_NAME = "_zcollection.json"
 
@@ -174,6 +175,7 @@ class ZarrCollection:
         chunk_rows = (dim_map[axis].chunks or (1 << 16)) if axis in dim_map \
             else (1 << 16)
         profile = engine_config.profile()
+        shard_budget = profile.shard_target_bytes
         partitioning_json = json.dumps(self.partitioning.to_json())
         var_meta = [(v.name, v.dtype,
                      tuple(dim_map[d].size or 0 for d in v.dimensions
@@ -211,7 +213,10 @@ class ZarrCollection:
                     else:
                         values = values.astype(np.dtype(dtype))
                     chunk = (min(chunk_rows, len(values)) or 1,)
+                shard = shard_decision(chunk, values.shape, values.dtype,
+                                       shard_budget)
                 write_array(group_path / name, values, chunk_shape=chunk,
+                            shard_shape=shard,
                             codec="zstd", level=profile.level or 3)
             return pd.DataFrame({"relpath": [rel]})
 

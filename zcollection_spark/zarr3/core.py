@@ -71,15 +71,20 @@ def _decode_fill(value: Any, dtype: np.dtype) -> Any:
     return value
 
 
+#: sharding-index sentinel for an absent inner chunk (Zarr v3 sharding spec)
+_MISSING_CHUNK = (1 << 64) - 1
+
+
 @dataclasses.dataclass(frozen=True)
 class ZarrArrayMeta:
     shape: tuple[int, ...]
     dtype: str                       # numpy dtype string (may be datetime64)
-    chunk_shape: tuple[int, ...]
+    chunk_shape: tuple[int, ...]     # inner (decode-unit) chunk shape
     fill_value: Any
     codec: str                       # zstd | gzip
     level: int
     attributes: Mapping[str, Any]
+    shard_shape: tuple[int, ...] | None = None   # store-write unit, or None
 
     @property
     def storage_dtype(self) -> np.dtype:
@@ -87,10 +92,35 @@ class ZarrArrayMeta:
         base = np.dtype(self.dtype)
         return np.dtype("int64") if base.kind == "M" else base
 
+    def _inner_codecs(self) -> list[dict]:
+        return [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": self.codec,
+             "configuration": ({"level": self.level, "checksum": False}
+                               if self.codec == "zstd"
+                               else {"level": self.level})},
+        ]
+
     def to_document(self) -> dict:
         attrs = dict(self.attributes)
         if np.dtype(self.dtype).kind == "M":
             attrs["__zcs_dtype__"] = self.dtype
+        if self.shard_shape is None:
+            grid_shape, codecs = self.chunk_shape, self._inner_codecs()
+        else:
+            # sharding_indexed: the chunk grid advertises the SHARD shape;
+            # inner chunks live in the codec configuration (v3 spec)
+            grid_shape = self.shard_shape
+            codecs = [{
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(self.chunk_shape),
+                    "codecs": self._inner_codecs(),
+                    "index_codecs": [{"name": "bytes",
+                                      "configuration": {"endian": "little"}}],
+                    "index_location": "end",
+                },
+            }]
         return {
             "zarr_format": ZARR_FORMAT,
             "node_type": "array",
@@ -98,17 +128,11 @@ class ZarrArrayMeta:
             "data_type": _CORE_DTYPES[self.storage_dtype.name],
             "chunk_grid": {"name": "regular",
                            "configuration":
-                               {"chunk_shape": list(self.chunk_shape)}},
+                               {"chunk_shape": list(grid_shape)}},
             "chunk_key_encoding": {"name": "default",
                                    "configuration": {"separator": "/"}},
             "fill_value": _encode_fill(self.fill_value, self.storage_dtype),
-            "codecs": [
-                {"name": "bytes", "configuration": {"endian": "little"}},
-                {"name": self.codec,
-                 "configuration": ({"level": self.level, "checksum": False}
-                                   if self.codec == "zstd"
-                                   else {"level": self.level})},
-            ],
+            "codecs": codecs,
             "attributes": attrs,
         }
 
@@ -120,18 +144,26 @@ class ZarrArrayMeta:
         attrs = dict(doc.get("attributes", {}))
         dtype = attrs.pop("__zcs_dtype__", doc["data_type"])
         codecs = doc.get("codecs", [])
+        grid_shape = tuple(
+            doc["chunk_grid"]["configuration"]["chunk_shape"])
+        shard_shape: tuple[int, ...] | None = None
+        chunk_shape = grid_shape
+        if codecs and codecs[0].get("name") == "sharding_indexed":
+            cfg = codecs[0].get("configuration", {})
+            shard_shape = grid_shape
+            chunk_shape = tuple(cfg["chunk_shape"])
+            codecs = cfg.get("codecs", [])
         codec, level = "zstd", 3
         for entry in codecs:
             if entry.get("name") in ("zstd", "gzip"):
                 codec = entry["name"]
                 level = entry.get("configuration", {}).get("level", 3)
-        chunk_shape = tuple(
-            doc["chunk_grid"]["configuration"]["chunk_shape"])
         return cls(shape=tuple(doc["shape"]), dtype=dtype,
                    chunk_shape=chunk_shape,
                    fill_value=_decode_fill(doc.get("fill_value"),
                                            np.dtype(doc["data_type"])),
-                   codec=codec, level=level, attributes=attrs)
+                   codec=codec, level=level, attributes=attrs,
+                   shard_shape=shard_shape)
 
 
 def _chunk_count(shape: tuple[int, ...],
@@ -139,12 +171,33 @@ def _chunk_count(shape: tuple[int, ...],
     return tuple(max(-(-s // c), 1) for s, c in zip(shape, chunk_shape))
 
 
+def _encode_block(data: np.ndarray, slices: tuple[slice, ...],
+                  meta: "ZarrArrayMeta", fill: Any) -> bytes:
+    """Extract+pad one inner chunk and return its compressed payload."""
+    block = data[slices]
+    if block.shape != meta.chunk_shape:  # edge chunk → pad with fill
+        padded = np.full(meta.chunk_shape, fill, dtype=meta.storage_dtype)
+        padded[tuple(slice(0, s) for s in block.shape)] = block
+        block = padded
+    payload = np.ascontiguousarray(block).astype(
+        meta.storage_dtype.newbyteorder("<"), copy=False).tobytes()
+    return _compress(payload, meta.codec, meta.level)
+
+
 def write_array(path: str | Path, data: np.ndarray, *,
                 chunk_shape: tuple[int, ...] | None = None,
+                shard_shape: tuple[int, ...] | None = None,
                 fill_value: Any = None, codec: str = "zstd",
                 level: int = 3,
                 attributes: Mapping[str, Any] | None = None) -> None:
-    """Write one Zarr v3 array directory (zarr.json + c/... chunks)."""
+    """Write one Zarr v3 array directory (zarr.json + c/... chunks).
+
+    With ``shard_shape`` the array is written through the spec's
+    ``sharding_indexed`` codec: each stored object is one shard holding
+    many compressed inner chunks plus a trailing ``(offset, nbytes)``
+    uint64-LE index — the store-write unit the reference's cloud
+    profiles target (``codecs/defaults.py:133-156``).
+    """
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     src_dtype = data.dtype
@@ -159,29 +212,55 @@ def write_array(path: str | Path, data: np.ndarray, *,
     if chunk_shape is None:
         first = min(data.shape[0], 1 << 16) if data.ndim else 1
         chunk_shape = (first, *data.shape[1:]) if data.ndim else ()
+    chunk_shape = tuple(chunk_shape)
+    if shard_shape is not None:
+        # spec: inner chunk shape must evenly divide the shard shape
+        shard_shape = tuple(-(-max(s, c) // c) * c
+                            for s, c in zip(shard_shape, chunk_shape))
     meta = ZarrArrayMeta(shape=tuple(data.shape), dtype=dtype_name,
-                         chunk_shape=tuple(chunk_shape),
+                         chunk_shape=chunk_shape,
                          fill_value=fill_value, codec=codec, level=level,
-                         attributes=dict(attributes or {}))
+                         attributes=dict(attributes or {}),
+                         shard_shape=shard_shape)
     (path / "zarr.json").write_text(
         json.dumps(meta.to_document(), indent=1))
     fill = meta.fill_value if meta.fill_value is not None else 0
-    counts = _chunk_count(meta.shape, meta.chunk_shape)
-    for idx in np.ndindex(*counts):
-        slices = tuple(slice(i * c, min((i + 1) * c, s))
-                       for i, c, s in zip(idx, meta.chunk_shape,
-                                          meta.shape))
-        block = data[slices]
-        if block.shape != meta.chunk_shape:  # edge chunk → pad with fill
-            padded = np.full(meta.chunk_shape, fill,
-                             dtype=meta.storage_dtype)
-            padded[tuple(slice(0, s) for s in block.shape)] = block
-            block = padded
-        payload = np.ascontiguousarray(block).astype(
-            meta.storage_dtype.newbyteorder("<"), copy=False).tobytes()
-        chunk_path = path / "c" / "/".join(map(str, idx))
-        chunk_path.parent.mkdir(parents=True, exist_ok=True)
-        chunk_path.write_bytes(_compress(payload, codec, level))
+    if shard_shape is None:
+        counts = _chunk_count(meta.shape, meta.chunk_shape)
+        for idx in np.ndindex(*counts):
+            slices = tuple(slice(i * c, min((i + 1) * c, s))
+                           for i, c, s in zip(idx, meta.chunk_shape,
+                                              meta.shape))
+            chunk_path = path / "c" / "/".join(map(str, idx))
+            chunk_path.parent.mkdir(parents=True, exist_ok=True)
+            chunk_path.write_bytes(_encode_block(data, slices, meta, fill))
+        return
+    _write_sharded(path, data, meta, fill)
+
+
+def _write_sharded(path: Path, data: np.ndarray, meta: ZarrArrayMeta,
+                   fill: Any) -> None:
+    shard = meta.shard_shape
+    per_shard = tuple(s // c for s, c in zip(shard, meta.chunk_shape))
+    for sidx in np.ndindex(*_chunk_count(meta.shape, shard)):
+        index = np.full((*per_shard, 2), _MISSING_CHUNK, dtype="<u8")
+        blobs: list[bytes] = []
+        offset = 0
+        for cidx in np.ndindex(*per_shard):
+            slices = tuple(
+                slice(si * ss + ci * cs,
+                      min(si * ss + (ci + 1) * cs, dim))
+                for si, ss, ci, cs, dim in zip(sidx, shard, cidx,
+                                               meta.chunk_shape, meta.shape))
+            if any(sl.start >= sl.stop for sl in slices):
+                continue  # inner chunk entirely past the array edge
+            payload = _encode_block(data, slices, meta, fill)
+            index[cidx] = (offset, len(payload))
+            blobs.append(payload)
+            offset += len(payload)
+        shard_path = path / "c" / "/".join(map(str, sidx))
+        shard_path.parent.mkdir(parents=True, exist_ok=True)
+        shard_path.write_bytes(b"".join(blobs) + index.tobytes())
 
 
 def read_array(path: str | Path) -> np.ndarray:
@@ -192,21 +271,46 @@ def read_array(path: str | Path) -> np.ndarray:
     storage = meta.storage_dtype
     fill = meta.fill_value if meta.fill_value is not None else 0
     out = np.full(meta.shape, fill, dtype=storage)
-    counts = _chunk_count(meta.shape, meta.chunk_shape)
     chunk_nbytes = int(np.prod(meta.chunk_shape)) * storage.itemsize
-    for idx in np.ndindex(*counts):
-        chunk_path = path / "c" / "/".join(map(str, idx))
-        if not chunk_path.exists():
-            continue  # missing chunk = fill value (spec)
-        raw = _decompress(chunk_path.read_bytes(), meta.codec, chunk_nbytes)
+
+    def place(raw_payload: bytes, slices: tuple[slice, ...]) -> None:
+        raw = _decompress(raw_payload, meta.codec, chunk_nbytes)
         block = np.frombuffer(raw, dtype=storage.newbyteorder("<")) \
             .reshape(meta.chunk_shape).astype(storage, copy=False)
-        slices = tuple(slice(i * c, min((i + 1) * c, s))
-                       for i, c, s in zip(idx, meta.chunk_shape,
-                                          meta.shape))
-        trimmed = block[tuple(slice(0, sl.stop - sl.start)
-                              for sl in slices)]
-        out[slices] = trimmed
+        out[slices] = block[tuple(slice(0, sl.stop - sl.start)
+                                  for sl in slices)]
+
+    if meta.shard_shape is None:
+        for idx in np.ndindex(*_chunk_count(meta.shape, meta.chunk_shape)):
+            chunk_path = path / "c" / "/".join(map(str, idx))
+            if not chunk_path.exists():
+                continue  # missing chunk = fill value (spec)
+            slices = tuple(slice(i * c, min((i + 1) * c, s))
+                           for i, c, s in zip(idx, meta.chunk_shape,
+                                              meta.shape))
+            place(chunk_path.read_bytes(), slices)
+    else:
+        shard = meta.shard_shape
+        per_shard = tuple(s // c for s, c in zip(shard, meta.chunk_shape))
+        index_nbytes = int(np.prod(per_shard)) * 16
+        for sidx in np.ndindex(*_chunk_count(meta.shape, shard)):
+            shard_path = path / "c" / "/".join(map(str, sidx))
+            if not shard_path.exists():
+                continue  # missing shard = fill value
+            raw = shard_path.read_bytes()
+            index = np.frombuffer(raw[-index_nbytes:], dtype="<u8") \
+                .reshape(*per_shard, 2)
+            for cidx in np.ndindex(*per_shard):
+                off, nbytes = int(index[cidx][0]), int(index[cidx][1])
+                if off == _MISSING_CHUNK:
+                    continue
+                slices = tuple(
+                    slice(si * ss + ci * cs,
+                          min(si * ss + (ci + 1) * cs, dim))
+                    for si, ss, ci, cs, dim in zip(sidx, shard, cidx,
+                                                   meta.chunk_shape,
+                                                   meta.shape))
+                place(raw[off:off + nbytes], slices)
     if np.dtype(meta.dtype).kind == "M":
         return out.view(meta.dtype)
     return out
