@@ -251,3 +251,49 @@ def test_zarr_collection_sharded_profile(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got.toPandas(),
         ev.orderBy("event_id").select(*got.columns).toPandas())
+
+
+# -- partial (row-range) reads --------------------------------------------
+
+def test_slice_read_unsharded(tmp_path):
+    from zcollection_spark.zarr3.core import read_array_slice
+    data = np.arange(1000, dtype=np.int64)
+    write_array(tmp_path / "a", data, chunk_shape=(64,))
+    np.testing.assert_array_equal(
+        read_array_slice(tmp_path / "a", 100, 300), data[100:300])
+    np.testing.assert_array_equal(
+        read_array_slice(tmp_path / "a", 0, 1), data[:1])
+    np.testing.assert_array_equal(
+        read_array_slice(tmp_path / "a", 990, 5000), data[990:])
+    assert len(read_array_slice(tmp_path / "a", 400, 400)) == 0
+
+
+def test_slice_read_sharded_locality(tmp_path):
+    from zcollection_spark.zarr3.core import read_array_slice
+    data = np.arange(1000, dtype=np.float64)
+    write_array(tmp_path / "s", data, chunk_shape=(50,), shard_shape=(200,))
+    np.testing.assert_array_equal(
+        read_array_slice(tmp_path / "s", 130, 470), data[130:470])
+    # locality proof: vandalize a shard the range never touches
+    (tmp_path / "s" / "c" / "4").write_bytes(b"garbage")
+    np.testing.assert_array_equal(
+        read_array_slice(tmp_path / "s", 0, 399), data[0:399])
+
+
+def test_slice_read_sharded_2d(tmp_path):
+    from zcollection_spark.zarr3.core import read_array_slice
+    data = np.arange(300 * 5, dtype=np.int32).reshape(300, 5)
+    write_array(tmp_path / "s2", data, chunk_shape=(32, 5),
+                shard_shape=(64, 5))
+    np.testing.assert_array_equal(
+        read_array_slice(tmp_path / "s2", 60, 200), data[60:200])
+
+
+def test_slice_read_datetime(tmp_path):
+    from zcollection_spark.zarr3.core import read_array_slice
+    data = (np.datetime64("2024-01-01", "us")
+            + np.arange(100) * np.timedelta64(3600, "s"))
+    write_array(tmp_path / "t", data, chunk_shape=(16,), shard_shape=(32,))
+    got = read_array_slice(tmp_path / "t", 10, 40)
+    assert got.dtype == np.dtype("datetime64[us]")
+    np.testing.assert_array_equal(got, data[10:40])

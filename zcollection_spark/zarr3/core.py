@@ -316,6 +316,98 @@ def read_array(path: str | Path) -> np.ndarray:
     return out
 
 
+def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
+    """Read rows ``[start, stop)`` along axis 0, touching only the chunks
+    (and, inside a shard, only the inner chunks) that intersect the range.
+
+    This is the random-read-locality payoff of ``sharding_indexed``: a
+    row-range lookup against a 512 MiB shard decodes a handful of inner
+    chunks, not the whole shard — the access pattern the secondary index
+    (``indexing.py``) produces.  For sharded arrays only the needed byte
+    ranges of the shard file are read (index tail + selected chunks), the
+    object-store ``Range`` GET pattern.
+    """
+    path = Path(path)
+    meta = ZarrArrayMeta.from_document(
+        json.loads((path / "zarr.json").read_text()))
+    storage = meta.storage_dtype
+    fill = meta.fill_value if meta.fill_value is not None else 0
+    start = max(0, start)
+    stop = min(stop, meta.shape[0]) if meta.shape else 0
+    n = max(0, stop - start)
+    out = np.full((n, *meta.shape[1:]), fill, dtype=storage)
+    if n == 0:
+        return out.view(meta.dtype) if np.dtype(meta.dtype).kind == "M" \
+            else out
+    chunk_nbytes = int(np.prod(meta.chunk_shape)) * storage.itemsize
+    c0 = meta.chunk_shape[0]
+    tail_counts = _chunk_count(meta.shape[1:], meta.chunk_shape[1:]) \
+        if len(meta.shape) > 1 else ()
+
+    def place(payload: bytes, row_chunk: int, tail_idx: tuple[int, ...]) \
+            -> None:
+        raw = _decompress(payload, meta.codec, chunk_nbytes)
+        block = np.frombuffer(raw, dtype=storage.newbyteorder("<")) \
+            .reshape(meta.chunk_shape).astype(storage, copy=False)
+        lo = max(start, row_chunk * c0)
+        hi = min(stop, (row_chunk + 1) * c0, meta.shape[0])
+        tail_slices = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(tail_idx, meta.chunk_shape[1:],
+                               meta.shape[1:]))
+        out[(slice(lo - start, hi - start),
+             *tail_slices)] = block[(slice(lo - row_chunk * c0,
+                                           hi - row_chunk * c0),
+                                     *(slice(0, sl.stop - sl.start)
+                                       for sl in tail_slices))]
+
+    first_chunk, last_chunk = start // c0, (stop - 1) // c0
+    if meta.shard_shape is None:
+        for row_chunk in range(first_chunk, last_chunk + 1):
+            for tail_idx in np.ndindex(*tail_counts) if tail_counts \
+                    else [()]:
+                chunk_path = path / "c" / "/".join(
+                    map(str, (row_chunk, *tail_idx)))
+                if chunk_path.exists():
+                    place(chunk_path.read_bytes(), row_chunk, tail_idx)
+        if np.dtype(meta.dtype).kind == "M":
+            return out.view(meta.dtype)
+        return out
+    shard = meta.shard_shape
+    per_shard = tuple(s // c for s, c in zip(shard, meta.chunk_shape))
+    index_nbytes = int(np.prod(per_shard)) * 16
+    s0 = shard[0]
+    shard_tail_counts = _chunk_count(meta.shape[1:], shard[1:]) \
+        if len(meta.shape) > 1 else ()
+    for shard_row in range(start // s0, (stop - 1) // s0 + 1):
+        for shard_tail in np.ndindex(*shard_tail_counts) \
+                if shard_tail_counts else [()]:
+            shard_path = path / "c" / "/".join(
+                map(str, (shard_row, *shard_tail)))
+            if not shard_path.exists():
+                continue
+            with open(shard_path, "rb") as fh:
+                fh.seek(-index_nbytes, 2)
+                index = np.frombuffer(fh.read(index_nbytes), dtype="<u8") \
+                    .reshape(*per_shard, 2)
+                for cidx in np.ndindex(*per_shard):
+                    row_chunk = shard_row * per_shard[0] + cidx[0]
+                    if row_chunk < first_chunk or row_chunk > last_chunk:
+                        continue
+                    off, nbytes = int(index[cidx][0]), int(index[cidx][1])
+                    if off == _MISSING_CHUNK:
+                        continue
+                    tail_idx = tuple(
+                        st * ps + ci
+                        for st, ps, ci in zip(shard_tail, per_shard[1:],
+                                              cidx[1:]))
+                    fh.seek(off)
+                    place(fh.read(nbytes), row_chunk, tail_idx)
+    if np.dtype(meta.dtype).kind == "M":
+        return out.view(meta.dtype)
+    return out
+
+
 def write_group(path: str | Path,
                 attributes: Mapping[str, Any] | None = None) -> None:
     path = Path(path)
