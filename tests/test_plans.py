@@ -119,3 +119,27 @@ def test_knn_bruteforce_broadcasts_query_side(spark):
     plan = executed_plan(eq.q_knn_bruteforce(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_order_priority_semi_join_shape(spark):
+    plan = executed_plan(eq.q_order_priority_counts(spark, SF_DIR))
+    assert "LeftSemi" in plan, "EXISTS must plan as a semi-join"
+    assert "CartesianProduct" not in plan
+    # only the two needed lineitem columns cross the wire
+    li_schemas = [s for s in read_schemas(plan) if "l_orderkey" in s]
+    assert li_schemas and all("l_extendedprice" not in s
+                              for s in li_schemas), li_schemas
+
+
+def test_returned_losses_broadcasts_dimensions(spark):
+    plan = executed_plan(eq.q_returned_item_losses(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # returnflag filter is pushed to the lineitem scan
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+
+
+def test_priority_class_single_shuffle(spark):
+    plan = executed_plan(eq.q_priority_class_counts(spark, SF_DIR))
+    assert "partial_" in plan, "no map-side partial aggregation"
+    assert "CartesianProduct" not in plan

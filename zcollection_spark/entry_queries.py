@@ -987,6 +987,114 @@ FROM events GROUP BY user_id
 """
 
 
+def q_order_priority_counts(spark, sf_dir):
+    """TPC-H Q4-style EXISTS: orders with at least one line shipped >30
+    days after ordering, counted per priority.  Spark expresses the
+    correlated EXISTS as a left-semi join on the correlated condition —
+    shuffles only the two join columns of lineitem."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    cond = ((F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+    return (orders.join(li, on=cond, how="left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_returned_item_losses(spark, sf_dir):
+    """TPC-H Q10-style: revenue lost to returned items per customer,
+    deterministic top-20.  Fact table filtered first; every dimension
+    broadcast (customer/nation are true dims; the date-windowed orders
+    slice is dim-sized)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))) \
+        .select("o_orderkey", "o_custkey")
+    return (li.where(F.col("l_returnflag") == "R")
+            .join(F.broadcast(window),
+                  on=F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust.select("c_custkey", "c_name",
+                                          "c_nationkey")),
+                  on=F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  on=F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+ORACLE_RETURNED_LOSSES = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8))
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_priority_class_counts(spark, sf_dir):
+    """TPC-H Q12-style conditional aggregation: late-shipped lines per
+    order status, split into high/low-priority counts with a single
+    map-side CASE — one shuffle, two conditional sums."""
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate", "o_orderstatus",
+                "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders,
+                    on=F.col("l_orderkey") == F.col("o_orderkey"))
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .groupBy("o_orderstatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1))
+                 .alias("low_line_count")))
+
+
+ORACLE_PRIORITY_CLASS = """
+SELECT o_orderstatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1010,6 +1118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_delta": q_revenue_delta,
         "regional_revenue": q_regional_revenue,
         "promo_revenue": q_promo_revenue,
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_losses": q_returned_item_losses,
+        "priority_class_counts": q_priority_class_counts,
         "rollup_hourly": q_rollup_hourly,
         "user_sessions": q_user_sessions,
         "dedup_exact": q_dedup_exact,
@@ -1049,6 +1160,9 @@ def oracle_sql() -> dict[str, str]:
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,
         "promo_revenue": ORACLE_PROMO_REVENUE,
+        "order_priority_counts": ORACLE_ORDER_PRIORITY,
+        "returned_item_losses": ORACLE_RETURNED_LOSSES,
+        "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "rollup_hourly": ORACLE_ROLLUP,
         "user_sessions": ORACLE_SESSIONS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
