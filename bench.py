@@ -168,6 +168,22 @@ def main() -> None:
         def _():
             eq.q_rollup_hourly(spark, sf_dir).collect()
 
+        @timed("order_priority_counts")
+        def _():
+            eq.q_order_priority_counts(spark, sf_dir).collect()
+
+        @timed("returned_item_losses")
+        def _():
+            eq.q_returned_item_losses(spark, sf_dir).collect()
+
+        @timed("priority_class_counts")
+        def _():
+            eq.q_priority_class_counts(spark, sf_dir).collect()
+
+        @timed("asof_enrich")
+        def _():
+            _consume(eq.q_asof_enrich(spark, sf_dir))
+
         # each dedup query persists its shared subtree (shingles/bands)
         # per call and never reuses it across calls — drop the cache
         # between scenarios or the accumulated blocks randomly tax one

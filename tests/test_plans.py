@@ -143,3 +143,18 @@ def test_priority_class_single_shuffle(spark):
     plan = executed_plan(eq.q_priority_class_counts(spark, SF_DIR))
     assert "partial_" in plan, "no map-side partial aggregation"
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    # union+window as-of: every row is shuffled ONCE on the by-key (the
+    # exchange is pushed into each union branch, so two operators over
+    # disjoint inputs), and there is no join operator at all — the
+    # range-join pair explosion is designed out
+    plan = executed_plan(eq.q_asof_enrich(spark, SF_DIR))
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "ReusedExchange" not in ln]
+    assert 1 <= len(exchanges) <= 2, exchanges
+    assert all("hashpartitioning(user_id" in ln for ln in exchanges), \
+        exchanges
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

@@ -1095,6 +1095,32 @@ GROUP BY o_orderstatus
 """
 
 
+def q_asof_enrich(spark, sf_dir):
+    """As-of join: each non-purchase event picks up the user's most
+    recent purchase value at-or-before its timestamp (the standalone
+    generalization of the reference's tolerance-upsert nearest match,
+    ``merge.py:262-272``).  One shuffle on ``user_id`` — no range-join
+    pair explosion."""
+    from .functions.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    left = (ev.where(F.col("event_type") != "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts",
+                     F.col("value").alias("last_purchase_value")))
+    return asof_join(left, right, on="ts", by="user_id")
+
+
+ORACLE_ASOF = """
+SELECT l.event_id, l.user_id, l.ts, r.value AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type <> 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1121,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": q_order_priority_counts,
         "returned_item_losses": q_returned_item_losses,
         "priority_class_counts": q_priority_class_counts,
+        "asof_enrich": q_asof_enrich,
         "rollup_hourly": q_rollup_hourly,
         "user_sessions": q_user_sessions,
         "dedup_exact": q_dedup_exact,
@@ -1163,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": ORACLE_ORDER_PRIORITY,
         "returned_item_losses": ORACLE_RETURNED_LOSSES,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
+        "asof_enrich": ORACLE_ASOF,
         "rollup_hourly": ORACLE_ROLLUP,
         "user_sessions": ORACLE_SESSIONS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
