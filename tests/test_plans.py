@@ -31,6 +31,18 @@ def read_schemas(plan: str) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
 
 
+def final_plan(plan: str) -> str:
+    """AQE plan strings append an ``== Initial Plan ==`` section that
+    duplicates every operator — keep only the executed Final Plan when
+    counting operators."""
+    return plan.split("== Initial Plan ==")[0]
+
+
+def count_exchanges(plan: str) -> list[str]:
+    return [ln for ln in final_plan(plan).splitlines()
+            if "Exchange" in ln and "ReusedExchange" not in ln]
+
+
 # -- scan-level pruning (SCALING.md "Read path") ----------------------------
 
 def test_query_partition_pruning_reaches_scan(spark, date_collection):
@@ -146,15 +158,28 @@ def test_priority_class_single_shuffle(spark):
 
 
 def test_asof_join_single_shuffle(spark):
-    # union+window as-of: every row is shuffled ONCE on the by-key (the
-    # exchange is pushed into each union branch, so two operators over
-    # disjoint inputs), and there is no join operator at all — the
-    # range-join pair explosion is designed out
+    # union+window as-of: ONE shuffle on the by-key and no join operator
+    # at all — the range-join pair explosion is designed out
     plan = executed_plan(eq.q_asof_enrich(spark, SF_DIR))
-    exchanges = [ln for ln in plan.splitlines()
-                 if "Exchange" in ln and "ReusedExchange" not in ln]
-    assert 1 <= len(exchanges) <= 2, exchanges
-    assert all("hashpartitioning(user_id" in ln for ln in exchanges), \
-        exchanges
+    exchanges = count_exchanges(plan)
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(user_id" in exchanges[0]
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_equi_join(spark):
+    # grid bucketing turns the range join into a hash-partitioned
+    # equi-join; a BroadcastNestedLoopJoin here is the scale bug
+    plan = executed_plan(eq.q_interval_match(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dedup_keep_latest_single_window_pass(spark):
+    plan = executed_plan(eq.q_dedup_keep_latest(spark, SF_DIR))
+    assert "Window" in plan
+    exchanges = count_exchanges(plan)
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(user_id" in exchanges[0]

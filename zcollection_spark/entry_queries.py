@@ -1121,6 +1121,58 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
 """
 
 
+def q_dedup_keep_latest(spark, sf_dir):
+    """Snapshot dedup: keep each user's most recent event per type
+    (training-data 'latest version wins' compaction) — one window
+    shuffle, ties broken on event_id."""
+    from .functions.dedup import dedup_keep_latest
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    return dedup_keep_latest(ev, keys=["user_id", "event_type"],
+                             order_col="ts", tiebreak="event_id")
+
+
+ORACLE_DEDUP_KEEP_LATEST = """
+SELECT event_id, user_id, event_type, ts, value FROM (
+  SELECT event_id, user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_interval_match(spark, sf_dir):
+    """Interval join: purchases matched into each user's daily view
+    window ([min,max] view ts per user-day) via grid bucketing — an
+    equi-join on (user_id, hour bucket), never a nested-loop range
+    join."""
+    from .functions.interval import interval_join
+    ev = load_table(spark, sf_dir, "events")
+    windows = (ev.where(F.col("event_type") == "view")
+               .groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day_start"))
+               .agg(F.min("ts").alias("win_lo"),
+                    F.max("ts").alias("win_hi")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    return interval_join(purchases, windows, on="ts",
+                         start="win_lo", end="win_hi", by="user_id",
+                         bucket=3600.0)
+
+
+ORACLE_INTERVAL_MATCH = """
+WITH iv AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+         min(ts) AS win_lo, max(ts) AS win_hi
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts, iv.day_start, iv.win_lo, iv.win_hi
+FROM events p
+JOIN iv ON p.user_id = iv.user_id
+       AND p.ts >= iv.win_lo AND p.ts <= iv.win_hi
+WHERE p.event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1148,9 +1200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_losses": q_returned_item_losses,
         "priority_class_counts": q_priority_class_counts,
         "asof_enrich": q_asof_enrich,
+        "interval_match": q_interval_match,
         "rollup_hourly": q_rollup_hourly,
         "user_sessions": q_user_sessions,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_latest": q_dedup_keep_latest,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1191,9 +1245,11 @@ def oracle_sql() -> dict[str, str]:
         "returned_item_losses": ORACLE_RETURNED_LOSSES,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "asof_enrich": ORACLE_ASOF,
+        "interval_match": ORACLE_INTERVAL_MATCH,
         "rollup_hourly": ORACLE_ROLLUP,
         "user_sessions": ORACLE_SESSIONS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_keep_latest": ORACLE_DEDUP_KEEP_LATEST,
         "dedup_minhash": _minhash_oracle(),
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
         "dedup_simhash": _simhash_oracle(),

@@ -215,3 +215,22 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
                            - F.col("__shared")))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def dedup_keep_latest(df: DataFrame, *, keys: list[str], order_col: str,
+                      tiebreak: str | None = None) -> DataFrame:
+    """Version dedup: keep the most recent row per key group.
+
+    The snapshot/compaction primitive of a training-data pipeline
+    (dedupe crawl records to their latest version).  One window pass =
+    one shuffle on ``keys``; at 100 TB the map-side is a pure scan and
+    AQE splits skewed keys.  ``tiebreak`` breaks equal ``order_col``
+    values deterministically (defaults to the first key).
+    """
+    from pyspark.sql import Window
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
