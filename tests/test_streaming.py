@@ -63,3 +63,11 @@ def test_collection_stream_reads_partitions(spark, seq_collection):
     out = spark.table("coll_stream")
     assert out.count() == 7
     assert "num" in out.columns and "_row_idx" not in out.columns
+
+
+def test_streaming_dedup_collapses_replayed_rows(spark):
+    from zcollection_spark.streaming import deduped_events
+    out = deduped_events(spark, "/root/testdata/sf0.001")
+    # the source is unioned with itself (2000 arrivals) -> 1000 uniques
+    assert out.count() == 1000
+    assert out.select("event_id").distinct().count() == 1000

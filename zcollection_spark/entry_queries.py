@@ -1173,6 +1173,61 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per event type (``F.percentile`` is
+    the exact linear-interpolation aggregate; at 100 TB swap in
+    ``approx_percentile`` — same plan shape, sketch-mergeable).  Matches
+    DuckDB ``quantile_cont`` bit-for-bit after a 6-digit round."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile("value", 0.5), 6).alias("p50"),
+                 F.round(F.percentile("value", 0.95), 6).alias("p95"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP grouping-sets aggregation with grouping_id — subtotal and
+    grand-total rows in ONE pass (Expand + single shuffle), the way a
+    100 TB report avoids N separate scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,4)")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(qty).cast("decimal(38,12)").alias("sum_qty"),
+                 F.grouping_id().alias("gid")))
+
+
+ORACLE_REVENUE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,12))
+         AS sum_qty,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming dedup (``dropDuplicatesWithinWatermark``): first arrival
+    per event_id wins, state expires with the watermark.  One-pass
+    deterministic source -> equals batch DISTINCT (the oracle)."""
+    from .streaming import deduped_events
+    return deduped_events(spark, sf_dir)
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT event_id, ts, user_id, value FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1219,6 +1274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_hourly": q_streaming_hourly,
         "streaming_stateful": q_streaming_stateful,
+        "streaming_dedup": q_streaming_dedup,
+        "value_percentiles": q_value_percentiles,
+        "revenue_rollup": q_revenue_rollup,
     }
 
 
@@ -1262,4 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         "zarr_roundtrip": ORACLE_ZARR,
         "streaming_hourly": ORACLE_STREAMING,
         "streaming_stateful": ORACLE_STREAMING_STATEFUL,
+        "streaming_dedup": ORACLE_STREAMING_DEDUP,
+        "value_percentiles": ORACLE_PERCENTILES,
+        "revenue_rollup": ORACLE_REVENUE_ROLLUP,
     }

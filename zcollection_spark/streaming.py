@@ -81,6 +81,32 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def deduped_events(spark: SparkSession, sf_dir: str,
+                   watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication: ``dropDuplicatesWithinWatermark`` keeps
+    the first arrival per ``event_id`` and expires its dedup state once
+    the watermark passes — bounded state on an unbounded stream (replayed
+    or duplicated ingest rows collapse).  Run to completion with an
+    availableNow trigger the result equals one copy of the source —
+    batch DISTINCT is the oracle."""
+    sdf = stream_events(spark, sf_dir) \
+        .select("event_id", "ts", "user_id", "value")
+    # union the source with itself: a simulated replayed ingest where
+    # every row arrives twice — the dedup state collapses the copies
+    doubled = sdf.unionByName(sdf).withWatermark("ts", watermark)
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    sink = f"zcs_dedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (deduped.writeStream.format("memory").queryName(sink)
+                 .outputMode("append").trigger(availableNow=True).start())
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
+
+
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a per-user running (n_events, total_value) accumulator.
