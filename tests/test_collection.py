@@ -266,3 +266,55 @@ def test_grouped_sequence_collection(spark, tmp_path):
     pdf_res = res.toPandas()
     assert len(pdf_res) == 50
     assert pdf_res["pass_no"].min() == 51 and pdf_res["pass_no"].max() == 100
+
+
+def test_compact_merges_small_files(spark, tmp_path, date_schema, date_pdf):
+    import zcollection_spark as zc
+    from pathlib import Path
+    coll = zc.create_collection(
+        spark, str(tmp_path / "cmp"), schema=date_schema, axis="time",
+        partitioning=zc.Date(("time",), resolution="M"))
+    bound = date_schema.with_partition_axis("time")
+    sdf = spark.createDataFrame(date_pdf, schema=bound.to_struct_type())
+    coll.insert(sdf)
+    coll.insert(sdf.withColumn("v", sdf.v + 100), merge="concat")
+    coll.insert(sdf.withColumn("v", sdf.v + 200), merge="concat")
+    want = [tuple(r) for r in
+            coll.query().orderBy("time", "v").collect()]
+    rel0 = coll.partitions()[0]
+    n_before = sum(1 for _ in Path(coll.path, rel0).glob("*.parquet"))
+    assert n_before >= 3, "concat should leave one file per batch"
+
+    report = coll.compact()
+    assert report[rel0] == n_before
+    n_after = sum(1 for _ in Path(coll.path, rel0).glob("*.parquet"))
+    assert n_after == 1
+    got = [tuple(r) for r in coll.query().orderBy("time", "v").collect()]
+    assert got == want
+    # _row_idx preserved verbatim: index-style row ranges stay valid
+    raw = coll._load(keep_internal=True)
+    assert raw.where("_row_idx is null").count() == 0
+    # 3 inserts of the 2/2/1 rows-per-month fixture
+    per_part = {r["month"]: r["count"] for r in
+                raw.groupBy("year", "month").count().collect()}
+    assert per_part == {1: 6, 2: 6, 3: 3}
+
+
+def test_compact_with_filter_touches_only_matching(spark, tmp_path,
+                                                   date_schema, date_pdf):
+    import zcollection_spark as zc
+    from pathlib import Path
+    coll = zc.create_collection(
+        spark, str(tmp_path / "cmpf"), schema=date_schema, axis="time",
+        partitioning=zc.Date(("time",), resolution="M"))
+    bound = date_schema.with_partition_axis("time")
+    sdf = spark.createDataFrame(date_pdf, schema=bound.to_struct_type())
+    coll.insert(sdf)
+    coll.insert(sdf.withColumn("v", sdf.v + 100), merge="concat")
+    report = coll.compact(filters="month == 1")
+    assert list(report) == ["year=2024/month=1"]
+    jan = sum(1 for _ in Path(coll.path, "year=2024/month=1")
+              .glob("*.parquet"))
+    feb = sum(1 for _ in Path(coll.path, "year=2024/month=2")
+              .glob("*.parquet"))
+    assert jan == 1 and feb == 2

@@ -411,6 +411,42 @@ class Collection:
             self._catalog.add(incoming_rel)
         return sorted(incoming_rel)
 
+    def compact(self, *, filters: str | None = None) -> dict[str, int]:
+        """Rewrite matching partitions into one file each (small-file
+        compaction).
+
+        Repeated ``concat``/streaming inserts leave a file per batch; at
+        object-store scale the file count — not the byte count — starts
+        to dominate open/list cost.  One hash shuffle on the partition
+        keys lands every partition's rows in a single task, so dynamic
+        partition overwrite rewrites each touched partition as ONE file.
+        ``_row_idx`` is preserved verbatim (recomputing it could reorder
+        concat-merged partitions and break views/index row ranges).
+
+        Returns ``{partition_relpath: files_before}`` for the rewritten
+        partitions.  No vanilla-Spark analog in the reference; the
+        closest intent is its shard-size targeting
+        (``codecs/sharding.py:32-159``).
+        """
+        from .. import config as engine_config
+        self._require_writable()
+        matching = self.partitions(filters=filters)
+        if not matching:
+            return {}
+
+        def count_files(rel: str) -> int:
+            from pathlib import Path
+            return sum(1 for p in Path(f"{self.path}/{rel}").glob("*.parquet"))
+
+        before = {rel: count_files(rel) for rel in matching}
+        keys = list(self.partitioning.keys)
+        df = self._cast_restored_keys(self._read_partitions(matching))
+        (df.repartition(*[F.col(k) for k in keys])
+         .write.mode("overwrite").partitionBy(*keys)
+         .option("compression", engine_config.profile().compression)
+         .parquet(self.path))
+        return before
+
     def drop_partitions(self, *, filters: str | None = None) -> list[str]:
         """Delete matching partitions — ALL when ``filters=None``
         (``base.py:599-634``; ≈ ALTER TABLE DROP PARTITION)."""
