@@ -119,3 +119,23 @@ def test_catalog_is_visibility_gate(spark, seq_collection, seq_pdf,
     # repair() makes the store the source of truth again
     seq_collection.repair_catalog()
     assert "num=99" in seq_collection.partitions()
+
+
+def test_cli_stats_and_compact(spark, seq_collection, seq_pdf, capsys):
+    import json as _json
+    # add a second batch so at least one partition has 2 files
+    seq_collection.insert(
+        spark.createDataFrame(seq_pdf).where("num = 2"), merge="concat")
+    assert cli.main(["stats", seq_collection.path, "--rows"]) == 0
+    stats = _json.loads(capsys.readouterr().out)
+    by_rel = {e["partition"]: e for e in stats}
+    assert by_rel["num=2"]["files"] == 2
+    assert by_rel["num=2"]["rows"] == 6
+    assert all(e["bytes"] > 0 for e in stats)
+
+    assert cli.main(["compact", seq_collection.path]) == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out
+    assert cli.main(["stats", seq_collection.path]) == 0
+    stats2 = _json.loads(capsys.readouterr().out)
+    assert all(e["files"] == 1 for e in stats2)

@@ -65,6 +65,38 @@ def cmd_drop(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Per-partition rows/files/bytes — the ANALYZE-style health view
+    (spot small-file buildup before it hurts)."""
+    from pathlib import Path
+    coll = _open(args.path)
+    rows = {tuple(int(r[k]) for k in coll.partitioning.keys): r["n"]
+            for r in (coll._load(filters=args.filter, keep_internal=True)
+                      .groupBy(*coll.partitioning.keys)
+                      .agg({"*": "count"}).withColumnRenamed("count(1)", "n")
+                      .collect())} if args.rows else {}
+    out = []
+    for rel in coll.partitions(filters=args.filter):
+        files = list(Path(coll.path, rel).glob("*.parquet"))
+        entry = {"partition": rel, "files": len(files),
+                 "bytes": sum(f.stat().st_size for f in files)}
+        if args.rows:
+            key = tuple(coll.partitioning.decode(rel).values())
+            entry["rows"] = rows.get(key, 0)
+        out.append(entry)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    coll = _open(args.path, mode="rw")
+    report = coll.compact(filters=args.filter)
+    compacted = {rel: n for rel, n in report.items() if n > 1}
+    print(f"compacted {len(compacted)} of {len(report)} partitions "
+          f"({sum(report.values())} files -> {len(report)})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="zcollection_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -85,6 +117,19 @@ def main(argv: list[str] | None = None) -> int:
     p_drop.add_argument("--yes", action="store_true",
                         help="skip confirmation")
     p_drop.set_defaults(fn=cmd_drop)
+
+    p_st = sub.add_parser("stats", help="per-partition files/bytes[/rows]")
+    p_st.add_argument("path")
+    p_st.add_argument("--filter", default=None)
+    p_st.add_argument("--rows", action="store_true",
+                      help="also count rows (scans data)")
+    p_st.set_defaults(fn=cmd_stats)
+
+    p_cp = sub.add_parser("compact",
+                          help="rewrite partitions as one file each")
+    p_cp.add_argument("path")
+    p_cp.add_argument("--filter", default=None)
+    p_cp.set_defaults(fn=cmd_compact)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1228,6 +1228,34 @@ SELECT event_id, ts, user_id, value FROM events
 """
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid accumulators: position-wise quantized sums over
+    the embedding column (``posexplode`` + one shuffle on (label, pos)).
+    Centroid = qsum / (n * 1e7); the 1e-7 quantization (IEEE double
+    multiply + floor, deterministic on both engines) keeps the
+    cross-engine hash exact.  At 100 TB this is the map-side-combining
+    mean-vector pattern IVF training uses."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (ex.groupBy("label", "pos")
+            .agg(F.sum(F.floor(F.col("v").cast("double")
+                               * F.lit(10000000.0)).cast("long"))
+                 .alias("qsum"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+SELECT label, pos,
+       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000) AS BIGINT))
+            AS BIGINT) AS qsum,
+       count(*) AS n
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings)
+GROUP BY label, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1270,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "embedding_centroids": q_embedding_centroids,
         "multimodal_features": q_multimodal_features,
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_hourly": q_streaming_hourly,
@@ -1316,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _langid_oracle(),
         "fingerprint": ORACLE_FINGERPRINT,
         "knn_bruteforce": ORACLE_KNN,
+        "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
         "multimodal_features": ORACLE_MULTIMODAL,
         "zarr_roundtrip": ORACLE_ZARR,
         "streaming_hourly": ORACLE_STREAMING,
