@@ -52,7 +52,14 @@ def bucketed_join(spark: SparkSession, left: str, right: str, *,
 
 
 def explain_shuffles(df: DataFrame) -> int:
-    """Count Exchange operators in the executed plan (0 = co-located)."""
+    """Count shuffle Exchange operators in the executed Final Plan
+    (0 = co-located).  BroadcastExchange is excluded — a broadcast ships
+    one small table, not a repartition of the data — as is the
+    ``== Initial Plan ==`` section AQE appends (it duplicates every
+    operator of the final plan)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     return sum(1 for line in plan.splitlines()
-               if "Exchange" in line and "ReusedExchange" not in line)
+               if "Exchange" in line
+               and "ReusedExchange" not in line
+               and "BroadcastExchange" not in line)
