@@ -1256,6 +1256,39 @@ GROUP BY label, pos
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: jaccard pairs → connected components →
+    ``(doc_id, cluster_id)`` with the min doc id as the canonical
+    survivor.  The HashMin label-propagation loop is the distributed
+    closing step every pair-producing dedup needs; the oracle replays it
+    as a recursive CTE."""
+    from .functions.graph import dedup_clusters
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                shingle_size=5, threshold=0.5) \
+        .select("id_a", "id_b")
+    return dedup_clusters(pairs, "id_a", "id_b")
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_shingle_sql(5)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+           FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT DISTINCT a AS node, a AS label FROM edges
+          UNION
+          SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1290,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_latest": q_dedup_keep_latest,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "text_stats": q_text_stats,
@@ -1339,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_latest": ORACLE_DEDUP_KEEP_LATEST,
         "dedup_minhash": _minhash_oracle(),
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "text_stats": ORACLE_TEXT_STATS,
