@@ -172,3 +172,28 @@ def test_text_stats_and_tokens(spark, docs):
     assert stats["n_distinct_tokens"] == 8   # 'the' twice
     row = docs.select(token_count("text").alias("n")).limit(1).collect()[0]
     assert row["n"] == 9
+
+
+# -- ANN quality: recall vs the exact baseline -----------------------------
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+@pytest.mark.parametrize("query,floor", [
+    ("q_knn_lsh", 0.5), ("q_knn_ivf", 0.6)])
+def test_ann_recall_vs_bruteforce(spark, query, floor):
+    """Approximate top-10 must overlap the exact top-10 well above
+    chance (10/1000 = 1% at random); thresholds are loose floors, not
+    tuned targets — a hash-bucketing bug drops recall to ~0."""
+    from zcollection_spark import entry_queries as eq
+    sf = "/root/testdata/sf0.001"
+    exact = _topk_sets(eq.q_knn_bruteforce(spark, sf))
+    approx = _topk_sets(getattr(eq, query)(spark, sf))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= floor, f"{query} mean recall {mean_recall:.2f}"

@@ -297,3 +297,30 @@ def test_slice_read_datetime(tmp_path):
     got = read_array_slice(tmp_path / "t", 10, 40)
     assert got.dtype == np.dtype("datetime64[us]")
     np.testing.assert_array_equal(got, data[10:40])
+
+
+def test_read_row_ranges_partial(spark, zarr_events):
+    """Indexer.lookup-shaped spans decode only the requested rows."""
+    rels = zarr_events.partitions()
+    ranges = {rels[0]: [(5, 15), (20, 22)], rels[2]: [(0, 3)]}
+    got = zarr_events.read_row_ranges(ranges)
+    assert got.count() == 10 + 2 + 3
+    # values equal the ordered-query slices of those partitions
+    full0 = (zarr_events.query(filters="day == 1")
+             .orderBy("ts").toPandas())
+    part = (got.orderBy("ts").toPandas())
+    want_ids = set(full0["event_id"].iloc[5:15]) \
+        | set(full0["event_id"].iloc[20:22])
+    full2 = (zarr_events.query(filters="day == 3")
+             .orderBy("ts").toPandas())
+    want_ids |= set(full2["event_id"].iloc[0:3])
+    assert set(part["event_id"]) == want_ids
+
+
+def test_read_row_ranges_projection_and_empty(spark, zarr_events):
+    rels = zarr_events.partitions()
+    got = zarr_events.read_row_ranges({rels[0]: [(0, 4)]},
+                                      variables=["event_id"])
+    assert got.columns == ["event_id"] and got.count() == 4
+    empty = zarr_events.read_row_ranges({})
+    assert empty.count() == 0

@@ -897,7 +897,7 @@ def q_knn_lsh(spark, sf_dir):
     queries_df = emb.where(F.col("vec_id") < 5)
     topk = lsh_bucket_topk(emb, queries_df, id_col="vec_id",
                            vec_col="embedding", query_id_col="vec_id",
-                           k=10, n_planes=6)
+                           k=10, n_planes=4, n_tables=8)
     return topk.select("query_id", "vec_id",
                        F.round("cosine", 6).alias("cosine"),
                        F.col("rank").cast("long").alias("rank"))
@@ -911,7 +911,7 @@ def q_knn_ivf(spark, sf_dir):
     queries_df = emb.where(F.col("vec_id") < 5)
     topk = ivf_topk(emb, queries_df, id_col="vec_id",
                     vec_col="embedding", query_id_col="vec_id",
-                    k=10, n_cells=8, n_probe=3)
+                    k=10, n_cells=8, n_probe=4)
     return topk.select("query_id", "vec_id",
                        F.round("cosine", 6).alias("cosine"),
                        F.col("rank").cast("long").alias("rank"))
