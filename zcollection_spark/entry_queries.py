@@ -1289,6 +1289,66 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q_big_orders(spark, sf_dir):
+    """TPC-H Q18-style quantified subquery: orders whose total quantity
+    exceeds a threshold, joined back for detail.  The HAVING subquery
+    becomes an aggregate + self-equi-join — the aggregate output is
+    dim-sized, so it broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    qty = F.col("l_quantity").cast("decimal(12,4)")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(qty).cast("decimal(38,4)").alias("total_qty"))
+           .where(F.col("total_qty") > 180))
+    return (orders.join(F.broadcast(big),
+                        on=F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("o_orderkey", "o_custkey", "o_orderdate",
+                    "total_qty"))
+
+
+ORACLE_BIG_ORDERS = """
+SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,4)))
+                  AS DECIMAL(38,4)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING total_qty > 180) ON o_orderkey = l_orderkey
+"""
+
+
+def q_event_gaps(spark, sf_dir):
+    """lead/lag window analytics: seconds between consecutive events per
+    user, bucketed into a gap histogram — one window shuffle plus one
+    aggregation."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond integers: exact on both engines (epoch seconds would
+    # truncate sub-second parts differently across engines)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (ev.withColumn("gap_us", gap)
+            .where(F.col("gap_us").isNotNull())
+            .groupBy((F.floor(F.col("gap_us") / 3600000000))
+                     .alias("gap_hours"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.max("gap_us").alias("max_gap_us")))
+
+
+ORACLE_EVENT_GAPS = """
+WITH g AS (
+  SELECT epoch_us(ts)
+         - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT CAST(floor(gap_us / 3600000000.0) AS BIGINT) AS gap_hours,
+       count(*) AS n, min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1340,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "value_percentiles": q_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
+        "big_orders": q_big_orders,
+        "event_gaps": q_event_gaps,
     }
 
 
@@ -1388,4 +1450,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "value_percentiles": ORACLE_PERCENTILES,
         "revenue_rollup": ORACLE_REVENUE_ROLLUP,
+        "big_orders": ORACLE_BIG_ORDERS,
+        "event_gaps": ORACLE_EVENT_GAPS,
     }
