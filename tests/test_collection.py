@@ -318,3 +318,17 @@ def test_compact_with_filter_touches_only_matching(spark, tmp_path,
     feb = sum(1 for _ in Path(coll.path, "year=2024/month=2")
               .glob("*.parquet"))
     assert jan == 1 and feb == 2
+
+
+def test_to_view_sql_surface(spark, seq_collection):
+    seq_collection.to_view("seq_v")
+    got = spark.sql(
+        "SELECT num, count(*) AS n FROM seq_v GROUP BY num ORDER BY num")
+    assert [(r["num"], r["n"]) for r in got.collect()] == [
+        (0, 2), (1, 2), (2, 3)]
+    # pre-filtered view; empty filter registers an empty view (quirk Q6
+    # stays on query(): the SQL surface prefers a relation to None)
+    seq_collection.to_view("seq_v1", filters="num >= 1")
+    assert spark.sql("SELECT count(*) AS n FROM seq_v1").first()["n"] == 5
+    seq_collection.to_view("seq_v9", filters="num == 99")
+    assert spark.sql("SELECT count(*) AS n FROM seq_v9").first()["n"] == 0

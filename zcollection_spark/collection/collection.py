@@ -411,6 +411,19 @@ class Collection:
             self._catalog.add(incoming_rel)
         return sorted(incoming_rel)
 
+    def to_view(self, name: str, *,
+                filters: str | None = None) -> DataFrame:
+        """Register the collection (optionally pre-filtered) as a temp
+        view so plain ``spark.sql`` works against it — partition pruning
+        and column pruning still apply because the view is the same
+        declarative plan ``query`` builds."""
+        df = self.query(filters=filters)
+        if df is None:
+            df = self.spark.createDataFrame(
+                [], self.schema.to_struct_type())
+        df.createOrReplaceTempView(name)
+        return df
+
     def compact(self, *, filters: str | None = None) -> dict[str, int]:
         """Rewrite matching partitions into one file each (small-file
         compaction).
