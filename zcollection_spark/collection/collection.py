@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import config as engine_config
 from .. import fs as fsmod
 from ..errors import (CollectionExistsError, CollectionNotFoundError,
                       ReadOnlyError, SchemaError, StoreError)
@@ -334,7 +335,6 @@ class Collection:
         return df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
 
     def _write(self, derived: DataFrame, *, mode: str) -> None:
-        from .. import config as engine_config
         keys = list(self.partitioning.keys)
         chunks = None
         axis_dim = self.schema.dim_map.get(self.axis)
@@ -345,8 +345,7 @@ class Collection:
         # partitionBy needs, so no extra repartition/sortWithinPartitions
         writer = (self._with_row_idx(derived)
                   .write.mode(mode).partitionBy(*keys)
-                  .option("compression",
-                          engine_config.profile().compression))
+                  .options(**engine_config.profile().writer_options()))
         if chunks:
             # chunk geometry → row-group/file sizing (the reference's
             # shard-size targeting, codecs/sharding.py:32-159)
@@ -399,6 +398,7 @@ class Collection:
                         .drop("__offset"))
             # the row_number window above already shuffled+sorted by keys
             (appended.write.mode("append").partitionBy(*keys)
+             .options(**engine_config.profile().writer_options())
              .parquet(self.path))
         else:
             existing = (self._read_partitions(colliding).drop(ROW_IDX))
@@ -441,7 +441,6 @@ class Collection:
         closest intent is its shard-size targeting
         (``codecs/sharding.py:32-159``).
         """
-        from .. import config as engine_config
         self._require_writable()
         matching = self.partitions(filters=filters)
         if not matching:
@@ -456,7 +455,7 @@ class Collection:
         df = self._cast_restored_keys(self._read_partitions(matching))
         (df.repartition(*[F.col(k) for k in keys])
          .write.mode("overwrite").partitionBy(*keys)
-         .option("compression", engine_config.profile().compression)
+         .options(**engine_config.profile().writer_options())
          .parquet(self.path))
         return before
 
