@@ -71,3 +71,25 @@ def test_streaming_dedup_collapses_replayed_rows(spark):
     # the source is unioned with itself (2000 arrivals) -> 1000 uniques
     assert out.count() == 1000
     assert out.select("event_id").distinct().count() == 1000
+
+
+def test_stream_ingest_into_zarr_collection(spark, tmp_path):
+    """The foreachBatch sink is storage-agnostic: a zarr collection's
+    insert works identically (ZarrCollection duck-types Collection)."""
+    import zcollection_spark as zc
+    from zcollection_spark.schema import infer_schema
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+
+    batch = load_table(spark, SF, "events") \
+        .select("event_id", "ts", "value")
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "zingest"),
+        schema=infer_schema(batch.schema, axis="ts"), axis="ts",
+        partitioning=zc.Date(("ts",), resolution="D"))
+    q = write_stream_to_collection(
+        stream_events(spark, SF).select("event_id", "ts", "value"),
+        coll, checkpoint_dir=str(tmp_path / "zckpt"))
+    q.awaitTermination()
+    assert coll.query().count() == batch.count()
+    assert coll.query(filters="day == 5").count() == \
+        batch.where(F.dayofmonth("ts") == 5).count()

@@ -324,3 +324,25 @@ def test_read_row_ranges_projection_and_empty(spark, zarr_events):
     assert got.columns == ["event_id"] and got.count() == 4
     empty = zarr_events.read_row_ranges({})
     assert empty.count() == 0
+
+
+def test_datasource_write_path(spark, tmp_path):
+    """Raw ``df.write.format("zarr3")`` writer: keys derived in-task,
+    groups written, catalog committed, reads round-trip."""
+    from zcollection_spark.data import load_table
+    from zcollection_spark.schema import infer_schema
+    ev = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "value")
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "dsw"),
+        schema=infer_schema(ev.schema, axis="ts"),
+        axis="ts", partitioning=zc.Date(("ts",), resolution="D"))
+    (ev.repartition("ts")
+     .write.format("zarr3").option("path", coll.path)
+     .mode("append").save())
+    reopened = open_zarr_collection(spark, coll.path)
+    assert len(reopened.partitions()) == 30  # catalog committed
+    got = reopened.query().orderBy("event_id")
+    src = ev.orderBy("event_id")
+    assert [tuple(r) for r in got.select("event_id", "value").collect()] \
+        == [tuple(r) for r in src.select("event_id", "value").collect()]

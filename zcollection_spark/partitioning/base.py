@@ -30,6 +30,12 @@ class Partitioning(abc.ABC):
     keys: tuple[str, ...]
 
     @abc.abstractmethod
+    def derive_pandas(self, pdf):
+        """Executor-side twin of :meth:`derive` for pandas frames (used by
+        the zarr3 DataSource writer, where key derivation happens inside
+        the write task)."""
+        raise NotImplementedError
+
     def derive(self, df: DataFrame) -> DataFrame:
         """Append the key columns (pure column expressions, JVM-side)."""
 

@@ -48,6 +48,17 @@ class Date(Partitioning):
         src = F.col(self.variables[0])
         return {name: _FUNCS[name](src).alias(name) for name in self.keys}
 
+    def derive_pandas(self, pdf):
+        import pandas as pd
+        src = pd.to_datetime(pdf[self.variables[0]])
+        parts = {"year": src.dt.year, "month": src.dt.month,
+                 "day": src.dt.day, "hour": src.dt.hour,
+                 "minute": src.dt.minute, "second": src.dt.second}
+        out = pdf.copy()
+        for name in self.keys:
+            out[name] = parts[name].astype("int64")
+        return out
+
     def derive(self, df: DataFrame) -> DataFrame:
         col = self.variables[0]
         if col not in df.columns:

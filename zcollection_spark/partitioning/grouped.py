@@ -46,6 +46,13 @@ class GroupedSequence(Sequence):
         cols[self.bucket_key] = bucket.alias(self.bucket_key)
         return cols
 
+    def derive_pandas(self, pdf):
+        out = pdf.copy()
+        v = out[self.bucket_variable].astype("int64")
+        out[self.bucket_key] = ((v - self.start) // self.size
+                                * self.size + self.start)
+        return out
+
     def derive(self, df: DataFrame) -> DataFrame:
         self._check_integral(df)
         return df.withColumn(self.bucket_key,

@@ -44,6 +44,12 @@ class Sequence(Partitioning):
                     f"Sequence partitioning requires integer columns; "
                     f"{col!r} is {df.schema[col].dataType.simpleString()}")
 
+    def derive_pandas(self, pdf):
+        for col in self.variables:
+            if col not in pdf.columns:
+                raise PartitioningError(f"column {col!r} not in frame")
+        return pdf
+
     def derive(self, df: DataFrame) -> DataFrame:
         # keys are the data columns themselves — nothing to append
         self._check_integral(df)

@@ -46,6 +46,53 @@ from .sharding import shard_decision
 CONFIG_NAME = "_zcollection.json"
 
 
+def write_partition_group(spec: dict, pdf: pd.DataFrame) -> str:
+    """Write ONE partition's rows as a Zarr v3 group (executor side).
+
+    ``spec`` comes from ``ZarrCollection._write_spec``; the same routine
+    backs the collection insert path (``applyInPandas``) and the raw
+    ``df.write.format("zarr3")`` DataSource writer.  All rows in ``pdf``
+    must share one partition key; the group is rewritten wholesale
+    (reference ``collection/base.py:481-519`` semantics, minus the
+    fragmented-key race — callers shuffle by key first).
+    """
+    import shutil as _shutil
+    from ..partitioning import from_json as pj
+    part = pj(json.loads(spec["partitioning_json"]))
+    axis = spec["axis"]
+    key = {k: int(pdf[k].iloc[0]) for k in spec["keys"]}
+    rel = part.encode(key)
+    group_path = Path(spec["root"]) / rel
+    pdf = (pdf.sort_values(axis).reset_index(drop=True)
+           if axis in pdf.columns else pdf.reset_index(drop=True))
+    # partition rewrite is wholesale: clear stale chunks from any
+    # previous (larger) incarnation before writing
+    if group_path.exists():
+        _shutil.rmtree(group_path, ignore_errors=True)
+    write_group(group_path, {"_zc_partition_key": json.dumps(key)})
+    chunk_rows = spec["chunk_rows"]
+    for name, dtype, extra in spec["var_meta"]:
+        series = pdf[name]
+        if extra:  # nD variable stored as array column
+            values = np.asarray([np.asarray(v) for v in series.to_list()])
+            values = values.astype(
+                np.dtype(dtype) if not dtype.startswith("datetime")
+                else "datetime64[us]")
+            chunk = (min(chunk_rows, len(values)) or 1, *extra)
+        else:
+            values = series.to_numpy()
+            if dtype.startswith("datetime"):
+                values = values.astype("datetime64[us]")
+            else:
+                values = values.astype(np.dtype(dtype))
+            chunk = (min(chunk_rows, len(values)) or 1,)
+        shard = shard_decision(chunk, values.shape, values.dtype,
+                               spec["shard_budget"])
+        write_array(group_path / name, values, chunk_shape=chunk,
+                    shard_shape=shard, codec="zstd", level=spec["level"])
+    return rel
+
+
 def create_zarr_collection(spark: SparkSession, path: str, *,
                            schema: DatasetSchema, axis: str,
                            partitioning: Partitioning,
@@ -165,63 +212,41 @@ class ZarrCollection:
         self._catalog.add(written)
         return sorted(set(written) | set(incoming_rel))
 
-    def _write_partitions(self, derived: DataFrame) -> list[str]:
-        keys = list(self.partitioning.keys)
-        axis = self.axis
-        root = self.path
-        var_schemas = [v for v in self.schema.partitioned_variables
-                       if v.name in derived.columns]
+    def _write_spec(self, columns) -> dict:
+        """Picklable write-task spec shared with the zarr3 DataSource
+        writer."""
         dim_map = self.schema.dim_map
+        axis = self.axis
         chunk_rows = (dim_map[axis].chunks or (1 << 16)) if axis in dim_map \
             else (1 << 16)
         profile = engine_config.profile()
-        shard_budget = profile.shard_target_bytes
-        partitioning_json = json.dumps(self.partitioning.to_json())
-        var_meta = [(v.name, v.dtype,
-                     tuple(dim_map[d].size or 0 for d in v.dimensions
-                           if d != axis))
-                    for v in var_schemas]
+        var_schemas = [v for v in self.schema.partitioned_variables
+                       if v.name in columns]
+        return {
+            "root": self.path,
+            "axis": axis,
+            "keys": list(self.partitioning.keys),
+            "partitioning_json": json.dumps(self.partitioning.to_json()),
+            "chunk_rows": chunk_rows,
+            "level": profile.level or 3,
+            "shard_budget": profile.shard_target_bytes,
+            "var_meta": [(v.name, v.dtype,
+                          tuple(dim_map[d].size or 0 for d in v.dimensions
+                                if d != axis))
+                         for v in var_schemas],
+        }
+
+    def _write_partitions(self, derived: DataFrame) -> list[str]:
+        keys = list(self.partitioning.keys)
+        spec = self._write_spec(derived.columns)
 
         def write_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-            import shutil as _shutil
-            from ..partitioning import from_json as pj
-            part = pj(json.loads(partitioning_json))
-            key = {k: int(pdf[k].iloc[0]) for k in keys}
-            rel = part.encode(key)
-            group_path = Path(root) / rel
-            pdf = (pdf.sort_values(axis).reset_index(drop=True)
-                   if axis in pdf.columns else pdf.reset_index(drop=True))
-            # partition rewrite is wholesale: clear stale chunks from any
-            # previous (larger) incarnation before writing
-            if group_path.exists():
-                _shutil.rmtree(group_path, ignore_errors=True)
-            write_group(group_path,
-                        {"_zc_partition_key": json.dumps(key)})
-            for name, dtype, extra in var_meta:
-                series = pdf[name]
-                if extra:  # nD variable stored as array column
-                    values = np.asarray(
-                        [np.asarray(v) for v in series.to_list()])
-                    values = values.astype(
-                        np.dtype(dtype) if not dtype.startswith("datetime")
-                        else "datetime64[us]")
-                    chunk = (min(chunk_rows, len(values)) or 1, *extra)
-                else:
-                    values = series.to_numpy()
-                    if dtype.startswith("datetime"):
-                        values = values.astype("datetime64[us]")
-                    else:
-                        values = values.astype(np.dtype(dtype))
-                    chunk = (min(chunk_rows, len(values)) or 1,)
-                shard = shard_decision(chunk, values.shape, values.dtype,
-                                       shard_budget)
-                write_array(group_path / name, values, chunk_shape=chunk,
-                            shard_shape=shard,
-                            codec="zstd", level=profile.level or 3)
-            return pd.DataFrame({"relpath": [rel]})
+            return pd.DataFrame(
+                {"relpath": [write_partition_group(spec, pdf)]})
 
+        var_names = {name for name, _, _ in spec["var_meta"]}
         part_cols = [c for c in derived.columns
-                     if c in {v.name for v in var_schemas} or c in keys]
+                     if c in var_names or c in keys]
         written = (derived.select(*part_cols)
                    .repartition(*[F.col(k) for k in keys])
                    .groupBy(*keys)

@@ -23,10 +23,11 @@ from typing import Iterator, Sequence
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
-                                    Filter, GreaterThan, GreaterThanOrEqual,
-                                    In, InputPartition, LessThan,
-                                    LessThanOrEqual)
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader, EqualTo, Filter,
+                                    GreaterThan, GreaterThanOrEqual, In,
+                                    InputPartition, LessThan,
+                                    LessThanOrEqual, WriterCommitMessage)
 from pyspark.sql import types as T
 
 from ..partitioning import from_json as partitioning_from_json
@@ -152,6 +153,62 @@ class ZarrReader(DataSourceReader):
                                          names=names)
 
 
+class ZarrCommit(WriterCommitMessage):
+    def __init__(self, relpaths):
+        self.relpaths = tuple(relpaths)
+
+
+class ZarrWriter(DataSourceArrowWriter):
+    """``df.write.format("zarr3")`` — raw DataSource write path.
+
+    Each task groups its Arrow batches by the derived partition key and
+    writes one Zarr group per key (``write_partition_group``, the same
+    routine the collection insert uses).  The caller must keep keys
+    task-disjoint (``df.repartition(*keys)``) — fragmented keys across
+    tasks would race exactly like reference quirk Q3; the collection
+    layer's insert does this automatically and is the recommended entry.
+    ``commit`` publishes the written relpaths into the catalog (atomic
+    swap), so a failed job leaves nothing newly visible.
+    """
+
+    def __init__(self, root: str):
+        # driver side: capture a picklable write spec from the config
+        from .collection import open_zarr_collection
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        coll = open_zarr_collection(spark, root)
+        names = [v.name for v in coll.schema.partitioned_variables]
+        self.spec = coll._write_spec(names)
+
+    def write(self, iterator):
+        import pandas as pd
+        from .collection import write_partition_group
+        from ..partitioning import from_json as pj
+        batches = list(iterator)
+        if not batches:
+            return ZarrCommit(())
+        pdf = pa.Table.from_batches(batches).to_pandas()
+        if len(pdf) == 0:
+            return ZarrCommit(())
+        part = pj(json.loads(self.spec["partitioning_json"]))
+        pdf = part.derive_pandas(pdf)
+        rels = [write_partition_group(self.spec, group)
+                for _, group in pdf.groupby(self.spec["keys"], sort=True)]
+        return ZarrCommit(rels)
+
+    def commit(self, messages):
+        from ..collection.catalog import Catalog
+        from ..fs import LocalFS
+        rels = sorted({r for m in messages if m is not None
+                       for r in m.relpaths})
+        Catalog(LocalFS(), self.spec["root"]).add(rels)
+
+    def abort(self, messages):
+        # written-but-uncommitted groups stay invisible to catalog-backed
+        # readers; nothing to undo eagerly
+        pass
+
+
 class ZarrDataSource(DataSource):
     """``spark.read.format("zarr3").option("path", root).load()``."""
 
@@ -184,6 +241,9 @@ class ZarrDataSource(DataSource):
     def reader(self, schema: T.StructType) -> ZarrReader:
         return ZarrReader(self.options["path"], schema,
                           self.options.get("columns"))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> ZarrWriter:
+        return ZarrWriter(self.options["path"])
 
 
 def register(spark) -> None:
