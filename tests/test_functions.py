@@ -197,3 +197,26 @@ def test_ann_recall_vs_bruteforce(spark, query, floor):
                for q in exact]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= floor, f"{query} mean recall {mean_recall:.2f}"
+
+
+def test_cap_per_group_exact_and_deterministic(spark):
+    from zcollection_spark.data import load_table
+    from zcollection_spark.functions.sampling import cap_per_group
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    capped = cap_per_group(docs, keys="lang", id_col="doc_id", n=5)
+    counts = {r["lang"]: r["n"] for r in
+              capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(5, full[lang])
+    # reproducible: same ids both runs; different salt -> different draw
+    ids1 = sorted(r["doc_id"] for r in capped.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  cap_per_group(docs, keys="lang", id_col="doc_id",
+                                n=5).collect())
+    assert ids1 == ids2
+    ids3 = sorted(r["doc_id"] for r in
+                  cap_per_group(docs, keys="lang", id_col="doc_id",
+                                n=5, salt="v2").collect())
+    assert ids1 != ids3

@@ -99,3 +99,29 @@ def test_filter_never_crashes_unexpectedly(text):
         zc.compile_filter(text)
     except zc.ExpressionError:
         pass
+
+
+# -- as-of join vs pandas.merge_asof on arbitrary frames --------------------
+
+@given(data=st.data())
+@settings(max_examples=12, deadline=None)
+def test_asof_matches_merge_asof_property(spark, data):
+    import pandas as pd
+    from zcollection_spark.functions.asof import asof_join
+    direction = data.draw(st.sampled_from(["backward", "forward",
+                                           "nearest"]))
+    lt = data.draw(st.lists(st.integers(0, 500), min_size=1, max_size=25,
+                            unique=True))
+    rt = data.draw(st.lists(st.integers(0, 500), min_size=1, max_size=15,
+                            unique=True))
+    left = pd.DataFrame({"t": sorted(lt)})
+    left["x"] = range(len(left))
+    right = pd.DataFrame({"t": sorted(rt)})
+    right["y"] = [float(v) * 0.5 for v in right["t"]]
+    want = pd.merge_asof(left, right, on="t", direction=direction)
+    got = (asof_join(spark.createDataFrame(left.astype({"t": "int64"})),
+                     spark.createDataFrame(right.astype({"t": "int64"})),
+                     on="t", direction=direction)
+           .toPandas().sort_values("x").reset_index(drop=True))
+    pd.testing.assert_series_equal(got["y"], want["y"],
+                                   check_dtype=False)

@@ -1349,6 +1349,26 @@ GROUP BY 1
 """
 
 
+def q_capped_sample(spark, sf_dir):
+    """Budget capping: at most 30 documents per language, chosen by a
+    deterministic md5 rank — the reproducible corpus-downsampling
+    primitive (exact counts, same sample every run/engine)."""
+    from .functions.sampling import cap_per_group
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, keys="lang", id_col="doc_id", n=30) \
+        .select("doc_id", "lang", "source")
+
+
+ORACLE_CAPPED_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ''), doc_id) AS rn
+  FROM documents) WHERE rn <= 30
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1381,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_latest": q_dedup_keep_latest,
+        "capped_sample": q_capped_sample,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1433,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": ORACLE_SESSIONS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_keep_latest": ORACLE_DEDUP_KEEP_LATEST,
+        "capped_sample": ORACLE_CAPPED_SAMPLE,
         "dedup_minhash": _minhash_oracle(),
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
