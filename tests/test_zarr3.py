@@ -346,3 +346,27 @@ def test_datasource_write_path(spark, tmp_path):
     src = ev.orderBy("event_id")
     assert [tuple(r) for r in got.select("event_id", "value").collect()] \
         == [tuple(r) for r in src.select("event_id", "value").collect()]
+
+
+def test_zarr_nested_group_variable(spark, tmp_path):
+    """Nested-group variables (path names) get intermediate v3 group
+    docs and round-trip through the datasource."""
+    pdf = pd.DataFrame({
+        "num": np.array([0, 0, 1], dtype=np.int64),
+        "data_01/ku/power": np.array([1.5, 2.5, 3.5], dtype=np.float64)})
+    schema = (zc.SchemaBuilder().add_dimension("num")
+              .add_group("data_01/ku")
+              .add_variable("num", "int64", ("num",))
+              .add_variable("data_01/ku/power", "float64", ("num",))
+              .build("num"))
+    coll = create_zarr_collection(spark, str(tmp_path / "zn"),
+                                  schema=schema, axis="num",
+                                  partitioning=zc.Sequence(("num",)))
+    coll.insert(spark.createDataFrame(pdf, schema=schema.to_struct_type()))
+    # intermediate groups carry zarr.json group documents (v3 spec)
+    for rel in ("data_01", "data_01/ku"):
+        doc = json.loads(
+            (Path(coll.path) / "num=0" / rel / "zarr.json").read_text())
+        assert doc["node_type"] == "group"
+    out = coll.query().orderBy("num").toPandas()
+    assert out["data_01/ku/power"].tolist() == [1.5, 2.5, 3.5]

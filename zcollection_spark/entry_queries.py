@@ -1369,6 +1369,55 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def q_trade_flows(spark, sf_dir):
+    """TPC-H Q7-style nation-pair trade matrix: revenue by (supplier
+    nation, customer nation).  Two independent dimension chains hang off
+    the same fact scan — all four dims broadcast, one aggregation
+    shuffle on the pair key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
+    return (li
+            .join(F.broadcast(supp),
+                  on=F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(orders),
+                  on=F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust),
+                  on=F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation.selectExpr(
+                "n_nationkey AS sn_key", "n_name AS supp_nation")),
+                on=F.col("s_nationkey") == F.col("sn_key"))
+            .join(F.broadcast(nation.selectExpr(
+                "n_nationkey AS cn_key", "n_name AS cust_nation")),
+                on=F.col("c_nationkey") == F.col("cn_key"))
+            .groupBy("supp_nation", "cust_nation")
+            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+ORACLE_TRADE_FLOWS = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8))
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY sn.n_name, cn.n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1394,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "order_priority_counts": q_order_priority_counts,
         "returned_item_losses": q_returned_item_losses,
+        "trade_flows": q_trade_flows,
         "priority_class_counts": q_priority_class_counts,
         "asof_enrich": q_asof_enrich,
         "interval_match": q_interval_match,
@@ -1447,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": ORACLE_PROMO_REVENUE,
         "order_priority_counts": ORACLE_ORDER_PRIORITY,
         "returned_item_losses": ORACLE_RETURNED_LOSSES,
+        "trade_flows": ORACLE_TRADE_FLOWS,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "asof_enrich": ORACLE_ASOF,
         "interval_match": ORACLE_INTERVAL_MATCH,

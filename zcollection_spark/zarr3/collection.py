@@ -71,6 +71,17 @@ def write_partition_group(spec: dict, pdf: pd.DataFrame) -> str:
         _shutil.rmtree(group_path, ignore_errors=True)
     write_group(group_path, {"_zc_partition_key": json.dumps(key)})
     chunk_rows = spec["chunk_rows"]
+    # nested-group variables ("a/b/var") need explicit Zarr group docs at
+    # every intermediate level (the reference recurses nested groups,
+    # io/partition.py:235-265; v3 spec requires group metadata nodes)
+    seen_groups: set = set()
+    for name, _, _ in spec["var_meta"]:
+        parts = name.split("/")[:-1]
+        for depth in range(1, len(parts) + 1):
+            rel_group = "/".join(parts[:depth])
+            if rel_group not in seen_groups:
+                seen_groups.add(rel_group)
+                write_group(group_path / rel_group, {})
     for name, dtype, extra in spec["var_meta"]:
         series = pdf[name]
         if extra:  # nD variable stored as array column
