@@ -132,3 +132,58 @@ def test_aio_facade(spark, tmp_path, seq_schema, seq_pdf):
         return df.count()
 
     assert asyncio.run(flow()) == 5
+
+
+def test_zarr_writer_double_write_idempotent(spark, tmp_path):
+    """Writing the same batch twice through the raw zarr3 writer
+    rewrites groups wholesale — no duplication, catalog stays exact."""
+    import zcollection_spark as zc
+    from zcollection_spark.data import load_table
+    from zcollection_spark.schema import infer_schema
+    from zcollection_spark.zarr3.collection import (create_zarr_collection,
+                                                    open_zarr_collection)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "value").where("day(ts) <= 3")
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "dw"),
+        schema=infer_schema(ev.schema, axis="ts"),
+        axis="ts", partitioning=zc.Date(("ts",), resolution="D"))
+    for _ in range(2):
+        (ev.repartition("ts").write.format("zarr3")
+         .option("path", coll.path).mode("append").save())
+    reopened = open_zarr_collection(spark, coll.path)
+    assert len(reopened.partitions()) == 3
+    assert reopened.query().count() == ev.count()
+
+
+def test_zarr_writer_missing_collection_rejected(spark, tmp_path):
+    import pandas as pd
+    from zcollection_spark.errors import CollectionNotFoundError
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+    df = spark.createDataFrame(pd.DataFrame({"a": [1]}))
+    with pytest.raises((CollectionNotFoundError, Py4JJavaError,
+                        AnalysisException)):
+        (df.write.format("zarr3")
+         .option("path", str(tmp_path / "nope")).mode("append").save())
+
+
+def test_read_row_ranges_unknown_partition_is_empty(spark, tmp_path):
+    """Spans naming partitions that do not exist fail loudly (a stale
+    index pointing at dropped partitions is a bug to surface, not to
+    silently read as empty)."""
+    import zcollection_spark as zc
+    import pandas as pd
+    import numpy as np
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder().add_dimension("num")
+              .add_variable("num", "int64", ("num",))
+              .build("num"))
+    coll = create_zarr_collection(spark, str(tmp_path / "rr"),
+                                  schema=schema, axis="num",
+                                  partitioning=zc.Sequence(("num",)))
+    coll.insert(spark.createDataFrame(
+        pd.DataFrame({"num": np.array([1, 1], dtype=np.int64)}),
+        schema=schema.to_struct_type()))
+    with pytest.raises(Exception):
+        coll.read_row_ranges({"num=99": [(0, 5)]}).collect()

@@ -41,3 +41,16 @@ async def drop_partitions(collection: Collection,
                           **kwargs: Any) -> list[str]:
     return await asyncio.to_thread(
         lambda: collection.drop_partitions(**kwargs))
+
+
+async def map(collection: Collection, fn, schema, **kwargs: Any):
+    return await asyncio.to_thread(
+        lambda: collection.map(fn, schema, **kwargs))
+
+
+async def update(collection: Collection, fn, **kwargs: Any) -> list[str]:
+    return await asyncio.to_thread(lambda: collection.update(fn, **kwargs))
+
+
+async def compact(collection: Collection, **kwargs: Any) -> dict:
+    return await asyncio.to_thread(lambda: collection.compact(**kwargs))
