@@ -183,3 +183,18 @@ def test_dedup_keep_latest_single_window_pass(spark):
     exchanges = count_exchanges(plan)
     assert len(exchanges) == 1, exchanges
     assert "hashpartitioning(user_id" in exchanges[0]
+
+
+def test_trade_flows_all_dims_broadcast(spark):
+    plan = executed_plan(eq.q_trade_flows(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan  # map-side combine on the pair key
+
+
+def test_capped_sample_single_window_shuffle(spark):
+    plan = executed_plan(eq.q_capped_sample(spark, SF_DIR))
+    assert "Window" in plan
+    exchanges = count_exchanges(plan)
+    assert len(exchanges) == 1, exchanges
