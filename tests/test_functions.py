@@ -220,3 +220,27 @@ def test_cap_per_group_exact_and_deterministic(spark):
                   cap_per_group(docs, keys="lang", id_col="doc_id",
                                 n=5, salt="v2").collect())
     assert ids1 != ids3
+
+
+def test_audio_features_plumbing(spark):
+    from zcollection_spark.data import load_table
+    from zcollection_spark.functions.multimodal import (
+        attach_fake_payload, extract_audio_features)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .limit(20)
+    with_payload = attach_fake_payload(docs, text_col="text")
+    feats = extract_audio_features(with_payload, id_col="doc_id")
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_samples"] > 0
+        assert abs(r["duration_s"] - r["n_samples"] / 16000.0) < 1e-6
+        assert len(r["mfcc"]) == 8 and r["rms"] >= 0.0
+    # deterministic across runs
+    again = extract_audio_features(with_payload, id_col="doc_id").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # fake=False is the real-decoder seam
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|torchaudio"):
+        extract_audio_features(with_payload, id_col="doc_id",
+                               fake=False).collect()

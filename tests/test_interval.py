@@ -91,3 +91,13 @@ def test_interval_join_rejects_overlap_and_reserved(spark):
         interval_join(spark.createDataFrame(points),
                       spark.createDataFrame(bad.drop(columns="x")),
                       on="t", start="lo", end="hi", how="full")
+
+
+def test_interval_join_auto_bucket(spark, frames):
+    points, intervals = frames
+    got = interval_join(spark.createDataFrame(points),
+                        spark.createDataFrame(intervals),
+                        on="t", start="lo", end="hi", by="g",
+                        bucket=None)
+    pairs = sorted((r["pid"], r["iid"]) for r in got.collect())
+    assert pairs == _brute(points, intervals)

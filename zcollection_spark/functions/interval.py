@@ -30,9 +30,21 @@ def _numeric(col: Column) -> Column:
     return col.cast("double")
 
 
+def estimate_bucket(intervals: DataFrame, start: str, end: str) -> float:
+    """Median interval length (one tiny aggregate) — the sweet-spot grid
+    width: fan-out stays ~O(1) per interval while cells hold few
+    candidates."""
+    med = (intervals
+           .select((_numeric(F.col(end)) - _numeric(F.col(start)))
+                   .alias("len"))
+           .agg(F.percentile_approx("len", 0.5).alias("m"))
+           .first()["m"])
+    return float(med) if med and med > 0 else 3600.0
+
+
 def interval_join(points: DataFrame, intervals: DataFrame, *, on: str,
                   start: str, end: str, by: str | Seq[str] = (),
-                  bucket: float = 3600.0,
+                  bucket: float | None = 3600.0,
                   how: str = "inner") -> DataFrame:
     """Join each point row to every interval row containing it.
 
@@ -41,12 +53,15 @@ def interval_join(points: DataFrame, intervals: DataFrame, *, on: str,
         start/end: interval bound columns on ``intervals`` (inclusive).
         by: optional equality key(s) present on both sides.
         bucket: grid width — seconds for timestamps, plain units for
-            numerics.  Near the median interval length is optimal.
+            numerics.  Near the median interval length is optimal;
+            ``None`` estimates it from the data (:func:`estimate_bucket`).
         how: ``inner`` or ``left`` (keep pointless-interval points with
             null interval columns).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how {how!r}")
+    if bucket is None:
+        bucket = estimate_bucket(intervals, start, end)
     by = [by] if isinstance(by, str) else list(by)
     if _BUCKET in points.columns or _BUCKET in intervals.columns:
         raise ValueError(f"reserved column name {_BUCKET!r}")

@@ -92,6 +92,51 @@ def extract_image_features(df: DataFrame, *, id_col: str,
     return src.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = "id bigint, n_samples int, duration_s float, " \
+                        "rms float, mfcc array<float>"
+
+
+def extract_audio_features(df: DataFrame, *, id_col: str,
+                           payload_col: str = "payload",
+                           sample_rate: int = 16000,
+                           fake: bool = True) -> DataFrame:
+    """Audio decode + featurize (duration, RMS, MFCC-shaped vector) via
+    Arrow-batched ``mapInPandas`` — the audio leg of the multimodal
+    plumbing.  Fake mode treats payload bytes as int8 PCM and computes
+    real math over them (deterministic, testable); ``fake=False`` is the
+    torchaudio/librosa seam.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires torchaudio/librosa — not "
+                    "available in this environment; use fake=True")
+            ids, n_samples, durations, rms_vals, mfccs = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                pcm = np.frombuffer(row[payload_col], dtype=np.int8) \
+                    .astype(np.float32) / 128.0
+                n = len(pcm)
+                ids.append(int(row[id_col]))
+                n_samples.append(n)
+                durations.append(n / float(sample_rate))
+                rms_vals.append(float(np.sqrt(np.mean(pcm ** 2)))
+                                if n else 0.0)
+                # 8 coarse spectral-band magnitudes as the MFCC stand-in
+                spec = np.abs(np.fft.rfft(pcm, n=max(n, 16)))
+                bands = np.array_split(spec, 8)
+                mfccs.append([float(b.mean()) for b in bands])
+            yield pd.DataFrame({"id": ids, "n_samples": n_samples,
+                                "duration_s": durations, "rms": rms_vals,
+                                "mfcc": mfccs})
+
+    src = df.select(F.col(id_col).alias(id_col), payload_col)
+    return src.mapInPandas(decode_batches, AUDIO_FEATURES_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = "id bigint, frame_no int, frame_bytes binary"
 
 
