@@ -218,6 +218,24 @@ def main() -> None:
         def _():
             eq.q_knn_ivf(spark, sf_dir).collect()
 
+        # ANN quality alongside speed: mean recall@10 vs the exact
+        # baseline (an approximate path that got fast by dropping
+        # recall would look good on time alone)
+        def topk_sets(df):
+            sets: dict = {}
+            for r in df.collect():
+                sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return sets
+
+        exact = topk_sets(eq.q_knn_bruteforce(spark, sf_dir))
+        counters["ann_recall"] = {}
+        for name, fn in (("knn_lsh", eq.q_knn_lsh),
+                         ("knn_ivf", eq.q_knn_ivf)):
+            approx = topk_sets(fn(spark, sf_dir))
+            rec = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                   for q in exact]
+            counters["ann_recall"][name] = round(sum(rec) / len(rec), 3)
+
         @timed("text_stats")
         def _():
             _consume(eq.q_text_stats(spark, sf_dir))
