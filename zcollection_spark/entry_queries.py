@@ -839,6 +839,51 @@ SELECT doc_id, CASE {cases} END AS lang_pred FROM m
 """
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Classifier evaluation in-engine: confusion counts of the
+    language-ID heuristic against the labeled ``lang`` column — the
+    model-eval aggregation a corpus pipeline runs after every labeling
+    pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (language_id(docs)
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _langid_confusion_oracle() -> str:
+    base = _langid_oracle().strip().rstrip()
+    return f"""
+WITH pred AS ({base})
+SELECT d.lang, pred.lang_pred, count(*) AS n
+FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+GROUP BY d.lang, pred.lang_pred
+"""
+
+
+def q_source_quality(spark, sf_dir):
+    """Per-source corpus quality dashboard: document counts and exact
+    token-count aggregates from the quality-stats pass — one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs)
+    return (stats.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("n_tokens").alias("min_tokens"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 F.sum("n_distinct_tokens").alias("total_distinct")))
+
+
+ORACLE_SOURCE_QUALITY = f"""
+WITH t AS (SELECT source, {_SPLIT} AS w FROM documents)
+SELECT source, count(*) AS n_docs,
+       sum(len(w)) AS total_tokens,
+       min(len(w)) AS min_tokens,
+       max(len(w)) AS max_tokens,
+       sum(len(list_distinct(w))) AS total_distinct
+FROM t GROUP BY source
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1459,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
+        "langid_confusion": q_langid_confusion,
+        "source_quality": q_source_quality,
         "fingerprint": q_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1513,6 +1560,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "text_stats": ORACLE_TEXT_STATS,
         "language_id": _langid_oracle(),
+        "langid_confusion": _langid_confusion_oracle(),
+        "source_quality": ORACLE_SOURCE_QUALITY,
         "fingerprint": ORACLE_FINGERPRINT,
         "knn_bruteforce": ORACLE_KNN,
         "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
