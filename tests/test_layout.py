@@ -74,3 +74,29 @@ def test_bucketed_aggregation_no_shuffle(spark, bucketed_pair, no_broadcast):
            .agg(F.sum("l_extendedprice").alias("s")))
     agg.collect()
     assert explain_shuffles(agg) == 0
+
+
+def test_salted_join_matches_plain_join(spark, no_broadcast):
+    from zcollection_spark.layout import salted_join
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem") \
+        .select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders") \
+        .selectExpr("o_orderkey AS l_orderkey", "o_orderpriority")
+    got = (salted_join(li, orders, on="l_orderkey", salts=8)
+           .agg(F.count("*").alias("n"),
+                F.sum("l_extendedprice").alias("s")).collect()[0])
+    want = (li.join(orders, on="l_orderkey")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l_extendedprice").alias("s")).collect()[0])
+    assert got["n"] == want["n"]
+    assert abs(float(got["s"]) - float(want["s"])) < 1e-6
+
+
+def test_salted_join_left_keeps_unmatched(spark, no_broadcast):
+    import pandas as pd
+    from zcollection_spark.layout import salted_join
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "x": [10, 20]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "y": [9.0]}))
+    out = {r["k"]: r["y"] for r in
+           salted_join(left, right, on="k", salts=4, how="left").collect()}
+    assert out[1] == 9.0 and out[2] is None

@@ -16,7 +16,8 @@ from .errors import (CollectionExistsError, CollectionNotFoundError,
                      ExpressionError, FormatVersionError, IndexerError,
                      PartitioningError, ReadOnlyError, SchemaError,
                      StoreError, ViewError, ZCollectionError)
-from .layout import bucketed_join, explain_shuffles, write_bucketed
+from .layout import (bucketed_join, explain_shuffles, salted_join,
+                     write_bucketed)
 from .partitioning import (Date, GroupedSequence, Partitioning, Sequence,
                            compile_filter)
 from .schema import (DatasetSchema, Dimension, SchemaBuilder, VariableSchema,
@@ -31,7 +32,7 @@ __all__ = [
     "Date", "Sequence", "GroupedSequence", "Partitioning", "compile_filter",
     "DatasetSchema", "Dimension", "SchemaBuilder", "VariableSchema",
     "infer_schema", "get_spark",
-    "write_bucketed", "bucketed_join", "explain_shuffles",
+    "write_bucketed", "bucketed_join", "salted_join", "explain_shuffles",
     "ZCollectionError", "SchemaError", "PartitioningError",
     "ExpressionError", "StoreError", "CollectionExistsError",
     "CollectionNotFoundError", "ReadOnlyError", "FormatVersionError",

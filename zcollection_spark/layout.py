@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(df: DataFrame, name: str, *,
@@ -49,6 +50,33 @@ def bucketed_join(spark: SparkSession, left: str, right: str, *,
     """
     on_cols = [on] if isinstance(on, str) else list(on)
     return spark.table(left).join(spark.table(right), on=on_cols, how=how)
+
+
+def salted_join(left: DataFrame, right: DataFrame, *,
+                on: str | Iterable[str], salts: int = 16,
+                how: str = "inner", seed: int = 42) -> DataFrame:
+    """Skew-safe equi-join for hot keys when neither side broadcasts.
+
+    A single hot key sends all its rows to one task in a plain shuffle
+    join; AQE's skew splitting handles sort-merge spills, but when one
+    key dominates *both* sides the standard fix is salting: the big
+    (left) side gets a per-row salt in ``[0, salts)``, the right side is
+    replicated ``salts`` times, and the join key becomes
+    ``(key..., salt)`` — the hot key's rows now spread over ``salts``
+    tasks.  Results are identical to the plain join (every left row
+    still meets every matching right row exactly once).  Cost: right
+    side is scanned/shuffled ``salts`` times — use for dim-ish right
+    sides too big to broadcast but far smaller than the left.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("reserved column name '__salt'")
+    l_salted = left.withColumn(
+        "__salt", (F.rand(seed) * salts).cast("int"))
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    out = l_salted.join(r_replicated, on=[*on_cols, "__salt"], how=how)
+    return out.drop("__salt")
 
 
 def explain_shuffles(df: DataFrame) -> int:
