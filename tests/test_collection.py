@@ -332,3 +332,34 @@ def test_to_view_sql_surface(spark, seq_collection):
     assert spark.sql("SELECT count(*) AS n FROM seq_v1").first()["n"] == 5
     seq_collection.to_view("seq_v9", filters="num == 99")
     assert spark.sql("SELECT count(*) AS n FROM seq_v9").first()["n"] == 0
+
+
+def test_add_variable_schema_evolution(spark, tmp_path, date_schema,
+                                       date_pdf):
+    coll = zc.create_collection(
+        spark, str(tmp_path / "evo"), schema=date_schema, axis="time",
+        partitioning=zc.Date(("time",), resolution="M"))
+    bound = date_schema.with_partition_axis("time")
+    coll.insert(spark.createDataFrame(date_pdf,
+                                      schema=bound.to_struct_type()))
+    coll.add_variable("score", "float64", fill_value=-1.0)
+    # old partitions read the fill
+    out = coll.query().orderBy("time").toPandas()
+    assert "score" in out.columns and (out["score"] == -1.0).all()
+    # a new batch carries the column for real
+    batch = date_pdf.assign(
+        time=date_pdf["time"] + pd.Timedelta(days=120))
+    batch["score"] = [10.0, 20.0, 30.0, 40.0, 50.0]
+    coll.insert(spark.createDataFrame(batch))
+    mixed = coll.query().orderBy("time").toPandas()
+    assert sorted(mixed["score"].unique()) == [-1.0, 10.0, 20.0, 30.0,
+                                               40.0, 50.0]
+    # reopening sees the evolved schema; duplicate add rejected
+    reopened = zc.open_collection(spark, coll.path, mode="rw")
+    assert "score" in reopened.schema.variable_map
+    with pytest.raises(zc.SchemaError, match="already exists"):
+        reopened.add_variable("score", "float64")
+    # inserts missing the evolved column are rejected (conform gate)
+    with pytest.raises(zc.SchemaError, match="missing"):
+        coll.insert(spark.createDataFrame(date_pdf,
+                                          schema=bound.to_struct_type()))

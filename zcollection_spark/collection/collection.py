@@ -171,7 +171,17 @@ class Collection:
     # read path (collection/base.py:524-595)
     # ------------------------------------------------------------------
     def _read_partitions(self, relpaths: list[str]) -> DataFrame:
-        reader = self.spark.read.option("basePath", self.path)
+        # explicit schema: no footer sampling (one less cold GET per read
+        # at scale), and partitions written BEFORE a schema-evolution
+        # add_variable read the new column as nulls instead of the scan
+        # schema depending on which file got sampled
+        struct = T.StructType()
+        dims = self.schema.dim_map
+        for v in self.schema.partitioned_variables:
+            struct = struct.add(v.name, v.spark_type(dims, self.axis))
+        struct = struct.add(ROW_IDX, T.IntegerType())
+        reader = (self.spark.read.schema(struct)
+                  .option("basePath", self.path))
         return reader.parquet(*(f"{self.path}/{rel}" for rel in relpaths))
 
     def _immutable_df(self) -> DataFrame | None:
@@ -256,6 +266,18 @@ class Collection:
             keep = [v.name for v in self.schema.partitioned_variables
                     if v.name in df.columns]
             df = df.select(*keep)
+        # fill-value semantics: a declared fill stands in for nulls —
+        # including partitions written before the variable existed
+        # (schema evolution), matching zarr's missing-chunk-equals-fill
+        fills = {v.name: F.coalesce(
+                    F.col(v.name),
+                    F.lit(v.fill_value).cast(
+                        v.spark_type(self.schema.dim_map, self.axis)))
+                 for v in self.schema.partitioned_variables
+                 if v.fill_value is not None and v.name in df.columns
+                 and len(v.dimensions) == 1}
+        if fills:
+            df = df.withColumns(fills)
         df = self._attach_immutable(df, wanted)
         if ordered:
             # the sort must be the LAST operator — Catalyst's EliminateSorts
@@ -410,6 +432,39 @@ class Collection:
         if self.catalog_enabled:
             self._catalog.add(incoming_rel)
         return sorted(incoming_rel)
+
+    def add_variable(self, name: str, dtype: str, *,
+                     dimensions=None, fill_value: Any = None,
+                     attrs: Mapping[str, Any] | None = None) -> None:
+        """Schema evolution: declare a new partitioned variable.
+
+        Existing partitions are NOT rewritten — reads surface the
+        declared ``fill_value`` for them (zarr missing-chunk semantics);
+        subsequent inserts must supply the column.  The in-memory analog
+        is the reference's ``Dataset.add_variable``
+        (``data/group.py:334-381``); collection-level evolution is the
+        100 TB version, where rewriting history is not an option.
+        """
+        from ..schema import VariableSchema as _VS
+        self._require_writable()
+        if name in self.schema.variable_map:
+            raise SchemaError(f"variable {name!r} already exists")
+        dimensions = tuple(dimensions) if dimensions else (self.axis,)
+        new_var = _VS(name=name, dtype=dtype, dimensions=dimensions,
+                      fill_value=fill_value, attrs=dict(attrs or {}))
+        rebuilt = DatasetSchema(
+            dimensions=self.schema.dimensions,
+            variables=(*self.schema.variables, new_var),
+            attrs=self.schema.attrs,
+            group_attrs=self.schema.group_attrs,
+        ).with_partition_axis(self.axis)
+        doc = {"format_version": FORMAT_VERSION,
+               "schema": rebuilt.to_json(),
+               "partitioning": self.partitioning.to_json(),
+               "catalog_enabled": self.catalog_enabled}
+        self._fs.write_text(f"{self.path}/{CONFIG_NAME}",
+                            json.dumps(doc, indent=1, sort_keys=True))
+        self.schema = rebuilt
 
     def to_view(self, name: str, *,
                 filters: str | None = None) -> DataFrame:
