@@ -370,3 +370,15 @@ def test_zarr_nested_group_variable(spark, tmp_path):
         assert doc["node_type"] == "group"
     out = coll.query().orderBy("num").toPandas()
     assert out["data_01/ku/power"].tolist() == [1.5, 2.5, 3.5]
+
+
+def test_zarr_add_variable_evolution(spark, zarr_events):
+    from zcollection_spark.zarr3.collection import open_zarr_collection
+    zarr_events.add_variable("quality", "float64", fill_value=-5.0)
+    out = zarr_events.query(filters="day in (1, 2)").toPandas()
+    assert "quality" in out.columns and (out["quality"] == -5.0).all()
+    # reopen sees the evolved schema; fill required on zarr
+    reopened = open_zarr_collection(spark, zarr_events.path)
+    assert "quality" in reopened.schema.variable_map
+    with pytest.raises(zc.SchemaError, match="fill_value"):
+        reopened.add_variable("other", "float64")

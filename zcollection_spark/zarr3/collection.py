@@ -274,6 +274,35 @@ class ZarrCollection:
             reader = reader.option("columns", ",".join(sorted(cols)))
         return reader.load()
 
+    def add_variable(self, name: str, dtype: str, *,
+                     dimensions=None, fill_value=None,
+                     attrs=None) -> None:
+        """Schema evolution for the zarr layout: declare a new variable;
+        old partitions (no array node) read as ``fill_value`` — the
+        literal zarr missing-chunk rule, applied at array granularity."""
+        from ..schema import VariableSchema as _VS
+        if name in self.schema.variable_map:
+            raise SchemaError(f"variable {name!r} already exists")
+        if fill_value is None:
+            raise SchemaError(
+                "zarr schema evolution requires a fill_value (old "
+                "partitions have no array node to read)")
+        dimensions = tuple(dimensions) if dimensions else (self.axis,)
+        new_var = _VS(name=name, dtype=dtype, dimensions=dimensions,
+                      fill_value=fill_value, attrs=dict(attrs or {}))
+        rebuilt = DatasetSchema(
+            dimensions=self.schema.dimensions,
+            variables=(*self.schema.variables, new_var),
+            attrs=self.schema.attrs,
+            group_attrs=self.schema.group_attrs,
+        ).with_partition_axis(self.axis)
+        doc = {"format_version": FORMAT_VERSION, "schema": rebuilt.to_json(),
+               "partitioning": self.partitioning.to_json(),
+               "data_format": "zarr3", "catalog_enabled": True}
+        LocalFS().write_text(f"{self.path}/{CONFIG_NAME}",
+                             json.dumps(doc, indent=1, sort_keys=True))
+        self.schema = rebuilt
+
     def read_row_ranges(self,
                         ranges: dict[str, list[tuple[int, int]]], *,
                         variables: Iterable[str] | None = None

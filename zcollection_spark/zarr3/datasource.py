@@ -129,7 +129,23 @@ class ZarrReader(DataSourceReader):
             if wanted is not None and name not in wanted:
                 continue
             array_path = group_path / name
-            values = read_array(array_path)
+            if not (array_path / "zarr.json").exists():
+                # schema-evolved variable absent from an old partition:
+                # surface the declared fill (zarr missing-chunk semantics)
+                if length is None:
+                    length = len(read_array(
+                        group_path / self.dataset_schema.axis))
+                var = var_map.get(name)
+                if var is None or var.fill_value is None:
+                    raise FileNotFoundError(
+                        f"array {name!r} missing in {rel!r} and no "
+                        f"fill_value declared")
+                dtype = np.dtype("datetime64[us]"
+                                 if var.dtype.startswith("datetime")
+                                 else var.dtype)
+                values = np.full(length, var.fill_value, dtype=dtype)
+            else:
+                values = read_array(array_path)
             if values.dtype.kind == "M":
                 values = values.astype("datetime64[us]")
             arrays[name] = _np_to_arrow(values)
