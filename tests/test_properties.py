@@ -125,3 +125,31 @@ def test_asof_matches_merge_asof_property(spark, data):
            .toPandas().sort_values("x").reset_index(drop=True))
     pd.testing.assert_series_equal(got["y"], want["y"],
                                    check_dtype=False)
+
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None)
+def test_interval_join_matches_bruteforce_property(spark, data):
+    import pandas as pd
+    from zcollection_spark.functions.interval import interval_join
+    n_p = data.draw(st.integers(1, 20))
+    n_iv = data.draw(st.integers(1, 10))
+    bucket = data.draw(st.sampled_from([7.0, 33.0, 250.0]))
+    pts = data.draw(st.lists(st.floats(0, 1000, allow_nan=False),
+                             min_size=n_p, max_size=n_p))
+    los = data.draw(st.lists(st.floats(0, 950, allow_nan=False),
+                             min_size=n_iv, max_size=n_iv))
+    lens = data.draw(st.lists(st.floats(0, 100, allow_nan=False),
+                              min_size=n_iv, max_size=n_iv))
+    points = pd.DataFrame({"t": pts, "pid": range(n_p)})
+    intervals = pd.DataFrame({
+        "lo": los, "hi": [lo + ln for lo, ln in zip(los, lens)],
+        "iid": range(n_iv)})
+    got = sorted((r["pid"], r["iid"]) for r in interval_join(
+        spark.createDataFrame(points), spark.createDataFrame(intervals),
+        on="t", start="lo", end="hi", bucket=bucket).collect())
+    want = sorted((int(p["pid"]), int(iv["iid"]))
+                  for _, p in points.iterrows()
+                  for _, iv in intervals.iterrows()
+                  if iv["lo"] <= p["t"] <= iv["hi"])
+    assert got == want
