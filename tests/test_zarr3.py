@@ -109,12 +109,13 @@ def test_zarr_reopen(spark, zarr_events):
     assert key == {"year": 2024, "month": 1, "day": 1}
 
 
-def test_zarr_rejects_string_schema(spark, tmp_path):
+def test_zarr_rejects_bytes_schema(spark, tmp_path):
+    # strings are supported (vlen-utf8); raw bytes still are not
     schema = (zc.SchemaBuilder().add_dimension("t")
               .add_variable("t", "int64", ("t",))
-              .add_variable("s", "str", ("t",)).build())
-    with pytest.raises(zc.SchemaError, match="string"):
-        create_zarr_collection(spark, str(tmp_path / "zs"), schema=schema,
+              .add_variable("b", "bytes", ("t",)).build())
+    with pytest.raises(zc.SchemaError, match="bytes"):
+        create_zarr_collection(spark, str(tmp_path / "zb"), schema=schema,
                                axis="t", partitioning=zc.Sequence(("t",)))
 
 
@@ -382,3 +383,26 @@ def test_zarr_add_variable_evolution(spark, zarr_events):
     assert "quality" in reopened.schema.variable_map
     with pytest.raises(zc.SchemaError, match="fill_value"):
         reopened.add_variable("other", "float64")
+
+
+def test_zarr_string_variables(spark, tmp_path):
+    """String columns live in zarr as v3 "string" arrays (vlen-utf8) —
+    the documents table round-trips through the zarr layout."""
+    from zcollection_spark.data import load_table
+    from zcollection_spark.schema import infer_schema
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text", "lang")
+    schema = infer_schema(docs.schema, axis="doc_id")
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "zs"), schema=schema, axis="doc_id",
+        partitioning=zc.GroupedSequence(("doc_id",), size=25))
+    coll.insert(docs)
+    got = coll.query().orderBy("doc_id").toPandas()
+    want = docs.orderBy("doc_id").toPandas()
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    # on-disk metadata is the spec's string data type
+    array_doc = json.loads(next(
+        Path(coll.path).rglob("text/zarr.json")).read_text())
+    assert array_doc["data_type"] == "string"
+    assert array_doc["codecs"][0]["name"] == "vlen-utf8"

@@ -11,8 +11,9 @@ stamped into group attributes as ``_zc_partition_key``
 Reads go through the registered ``zarr3`` Python DataSource (partition
 pruning via filter pushdown + per-variable column projection).
 
-Scope: numeric/bool/datetime variables (Zarr v3 core types); strings stay
-on the parquet layout.  Merge strategies and views operate on the parquet
+Scope: numeric/bool/datetime variables (Zarr v3 core types) plus
+variable-length strings (v3 "string" data type via the vlen-utf8 codec).
+Raw bytes stay on the parquet layout.  Views operate on the parquet
 collection — this module is the storage-format parity piece.
 """
 
@@ -90,6 +91,11 @@ def write_partition_group(spec: dict, pdf: pd.DataFrame) -> str:
                 np.dtype(dtype) if not dtype.startswith("datetime")
                 else "datetime64[us]")
             chunk = (min(chunk_rows, len(values)) or 1, *extra)
+        elif dtype in ("str", "vlen-utf8"):
+            # v3 "string" data type via the vlen-utf8 codec (core.py)
+            values = np.asarray(series.to_numpy(dtype=object),
+                                dtype=object)
+            chunk = (min(chunk_rows, len(values)) or 1,)
         else:
             values = series.to_numpy()
             if dtype.startswith("datetime"):
@@ -97,8 +103,8 @@ def write_partition_group(spec: dict, pdf: pd.DataFrame) -> str:
             else:
                 values = values.astype(np.dtype(dtype))
             chunk = (min(chunk_rows, len(values)) or 1,)
-        shard = shard_decision(chunk, values.shape, values.dtype,
-                               spec["shard_budget"])
+        shard = None if values.dtype == object else shard_decision(
+            chunk, values.shape, values.dtype, spec["shard_budget"])
         write_array(group_path / name, values, chunk_shape=chunk,
                     shard_shape=shard, codec="zstd", level=spec["level"])
     return rel
@@ -118,10 +124,9 @@ def create_zarr_collection(spark: SparkSession, path: str, *,
     bound = schema.with_partition_axis(axis)
     for var in bound.variables:
         base = var.dtype
-        if base in ("str", "vlen-utf8", "bytes", "vlen-bytes") \
-                or base.startswith(("U", "<U")):
+        if base in ("bytes", "vlen-bytes"):
             raise SchemaError(
-                f"variable {var.name!r}: string/bytes dtypes are not "
+                f"variable {var.name!r}: bytes dtypes are not "
                 f"supported by the zarr3 layout (use the parquet layout)")
     doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
            "partitioning": partitioning.to_json(),

@@ -75,6 +75,31 @@ def _decode_fill(value: Any, dtype: np.dtype) -> Any:
 _MISSING_CHUNK = (1 << 64) - 1
 
 
+def _encode_vlen(items: "np.ndarray") -> bytes:
+    """vlen-utf8 wire format (numcodecs VLenUTF8): LE uint32 item count,
+    then per item LE uint32 byte length + utf-8 bytes."""
+    import struct
+    parts = [struct.pack("<I", len(items))]
+    for item in items:
+        data = ("" if item is None else str(item)).encode("utf-8")
+        parts.append(struct.pack("<I", len(data)))
+        parts.append(data)
+    return b"".join(parts)
+
+
+def _decode_vlen(payload: bytes) -> "np.ndarray":
+    import struct
+    (count,) = struct.unpack_from("<I", payload, 0)
+    out = np.empty(count, dtype=object)
+    offset = 4
+    for i in range(count):
+        (nbytes,) = struct.unpack_from("<I", payload, offset)
+        offset += 4
+        out[i] = payload[offset:offset + nbytes].decode("utf-8")
+        offset += nbytes
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class ZarrArrayMeta:
     shape: tuple[int, ...]
@@ -87,8 +112,15 @@ class ZarrArrayMeta:
     shard_shape: tuple[int, ...] | None = None   # store-write unit, or None
 
     @property
+    def is_vlen(self) -> bool:
+        return self.dtype in ("str", "string", "vlen-utf8")
+
+    @property
     def storage_dtype(self) -> np.dtype:
-        """datetime64 is stored as int64 (v3 core has no datetime type)."""
+        """datetime64 is stored as int64 (v3 core has no datetime type);
+        variable-length strings as object arrays."""
+        if self.is_vlen:
+            return np.dtype(object)
         base = np.dtype(self.dtype)
         return np.dtype("int64") if base.kind == "M" else base
 
@@ -103,8 +135,31 @@ class ZarrArrayMeta:
 
     def to_document(self) -> dict:
         attrs = dict(self.attributes)
-        if np.dtype(self.dtype).kind == "M":
+        if not self.is_vlen and np.dtype(self.dtype).kind == "M":
             attrs["__zcs_dtype__"] = self.dtype
+        if self.is_vlen:
+            # v3 "string" data type: vlen-utf8 array-to-bytes codec, then
+            # a size-free compressor (gzip — zstd decode here would need
+            # a streaming zstd binding this environment lacks)
+            return {
+                "zarr_format": ZARR_FORMAT,
+                "node_type": "array",
+                "shape": list(self.shape),
+                "data_type": "string",
+                "chunk_grid": {"name": "regular",
+                               "configuration":
+                                   {"chunk_shape": list(self.chunk_shape)}},
+                "chunk_key_encoding": {"name": "default",
+                                       "configuration": {"separator": "/"}},
+                "fill_value": self.fill_value
+                if isinstance(self.fill_value, str) else "",
+                "codecs": [
+                    {"name": "vlen-utf8", "configuration": {}},
+                    {"name": "gzip",
+                     "configuration": {"level": self.level}},
+                ],
+                "attributes": attrs,
+            }
         if self.shard_shape is None:
             grid_shape, codecs = self.chunk_shape, self._inner_codecs()
         else:
@@ -142,6 +197,17 @@ class ZarrArrayMeta:
                 or doc.get("node_type") != "array":
             raise ValueError("not a Zarr v3 array document")
         attrs = dict(doc.get("attributes", {}))
+        if doc["data_type"] == "string":
+            codecs = doc.get("codecs", [])
+            level = 5
+            for entry in codecs:
+                if entry.get("name") == "gzip":
+                    level = entry.get("configuration", {}).get("level", 5)
+            return cls(shape=tuple(doc["shape"]), dtype="str",
+                       chunk_shape=tuple(
+                           doc["chunk_grid"]["configuration"]["chunk_shape"]),
+                       fill_value=doc.get("fill_value", ""),
+                       codec="gzip", level=level, attributes=attrs)
         dtype = attrs.pop("__zcs_dtype__", doc["data_type"])
         codecs = doc.get("codecs", [])
         grid_shape = tuple(
@@ -179,6 +245,8 @@ def _encode_block(data: np.ndarray, slices: tuple[slice, ...],
         padded = np.full(meta.chunk_shape, fill, dtype=meta.storage_dtype)
         padded[tuple(slice(0, s) for s in block.shape)] = block
         block = padded
+    if meta.is_vlen:
+        return _compress(_encode_vlen(block), meta.codec, meta.level)
     payload = np.ascontiguousarray(block).astype(
         meta.storage_dtype.newbyteorder("<"), copy=False).tobytes()
     return _compress(payload, meta.codec, meta.level)
@@ -201,13 +269,20 @@ def write_array(path: str | Path, data: np.ndarray, *,
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     src_dtype = data.dtype
-    if src_dtype.kind == "M":
+    is_vlen = src_dtype.kind in ("U", "O")
+    if is_vlen:
+        data = np.asarray(data, dtype=object)
+        dtype_name = "str"
+        codec, fill_value = "gzip", (fill_value
+                                     if isinstance(fill_value, str) else "")
+        shard_shape = None  # vlen arrays are never sharded (no fixed pitch)
+    elif src_dtype.kind == "M":
         # normalize to microseconds, store as int64
         data = data.astype("datetime64[us]").astype("int64")
         dtype_name = "datetime64[us]"
     else:
         dtype_name = src_dtype.name
-    if data.dtype.name not in _CORE_DTYPES:
+    if not is_vlen and data.dtype.name not in _CORE_DTYPES:
         raise ValueError(f"unsupported zarr dtype {data.dtype}")
     if chunk_shape is None:
         first = min(data.shape[0], 1 << 16) if data.ndim else 1
@@ -224,7 +299,8 @@ def write_array(path: str | Path, data: np.ndarray, *,
                          shard_shape=shard_shape)
     (path / "zarr.json").write_text(
         json.dumps(meta.to_document(), indent=1))
-    fill = meta.fill_value if meta.fill_value is not None else 0
+    fill = meta.fill_value if meta.fill_value is not None \
+        else ("" if meta.is_vlen else 0)
     if shard_shape is None:
         counts = _chunk_count(meta.shape, meta.chunk_shape)
         for idx in np.ndindex(*counts):
@@ -269,14 +345,19 @@ def read_array(path: str | Path) -> np.ndarray:
     meta = ZarrArrayMeta.from_document(
         json.loads((path / "zarr.json").read_text()))
     storage = meta.storage_dtype
-    fill = meta.fill_value if meta.fill_value is not None else 0
+    fill = meta.fill_value if meta.fill_value is not None \
+        else ("" if meta.is_vlen else 0)
     out = np.full(meta.shape, fill, dtype=storage)
-    chunk_nbytes = int(np.prod(meta.chunk_shape)) * storage.itemsize
+    chunk_nbytes = 0 if meta.is_vlen \
+        else int(np.prod(meta.chunk_shape)) * storage.itemsize
 
     def place(raw_payload: bytes, slices: tuple[slice, ...]) -> None:
         raw = _decompress(raw_payload, meta.codec, chunk_nbytes)
-        block = np.frombuffer(raw, dtype=storage.newbyteorder("<")) \
-            .reshape(meta.chunk_shape).astype(storage, copy=False)
+        if meta.is_vlen:
+            block = _decode_vlen(raw).reshape(meta.chunk_shape)
+        else:
+            block = np.frombuffer(raw, dtype=storage.newbyteorder("<")) \
+                .reshape(meta.chunk_shape).astype(storage, copy=False)
         out[slices] = block[tuple(slice(0, sl.stop - sl.start)
                                   for sl in slices)]
 
@@ -331,7 +412,8 @@ def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
     meta = ZarrArrayMeta.from_document(
         json.loads((path / "zarr.json").read_text()))
     storage = meta.storage_dtype
-    fill = meta.fill_value if meta.fill_value is not None else 0
+    fill = meta.fill_value if meta.fill_value is not None \
+        else ("" if meta.is_vlen else 0)
     start = max(0, start)
     stop = min(stop, meta.shape[0]) if meta.shape else 0
     n = max(0, stop - start)
@@ -339,7 +421,8 @@ def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
     if n == 0:
         return out.view(meta.dtype) if np.dtype(meta.dtype).kind == "M" \
             else out
-    chunk_nbytes = int(np.prod(meta.chunk_shape)) * storage.itemsize
+    chunk_nbytes = 0 if meta.is_vlen \
+        else int(np.prod(meta.chunk_shape)) * storage.itemsize
     c0 = meta.chunk_shape[0]
     tail_counts = _chunk_count(meta.shape[1:], meta.chunk_shape[1:]) \
         if len(meta.shape) > 1 else ()
@@ -347,8 +430,11 @@ def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
     def place(payload: bytes, row_chunk: int, tail_idx: tuple[int, ...]) \
             -> None:
         raw = _decompress(payload, meta.codec, chunk_nbytes)
-        block = np.frombuffer(raw, dtype=storage.newbyteorder("<")) \
-            .reshape(meta.chunk_shape).astype(storage, copy=False)
+        if meta.is_vlen:
+            block = _decode_vlen(raw).reshape(meta.chunk_shape)
+        else:
+            block = np.frombuffer(raw, dtype=storage.newbyteorder("<")) \
+                .reshape(meta.chunk_shape).astype(storage, copy=False)
         lo = max(start, row_chunk * c0)
         hi = min(stop, (row_chunk + 1) * c0, meta.shape[0])
         tail_slices = tuple(
