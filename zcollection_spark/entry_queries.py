@@ -1463,6 +1463,36 @@ GROUP BY sn.n_name, cn.n_name
 """
 
 
+def q_zarr_documents(spark, sf_dir):
+    """Text corpus stored AS ZARR: documents round-trip through the v3
+    ``string`` data type (vlen-utf8 codec) and come back hash-exact —
+    the storage proof that the LLM-pipeline operators can run over
+    zarr-resident corpora."""
+    from .zarr3.collection import create_zarr_collection
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text", "lang")
+        coll = create_zarr_collection(
+            spark, f"{_tmp()}/zarr_docs_{abs(hash(sf_dir))}",
+            schema=infer_schema(docs.schema, axis="doc_id"),
+            axis="doc_id",
+            partitioning=GroupedSequence(("doc_id",), size=50))
+        coll.insert(docs)
+        return coll
+    coll = _cached(("zarr_docs", sf_dir), build)
+    return (coll.query()
+            .select("doc_id", "lang",
+                    F.length("text").alias("n_chars_rt"),
+                    F.md5(F.col("text")).alias("text_md5")))
+
+
+ORACLE_ZARR_DOCUMENTS = """
+SELECT doc_id, lang, length(text) AS n_chars_rt, md5(text) AS text_md5
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1513,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "multimodal_features": q_multimodal_features,
         "zarr_roundtrip": q_zarr_roundtrip,
+        "zarr_documents": q_zarr_documents,
         "streaming_hourly": q_streaming_hourly,
         "streaming_stateful": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
@@ -1567,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
         "multimodal_features": ORACLE_MULTIMODAL,
         "zarr_roundtrip": ORACLE_ZARR,
+        "zarr_documents": ORACLE_ZARR_DOCUMENTS,
         "streaming_hourly": ORACLE_STREAMING,
         "streaming_stateful": ORACLE_STREAMING_STATEFUL,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
