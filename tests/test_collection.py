@@ -363,3 +363,18 @@ def test_add_variable_schema_evolution(spark, tmp_path, date_schema,
     with pytest.raises(zc.SchemaError, match="missing"):
         coll.insert(spark.createDataFrame(date_pdf,
                                           schema=bound.to_struct_type()))
+
+
+def test_query_arrays_reference_shape(spark, seq_collection):
+    arrays = seq_collection.query_arrays()
+    assert set(arrays) == {"num", "value", "static"}
+    assert arrays["num"].tolist() == [0, 0, 1, 1, 2, 2, 2]
+    assert arrays["value"].shape == (7, 3)
+    np.testing.assert_array_equal(
+        np.asarray(arrays["value"], dtype=np.float32),
+        np.arange(21, dtype=np.float32).reshape(7, 3))
+    # projection + no-match parity
+    only = seq_collection.query_arrays(variables=["num"],
+                                       filters="num >= 1")
+    assert set(only) == {"num"} and only["num"].tolist() == [1, 1, 2, 2, 2]
+    assert seq_collection.query_arrays(filters="num == 99") is None

@@ -433,6 +433,29 @@ class Collection:
             self._catalog.add(incoming_rel)
         return sorted(incoming_rel)
 
+    def query_arrays(self, *, filters: str | None = None,
+                     variables: Iterable[str] | None = None
+                     ) -> dict[str, Any] | None:
+        """Reference-shaped result: ``{variable: numpy array}`` ordered
+        along the axis — the ``Dataset``-like view reference users
+        expect from ``query`` (``collection/base.py:524-595`` returns an
+        array Dataset, not rows).  Collects to the driver; use the
+        DataFrame-returning :meth:`query` for anything at scale."""
+        df = self.query(filters=filters, variables=variables)
+        if df is None:
+            return None  # quirk Q6 parity
+        pdf = df.toPandas()
+        import numpy as np
+        out: dict[str, Any] = {}
+        for col in pdf.columns:
+            series = pdf[col]
+            if series.dtype == object and len(series) \
+                    and isinstance(series.iloc[0], (list, tuple, np.ndarray)):
+                out[col] = np.asarray([np.asarray(v) for v in series])
+            else:
+                out[col] = series.to_numpy()
+        return out
+
     def add_variable(self, name: str, dtype: str, *,
                      dimensions=None, fill_value: Any = None,
                      attrs: Mapping[str, Any] | None = None) -> None:
