@@ -139,3 +139,29 @@ def test_cli_stats_and_compact(spark, seq_collection, seq_pdf, capsys):
     assert cli.main(["stats", seq_collection.path]) == 0
     stats2 = _json.loads(capsys.readouterr().out)
     assert all(e["files"] == 1 for e in stats2)
+
+
+def test_cli_on_zarr_collection(spark, tmp_path, capsys):
+    import json as _json
+    import numpy as np
+    import pandas as pd
+    import zcollection_spark as zc
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder().add_dimension("num")
+              .add_variable("num", "int64", ("num",))
+              .add_variable("v", "float64", ("num",)).build("num"))
+    coll = create_zarr_collection(spark, str(tmp_path / "zcli"),
+                                  schema=schema, axis="num",
+                                  partitioning=zc.Sequence(("num",)))
+    coll.insert(spark.createDataFrame(
+        pd.DataFrame({"num": np.array([0, 0, 1], dtype=np.int64),
+                      "v": [1.0, 2.0, 3.0]}),
+        schema=schema.to_struct_type()))
+    assert cli.main(["ls", coll.path]) == 0
+    assert capsys.readouterr().out.split() == ["num=0", "num=1"]
+    assert cli.main(["inspect", coll.path]) == 0
+    doc = _json.loads(capsys.readouterr().out)
+    assert doc["n_partitions"] == 2
+    assert cli.main(["stats", coll.path]) == 0
+    stats = _json.loads(capsys.readouterr().out)
+    assert all(e["files"] > 0 and e["bytes"] > 0 for e in stats)

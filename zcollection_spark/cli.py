@@ -9,9 +9,17 @@ import sys
 
 
 def _open(path: str, mode: str = "r"):
+    """Open either layout: the root config's data_format picks the
+    implementation (parquet collections vs zarr3 collections)."""
+    from pathlib import Path
     from . import get_spark, open_collection
     spark = get_spark("zcs-cli")
     spark.sparkContext.setLogLevel("ERROR")
+    config = Path(path) / "_zcollection.json"
+    if config.exists() and json.loads(
+            config.read_text()).get("data_format") == "zarr3":
+        from .zarr3.collection import open_zarr_collection
+        return open_zarr_collection(spark, path)
     return open_collection(spark, path, mode=mode)
 
 
@@ -77,7 +85,9 @@ def cmd_stats(args: argparse.Namespace) -> int:
                       .collect())} if args.rows else {}
     out = []
     for rel in coll.partitions(filters=args.filter):
-        files = list(Path(coll.path, rel).glob("*.parquet"))
+        part_dir = Path(coll.path, rel)
+        files = list(part_dir.glob("*.parquet")) or \
+            [p for p in part_dir.rglob("*") if p.is_file()]
         entry = {"partition": rel, "files": len(files),
                  "bytes": sum(f.stat().st_size for f in files)}
         if args.rows:

@@ -156,6 +156,7 @@ class ZarrCollection:
         self.schema = schema
         self.partitioning = partitioning
         self.axis = schema.axis
+        self.catalog_enabled = True
         self._catalog = Catalog(LocalFS(), self.path)
         datasource.register(spark)
 
