@@ -162,6 +162,8 @@ def test_cli_on_zarr_collection(spark, tmp_path, capsys):
     assert cli.main(["inspect", coll.path]) == 0
     doc = _json.loads(capsys.readouterr().out)
     assert doc["n_partitions"] == 2
-    assert cli.main(["stats", coll.path]) == 0
+    assert cli.main(["stats", coll.path, "--rows"]) == 0
     stats = _json.loads(capsys.readouterr().out)
     assert all(e["files"] > 0 and e["bytes"] > 0 for e in stats)
+    assert {e["partition"]: e["rows"] for e in stats} == \
+        {"num=0": 2, "num=1": 1}

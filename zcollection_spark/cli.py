@@ -78,11 +78,20 @@ def cmd_stats(args: argparse.Namespace) -> int:
     (spot small-file buildup before it hurts)."""
     from pathlib import Path
     coll = _open(args.path)
-    rows = {tuple(int(r[k]) for k in coll.partitioning.keys): r["n"]
-            for r in (coll._load(filters=args.filter, keep_internal=True)
-                      .groupBy(*coll.partitioning.keys)
-                      .agg({"*": "count"}).withColumnRenamed("count(1)", "n")
-                      .collect())} if args.rows else {}
+    rows: dict = {}
+    if args.rows:
+        if hasattr(coll, "_load"):       # parquet layout
+            df = coll._load(filters=args.filter, keep_internal=True)
+        else:                            # zarr layout: keys ride to_df
+            from .partitioning import compile_filter as _cf
+            df = coll.to_df()
+            pred = _cf(args.filter)
+            if pred.expr is not None:
+                df = df.where(pred.to_column())
+        rows = {tuple(int(r[k]) for k in coll.partitioning.keys): r["n"]
+                for r in (df.groupBy(*coll.partitioning.keys)
+                          .agg({"*": "count"})
+                          .withColumnRenamed("count(1)", "n").collect())}
     out = []
     for rel in coll.partitions(filters=args.filter):
         part_dir = Path(coll.path, rel)
