@@ -140,6 +140,25 @@ def main() -> None:
         def _():
             _consume(zcoll.query())
 
+        # string corpus through the zarr string data type (vlen-utf8)
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text", "lang")
+
+        @timed("zarr_docs_insert")
+        def _():
+            zdocs = create_zarr_collection(
+                spark, f"{tmp}/zarr_docs", overwrite=True,
+                schema=infer_schema(docs.schema, axis="doc_id"),
+                axis="doc_id",
+                partitioning=zc.GroupedSequence(("doc_id",), size=500))
+            zdocs.insert(docs)
+
+        zdocs = open_zarr_collection(spark, f"{tmp}/zarr_docs")
+
+        @timed("zarr_docs_scan")
+        def _():
+            _consume(zdocs.query())
+
         @timed("pricing_summary")
         def _():
             eq.q_pricing_summary(spark, sf_dir).collect()

@@ -406,3 +406,21 @@ def test_zarr_string_variables(spark, tmp_path):
         Path(coll.path).rglob("text/zarr.json")).read_text())
     assert array_doc["data_type"] == "string"
     assert array_doc["codecs"][0]["name"] == "vlen-utf8"
+
+
+def test_corrupt_shard_fails_loudly(tmp_path):
+    data = np.arange(100, dtype=np.int64)
+    write_array(tmp_path / "c", data, chunk_shape=(10,), shard_shape=(40,))
+    # truncate a shard below its index size -> clean error, not garbage
+    shard = tmp_path / "c" / "c" / "0"
+    shard.write_bytes(shard.read_bytes()[:10])
+    with pytest.raises(ValueError, match="corrupt shard"):
+        read_array(tmp_path / "c")
+    # index pointing past the payload also detected
+    write_array(tmp_path / "c2", data, chunk_shape=(10,), shard_shape=(40,))
+    shard2 = tmp_path / "c2" / "c" / "0"
+    raw = bytearray(shard2.read_bytes())
+    raw[-16:-8] = (1 << 40).to_bytes(8, "little")  # bogus offset
+    shard2.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="corrupt shard"):
+        read_array(tmp_path / "c2")

@@ -109,3 +109,27 @@ def test_zarr_update(spark, zdates):
     assert _result(zdates) == [
         ("2024-01-05", 0.0), ("2024-01-20", 1.0), ("2024-02-03", 4.0),
         ("2024-02-15", 6.0), ("2024-03-01", 4.0)]
+
+
+def test_zarr_string_upsert_merge(spark, tmp_path):
+    """Merge strategies work over string-bearing zarr collections."""
+    import numpy as np
+    import pandas as pd
+    import zcollection_spark as zc
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder().add_dimension("num")
+              .add_variable("num", "int64", ("num",))
+              .add_variable("txt", "str", ("num",)).build("num"))
+    coll = create_zarr_collection(spark, str(tmp_path / "zsu"),
+                                  schema=schema, axis="num",
+                                  partitioning=zc.GroupedSequence(
+                                      ("num",), size=10))
+    base = pd.DataFrame({"num": np.array([1, 2, 3], dtype=np.int64),
+                         "txt": ["one", "two", "three"]})
+    coll.insert(spark.createDataFrame(base, schema=schema.to_struct_type()))
+    batch = pd.DataFrame({"num": np.array([2, 4], dtype=np.int64),
+                          "txt": ["TWO", "four"]})
+    coll.insert(spark.createDataFrame(batch, schema=schema.to_struct_type()),
+                merge="upsert")
+    got = {r["num"]: r["txt"] for r in coll.query().collect()}
+    assert got == {1: "one", 2: "TWO", 3: "three", 4: "four"}

@@ -379,12 +379,19 @@ def read_array(path: str | Path) -> np.ndarray:
             if not shard_path.exists():
                 continue  # missing shard = fill value
             raw = shard_path.read_bytes()
+            if len(raw) < index_nbytes:
+                raise ValueError(f"corrupt shard {shard_path}: shorter "
+                                 f"than its {index_nbytes}-byte index")
             index = np.frombuffer(raw[-index_nbytes:], dtype="<u8") \
                 .reshape(*per_shard, 2)
             for cidx in np.ndindex(*per_shard):
                 off, nbytes = int(index[cidx][0]), int(index[cidx][1])
                 if off == _MISSING_CHUNK:
                     continue
+                if off + nbytes > len(raw) - index_nbytes:
+                    raise ValueError(
+                        f"corrupt shard {shard_path}: chunk range "
+                        f"[{off}, {off + nbytes}) exceeds payload")
                 slices = tuple(
                     slice(si * ss + ci * cs,
                           min(si * ss + (ci + 1) * cs, dim))
