@@ -1493,6 +1493,28 @@ FROM documents
 """
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-level n-gram document frequencies: top-20 bigrams by the
+    number of documents containing them (the shingle-DF table MinHash
+    banding and df-cutoff pruning both read from)."""
+    from .functions.text import word_shingles
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        F.explode(F.array_distinct(
+                            word_shingles("text", 2))).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.col("df").desc(), F.col("gram"))
+            .limit(20))
+
+
+ORACLE_TOP_NGRAMS = f"""
+WITH {_shingle_sql(2)}
+SELECT s AS gram, count(*) AS df FROM sh
+GROUP BY s ORDER BY df DESC, gram LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1536,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "langid_confusion": q_langid_confusion,
         "source_quality": q_source_quality,
+        "top_ngrams": q_top_ngrams,
         "fingerprint": q_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1593,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _langid_oracle(),
         "langid_confusion": _langid_confusion_oracle(),
         "source_quality": ORACLE_SOURCE_QUALITY,
+        "top_ngrams": ORACLE_TOP_NGRAMS,
         "fingerprint": ORACLE_FINGERPRINT,
         "knn_bruteforce": ORACLE_KNN,
         "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
