@@ -141,3 +141,40 @@ def test_indexer_anded_predicates(spark, tmp_path, halforbit):
     pdf = res.toPandas()
     assert len(pdf) == 10
     assert set(pdf["cycle_number"]) == {2}
+
+
+def test_indexer_over_zarr_collection(spark, tmp_path):
+    """The secondary index builds/looks up/queries against the ZARR
+    layout (synthesized positional _row_idx), and its lookup ranges
+    drive chunk-level partial reads via read_row_ranges."""
+    import numpy as np
+    import pandas as pd
+    import zcollection_spark as zc
+    from zcollection_spark.indexing import Indexer, ranges_for
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+
+    pdf = pd.DataFrame({
+        "num": np.repeat([0, 1], 8).astype("int64"),
+        "t": np.arange(16, dtype="int64"),
+        "tag": np.array([1, 1, 2, 2, 2, 3, 3, 3,
+                         1, 1, 1, 2, 3, 3, 4, 4], dtype="int64")})
+    schema = (zc.SchemaBuilder().add_dimension("t")
+              .add_variable("num", "int64", ("t",))
+              .add_variable("t", "int64", ("t",))
+              .add_variable("tag", "int64", ("t",)).build("t"))
+    coll = create_zarr_collection(spark, str(tmp_path / "zi"),
+                                  schema=schema, axis="t",
+                                  partitioning=zc.Sequence(("num",)))
+    coll.insert(spark.createDataFrame(pdf, schema=schema.to_struct_type()))
+
+    idx = Indexer(spark, str(tmp_path / "zindex"))
+    idx.build(coll, builder=lambda p: ranges_for(p, ["tag"]),
+              schema="tag long")
+    ranges = idx.lookup(coll, tag=2)
+    assert ranges == {"num=0": [(2, 5)], "num=1": [(3, 4)]}
+    got = idx.query(coll, tag=2)
+    assert sorted(r["t"] for r in got.collect()) == [2, 3, 4, 11]
+    # the same ranges drive byte-level partial reads
+    part = coll.read_row_ranges(ranges).orderBy("t").toPandas()
+    assert part["t"].tolist() == [2, 3, 4, 11]
+    assert part["tag"].tolist() == [2, 2, 2, 2]

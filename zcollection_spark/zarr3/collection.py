@@ -360,6 +360,30 @@ class ZarrCollection:
         return (tasks.repartition(len(rows))
                 .mapInPandas(read_spans, struct))
 
+    def _load(self, *, filters: str | None = None,
+              keep_internal: bool = False) -> DataFrame | None:
+        """Indexer-compatible load: pruned scan plus (when asked) a
+        synthesized ``_row_idx`` — the array position within each
+        partition.  Zarr rows ARE positional (writes sort by axis), so a
+        window over (keys, axis) reproduces the on-disk order; this is
+        what lets ``indexing.Indexer`` build/lookup/query against zarr
+        collections unchanged, and its ``lookup`` output feed
+        :meth:`read_row_ranges` for chunk-level partial reads.
+        """
+        from pyspark.sql import Window
+        from ..collection.collection import ROW_IDX
+        predicate = compile_filter(filters)
+        if not self.partitions(filters=filters):
+            return None
+        df = self.to_df()
+        if predicate.expr is not None:
+            df = df.where(predicate.to_column())
+        if keep_internal:
+            win = (Window.partitionBy(*self.partitioning.keys)
+                   .orderBy(self.axis))
+            df = df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
+        return df
+
     def query(self, *, filters: str | None = None,
               variables: Iterable[str] | None = None,
               ordered: bool = True) -> DataFrame | None:
