@@ -178,3 +178,35 @@ def test_indexer_over_zarr_collection(spark, tmp_path):
     part = coll.read_row_ranges(ranges).orderBy("t").toPandas()
     assert part["t"].tolist() == [2, 3, 4, 11]
     assert part["tag"].tolist() == [2, 2, 2, 2]
+
+
+def test_view_over_zarr_base(spark, tmp_path):
+    """Overlay views work on a zarr base: update computes overlay
+    variables per base partition, query merges base+overlay."""
+    import numpy as np
+    import pandas as pd
+    import zcollection_spark as zc
+    from zcollection_spark.view import View
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+
+    pdf = pd.DataFrame({
+        "num": np.repeat([0, 1], 4).astype("int64"),
+        "t": np.arange(8, dtype="int64"),
+        "v": np.arange(8, dtype="float64")})
+    schema = (zc.SchemaBuilder().add_dimension("t")
+              .add_variable("num", "int64", ("t",))
+              .add_variable("t", "int64", ("t",))
+              .add_variable("v", "float64", ("t",)).build("t"))
+    base = create_zarr_collection(spark, str(tmp_path / "zb"),
+                                  schema=schema, axis="t",
+                                  partitioning=zc.Sequence(("num",)))
+    base.insert(spark.createDataFrame(pdf, schema=schema.to_struct_type()))
+
+    view = View.create(spark, str(tmp_path / "zv"), base=base,
+                       variables=[{"name": "v2", "dtype": "float64"}])
+    view.update(lambda p: {"v2": (p["v"] * 10).to_numpy()})
+    got = view.query().orderBy("t").toPandas()
+    assert got["v2"].tolist() == [v * 10 for v in range(8)]
+    # reopen resolves the zarr base from the view config
+    reopened = View.open(spark, view.path)
+    assert reopened.query().count() == 8

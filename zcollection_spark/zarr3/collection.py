@@ -13,8 +13,9 @@ pruning via filter pushdown + per-variable column projection).
 
 Scope: numeric/bool/datetime variables (Zarr v3 core types) plus
 variable-length strings (v3 "string" data type via the vlen-utf8 codec).
-Raw bytes stay on the parquet layout.  Views operate on the parquet
-collection — this module is the storage-format parity piece.
+Raw bytes stay on the parquet layout.  Views and the secondary index
+work against either layout (positional ``_row_idx`` synthesized from
+the on-disk array order via ``_load``).
 """
 
 from __future__ import annotations
@@ -190,6 +191,25 @@ class ZarrCollection:
             if (imm_path / var.name / "zarr.json").exists():
                 out[var.name] = read_array(imm_path / var.name).tolist()
         return out or None
+
+    def _attach_immutable(self, df: DataFrame,
+                          wanted: set | None) -> DataFrame:
+        """Literal-attach ``_immutable`` variables (one row of values —
+        a map-side literal, matching the parquet layer's broadcast
+        semantics; partition data wins on name conflict, quirk Q5)."""
+        row = self._immutable_row()
+        if not row:
+            return df
+        adds = {}
+        for name, value in row.items():
+            if name in df.columns:
+                continue
+            if wanted is not None and name not in wanted \
+                    and name.rsplit("/", 1)[-1] not in wanted:
+                continue
+            adds[name] = (F.array(*[F.lit(v) for v in value])
+                          if isinstance(value, list) else F.lit(value))
+        return df.withColumns(adds) if adds else df
 
     def insert(self, df: DataFrame,
                merge: str | MergeCallable | None = None) -> list[str]:
