@@ -167,3 +167,23 @@ def test_cli_on_zarr_collection(spark, tmp_path, capsys):
     assert all(e["files"] > 0 and e["bytes"] > 0 for e in stats)
     assert {e["partition"]: e["rows"] for e in stats} == \
         {"num=0": 2, "num=1": 1}
+
+
+def test_cli_verify_and_repair(spark, seq_collection, capsys):
+    import json as _json
+    import shutil
+    from pathlib import Path
+    assert cli.main(["verify", seq_collection.path]) == 0
+    report = _json.loads(capsys.readouterr().out)
+    assert report["status"] == "OK"
+    # vandalize: remove a partition dir behind the catalog's back
+    shutil.rmtree(Path(seq_collection.path) / "num=2")
+    assert cli.main(["verify", seq_collection.path]) == 1
+    report = _json.loads(capsys.readouterr().out)
+    assert report["missing_from_disk"] == ["num=2"]
+    assert cli.main(["verify", seq_collection.path, "--repair"]) == 0
+    capsys.readouterr()
+    assert cli.main(["verify", seq_collection.path]) == 0
+    report = _json.loads(capsys.readouterr().out)
+    assert report["status"] == "OK"
+    assert report["partitions_in_catalog"] == 2

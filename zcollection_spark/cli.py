@@ -107,6 +107,39 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_verify(args: argparse.Namespace) -> int:
+    """fsck-style health check: catalog vs on-disk partitions, plus (for
+    zarr layouts) per-partition group-metadata readability."""
+    from pathlib import Path
+    coll = _open(args.path, mode="rw" if args.repair else "r")
+    on_disk = set(coll._fs.list_partition_dirs(
+        coll.path, coll.partitioning.depth))
+    in_catalog = set(coll._catalog.read() or [])
+    report = {
+        "partitions_on_disk": len(on_disk),
+        "partitions_in_catalog": len(in_catalog),
+        "missing_from_catalog": sorted(on_disk - in_catalog),
+        "missing_from_disk": sorted(in_catalog - on_disk),
+        "unreadable": [],
+    }
+    for rel in sorted(on_disk):
+        marker = Path(coll.path, rel, "zarr.json")
+        if marker.exists():
+            try:
+                json.loads(marker.read_text())
+            except ValueError:
+                report["unreadable"].append(rel)
+    ok = not (report["missing_from_catalog"]
+              or report["missing_from_disk"] or report["unreadable"])
+    report["status"] = "OK" if ok else "INCONSISTENT (run repair)"
+    print(json.dumps(report, indent=1))
+    if not ok and args.repair:
+        repaired = coll.repair_catalog()
+        print(f"repaired: catalog now lists {len(repaired)} partitions")
+        return 0
+    return 0 if ok else 1
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     coll = _open(args.path, mode="rw")
     report = coll.compact(filters=args.filter)
@@ -143,6 +176,13 @@ def main(argv: list[str] | None = None) -> int:
     p_st.add_argument("--rows", action="store_true",
                       help="also count rows (scans data)")
     p_st.set_defaults(fn=cmd_stats)
+
+    p_vf = sub.add_parser("verify",
+                          help="catalog/disk consistency check")
+    p_vf.add_argument("path")
+    p_vf.add_argument("--repair", action="store_true",
+                      help="rewrite the catalog when inconsistent")
+    p_vf.set_defaults(fn=cmd_verify)
 
     p_cp = sub.add_parser("compact",
                           help="rewrite partitions as one file each")

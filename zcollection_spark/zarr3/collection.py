@@ -158,7 +158,8 @@ class ZarrCollection:
         self.partitioning = partitioning
         self.axis = schema.axis
         self.catalog_enabled = True
-        self._catalog = Catalog(LocalFS(), self.path)
+        self._fs = LocalFS()
+        self._catalog = Catalog(self._fs, self.path)
         datasource.register(spark)
 
     # ------------------------------------------------------------------
@@ -497,6 +498,14 @@ class ZarrCollection:
         if predicate.expr is not None:
             df = df.where(predicate.to_column())
         return df.groupBy(*self.partitioning.keys).applyInPandas(fn, schema)
+
+    def repair_catalog(self) -> list[str]:
+        """Re-walk the store and rewrite the catalog
+        (``base.py:352-375``; ≈ MSCK REPAIR TABLE)."""
+        relpaths = LocalFS().list_partition_dirs(self.path,
+                                                 self.partitioning.depth)
+        self._catalog.write(relpaths)
+        return sorted(relpaths)
 
     def partitions(self, *, filters: str | None = None) -> list[str]:
         predicate = compile_filter(filters)
