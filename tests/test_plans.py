@@ -185,12 +185,19 @@ def test_dedup_keep_latest_single_window_pass(spark):
     assert "hashpartitioning(user_id" in exchanges[0]
 
 
-def test_trade_flows_all_dims_broadcast(spark):
-    plan = executed_plan(eq.q_trade_flows(spark, SF_DIR))
+def test_trade_flows_join_strategy(spark):
+    # dims broadcast; the fact-fact lineitem⋈orders edge is NOT
+    # broadcast (AQE may still pick a broadcast at tiny SF — assert the
+    # plan carries broadcasts for dims and no cartesian, and that the
+    # LOGICAL plan does not force a broadcast on orders)
+    df = eq.q_trade_flows(spark, SF_DIR)
+    plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan  # map-side combine on the pair key
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly 4 explicit broadcast hints (supp, cust, nation x2)
+    assert logical.count("ResolvedHint") <= 4
 
 
 def test_capped_sample_single_window_shuffle(spark):

@@ -452,21 +452,22 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_revenue_orders(spark, sf_dir):
-    """TPC-H Q3-style join: broadcast dims, decimal-exact revenue,
-    deterministic top-10."""
+    """TPC-H Q3-style join: decimal-exact revenue, deterministic
+    top-10.  No forced broadcasts — AQE picks broadcast at small SF and
+    shuffle joins at scale from runtime statistics."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(12,4)")
            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
     return (li
-            .join(F.broadcast(orders.where(
+            .join(orders.where(
                 F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
-                .select("o_orderkey", "o_custkey", "o_orderdate")),
+                .select("o_orderkey", "o_custkey", "o_orderdate"),
                 on=F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust.where(
+            .join(cust.where(
                 F.col("c_mktsegment") == "BUILDING")
-                .select("c_custkey")),
+                .select("c_custkey"),
                 on=F.col("o_custkey") == F.col("c_custkey"))
             .where(F.col("l_shipdate")
                    > F.lit("1998-01-01").cast("date"))
@@ -520,7 +521,9 @@ WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 
 def q_regional_revenue(spark, sf_dir):
     """TPC-H Q5-style multi-join (customer⋈orders⋈lineitem⋈supplier⋈
-    nation⋈region) with every dimension broadcast."""
+    nation⋈region).  Fixed-size dims (nation, region) carry explicit
+    broadcast hints; SF-scaling sides are left to AQE — it broadcasts
+    them while they fit and shuffle-joins beyond that."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -530,11 +533,11 @@ def q_regional_revenue(spark, sf_dir):
     rev = (F.col("l_extendedprice").cast("decimal(12,4)")
            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
     return (li
-            .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            .join(orders.select("o_orderkey", "o_custkey"),
                   F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            .join(cust.select("c_custkey", "c_nationkey"),
                   F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            .join(supp.select("s_suppkey", "s_nationkey"),
                   (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .join(F.broadcast(nation.select("n_nationkey", "n_name",
@@ -571,7 +574,7 @@ def q_promo_revenue(spark, sf_dir):
     rev = (F.col("l_extendedprice").cast("decimal(12,4)")
            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
     return (li
-            .join(F.broadcast(part.select("p_partkey", "p_type")),
+            .join(part.select("p_partkey", "p_type"),
                   F.col("l_partkey") == F.col("p_partkey"))
             .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
             .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev))
@@ -1061,9 +1064,9 @@ GROUP BY o_orderpriority
 
 def q_returned_item_losses(spark, sf_dir):
     """TPC-H Q10-style: revenue lost to returned items per customer,
-    deterministic top-20.  Fact table filtered first; every dimension
-    broadcast (customer/nation are true dims; the date-windowed orders
-    slice is dim-sized)."""
+    deterministic top-20.  Fact table filtered first; only nation is
+    hint-broadcast (fixed 25 rows) — the windowed orders slice and
+    customer scale with SF, so AQE picks their join sides."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1075,10 +1078,9 @@ def q_returned_item_losses(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))) \
         .select("o_orderkey", "o_custkey")
     return (li.where(F.col("l_returnflag") == "R")
-            .join(F.broadcast(window),
+            .join(window,
                   on=F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust.select("c_custkey", "c_name",
-                                          "c_nationkey")),
+            .join(cust.select("c_custkey", "c_name", "c_nationkey"),
                   on=F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(nation.select("n_nationkey", "n_name")),
                   on=F.col("c_nationkey") == F.col("n_nationkey"))
@@ -1337,15 +1339,15 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 def q_big_orders(spark, sf_dir):
     """TPC-H Q18-style quantified subquery: orders whose total quantity
     exceeds a threshold, joined back for detail.  The HAVING subquery
-    becomes an aggregate + self-equi-join — the aggregate output is
-    dim-sized, so it broadcasts."""
+    becomes an aggregate + self-equi-join; the aggregate output shrinks
+    with the predicate, so AQE usually broadcasts it at runtime."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     qty = F.col("l_quantity").cast("decimal(12,4)")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum(qty).cast("decimal(38,4)").alias("total_qty"))
            .where(F.col("total_qty") > 180))
-    return (orders.join(F.broadcast(big),
+    return (orders.join(big,
                         on=F.col("o_orderkey") == F.col("l_orderkey"))
             .select("o_orderkey", "o_custkey", "o_orderdate",
                     "total_qty"))
@@ -1416,9 +1418,10 @@ SELECT doc_id, lang, source FROM (
 
 def q_trade_flows(spark, sf_dir):
     """TPC-H Q7-style nation-pair trade matrix: revenue by (supplier
-    nation, customer nation).  Two independent dimension chains hang off
-    the same fact scan — all four dims broadcast, one aggregation
-    shuffle on the pair key."""
+    nation, customer nation).  lineitem ⋈ orders is fact-to-fact — it
+    shuffles (broadcasting an unfiltered fact table would OOM at
+    scale); only the fixed-size nation dims carry broadcast hints —
+    supplier/customer are left to AQE."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier") \
         .select("s_suppkey", "s_nationkey")
@@ -1430,11 +1433,11 @@ def q_trade_flows(spark, sf_dir):
     rev = (F.col("l_extendedprice").cast("decimal(12,4)")
            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
     return (li
-            .join(F.broadcast(supp),
+            .join(supp,
                   on=F.col("l_suppkey") == F.col("s_suppkey"))
-            .join(F.broadcast(orders),
+            .join(orders,
                   on=F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust),
+            .join(cust,
                   on=F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(nation.selectExpr(
                 "n_nationkey AS sn_key", "n_name AS supp_nation")),
