@@ -81,26 +81,44 @@ def upsert(existing: DataFrame, inserted: DataFrame, *, axis: str,
 
     Exact mode: a left-anti join on ``keys + axis`` (equal axis ⇒ same
     partition, so this is exactly the reference's per-partition
-    ``numpy.isin``).  Tolerance mode: an existing row is dropped when ANY
-    inserted axis value in the same partition lies within ``tolerance`` —
-    equivalent to the reference's nearest-within-tolerance ``searchsorted``
-    check (``merge.py:262-272``: the nearest value is within tolerance iff
-    any value is).  The inserted axis set is broadcast; the range condition
-    stays JVM-side.
+    ``numpy.isin``; no broadcast hint — the batch scales with the
+    insert, AQE picks the side).  Tolerance mode: an existing row is
+    dropped when ANY inserted axis value in the same partition lies
+    within ``tolerance`` — equivalent to the reference's
+    nearest-within-tolerance ``searchsorted`` check (``merge.py:262-272``:
+    the nearest value is within tolerance iff any value is).  Expressed
+    as a GRID anti-join: bucket width = tolerance, each inserted value
+    fans out to its bucket ±1, the anti-join is an equi-join on
+    ``(keys, bucket)`` with the exact distance filter in the condition —
+    a match within tolerance is always in an adjacent bucket, and the
+    plan stays a shuffled anti-join at any batch size (no forced
+    broadcast, no nested loop).
     """
     ins_axis = inserted.select(*keys, axis).distinct()
-    if tolerance is None:
-        kept = existing.join(F.broadcast(ins_axis), on=[*keys, axis],
-                             how="left_anti")
+    if tolerance is None or float(tolerance) == 0.0:
+        # tolerance 0 == exact equality (searchsorted nearest within 0)
+        kept = existing.join(ins_axis, on=[*keys, axis], how="left_anti")
     else:
         dtype = existing.schema[axis].dataType
-        renamed = ins_axis.withColumnRenamed(axis, "__ins_axis")
-        cond = F.lit(True)
+        tol = float(tolerance)
+
+        def numeric(col: Column) -> Column:
+            return col.cast("double") if isinstance(
+                dtype, (T.TimestampType, T.TimestampNTZType)) else col
+
+        e_bucket = F.floor(numeric(existing[axis]) / F.lit(tol))
+        ins_bucket = F.floor(numeric(F.col("__ins_axis")) / F.lit(tol))
+        fanned = (ins_axis.withColumnRenamed(axis, "__ins_axis")
+                  .withColumn("__bucket", F.explode(F.transform(
+                      F.array(F.lit(-1), F.lit(0), F.lit(1)),
+                      lambda d: d + ins_bucket))))
+        cond = e_bucket == fanned["__bucket"]
         for key in keys:
-            cond = cond & (existing[key] == renamed[key])
-        cond = cond & (_axis_distance(existing[axis], renamed["__ins_axis"],
-                                      dtype) <= F.lit(float(tolerance)))
-        kept = existing.join(F.broadcast(renamed), on=cond, how="left_anti")
+            cond = cond & (existing[key] == fanned[key])
+        cond = cond & (_axis_distance(existing[axis],
+                                      fanned["__ins_axis"],
+                                      dtype) <= F.lit(tol))
+        kept = existing.join(fanned, on=cond, how="left_anti")
     return _union(kept, inserted)
 
 
