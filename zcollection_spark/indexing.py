@@ -159,12 +159,24 @@ class Indexer:
             "(" + " and ".join(f"{k} == {int(row[k])}" for k in keys) + ")"
             for row in matched)
         df = collection._load(filters=filters, keep_internal=True)
-        cond = F.lit(True)
+        # grid semi-join: ranges fan out to the _row_idx buckets they
+        # cover, rows bucket once — the semi-join is an equi-join on
+        # (keys, bucket) with the exact range in the condition.  Scales
+        # with the match count instead of forcing a broadcast of the
+        # matched ranges (a low-selectivity lookup could match millions).
+        bucket_rows = 4096
+        fanned = ranges.withColumn(
+            "__bucket",
+            F.explode(F.sequence(
+                F.floor(F.col("_start") / bucket_rows),
+                F.floor((F.col("_stop") - 1) / bucket_rows))))
+        row_bucket = F.floor(df[ROW_IDX] / bucket_rows)
+        cond = row_bucket == fanned["__bucket"]
         for k in keys:
-            cond = cond & (df[k] == ranges[k])
-        cond = cond & (df[ROW_IDX] >= ranges["_start"]) \
-                    & (df[ROW_IDX] < ranges["_stop"])
-        joined = df.join(F.broadcast(ranges), on=cond, how="left_semi")
+            cond = cond & (df[k] == fanned[k])
+        cond = cond & (df[ROW_IDX] >= fanned["_start"]) \
+                    & (df[ROW_IDX] < fanned["_stop"])
+        joined = df.join(fanned, on=cond, how="left_semi")
         keep = [v.name for v in collection.schema.partitioned_variables
                 if v.name in joined.columns]
         if variables is not None:
