@@ -205,3 +205,18 @@ def test_capped_sample_single_window_shuffle(spark):
     assert "Window" in plan
     exchanges = count_exchanges(plan)
     assert len(exchanges) == 1, exchanges
+
+
+def test_tolerance_upsert_grid_anti_join(spark):
+    # the grid rewrite keeps the tolerance anti-join an equi-join —
+    # a BroadcastNestedLoopJoin here is the latent large-batch OOM
+    plan = executed_plan(eq.q_merge_upsert_tolerance(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_index_query_grid_semi_join(spark):
+    plan = executed_plan(eq.q_index_lookup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
