@@ -45,6 +45,11 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
 
     Right value columns come back null where no match qualifies (left
     rows are always kept — this is a left as-of join).
+
+    Scale note: with no ``by`` the window is GLOBAL — a single-task
+    sort, fine for driver-sized data only.  At scale always pass a
+    ``by`` key (the shuffle key), or pre-bucket time into coarse epochs
+    and as-of within each.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
