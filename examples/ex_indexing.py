@@ -43,6 +43,21 @@ def main() -> None:
     print("lookup pass 3:", indexer.lookup(coll, pass_number=3))
     hits = indexer.query(coll, pass_number=[1, 2], cycle_number=4)
     print("rows for passes 1-2 of cycle 4:", hits.count())
+
+    # the same index works over the ZARR layout, and its lookup ranges
+    # drive chunk-level partial reads (only intersecting chunks decode)
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    zcoll = create_zarr_collection(
+        spark, f"{root}/orbit_zarr", schema=schema, axis="time",
+        partitioning=zc.Sequence(("cycle_number",)))
+    zcoll.insert(spark.createDataFrame(pdf))
+    zindexer = Indexer(spark, f"{root}/zindex")
+    zindexer.build(zcoll, builder=lambda p: ranges_for(p, ["pass_number"]),
+                   schema="pass_number long")
+    ranges = zindexer.lookup(zcoll, pass_number=7)
+    partial = zcoll.read_row_ranges(ranges)
+    print("zarr partial read of pass 7:", partial.count(), "rows from",
+          sum(len(v) for v in ranges.values()), "ranges")
     spark.stop()
 
 

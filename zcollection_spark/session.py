@@ -57,6 +57,15 @@ def get_spark(app_name: str = "zcollection-spark",
     hand-tuning.
     """
     cpus = default_parallelism()
+    # executor Python workers must import this package regardless of the
+    # caller's cwd — export the package parent on PYTHONPATH before the
+    # worker daemon starts (cluster deployments ship a wheel instead)
+    from pathlib import Path
+    pkg_parent = str(Path(__file__).resolve().parent.parent)
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pkg_parent + os.pathsep + current
+                                    if current else pkg_parent)
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     for key, value in SESSION_CONF.items():
         builder = builder.config(key, value)
