@@ -74,6 +74,24 @@ def _decode_fill(value: Any, dtype: np.dtype) -> Any:
 #: sharding-index sentinel for an absent inner chunk (Zarr v3 sharding spec)
 _MISSING_CHUNK = (1 << 64) - 1
 
+#: crc32c (Castagnoli) table — the sharding spec's default index
+#: checksum codec; table-driven, reflected, poly 0x1EDC6F41
+_CRC32C_TABLE = []
+
+
+def _crc32c(data: bytes) -> int:
+    if not _CRC32C_TABLE:
+        for n in range(256):
+            crc = n
+            for _ in range(8):
+                crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+            _CRC32C_TABLE.append(crc)
+        assert len(_CRC32C_TABLE) == 256
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc = _CRC32C_TABLE[(crc ^ byte) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
 
 def _encode_vlen(items: "np.ndarray") -> bytes:
     """vlen-utf8 wire format (numcodecs VLenUTF8): LE uint32 item count,
@@ -171,8 +189,10 @@ class ZarrArrayMeta:
                 "configuration": {
                     "chunk_shape": list(self.chunk_shape),
                     "codecs": self._inner_codecs(),
-                    "index_codecs": [{"name": "bytes",
-                                      "configuration": {"endian": "little"}}],
+                    "index_codecs": [
+                        {"name": "bytes",
+                         "configuration": {"endian": "little"}},
+                        {"name": "crc32c"}],
                     "index_location": "end",
                 },
             }]
@@ -336,7 +356,9 @@ def _write_sharded(path: Path, data: np.ndarray, meta: ZarrArrayMeta,
             offset += len(payload)
         shard_path = path / "c" / "/".join(map(str, sidx))
         shard_path.parent.mkdir(parents=True, exist_ok=True)
-        shard_path.write_bytes(b"".join(blobs) + index.tobytes())
+        index_bytes = index.tobytes()
+        checksum = _crc32c(index_bytes).to_bytes(4, "little")
+        shard_path.write_bytes(b"".join(blobs) + index_bytes + checksum)
 
 
 def read_array(path: str | Path) -> np.ndarray:
@@ -374,21 +396,26 @@ def read_array(path: str | Path) -> np.ndarray:
         shard = meta.shard_shape
         per_shard = tuple(s // c for s, c in zip(shard, meta.chunk_shape))
         index_nbytes = int(np.prod(per_shard)) * 16
+        tail_nbytes = index_nbytes + 4  # + crc32c of the index
         for sidx in np.ndindex(*_chunk_count(meta.shape, shard)):
             shard_path = path / "c" / "/".join(map(str, sidx))
             if not shard_path.exists():
                 continue  # missing shard = fill value
             raw = shard_path.read_bytes()
-            if len(raw) < index_nbytes:
+            if len(raw) < tail_nbytes:
                 raise ValueError(f"corrupt shard {shard_path}: shorter "
-                                 f"than its {index_nbytes}-byte index")
-            index = np.frombuffer(raw[-index_nbytes:], dtype="<u8") \
+                                 f"than its {tail_nbytes}-byte index")
+            index_bytes = raw[-tail_nbytes:-4]
+            if _crc32c(index_bytes) != int.from_bytes(raw[-4:], "little"):
+                raise ValueError(
+                    f"corrupt shard {shard_path}: index crc32c mismatch")
+            index = np.frombuffer(index_bytes, dtype="<u8") \
                 .reshape(*per_shard, 2)
             for cidx in np.ndindex(*per_shard):
                 off, nbytes = int(index[cidx][0]), int(index[cidx][1])
                 if off == _MISSING_CHUNK:
                     continue
-                if off + nbytes > len(raw) - index_nbytes:
+                if off + nbytes > len(raw) - tail_nbytes:
                     raise ValueError(
                         f"corrupt shard {shard_path}: chunk range "
                         f"[{off}, {off + nbytes}) exceeds payload")
@@ -469,6 +496,7 @@ def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
     shard = meta.shard_shape
     per_shard = tuple(s // c for s, c in zip(shard, meta.chunk_shape))
     index_nbytes = int(np.prod(per_shard)) * 16
+    tail_nbytes = index_nbytes + 4
     s0 = shard[0]
     shard_tail_counts = _chunk_count(meta.shape[1:], shard[1:]) \
         if len(meta.shape) > 1 else ()
@@ -480,8 +508,13 @@ def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
             if not shard_path.exists():
                 continue
             with open(shard_path, "rb") as fh:
-                fh.seek(-index_nbytes, 2)
-                index = np.frombuffer(fh.read(index_nbytes), dtype="<u8") \
+                fh.seek(-tail_nbytes, 2)
+                tail = fh.read(tail_nbytes)
+                if _crc32c(tail[:-4]) != int.from_bytes(tail[-4:],
+                                                        "little"):
+                    raise ValueError(f"corrupt shard {shard_path}: "
+                                     f"index crc32c mismatch")
+                index = np.frombuffer(tail[:-4], dtype="<u8") \
                     .reshape(*per_shard, 2)
                 for cidx in np.ndindex(*per_shard):
                     row_chunk = shard_row * per_shard[0] + cidx[0]
