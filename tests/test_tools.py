@@ -1,0 +1,51 @@
+"""Unit tests for the repo tools (no Spark session needed)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from bench_guard import compare  # noqa: E402
+
+
+def _run(a_queries, c_queries, a_total=None, c_total=None, ratio=2.0):
+    anchor = {"sf": "0.1", "value": a_total or sum(a_queries.values()),
+              "queries": a_queries}
+    current = {"sf": "0.1", "value": c_total or sum(c_queries.values()),
+               "queries": c_queries}
+    return compare(anchor, current, ratio)
+
+
+def test_guard_passes_within_envelope(capsys):
+    assert _run({"q1": 1.0, "q2": 2.0}, {"q1": 1.5, "q2": 3.0}) == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_guard_breaches_on_slow_scenario(capsys):
+    assert _run({"q1": 1.0, "q2": 2.0}, {"q1": 2.5, "q2": 2.0}) == 1
+    assert "BREACH" in capsys.readouterr().out
+
+
+def test_guard_noise_floor_absorbs_tiny_scenarios(capsys):
+    # 0.05s -> 0.2s is 4x but under the 0.3s noise floor -> no breach
+    assert _run({"q1": 0.05, "q2": 5.0}, {"q1": 0.2, "q2": 5.0}) == 0
+
+
+def test_guard_flags_dropped_scenarios(capsys):
+    assert _run({"q1": 1.0, "q2": 1.0}, {"q1": 1.0}) == 1
+    assert "dropped" in capsys.readouterr().out
+
+
+def test_guard_rejects_sf_mismatch(capsys):
+    anchor = {"sf": "0.1", "value": 1.0, "queries": {"q": 1.0}}
+    current = {"sf": "0.01", "value": 1.0, "queries": {"q": 1.0}}
+    assert compare(anchor, current, 2.0) == 2
+
+
+def test_guard_total_breach(capsys):
+    # every scenario within per-scenario envelope but total blown
+    assert _run({f"q{i}": 1.0 for i in range(10)},
+                {f"q{i}": 1.9 for i in range(10)},
+                a_total=10.0, c_total=21.0) == 1
