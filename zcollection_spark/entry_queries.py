@@ -1518,6 +1518,29 @@ GROUP BY s ORDER BY df DESC, gram LIMIT 20
 """
 
 
+def q_browse_no_buy(spark, sf_dir):
+    """Set-operator family: (user, day) pairs with views but no
+    purchases — ``except_`` over distinct keys plans as a left-anti
+    aggregate, one shuffle per side (the funnel-gap extraction every
+    behavioral pipeline runs)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts").alias("d")
+    viewed = (ev.where(F.col("event_type") == "view")
+              .select("user_id", day).distinct())
+    bought = (ev.where(F.col("event_type") == "purchase")
+              .select("user_id", day).distinct())
+    return viewed.exceptAll(bought)
+
+
+ORACLE_BROWSE_NO_BUY = """
+SELECT DISTINCT user_id, day(ts) AS d FROM events
+WHERE event_type = 'view'
+EXCEPT
+SELECT DISTINCT user_id, day(ts) FROM events
+WHERE event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1549,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_match": q_interval_match,
         "rollup_hourly": q_rollup_hourly,
         "user_sessions": q_user_sessions,
+        "browse_no_buy": q_browse_no_buy,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_latest": q_dedup_keep_latest,
         "capped_sample": q_capped_sample,
@@ -1607,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_match": ORACLE_INTERVAL_MATCH,
         "rollup_hourly": ORACLE_ROLLUP,
         "user_sessions": ORACLE_SESSIONS,
+        "browse_no_buy": ORACLE_BROWSE_NO_BUY,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_keep_latest": ORACLE_DEDUP_KEEP_LATEST,
         "capped_sample": ORACLE_CAPPED_SAMPLE,
