@@ -26,18 +26,20 @@ from zcollection_spark.data import TABLES  # noqa: E402
 
 
 def norm_value(v) -> str:
-    import decimal
+    # STRICT mode: no normalization beyond type-faithful stringification.
+    # The driver's hasher cannot reconcile representation differences
+    # (DuckDB DECIMAL/HUGEINT vs Spark long/double), so neither do we:
+    # a query only passes here if its final types stringify identically
+    # on both engines. Keep final projections BIGINT/DOUBLE on both sides.
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat(sep=" ")
-    return str(v)
+    return f"{type(v).__name__}:{v}"
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -84,6 +86,23 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        # Driver-strict final-type gate: DuckDB DECIMAL/HUGEINT outputs (and
+        # Spark decimal outputs) fail the driver's hasher even when values
+        # are numerically equal — its fetch path surfaces them with a
+        # different representation. Fail them here before hashing.
+        try:
+            dtypes = con.execute(
+                f"DESCRIBE ({oracles[name]})").fetchall()
+            bad_duck = [f"{r[0]}:{r[1]}" for r in dtypes
+                        if "DECIMAL" in r[1] or "HUGEINT" in r[1]]
+            if bad_duck:
+                problems.append(f"oracle DECIMAL/HUGEINT cols {bad_duck}")
+        except Exception:
+            pass
+        bad_spark = [f"{c}:{t}" for c, t in sdf.dtypes
+                     if t.startswith("decimal")]
+        if bad_spark:
+            problems.append(f"spark decimal cols {bad_spark}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
         if len(srows) != len(drows):

@@ -417,34 +417,45 @@ def q_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     # DECIMAL(12,4) inputs keep every product EXACT (price*disc = (25,8),
     # *tax = (38,12) — no precision overflow, hence no engine-specific
-    # rounding); final casts only WIDEN scale (zero-pad), never round
+    # rounding).  Final projection: shrink to the minimal ACTUAL scale
+    # (inputs have 2 dp, so products have <=4-6 dp — exact, no rounding),
+    # keeping the decimal mantissa < 2^53, then cast once to DOUBLE.
+    # Both engines then perform a single correctly-rounded conversion of
+    # the same exact rational -> bit-identical doubles.  (DECIMAL/HUGEINT
+    # final columns are unhashable cross-engine at the driver; a scale-12
+    # mantissa > 2^53 makes DuckDB's hugeint->double path double-round.)
     qty = F.col("l_quantity").cast("decimal(12,4)")
     price = F.col("l_extendedprice").cast("decimal(12,4)")
     disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)")
     tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(12,4)")
     return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(qty).cast("decimal(38,12)").alias("sum_qty"),
-                 F.sum(price).cast("decimal(38,12)")
+            .agg(F.sum(qty).cast("decimal(28,4)").cast("double")
+                 .alias("sum_qty"),
+                 F.sum(price).cast("decimal(28,4)").cast("double")
                  .alias("sum_base_price"),
-                 F.sum(price * disc).cast("decimal(38,12)")
+                 F.sum(price * disc).cast("decimal(28,4)").cast("double")
                  .alias("sum_disc_price"),
-                 F.sum(price * disc * tax).cast("decimal(38,12)")
-                 .alias("sum_charge"),
+                 F.sum(price * disc * tax).cast("decimal(30,6)")
+                 .cast("double").alias("sum_charge"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,12))
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4)))
+           AS DECIMAL(28,4)) AS DOUBLE)
          AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,12))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)))
+           AS DECIMAL(28,4)) AS DOUBLE)
          AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-           * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,12))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(12,4)))
+           AS DECIMAL(28,4)) AS DOUBLE)
          AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
            * CAST(1.0 - l_discount AS DECIMAL(12,4))
-           * CAST(1.0 + l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12))
+           * CAST(1.0 + l_tax AS DECIMAL(12,4)))
+           AS DECIMAL(30,6)) AS DOUBLE)
          AS sum_charge,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -472,15 +483,17 @@ def q_top_revenue_orders(spark, sf_dir):
             .where(F.col("l_shipdate")
                    > F.lit("1998-01-01").cast("date"))
             .groupBy("o_orderkey")
-            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
+                 .alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
             .limit(10))
 
 
 ORACLE_TOP_REVENUE = """
 SELECT o_orderkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-           * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(12,4)))
+           AS DECIMAL(28,4)) AS DOUBLE)
          AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -505,12 +518,14 @@ def q_revenue_delta(spark, sf_dir):
                      & (F.col("l_discount").cast("decimal(12,4)")
                         .between(0.05, 0.07))
                      & (F.col("l_quantity") < 24))
-            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue")))
+            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
+                 .alias("revenue")))
 
 
 ORACLE_REVENUE_DELTA = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                * CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8))
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                * CAST(l_discount AS DECIMAL(12,4)))
+            AS DECIMAL(28,4)) AS DOUBLE)
          AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -547,14 +562,15 @@ def q_regional_revenue(spark, sf_dir):
                               .select("r_regionkey")),
                   F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("n_name")
-            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue")))
+            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
+                 .alias("revenue")))
 
 
 ORACLE_REGIONAL_REVENUE = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
                 * CAST(1.0 - l_discount AS DECIMAL(12,4)))
-            AS DECIMAL(38,8)) AS revenue
+            AS DECIMAL(28,4)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -578,19 +594,21 @@ def q_promo_revenue(spark, sf_dir):
                   F.col("l_partkey") == F.col("p_partkey"))
             .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
             .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev))
-                 .cast("decimal(38,12)").alias("promo_revenue"),
-                 F.sum(rev).cast("decimal(38,12)").alias("total_revenue")))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("promo_revenue"),
+                 F.sum(rev).cast("decimal(28,4)").cast("double")
+                 .alias("total_revenue")))
 
 
 ORACLE_PROMO_REVENUE = """
 SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-       CAST(sum(CASE WHEN p_type = 'PROMO'
+       CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
                      THEN CAST(l_extendedprice AS DECIMAL(12,4))
                           * CAST(1.0 - l_discount AS DECIMAL(12,4)) END)
-            AS DECIMAL(38,12)) AS promo_revenue,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+            AS DECIMAL(28,4)) AS DOUBLE) AS promo_revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
                 * CAST(1.0 - l_discount AS DECIMAL(12,4)))
-            AS DECIMAL(38,12)) AS total_revenue
+            AS DECIMAL(28,4)) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY year(l_shipdate)
 """
@@ -879,10 +897,10 @@ def q_source_quality(spark, sf_dir):
 ORACLE_SOURCE_QUALITY = f"""
 WITH t AS (SELECT source, {_SPLIT} AS w FROM documents)
 SELECT source, count(*) AS n_docs,
-       sum(len(w)) AS total_tokens,
+       CAST(sum(len(w)) AS BIGINT) AS total_tokens,
        min(len(w)) AS min_tokens,
        max(len(w)) AS max_tokens,
-       sum(len(list_distinct(w))) AS total_distinct
+       CAST(sum(len(list_distinct(w))) AS BIGINT) AS total_distinct
 FROM t GROUP BY source
 """
 
@@ -1085,15 +1103,17 @@ def q_returned_item_losses(spark, sf_dir):
             .join(F.broadcast(nation.select("n_nationkey", "n_name")),
                   on=F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
+                 .alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
             .limit(20))
 
 
 ORACLE_RETURNED_LOSSES = """
 SELECT c_custkey, c_name, n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-           * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(12,4)))
+           AS DECIMAL(28,4)) AS DOUBLE)
          AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1131,10 +1151,10 @@ def q_priority_class_counts(spark, sf_dir):
 
 ORACLE_PRIORITY_CLASS = """
 SELECT o_orderstatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -1249,13 +1269,15 @@ def q_revenue_rollup(spark, sf_dir):
     qty = F.col("l_quantity").cast("decimal(12,4)")
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(qty).cast("decimal(38,12)").alias("sum_qty"),
+                 F.sum(qty).cast("decimal(28,4)").cast("double")
+                 .alias("sum_qty"),
                  F.grouping_id().alias("gid")))
 
 
 ORACLE_REVENUE_ROLLUP = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,12))
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4)))
+           AS DECIMAL(28,4)) AS DOUBLE)
          AS sum_qty,
        GROUPING(l_returnflag, l_linestatus) AS gid
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -1345,7 +1367,8 @@ def q_big_orders(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     qty = F.col("l_quantity").cast("decimal(12,4)")
     big = (li.groupBy("l_orderkey")
-           .agg(F.sum(qty).cast("decimal(38,4)").alias("total_qty"))
+           .agg(F.sum(qty).cast("decimal(28,4)").cast("double")
+                .alias("total_qty"))
            .where(F.col("total_qty") > 180))
     return (orders.join(big,
                         on=F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1357,8 +1380,8 @@ ORACLE_BIG_ORDERS = """
 SELECT o_orderkey, o_custkey, o_orderdate, total_qty
 FROM orders
 JOIN (SELECT l_orderkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,4)))
-                  AS DECIMAL(38,4)) AS total_qty
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4)))
+                  AS DECIMAL(28,4)) AS DOUBLE) AS total_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING total_qty > 180) ON o_orderkey = l_orderkey
 """
@@ -1446,14 +1469,16 @@ def q_trade_flows(spark, sf_dir):
                 "n_nationkey AS cn_key", "n_name AS cust_nation")),
                 on=F.col("c_nationkey") == F.col("cn_key"))
             .groupBy("supp_nation", "cust_nation")
-            .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
+                 .alias("revenue"),
                  F.count(F.lit(1)).alias("n_lines")))
 
 
 ORACLE_TRADE_FLOWS = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-           * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(12,4)))
+           AS DECIMAL(28,4)) AS DOUBLE)
          AS revenue,
        count(*) AS n_lines
 FROM lineitem
