@@ -187,3 +187,43 @@ def test_read_row_ranges_unknown_partition_is_empty(spark, tmp_path):
         schema=schema.to_struct_type()))
     with pytest.raises(Exception):
         coll.read_row_ranges({"num=99": [(0, 5)]}).collect()
+
+
+def test_hadoopfs_text_roundtrip_via_jvm(spark, tmp_path):
+    """HadoopFS metadata I/O must round-trip through the py4j bridge.
+
+    py4j converts byte arrays BY VALUE, so the in-out ``stream.read(buf)``
+    idiom silently yields NUL-filled garbage — catalogs and configs on any
+    non-local scheme would always read as corrupt.  Regression for the
+    IOUtils.toByteArray fix; ``file://`` exercises the same JVM path as
+    s3a/gs/abfs."""
+    from zcollection_spark.fs import HadoopFS
+    fs = HadoopFS(spark)
+    path = f"file://{tmp_path}/meta/_zcollection.json"
+    payload = '{"k": "v", "unicode": "áé"}' * 100
+    fs.write_text(path, payload)
+    assert fs.exists(path)
+    assert fs.read_text(path) == payload
+    fs.mkdirs(f"file://{tmp_path}/meta/year=2024/month=1")
+    fs.mkdirs(f"file://{tmp_path}/meta/year=2024/month=2")
+    assert fs.list_partition_dirs(f"file://{tmp_path}/meta", 2) == [
+        "year=2024/month=1", "year=2024/month=2"]
+
+
+def test_catalog_add_on_corrupt_rebuilds_from_walk(spark, seq_collection,
+                                                   seq_pdf, tmp_path):
+    """``Catalog.add`` on a corrupt catalog must re-walk the store before
+    merging — writing only the delta would produce a valid-but-incomplete
+    catalog that hides every pre-existing partition from catalog readers
+    until a manual repair."""
+    cat_file = tmp_path / "seq" / "_catalog" / "state.json"
+    cat_file.write_text("{broken")
+    new = seq_pdf.copy()
+    new["num"] = new["num"] + 10
+    bound = seq_collection.schema.with_partition_axis("num")
+    seq_collection.insert(
+        spark.createDataFrame(new, schema=bound.to_struct_type()),
+        merge="concat")
+    # the catalog document itself (not the walk fallback) holds everything
+    assert set(seq_collection._catalog.read()) == {
+        "num=0", "num=1", "num=2", "num=10", "num=11", "num=12"}

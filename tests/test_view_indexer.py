@@ -210,3 +210,24 @@ def test_view_over_zarr_base(spark, tmp_path):
     # reopen resolves the zarr base from the view config
     reopened = View.open(spark, view.path)
     assert reopened.query().count() == 8
+
+
+def test_view_ordered_query_sort_survives_immutable_attach(
+        spark, tmp_path, seq_collection):
+    """ordered=True must place the sort AFTER the projection and the
+    _attach_immutable crossJoin — Catalyst's EliminateSorts silently drops
+    sorts buried under joins/projections (regression for the early
+    orderBy)."""
+    view = View.create(spark, str(tmp_path / "v"), base=seq_collection,
+                       variables=[_derived_var()])
+
+    def compute(pdf):
+        return pd.DataFrame({"derived": [1.0] * len(pdf)})
+
+    view.update(compute)
+    df = view.query(ordered=True)
+    assert "static" in df.columns  # immutables really attached
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lstrip().startswith("Sort"), plan.splitlines()[0]
+    nums = [r["num"] for r in df.collect()]
+    assert nums == sorted(nums)

@@ -133,3 +133,27 @@ def test_zarr_string_upsert_merge(spark, tmp_path):
                 merge="upsert")
     got = {r["num"]: r["txt"] for r in coll.query().collect()}
     assert got == {1: "one", 2: "TWO", 3: "three", 4: "four"}
+
+
+def test_zarr_columns_substring_of_partition_key(spark, tmp_path):
+    """A requested column whose name CONTAINS a partition key as a
+    substring ('year_total' vs derived key 'year') must not drag the key
+    into the reader schema (regression: the schema built the wanted-set
+    test on the raw comma-joined option string)."""
+    pdf = pd.DataFrame({
+        "time": pd.to_datetime(["2024-01-05", "2024-02-03"]),
+        "year_total": np.array([1.0, 2.0], dtype=np.float32)})
+    schema = (zc.SchemaBuilder().add_dimension("time")
+              .add_variable("time", "datetime64[us]", ("time",))
+              .add_variable("year_total", "float32", ("time",))
+              .build("time"))
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "zy"), schema=schema, axis="time",
+        partitioning=zc.Date(("time",), resolution="M"))
+    coll.insert(spark.createDataFrame(
+        pdf, schema=schema.with_partition_axis("time").to_struct_type()))
+    df = (spark.read.format("zarr3")
+          .option("path", str(tmp_path / "zy"))
+          .option("columns", "year_total").load())
+    assert df.columns == ["year_total"]
+    assert sorted(r["year_total"] for r in df.collect()) == [1.0, 2.0]

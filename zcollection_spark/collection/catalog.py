@@ -32,9 +32,26 @@ def _checksum(partitions: list[str]) -> str:
 
 
 class Catalog:
-    def __init__(self, fs, root: str):
+    def __init__(self, fs, root: str, *, walk_depth: int | None = None):
         self._fs = fs
-        self._path = f"{root.rstrip('/')}/{CATALOG_RELPATH}"
+        self._root = root.rstrip("/")
+        self._path = f"{self._root}/{CATALOG_RELPATH}"
+        self._walk_depth = walk_depth
+
+    def _baseline(self) -> list[str]:
+        """Current catalog, or — if it's absent/corrupt — a store walk.
+
+        Without the walk, an ``add()`` on a corrupt catalog would write a
+        valid-but-incomplete document containing only the delta, silently
+        hiding every pre-existing partition from catalog readers until a
+        manual ``repair_catalog``.
+        """
+        current = self.read()
+        if current is not None:
+            return current
+        if self._walk_depth is not None:
+            return self._fs.list_partition_dirs(self._root, self._walk_depth)
+        return []
 
     def read(self) -> list[str] | None:
         """Sorted partition relpaths, or None if absent/corrupt."""
@@ -57,15 +74,13 @@ class Catalog:
 
     def add(self, new: list[str]) -> list[str]:
         with _LOCKS[self._path]:
-            current = self.read() or []
-            merged = sorted(set(current) | set(new))
+            merged = sorted(set(self._baseline()) | set(new))
             self.write(merged)
             return merged
 
     def remove(self, gone: list[str]) -> list[str]:
         with _LOCKS[self._path]:
-            current = self.read() or []
-            merged = sorted(set(current) - set(gone))
+            merged = sorted(set(self._baseline()) - set(gone))
             self.write(merged)
             return merged
 

@@ -135,7 +135,8 @@ class Collection:
         self.mode = mode
         self.catalog_enabled = catalog_enabled
         self._fs = fsmod.fs_for(self.path, spark)
-        self._catalog = Catalog(self._fs, self.path)
+        self._catalog = Catalog(self._fs, self.path,
+                                walk_depth=partitioning.depth)
 
     # ------------------------------------------------------------------
     # partition enumeration + pruning (collection/base.py:302-386)

@@ -109,14 +109,12 @@ class HadoopFS:
         fs, jpath = self._fs_path(path)
         stream = fs.open(jpath)
         try:
-            chunks = []
-            while True:
-                buf = bytearray(65536)
-                n = stream.read(buf)
-                if n <= 0:
-                    break
-                chunks.append(bytes(buf[:n]))
-            return b"".join(chunks).decode("utf-8")
+            # py4j converts byte arrays BY VALUE, so the in-out
+            # ``stream.read(buf)`` idiom never fills the Python-side buffer.
+            # Drain the stream JVM-side and take the returned byte[] (py4j
+            # maps Java byte[] return values to Python bytes).
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
         finally:
             stream.close()
 

@@ -224,8 +224,6 @@ class View:
                 joined = base_df
         else:
             joined = base_df
-        if ordered:
-            joined = joined.orderBy(*keys, self.base.axis)
         # project like Collection.query: partitioned vars (+ overlay), then
         # attach base immutables
         base_keep = [v.name for v in self.base.schema.partitioned_variables
@@ -238,7 +236,17 @@ class View:
                         and (wanted is None or v.name in wanted
                              or v.name.rsplit("/", 1)[-1] in wanted)]
         joined = joined.select(*base_keep, *overlay_keep)
-        return self.base._attach_immutable(joined, wanted)
+        joined = self.base._attach_immutable(joined, wanted)
+        if ordered:
+            # the sort must be the LAST operator (after the projection and
+            # the _attach_immutable crossJoin) — Catalyst's EliminateSorts
+            # drops sorts buried under joins/projections, so an earlier
+            # orderBy could silently disappear (see Collection.query)
+            sort_cols = [c for c in (*keys, self.base.axis)
+                         if c in joined.columns]
+            if sort_cols:
+                joined = joined.orderBy(*sort_cols)
+        return joined
 
     def drop(self) -> None:
         self._fs.delete(self.path)

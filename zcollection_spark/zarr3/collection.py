@@ -159,7 +159,8 @@ class ZarrCollection:
         self.axis = schema.axis
         self.catalog_enabled = True
         self._fs = LocalFS()
-        self._catalog = Catalog(self._fs, self.path)
+        self._catalog = Catalog(self._fs, self.path,
+                                walk_depth=partitioning.depth)
         datasource.register(spark)
 
     # ------------------------------------------------------------------

@@ -217,7 +217,9 @@ class ZarrWriter(DataSourceArrowWriter):
         from ..fs import LocalFS
         rels = sorted({r for m in messages if m is not None
                        for r in m.relpaths})
-        Catalog(LocalFS(), self.spec["root"]).add(rels)
+        from ..partitioning import from_json as pj
+        depth = pj(json.loads(self.spec["partitioning_json"])).depth
+        Catalog(LocalFS(), self.spec["root"], walk_depth=depth).add(rels)
 
     def abort(self, messages):
         # written-but-uncommitted groups stay invisible to catalog-backed
@@ -241,8 +243,9 @@ class ZarrDataSource(DataSource):
             [f for f in dataset_schema.to_struct_type().fields
              if not dataset_schema.variable_map[f.name].immutable])
         columns = self.options.get("columns")
-        if columns:
-            wanted = {c.strip() for c in columns.split(",")}
+        wanted = ({c.strip() for c in columns.split(",")}
+                  if columns else None)
+        if wanted is not None:
             struct = T.StructType(
                 [f for f in struct.fields if f.name in wanted])
         # derived partition-key columns (Date year/month/…) appear as
@@ -250,7 +253,7 @@ class ZarrDataSource(DataSource):
         fields = list(struct.fields)
         for kname in partitioning.keys:
             if kname not in dataset_schema.variable_map:
-                if not columns or kname in columns:
+                if wanted is None or kname in wanted:
                     fields.append(T.StructField(kname, T.LongType()))
         return T.StructType(fields)
 
