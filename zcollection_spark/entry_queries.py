@@ -956,8 +956,9 @@ FROM r WHERE rank <= 10
 
 def q_knn_lsh(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH buckets — the scale
-    path of similarity search.  Approximate by design → rows-only check
-    (no SQL oracle)."""
+    path of similarity search.  Approximate but seed-DETERMINISTIC: the
+    hyperplanes are a pure function of (dim, n_planes, seed), so
+    :func:`_lsh_oracle` replays the exact bucketing in DuckDB."""
     from .functions import lsh_bucket_topk
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -969,18 +970,144 @@ def q_knn_lsh(spark, sf_dir):
                        F.col("rank").cast("long").alias("rank"))
 
 
+def _lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                seed: int = 42, k: int = 10) -> str:
+    """Exact DuckDB replay of :func:`q_knn_lsh`.
+
+    The seed-deterministic hyperplanes (similarity.py ``_hyperplanes``)
+    are embedded as literal DOUBLE[] rows; bucket = Σ 2^i over planes
+    with a non-negative dot product, exactly the Spark signature."""
+    from .functions.similarity import _hyperplanes
+    vals = []
+    for t in range(n_tables):
+        for i, plane in enumerate(_hyperplanes(dim, n_planes,
+                                               seed + 7919 * t)):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            vals.append(f"({t}, {1 << i}, CAST({lit} AS DOUBLE[]))")
+    planes_sql = ",\n".join(vals)
+    return f"""
+WITH planes(t, w, p) AS (VALUES {planes_sql}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+cb AS (SELECT vec_id, t,
+              sum(CASE WHEN list_dot_product(v, p) >= 0
+                       THEN w ELSE 0 END) AS b
+       FROM c, planes GROUP BY vec_id, t),
+qb AS (SELECT vec_id, t,
+              sum(CASE WHEN list_dot_product(v, p) >= 0
+                       THEN w ELSE 0 END) AS b
+       FROM q, planes GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS cid
+         FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b),
+s AS (SELECT qid, cid,
+             list_dot_product(qv.v, cv.v)
+             / (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+      FROM cand
+      JOIN q qv ON qv.vec_id = qid
+      JOIN c cv ON cv.vec_id = cid),
+r AS (SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rank
+      FROM s)
+SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _ivf_centroids(sf_dir: str, n_cells: int = 8, seed: int = 42,
+                   train_cap: int = 100_000,
+                   iters: int = 10) -> "list[list[float]]":
+    """Deterministic IVF centroids for ``{sf_dir}/embeddings.parquet``.
+
+    Trains the same seeded Lloyd loop ``ivf_topk`` uses on the same
+    id-ordered sample, read driver-side via DuckDB — so the Spark query
+    and the SQL oracle can share BIT-IDENTICAL centroid literals (train
+    once, reuse the index: the realistic production flow)."""
+    import duckdb
+    from .functions.similarity import _lloyd_kmeans
+    sample = [r[0] for r in duckdb.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) "
+        f"FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {train_cap}").fetchall()]
+    return _lloyd_kmeans(sample, n_cells, seed=seed, iters=iters)
+
+
+_IVF_CENTROID_CACHE: dict = {}
+
+
+def _ivf_centroids_cached(sf_dir: str) -> "list[list[float]]":
+    if sf_dir not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[sf_dir] = _ivf_centroids(sf_dir)
+    return _IVF_CENTROID_CACHE[sf_dir]
+
+
 def q_knn_ivf(spark, sf_dir):
-    """IVF approximate top-k (KMeans cells + n_probe search) — the other
-    ANN scale path.  Approximate → rows-only check."""
+    """IVF approximate top-k (k-means cells + n_probe search) — the other
+    ANN scale path.  Deterministic: reuses the pre-trained centroids from
+    :func:`_ivf_centroids`, which :func:`_ivf_oracle` embeds as literals
+    so DuckDB replays cell assignment, probing, and ranking exactly."""
     from .functions import ivf_topk
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
     topk = ivf_topk(emb, queries_df, id_col="vec_id",
                     vec_col="embedding", query_id_col="vec_id",
-                    k=10, n_cells=8, n_probe=4)
+                    k=10, n_cells=8, n_probe=4,
+                    centroids=_ivf_centroids_cached(sf_dir))
     return topk.select("query_id", "vec_id",
                        F.round("cosine", 6).alias("cosine"),
                        F.col("rank").cast("long").alias("rank"))
+
+
+def _ivf_oracle(centroids: "list[list[float]]", n_probe: int = 4,
+                k: int = 10) -> str:
+    """Exact DuckDB replay of :func:`q_knn_ivf` with literal centroids.
+
+    ``csq`` (the |c|² term of the expanded squared distance) is embedded
+    as the numpy-computed literal the Spark-side pandas UDF uses, so the
+    argmin sees the same constants on both engines."""
+    import numpy as np
+    cent_np = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cent_np * cent_np).sum(axis=1)
+    vals = []
+    for j, c in enumerate(centroids):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        vals.append(f"({j}, CAST({lit} AS DOUBLE[]), {cent_sq[j]!r})")
+    cents_sql = ",\n".join(vals)
+    return f"""
+WITH cents(cell, p, csq) AS (VALUES {cents_sql}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+cd AS (SELECT vec_id, cell,
+              row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY -2.0 * list_dot_product(v, p) + csq, cell) AS rn
+       FROM c, cents),
+cell_of AS (SELECT vec_id, cell FROM cd WHERE rn = 1),
+qd AS (SELECT vec_id, cell,
+              row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY -2.0 * list_dot_product(v, p) + csq, cell) AS rn
+       FROM q, cents),
+probes AS (SELECT vec_id, cell FROM qd WHERE rn <= {n_probe}),
+cand AS (SELECT pr.vec_id AS qid, co.vec_id AS cid
+         FROM probes pr JOIN cell_of co ON pr.cell = co.cell),
+s AS (SELECT qid, cid,
+             list_dot_product(qv.v, cv.v)
+             / (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+      FROM cand
+      JOIN q qv ON qv.vec_id = qid
+      JOIN c cv ON cv.vec_id = cid),
+r AS (SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rank
+      FROM s)
+SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1672,6 +1799,9 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": ORACLE_TOP_NGRAMS,
         "fingerprint": ORACLE_FINGERPRINT,
         "knn_bruteforce": ORACLE_KNN,
+        "knn_lsh": _lsh_oracle(),
+        "knn_ivf": _ivf_oracle(
+            _ivf_centroids_cached("/root/testdata/sf0.01")),
         "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
         "multimodal_features": ORACLE_MULTIMODAL,
         "zarr_roundtrip": ORACLE_ZARR,

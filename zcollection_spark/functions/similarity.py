@@ -110,7 +110,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
              query_vec_col: str | None = None, k: int = 10,
              n_cells: int = 16, n_probe: int = 2,
              seed: int = 42, train_cap: int = 100_000,
-             max_iter: int = 10) -> DataFrame:
+             max_iter: int = 10,
+             centroids: "list[list[float]] | None" = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the
     corpus into cells, each query probes its ``n_probe`` nearest cells,
     and exact cosine ranks only within probed cells.
@@ -126,10 +127,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     # rows is driver-sized BY DESIGN).  Spark ML KMeans runs one Spark
     # job per iteration, which at small-to-medium scale costs seconds of
     # pure scheduling; a numpy Lloyd loop on the sample is milliseconds
-    # and bit-deterministic for a given seed.
-    sample = [r[0] for r in corpus.select(vec_col)
-              .limit(max(train_cap, n_cells)).collect()]
-    cent = _lloyd_kmeans(sample, n_cells, seed=seed, iters=max_iter)
+    # and bit-deterministic for a given seed.  The sample is ordered by
+    # ``id_col`` so training is reproducible regardless of scan order;
+    # a pre-trained index can be reused by passing ``centroids``.
+    if centroids is None:
+        sample = [r[0] for r in corpus.select(id_col, vec_col)
+                  .orderBy(id_col).limit(max(train_cap, n_cells))
+                  .select(vec_col).collect()]
+        cent = _lloyd_kmeans(sample, n_cells, seed=seed, iters=max_iter)
+    else:
+        cent = [list(map(float, c_)) for c_ in centroids]
 
     # corpus -> cell assignment: vectorized Arrow-batched pandas UDF, one
     # (batch x dim) @ (dim x cells) matmul per batch with the centroid
