@@ -244,3 +244,51 @@ def test_audio_features_plumbing(spark):
     with _pytest.raises(Exception, match="NotImplementedError|torchaudio"):
         extract_audio_features(with_payload, id_col="doc_id",
                                fake=False).collect()
+
+
+def test_embedding_dup_pairs_methods_agree(spark):
+    """block (distributed exact) and broadcast (driver exact) must return
+    identical pair sets; lsh must return a subset that is exact on the
+    pairs it keeps."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 16))
+    # plant near-dups: rows 30..34 are jittered copies of rows 0..4
+    dups = base[:5] + rng.normal(scale=0.01, size=(5, 16))
+    mat = np.vstack([base, dups]).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(35, dtype=np.int64),
+                        "embedding": [v.tolist() for v in mat]})
+    df = spark.createDataFrame(pdf)
+
+    def pairset(method, **kw):
+        rows = embedding_dup_pairs(df, id_col="vec_id",
+                                   vec_col="embedding", threshold=0.95,
+                                   method=method, **kw).collect()
+        return {(r["id_a"], r["id_b"]): round(r["cosine"], 9)
+                for r in rows}
+
+    block = pairset("block", n_blocks=4)
+    bcast = pairset("broadcast")
+    assert block == bcast and len(block) >= 5
+    lsh = pairset("lsh", n_planes=4, n_tables=8, dim=16)
+    assert set(lsh).issubset(set(block))
+    for pair, cos in lsh.items():
+        assert abs(cos - block[pair]) < 1e-9
+
+
+def test_embedding_dup_pairs_block_no_driver_collect(spark, monkeypatch):
+    """The default (block) path must build a lazy plan — no collect(),
+    first(), or toPandas() on the driver during construction."""
+    from pyspark.sql import DataFrame as SparkDF
+    vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    def boom(*a, **k):
+        raise AssertionError("driver materialization during construction")
+
+    for name in ("collect", "first", "take", "toPandas"):
+        monkeypatch.setattr(SparkDF, name, boom)
+    out = embedding_dup_pairs(df, id_col="vec_id", vec_col="embedding",
+                              threshold=0.99)  # method defaults to block
+    monkeypatch.undo()
+    pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert pairs == [(0, 1)]

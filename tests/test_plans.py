@@ -220,3 +220,14 @@ def test_index_query_grid_semi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_dedup_embedding_block_plan(spark):
+    """Exact embedding dedup must be the distributed block path: Arrow
+    mapInPandas tasks, equi-joined block pairs (no nested-loop join), and
+    nothing funneled through the driver."""
+    df = eq.queries()["dedup_embedding"](spark, SF_DIR)
+    plan = executed_plan(df)
+    fp = final_plan(plan)
+    assert "MapInPandas" in fp
+    assert "BroadcastNestedLoopJoin" not in fp

@@ -785,13 +785,60 @@ FROM sig l JOIN sig r
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    """Embedding-cosine near-duplicate pairs — exact, fully distributed:
+    block × block matmul tasks, no driver collect (method="block")."""
     from .functions import embedding_dup_pairs
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_dup_pairs(emb, id_col="vec_id", vec_col="embedding",
-                                threshold=0.4)
+                                threshold=0.4, method="block")
     return pairs.select("id_a", "id_b",
                         F.round("cosine", 6).alias("cosine"))
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Sub-quadratic near-dup pairs: LSH bucket prefilter + exact cosine
+    within buckets.  Seed-deterministic, so the oracle REPLAYS the
+    bucketing (like knn_lsh) instead of comparing against exact truth."""
+    from .functions import embedding_dup_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, id_col="vec_id", vec_col="embedding",
+                                threshold=0.45, method="lsh",
+                                n_planes=4, n_tables=8, dim=64)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 6).alias("cosine"))
+
+
+def _dedup_lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                      seed: int = 42, threshold: float = 0.45) -> str:
+    """Exact DuckDB replay of :func:`q_dedup_embedding_lsh`."""
+    from .functions.similarity import _hyperplanes
+    vals = []
+    for t in range(n_tables):
+        for i, plane in enumerate(_hyperplanes(dim, n_planes,
+                                               seed + 7919 * t)):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            vals.append(f"({t}, {1 << i}, CAST({lit} AS DOUBLE[]))")
+    planes_sql = ",\n".join(vals)
+    return f"""
+WITH planes(t, w, p) AS (VALUES {planes_sql}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, t,
+             sum(CASE WHEN list_dot_product(v, p) >= 0
+                      THEN w ELSE 0 END) AS b
+      FROM c, planes GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         FROM b l JOIN b r
+           ON l.t = r.t AND l.b = r.b AND l.vec_id < r.vec_id),
+s AS (SELECT id_a, id_b,
+             list_dot_product(a.v, bb.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(bb.v, bb.v))) AS cos
+      FROM cand
+      JOIN c a ON a.vec_id = id_a
+      JOIN c bb ON bb.vec_id = id_b)
+SELECT id_a, id_b, round(cos, 6) AS cosine
+FROM s WHERE cos >= {threshold}
+"""
 
 
 ORACLE_DEDUP_EMBEDDING = """
@@ -1733,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "langid_confusion": q_langid_confusion,
@@ -1792,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+        "dedup_embedding_lsh": _dedup_lsh_oracle(),
         "text_stats": ORACLE_TEXT_STATS,
         "language_id": _langid_oracle(),
         "langid_confusion": _langid_confusion_oracle(),

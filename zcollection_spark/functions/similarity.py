@@ -193,19 +193,151 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
 
 
 def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
-                        threshold: float = 0.95) -> DataFrame:
+                        threshold: float = 0.95,
+                        method: str = "block", n_blocks: int = 16,
+                        n_planes: int = 8, n_tables: int = 8,
+                        seed: int = 42,
+                        dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ t).
 
-    Exact all-pairs variant for a comparison set that fits in a broadcast:
-    the corpus is collected once into a dense row-normalized matrix and
-    broadcast; each ``mapInPandas`` task compares its Arrow batch against
-    it with ONE BLAS matmul and emits only the matching upper-triangle
-    pairs — the quadratic pair set is never materialized as rows.  (A
-    per-pair join with interpreted higher-order-function dot products was
-    the first version; the matmul is ~10x faster at sf0.01 and the gap
-    grows quadratically.)  For unbounded corpora the scale path is an LSH
-    prefilter (:func:`lsh_bucket_topk` buckets) before the exact cosine.
+    Three strategies, all lazy DataFrame plans:
+
+    - ``method="block"`` (default) — EXACT at any threshold with no
+      driver collect: vectors are hashed into ``n_blocks`` groups, every
+      unordered block pair meets in one task, and each task runs a single
+      normalized BLAS matmul over its two blocks, emitting only matching
+      pairs.  The O(n²) comparison work is inherent to exact all-pairs —
+      this distributes it evenly (B(B+1)/2 bounded-size tasks) instead of
+      funneling the corpus through the driver.  Size ``n_blocks`` so one
+      block (~n/B vectors × dim doubles) fits comfortably in a task.
+    - ``method="lsh"`` — the sub-quadratic scale path for HIGH thresholds
+      (true near-dup, cosine ≳ 0.9): sign-bit signatures against
+      seed-deterministic hyperplanes; only pairs sharing a
+      (table, bucket) are candidates, then exact cosine ≥ t inside
+      buckets.  Deterministic for a given seed, but a pair colliding in
+      no table is missed — recall is 1-(1-(1-θ/π)^P)^L, which collapses
+      for low thresholds (θ/π → ½), so this is NOT offered as exact.
+    - ``method="broadcast"`` — the corpus is collected and broadcast as a
+      dense row-normalized matrix; each Arrow batch compares against it
+      with one matmul.  Only for a comparison set that fits in a
+      broadcast (~10⁶ vectors); unbounded corpora must use the other two.
     """
+    if method == "block":
+        return _dup_pairs_block(df, id_col=id_col, vec_col=vec_col,
+                                threshold=threshold, n_blocks=n_blocks)
+    if method == "lsh":
+        return _dup_pairs_lsh(df, id_col=id_col, vec_col=vec_col,
+                              threshold=threshold, n_planes=n_planes,
+                              n_tables=n_tables, seed=seed, dim=dim)
+    if method == "broadcast":
+        return _dup_pairs_broadcast(df, id_col=id_col, vec_col=vec_col,
+                                    threshold=threshold)
+    raise ValueError(f"unknown method {method!r} "
+                     "(expected block|lsh|broadcast)")
+
+
+def _dup_pairs_block(df: DataFrame, *, id_col: str, vec_col: str,
+                     threshold: float, n_blocks: int) -> DataFrame:
+    """Exact distributed all-pairs: block × block matmul tasks."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    blk = F.pmod(F.crc32(F.col(id_col).cast("string")),
+                 F.lit(n_blocks)).cast("int")
+    packed = (df.select(blk.alias("__blk"),
+                        F.struct(F.col(id_col).alias("id"),
+                                 F.col(vec_col).alias("vec")).alias("__r"))
+              .groupBy("__blk")
+              .agg(F.collect_list("__r").alias("__rows")))
+    # the B(B+1)/2 unordered block pairs are a pure function of n_blocks —
+    # build them driver-side so both joins stay broadcast EQUI-joins (a
+    # `<=` condition would force a nested-loop join carrying the heavy
+    # packed rows through it)
+    spark = df.sparkSession
+    pair_keys = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "__blk_a int, __blk_b int")
+    pairs = (F.broadcast(pair_keys)
+             .join(packed.select(F.col("__blk").alias("__blk_a"),
+                                 F.col("__rows").alias("__rows_a")),
+                   on="__blk_a")
+             .join(packed.select(F.col("__blk").alias("__blk_b"),
+                                 F.col("__rows").alias("__rows_b")),
+                   on="__blk_b"))
+    # spread the block-pair tasks across the cluster; each task's input is
+    # two blocks (~2·n/B vectors), each block travels in ~B tasks — the
+    # unavoidable data replication of exact all-pairs, made explicit
+    pairs = pairs.repartition(max(n_blocks, 8), "__blk_a", "__blk_b")
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ra, rb = row["__rows_a"], row["__rows_b"]
+                ids_a = np.array([r["id"] for r in ra])
+                mat_a = np.array([r["vec"] for r in ra], dtype=np.float64)
+                na = np.linalg.norm(mat_a, axis=1)
+                na[na == 0.0] = 1.0
+                mat_a /= na[:, None]
+                same = row["__blk_a"] == row["__blk_b"]
+                if same:
+                    ids_b, mat_b = ids_a, mat_a
+                else:
+                    ids_b = np.array([r["id"] for r in rb])
+                    mat_b = np.array([r["vec"] for r in rb],
+                                     dtype=np.float64)
+                    nb = np.linalg.norm(mat_b, axis=1)
+                    nb[nb == 0.0] = 1.0
+                    mat_b /= nb[:, None]
+                sims = mat_a @ mat_b.T
+                ia, ib = np.nonzero(sims >= threshold)
+                left, right = ids_a[ia], ids_b[ib]
+                if same:
+                    keep = left < right  # upper triangle once
+                    id_lo, id_hi = left[keep], right[keep]
+                    cos = sims[ia, ib][keep]
+                else:
+                    # ids are disjoint across blocks; normalize the pair
+                    # orientation (the lower id may live in EITHER block)
+                    id_lo = np.minimum(left, right)
+                    id_hi = np.maximum(left, right)
+                    cos = sims[ia, ib]
+                yield pd.DataFrame({"id_a": id_lo, "id_b": id_hi,
+                                    "cosine": cos})
+
+    return pairs.mapInPandas(
+        gen, f"id_a {id_type}, id_b {id_type}, cosine double")
+
+
+def _dup_pairs_lsh(df: DataFrame, *, id_col: str, vec_col: str,
+                   threshold: float, n_planes: int, n_tables: int,
+                   seed: int, dim: int | None) -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates meet in a (table, bucket)
+    equi-join, exact cosine only inside buckets."""
+    if dim is None:
+        dim = int(df.select(F.size(vec_col).alias("n")).first()["n"])
+    buckets = _table_buckets_udf(dim, n_planes, n_tables, seed)
+    sig = df.select(F.col(id_col).alias("__id"),
+                    F.posexplode(buckets(F.col(vec_col)))
+                    .alias("__t", "__b"))
+    cand = (sig.alias("l")
+            .join(sig.alias("r"),
+                  [F.col("l.__t") == F.col("r.__t"),
+                   F.col("l.__b") == F.col("r.__b"),
+                   F.col("l.__id") < F.col("r.__id")])
+            .select(F.col("l.__id").alias("id_a"),
+                    F.col("r.__id").alias("id_b"))
+            .distinct())
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("__vb"))
+    sim = cosine_similarity_col(F.col("__va"), F.col("__vb"))
+    return (cand.join(va, on="id_a").join(vb, on="id_b")
+            .select("id_a", "id_b", sim.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+def _dup_pairs_broadcast(df: DataFrame, *, id_col: str, vec_col: str,
+                         threshold: float) -> DataFrame:
+    """Exact pairs against a broadcast-sized comparison set."""
     id_type = df.schema[id_col].dataType.simpleString()
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
@@ -261,6 +393,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
+def _table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Arrow-batched UDF computing all ``n_tables`` bucket ids per vector
+    in ONE (batch × dim) @ (dim × tables·planes) matmul — per-plane HOF
+    expressions cost ~L·P interpreter passes per row and dominate at
+    realistic table counts."""
+    planes = np.array([_hyperplanes(dim, n_planes, seed + 7919 * t)
+                       for t in range(n_tables)], dtype=np.float64)
+    mat = planes.reshape(n_tables * n_planes, dim).T.copy()
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    n_t, n_p = n_tables, n_planes
+
+    @F.pandas_udf("array<long>")
+    def table_buckets(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (V @ mat >= 0).reshape(len(V), n_t, n_p)
+        return pd.Series(list((bits * weights).sum(axis=2)))
+
+    return table_buckets
+
+
 def lsh_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit i = 1 iff dot(vec, plane_i) >= 0."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
@@ -292,22 +444,7 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
     if dim is None:
         sample = corpus.select(F.size(vec_col).alias("n")).first()
         dim = int(sample["n"])
-
-    # all L*P plane dot products in ONE Arrow-batched matmul per batch —
-    # per-plane HOF expressions cost ~L*P interpreter passes per row and
-    # dominated the runtime at 8 tables
-    import numpy as np
-    planes = np.array([_hyperplanes(dim, n_planes, seed + 7919 * t)
-                       for t in range(n_tables)], dtype=np.float64)
-    mat = planes.reshape(n_tables * n_planes, dim).T.copy()
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-    n_t, n_p = n_tables, n_planes
-
-    @F.pandas_udf("array<long>")
-    def table_buckets(vecs: pd.Series) -> pd.Series:
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        bits = (V @ mat >= 0).reshape(len(V), n_t, n_p)
-        return pd.Series(list((bits * weights).sum(axis=2)))
+    table_buckets = _table_buckets_udf(dim, n_planes, n_tables, seed)
 
     # signatures only — vectors stay out of the candidate join, and a
     # pair meeting in several tables is deduped BEFORE the cosine (the
