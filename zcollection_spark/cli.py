@@ -111,15 +111,19 @@ def cmd_verify(args: argparse.Namespace) -> int:
     """fsck-style health check: catalog vs on-disk partitions, plus (for
     zarr layouts) per-partition group-metadata readability."""
     from pathlib import Path
+    from zcollection_spark.collection import staging as staging_proto
     coll = _open(args.path, mode="rw" if args.repair else "r")
     on_disk = set(coll._fs.list_partition_dirs(
         coll.path, coll.partitioning.depth))
     in_catalog = set(coll._catalog.read() or [])
+    staged = coll._fs.list_dirs(
+        f"{coll.path}/{staging_proto.STAGING_RELPATH}")
     report = {
         "partitions_on_disk": len(on_disk),
         "partitions_in_catalog": len(in_catalog),
         "missing_from_catalog": sorted(on_disk - in_catalog),
         "missing_from_disk": sorted(in_catalog - on_disk),
+        "interrupted_inserts": sorted(staged),
         "unreadable": [],
     }
     for rel in sorted(on_disk):
@@ -130,7 +134,8 @@ def cmd_verify(args: argparse.Namespace) -> int:
             except ValueError:
                 report["unreadable"].append(rel)
     ok = not (report["missing_from_catalog"]
-              or report["missing_from_disk"] or report["unreadable"])
+              or report["missing_from_disk"] or report["unreadable"]
+              or report["interrupted_inserts"])
     report["status"] = "OK" if ok else "INCONSISTENT (run repair)"
     print(json.dumps(report, indent=1))
     if not ok and args.repair:

@@ -57,6 +57,7 @@ from ..errors import (CollectionExistsError, CollectionNotFoundError,
 from ..partitioning import Partitioning, compile_filter
 from ..partitioning import from_json as partitioning_from_json
 from ..schema import DatasetSchema, FORMAT_VERSION, upgrade
+from . import staging as staging_proto
 from .catalog import Catalog
 from .merge import (MergeCallable, concat as merge_concat,
                     replace as merge_replace, resolve_merge)
@@ -160,9 +161,17 @@ class Collection:
         return [rel for rel, _ in matched]
 
     def repair_catalog(self) -> list[str]:
-        """Re-walk the store and rewrite the catalog
-        (``base.py:352-375``; ≈ MSCK REPAIR TABLE)."""
+        """Recover interrupted inserts, then re-walk the store and rewrite
+        the catalog (``base.py:352-375``; ≈ MSCK REPAIR TABLE).
+
+        Recovery first rolls staged-with-intent writes forward and
+        quarantines intent-less staging debris (staging.py), so the walk
+        below never resurrects a half-written insert into the catalog —
+        the reference's failed-insert-rolls-back contract
+        (``/root/reference/zcollection/store/icechunk_store.py:158-168``).
+        """
         self._require_writable()
+        staging_proto.recover(self._fs, self.path)
         relpaths = self._fs.list_partition_dirs(self.path,
                                                 self.partitioning.depth)
         self._catalog.write(relpaths)
@@ -357,23 +366,47 @@ class Collection:
                .orderBy(self._axis_order(df)))
         return df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
 
-    def _write(self, derived: DataFrame, *, mode: str) -> None:
+    def _write_tree(self, df: DataFrame, target: str) -> None:
+        """Write ``df``'s partition tree under ``target`` (a staging dir).
+
+        Staging is always a fresh empty directory, so the Spark job runs
+        with plain ``overwrite``; visibility is controlled by the publish
+        renames, not by the write mode.
+        """
         keys = list(self.partitioning.keys)
         chunks = None
         axis_dim = self.schema.dim_map.get(self.axis)
         if axis_dim is not None and axis_dim.chunks:
             chunks = axis_dim.chunks
-        # ONE shuffle: the _row_idx window exchanges on hash(keys) and
-        # sorts by (keys, axis) within tasks — exactly the distribution
-        # partitionBy needs, so no extra repartition/sortWithinPartitions
-        writer = (self._with_row_idx(derived)
-                  .write.mode(mode).partitionBy(*keys)
+        writer = (df.write.mode("overwrite").partitionBy(*keys)
                   .options(**engine_config.profile().writer_options()))
         if chunks:
             # chunk geometry → row-group/file sizing (the reference's
             # shard-size targeting, codecs/sharding.py:32-159)
             writer = writer.option("maxRecordsPerFile", chunks)
-        writer.parquet(self.path)
+        writer.parquet(target)
+
+    def _staged_write(self, write_fn: Callable[[str], None], *,
+                      mode: str) -> list[str]:
+        """Run ``write_fn(staging_dir)`` and publish atomically
+        (stage → intent → rename, staging.py); the catalog add is part of
+        the publish so readers never see uncommitted partitions."""
+        return staging_proto.staged_publish(
+            self._fs, self.path, write_fn=write_fn,
+            depth=self.partitioning.depth, mode=mode,
+            catalog=self._catalog if self.catalog_enabled else None)
+
+    def _write(self, derived: DataFrame, *, mode: str) -> list[str]:
+        # ONE shuffle: the _row_idx window exchanges on hash(keys) and
+        # sorts by (keys, axis) within tasks — exactly the distribution
+        # partitionBy needs, so no extra repartition/sortWithinPartitions.
+        # "overwrite" swaps whole partition dirs; "append" moves staged
+        # files into existing partition dirs under collision-free names.
+        publish = "swap" if mode == "overwrite" else "append"
+        return self._staged_write(
+            lambda staging: self._write_tree(self._with_row_idx(derived),
+                                             staging),
+            mode=publish)
 
     def insert(self, df: DataFrame, *,
                merge: str | MergeCallable | None = None) -> list[str]:
@@ -381,8 +414,15 @@ class Collection:
         (``base.py:390-522``; strategies in ``merge.py``).
 
         One shuffle on the partition-key columns groups every row of a key
-        into one task (fixes quirk Q3); dynamic partition overwrite rewrites
-        ONLY touched partitions.  Returns the written partition relpaths.
+        into one task (fixes quirk Q3); only touched partitions are
+        rewritten.  The write is ATOMIC: the job lands in a hidden
+        ``_staging/{id}`` dir, a ``_publish.json`` intent marks the commit
+        point, and per-partition renames + the catalog PUT publish it
+        (staging.py; reference failed-insert-rolls-back contract,
+        ``/root/reference/zcollection/store/icechunk_store.py:158-168``).
+        A crash before the intent leaves nothing visible; after it,
+        ``repair_catalog`` rolls the insert forward.  Returns the written
+        partition relpaths.
         """
         self._require_writable()
         df = self._conform(df)
@@ -419,19 +459,18 @@ class Collection:
                                     F.row_number().over(win) - 1
                                     + F.col("__offset"))
                         .drop("__offset"))
-            # the row_number window above already shuffled+sorted by keys
-            (appended.write.mode("append").partitionBy(*keys)
-             .options(**engine_config.profile().writer_options())
-             .parquet(self.path))
+            # the row_number window above already shuffled+sorted by keys;
+            # append-publish moves the staged files into the existing
+            # partition dirs (existing data is never rewritten)
+            self._staged_write(
+                lambda staging: self._write_tree(appended, staging),
+                mode="append")
         else:
             existing = (self._read_partitions(colliding).drop(ROW_IDX))
             existing = self._cast_restored_keys(existing)
             merged = strategy(existing, derived, axis=self.axis,
                               keys=tuple(keys))
             self._write(merged, mode="overwrite")
-
-        if self.catalog_enabled:
-            self._catalog.add(incoming_rel)
         return sorted(incoming_rel)
 
     def query_arrays(self, *, filters: str | None = None,
@@ -532,10 +571,16 @@ class Collection:
         before = {rel: count_files(rel) for rel in matching}
         keys = list(self.partitioning.keys)
         df = self._cast_restored_keys(self._read_partitions(matching))
-        (df.repartition(*[F.col(k) for k in keys])
-         .write.mode("overwrite").partitionBy(*keys)
-         .options(**engine_config.profile().writer_options())
-         .parquet(self.path))
+        # staged swap: the rewrite job reads the live partition files while
+        # writing into _staging, then renames — readers never observe a
+        # partition mid-rewrite
+        self._staged_write(
+            lambda staging: (
+                df.repartition(*[F.col(k) for k in keys])
+                .write.mode("overwrite").partitionBy(*keys)
+                .options(**engine_config.profile().writer_options())
+                .parquet(staging)),
+            mode="swap")
         return before
 
     def drop_partitions(self, *, filters: str | None = None) -> list[str]:

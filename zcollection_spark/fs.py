@@ -62,6 +62,20 @@ class LocalFS:
         except OSError:
             return False
 
+    def list_files(self, path: str) -> list[str]:
+        """Names of the plain files directly under ``path`` (sorted)."""
+        target = Path(path)
+        if not target.is_dir():
+            return []
+        return sorted(p.name for p in target.iterdir() if p.is_file())
+
+    def list_dirs(self, path: str) -> list[str]:
+        """Names of the directories directly under ``path`` (sorted)."""
+        target = Path(path)
+        if not target.is_dir():
+            return []
+        return sorted(p.name for p in target.iterdir() if p.is_dir())
+
     def list_partition_dirs(self, root: str, depth: int) -> list[str]:
         """Relative ``key=value/.../key=value`` dirs exactly ``depth`` deep.
 
@@ -138,6 +152,19 @@ class HadoopFS:
         fs, jsrc = self._fs_path(src)
         _, jdst = self._fs_path(dst)
         return bool(fs.rename(jsrc, jdst))
+
+    def _list_names(self, path: str, want_dirs: bool) -> list[str]:
+        fs, jpath = self._fs_path(path)
+        if not fs.exists(jpath):
+            return []
+        return sorted(s.getPath().getName() for s in fs.listStatus(jpath)
+                      if s.isDirectory() == want_dirs)
+
+    def list_files(self, path: str) -> list[str]:
+        return self._list_names(path, want_dirs=False)
+
+    def list_dirs(self, path: str) -> list[str]:
+        return self._list_names(path, want_dirs=True)
 
     def list_partition_dirs(self, root: str, depth: int) -> list[str]:
         fs, jroot = self._fs_path(root)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import config as engine_config
+from ..collection import staging as staging_proto
 from ..collection.catalog import Catalog
 from ..collection.merge import MergeCallable, resolve_merge
 from ..collection.merge import replace as merge_replace
@@ -248,7 +249,6 @@ class ZarrCollection:
             derived = strategy(existing, derived, axis=self.axis,
                                keys=tuple(keys))
         written = self._write_partitions(derived)
-        self._catalog.add(written)
         return sorted(set(written) | set(incoming_rel))
 
     def _write_spec(self, columns) -> dict:
@@ -276,22 +276,34 @@ class ZarrCollection:
         }
 
     def _write_partitions(self, derived: DataFrame) -> list[str]:
+        """Stage → intent → publish (staging.py): executors write each
+        Zarr partition group under ``_staging/{id}``, then per-partition
+        renames + the catalog PUT make the insert visible atomically —
+        the reference's failed-insert-rolls-back contract
+        (``/root/reference/zcollection/store/icechunk_store.py:158-168``)."""
         keys = list(self.partitioning.keys)
-        spec = self._write_spec(derived.columns)
-
-        def write_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"relpath": [write_partition_group(spec, pdf)]})
-
-        var_names = {name for name, _, _ in spec["var_meta"]}
+        base_spec = self._write_spec(derived.columns)
+        var_names = {name for name, _, _ in base_spec["var_meta"]}
         part_cols = [c for c in derived.columns
                      if c in var_names or c in keys]
-        written = (derived.select(*part_cols)
-                   .repartition(*[F.col(k) for k in keys])
-                   .groupBy(*keys)
-                   .applyInPandas(write_partition, "relpath string")
-                   .collect())
-        return sorted(r["relpath"] for r in written)
+
+        def write_fn(staging: str) -> None:
+            spec = dict(base_spec, root=staging)
+
+            def write_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {"relpath": [write_partition_group(spec, pdf)]})
+
+            (derived.select(*part_cols)
+             .repartition(*[F.col(k) for k in keys])
+             .groupBy(*keys)
+             .applyInPandas(write_partition, "relpath string")
+             .collect())
+
+        return staging_proto.staged_publish(
+            self._fs, self.path, write_fn=write_fn,
+            depth=self.partitioning.depth, mode="swap",
+            catalog=self._catalog)
 
     # ------------------------------------------------------------------
     def to_df(self, *, variables: Iterable[str] | None = None) -> DataFrame:
@@ -501,8 +513,10 @@ class ZarrCollection:
         return df.groupBy(*self.partitioning.keys).applyInPandas(fn, schema)
 
     def repair_catalog(self) -> list[str]:
-        """Re-walk the store and rewrite the catalog
+        """Recover interrupted inserts (roll forward / quarantine —
+        staging.py), then re-walk the store and rewrite the catalog
         (``base.py:352-375``; ≈ MSCK REPAIR TABLE)."""
+        staging_proto.recover(self._fs, self.path)
         relpaths = LocalFS().list_partition_dirs(self.path,
                                                  self.partitioning.depth)
         self._catalog.write(relpaths)
