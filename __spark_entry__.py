@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: wrap(fn) for name, fn in registry.items()}
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB twins; ``sf_dir`` (optional, defaults to the driver's
+    sf0.01 comparison dir) parameterizes data-derived oracle literals."""
     from zcollection_spark import entry_queries
-    return entry_queries.oracle_sql()
+    return entry_queries.oracle_sql(sf_dir)

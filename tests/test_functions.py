@@ -292,3 +292,76 @@ def test_embedding_dup_pairs_block_no_driver_collect(spark, monkeypatch):
     monkeypatch.undo()
     pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
     assert pairs == [(0, 1)]
+
+
+def test_simhash_salted_join_matches_unsalted_on_hot_key(spark):
+    """Skew guard: many docs with an identical signature (the hot-key
+    scenario) must produce the exact same pair set salted or not."""
+    rows = [(i, "same words every time") for i in range(12)]
+    rows += [(100, "totally different text here"),
+             (101, "totally different text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(salt_buckets):
+        out = simhash_duplicate_pairs(df, id_col="doc_id",
+                                      text_col="text", n_bits=16,
+                                      salt_buckets=salt_buckets)
+        return sorted((r["id_a"], r["id_b"]) for r in out.collect())
+
+    unsalted, salted = pairs(1), pairs(8)
+    assert salted == unsalted
+    # the 12 identical docs form a full clique + the pair (100, 101)
+    assert len(salted) == 12 * 11 // 2 + 1
+
+
+def test_jaccard_max_df_bounds_hot_shingle_candidates(spark):
+    """Property: one shingle present in 50% of docs must not blow up the
+    candidate join when max_df is on.  At threshold=0.0 the output IS
+    the candidate set, so we can count candidates through the API."""
+    n = 40
+    rows = []
+    for i in range(n):
+        unique = f"u{i}a u{i}b u{i}c u{i}d u{i}e"
+        # even docs share the hot 3-shingle "common boiler plate"
+        text = f"common boiler plate {unique}" if i % 2 == 0 else unique
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_candidates(max_df):
+        out = ngram_jaccard_pairs(df, id_col="doc_id", text_col="text",
+                                  shingle_size=3, threshold=0.0,
+                                  max_df=max_df)
+        return out.count()
+
+    hot = n_candidates(None)
+    guarded = n_candidates(5)
+    # unguarded: the 20 hot docs form a C(20,2)=190-pair clique
+    assert hot >= 190
+    # guarded: the hot shingles (df=20 > 5) are dropped, no clique
+    assert guarded == 0
+    # and guarded jaccard values stay consistent: identical twin docs
+    twin = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    got = ngram_jaccard_pairs(twin, id_col="doc_id", text_col="text",
+                              shingle_size=2, threshold=0.5,
+                              max_df=10).collect()
+    assert len(got) == 1 and abs(got[0]["jaccard"] - 1.0) < 1e-12
+
+
+def test_embedding_block_guard_fails_fast_and_auto_sizes(spark):
+    vecs = [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(64)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    # forced-tiny budget: a materialized block overflows -> clear error
+    bad = embedding_dup_pairs(df, id_col="vec_id", vec_col="embedding",
+                              threshold=0.99, method="block",
+                              n_blocks=2, max_block_bytes=128)
+    with pytest.raises(Exception, match="max_block_bytes"):
+        bad.collect()
+    # auto-sizing picks enough blocks to fit the budget and still works
+    from zcollection_spark.functions.similarity import auto_n_blocks
+    assert auto_n_blocks(64, 4, 128) == 16  # 64*4*8/128
+    auto = embedding_dup_pairs(df, id_col="vec_id", vec_col="embedding",
+                               threshold=1.0 - 1e-12, method="block",
+                               n_blocks=None, max_block_bytes=2048)
+    assert auto.count() == 0  # distinct vectors, threshold ~1

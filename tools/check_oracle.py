@@ -59,7 +59,7 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{sf_dir}/{t}.parquet'")
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql(sf_dir)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -163,12 +163,32 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
 
 
 def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
-                            n_bits: int = 32) -> DataFrame:
-    """Docs with IDENTICAL simhash → near-dup pairs (id_a < id_b)."""
+                            n_bits: int = 32,
+                            salt_buckets: int = 8) -> DataFrame:
+    """Docs with IDENTICAL simhash → near-dup pairs (id_a < id_b).
+
+    Skew guard: a single hot signature (e.g. near-empty docs all hashing
+    to 0) would funnel its whole group through one join task.  The
+    self-join is therefore SALTED: the left side gets a deterministic
+    salt from the doc id, the right side is replicated to all
+    ``salt_buckets`` salts, and the join keys on (simhash, salt) — each
+    (a < b) pair still meets exactly once (at a's salt), so the output
+    is identical to the unsalted join, but a hot key's work is spread
+    over ``salt_buckets`` tasks.  The replication cost is bounded: the
+    signature table is two columns, and only the right side fans out.
+    """
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets must be >= 1")
     sig = simhash(df, id_col=id_col, text_col=text_col,
                   n_bits=n_bits).persist()
-    left, right = sig.alias("l"), sig.alias("r")
-    return (left.join(right, on="simhash")
+    salt = (md5_long(F.col(id_col).cast("string"))
+            % F.lit(salt_buckets)).cast("int")
+    left = sig.withColumn("__salt", salt).alias("l")
+    right = sig.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    ).alias("r")
+    return (left.join(right, on=["simhash", "__salt"])
             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             .select(F.col(f"l.{id_col}").alias("id_a"),
                     F.col(f"r.{id_col}").alias("id_b"))
@@ -181,18 +201,35 @@ def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
                         shingle_size: int = 5,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Pairs with Jaccard(shingle sets) ≥ threshold.
 
     Candidates come from a shared-shingle equi-join (selective for large
     n), so cost scales with real overlap, not n².  Returns
     (id_a, id_b, jaccard) with jaccard computed from exact distinct
     counts: ``|∩| / (|A| + |B| - |∩|)``.
+
+    Skew guard: ``max_df`` treats shingles occurring in more than
+    ``max_df`` documents as stop-shingles and drops them from the WHOLE
+    computation (candidate join, sizes, and intersection counts stay
+    mutually consistent — Jaccard is over the pruned vocabulary).
+    Without it, one corpus-wide boilerplate shingle turns the self-join
+    quadratic: a shingle in d docs contributes d(d-1)/2 joined rows, so
+    a stop-shingle in 1% of a 10⁹-doc corpus alone yields 5·10¹³ rows.
+    With the cutoff, per-shingle join fan-out is bounded by
+    max_df(max_df-1)/2 regardless of corpus size.
     """
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(
             word_shingles(text_col, shingle_size))).alias("__sh"))
+    if max_df is not None:
+        dfreq = (sh.groupBy("__sh")
+                 .agg(F.count(F.lit(1)).alias("__df"))
+                 .where(F.col("__df") <= max_df)
+                 .select("__sh"))
+        sh = sh.join(dfreq, on="__sh", how="left_semi")
     # the shingle expansion feeds THREE plan branches (both join sides +
     # the size aggregate); Spark has no cross-branch CSE, so materialize it
     # once.  At 100 TB this becomes an explicit intermediate parquet table.

@@ -194,13 +194,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
 
 def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
                         threshold: float = 0.95,
-                        method: str = "block", n_blocks: int = 16,
+                        method: str = "block",
+                        n_blocks: int | None = 16,
+                        max_block_bytes: int = 256 * 1024 * 1024,
                         n_planes: int = 8, n_tables: int = 8,
                         seed: int = 42,
                         dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ t).
 
-    Three strategies, all lazy DataFrame plans:
+    Three strategies (``block`` is a fully lazy DataFrame plan; ``lsh``
+    runs one tiny probe action if ``dim`` is not given; ``broadcast`` is
+    eager by design — it collects the corpus to the driver):
 
     - ``method="block"`` (default) — EXACT at any threshold with no
       driver collect: vectors are hashed into ``n_blocks`` groups, every
@@ -208,8 +212,14 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
       normalized BLAS matmul over its two blocks, emitting only matching
       pairs.  The O(n²) comparison work is inherent to exact all-pairs —
       this distributes it evenly (B(B+1)/2 bounded-size tasks) instead of
-      funneling the corpus through the driver.  Size ``n_blocks`` so one
-      block (~n/B vectors × dim doubles) fits comfortably in a task.
+      funneling the corpus through the driver.  Sizing rule: one block is
+      one ``collect_list`` row of ~``n/B`` vectors × ``dim`` doubles and
+      must stay well under Spark's 2 GiB row limit — keep it under
+      ``max_block_bytes``.  Pass ``n_blocks=None`` to auto-size from a
+      count probe (``B = ceil(n·dim·8 / max_block_bytes)``, one small
+      action); with an explicit ``n_blocks``, an executor-side guard
+      fails fast if a materialized block exceeds the budget instead of
+      dying opaquely in Arrow.
     - ``method="lsh"`` — the sub-quadratic scale path for HIGH thresholds
       (true near-dup, cosine ≳ 0.9): sign-bit signatures against
       seed-deterministic hyperplanes; only pairs sharing a
@@ -224,7 +234,8 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
     """
     if method == "block":
         return _dup_pairs_block(df, id_col=id_col, vec_col=vec_col,
-                                threshold=threshold, n_blocks=n_blocks)
+                                threshold=threshold, n_blocks=n_blocks,
+                                max_block_bytes=max_block_bytes)
     if method == "lsh":
         return _dup_pairs_lsh(df, id_col=id_col, vec_col=vec_col,
                               threshold=threshold, n_planes=n_planes,
@@ -236,10 +247,25 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
                      "(expected block|lsh|broadcast)")
 
 
+def auto_n_blocks(n_rows: int, dim: int, max_block_bytes: int) -> int:
+    """Blocks needed so one block (~n/B vectors × dim float64) fits the
+    byte budget: ``B = ceil(n·dim·8 / max_block_bytes)``, min 1."""
+    total = n_rows * dim * 8
+    return max(1, -(-total // max_block_bytes))
+
+
 def _dup_pairs_block(df: DataFrame, *, id_col: str, vec_col: str,
-                     threshold: float, n_blocks: int) -> DataFrame:
+                     threshold: float, n_blocks: int | None,
+                     max_block_bytes: int) -> DataFrame:
     """Exact distributed all-pairs: block × block matmul tasks."""
     id_type = df.schema[id_col].dataType.simpleString()
+    if n_blocks is None:
+        # auto-size: one count+dim probe (small action), then B such that
+        # a block stays under the byte budget
+        probe = df.select(F.count(F.lit(1)).alias("n"),
+                          F.first(F.size(vec_col)).alias("dim")).first()
+        n_blocks = auto_n_blocks(probe["n"] or 0, probe["dim"] or 1,
+                                 max_block_bytes)
     blk = F.pmod(F.crc32(F.col(id_col).cast("string")),
                  F.lit(n_blocks)).cast("int")
     packed = (df.select(blk.alias("__blk"),
@@ -271,6 +297,18 @@ def _dup_pairs_block(df: DataFrame, *, id_col: str, vec_col: str,
         for pdf in batches:
             for _, row in pdf.iterrows():
                 ra, rb = row["__rows_a"], row["__rows_b"]
+                # fail fast with a sizing hint instead of dying opaquely
+                # in Arrow when a block outgrows the byte budget
+                for rows in (ra, rb):
+                    if len(rows):
+                        nbytes = len(rows) * len(rows[0]["vec"]) * 8
+                        if nbytes > max_block_bytes:
+                            raise ValueError(
+                                f"embedding block of {len(rows)} vectors "
+                                f"(~{nbytes >> 20} MiB) exceeds "
+                                f"max_block_bytes={max_block_bytes}; "
+                                f"raise n_blocks (or pass n_blocks=None "
+                                f"to auto-size)")
                 ids_a = np.array([r["id"] for r in ra])
                 mat_a = np.array([r["vec"] for r in ra], dtype=np.float64)
                 na = np.linalg.norm(mat_a, axis=1)
