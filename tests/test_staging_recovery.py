@@ -1,0 +1,261 @@
+"""Fault-injection tests for the stage → intent → publish protocol.
+
+The reference's transactional contract (a failed insert rolls back
+completely, an interrupted one is repaired — ``/root/reference/
+zcollection/store/icechunk_store.py:158-168``, ``tests/test_icechunk.py:64``)
+is emulated here by staging + an intent file + idempotent renames
+(``collection/staging.py``).  These tests kill the write at every
+distinct protocol state, on BOTH layouts, and assert that ``recover``
+(via ``repair_catalog``) converges to a consistent store:
+
+- crash after the intent but before ANY publish rename → roll forward
+- crash mid-publish (some partitions swapped, one parked-but-absent)
+  → roll forward, no torn state after repair
+- intent-less staging debris → quarantined, never resurrected by a walk
+- append-mode crash → roll forward without duplicating rows
+- every recovery is idempotent (a second repair changes nothing)
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import zcollection_spark as zc
+from zcollection_spark.collection import staging
+
+
+class CrashAfterRenames:
+    """FS wrapper that dies once ``allowed`` publish renames completed.
+
+    Only renames that touch ``_staging`` count (publish parking/moves);
+    unrelated renames (immutable tmp files, catalog swaps) pass through.
+    """
+
+    def __init__(self, inner, allowed: int):
+        self._inner = inner
+        self._allowed = allowed
+        self.publish_renames = 0
+
+    def rename(self, src: str, dst: str) -> bool:
+        if "_staging" in src or "_staging" in dst:
+            if self.publish_renames >= self._allowed:
+                raise RuntimeError("injected crash during publish")
+            self.publish_renames += 1
+        return self._inner.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _replacement(spark, schema, value: float) -> "pd.DataFrame":
+    bound = schema.with_partition_axis("num")
+    pdf = pd.DataFrame({
+        "num": np.array([0, 0, 1, 1, 2, 2, 2], dtype=np.int64),
+        "value": [[value] * 3] * 7,
+        "static": [[10.0, 20.0, 30.0]] * 7,
+    })
+    return spark.createDataFrame(pdf, schema=bound.to_struct_type())
+
+
+def _staged_ids(tmp_path) -> list[str]:
+    root = tmp_path / "seq" / staging.STAGING_RELPATH
+    return sorted(p.name for p in root.iterdir()) if root.is_dir() else []
+
+
+@pytest.mark.parametrize("allowed_renames", [0, 1, 3])
+def test_crash_mid_swap_publish_rolls_forward(spark, tmp_path,
+                                              seq_collection, seq_schema,
+                                              allowed_renames):
+    """Kill the publish after k renames: k=0 is crash-right-after-intent,
+    k=1 leaves partition num=0 PARKED (absent from the final tree — the
+    documented swap window), k=3 leaves a torn old/new mix.  All states
+    must roll forward to the fully-new store on repair."""
+    coll = seq_collection
+    real_fs = coll._fs
+    coll._fs = CrashAfterRenames(real_fs, allowed_renames)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            coll.insert(_replacement(spark, seq_schema, 99.0))
+    finally:
+        coll._fs = real_fs
+
+    # the intent landed before the crash: staged data is complete
+    [sid] = _staged_ids(tmp_path)
+    intent_file = (tmp_path / "seq" / staging.STAGING_RELPATH / sid
+                   / staging.INTENT_NAME)
+    assert intent_file.exists()
+    intent = json.loads(intent_file.read_text())
+    assert intent["mode"] == "swap"
+    assert intent["relpaths"] == ["num=0", "num=1", "num=2"]
+
+    repaired = coll.repair_catalog()
+    assert repaired == ["num=0", "num=1", "num=2"]
+    assert _staged_ids(tmp_path) == []  # staging cleaned up
+
+    rows = coll.query().collect()
+    assert len(rows) == 7
+    # no torn state: EVERY row carries the new payload
+    assert all(r["value"] == [99.0, 99.0, 99.0] for r in rows)
+
+    # idempotent: a second repair is a no-op with the same outcome
+    assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+    assert coll.query().count() == 7
+
+
+def test_crash_mid_append_publish_no_duplicates(spark, tmp_path,
+                                                seq_collection, seq_schema):
+    """Append-mode (concat) crash before any staged file moved: recover
+    must move every file exactly once — re-publish after a partial move
+    skips already-moved files (collision-free ``{id}-`` names)."""
+    coll = seq_collection
+    bound = seq_schema.with_partition_axis("num")
+    extra = spark.createDataFrame(
+        pd.DataFrame({"num": np.array([1, 1], dtype=np.int64),
+                      "value": [[7.0] * 3] * 2,
+                      "static": [[10.0, 20.0, 30.0]] * 2}),
+        schema=bound.to_struct_type())
+    real_fs = coll._fs
+    coll._fs = CrashAfterRenames(real_fs, 0)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            coll.insert(extra, merge="concat")
+    finally:
+        coll._fs = real_fs
+
+    [sid] = _staged_ids(tmp_path)
+    assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+    assert coll.query().count() == 9  # 7 original + 2 appended, no dups
+    assert coll.query(filters="num == 1").count() == 4
+    # the appended files carry the staging id prefix (collision-free)
+    part_dir = tmp_path / "seq" / "num=1"
+    assert any(p.name.startswith(f"{sid}-") for p in part_dir.iterdir())
+    # double-publish safety: recovering again changes nothing
+    assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+    assert coll.query().count() == 9
+
+
+def test_intentless_debris_is_quarantined_not_resurrected(spark, tmp_path,
+                                                          seq_collection):
+    """A write that died before its intent leaves uncommitted partial
+    output.  It must be QUARANTINED — never merged into the store by a
+    walk, never listed as a partition, and stable across repeat
+    repairs."""
+    coll = seq_collection
+    debris = tmp_path / "seq" / staging.STAGING_RELPATH / "deadbeef" / "num=7"
+    debris.mkdir(parents=True)
+    (debris / "part-00000.parquet").write_bytes(b"partial garbage")
+
+    # hidden prefix: invisible to partition walks even before repair
+    assert "num=7" not in coll.partitions()
+    assert coll.query(filters="num == 7") is None
+
+    assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+    qdir = tmp_path / "seq" / staging.QUARANTINE_RELPATH / "deadbeef"
+    assert (qdir / "num=7" / "part-00000.parquet").exists()
+    assert not (tmp_path / "seq" / staging.STAGING_RELPATH
+                / "deadbeef").exists()
+    assert "num=7" not in coll.partitions()
+    assert coll.query(filters="num == 7") is None
+
+    # idempotent: repairing again neither errors nor resurrects
+    assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+    assert (qdir / "num=7" / "part-00000.parquet").exists()
+
+
+def test_recover_reports_published_and_quarantined(tmp_path):
+    """Protocol-level recover(): one staged-with-intent dir rolls
+    forward, one intent-less dir is quarantined, in a single pass."""
+    from zcollection_spark.fs import LocalFS
+    fs = LocalFS()
+    root = str(tmp_path / "store")
+
+    # staged insert WITH intent (crashed before any rename)
+    sid, staged = staging.new_staging_dir(fs, root)
+    fs.mkdirs(f"{staged}/num=5")
+    fs.write_text(f"{staged}/num=5/data.parquet", "payload")
+    staging.write_intent(fs, staged, mode="swap", relpaths=["num=5"])
+    # intent-less debris
+    fs.mkdirs(f"{root}/{staging.STAGING_RELPATH}/zombie/num=6")
+
+    out = staging.recover(fs, root)
+    assert out == {"published": [sid], "quarantined": ["zombie"]}
+    assert fs.read_text(f"{root}/num=5/data.parquet") == "payload"
+    assert fs.exists(f"{root}/{staging.QUARANTINE_RELPATH}/zombie/num=6")
+    # converged: second pass finds nothing to do
+    assert staging.recover(fs, root) == {"published": [],
+                                         "quarantined": []}
+
+
+@pytest.mark.parametrize("allowed_renames", [0, 1, 3])
+def test_zarr_layout_crash_mid_publish_rolls_forward(spark, tmp_path,
+                                                     allowed_renames):
+    """Same protocol states on the ZARR layout: executors stage zarr
+    partition groups, publish renames them in; a crash at any point
+    after the intent must roll forward via repair_catalog."""
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+
+    schema = (zc.SchemaBuilder().add_dimension("num")
+              .add_variable("num", "int64", ("num",))
+              .add_variable("v", "float64", ("num",))
+              .build("num"))
+    coll = create_zarr_collection(spark, str(tmp_path / "z"),
+                                  schema=schema, axis="num",
+                                  partitioning=zc.Sequence(("num",)))
+    first = pd.DataFrame({"num": np.array([0, 0, 1, 2], dtype=np.int64),
+                          "v": [1.0, 1.0, 1.0, 1.0]})
+    coll.insert(spark.createDataFrame(first, schema=schema.to_struct_type()))
+    assert coll.query().count() == 4
+
+    replacement = pd.DataFrame(
+        {"num": np.array([0, 0, 1, 2], dtype=np.int64),
+         "v": [2.0, 2.0, 2.0, 2.0]})
+    real_fs = coll._fs
+    coll._fs = CrashAfterRenames(real_fs, allowed_renames)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            coll.insert(spark.createDataFrame(
+                replacement, schema=schema.to_struct_type()))
+    finally:
+        coll._fs = real_fs
+
+    staging_root = tmp_path / "z" / staging.STAGING_RELPATH
+    assert any(staging_root.iterdir())  # crash left staged state behind
+
+    repaired = coll.repair_catalog()
+    assert repaired == ["num=0", "num=1", "num=2"]
+    rows = coll.query().collect()
+    assert len(rows) == 4
+    assert all(r["v"] == 2.0 for r in rows)  # fully new, no torn mix
+    assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+    assert coll.query().count() == 4
+
+
+def test_publish_renames_run_in_parallel(tmp_path):
+    """The publish loop must not be sequential in partition count: with a
+    per-rename latency of ~15 ms and 24 partitions, a sequential publish
+    needs >= 360 ms; the pooled publish must land well under that."""
+    import time
+    from zcollection_spark.fs import LocalFS
+
+    class SlowFS(LocalFS):
+        def rename(self, src, dst):
+            time.sleep(0.015)
+            return super().rename(src, dst)
+
+    fs = SlowFS()
+    root = str(tmp_path / "store")
+    sid, staged = staging.new_staging_dir(fs, root)
+    rels = [f"num={i}" for i in range(24)]
+    for rel in rels:
+        fs.mkdirs(f"{staged}/{rel}")
+        fs.write_text(f"{staged}/{rel}/data.parquet", "x")
+    intent = staging.write_intent(fs, staged, mode="swap", relpaths=rels)
+    t0 = time.monotonic()
+    staging.apply_publish(fs, root, sid, staged, intent)
+    elapsed = time.monotonic() - t0
+    assert all(fs.exists(f"{root}/{rel}/data.parquet") for rel in rels)
+    # 24 renames x 15 ms sequential = 360 ms; the 16-way pool needs ~2
+    # waves (~30 ms) + overhead.  200 ms keeps plenty of margin.
+    assert elapsed < 0.2, f"publish looks sequential: {elapsed:.3f}s"

@@ -26,12 +26,42 @@ rolls staged-with-intent inserts forward and QUARANTINES intent-less
 ones under ``{root}/_quarantine/{id}`` — uncommitted partial output is
 never resurrected into query results by a store walk.  Like the
 reference's repair, recovery must not run concurrently with writers.
+
+Reader-visible windows (inherent to rename-based emulation; the
+reference's transactional store has neither — gate concurrent readers
+on the catalog generation if they matter):
+
+1. In ``swap`` mode there is a moment per partition, between
+   ``rename(dst, old)`` and ``rename(src, dst)``, where a concurrent
+   reader sees that partition ABSENT.  A crash inside the window leaves
+   it absent until :func:`recover` rolls it forward (exercised by
+   tests/test_staging_recovery.py).
+2. A multi-partition publish is per-partition renames, not one atomic
+   swap: a concurrent reader can observe a torn old/new MIX of
+   partitions mid-publish.  Single-snapshot readers should resolve the
+   partition list once (the catalog read) and pin it.
+
+Object stores: "rename" is copy+delete per object, so per-partition
+renames are neither atomic nor cheap there.  The renames are issued
+from a driver-side thread pool (bounded metadata ops — fine up to
+thousands of partitions on rename-cheap filesystems), but the right
+commit primitive on S3-class stores is a MANIFEST SWAP: publish by
+atomically PUTting a new catalog/manifest generation that points at the
+staged object keys, never moving data.  ``fs.supports_atomic_rename``
+is the capability switch (see fs.py); the manifest-swap path is the
+documented design for such stores, with the catalog PUT (already a
+single atomic object) as the commit point.
 """
 
 from __future__ import annotations
 
 import json
 import uuid
+from concurrent.futures import ThreadPoolExecutor
+
+#: Driver-side parallelism for publish/metadata renames.  Renames are
+#: tiny metadata ops; the pool bounds round-trip latency, not CPU.
+PUBLISH_POOL = 16
 
 STAGING_RELPATH = "_staging"
 QUARANTINE_RELPATH = "_quarantine"
@@ -61,34 +91,57 @@ def _parent(path: str) -> str:
     return path.rsplit("/", 1)[0]
 
 
+def _publish_one(fs, root: str, staging_id: str, staging: str,
+                 mode: str, rel: str) -> None:
+    """Publish a single partition (idempotent; safe to re-run)."""
+    src = f"{staging}/{rel}"
+    dst = f"{root}/{rel}"
+    if mode == "swap":
+        if not fs.exists(src):
+            return  # already published by an earlier attempt
+        if fs.exists(dst):
+            old = f"{staging}/{OLD_RELPATH}/{rel}"
+            fs.mkdirs(_parent(old))
+            fs.rename(dst, old)
+        fs.mkdirs(_parent(dst))
+        fs.rename(src, dst)
+    else:  # append: file-level moves under collision-free names
+        if not fs.exists(src):
+            return
+        fs.mkdirs(dst)
+        for fname in fs.list_files(src):
+            if fname.startswith(("_", ".")):
+                continue
+            target = f"{dst}/{staging_id}-{fname}"
+            if not fs.exists(target):
+                fs.rename(f"{src}/{fname}", target)
+
+
 def apply_publish(fs, root: str, staging_id: str, staging: str,
                   intent: dict, catalog=None) -> list[str]:
     """Move staged partitions into final paths; idempotent (roll-forward
-    safe), then commit to the catalog and drop the staging dir."""
+    safe), then commit to the catalog and drop the staging dir.
+
+    Partitions are independent, so the per-partition renames run on a
+    driver-side thread pool — publish wall-time is ~ceil(n/POOL) FS
+    round-trips rather than n (the sequential loop was the commit-path
+    bottleneck at large partition counts).  A failure in any partition
+    aborts the publish mid-flight; the survivors stay idempotent and
+    :func:`recover` rolls the remainder forward.
+    """
     mode = intent["mode"]
     relpaths = list(intent["relpaths"])
-    for rel in relpaths:
-        src = f"{staging}/{rel}"
-        dst = f"{root}/{rel}"
-        if mode == "swap":
-            if not fs.exists(src):
-                continue  # already published by an earlier attempt
-            if fs.exists(dst):
-                old = f"{staging}/{OLD_RELPATH}/{rel}"
-                fs.mkdirs(_parent(old))
-                fs.rename(dst, old)
-            fs.mkdirs(_parent(dst))
-            fs.rename(src, dst)
-        else:  # append: file-level moves under collision-free names
-            if not fs.exists(src):
-                continue
-            fs.mkdirs(dst)
-            for fname in fs.list_files(src):
-                if fname.startswith(("_", ".")):
-                    continue
-                target = f"{dst}/{staging_id}-{fname}"
-                if not fs.exists(target):
-                    fs.rename(f"{src}/{fname}", target)
+    if len(relpaths) <= 1:
+        for rel in relpaths:
+            _publish_one(fs, root, staging_id, staging, mode, rel)
+    else:
+        with ThreadPoolExecutor(
+                max_workers=min(PUBLISH_POOL, len(relpaths))) as pool:
+            # list() forces iteration: the first failure raises here
+            list(pool.map(
+                lambda rel: _publish_one(fs, root, staging_id, staging,
+                                         mode, rel),
+                relpaths))
     if catalog is not None:
         catalog.add(relpaths)
     fs.delete(staging)
