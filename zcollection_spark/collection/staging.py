@@ -41,16 +41,21 @@ on the catalog generation if they matter):
    partitions mid-publish.  Single-snapshot readers should resolve the
    partition list once (the catalog read) and pin it.
 
-Object stores: "rename" is copy+delete per object, so per-partition
-renames are neither atomic nor cheap there.  The renames are issued
-from a driver-side thread pool (bounded metadata ops — fine up to
-thousands of partitions on rename-cheap filesystems), but the right
-commit primitive on S3-class stores is a MANIFEST SWAP: publish by
-atomically PUTting a new catalog/manifest generation that points at the
-staged object keys, never moving data.  ``fs.supports_atomic_rename``
-is the capability switch (see fs.py); the manifest-swap path is the
-documented design for such stores, with the catalog PUT (already a
-single atomic object) as the commit point.
+Object stores (the DECISION for stores without atomic rename): a
+directory "rename" there is per-object copy+delete, so a crash can
+leave any interleaving of old/staged objects.  When
+``fs.supports_atomic_rename(root)`` is False, the publish therefore
+switches to a MANIFEST-DRIVEN, file-granular protocol: the intent
+records every staged file per partition (the manifest), and
+``swap`` publish becomes (1) park dst files NOT in the manifest (the
+old generation), (2) move each manifest file individually with an
+exists-check.  Single-object PUTs are atomic on every object store, so
+each step is idempotent and :func:`recover` converges from ANY crash
+interleaving — the manifest is what distinguishes old from new when
+both cohabit a partition dir.  ``append`` mode is file-granular with
+collision-free names already.  The catalog PUT (one atomic object)
+remains the commit signal; readers that must not observe the widened
+per-partition windows gate on the catalog generation.
 """
 
 from __future__ import annotations
@@ -77,12 +82,37 @@ def new_staging_dir(fs, root: str) -> tuple[str, str]:
     return staging_id, staging
 
 
-def write_intent(fs, staging: str, *, mode: str,
-                 relpaths: list[str]) -> dict:
-    """Persist the publish intent (the commit point of the write)."""
+def _walk_files(fs, root: str, rel: str = "") -> list[str]:
+    """All file paths under ``root``, relative, recursive, sorted;
+    hidden (``_``/``.``) names skipped at every level."""
+    out: list[str] = []
+    base = f"{root}/{rel}" if rel else root
+    for fname in fs.list_files(base):
+        if fname.startswith(("_", ".")):
+            continue
+        out.append(f"{rel}/{fname}" if rel else fname)
+    for dname in fs.list_dirs(base):
+        if dname.startswith(("_", ".")):
+            continue
+        out.extend(_walk_files(fs, root,
+                               f"{rel}/{dname}" if rel else dname))
+    return sorted(out)
+
+
+def write_intent(fs, staging: str, *, mode: str, relpaths: list[str],
+                 manifests: dict | None = None) -> dict:
+    """Persist the publish intent (the commit point of the write).
+
+    ``manifests`` maps each relpath to its staged file list — required
+    on stores without atomic rename, where publish is file-granular and
+    the manifest is the only way to tell staged-new from residual-old.
+    """
     assert mode in ("swap", "append"), mode
-    intent = {"format_version": 1, "mode": mode,
+    intent = {"format_version": 2, "mode": mode,
               "relpaths": sorted(relpaths)}
+    if manifests is not None:
+        intent["manifests"] = {rel: sorted(files)
+                               for rel, files in manifests.items()}
     fs.write_text(f"{staging}/{INTENT_NAME}", json.dumps(intent, indent=1))
     return intent
 
@@ -92,11 +122,37 @@ def _parent(path: str) -> str:
 
 
 def _publish_one(fs, root: str, staging_id: str, staging: str,
-                 mode: str, rel: str) -> None:
-    """Publish a single partition (idempotent; safe to re-run)."""
+                 mode: str, rel: str, manifest: list[str] | None) -> None:
+    """Publish a single partition (idempotent; safe to re-run).
+
+    With a ``manifest`` (stores without atomic rename), swap mode is
+    file-granular: park non-manifest dst files (the old generation),
+    then move each manifest file with an exists-check — every step is
+    an atomic single-object op, so any crash interleaving re-converges.
+    """
     src = f"{staging}/{rel}"
     dst = f"{root}/{rel}"
-    if mode == "swap":
+    if mode == "swap" and manifest is not None:
+        old = f"{staging}/{OLD_RELPATH}/{rel}"
+        wanted = set(manifest)
+        if fs.exists(dst):
+            for f in _walk_files(fs, dst):
+                if f not in wanted:
+                    fs.mkdirs(_parent(f"{old}/{f}"))
+                    fs.rename(f"{dst}/{f}", f"{old}/{f}")
+        for f in manifest:
+            target = f"{dst}/{f}"
+            if fs.exists(target):
+                continue  # landed in an earlier attempt
+            source = f"{src}/{f}"
+            if not fs.exists(source):
+                raise RuntimeError(
+                    f"staged file {source!r} missing and {target!r} not "
+                    f"published — staged data incomplete, cannot roll "
+                    f"forward partition {rel!r}")
+            fs.mkdirs(_parent(target))
+            fs.rename(source, target)
+    elif mode == "swap":
         if not fs.exists(src):
             return  # already published by an earlier attempt
         if fs.exists(dst):
@@ -131,17 +187,20 @@ def apply_publish(fs, root: str, staging_id: str, staging: str,
     """
     mode = intent["mode"]
     relpaths = list(intent["relpaths"])
+    manifests = intent.get("manifests") or {}
+
+    def publish(rel: str) -> None:
+        _publish_one(fs, root, staging_id, staging, mode, rel,
+                     manifests.get(rel))
+
     if len(relpaths) <= 1:
         for rel in relpaths:
-            _publish_one(fs, root, staging_id, staging, mode, rel)
+            publish(rel)
     else:
         with ThreadPoolExecutor(
                 max_workers=min(PUBLISH_POOL, len(relpaths))) as pool:
             # list() forces iteration: the first failure raises here
-            list(pool.map(
-                lambda rel: _publish_one(fs, root, staging_id, staging,
-                                         mode, rel),
-                relpaths))
+            list(pool.map(publish, relpaths))
     if catalog is not None:
         catalog.add(relpaths)
     fs.delete(staging)
@@ -164,7 +223,15 @@ def staged_publish(fs, root: str, *, write_fn, depth: int,
         except Exception:
             pass
         raise
-    intent = write_intent(fs, staging, mode=mode, relpaths=relpaths)
+    manifests = None
+    atomic = getattr(fs, "supports_atomic_rename", lambda p: True)(root)
+    if mode == "swap" and not atomic:
+        # object-store path: record per-partition file manifests so the
+        # publish (and any crash recovery) can run file-granular moves
+        manifests = {rel: _walk_files(fs, f"{staging}/{rel}")
+                     for rel in relpaths}
+    intent = write_intent(fs, staging, mode=mode, relpaths=relpaths,
+                          manifests=manifests)
     apply_publish(fs, root, staging_id, staging, intent, catalog)
     return sorted(relpaths)
 

@@ -22,14 +22,29 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+#: Schemes where a Hadoop FileSystem ``rename`` is a non-atomic
+#: copy+delete per object.  The staging protocol's swap publish assumes
+#: atomic rename; on these stores the commit primitive must be the
+#: catalog/manifest PUT instead (see staging.py design note).
+_NON_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "abfs", "abfss"})
+
+
+def scheme_of(path: str) -> str:
+    return path.split("://", 1)[0] if "://" in path else "file"
+
 
 class LocalFS:
     """Metadata I/O on the local filesystem."""
+
+    def supports_atomic_rename(self, path: str) -> bool:
+        return True
 
     def exists(self, path: str) -> bool:
         return Path(path).exists()
@@ -104,12 +119,146 @@ class LocalFS:
         return results
 
 
+class MemoryFS:
+    """In-memory metadata store (reference ``store/memory.py:16``).
+
+    A process-local namespace for tests and ephemeral catalogs: files
+    are dict entries, renames are dict moves (atomic under the lock).
+    It carries METADATA ONLY — Spark executors run in separate
+    processes, so bulk partition data (parquet/zarr written by jobs)
+    cannot land here; collection fixtures use it for the config/
+    catalog/staging protocol surface, mirroring the reference's
+    memory × local fixture matrix at the layer where it is honest.
+    """
+
+    def __init__(self):
+        self._files: dict[str, str] = {}
+        self._dirs: set[str] = set()
+        self._lock = threading.RLock()
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        if path.startswith("memory://"):
+            path = path[len("memory://"):]
+        return path.rstrip("/")
+
+    def supports_atomic_rename(self, path: str) -> bool:
+        return True
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        with self._lock:
+            if p in self._files or p in self._dirs:
+                return True
+            prefix = p + "/"
+            return any(k.startswith(prefix)
+                       for k in (*self._files, *self._dirs))
+
+    def read_text(self, path: str) -> str:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._files:
+                raise FileNotFoundError(path)
+            return self._files[p]
+
+    def write_text(self, path: str, data: str) -> None:
+        p = self._norm(path)
+        with self._lock:
+            parent = p.rsplit("/", 1)[0] if "/" in p else ""
+            if parent:
+                self._dirs.add(parent)
+            self._files[p] = data  # dict assignment: atomic PUT
+
+    def delete(self, path: str) -> None:
+        p = self._norm(path)
+        prefix = p + "/"
+        with self._lock:
+            self._files.pop(p, None)
+            self._dirs.discard(p)
+            for k in [k for k in self._files if k.startswith(prefix)]:
+                del self._files[k]
+            self._dirs -= {d for d in self._dirs if d.startswith(prefix)}
+
+    def mkdirs(self, path: str) -> None:
+        with self._lock:
+            self._dirs.add(self._norm(path))
+
+    def rename(self, src: str, dst: str) -> bool:
+        s, d = self._norm(src), self._norm(dst)
+        with self._lock:
+            if self.exists(dst):
+                return False
+            if not self.exists(src):
+                return False
+            sp = s + "/"
+            moves_f = {k: d + k[len(s):] for k in self._files
+                       if k == s or k.startswith(sp)}
+            moves_d = {k: d + k[len(s):] for k in self._dirs
+                       if k == s or k.startswith(sp)}
+            for old, new in moves_f.items():
+                self._files[new] = self._files.pop(old)
+            for old, new in moves_d.items():
+                self._dirs.discard(old)
+                self._dirs.add(new)
+            parent = d.rsplit("/", 1)[0] if "/" in d else ""
+            if parent:
+                self._dirs.add(parent)
+            return True
+
+    def _children(self, path: str) -> tuple[set[str], set[str]]:
+        p = self._norm(path)
+        prefix = p + "/" if p else ""
+        files, dirs = set(), set()
+        with self._lock:
+            for k in self._files:
+                if k.startswith(prefix):
+                    rest = k[len(prefix):]
+                    (files if "/" not in rest
+                     else dirs).add(rest.split("/", 1)[0])
+            for k in self._dirs:
+                if k.startswith(prefix) and k != p:
+                    dirs.add(k[len(prefix):].split("/", 1)[0])
+        return files, dirs
+
+    def list_files(self, path: str) -> list[str]:
+        files, _ = self._children(path)
+        return sorted(files)
+
+    def list_dirs(self, path: str) -> list[str]:
+        _, dirs = self._children(path)
+        return sorted(dirs)
+
+    def list_partition_dirs(self, root: str, depth: int) -> list[str]:
+        results: list[str] = []
+
+        def walk(cur: str, level: int, rel: str) -> None:
+            if level == depth:
+                results.append(rel)
+                return
+            for name in self.list_dirs(cur):
+                if name.startswith(("_", ".")) or "=" not in name:
+                    continue
+                walk(f"{cur}/{name}", level + 1,
+                     f"{rel}/{name}" if rel else name)
+
+        walk(self._norm(root), 0, "")
+        return sorted(results)
+
+
+#: process-global memory:// namespace (the reference's memory store is
+#: likewise shared per process, tests/conftest.py:66-113)
+_MEMORY_FS = MemoryFS()
+
+
 class HadoopFS:
     """Metadata I/O through the JVM Hadoop FileSystem (any scheme)."""
 
     def __init__(self, spark: SparkSession):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+
+    def supports_atomic_rename(self, path: str) -> bool:
+        return scheme_of(path) not in _NON_ATOMIC_RENAME_SCHEMES
 
     def _fs_path(self, path: str):
         jpath = self._jvm.org.apache.hadoop.fs.Path(path)
@@ -189,6 +338,8 @@ class HadoopFS:
 
 def fs_for(path: str, spark: SparkSession | None = None):
     """Pick the metadata FS for ``path`` by scheme."""
+    if path.startswith("memory://"):
+        return _MEMORY_FS
     if "://" in path and not path.startswith("file://"):
         if spark is None:
             raise ValueError(f"non-local path {path!r} needs a SparkSession")

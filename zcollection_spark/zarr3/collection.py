@@ -38,7 +38,7 @@ from ..collection.merge import MergeCallable, resolve_merge
 from ..collection.merge import replace as merge_replace
 from ..errors import (CollectionExistsError, CollectionNotFoundError,
                       SchemaError)
-from ..fs import LocalFS, strip_scheme
+from ..fs import fs_for, strip_scheme
 from ..partitioning import Partitioning, compile_filter
 from ..partitioning import from_json as partitioning_from_json
 from ..schema import FORMAT_VERSION, DatasetSchema
@@ -117,7 +117,7 @@ def create_zarr_collection(spark: SparkSession, path: str, *,
                            partitioning: Partitioning,
                            overwrite: bool = False) -> "ZarrCollection":
     path = strip_scheme(path).rstrip("/")
-    fs = LocalFS()
+    fs = fs_for(path, spark)
     config_path = f"{path}/{CONFIG_NAME}"
     if fs.exists(config_path):
         if not overwrite:
@@ -159,7 +159,10 @@ class ZarrCollection:
         self.partitioning = partitioning
         self.axis = schema.axis
         self.catalog_enabled = True
-        self._fs = LocalFS()
+        # metadata fs by scheme; zarr DATA I/O (chunk
+        # encode/decode in executors) is pathlib-based, so
+        # non-local schemes need a mounted path today
+        self._fs = fs_for(self.path, spark)
         self._catalog = Catalog(self._fs, self.path,
                                 walk_depth=partitioning.depth)
         datasource.register(spark)
@@ -339,8 +342,8 @@ class ZarrCollection:
         doc = {"format_version": FORMAT_VERSION, "schema": rebuilt.to_json(),
                "partitioning": self.partitioning.to_json(),
                "data_format": "zarr3", "catalog_enabled": True}
-        LocalFS().write_text(f"{self.path}/{CONFIG_NAME}",
-                             json.dumps(doc, indent=1, sort_keys=True))
+        self._fs.write_text(f"{self.path}/{CONFIG_NAME}",
+                            json.dumps(doc, indent=1, sort_keys=True))
         self.schema = rebuilt
 
     def read_row_ranges(self,
@@ -517,8 +520,8 @@ class ZarrCollection:
         staging.py), then re-walk the store and rewrite the catalog
         (``base.py:352-375``; ≈ MSCK REPAIR TABLE)."""
         staging_proto.recover(self._fs, self.path)
-        relpaths = LocalFS().list_partition_dirs(self.path,
-                                                 self.partitioning.depth)
+        relpaths = self._fs.list_partition_dirs(
+            self.path, self.partitioning.depth)
         self._catalog.write(relpaths)
         return sorted(relpaths)
 
@@ -526,7 +529,7 @@ class ZarrCollection:
         predicate = compile_filter(filters)
         relpaths = self._catalog.read()
         if relpaths is None:
-            relpaths = LocalFS().list_partition_dirs(
+            relpaths = self._fs.list_partition_dirs(
                 self.path, self.partitioning.depth)
         matched = [(rel, self.partitioning.decode(rel)) for rel in relpaths]
         matched = [(rel, key) for rel, key in matched
