@@ -73,6 +73,21 @@ def main() -> None:
                 bytes_ += p.stat().st_size
         return {"files": files, "bytes": bytes_}
 
+    from zcollection_spark import fs as fsmod
+    from zcollection_spark.fs import CountingFS, LocalFS
+
+    # metadata-op probe (reference CountingProbe, benches/probe.py:19-85):
+    # every driver-side FS the engine builds is wrapped so the scenarios
+    # below can record GET/LIST/PUT budgets, not just wall-clock
+    probe = CountingFS(LocalFS())
+    real_fs_for = fsmod.fs_for
+    fsmod.fs_for = lambda path, spark=None: probe
+
+    def probed(fn) -> dict:
+        probe.reset()
+        fn()
+        return dict(probe.counts)
+
     try:
         events = load_table(spark, sf_dir, "events")
 
@@ -85,11 +100,24 @@ def main() -> None:
             coll.insert(events)
 
         counters["insert_full_dataset"] = _tree_stats(f"{tmp}/events")
+        # metadata ops of ONE cold insert (last repeat overwrote): config
+        # PUT + intent PUT + catalog PUTs + per-partition publish renames
+        counters["insert_full_dataset"]["ops"] = probed(lambda: (
+            zc.create_collection(
+                spark, f"{tmp}/events_ops", overwrite=True,
+                schema=infer_schema(events.schema, axis="ts"),
+                axis="ts", partitioning=zc.Date(("ts",), resolution="D"))
+            .insert(events)))
 
         @timed("open_collection_cold")
         def _():
             coll = zc.open_collection(spark, f"{tmp}/events")
             coll.partitions()
+
+        # the scale claim behind the 0-ish wall-clock: a catalog-backed
+        # cold open is O(1) GETs and ZERO recursive LISTs
+        counters["open_collection_cold"] = {"ops": probed(lambda: (
+            zc.open_collection(spark, f"{tmp}/events").partitions()))}
 
         coll = zc.open_collection(spark, f"{tmp}/events", mode="rw")
 
@@ -263,6 +291,7 @@ def main() -> None:
         def _():
             eq.q_streaming_hourly(spark, sf_dir).collect()
     finally:
+        fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
 

@@ -117,3 +117,25 @@ def test_memory_fs_is_process_shared():
     key = f"memory://{uuid.uuid4().hex}/f"
     a.write_text(key, "x")
     assert b.read_text(key) == "x"
+
+
+def test_cold_open_op_budget(spark, seq_collection, tmp_path, monkeypatch):
+    """The scale claim behind the catalog: a cold open + partition list
+    is O(1) GETs (config + catalog) and ZERO recursive LISTs; only a
+    corrupt catalog falls back to a walk."""
+    from zcollection_spark import fs as fsmod
+    from zcollection_spark.fs import CountingFS
+
+    probe = CountingFS(LocalFS())
+    monkeypatch.setattr(fsmod, "fs_for", lambda p, s=None: probe)
+    coll = zc.open_collection(spark, str(tmp_path / "seq"))
+    parts = coll.partitions()
+    assert parts == ["num=0", "num=1", "num=2"]
+    assert 1 <= probe.counts["get"] <= 3
+    assert probe.counts["list"] == 0
+
+    (tmp_path / "seq" / "_catalog" / "state.json").write_text("{broken")
+    probe.reset()
+    coll2 = zc.open_collection(spark, str(tmp_path / "seq"))
+    assert coll2.partitions() == parts
+    assert probe.counts["list"] >= 1  # walk fallback engaged

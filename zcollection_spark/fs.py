@@ -336,6 +336,69 @@ class HadoopFS:
         return sorted(results)
 
 
+class CountingFS:
+    """Op-counting decorator over any metadata FS — the analog of the
+    reference's ``CountingProbe`` (``benches/probe.py:19-85``).
+
+    Tallies the object-store op classes that dominate metadata cost at
+    scale: ``get`` (read), ``put`` (write), ``list`` (directory/walk),
+    ``head`` (exists), ``rename``, ``delete``.  Benches and tests use
+    it to assert op BUDGETS — e.g. a catalog-backed cold open is O(1)
+    GETs with zero LISTs, not a recursive store walk.
+    """
+
+    def __init__(self, inner):
+        self.inner = inner
+        from collections import Counter
+        self.counts = Counter()
+
+    def reset(self) -> None:
+        self.counts.clear()
+
+    def exists(self, path: str) -> bool:
+        self.counts["head"] += 1
+        return self.inner.exists(path)
+
+    def read_text(self, path: str) -> str:
+        self.counts["get"] += 1
+        return self.inner.read_text(path)
+
+    def write_text(self, path: str, data: str) -> None:
+        self.counts["put"] += 1
+        self.inner.write_text(path, data)
+
+    def delete(self, path: str) -> None:
+        self.counts["delete"] += 1
+        self.inner.delete(path)
+
+    def mkdirs(self, path: str) -> None:
+        self.counts["mkdirs"] += 1
+        self.inner.mkdirs(path)
+
+    def rename(self, src: str, dst: str) -> bool:
+        self.counts["rename"] += 1
+        return self.inner.rename(src, dst)
+
+    def list_files(self, path: str) -> list[str]:
+        self.counts["list"] += 1
+        return self.inner.list_files(path)
+
+    def list_dirs(self, path: str) -> list[str]:
+        self.counts["list"] += 1
+        return self.inner.list_dirs(path)
+
+    def list_partition_dirs(self, root: str, depth: int) -> list[str]:
+        self.counts["list"] += 1
+        return self.inner.list_partition_dirs(root, depth)
+
+    def supports_atomic_rename(self, path: str) -> bool:
+        return getattr(self.inner, "supports_atomic_rename",
+                       lambda p: True)(path)
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
 def fs_for(path: str, spark: SparkSession | None = None):
     """Pick the metadata FS for ``path`` by scheme."""
     if path.startswith("memory://"):
