@@ -239,9 +239,10 @@ def test_audio_features_plumbing(spark):
     # deterministic across runs
     again = extract_audio_features(with_payload, id_col="doc_id").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
-    # fake=False is the real-decoder seam
+    # fake=False now runs the real RIFF parser — garbage payloads are
+    # rejected loudly, not silently featurized
     import pytest as _pytest
-    with _pytest.raises(Exception, match="NotImplementedError|torchaudio"):
+    with _pytest.raises(Exception, match="RIFF"):
         extract_audio_features(with_payload, id_col="doc_id",
                                fake=False).collect()
 
@@ -365,3 +366,54 @@ def test_embedding_block_guard_fails_fast_and_auto_sizes(spark):
                                threshold=1.0 - 1e-12, method="block",
                                n_blocks=None, max_block_bytes=2048)
     assert auto.count() == 0  # distinct vectors, threshold ~1
+
+
+def test_ppm_codec_roundtrip_and_real_image_features(spark):
+    from zcollection_spark.functions.multimodal import (
+        decode_ppm, encode_ppm, extract_image_features)
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, size=(4 + i, 6, 3), dtype=np.uint8)
+            for i in range(5)}
+    # codec round-trip, including a commented header
+    px = imgs[0]
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    commented = b"P6\n# a comment\n6 4\n255\n" + px.tobytes()
+    assert (decode_ppm(commented) == px).all()
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"JFIF garbage")
+
+    pdf = pd.DataFrame({"doc_id": list(imgs),
+                        "payload": [encode_ppm(v) for v in imgs.values()]})
+    df = spark.createDataFrame(pdf, "doc_id long, payload binary")
+    rows = {r["id"]: r for r in extract_image_features(
+        df, id_col="doc_id", fake=False).collect()}
+    for i, px in imgs.items():
+        feat = rows[i]["feat"]
+        assert feat[0] == 6.0 and feat[1] == float(4 + i)  # w, h
+        assert abs(feat[2] - px[:, :, 0].mean()) < 1e-5
+        assert abs(feat[5] - px.astype(np.float64).std()) < 1e-5
+
+
+def test_wav_codec_roundtrip_and_real_audio_features(spark):
+    from zcollection_spark.functions.multimodal import (
+        decode_wav, encode_wav, extract_audio_features)
+    t = np.arange(800) / 8000.0
+    sine = np.sin(2 * np.pi * 440 * t)
+    for bits, tol in ((16, 1e-3), (8, 2e-2)):
+        rate, decoded = decode_wav(encode_wav(sine, 8000, bits=bits))
+        assert rate == 8000 and len(decoded) == 800
+        assert np.abs(decoded - sine).max() < tol
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "payload": [encode_wav(sine, 8000), encode_wav(sine * 0.5, 16000)]})
+    df = spark.createDataFrame(pdf, "doc_id long, payload binary")
+    rows = {r["id"]: r for r in extract_audio_features(
+        df, id_col="doc_id", fake=False).collect()}
+    # header-driven: rates differ per row, durations follow the header
+    assert rows[0]["n_samples"] == 800
+    assert abs(rows[0]["duration_s"] - 0.1) < 1e-9
+    assert abs(rows[1]["duration_s"] - 0.05) < 1e-9
+    # sine RMS = amplitude/sqrt(2)
+    assert abs(rows[0]["rms"] - 1 / np.sqrt(2)) < 1e-2
+    assert abs(rows[1]["rms"] - 0.5 / np.sqrt(2)) < 1e-2

@@ -1197,6 +1197,52 @@ FROM documents
 """
 
 
+def q_multimodal_decoded(spark, sf_dir):
+    """REAL multimodal decode (not the fake stand-in): each doc gets a
+    genuine RIFF/WAV payload (PCM8, 64 samples derived from doc_id),
+    ``extract_audio_features(fake=False)`` parses the container — chunk
+    walk, fmt header, PCM scaling — and the oracle replays the exact
+    sample math in SQL.  Proves the decode path end-to-end, not just
+    the plumbing."""
+    import struct as _struct
+
+    from .functions.multimodal import extract_audio_features
+
+    def _wav(batches):
+        fmt = _struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+        head = (b"WAVE" + b"fmt " + _struct.pack("<I", 16) + fmt
+                + b"data" + _struct.pack("<I", 64))
+        for pdf in batches:
+            payloads = [
+                b"RIFF" + _struct.pack("<I", len(head) + 64) + head
+                + bytes((int(d) * 31 + i * 7) % 256 for i in range(64))
+                for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(_wav, "doc_id long, payload binary")
+    feats = extract_audio_features(payloads, id_col="doc_id", fake=False)
+    return feats.select(
+        "id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"))
+
+
+ORACLE_MULTIMODAL_DECODED = """
+WITH s AS (
+  SELECT doc_id,
+         ((doc_id * 31 + i * 7) % 256 - 128) / 128.0 AS v
+  FROM documents, UNNEST(generate_series(0, 63)) t(i)
+)
+SELECT doc_id AS id, CAST(64 AS INTEGER) AS n_samples,
+       round(64 / 16000.0, 6) AS duration_s,
+       round(sqrt(avg(v * v)), 6) AS rms
+FROM s GROUP BY doc_id
+"""
+
+
 def q_zarr_roundtrip(spark, sf_dir):
     """Zarr v3 custom datasource round-trip: distributed executor-side
     group writes, pruned + projected read through the registered Python
@@ -1817,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "embedding_centroids": q_embedding_centroids,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decoded": q_multimodal_decoded,
         "zarr_roundtrip": q_zarr_roundtrip,
         "zarr_documents": q_zarr_documents,
         "streaming_hourly": q_streaming_hourly,
@@ -1891,6 +1938,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "knn_lsh": _lsh_oracle(),
         "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
         "multimodal_features": ORACLE_MULTIMODAL,
+        "multimodal_decoded": ORACLE_MULTIMODAL_DECODED,
         "zarr_roundtrip": ORACLE_ZARR,
         "zarr_documents": ORACLE_ZARR_DOCUMENTS,
         "streaming_hourly": ORACLE_STREAMING,
