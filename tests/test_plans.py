@@ -125,12 +125,16 @@ def test_dedup_candidates_are_equi_joins(spark, query):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_knn_bruteforce_broadcasts_query_side(spark):
-    # the cross join is intentional (exact baseline) but the small side
-    # must broadcast -- a shuffled cross join would be the scale bug
+def test_knn_bruteforce_no_join_partial_topk(spark):
+    # exact brute force must NOT plan a join at all: the query matrix is
+    # a task broadcast, each Arrow batch emits only its partial top-k,
+    # and the rank window sees O(batches x queries x k) rows -- a
+    # shuffled or nested-loop cross join would be the scale bug
     plan = executed_plan(eq.q_knn_bruteforce(spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "Join"):
+        assert node not in plan, node
 
 
 def test_order_priority_semi_join_shape(spark):

@@ -473,6 +473,26 @@ class Collection:
             self._write(merged, mode="overwrite")
         return sorted(incoming_rel)
 
+    def nbytes(self, *, filters: str | None = None) -> int:
+        """Catalyst's byte estimate of the (pruned, projected) query
+        output — the lazy engine's honest analog of the reference's
+        materialized ``Dataset.nbytes`` (``data/group.py:157-194``)."""
+        from .. import xbridge
+        df = self.query(filters=filters)
+        return 0 if df is None else xbridge.dataset_nbytes(df)
+
+    def to_xarray(self, *, filters: str | None = None,
+                  variables: Iterable[str] | None = None):
+        """Query → ``xarray.Dataset`` with the schema's dimensions
+        (``data/dataset.py:205-300``); None when no partition matches
+        (quirk Q6 parity).  Collects to the driver — bounded use only;
+        requires the optional xarray dependency."""
+        from .. import xbridge
+        arrays = self.query_arrays(filters=filters, variables=variables)
+        if arrays is None:
+            return None
+        return xbridge.arrays_to_xarray(arrays, self.schema)
+
     def query_arrays(self, *, filters: str | None = None,
                      variables: Iterable[str] | None = None
                      ) -> dict[str, Any] | None:
@@ -706,5 +726,15 @@ class Collection:
 
     # ------------------------------------------------------------------
     def __repr__(self) -> str:
-        return (f"Collection(path={self.path!r}, axis={self.axis!r}, "
-                f"partitioning={self.partitioning!r}, mode={self.mode!r})")
+        """xarray-style tree repr (the reference Dataset display role,
+        ``data/dataset.py:205-300``) headed by the store coordinates."""
+        from .. import xbridge
+        try:
+            n_parts = len(self.partitions())
+        except Exception:
+            n_parts = None
+        tree = xbridge.tree_repr(self.schema, name="Collection",
+                                 n_partitions=n_parts)
+        head, _, rest = tree.partition("\n")
+        return (f"{head}\n  Path: {self.path}  (axis={self.axis!r}, "
+                f"mode={self.mode!r})\n{rest}")
