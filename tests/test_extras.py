@@ -187,3 +187,38 @@ def test_cli_verify_and_repair(spark, seq_collection, capsys):
     report = _json.loads(capsys.readouterr().out)
     assert report["status"] == "OK"
     assert report["partitions_in_catalog"] == 2
+
+
+def test_cli_repair_reports_recovery_outcome(spark, seq_collection,
+                                             capsys):
+    """``verify --repair`` surfaces what recovery DID: staged-with-
+    intent inserts rolled forward, intent-less debris quarantined."""
+    import json as _json
+    from pathlib import Path
+    from zcollection_spark.collection import staging as sp
+
+    root = seq_collection.path
+    fs = seq_collection._fs
+    # staged insert with intent (crashed before publish)
+    sid, staged = sp.new_staging_dir(fs, root)
+    fs.mkdirs(f"{staged}/num=7")
+    fs.write_text(f"{staged}/num=7/data.parquet", "payload")
+    sp.write_intent(fs, staged, mode="swap", relpaths=["num=7"])
+    # intent-less debris
+    fs.mkdirs(f"{root}/{sp.STAGING_RELPATH}/zombie/num=8")
+
+    assert cli.main(["verify", root]) == 1
+    report = _json.loads(capsys.readouterr().out)
+    assert sorted(report["interrupted_inserts"]) == sorted([sid, "zombie"])
+
+    assert cli.main(["verify", root, "--repair"]) == 0
+    out = capsys.readouterr().out
+    repair = _json.loads("{" + out.split("}\n{", 1)[1])
+    assert repair["rolled_forward"] == [sid]
+    assert repair["quarantined"] == ["zombie"]
+    assert repair["catalog_partitions"] == 4  # num=0,1,2 + recovered 7
+    assert Path(root, "num=7", "data.parquet").exists()
+    assert not Path(root, sp.STAGING_RELPATH, "zombie").exists()
+
+    capsys.readouterr()
+    assert cli.main(["verify", root]) == 0

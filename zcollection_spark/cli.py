@@ -139,8 +139,15 @@ def cmd_verify(args: argparse.Namespace) -> int:
     report["status"] = "OK" if ok else "INCONSISTENT (run repair)"
     print(json.dumps(report, indent=1))
     if not ok and args.repair:
+        # run recovery explicitly first so the roll-forward/quarantine
+        # outcome is reported; repair_catalog's internal recover() then
+        # finds nothing left to do (idempotent)
+        recovered = staging_proto.recover(coll._fs, coll.path)
         repaired = coll.repair_catalog()
-        print(f"repaired: catalog now lists {len(repaired)} partitions")
+        print(json.dumps({
+            "rolled_forward": recovered["published"],
+            "quarantined": recovered["quarantined"],
+            "catalog_partitions": len(repaired)}, indent=1))
         return 0
     return 0 if ok else 1
 
