@@ -417,3 +417,12 @@ def test_wav_codec_roundtrip_and_real_audio_features(spark):
     # sine RMS = amplitude/sqrt(2)
     assert abs(rows[0]["rms"] - 1 / np.sqrt(2)) < 1e-2
     assert abs(rows[1]["rms"] - 0.5 / np.sqrt(2)) < 1e-2
+
+
+def test_brute_force_topk_empty_query_set_keeps_schema(spark):
+    df = _vec_df(spark, n=6)
+    out = brute_force_topk(df, df.where(F.col("vec_id") < 0),
+                           id_col="vec_id", vec_col="embedding",
+                           query_id_col="vec_id", k=3)
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert out.count() == 0
