@@ -259,3 +259,33 @@ def test_publish_renames_run_in_parallel(tmp_path):
     # 24 renames x 15 ms sequential = 360 ms; the 16-way pool needs ~2
     # waves (~30 ms) + overhead.  200 ms keeps plenty of margin.
     assert elapsed < 0.2, f"publish looks sequential: {elapsed:.3f}s"
+
+
+def test_failed_publish_rename_raises_loudly(tmp_path):
+    """A rename that reports failure (permissions, unexpected dst) must
+    abort the publish with StoreError — not silently skip the partition
+    while the commit proceeds.  Staging + intent survive for recover."""
+    from zcollection_spark.errors import StoreError
+    from zcollection_spark.fs import LocalFS
+
+    class RefusingFS(LocalFS):
+        def rename(self, src, dst):
+            if "_staging" in src:
+                return False  # simulate a silent FS-level failure
+            return super().rename(src, dst)
+
+    fs = RefusingFS()
+    root = str(tmp_path / "store")
+    sid, staged = staging.new_staging_dir(fs, root)
+    fs.mkdirs(f"{staged}/num=1")
+    fs.write_text(f"{staged}/num=1/data", "v1")
+    intent = staging.write_intent(fs, staged, mode="swap",
+                                  relpaths=["num=1"])
+    with pytest.raises(StoreError, match="publish rename failed"):
+        staging.apply_publish(fs, root, sid, staged, intent)
+    # nothing committed, staged state intact for a later recover
+    assert fs.exists(f"{staged}/num=1/data")
+    assert not fs.exists(f"{root}/num=1")
+    out = staging.recover(LocalFS(), root)  # healthy FS: rolls forward
+    assert out["published"] == [sid]
+    assert fs.read_text(f"{root}/num=1/data") == "v1"

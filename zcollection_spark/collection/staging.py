@@ -121,6 +121,16 @@ def _parent(path: str) -> str:
     return path.rsplit("/", 1)[0]
 
 
+def _must_rename(fs, src: str, dst: str) -> None:
+    """Rename or raise — a silently-failed publish rename (permissions,
+    unexpected dst) would otherwise leave a partition unpublished while
+    the commit proceeds; loud failure keeps the staging dir + intent in
+    place so ``recover`` can retry."""
+    if not fs.rename(src, dst):
+        from ..errors import StoreError
+        raise StoreError(f"publish rename failed: {src!r} -> {dst!r}")
+
+
 def _publish_one(fs, root: str, staging_id: str, staging: str,
                  mode: str, rel: str, manifest: list[str] | None) -> None:
     """Publish a single partition (idempotent; safe to re-run).
@@ -139,7 +149,7 @@ def _publish_one(fs, root: str, staging_id: str, staging: str,
             for f in _walk_files(fs, dst):
                 if f not in wanted:
                     fs.mkdirs(_parent(f"{old}/{f}"))
-                    fs.rename(f"{dst}/{f}", f"{old}/{f}")
+                    _must_rename(fs, f"{dst}/{f}", f"{old}/{f}")
         for f in manifest:
             target = f"{dst}/{f}"
             if fs.exists(target):
@@ -151,16 +161,16 @@ def _publish_one(fs, root: str, staging_id: str, staging: str,
                     f"published — staged data incomplete, cannot roll "
                     f"forward partition {rel!r}")
             fs.mkdirs(_parent(target))
-            fs.rename(source, target)
+            _must_rename(fs, source, target)
     elif mode == "swap":
         if not fs.exists(src):
             return  # already published by an earlier attempt
         if fs.exists(dst):
             old = f"{staging}/{OLD_RELPATH}/{rel}"
             fs.mkdirs(_parent(old))
-            fs.rename(dst, old)
+            _must_rename(fs, dst, old)
         fs.mkdirs(_parent(dst))
-        fs.rename(src, dst)
+        _must_rename(fs, src, dst)
     else:  # append: file-level moves under collision-free names
         if not fs.exists(src):
             return
@@ -170,7 +180,7 @@ def _publish_one(fs, root: str, staging_id: str, staging: str,
                 continue
             target = f"{dst}/{staging_id}-{fname}"
             if not fs.exists(target):
-                fs.rename(f"{src}/{fname}", target)
+                _must_rename(fs, f"{src}/{fname}", target)
 
 
 def apply_publish(fs, root: str, staging_id: str, staging: str,
