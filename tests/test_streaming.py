@@ -93,3 +93,78 @@ def test_stream_ingest_into_zarr_collection(spark, tmp_path):
     assert coll.query().count() == batch.count()
     assert coll.query(filters="day == 5").count() == \
         batch.where(F.dayofmonth("ts") == 5).count()
+
+
+def test_batch_sink_exactly_once_replay_skip(spark, tmp_path, seq_schema):
+    """A replayed micro-batch (same batch_id) must be a no-op even with
+    merge='concat' — the txn version commits atomically with the
+    catalog, Delta-sink style."""
+    import numpy as np
+    import pandas as pd
+    import zcollection_spark as zc
+    from zcollection_spark.streaming import make_batch_sink
+
+    coll = zc.create_collection(spark, str(tmp_path / "eo"),
+                                schema=seq_schema, axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    bound = seq_schema.with_partition_axis("num")
+
+    def batch(nums):
+        pdf = pd.DataFrame({
+            "num": np.array(nums, dtype=np.int64),
+            "value": [[1.0, 2.0, 3.0]] * len(nums),
+            "static": [[10.0, 20.0, 30.0]] * len(nums)})
+        return spark.createDataFrame(pdf, schema=bound.to_struct_type())
+
+    sink = make_batch_sink(coll, merge="concat", app_id="ingest-a")
+    sink(batch([1, 1]), 0)
+    assert coll.query().count() == 2
+    sink(batch([1, 1]), 0)  # replay of batch 0: must be skipped
+    assert coll.query().count() == 2
+    assert coll.txn_version("ingest-a") == 0
+    sink(batch([2]), 1)  # the next batch applies
+    assert coll.query().count() == 3
+    assert coll.txn_version("ingest-a") == 1
+    # an unrelated app has its own ledger
+    assert coll.txn_version("other") == -1
+
+
+def test_txn_survives_crash_and_roll_forward(spark, tmp_path, seq_schema):
+    """Crash after the intent: repair rolls the batch forward AND
+    commits its txn version, so the stream's replay of that batch is
+    skipped — exactly-once across the crash."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import zcollection_spark as zc
+    from zcollection_spark.streaming import make_batch_sink
+    from tests.test_staging_recovery import CrashAfterRenames
+
+    coll = zc.create_collection(spark, str(tmp_path / "eoc"),
+                                schema=seq_schema, axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    bound = seq_schema.with_partition_axis("num")
+    pdf = pd.DataFrame({
+        "num": np.array([5, 5], dtype=np.int64),
+        "value": [[1.0, 2.0, 3.0]] * 2,
+        "static": [[10.0, 20.0, 30.0]] * 2})
+    df = spark.createDataFrame(pdf, schema=bound.to_struct_type())
+
+    sink = make_batch_sink(coll, merge="concat", app_id="ingest-b")
+    real_fs = coll._fs
+    coll._fs = CrashAfterRenames(real_fs, 0)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sink(df, 0)
+    finally:
+        coll._fs = real_fs
+
+    assert coll.txn_version("ingest-b") == -1  # not committed yet
+    coll.repair_catalog()  # roll forward WITH the intent's txn
+    assert coll.query().count() == 2
+    assert coll.txn_version("ingest-b") == 0
+    sink(df, 0)  # stream restart replays batch 0: must skip
+    assert coll.query().count() == 2
+    # catalog rebuild (walk) preserves the ledger
+    coll.repair_catalog()
+    assert coll.txn_version("ingest-b") == 0

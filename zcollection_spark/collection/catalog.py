@@ -53,8 +53,8 @@ class Catalog:
             return self._fs.list_partition_dirs(self._root, self._walk_depth)
         return []
 
-    def read(self) -> list[str] | None:
-        """Sorted partition relpaths, or None if absent/corrupt."""
+    def _read_doc(self) -> dict | None:
+        """Validated catalog document, or None if absent/corrupt."""
         if not self._fs.exists(self._path):
             return None
         try:
@@ -62,20 +62,52 @@ class Catalog:
             partitions = list(doc["partitions"])
             if doc.get("checksum") != _checksum(partitions):
                 return None  # corrupt → treated missing (quirk Q1 intent)
-            return partitions
+            return doc
         except (ValueError, KeyError, OSError):
             return None
 
-    def write(self, partitions: list[str]) -> None:
+    def read(self) -> list[str] | None:
+        """Sorted partition relpaths, or None if absent/corrupt."""
+        doc = self._read_doc()
+        return list(doc["partitions"]) if doc is not None else None
+
+    def read_txn(self, app_id: str) -> int:
+        """Highest committed transaction version for ``app_id`` (-1 if
+        none).  The txn map commits in the SAME atomic catalog PUT as
+        the partition list — the Delta-style streaming-sink idempotence
+        ledger: a replayed micro-batch whose version is already recorded
+        was fully committed and must be skipped."""
+        doc = self._read_doc()
+        if doc is None:
+            return -1
+        return int(doc.get("txn", {}).get(app_id, -1))
+
+    def write(self, partitions: list[str],
+              txn_map: dict | None = None) -> None:
+        """Write the full document.  ``txn_map=None`` PRESERVES the
+        existing txn ledger (a catalog rebuild from a store walk must
+        not forget committed stream batches); pass ``{}`` to reset."""
+        if txn_map is None:
+            doc0 = self._read_doc()
+            txn_map = dict((doc0 or {}).get("txn", {}))
         partitions = sorted(set(partitions))
         doc = {"format_version": 1, "partitions": partitions,
                "checksum": _checksum(partitions)}
+        if txn_map:
+            doc["txn"] = {k: int(v) for k, v in sorted(txn_map.items())}
         self._fs.write_text(self._path, json.dumps(doc, indent=1))
 
-    def add(self, new: list[str]) -> list[str]:
+    def add(self, new: list[str],
+            txn: "tuple[str, int] | None" = None) -> list[str]:
         with _LOCKS[self._path]:
+            doc0 = self._read_doc()
+            txn_map = dict((doc0 or {}).get("txn", {}))
+            if txn is not None:
+                app, version = txn
+                txn_map[app] = max(int(version),
+                                   int(txn_map.get(app, -1)))
             merged = sorted(set(self._baseline()) | set(new))
-            self.write(merged)
+            self.write(merged, txn_map=txn_map)
             return merged
 
     def remove(self, gone: list[str]) -> list[str]:

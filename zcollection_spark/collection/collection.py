@@ -171,10 +171,14 @@ class Collection:
         (``/root/reference/zcollection/store/icechunk_store.py:158-168``).
         """
         self._require_writable()
-        staging_proto.recover(self._fs, self.path)
+        # pass the catalog so a rolled-forward insert commits its txn
+        # version atomically (exactly-once across crash + replay)
+        staging_proto.recover(
+            self._fs, self.path,
+            self._catalog if self.catalog_enabled else None)
         relpaths = self._fs.list_partition_dirs(self.path,
                                                 self.partitioning.depth)
-        self._catalog.write(relpaths)
+        self._catalog.write(relpaths)  # preserves the txn ledger
         return sorted(relpaths)
 
     # ------------------------------------------------------------------
@@ -387,16 +391,21 @@ class Collection:
         writer.parquet(target)
 
     def _staged_write(self, write_fn: Callable[[str], None], *,
-                      mode: str) -> list[str]:
+                      mode: str,
+                      txn: "tuple[str, int] | None" = None) -> list[str]:
         """Run ``write_fn(staging_dir)`` and publish atomically
         (stage → intent → rename, staging.py); the catalog add is part of
-        the publish so readers never see uncommitted partitions."""
+        the publish so readers never see uncommitted partitions.  ``txn``
+        (app_id, version) commits in the same catalog PUT — streaming
+        sinks use it for exactly-once replay skip."""
         return staging_proto.staged_publish(
             self._fs, self.path, write_fn=write_fn,
             depth=self.partitioning.depth, mode=mode,
-            catalog=self._catalog if self.catalog_enabled else None)
+            catalog=self._catalog if self.catalog_enabled else None,
+            txn=txn)
 
-    def _write(self, derived: DataFrame, *, mode: str) -> list[str]:
+    def _write(self, derived: DataFrame, *, mode: str,
+               txn: "tuple[str, int] | None" = None) -> list[str]:
         # ONE shuffle: the _row_idx window exchanges on hash(keys) and
         # sorts by (keys, axis) within tasks — exactly the distribution
         # partitionBy needs, so no extra repartition/sortWithinPartitions.
@@ -406,10 +415,11 @@ class Collection:
         return self._staged_write(
             lambda staging: self._write_tree(self._with_row_idx(derived),
                                              staging),
-            mode=publish)
+            mode=publish, txn=txn)
 
     def insert(self, df: DataFrame, *,
-               merge: str | MergeCallable | None = None) -> list[str]:
+               merge: str | MergeCallable | None = None,
+               txn: "tuple[str, int] | None" = None) -> list[str]:
         """Partitioned write with optional merge
         (``base.py:390-522``; strategies in ``merge.py``).
 
@@ -442,7 +452,7 @@ class Collection:
         strategy = resolve_merge(merge)
 
         if not colliding or strategy is merge_replace:
-            self._write(derived, mode="overwrite")
+            self._write(derived, mode="overwrite", txn=txn)
         elif strategy is merge_concat:
             # true append: never rewrites existing data; only the _row_idx
             # offsets of colliding partitions are read (a count per key)
@@ -464,14 +474,20 @@ class Collection:
             # partition dirs (existing data is never rewritten)
             self._staged_write(
                 lambda staging: self._write_tree(appended, staging),
-                mode="append")
+                mode="append", txn=txn)
         else:
             existing = (self._read_partitions(colliding).drop(ROW_IDX))
             existing = self._cast_restored_keys(existing)
             merged = strategy(existing, derived, axis=self.axis,
                               keys=tuple(keys))
-            self._write(merged, mode="overwrite")
+            self._write(merged, mode="overwrite", txn=txn)
         return sorted(incoming_rel)
+
+    def txn_version(self, app_id: str) -> int:
+        """Highest committed streaming-sink transaction version for
+        ``app_id`` (-1 if none) — see ``Catalog.read_txn``."""
+        return self._catalog.read_txn(app_id) \
+            if self.catalog_enabled else -1
 
     def nbytes(self, *, filters: str | None = None) -> int:
         """Catalyst's byte estimate of the (pruned, projected) query

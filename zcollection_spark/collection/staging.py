@@ -100,12 +100,16 @@ def _walk_files(fs, root: str, rel: str = "") -> list[str]:
 
 
 def write_intent(fs, staging: str, *, mode: str, relpaths: list[str],
-                 manifests: dict | None = None) -> dict:
+                 manifests: dict | None = None,
+                 txn: "tuple[str, int] | None" = None) -> dict:
     """Persist the publish intent (the commit point of the write).
 
     ``manifests`` maps each relpath to its staged file list — required
     on stores without atomic rename, where publish is file-granular and
     the manifest is the only way to tell staged-new from residual-old.
+    ``txn`` is an (app_id, version) streaming-sink transaction: it rides
+    in the intent so a roll-forward commits it atomically with the
+    catalog — a replayed micro-batch can never double-apply.
     """
     assert mode in ("swap", "append"), mode
     intent = {"format_version": 2, "mode": mode,
@@ -113,6 +117,8 @@ def write_intent(fs, staging: str, *, mode: str, relpaths: list[str],
     if manifests is not None:
         intent["manifests"] = {rel: sorted(files)
                                for rel, files in manifests.items()}
+    if txn is not None:
+        intent["txn"] = [txn[0], int(txn[1])]
     fs.write_text(f"{staging}/{INTENT_NAME}", json.dumps(intent, indent=1))
     return intent
 
@@ -212,13 +218,16 @@ def apply_publish(fs, root: str, staging_id: str, staging: str,
             # list() forces iteration: the first failure raises here
             list(pool.map(publish, relpaths))
     if catalog is not None:
-        catalog.add(relpaths)
+        txn = intent.get("txn")
+        catalog.add(relpaths,
+                    txn=(txn[0], int(txn[1])) if txn else None)
     fs.delete(staging)
     return relpaths
 
 
 def staged_publish(fs, root: str, *, write_fn, depth: int,
-                   mode: str, catalog=None) -> list[str]:
+                   mode: str, catalog=None,
+                   txn: "tuple[str, int] | None" = None) -> list[str]:
     """Run ``write_fn(staging_dir)`` (the Spark job), then publish its
     output atomically.  Returns the published partition relpaths."""
     staging_id, staging = new_staging_dir(fs, root)
@@ -241,7 +250,7 @@ def staged_publish(fs, root: str, *, write_fn, depth: int,
         manifests = {rel: _walk_files(fs, f"{staging}/{rel}")
                      for rel in relpaths}
     intent = write_intent(fs, staging, mode=mode, relpaths=relpaths,
-                          manifests=manifests)
+                          manifests=manifests, txn=txn)
     apply_publish(fs, root, staging_id, staging, intent, catalog)
     return sorted(relpaths)
 

@@ -154,32 +154,61 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("__rn") == 1).drop("__rn"))
 
 
+def make_batch_sink(collection: Collection, *, merge: str | None,
+                    app_id: str):
+    """The foreachBatch sink: a TRANSACTIONAL insert per micro-batch.
+
+    Exactly-once ingestion on the Delta-sink pattern re-expressed on the
+    collection catalog: the (app_id, batch_id) transaction rides in the
+    staging intent and commits in the same atomic catalog PUT as the
+    partition list, so
+
+    - a batch that committed is skipped on replay (its version is in
+      the catalog's txn ledger) — even with ``merge="concat"``;
+    - a batch that crashed after the intent rolls FORWARD with its txn
+      via ``repair_catalog``, then replays as a skip;
+    - a batch that crashed before the intent left nothing visible and
+      simply re-runs.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if collection.txn_version(app_id) >= batch_id:
+            return  # replayed, already committed: exactly-once skip
+        if not batch_df.isEmpty():
+            collection.insert(batch_df, merge=merge,
+                              txn=(app_id, batch_id))
+
+    return _sink
+
+
 def write_stream_to_collection(stream_df: DataFrame,
                                collection: Collection, *,
                                merge: str | None = None,
                                checkpoint_dir: str | None = None,
-                               available_now: bool = True):
+                               available_now: bool = True,
+                               app_id: str | None = None):
     """Continuous ingestion into a collection via ``foreachBatch``.
 
     Each micro-batch runs the exact batch-path ``insert`` (one shuffle on
     the partition keys, then the chosen merge strategy), so late or
     replayed data gets the collection's upsert/time_series semantics
-    rather than blind appends.  Checkpointing gives at-least-once
-    micro-batch delivery; with ``merge="upsert"`` a replayed batch is
-    idempotent, and the catalog-gated visibility means a batch that dies
-    mid-insert publishes nothing.
+    rather than blind appends.  Delivery is EXACTLY-ONCE per micro-batch:
+    see :func:`make_batch_sink` (txn versions in the catalog commit).
+    ``app_id`` identifies the stream in the txn ledger and must be stable
+    across restarts — it defaults to a hash of the checkpoint dir, which
+    Spark already requires to be stable.
 
     Returns the started ``StreamingQuery`` — callers own
     ``awaitTermination``/``stop``.
     """
+    import hashlib
+
     checkpoint_dir = checkpoint_dir or (
         f"{collection.path}/_checkpoints/ingest_{uuid.uuid4().hex}")
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            collection.insert(batch_df, merge=merge)
-
-    writer = (stream_df.writeStream.foreachBatch(_sink)
+    app_id = app_id or ("stream-" + hashlib.sha256(
+        checkpoint_dir.encode()).hexdigest()[:12])
+    sink = make_batch_sink(collection, merge=merge, app_id=app_id)
+    writer = (stream_df.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -217,8 +217,14 @@ class ZarrCollection:
                           if isinstance(value, list) else F.lit(value))
         return df.withColumns(adds) if adds else df
 
+    def txn_version(self, app_id: str) -> int:
+        """Highest committed streaming-sink txn version for ``app_id``
+        (-1 if none) — same ledger semantics as the parquet layout."""
+        return self._catalog.read_txn(app_id)
+
     def insert(self, df: DataFrame,
-               merge: str | MergeCallable | None = None) -> list[str]:
+               merge: str | MergeCallable | None = None,
+               txn: "tuple[str, int] | None" = None) -> list[str]:
         """Shuffle by partition keys, write one Zarr group per partition
         from the executors, commit the catalog.
 
@@ -251,7 +257,7 @@ class ZarrCollection:
                 compile_filter(filters).to_column())
             derived = strategy(existing, derived, axis=self.axis,
                                keys=tuple(keys))
-        written = self._write_partitions(derived)
+        written = self._write_partitions(derived, txn=txn)
         return sorted(set(written) | set(incoming_rel))
 
     def _write_spec(self, columns) -> dict:
@@ -278,7 +284,9 @@ class ZarrCollection:
                          for v in var_schemas],
         }
 
-    def _write_partitions(self, derived: DataFrame) -> list[str]:
+    def _write_partitions(self, derived: DataFrame,
+                          txn: "tuple[str, int] | None" = None
+                          ) -> list[str]:
         """Stage → intent → publish (staging.py): executors write each
         Zarr partition group under ``_staging/{id}``, then per-partition
         renames + the catalog PUT make the insert visible atomically —
@@ -306,7 +314,7 @@ class ZarrCollection:
         return staging_proto.staged_publish(
             self._fs, self.path, write_fn=write_fn,
             depth=self.partitioning.depth, mode="swap",
-            catalog=self._catalog)
+            catalog=self._catalog, txn=txn)
 
     # ------------------------------------------------------------------
     def to_df(self, *, variables: Iterable[str] | None = None) -> DataFrame:
@@ -519,7 +527,7 @@ class ZarrCollection:
         """Recover interrupted inserts (roll forward / quarantine —
         staging.py), then re-walk the store and rewrite the catalog
         (``base.py:352-375``; ≈ MSCK REPAIR TABLE)."""
-        staging_proto.recover(self._fs, self.path)
+        staging_proto.recover(self._fs, self.path, self._catalog)
         relpaths = self._fs.list_partition_dirs(
             self.path, self.partitioning.depth)
         self._catalog.write(relpaths)
