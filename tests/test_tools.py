@@ -49,3 +49,24 @@ def test_guard_total_breach(capsys):
     assert _run({f"q{i}": 1.0 for i in range(10)},
                 {f"q{i}": 1.9 for i in range(10)},
                 a_total=10.0, c_total=21.0) == 1
+
+
+def test_registry_window_invariant():
+    """The correctness driver records only the FIRST 50 queries(): every
+    operator-bearing query must stay inside that window; only the
+    documented plain-SQL tail may sit beyond it."""
+    from zcollection_spark import entry_queries
+
+    names = list(entry_queries.queries())
+    tail_allowed = {"revenue_delta", "priority_class_counts",
+                    "value_percentiles", "revenue_rollup", "big_orders",
+                    "event_gaps"}
+    assert set(names[50:]) <= tail_allowed, names[50:]
+    for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
+                             "dedup_embedding_lsh", "knn_ivf"):
+        assert names.index(must_be_recorded) < 50
+    oracles = entry_queries.oracle_sql()
+    assert set(oracles) <= set(names)
+    # a missing data dir degrades the map, never breaks it
+    degraded = entry_queries.oracle_sql("/does/not/exist")
+    assert set(degraded) == set(oracles) - {"knn_ivf"}

@@ -23,6 +23,7 @@ from .partitioning import (Date, GroupedSequence, Partitioning, Sequence,
 from .schema import (DatasetSchema, Dimension, SchemaBuilder, VariableSchema,
                      infer_schema)
 from .session import get_spark
+from .xbridge import dataset_nbytes, is_lazy, tree_repr
 
 __version__ = "0.1.0"
 
@@ -32,6 +33,7 @@ __all__ = [
     "Date", "Sequence", "GroupedSequence", "Partitioning", "compile_filter",
     "DatasetSchema", "Dimension", "SchemaBuilder", "VariableSchema",
     "infer_schema", "get_spark",
+    "dataset_nbytes", "is_lazy", "tree_repr",
     "write_bucketed", "bucketed_join", "salted_join", "explain_shuffles",
     "ZCollectionError", "SchemaError", "PartitioningError",
     "ExpressionError", "StoreError", "CollectionExistsError",
