@@ -153,14 +153,17 @@ def q_collection_grouped_sequence(spark, sf_dir):
         coll.insert(events)
         return coll
     coll = _cached(("events_gseq", sf_dir), build)
-    res = coll.query(filters="user_id_bucket == 100",
+    # bucket 0 exists at every scale factor (user ids start at 0);
+    # a higher bucket would make query() return None (quirk Q6) on
+    # small corpora while the SQL twin returns 0 rows
+    res = coll.query(filters="user_id_bucket == 0",
                      variables=["event_id", "user_id", "value"])
     return res
 
 
 ORACLE_GROUPED_SEQUENCE = """
 SELECT event_id, user_id, value FROM events
-WHERE user_id >= 100 AND user_id < 150
+WHERE user_id >= 0 AND user_id < 50
 """
 
 
