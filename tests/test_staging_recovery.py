@@ -257,8 +257,9 @@ def test_publish_renames_run_in_parallel(tmp_path):
     elapsed = time.monotonic() - t0
     assert all(fs.exists(f"{root}/{rel}/data.parquet") for rel in rels)
     # 24 renames x 15 ms sequential = 360 ms; the 16-way pool needs ~2
-    # waves (~30 ms) + overhead.  200 ms keeps plenty of margin.
-    assert elapsed < 0.2, f"publish looks sequential: {elapsed:.3f}s"
+    # waves (~30 ms) + overhead.  300 ms keeps margin on a loaded host
+    # while still cleanly rejecting the sequential shape.
+    assert elapsed < 0.3, f"publish looks sequential: {elapsed:.3f}s"
 
 
 def test_failed_publish_rename_raises_loudly(tmp_path):
