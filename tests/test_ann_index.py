@@ -1,0 +1,73 @@
+"""Materialized IVF index layout (functions/ann_index.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zcollection_spark.functions import ivf_topk
+from zcollection_spark.functions.ann_index import (query_ivf_index,
+                                                   write_ivf_index)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(60, dtype=np.int64),
+        "embedding": [rng.normal(size=8).astype(np.float32).tolist()
+                      for _ in range(60)]})
+    return spark.createDataFrame(pdf)
+
+
+def test_index_matches_inline_ivf_exactly(spark, tmp_path, corpus):
+    """Same centroids → the materialized layout returns exactly what
+    the inline ivf_topk returns (layout changes I/O, not results)."""
+    path = str(tmp_path / "ivf")
+    cent = write_ivf_index(corpus, path, id_col="vec_id",
+                           vec_col="embedding", n_cells=6, seed=7)
+    queries = corpus.where(F.col("vec_id") < 4)
+    via_index = query_ivf_index(spark, path, queries,
+                                query_id_col="vec_id", k=5, n_probe=3)
+    inline = ivf_topk(corpus, queries, id_col="vec_id",
+                      vec_col="embedding", query_id_col="vec_id",
+                      k=5, n_probe=3, centroids=cent)
+    as_set = lambda df: {(r["query_id"], r["vec_id"], r["rank"],
+                          round(r["cosine"], 9)) for r in df.collect()}
+    assert as_set(via_index) == as_set(inline)
+    # index is reusable: a second writer with the returned centroids
+    # assigns identically
+    cent2 = write_ivf_index(corpus, str(tmp_path / "ivf2"),
+                            id_col="vec_id", vec_col="embedding",
+                            centroids=cent)
+    assert cent2 == cent
+
+
+def test_index_probe_prunes_partitions(spark, tmp_path, corpus):
+    """The probe must reach the scan as a partition filter: only the
+    probed cells' files are read."""
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, id_col="vec_id", vec_col="embedding",
+                    n_cells=6, seed=7)
+    all_files = spark.read.parquet(path).inputFiles()
+    queries = corpus.where(F.col("vec_id") == 0)
+    res = query_ivf_index(spark, path, queries, query_id_col="vec_id",
+                          k=3, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the probe filter reaches the index scan as a PARTITION filter
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert res.count() == 3
+    n_cells_on_disk = len({f.rsplit("/", 2)[1] for f in all_files})
+    assert n_cells_on_disk == 6
+    # ground truth from the JVM scan node (the same scan expression the
+    # query builds): that filter selects only the probed partition dirs
+    scan = (spark.read.parquet(path)
+            .where(F.col("cell").isin([0, 1])))
+    scan.count()
+    leaves = scan._jdf.queryExecution().executedPlan().collectLeaves()
+    selected = []
+    for i in range(leaves.length()):
+        node = leaves.apply(i)
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            selected.append(node.selectedPartitions().partitionCount())
+    assert selected and max(selected) <= 2, selected  # 2 of 6 cells

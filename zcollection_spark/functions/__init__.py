@@ -14,6 +14,7 @@ from .dedup import (dedup_exact, exact_duplicate_groups, md5_long,
                     ngram_jaccard_pairs, simhash, simhash_duplicate_pairs)
 from .similarity import (cosine_similarity_col, brute_force_topk,
                          embedding_dup_pairs, ivf_topk, lsh_bucket_topk)
+from .ann_index import query_ivf_index, write_ivf_index
 from .text import (fingerprint, language_id, text_stats, token_count,
                    word_shingles, words)
 
@@ -23,6 +24,7 @@ __all__ = [
     "simhash", "simhash_duplicate_pairs",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "lsh_bucket_topk",
+    "write_ivf_index", "query_ivf_index",
     "fingerprint", "language_id", "text_stats", "token_count",
     "word_shingles", "words",
     "attach_fake_payload", "extract_image_features", "sample_frames",

@@ -1,0 +1,133 @@
+"""Materialized IVF index: the cell id as a physical partition key.
+
+:func:`similarity.ivf_topk` assigns cells on the fly (one matmul fused
+into the corpus scan) — right for ad-hoc queries, but every search
+still scans the whole corpus.  At scale you materialize the assignment
+ONCE: :func:`write_ivf_index` writes the embeddings partitioned by
+``cell=N/`` with the trained centroids in a ``_ivf_index.json``
+sidecar, and :func:`query_ivf_index` reads ONLY the probed cells'
+files — Catalyst partition pruning turns the ``n_probe/n_cells``
+selectivity into an I/O fraction, which is the IVF promise expressed
+as storage layout (the classic inverted-file structure as a
+Hive-partitioned table).
+
+Given the same centroids, ``query_ivf_index`` returns exactly what
+``ivf_topk`` returns — the layout changes I/O, not results (pinned by
+tests/test_ann_index.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fs import fs_for
+from .similarity import _dot, _lloyd_kmeans, _norm
+
+INDEX_SIDECAR = "_ivf_index.json"
+
+
+def _centroid_arrays(cent: list) -> tuple:
+    cent_np = np.asarray(cent, dtype=np.float64)
+    return cent_np, (cent_np * cent_np).sum(axis=1)
+
+
+def _assign_udf(cent_np: np.ndarray, cent_sq: np.ndarray):
+    """cell = argmin |v-c|² via one BLAS matmul per Arrow batch (same
+    kernel as ivf_topk's inline assigner — shared math, shared ties)."""
+
+    @F.pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        d2 = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return _assign
+
+
+def write_ivf_index(corpus: DataFrame, path: str, *, id_col: str,
+                    vec_col: str, n_cells: int = 16, seed: int = 42,
+                    train_cap: int = 100_000, max_iter: int = 10,
+                    centroids: "list[list[float]] | None" = None
+                    ) -> "list[list[float]]":
+    """Train (or reuse) centroids, assign every vector its cell, and
+    write the corpus partitioned by ``cell`` with a centroid sidecar.
+    One scan, one shuffle-free write per input partition; returns the
+    centroids (reuse them to index new batches consistently)."""
+    if centroids is None:
+        sample = [r[0] for r in corpus.select(id_col, vec_col)
+                  .orderBy(id_col).limit(max(train_cap, n_cells))
+                  .select(vec_col).collect()]
+        centroids = _lloyd_kmeans(sample, n_cells, seed=seed,
+                                  iters=max_iter)
+    cent = [list(map(float, c)) for c in centroids]
+    cent_np, cent_sq = _centroid_arrays(cent)
+    assign = _assign_udf(cent_np, cent_sq)
+    (corpus.select(F.col(id_col), F.col(vec_col),
+                   assign(vec_col).alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    fs = fs_for(path, corpus.sparkSession)
+    fs.write_text(f"{path.rstrip('/')}/{INDEX_SIDECAR}", json.dumps({
+        "format_version": 1, "id_col": id_col, "vec_col": vec_col,
+        "n_cells": len(cent), "centroids": cent}))
+    return cent
+
+
+def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
+                    *, query_id_col: str,
+                    query_vec_col: str | None = None,
+                    k: int = 10, n_probe: int = 2) -> DataFrame:
+    """ANN top-k against a materialized IVF index.
+
+    Per query the ``n_probe`` nearest cells are computed driver-side
+    from the sidecar centroids (queries are the bounded side), the scan
+    is filtered with ``cell IN (...)`` so Catalyst prunes unprobed
+    partition directories from I/O entirely, and exact cosine ranks
+    only within each query's own probed cells — identical semantics to
+    ``ivf_topk`` with the same centroids.
+    """
+    fs = fs_for(path, spark)
+    meta = json.loads(fs.read_text(f"{path.rstrip('/')}/{INDEX_SIDECAR}"))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cent_np, cent_sq = _centroid_arrays(meta["centroids"])
+    n_probe_eff = min(n_probe, len(cent_np))
+    query_vec_col = query_vec_col or vec_col
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r[1], dtype=np.float64)
+        d2 = -2.0 * (cent_np @ v) + cent_sq
+        for cell in np.argsort(d2, kind="stable")[:n_probe_eff]:
+            probe_rows.append((r[0], int(cell), [float(x) for x in v]))
+    if not probe_rows:
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qid_type}, {id_col} long, cosine double, "
+                f"rank int")
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    probes = spark.createDataFrame(
+        probe_rows, f"__qid {qid_type}, cell int, __qvec array<double>")
+    probes = probes.withColumn("__qnorm", _norm(F.col("__qvec")))
+
+    wanted_cells = sorted({c for _, c, _ in probe_rows})
+    corpus = (spark.read.parquet(path)
+              .where(F.col("cell").isin(wanted_cells))
+              .select(F.col(id_col),
+                      F.transform(vec_col, lambda v: v.cast("double"))
+                      .alias("__cvec"),
+                      F.col("cell"))
+              .withColumn("__cnorm", _norm(F.col("__cvec"))))
+    joined = corpus.join(F.broadcast(probes), on="cell")
+    sim = (_dot(F.col("__cvec"), F.col("__qvec"))
+           / (F.col("__cnorm") * F.col("__qnorm")))
+    scored = joined.select(F.col("__qid").alias("query_id"),
+                           F.col(id_col), sim.alias("cosine"))
+    win = (Window.partitionBy("query_id")
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k))
