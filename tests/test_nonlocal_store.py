@@ -164,3 +164,50 @@ def test_non_atomic_crash_interleavings_converge(spark, tmp_path,
     assert all(r["value"] == [9.0, 9.0, 9.0] for r in rows)
     assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
     assert coll.query().count() == 4
+
+
+def test_parking_converges_after_mid_copy_crash(tmp_path):
+    """Object-store 'rename' is copy+delete: a crash BETWEEN the halves
+    leaves the old file in dst AND parked.  Recovery must finish the
+    delete half, not fail forever on 'destination exists'."""
+    fs = ObjectStoreFS()
+    root = str(tmp_path / "store")
+    # generation 1 in place
+    fs.write_text(f"{root}/num=1/old-file.parquet", "old")
+    # staged generation 2 with intent + manifest
+    sid, staged = staging.new_staging_dir(fs, root)
+    fs.mkdirs(f"{staged}/num=1")
+    fs.write_text(f"{staged}/num=1/new-file.parquet", "new")
+    intent = staging.write_intent(
+        fs, staged, mode="swap", relpaths=["num=1"],
+        manifests={"num=1": ["new-file.parquet"]})
+    # simulate the crashed half-rename: old file ALREADY parked but its
+    # dst copy never deleted
+    old_dir = f"{staged}/{staging.OLD_RELPATH}/num=1"
+    fs.mkdirs(old_dir)
+    fs.write_text(f"{old_dir}/old-file.parquet", "old")
+
+    staging.apply_publish(fs, root, sid, staged, intent)
+    assert fs.read_text(f"{root}/num=1/new-file.parquet") == "new"
+    assert not fs.exists(f"{root}/num=1/old-file.parquet")  # gone
+
+
+def test_manifest_swap_with_colliding_filenames(tmp_path):
+    """Old and new generations sharing FILENAMES (deterministic layouts
+    like zarr chunk names) must still swap correctly: the park-all
+    phase + marker makes 'target exists' unambiguous."""
+    fs = ObjectStoreFS()
+    root = str(tmp_path / "store")
+    fs.write_text(f"{root}/num=1/zarr.json", "OLD-META")
+    fs.write_text(f"{root}/num=1/c0", "OLD-CHUNK")
+    sid, staged = staging.new_staging_dir(fs, root)
+    fs.mkdirs(f"{staged}/num=1")
+    fs.write_text(f"{staged}/num=1/zarr.json", "NEW-META")
+    fs.write_text(f"{staged}/num=1/c0", "NEW-CHUNK")
+    intent = staging.write_intent(
+        fs, staged, mode="swap", relpaths=["num=1"],
+        manifests={"num=1": ["c0", "zarr.json"]})
+    staging.apply_publish(fs, root, sid, staged, intent)
+    assert fs.read_text(f"{root}/num=1/zarr.json") == "NEW-META"
+    assert fs.read_text(f"{root}/num=1/c0") == "NEW-CHUNK"
+    assert not fs.exists(staged)

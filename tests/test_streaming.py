@@ -168,3 +168,43 @@ def test_txn_survives_crash_and_roll_forward(spark, tmp_path, seq_schema):
     # catalog rebuild (walk) preserves the ledger
     coll.repair_catalog()
     assert coll.txn_version("ingest-b") == 0
+
+
+def test_cli_repair_commits_pending_stream_txn(spark, tmp_path,
+                                               seq_schema, capsys):
+    """Operator-driven repair (`cli verify --repair`) must commit the
+    rolled-forward batch's txn version too — otherwise the stream's
+    replay double-applies after a CLI repair."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import zcollection_spark as zc
+    from zcollection_spark import cli
+    from zcollection_spark.streaming import make_batch_sink
+    from tests.test_staging_recovery import CrashAfterRenames
+
+    coll = zc.create_collection(spark, str(tmp_path / "clitxn"),
+                                schema=seq_schema, axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    bound = seq_schema.with_partition_axis("num")
+    pdf = pd.DataFrame({
+        "num": np.array([3, 3], dtype=np.int64),
+        "value": [[1.0, 2.0, 3.0]] * 2,
+        "static": [[10.0, 20.0, 30.0]] * 2})
+    df = spark.createDataFrame(pdf, schema=bound.to_struct_type())
+
+    sink = make_batch_sink(coll, merge="concat", app_id="ingest-cli")
+    real_fs = coll._fs
+    coll._fs = CrashAfterRenames(real_fs, 0)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sink(df, 0)
+    finally:
+        coll._fs = real_fs
+
+    assert cli.main(["verify", coll.path, "--repair"]) == 0
+    capsys.readouterr()
+    assert coll.query().count() == 2
+    assert coll.txn_version("ingest-cli") == 0  # txn committed by repair
+    sink(df, 0)  # stream replay after the CLI repair: must skip
+    assert coll.query().count() == 2

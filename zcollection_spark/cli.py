@@ -141,8 +141,12 @@ def cmd_verify(args: argparse.Namespace) -> int:
     if not ok and args.repair:
         # run recovery explicitly first so the roll-forward/quarantine
         # outcome is reported; repair_catalog's internal recover() then
-        # finds nothing left to do (idempotent)
-        recovered = staging_proto.recover(coll._fs, coll.path)
+        # finds nothing left to do (idempotent).  The catalog MUST be
+        # passed: a rolled-forward streaming insert commits its txn
+        # version here — without it a replayed micro-batch would
+        # double-apply (the exactly-once contract)
+        recovered = staging_proto.recover(coll._fs, coll.path,
+                                          coll._catalog)
         repaired = coll.repair_catalog()
         print(json.dumps({
             "rolled_forward": recovered["published"],

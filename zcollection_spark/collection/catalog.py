@@ -100,13 +100,23 @@ class Catalog:
     def add(self, new: list[str],
             txn: "tuple[str, int] | None" = None) -> list[str]:
         with _LOCKS[self._path]:
+            # one GET serves both the baseline and the txn ledger (the
+            # commit path's metadata-op budget is benched — don't read
+            # the document twice)
             doc0 = self._read_doc()
             txn_map = dict((doc0 or {}).get("txn", {}))
             if txn is not None:
                 app, version = txn
                 txn_map[app] = max(int(version),
                                    int(txn_map.get(app, -1)))
-            merged = sorted(set(self._baseline()) | set(new))
+            if doc0 is not None:
+                base = list(doc0["partitions"])
+            elif self._walk_depth is not None:
+                base = self._fs.list_partition_dirs(self._root,
+                                                    self._walk_depth)
+            else:
+                base = []
+            merged = sorted(set(base) | set(new))
             self.write(merged, txn_map=txn_map)
             return merged
 

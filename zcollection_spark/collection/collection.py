@@ -745,10 +745,15 @@ class Collection:
         """xarray-style tree repr (the reference Dataset display role,
         ``data/dataset.py:205-300``) headed by the store coordinates."""
         from .. import xbridge
-        try:
-            n_parts = len(self.partitions())
-        except Exception:
-            n_parts = None
+        # one catalog GET at most — never the recursive walk fallback
+        # (repr runs in logs/debuggers; a store walk there is a trap)
+        n_parts = None
+        if self.catalog_enabled:
+            try:
+                relpaths = self._catalog.read()
+                n_parts = None if relpaths is None else len(relpaths)
+            except Exception:
+                n_parts = None
         tree = xbridge.tree_repr(self.schema, name="Collection",
                                  n_partitions=n_parts)
         head, _, rest = tree.partition("\n")

@@ -150,12 +150,27 @@ def _publish_one(fs, root: str, staging_id: str, staging: str,
     dst = f"{root}/{rel}"
     if mode == "swap" and manifest is not None:
         old = f"{staging}/{OLD_RELPATH}/{rel}"
-        wanted = set(manifest)
-        if fs.exists(dst):
-            for f in _walk_files(fs, dst):
-                if f not in wanted:
-                    fs.mkdirs(_parent(f"{old}/{f}"))
-                    _must_rename(fs, f"{dst}/{f}", f"{old}/{f}")
+        marker = f"{old}/.parked"
+        # Phase 1 — park EVERY current dst file (they are all the old
+        # generation: moves only start after the marker lands), then
+        # commit the phase with one atomic marker PUT.  Parking a file
+        # whose parked copy already exists (a copy+delete "rename" that
+        # crashed between halves) finishes the delete half.  Parking
+        # everything — not just non-manifest names — is what makes the
+        # later exists-check unambiguous even when old and new
+        # generations share filenames (deterministic layouts).
+        if not fs.exists(marker):
+            if fs.exists(dst):
+                for f in _walk_files(fs, dst):
+                    if fs.exists(f"{old}/{f}"):
+                        fs.delete(f"{dst}/{f}")
+                    else:
+                        fs.mkdirs(_parent(f"{old}/{f}"))
+                        _must_rename(fs, f"{dst}/{f}", f"{old}/{f}")
+            fs.mkdirs(old)
+            fs.write_text(marker, "1")
+        # Phase 2 — move each manifest file; any existing target is OURS
+        # from an earlier attempt (phase 1 emptied dst before the marker)
         for f in manifest:
             target = f"{dst}/{f}"
             if fs.exists(target):

@@ -26,27 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..fs import fs_for
-from .similarity import _dot, _lloyd_kmeans, _norm
+from .similarity import (_dot, _lloyd_kmeans, _norm, centroid_arrays,
+                         make_cell_assigner, train_centroid_sample)
 
 INDEX_SIDECAR = "_ivf_index.json"
-
-
-def _centroid_arrays(cent: list) -> tuple:
-    cent_np = np.asarray(cent, dtype=np.float64)
-    return cent_np, (cent_np * cent_np).sum(axis=1)
-
-
-def _assign_udf(cent_np: np.ndarray, cent_sq: np.ndarray):
-    """cell = argmin |v-c|² via one BLAS matmul per Arrow batch (same
-    kernel as ivf_topk's inline assigner — shared math, shared ties)."""
-
-    @F.pandas_udf("int")
-    def _assign(batch: pd.Series) -> pd.Series:
-        mat = np.array(batch.tolist(), dtype=np.float64)
-        d2 = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
-
-    return _assign
 
 
 def write_ivf_index(corpus: DataFrame, path: str, *, id_col: str,
@@ -59,20 +42,20 @@ def write_ivf_index(corpus: DataFrame, path: str, *, id_col: str,
     One scan, one shuffle-free write per input partition; returns the
     centroids (reuse them to index new batches consistently)."""
     if centroids is None:
-        sample = [r[0] for r in corpus.select(id_col, vec_col)
-                  .orderBy(id_col).limit(max(train_cap, n_cells))
-                  .select(vec_col).collect()]
+        sample = train_centroid_sample(corpus, id_col, vec_col,
+                                       train_cap, n_cells)
         centroids = _lloyd_kmeans(sample, n_cells, seed=seed,
                                   iters=max_iter)
     cent = [list(map(float, c)) for c in centroids]
-    cent_np, cent_sq = _centroid_arrays(cent)
-    assign = _assign_udf(cent_np, cent_sq)
+    cent_np, cent_sq = centroid_arrays(cent)
+    assign = make_cell_assigner(cent_np, cent_sq)
     (corpus.select(F.col(id_col), F.col(vec_col),
                    assign(vec_col).alias("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(path))
     fs = fs_for(path, corpus.sparkSession)
     fs.write_text(f"{path.rstrip('/')}/{INDEX_SIDECAR}", json.dumps({
         "format_version": 1, "id_col": id_col, "vec_col": vec_col,
+        "id_type": corpus.schema[id_col].dataType.simpleString(),
         "n_cells": len(cent), "centroids": cent}))
     return cent
 
@@ -93,7 +76,7 @@ def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
     fs = fs_for(path, spark)
     meta = json.loads(fs.read_text(f"{path.rstrip('/')}/{INDEX_SIDECAR}"))
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    cent_np, cent_sq = _centroid_arrays(meta["centroids"])
+    cent_np, cent_sq = centroid_arrays(meta["centroids"])
     n_probe_eff = min(n_probe, len(cent_np))
     query_vec_col = query_vec_col or vec_col
 
@@ -104,12 +87,12 @@ def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
         d2 = -2.0 * (cent_np @ v) + cent_sq
         for cell in np.argsort(d2, kind="stable")[:n_probe_eff]:
             probe_rows.append((r[0], int(cell), [float(x) for x in v]))
-    if not probe_rows:
-        qid_type = queries.schema[query_id_col].dataType.simpleString()
-        return spark.createDataFrame(
-            [], f"query_id {qid_type}, {id_col} long, cosine double, "
-                f"rank int")
     qid_type = queries.schema[query_id_col].dataType.simpleString()
+    if not probe_rows:
+        id_type = meta.get("id_type", "long")  # sidecar-recorded type
+        return spark.createDataFrame(
+            [], f"query_id {qid_type}, {id_col} {id_type}, "
+                f"cosine double, rank int")
     probes = spark.createDataFrame(
         probe_rows, f"__qid {qid_type}, cell int, __qvec array<double>")
     probes = probes.withColumn("__qnorm", _norm(F.col("__qvec")))

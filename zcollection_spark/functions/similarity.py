@@ -138,6 +138,41 @@ def _lloyd_kmeans(sample: list, k: int, *, seed: int,
     return [list(map(float, c_)) for c_ in cent]
 
 
+def centroid_arrays(cent: "list[list[float]]") -> tuple:
+    """(centroid matrix, per-centroid |c|²) as float64 numpy arrays —
+    the shared constants of every IVF kernel."""
+    cent_np = np.asarray(cent, dtype=np.float64)
+    return cent_np, (cent_np * cent_np).sum(axis=1)
+
+
+def make_cell_assigner(cent_np: "np.ndarray", cent_sq: "np.ndarray"):
+    """cell = argmin |v-c|² as one BLAS matmul per Arrow batch.
+
+    THE cell-assignment kernel: ivf_topk (inline index) and
+    ann_index.write_ivf_index (materialized index) both use it, so a
+    vector lands in the same cell whichever path indexed it — the
+    result-parity contract between the two is pinned to this function.
+    """
+
+    @F.pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        # |v - c|^2 = |v|^2 - 2 v.c + |c|^2 ; |v|^2 constant per row
+        d2 = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return _assign
+
+
+def train_centroid_sample(corpus: DataFrame, id_col: str, vec_col: str,
+                          train_cap: int, n_cells: int) -> list:
+    """The bounded, id-ordered training sample both IVF paths train on
+    (deterministic regardless of scan order)."""
+    return [r[0] for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col).limit(max(train_cap, n_cells))
+            .select(vec_col).collect()]
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
              vec_col: str, query_id_col: str,
              query_vec_col: str | None = None, k: int = 10,
@@ -164,9 +199,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     # ``id_col`` so training is reproducible regardless of scan order;
     # a pre-trained index can be reused by passing ``centroids``.
     if centroids is None:
-        sample = [r[0] for r in corpus.select(id_col, vec_col)
-                  .orderBy(id_col).limit(max(train_cap, n_cells))
-                  .select(vec_col).collect()]
+        sample = train_centroid_sample(corpus, id_col, vec_col,
+                                       train_cap, n_cells)
         cent = _lloyd_kmeans(sample, n_cells, seed=seed, iters=max_iter)
     else:
         cent = [list(map(float, c_)) for c_ in centroids]
@@ -179,15 +213,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     # interpreted HOF distance is slower than one BLAS matmul.  No
     # shuffle — assignment fuses into the one corpus scan.  At 100 TB the
     # resulting __cell column becomes the bucket/partition key.
-    cent_np = np.asarray(cent, dtype=np.float64)
-    cent_sq = (cent_np * cent_np).sum(axis=1)
-
-    @F.pandas_udf("int")
-    def _assign(batch: pd.Series) -> pd.Series:
-        mat = np.array(batch.tolist(), dtype=np.float64)
-        # |v - c|^2 = |v|^2 - 2 v.c + |c|^2 ; |v|^2 constant per row
-        d2 = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+    cent_np, cent_sq = centroid_arrays(cent)
+    _assign = make_cell_assigner(cent_np, cent_sq)
 
     cells = corpus.select(
         F.col(id_col),

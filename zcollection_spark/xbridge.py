@@ -94,11 +94,15 @@ def from_xarray(spark: SparkSession, ds: Any, *, axis: str
     cols: dict[str, Any] = {}
     for name, var in ds.data_vars.items():
         dims = tuple(str(d) for d in var.dims)
+        if not dims:
+            # a 0-d variable has no columnar shape; carry it as a
+            # dataset attribute instead of a schema variable (a schema
+            # variable without a column would break to_struct_type)
+            builder.set_attrs(**{str(name): var.values.item()})
+            continue
         builder.add_variable(str(name), str(var.dtype), dims,
                              attrs=dict(var.attrs))
         values = var.values
-        if not dims:
-            continue  # scalar attrs-only var: nothing columnar to carry
         if dims[0] != axis:
             cols[str(name)] = [values.tolist()] * int(ds.sizes[axis])
         elif values.ndim == 1:
