@@ -7,9 +7,11 @@ multimodal-column plumbing — all designed partition-parallel for 100 TB
 Spark lacks a primitive).
 """
 
-from .multimodal import (attach_fake_payload, extract_image_features,
-                         sample_frames)
-from .dedup import (dedup_exact, exact_duplicate_groups, md5_long,
+from .multimodal import (attach_fake_payload, decode_ppm, decode_wav,
+                         encode_ppm, encode_wav, extract_audio_features,
+                         extract_image_features, sample_frames)
+from .dedup import (dedup_exact, dedup_keep_latest,
+                    exact_duplicate_groups, md5_long,
                     minhash_signatures, lsh_candidate_pairs,
                     ngram_jaccard_pairs, simhash, simhash_duplicate_pairs)
 from .similarity import (cosine_similarity_col, brute_force_topk,
@@ -21,11 +23,13 @@ from .text import (fingerprint, language_id, text_stats, token_count,
 __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
-    "simhash", "simhash_duplicate_pairs",
+    "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "lsh_bucket_topk",
     "write_ivf_index", "query_ivf_index",
     "fingerprint", "language_id", "text_stats", "token_count",
     "word_shingles", "words",
-    "attach_fake_payload", "extract_image_features", "sample_frames",
+    "attach_fake_payload", "extract_image_features",
+    "extract_audio_features", "sample_frames",
+    "encode_ppm", "decode_ppm", "encode_wav", "decode_wav",
 ]
