@@ -153,3 +153,36 @@ def test_interval_join_matches_bruteforce_property(spark, data):
                   for _, iv in intervals.iterrows()
                   if iv["lo"] <= p["t"] <= iv["hi"])
     assert got == want
+
+
+# -- multimodal codec round-trips under hypothesis --------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 12), h=st.integers(1, 12),
+       seed=st.integers(0, 2**31 - 1))
+def test_ppm_roundtrip_property(w, h, seed):
+    import numpy as np
+    from zcollection_spark.functions.multimodal import (decode_ppm,
+                                                        encode_ppm)
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(px))
+    assert out.shape == (h, w, 3) and (out == px).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 400), rate=st.sampled_from([8000, 16000, 44100]),
+       bits=st.sampled_from([8, 16]), seed=st.integers(0, 2**31 - 1))
+def test_wav_roundtrip_property(n, rate, bits, seed):
+    import numpy as np
+    from zcollection_spark.functions.multimodal import (decode_wav,
+                                                        encode_wav)
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1.0, 1.0, size=n)
+    got_rate, decoded = decode_wav(encode_wav(samples, rate, bits=bits))
+    assert got_rate == rate and len(decoded) == n
+    tol = 2.0 / (1 << (bits - 1))  # quantization bound
+    assert np.abs(decoded - samples).max() <= tol

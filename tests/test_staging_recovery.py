@@ -290,3 +290,41 @@ def test_failed_publish_rename_raises_loudly(tmp_path):
     out = staging.recover(LocalFS(), root)  # healthy FS: rolls forward
     assert out["published"] == [sid]
     assert fs.read_text(f"{root}/num=1/data") == "v1"
+
+
+def test_crash_during_catalog_commit_converges(spark, tmp_path,
+                                               seq_collection, seq_schema):
+    """Crash AFTER all publish renames but DURING the catalog add: the
+    staging dir (with intent) survives, and recovery re-publishes
+    (no-op moves) + commits the catalog idempotently."""
+    coll = seq_collection
+
+    class BoomOnce:
+        def __init__(self, inner):
+            self._inner = inner
+            self.fired = False
+
+        def add(self, new, txn=None):
+            if not self.fired:
+                self.fired = True
+                raise RuntimeError("injected catalog crash")
+            return self._inner.add(new, txn=txn)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real_catalog = coll._catalog
+    coll._catalog = BoomOnce(real_catalog)
+    try:
+        with pytest.raises(RuntimeError, match="injected catalog crash"):
+            coll.insert(_replacement(spark, seq_schema, 42.0))
+    finally:
+        coll._catalog = real_catalog
+
+    # data fully published (renames ran), catalog behind, staging kept
+    assert _staged_ids(tmp_path) != []
+    assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+    assert _staged_ids(tmp_path) == []
+    rows = coll.query().collect()
+    assert len(rows) == 7
+    assert all(r["value"] == [42.0, 42.0, 42.0] for r in rows)
