@@ -292,6 +292,117 @@ def test_failed_publish_rename_raises_loudly(tmp_path):
     assert fs.read_text(f"{root}/num=1/data") == "v1"
 
 
+def test_cleanup_deletes_intent_before_staging_dir(tmp_path):
+    """Cleanup ordering is the convergence guarantee on object stores
+    (recursive deletes are unordered there): the intent must be deleted
+    FIRST, as its own atomic object delete, so a crash mid-cleanup
+    leaves intent-less debris — never an intent whose staged manifest
+    files are already gone."""
+    from zcollection_spark.fs import LocalFS
+
+    deletes: list[str] = []
+
+    class RecordingFS(LocalFS):
+        def delete(self, path):
+            deletes.append(path)
+            super().delete(path)
+
+    fs = RecordingFS()
+    root = str(tmp_path / "store")
+    sid, staged = staging.new_staging_dir(fs, root)
+    fs.mkdirs(f"{staged}/num=1")
+    fs.write_text(f"{staged}/num=1/data.parquet", "v1")
+    intent = staging.write_intent(fs, staged, mode="swap",
+                                  relpaths=["num=1"])
+    staging.apply_publish(fs, root, sid, staged, intent)
+    staging_deletes = [p for p in deletes if staging.STAGING_RELPATH in p]
+    assert staging_deletes[0].endswith(staging.INTENT_NAME)
+    assert staging_deletes[1:] == [staged]
+
+
+def test_crash_mid_cleanup_quarantines_not_republishes(tmp_path):
+    """Crash between the intent delete and the staging-dir delete (the
+    manifest-path hazard from ADVICE r4): the residue has no intent, so
+    recover() must QUARANTINE it — re-running phase 1 would park the
+    just-published generation and wedge repair forever."""
+    from tests.test_nonlocal_store import ObjectStoreFS
+
+    fs = ObjectStoreFS()
+    root = str(tmp_path / "store")
+    fs.write_text(f"{root}/num=1/f.parquet", "old")
+    sid, staged = staging.new_staging_dir(fs, root)
+    fs.mkdirs(f"{staged}/num=1")
+    fs.write_text(f"{staged}/num=1/f.parquet", "new")
+    intent = staging.write_intent(
+        fs, staged, mode="swap", relpaths=["num=1"],
+        manifests={"num=1": ["f.parquet"]})
+
+    class CrashOnStagingDirDelete(ObjectStoreFS):
+        def delete(self, path):
+            if path.rstrip("/").endswith(sid):
+                raise RuntimeError("injected crash during cleanup")
+            super().delete(path)
+
+    with pytest.raises(RuntimeError, match="injected crash during"):
+        staging.apply_publish(CrashOnStagingDirDelete(), root, sid,
+                              staged, intent)
+    # intent already gone (deleted first); published data in place
+    assert not fs.exists(f"{staged}/{staging.INTENT_NAME}")
+    assert fs.read_text(f"{root}/num=1/f.parquet") == "new"
+
+    out = staging.recover(fs, root)
+    assert out == {"published": [], "quarantined": [sid]}
+    # the new generation was NOT parked away by a spurious re-publish
+    assert fs.read_text(f"{root}/num=1/f.parquet") == "new"
+    assert staging.recover(fs, root) == {"published": [],
+                                         "quarantined": []}
+
+
+def test_quarantine_rename_refused_is_reported_unresolved(tmp_path):
+    """An FS that refuses the quarantine rename must NOT be reported as
+    quarantined (ADVICE r4): the debris stays visible as unresolved and
+    recover() stays stable across repeats instead of lying."""
+    from zcollection_spark.fs import LocalFS
+
+    class NoQuarantineFS(LocalFS):
+        def rename(self, src, dst):
+            if staging.QUARANTINE_RELPATH in dst:
+                return False
+            return super().rename(src, dst)
+
+    fs = NoQuarantineFS()
+    root = str(tmp_path / "store")
+    fs.mkdirs(f"{root}/{staging.STAGING_RELPATH}/zombie/num=6")
+    out = staging.recover(fs, root)
+    assert out["quarantined"] == []
+    assert out["unresolved"] == ["zombie"]
+    assert fs.exists(f"{root}/{staging.STAGING_RELPATH}/zombie")
+    # stable: repeat reports the same, never crashes or double-moves
+    assert staging.recover(fs, root)["unresolved"] == ["zombie"]
+
+
+def test_quarantine_dst_collision_uses_unique_suffix(tmp_path):
+    """A half-quarantined id from a prior crash leaves the destination
+    occupied; recover() must fall back to a unique suffix instead of
+    failing (or silently dropping) the debris."""
+    from zcollection_spark.fs import LocalFS
+
+    fs = LocalFS()
+    root = str(tmp_path / "store")
+    fs.mkdirs(f"{root}/{staging.STAGING_RELPATH}/zombie/num=6")
+    fs.write_text(f"{root}/{staging.STAGING_RELPATH}/zombie/num=6/d", "x")
+    # destination already occupied by a prior half-quarantine
+    fs.mkdirs(f"{root}/{staging.QUARANTINE_RELPATH}/zombie/num=5")
+    out = staging.recover(fs, root)
+    assert out["quarantined"] == ["zombie"]
+    assert not fs.exists(f"{root}/{staging.STAGING_RELPATH}/zombie")
+    suffixed = [d for d in fs.list_dirs(f"{root}/{staging.QUARANTINE_RELPATH}")
+                if d.startswith("zombie-")]
+    assert len(suffixed) == 1
+    assert fs.read_text(f"{root}/{staging.QUARANTINE_RELPATH}/"
+                        f"{suffixed[0]}/num=6/d") == "x"
+
+
 def test_crash_during_catalog_commit_converges(spark, tmp_path,
                                                seq_collection, seq_schema):
     """Crash AFTER all publish renames but DURING the catalog add: the

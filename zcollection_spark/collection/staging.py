@@ -84,7 +84,17 @@ def new_staging_dir(fs, root: str) -> tuple[str, str]:
 
 def _walk_files(fs, root: str, rel: str = "") -> list[str]:
     """All file paths under ``root``, relative, recursive, sorted;
-    hidden (``_``/``.``) names skipped at every level."""
+    hidden (``_``/``.``) names skipped at every level.
+
+    Stores with a flat keyspace (object stores) expose ``walk_files``:
+    ONE paginated LIST of the prefix replaces the O(dirs) recursive
+    round-trips — the difference between seconds and minutes on a
+    100k-file commit path.
+    """
+    if not rel:
+        walker = getattr(fs, "walk_files", None)
+        if walker is not None:
+            return sorted(walker(root))
     out: list[str] = []
     base = f"{root}/{rel}" if rel else root
     for fname in fs.list_files(base):
@@ -97,6 +107,36 @@ def _walk_files(fs, root: str, rel: str = "") -> list[str]:
         out.extend(_walk_files(fs, root,
                                f"{rel}/{dname}" if rel else dname))
     return sorted(out)
+
+
+def _walk_all(fs, root: str, rel: str = "") -> list[str]:
+    """Like :func:`_walk_files` but INCLUDING hidden names — quarantine
+    must carry markers/intents/parked content along, not strand them."""
+    out: list[str] = []
+    base = f"{root}/{rel}" if rel else root
+    for fname in fs.list_files(base):
+        out.append(f"{rel}/{fname}" if rel else fname)
+    for dname in fs.list_dirs(base):
+        out.extend(_walk_all(fs, root, f"{rel}/{dname}" if rel else dname))
+    return sorted(out)
+
+
+def _quarantine_move(fs, src: str, dst: str) -> bool:
+    """File-granular debris move for stores without directory rename.
+
+    Idempotent: an existing target means an earlier half-finished
+    quarantine copied it — finish the delete half.  Returns False on the
+    first refused rename so the caller reports the id unresolved."""
+    for rel in _walk_all(fs, src):
+        target = f"{dst}/{rel}"
+        if fs.exists(target):
+            fs.delete(f"{src}/{rel}")
+            continue
+        fs.mkdirs(_parent(target))
+        if not fs.rename(f"{src}/{rel}", target):
+            return False
+    fs.delete(src)
+    return True
 
 
 def write_intent(fs, staging: str, *, mode: str, relpaths: list[str],
@@ -236,6 +276,15 @@ def apply_publish(fs, root: str, staging_id: str, staging: str,
         txn = intent.get("txn")
         catalog.add(relpaths,
                     txn=(txn[0], int(txn[1])) if txn else None)
+    # Cleanup ordering is load-bearing on object stores: a recursive
+    # delete is UNORDERED there, so deleting the whole staging dir in one
+    # call could remove the .parked markers and staged manifest files
+    # while _publish.json survives a crash — the next recover() would
+    # then re-run phase 1, park the just-published generation, and fail
+    # phase 2 forever.  Deleting the intent FIRST (one atomic object
+    # delete) makes any residual staging dir intent-less debris, which
+    # recover() quarantines instead of re-publishing.
+    fs.delete(f"{staging}/{INTENT_NAME}")
     fs.delete(staging)
     return relpaths
 
@@ -247,7 +296,7 @@ def staged_publish(fs, root: str, *, write_fn, depth: int,
     output atomically.  Returns the published partition relpaths."""
     staging_id, staging = new_staging_dir(fs, root)
     try:
-        write_fn(staging)
+        written = write_fn(staging)
         relpaths = fs.list_partition_dirs(staging, depth)
     except BaseException:
         # job failed before intent: nothing is visible; leave the debris
@@ -260,10 +309,27 @@ def staged_publish(fs, root: str, *, write_fn, depth: int,
     manifests = None
     atomic = getattr(fs, "supports_atomic_rename", lambda p: True)(root)
     if mode == "swap" and not atomic:
-        # object-store path: record per-partition file manifests so the
-        # publish (and any crash recovery) can run file-granular moves
-        manifests = {rel: _walk_files(fs, f"{staging}/{rel}")
-                     for rel in relpaths}
+        # Object-store path: the intent records per-partition file
+        # manifests so the publish (and any crash recovery) can run
+        # file-granular moves.  The manifest source, in preference order:
+        # 1. the WRITER — ``write_fn`` may return ``{rel: [files]}``
+        #    (the write task knows exactly what it wrote; zero extra
+        #    round-trips on the commit path),
+        # 2. a thread-pooled per-partition walk (or the store's flat
+        #    ``walk_files`` LIST) for partitions the writer didn't cover.
+        manifests = {}
+        if isinstance(written, dict):
+            rels = set(relpaths)
+            manifests = {rel: sorted(files)
+                         for rel, files in written.items() if rel in rels}
+        missing = [rel for rel in relpaths if rel not in manifests]
+        if missing:
+            with ThreadPoolExecutor(
+                    max_workers=min(PUBLISH_POOL, len(missing))) as pool:
+                for rel, files in zip(missing, pool.map(
+                        lambda r: _walk_files(fs, f"{staging}/{r}"),
+                        missing)):
+                    manifests[rel] = files
     intent = write_intent(fs, staging, mode=mode, relpaths=relpaths,
                           manifests=manifests, txn=txn)
     apply_publish(fs, root, staging_id, staging, intent, catalog)
@@ -293,6 +359,26 @@ def recover(fs, root: str, catalog=None) -> dict:
         else:
             quarantine = f"{root}/{QUARANTINE_RELPATH}"
             fs.mkdirs(quarantine)
-            fs.rename(staging, f"{quarantine}/{staging_id}")
-            out["quarantined"].append(staging_id)
+            atomic = getattr(fs, "supports_atomic_rename",
+                             lambda p: True)(root)
+            if not atomic:
+                # object store: no directory rename exists — move the
+                # debris file-granularly (idempotent across crashes)
+                moved = _quarantine_move(fs, staging,
+                                         f"{quarantine}/{staging_id}")
+            # the rename can be refused (dst left by a prior half-
+            # quarantine, store-specific restrictions): fall back to a
+            # unique destination, and only report success when a rename
+            # actually happened — otherwise the debris stays in _staging
+            # and must keep showing up as unresolved, not "quarantined"
+            elif fs.rename(staging, f"{quarantine}/{staging_id}"):
+                moved = True
+            else:
+                retry = (f"{quarantine}/{staging_id}-"
+                         f"{uuid.uuid4().hex[:8]}")
+                moved = fs.rename(staging, retry)
+            if moved:
+                out["quarantined"].append(staging_id)
+            else:
+                out.setdefault("unresolved", []).append(staging_id)
     return out
