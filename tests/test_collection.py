@@ -378,3 +378,31 @@ def test_query_arrays_reference_shape(spark, seq_collection):
                                        filters="num >= 1")
     assert set(only) == {"num"} and only["num"].tolist() == [1, 1, 2, 2, 2]
     assert seq_collection.query_arrays(filters="num == 99") is None
+
+
+def test_merge_upsert_axis_is_partition_key(spark, seq_collection,
+                                            seq_schema):
+    """Sequence partitioning on the axis column itself: keys == (axis,).
+    The upsert join keys must dedupe (a `select(num, num)` would throw
+    COLUMN_ALREADY_EXISTS) — regression for the S3 suite's discovery."""
+    bound = seq_schema.with_partition_axis("num")
+    batch = spark.createDataFrame(
+        pd.DataFrame({"num": np.array([1], dtype=np.int64),
+                      "value": [[9.0, 9.0, 9.0]],
+                      "static": [[10.0, 20.0, 30.0]]}),
+        schema=bound.to_struct_type())
+    seq_collection.insert(batch, merge="upsert")
+    rows = seq_collection.query(filters="num == 1").collect()
+    # both original num=1 rows collapse to the single upserted axis value
+    assert [r["value"] for r in rows] == [[9.0, 9.0, 9.0]]
+    assert seq_collection.query().count() == 6  # 7 - 2 + 1
+
+    # tolerance mode on the same shape (exact-equality degenerate case)
+    batch2 = spark.createDataFrame(
+        pd.DataFrame({"num": np.array([2], dtype=np.int64),
+                      "value": [[5.0, 5.0, 5.0]],
+                      "static": [[10.0, 20.0, 30.0]]}),
+        schema=bound.to_struct_type())
+    seq_collection.insert(batch2, merge=zc.upsert_within(0.5))
+    rows = seq_collection.query(filters="num == 2").collect()
+    assert [r["value"] for r in rows] == [[5.0, 5.0, 5.0]]

@@ -1,0 +1,343 @@
+"""End-to-end tests against a REAL S3-semantics endpoint (moto server).
+
+The reference contract-tests its store backends against moto-S3
+(``/root/reference/zcollection/tests/test_backends.py:49-430``); these
+tests do the same for the engine's :class:`S3FS` — a live HTTP S3 API
+(moto ``ThreadedMotoServer``) spoken through boto3, where renames do
+not exist (CopyObject + DeleteObject), directories are prefix fictions,
+and ``supports_atomic_rename`` is honestly ``False``.  This validates
+the previously-untested half of ``_NON_ATOMIC_RENAME_SCHEMES``: the
+manifest-driven, file-granular staging publish and its crash recovery
+run here against genuine object-store behavior, not a simulated FS.
+"""
+
+import json
+import logging
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pytest
+
+boto3 = pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+import zcollection_spark as zc  # noqa: E402
+from zcollection_spark.collection import staging  # noqa: E402
+from zcollection_spark.fs import S3FS, fs_for  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def s3_endpoint():
+    """One live moto server for the whole session (real HTTP S3 API)."""
+    from moto.server import ThreadedMotoServer
+
+    logging.getLogger("werkzeug").setLevel(logging.CRITICAL)
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0,
+                                verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    endpoint = f"http://{host}:{port}"
+    old_env = {k: os.environ.get(k) for k in
+               ("AWS_ENDPOINT_URL", "AWS_ACCESS_KEY_ID",
+                "AWS_SECRET_ACCESS_KEY", "AWS_REGION")}
+    os.environ["AWS_ENDPOINT_URL"] = endpoint
+    os.environ["AWS_ACCESS_KEY_ID"] = "test"
+    os.environ["AWS_SECRET_ACCESS_KEY"] = "test"
+    os.environ["AWS_REGION"] = "us-east-1"
+    yield endpoint
+    for key, val in old_env.items():
+        if val is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = val
+    server.stop()
+
+
+@pytest.fixture()
+def s3_root(s3_endpoint):
+    """A fresh bucket per test; returns its s3:// root."""
+    bucket = f"zc-{uuid.uuid4().hex[:12]}"
+    client = boto3.client("s3", endpoint_url=s3_endpoint,
+                          region_name="us-east-1")
+    client.create_bucket(Bucket=bucket)
+    return f"s3://{bucket}/store"
+
+
+def _seq_df(spark, schema, nums, value):
+    bound = schema.with_partition_axis("num")
+    pdf = pd.DataFrame({
+        "num": np.array(nums, dtype=np.int64),
+        "value": [[value] * 3] * len(nums),
+        "static": [[10.0, 20.0, 30.0]] * len(nums)})
+    return spark.createDataFrame(pdf, schema=bound.to_struct_type())
+
+
+# ---------------------------------------------------------------------------
+# store contract (reference test_backends.py surface)
+# ---------------------------------------------------------------------------
+
+def test_s3fs_contract(s3_root):
+    fs = S3FS()
+    assert fs.supports_atomic_rename(s3_root) is False
+
+    fs.write_text(f"{s3_root}/a/b/file.txt", "payload")
+    assert fs.exists(f"{s3_root}/a/b/file.txt")
+    assert fs.exists(f"{s3_root}/a/b")       # prefix counts as a dir
+    assert fs.exists(f"{s3_root}/a")
+    assert not fs.exists(f"{s3_root}/a/bx")  # no partial-name match
+    assert fs.read_text(f"{s3_root}/a/b/file.txt") == "payload"
+    with pytest.raises(FileNotFoundError):
+        fs.read_text(f"{s3_root}/a/b/missing.txt")
+
+    fs.write_text(f"{s3_root}/a/b/two.txt", "2")
+    fs.write_text(f"{s3_root}/a/c.txt", "3")
+    assert fs.list_files(f"{s3_root}/a/b") == ["file.txt", "two.txt"]
+    assert fs.list_files(f"{s3_root}/a") == ["c.txt"]
+    assert fs.list_dirs(f"{s3_root}/a") == ["b"]
+
+    # rename = copy+delete; refuses occupied destinations
+    assert fs.rename(f"{s3_root}/a/c.txt", f"{s3_root}/a/d.txt")
+    assert fs.read_text(f"{s3_root}/a/d.txt") == "3"
+    assert not fs.exists(f"{s3_root}/a/c.txt")
+    assert not fs.rename(f"{s3_root}/a/d.txt", f"{s3_root}/a/b/file.txt")
+    assert not fs.rename(f"{s3_root}/a/ghost.txt", f"{s3_root}/a/x.txt")
+
+    # prefix ("directory") rename moves every object under it
+    assert fs.rename(f"{s3_root}/a/b", f"{s3_root}/moved")
+    assert fs.read_text(f"{s3_root}/moved/file.txt") == "payload"
+    assert not fs.exists(f"{s3_root}/a/b")
+
+    fs.delete(f"{s3_root}/moved")
+    assert not fs.exists(f"{s3_root}/moved")
+    assert fs.list_dirs(s3_root) == ["a"]
+
+
+def test_s3fs_partition_listing_is_flat(s3_root):
+    """Partition discovery and staging walks are single flat LISTs
+    (O(files/1000) round-trips), not per-directory recursion."""
+    fs = S3FS()
+    for num in (3, 1, 2):
+        fs.write_text(f"{s3_root}/num={num}/part-0.parquet", "x")
+    fs.write_text(f"{s3_root}/num=1/extra/nested.parquet", "x")
+    fs.write_text(f"{s3_root}/_staging/abc/num=9/p.parquet", "x")
+    fs.write_text(f"{s3_root}/_catalog/state.json", "{}")
+
+    assert fs.list_partition_dirs(s3_root, 1) == \
+        ["num=1", "num=2", "num=3"]
+    fs.api_counts.clear()
+    assert fs.walk_files(f"{s3_root}/num=1") == \
+        ["extra/nested.parquet", "part-0.parquet"]
+    assert fs.api_counts["list"] == 1  # ONE flat LIST, no recursion
+
+
+# ---------------------------------------------------------------------------
+# collection end-to-end on s3://
+# ---------------------------------------------------------------------------
+
+def test_s3_collection_roundtrip(spark, seq_schema, s3_root):
+    """create → insert → partitions → query → reopen → query, entirely
+    on s3://; the staging publish runs the manifest path (no renames
+    exist) and the catalog commit is an atomic PUT."""
+    path = f"{s3_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    assert isinstance(coll._fs, S3FS)
+    assert coll._fs.supports_atomic_rename(path) is False
+
+    coll.insert(_seq_df(spark, seq_schema, [0, 0, 1, 2], 1.0))
+    assert coll.partitions() == ["num=0", "num=1", "num=2"]
+    assert coll.query().count() == 4
+    assert coll.query(filters="num >= 1").count() == 2
+    # the publish moved objects via CopyObject (the only move S3 has)
+    assert coll._fs.api_counts["copy"] > 0
+
+    reopened = zc.open_collection(spark, path, mode="rw")
+    assert reopened.query().count() == 4
+    rows = reopened.query(filters="num == 2").collect()
+    assert [r["value"] for r in rows] == [[1.0, 1.0, 1.0]]
+
+
+def test_s3_replacement_insert_invalidates_mirror(spark, seq_schema,
+                                                  s3_root):
+    """A replacement insert swaps generations remotely; the ETag-keyed
+    localize mirror must serve the NEW objects, never a stale cache."""
+    path = f"{s3_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    coll.insert(_seq_df(spark, seq_schema, [0, 0, 1, 2], 1.0))
+    assert coll.query().count() == 4  # warms the mirror
+
+    coll.insert(_seq_df(spark, seq_schema, [0, 0, 1, 2], 7.0))
+    rows = coll.query().collect()
+    assert len(rows) == 4
+    assert all(r["value"] == [7.0, 7.0, 7.0] for r in rows)
+
+
+def test_s3_merge_paths(spark, seq_schema, s3_root):
+    """concat (append-publish) and upsert (read-merge-swap) on s3://."""
+    path = f"{s3_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    coll.insert(_seq_df(spark, seq_schema, [0, 1], 1.0))
+    coll.insert(_seq_df(spark, seq_schema, [1, 2], 2.0), merge="concat")
+    assert coll.query().count() == 4
+    assert coll.query(filters="num == 1").count() == 2
+
+    coll.insert(_seq_df(spark, seq_schema, [1], 9.0), merge="upsert")
+    rows = coll.query(filters="num == 1").collect()
+    values = sorted(tuple(r["value"]) for r in rows)
+    assert (9.0, 9.0, 9.0) in values
+
+
+def test_s3_writer_manifest_skips_commit_listing(spark, seq_schema,
+                                                 s3_root, monkeypatch):
+    """The upload step knows exactly what it wrote, so building the
+    publish manifest must not list the store at all (the r4 driver-side
+    walk is gone from the commit path)."""
+    path = f"{s3_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+
+    def boom(fs, root, rel=""):
+        raise AssertionError(f"manifest fell back to a walk: {root}")
+
+    monkeypatch.setattr(staging, "_walk_files", boom)
+    coll.insert(_seq_df(spark, seq_schema, [0, 1, 2], 1.0))
+    assert coll.query().count() == 3
+
+
+def test_s3_crash_mid_publish_recovers(spark, seq_schema, s3_root):
+    """Kill the file-granular publish after k object moves on REAL S3
+    semantics; repair must converge to exactly the new generation."""
+
+    class CrashAfterMoves:
+        def __init__(self, inner, allowed):
+            self._inner = inner
+            self._allowed = allowed
+            self.moves = 0
+
+        def rename(self, src, dst):
+            if "_staging" in src or "_staging" in dst:
+                if self.moves >= self._allowed:
+                    raise RuntimeError("injected crash during publish")
+                self.moves += 1
+            return self._inner.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    for allowed in (0, 2, 5):
+        path = f"{s3_root}/coll-{allowed}"
+        coll = zc.create_collection(spark, path, schema=seq_schema,
+                                    axis="num",
+                                    partitioning=zc.Sequence(("num",)))
+        coll.insert(_seq_df(spark, seq_schema, [0, 0, 1, 2], 1.0))
+
+        real_fs = coll._fs
+        coll._fs = CrashAfterMoves(real_fs, allowed)
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                coll.insert(_seq_df(spark, seq_schema, [0, 0, 1, 2], 9.0))
+        finally:
+            coll._fs = real_fs
+
+        assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+        rows = coll.query().collect()
+        assert len(rows) == 4, f"allowed={allowed}"
+        assert all(r["value"] == [9.0, 9.0, 9.0] for r in rows)
+        # idempotent
+        assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+        assert coll.query().count() == 4
+
+
+def test_s3_intentless_debris_quarantined_file_granular(spark, seq_schema,
+                                                        s3_root):
+    """Quarantine on S3 has no directory rename to lean on: recover()
+    must move intent-less debris object-by-object, idempotently."""
+    path = f"{s3_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    coll.insert(_seq_df(spark, seq_schema, [0, 1], 1.0))
+    fs = coll._fs
+    debris = f"{path}/{staging.STAGING_RELPATH}/deadbeef"
+    fs.write_text(f"{debris}/num=7/part-0.parquet", "garbage")
+    fs.write_text(f"{debris}/.hidden-marker", "x")
+
+    assert "num=7" not in coll.partitions()
+    assert coll.repair_catalog() == ["num=0", "num=1"]
+    qdir = f"{path}/{staging.QUARANTINE_RELPATH}/deadbeef"
+    assert fs.read_text(f"{qdir}/num=7/part-0.parquet") == "garbage"
+    assert fs.read_text(f"{qdir}/.hidden-marker") == "x"  # carried along
+    assert not fs.exists(debris)
+    assert coll.repair_catalog() == ["num=0", "num=1"]
+
+
+def test_s3_cold_open_op_budget(spark, seq_schema, s3_root):
+    """The O(1)-catalog claim on real S3: a cold open + partition list
+    is a bounded handful of API calls and ZERO LISTs."""
+    path = f"{s3_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    coll.insert(_seq_df(spark, seq_schema, [0, 1, 2], 1.0))
+
+    reopened = zc.open_collection(spark, path)
+    fs = reopened._fs
+    fs.api_counts.clear()
+    assert reopened.partitions() == ["num=0", "num=1", "num=2"]
+    counts = dict(fs.api_counts)
+    assert counts.get("list", 0) == 0, counts
+    assert counts.get("get", 0) <= 2, counts
+    assert counts.get("head", 0) <= 2, counts
+
+
+def test_s3_scheme_routes_to_s3fs(s3_endpoint):
+    assert isinstance(fs_for("s3://bucket/x"), S3FS)
+    assert isinstance(fs_for("s3a://bucket/x"), S3FS)
+
+
+def test_s3_crash_mid_cleanup_quarantines(spark, seq_schema, s3_root):
+    """The r5 cleanup-ordering guarantee on real S3: intent deleted
+    first, so a crash mid-cleanup leaves debris that quarantines —
+    published data stays the new generation."""
+    path = f"{s3_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    coll.insert(_seq_df(spark, seq_schema, [0, 1], 1.0))
+
+    class CrashOnStagingDelete:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def delete(self, p):
+            if staging.STAGING_RELPATH in p \
+                    and not p.endswith(staging.INTENT_NAME):
+                raise RuntimeError("injected crash during cleanup")
+            self._inner.delete(p)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real_fs = coll._fs
+    coll._fs = CrashOnStagingDelete(real_fs)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            coll.insert(_seq_df(spark, seq_schema, [0, 1], 5.0))
+    finally:
+        coll._fs = real_fs
+
+    # the data landed and committed before cleanup crashed
+    rows = coll.query().collect()
+    assert all(r["value"] == [5.0, 5.0, 5.0] for r in rows)
+    assert coll.repair_catalog() == ["num=0", "num=1"]
+    rows = coll.query().collect()
+    assert len(rows) == 2
+    assert all(r["value"] == [5.0, 5.0, 5.0] for r in rows)

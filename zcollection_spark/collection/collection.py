@@ -184,6 +184,40 @@ class Collection:
     # ------------------------------------------------------------------
     # read path (collection/base.py:524-595)
     # ------------------------------------------------------------------
+    def _spark_read_base(self, relpaths: list[str]) -> str:
+        """Physical base dir for Spark scans.  Identity for stores the
+        JVM reads natively; stores flagged ``requires_localization``
+        (S3 without a connector) mirror the requested relpaths locally
+        first (ETag-cached — see ``S3FS.localize``)."""
+        if getattr(self._fs, "requires_localization", False):
+            return self._fs.localize(self.path, relpaths)
+        return self.path
+
+    def _spark_parquet_write(self, target: str,
+                             run_write: Callable[[str], None]) -> dict | None:
+        """Run a Spark parquet-write job "into" ``target``.
+
+        Native stores: the job writes directly, returns None (the staged
+        publish walks for manifests if it needs them).  Localized
+        stores: the job writes to scratch and the upload returns the
+        exact file list — which becomes the writer-provided manifest, so
+        the commit path never lists the store (staging.py).
+        """
+        if not getattr(self._fs, "requires_localization", False):
+            run_write(target)
+            return None
+        scratch = self._fs.new_scratch_dir()
+        run_write(scratch)
+        files = self._fs.upload_tree(scratch, target)
+        depth = self.partitioning.depth
+        manifest: dict[str, list[str]] = {}
+        for rel in files:
+            comps = rel.split("/")
+            if len(comps) > depth:
+                manifest.setdefault("/".join(comps[:depth]),
+                                    []).append("/".join(comps[depth:]))
+        return manifest
+
     def _read_partitions(self, relpaths: list[str]) -> DataFrame:
         # explicit schema: no footer sampling (one less cold GET per read
         # at scale), and partitions written BEFORE a schema-evolution
@@ -194,15 +228,17 @@ class Collection:
         for v in self.schema.partitioned_variables:
             struct = struct.add(v.name, v.spark_type(dims, self.axis))
         struct = struct.add(ROW_IDX, T.IntegerType())
+        base = self._spark_read_base(relpaths)
         reader = (self.spark.read.schema(struct)
-                  .option("basePath", self.path))
-        return reader.parquet(*(f"{self.path}/{rel}" for rel in relpaths))
+                  .option("basePath", base))
+        return reader.parquet(*(f"{base}/{rel}" for rel in relpaths))
 
     def _immutable_df(self) -> DataFrame | None:
         imm_path = f"{self.path}/{IMMUTABLE_RELPATH}"
         if not self.schema.immutable_variables or not self._fs.exists(imm_path):
             return None
-        return self.spark.read.parquet(imm_path)
+        base = self._spark_read_base([IMMUTABLE_RELPATH])
+        return self.spark.read.parquet(f"{base}/{IMMUTABLE_RELPATH}")
 
     def _attach_immutable(self, df: DataFrame,
                           wanted: set[str] | None) -> DataFrame:
@@ -345,8 +381,10 @@ class Collection:
         # (contents are identical by the write-once contract)
         import uuid as _uuid
         staging = f"{self.path}/_immutable/.tmp_{_uuid.uuid4().hex}"
-        (df.select(*imm_names).limit(1)
-           .coalesce(1).write.mode("overwrite").parquet(staging))
+        self._spark_parquet_write(
+            staging,
+            lambda t: (df.select(*imm_names).limit(1)
+                       .coalesce(1).write.mode("overwrite").parquet(t)))
         if not (not self._fs.exists(imm_path)
                 and self._fs.rename(staging, imm_path)):
             self._fs.delete(staging)
@@ -370,25 +408,30 @@ class Collection:
                .orderBy(self._axis_order(df)))
         return df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
 
-    def _write_tree(self, df: DataFrame, target: str) -> None:
+    def _write_tree(self, df: DataFrame, target: str) -> dict | None:
         """Write ``df``'s partition tree under ``target`` (a staging dir).
 
         Staging is always a fresh empty directory, so the Spark job runs
         with plain ``overwrite``; visibility is controlled by the publish
-        renames, not by the write mode.
+        renames, not by the write mode.  Returns the writer-side file
+        manifest on localized stores (consumed by ``staged_publish``).
         """
         keys = list(self.partitioning.keys)
         chunks = None
         axis_dim = self.schema.dim_map.get(self.axis)
         if axis_dim is not None and axis_dim.chunks:
             chunks = axis_dim.chunks
-        writer = (df.write.mode("overwrite").partitionBy(*keys)
-                  .options(**engine_config.profile().writer_options()))
-        if chunks:
-            # chunk geometry → row-group/file sizing (the reference's
-            # shard-size targeting, codecs/sharding.py:32-159)
-            writer = writer.option("maxRecordsPerFile", chunks)
-        writer.parquet(target)
+
+        def run_write(path: str) -> None:
+            writer = (df.write.mode("overwrite").partitionBy(*keys)
+                      .options(**engine_config.profile().writer_options()))
+            if chunks:
+                # chunk geometry → row-group/file sizing (the reference's
+                # shard-size targeting, codecs/sharding.py:32-159)
+                writer = writer.option("maxRecordsPerFile", chunks)
+            writer.parquet(path)
+
+        return self._spark_parquet_write(target, run_write)
 
     def _staged_write(self, write_fn: Callable[[str], None], *,
                       mode: str,
@@ -601,8 +644,8 @@ class Collection:
             return {}
 
         def count_files(rel: str) -> int:
-            from pathlib import Path
-            return sum(1 for p in Path(f"{self.path}/{rel}").glob("*.parquet"))
+            return sum(1 for f in self._fs.list_files(f"{self.path}/{rel}")
+                       if f.endswith(".parquet"))
 
         before = {rel: count_files(rel) for rel in matching}
         keys = list(self.partitioning.keys)
@@ -611,11 +654,13 @@ class Collection:
         # writing into _staging, then renames — readers never observe a
         # partition mid-rewrite
         self._staged_write(
-            lambda staging: (
-                df.repartition(*[F.col(k) for k in keys])
-                .write.mode("overwrite").partitionBy(*keys)
-                .options(**engine_config.profile().writer_options())
-                .parquet(staging)),
+            lambda staging: self._spark_parquet_write(
+                staging,
+                lambda t: (df.repartition(*[F.col(k) for k in keys])
+                           .write.mode("overwrite").partitionBy(*keys)
+                           .options(**engine_config.profile()
+                                    .writer_options())
+                           .parquet(t))),
             mode="swap")
         return before
 

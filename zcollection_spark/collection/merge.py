@@ -94,10 +94,13 @@ def upsert(existing: DataFrame, inserted: DataFrame, *, axis: str,
     plan stays a shuffled anti-join at any batch size (no forced
     broadcast, no nested loop).
     """
-    ins_axis = inserted.select(*keys, axis).distinct()
+    # the axis may itself BE a partition key (Sequence partitioning on
+    # the axis column): dedupe so the join key list stays unambiguous
+    on_cols = list(dict.fromkeys([*keys, axis]))
+    ins_axis = inserted.select(*on_cols).distinct()
     if tolerance is None or float(tolerance) == 0.0:
         # tolerance 0 == exact equality (searchsorted nearest within 0)
-        kept = existing.join(ins_axis, on=[*keys, axis], how="left_anti")
+        kept = existing.join(ins_axis, on=on_cols, how="left_anti")
     else:
         dtype = existing.schema[axis].dataType
         tol = float(tolerance)
@@ -108,7 +111,11 @@ def upsert(existing: DataFrame, inserted: DataFrame, *, axis: str,
 
         e_bucket = F.floor(numeric(existing[axis]) / F.lit(tol))
         ins_bucket = F.floor(numeric(F.col("__ins_axis")) / F.lit(tol))
-        fanned = (ins_axis.withColumnRenamed(axis, "__ins_axis")
+        # keep the key columns intact when the axis is one of them
+        aliased = (ins_axis.withColumn("__ins_axis", F.col(axis))
+                   if axis in keys
+                   else ins_axis.withColumnRenamed(axis, "__ins_axis"))
+        fanned = (aliased
                   .withColumn("__bucket", F.explode(F.transform(
                       F.array(F.lit(-1), F.lit(0), F.lit(1)),
                       lambda d: d + ins_bucket))))
