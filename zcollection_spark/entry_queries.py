@@ -1954,8 +1954,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "big_orders": ORACLE_BIG_ORDERS,
         "event_gaps": ORACLE_EVENT_GAPS,
     }
+    import duckdb as _duckdb
     try:
         out["knn_ivf"] = _ivf_oracle(_ivf_centroids_cached(sf_dir))
-    except Exception:  # missing sf_dir/parquet: degrade to rows-only
-        pass
+    except (FileNotFoundError, OSError, _duckdb.IOException) as exc:
+        # missing sf_dir/parquet only: degrade that one query to the
+        # driver's rows-only check.  Anything else (a kmeans bug, bad
+        # data) must surface loudly, not silently weaken the gate.
+        import warnings
+        warnings.warn(f"knn_ivf oracle skipped — embeddings table "
+                      f"unavailable: {exc}")
     return out

@@ -225,14 +225,19 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
         F.explode(F.array_distinct(
             word_shingles(text_col, shingle_size))).alias("__sh"))
     if max_df is not None:
+        # the RAW expansion feeds both the document-frequency branch and
+        # the semi-join below; persist it so the explode/scan runs once
+        # instead of once per branch (it is the widest intermediate)
+        sh = sh.persist()
         dfreq = (sh.groupBy("__sh")
                  .agg(F.count(F.lit(1)).alias("__df"))
                  .where(F.col("__df") <= max_df)
                  .select("__sh"))
         sh = sh.join(dfreq, on="__sh", how="left_semi")
-    # the shingle expansion feeds THREE plan branches (both join sides +
-    # the size aggregate); Spark has no cross-branch CSE, so materialize it
-    # once.  At 100 TB this becomes an explicit intermediate parquet table.
+    # the (filtered) shingle expansion feeds THREE plan branches (both
+    # join sides + the size aggregate); Spark has no cross-branch CSE, so
+    # materialize it once.  At 100 TB both persists become explicit
+    # intermediate parquet tables.
     sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     left, right = sh.alias("l"), sh.alias("r")

@@ -195,8 +195,12 @@ def write_stream_to_collection(stream_df: DataFrame,
     rather than blind appends.  Delivery is EXACTLY-ONCE per micro-batch:
     see :func:`make_batch_sink` (txn versions in the catalog commit).
     ``app_id`` identifies the stream in the txn ledger and must be stable
-    across restarts — it defaults to a hash of the checkpoint dir, which
-    Spark already requires to be stable.
+    across restarts — it defaults to a hash of the checkpoint dir.  The
+    default checkpoint dir is DETERMINISTIC (derived from the collection
+    path), so exactly-once holds across restarts with everything
+    defaulted; run MULTIPLE concurrent streams into one collection only
+    with explicit per-stream ``checkpoint_dir``/``app_id`` (they would
+    otherwise collide on the same checkpoint state).
 
     Returns the started ``StreamingQuery`` — callers own
     ``awaitTermination``/``stop``.
@@ -204,7 +208,7 @@ def write_stream_to_collection(stream_df: DataFrame,
     import hashlib
 
     checkpoint_dir = checkpoint_dir or (
-        f"{collection.path}/_checkpoints/ingest_{uuid.uuid4().hex}")
+        f"{collection.path}/_checkpoints/ingest")
     app_id = app_id or ("stream-" + hashlib.sha256(
         checkpoint_dir.encode()).hexdigest()[:12])
     sink = make_batch_sink(collection, merge=merge, app_id=app_id)
