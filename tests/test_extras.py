@@ -104,6 +104,56 @@ def test_cli_drop_guarded(spark, seq_collection, capsys):
     assert len(seq_collection.partitions()) == 2
 
 
+def test_cli_verify_gc(spark, seq_collection, capsys):
+    """``verify --gc --older-than``: expired quarantined debris deleted,
+    fresh debris kept, live staging dirs (with intents) never touched."""
+    import json as _json
+    import time
+    from zcollection_spark.collection import staging as sp
+
+    fs = seq_collection._fs
+    root = seq_collection.path
+    # intent-less debris → repair quarantines it (with a timestamp)
+    fs.mkdirs(f"{root}/{sp.STAGING_RELPATH}/olddebris/num=9")
+    fs.write_text(f"{root}/{sp.STAGING_RELPATH}/olddebris/num=9/d", "x")
+    assert cli.main(["verify", root, "--repair"]) == 0
+    capsys.readouterr()
+    qdir = f"{root}/{sp.QUARANTINE_RELPATH}/olddebris"
+    assert fs.exists(f"{qdir}/.quarantined_at")
+
+    # a LIVE staged insert with an intent must survive any GC
+    sid, staged = sp.new_staging_dir(fs, root)
+    fs.mkdirs(f"{staged}/num=5")
+    fs.write_text(f"{staged}/num=5/data.parquet", "payload")
+    sp.write_intent(fs, staged, mode="swap", relpaths=["num=5"])
+
+    # TTL not reached → kept
+    assert cli.main(["verify", root, "--gc",
+                     "--older-than", "3600"]) in (0, 1)
+    capsys.readouterr()
+    assert fs.exists(qdir)
+
+    # age the stamp past the TTL → deleted; live staging untouched
+    fs.write_text(f"{qdir}/.quarantined_at", str(time.time() - 7200))
+    assert cli.main(["verify", root, "--gc",
+                     "--older-than", "3600"]) in (0, 1)
+    text = capsys.readouterr().out
+    assert '"gc_deleted"' in text and "olddebris" in text
+    assert not fs.exists(qdir)
+    assert fs.exists(f"{staged}/num=5/data.parquet")  # staging intact
+    assert fs.exists(f"{staged}/{sp.INTENT_NAME}")
+
+    # unstamped legacy debris: kept at any positive TTL, purged at 0
+    fs.mkdirs(f"{root}/{sp.QUARANTINE_RELPATH}/legacy/num=1")
+    fs.write_text(f"{root}/{sp.QUARANTINE_RELPATH}/legacy/num=1/d", "x")
+    gc = sp.gc_quarantine(fs, root, older_than=3600)
+    assert gc["kept"] == ["legacy"] and gc["deleted"] == []
+    gc = sp.gc_quarantine(fs, root, older_than=0)
+    assert gc["deleted"] == ["legacy"]
+    # the staged-with-intent dir STILL untouched after a full purge
+    assert fs.exists(f"{staged}/num=5/data.parquet")
+
+
 # -- atomic visibility -----------------------------------------------------
 
 def test_catalog_is_visibility_gate(spark, seq_collection, seq_pdf,

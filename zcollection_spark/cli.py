@@ -112,7 +112,8 @@ def cmd_verify(args: argparse.Namespace) -> int:
     zarr layouts) per-partition group-metadata readability."""
     from pathlib import Path
     from zcollection_spark.collection import staging as staging_proto
-    coll = _open(args.path, mode="rw" if args.repair else "r")
+    coll = _open(args.path,
+                 mode="rw" if (args.repair or args.gc) else "r")
     on_disk = set(coll._fs.list_partition_dirs(
         coll.path, coll.partitioning.depth))
     in_catalog = set(coll._catalog.read() or [])
@@ -152,7 +153,12 @@ def cmd_verify(args: argparse.Namespace) -> int:
             "rolled_forward": recovered["published"],
             "quarantined": recovered["quarantined"],
             "catalog_partitions": len(repaired)}, indent=1))
-        return 0
+        ok = True
+    if args.gc:
+        gc = staging_proto.gc_quarantine(coll._fs, coll.path,
+                                         older_than=args.older_than)
+        print(json.dumps({"gc_deleted": gc["deleted"],
+                          "gc_kept": gc["kept"]}, indent=1))
     return 0 if ok else 1
 
 
@@ -198,6 +204,12 @@ def main(argv: list[str] | None = None) -> int:
     p_vf.add_argument("path")
     p_vf.add_argument("--repair", action="store_true",
                       help="rewrite the catalog when inconsistent")
+    p_vf.add_argument("--gc", action="store_true",
+                      help="delete quarantined debris past --older-than")
+    p_vf.add_argument("--older-than", type=float, default=7 * 86400.0,
+                      dest="older_than", metavar="SECONDS",
+                      help="quarantine TTL for --gc (default 7 days; "
+                           "0 purges unstamped debris too)")
     p_vf.set_defaults(fn=cmd_verify)
 
     p_cp = sub.add_parser("compact",

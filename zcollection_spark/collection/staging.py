@@ -41,6 +41,17 @@ on the catalog generation if they matter):
    partitions mid-publish.  Single-snapshot readers should resolve the
    partition list once (the catalog read) and pin it.
 
+Concurrent writers (pinned by tests/test_concurrency.py): staging ids
+isolate in-flight jobs completely; per partition the LAST publish wins
+and each partition is always wholly one writer's generation (row-level
+mixes cannot happen — swaps are whole-dir/whole-manifest).  Across
+partitions two racing writers may split ownership (the torn-mix window
+above); a writer that loses a rename race fails LOUDLY with staging +
+intent intact, and ``recover`` rolls it forward.  Writers needing
+serialized multi-partition semantics must coordinate externally — the
+engine guarantees convergence and per-partition atomicity, not a global
+serialization order.
+
 Object stores (the DECISION for stores without atomic rename): a
 directory "rename" there is per-object copy+delete, so a crash can
 leave any interleaving of old/staged objects.  When
@@ -378,7 +389,52 @@ def recover(fs, root: str, catalog=None) -> dict:
                          f"{uuid.uuid4().hex[:8]}")
                 moved = fs.rename(staging, retry)
             if moved:
+                # stamp the quarantine time (one PUT) so GC can apply a
+                # TTL without relying on store mtimes (object stores
+                # have none for prefixes).  Suffixed fallback dirs skip
+                # the stamp (rare half-quarantine merges) — GC treats
+                # unstamped debris conservatively.
+                import time
+                if fs.exists(f"{quarantine}/{staging_id}"):
+                    fs.write_text(
+                        f"{quarantine}/{staging_id}/.quarantined_at",
+                        str(time.time()))
                 out["quarantined"].append(staging_id)
             else:
                 out.setdefault("unresolved", []).append(staging_id)
+    return out
+
+
+def gc_quarantine(fs, root: str, *, older_than: float,
+                  now: float | None = None) -> dict:
+    """Delete quarantined debris older than ``older_than`` seconds.
+
+    Scope is STRICTLY ``{root}/_quarantine`` — live staging dirs (which
+    may carry intents recover() will roll forward) are never touched.
+    Ages come from the ``.quarantined_at`` stamp recover() writes;
+    unstamped debris (quarantined before the stamp existed) is deleted
+    only on an explicit ``older_than <= 0`` full purge, because its age
+    is unknowable on stores without mtimes.
+    """
+    import time
+    now = time.time() if now is None else now
+    qroot = f"{root}/{QUARANTINE_RELPATH}"
+    out: dict = {"deleted": [], "kept": []}
+    if not fs.exists(qroot):
+        return out
+    for qid in fs.list_dirs(qroot):
+        marker = f"{qroot}/{qid}/.quarantined_at"
+        stamp = None
+        if fs.exists(marker):
+            try:
+                stamp = float(fs.read_text(marker))
+            except ValueError:
+                stamp = None
+        expired = (now - stamp >= older_than) if stamp is not None \
+            else older_than <= 0
+        if expired:
+            fs.delete(f"{qroot}/{qid}")
+            out["deleted"].append(qid)
+        else:
+            out["kept"].append(qid)
     return out
