@@ -277,11 +277,24 @@ def main() -> None:
         exact = topk_sets(eq.q_knn_bruteforce(spark, sf_dir))
         counters["ann_recall"] = {}
         for name, fn in (("knn_lsh", eq.q_knn_lsh),
-                         ("knn_ivf", eq.q_knn_ivf)):
+                         ("knn_ivf", eq.q_knn_ivf),
+                         ("knn_lsh_hi", eq.q_knn_lsh_hi),
+                         ("knn_ivf_hi", eq.q_knn_ivf_hi)):
+            t0 = time.monotonic()
             approx = topk_sets(fn(spark, sf_dir))
+            sec = round(time.monotonic() - t0, 3)
             rec = [len(exact[q] & approx.get(q, set())) / len(exact[q])
                    for q in exact]
             counters["ann_recall"][name] = round(sum(rec) / len(rec), 3)
+            if name.endswith("_hi"):
+                counters["ann_recall"][name + "_sec"] = sec
+        # the measured recall-vs-seconds curve behind the _hi configs
+        # (tools/ann_sweep.py); committed so the chosen configuration is
+        # evidence, not a guess
+        sweep_file = Path(__file__).resolve().parent / "ANN_SWEEP.json"
+        if sweep_file.exists():
+            counters["ann_recall_curve"] = json.loads(
+                sweep_file.read_text())
 
         @timed("text_stats")
         def _():

@@ -1,0 +1,94 @@
+"""Recall-vs-cost sweep for the ANN paths (VERDICT r4 ask #3).
+
+Runs lsh_bucket_topk over an (n_planes, n_tables) grid and ivf_topk
+over an (n_cells, n_probe) grid at $SPARK_GRAFT_SF_DIR, measuring
+mean recall@10 against the exact brute-force baseline and wall seconds
+per configuration.  Writes ANN_SWEEP.json at the repo root (bench.py
+embeds it into its counters) and prints the curve.
+
+Usage:  python tools/ann_sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import zcollection_spark as zc  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from zcollection_spark.data import load_table  # noqa: E402
+from zcollection_spark.functions import (  # noqa: E402
+    brute_force_topk, ivf_topk, lsh_bucket_topk)
+
+K = 10
+
+
+def _topk_sets(df) -> dict:
+    sets: dict = {}
+    for r in df.collect():
+        sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return sets
+
+
+def _recall(exact: dict, approx: dict) -> float:
+    rec = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+           for q in exact]
+    return round(sum(rec) / len(rec), 3)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = zc.get_spark("ann-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb.count()
+    queries = emb.where(F.col("vec_id") < 5)
+
+    exact = _topk_sets(
+        brute_force_topk(emb, queries, id_col="vec_id",
+                         vec_col="embedding", query_id_col="vec_id", k=K))
+
+    out: dict = {"sf_dir": sf_dir, "k": K, "lsh": [], "ivf": []}
+
+    for n_planes in (4, 6, 8):
+        for n_tables in (8, 16, 32):
+            t0 = time.monotonic()
+            approx = _topk_sets(lsh_bucket_topk(
+                emb, queries, id_col="vec_id", vec_col="embedding",
+                query_id_col="vec_id", k=K,
+                n_planes=n_planes, n_tables=n_tables))
+            sec = round(time.monotonic() - t0, 3)
+            row = {"n_planes": n_planes, "n_tables": n_tables,
+                   "recall": _recall(exact, approx), "sec": sec}
+            out["lsh"].append(row)
+            print("lsh ", json.dumps(row), flush=True)
+
+    for n_cells in (16, 64):
+        for n_probe in (2, 4, 8):
+            t0 = time.monotonic()
+            approx = _topk_sets(ivf_topk(
+                emb, queries, id_col="vec_id", vec_col="embedding",
+                query_id_col="vec_id", k=K,
+                n_cells=n_cells, n_probe=n_probe))
+            sec = round(time.monotonic() - t0, 3)
+            row = {"n_cells": n_cells, "n_probe": n_probe,
+                   "recall": _recall(exact, approx), "sec": sec}
+            out["ivf"].append(row)
+            print("ivf ", json.dumps(row), flush=True)
+
+    target = Path(__file__).resolve().parent.parent / "ANN_SWEEP.json"
+    target.write_text(json.dumps(out, indent=1))
+    print(f"wrote {target}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
