@@ -133,6 +133,64 @@ def main() -> None:
         counters["query_full"] = {
             "files_read": len(coll.query().inputFiles())}
 
+        # Object-store op budgets (untimed): the same insert + cold open
+        # against a REAL S3 endpoint (moto server) through the manifest
+        # publish protocol; api_counts are actual S3 API calls, the
+        # metadata-cost currency at 100 TB (a naive per-file-visibility
+        # scheme pays O(files) PUTs + recursive LISTs; the staged
+        # protocol pays one intent + one catalog PUT + per-file copies,
+        # and a catalog cold open is O(1) GETs with zero LISTs).
+        try:
+            import logging
+
+            import boto3
+            from moto.server import ThreadedMotoServer
+
+            logging.getLogger("werkzeug").setLevel(logging.CRITICAL)
+            _srv = ThreadedMotoServer(ip_address="127.0.0.1", port=0,
+                                      verbose=False)
+            _srv.start()
+            _h, _p = _srv.get_host_and_port()
+            _old_env = {k: os.environ.get(k) for k in
+                        ("AWS_ENDPOINT_URL", "AWS_ACCESS_KEY_ID",
+                         "AWS_SECRET_ACCESS_KEY", "AWS_REGION")}
+            os.environ.update(AWS_ENDPOINT_URL=f"http://{_h}:{_p}",
+                              AWS_ACCESS_KEY_ID="bench",
+                              AWS_SECRET_ACCESS_KEY="bench",
+                              AWS_REGION="us-east-1")
+            # the suite-wide LocalFS probe must not capture s3:// paths
+            _probe_fs_for = fsmod.fs_for
+            fsmod.fs_for = real_fs_for
+            try:
+                boto3.client(
+                    "s3", endpoint_url=f"http://{_h}:{_p}",
+                    region_name="us-east-1").create_bucket(Bucket="bench")
+                jan = events.where(F.month("ts") == 1)
+                s3coll = zc.create_collection(
+                    spark, "s3://bench/events",
+                    schema=infer_schema(events.schema, axis="ts"),
+                    axis="ts", partitioning=zc.Date(("ts",),
+                                                    resolution="D"))
+                s3coll.insert(jan)
+                insert_ops = dict(s3coll._fs.api_counts)
+                reopened = zc.open_collection(spark, "s3://bench/events")
+                reopened._fs.api_counts.clear()
+                n_parts = len(reopened.partitions())
+                counters["s3_op_budget"] = {
+                    "insert_jan": insert_ops,
+                    "cold_open": dict(reopened._fs.api_counts),
+                    "partitions": n_parts}
+            finally:
+                fsmod.fs_for = _probe_fs_for
+                for _k, _v in _old_env.items():
+                    if _v is None:
+                        os.environ.pop(_k, None)
+                    else:
+                        os.environ[_k] = _v
+                _srv.stop()
+        except Exception as exc:  # moto/boto3 absent: record why
+            counters["s3_op_budget"] = {"skipped": repr(exc)}
+
         @timed("query_full")
         def _():
             _consume(coll.query())

@@ -222,12 +222,19 @@ def test_s3_crash_mid_publish_recovers(spark, seq_schema, s3_root):
             self._allowed = allowed
             self.moves = 0
 
-        def rename(self, src, dst):
+        def _gate(self, src, dst):
             if "_staging" in src or "_staging" in dst:
                 if self.moves >= self._allowed:
                     raise RuntimeError("injected crash during publish")
                 self.moves += 1
+
+        def rename(self, src, dst):
+            self._gate(src, dst)
             return self._inner.rename(src, dst)
+
+        def move_file(self, src, dst):  # the publish hot path on S3
+            self._gate(src, dst)
+            return self._inner.move_file(src, dst)
 
         def __getattr__(self, name):
             return getattr(self._inner, name)
@@ -254,6 +261,79 @@ def test_s3_crash_mid_publish_recovers(spark, seq_schema, s3_root):
         # idempotent
         assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
         assert coll.query().count() == 4
+
+
+def test_s3_crash_between_copy_and_delete_converges(spark, seq_schema,
+                                                    s3_root):
+    """move_file is CopyObject + DeleteObject with a crash window
+    between the halves: target and source both exist afterwards.
+    Recovery must treat the existing target as published (skip) and the
+    orphaned source as staging debris (cleaned at commit)."""
+    path = f"{s3_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    coll.insert(_seq_df(spark, seq_schema, [0, 1], 1.0))
+
+    class CrashMidMove:
+        def __init__(self, inner):
+            self._inner = inner
+            self.fired = False
+
+        def move_file(self, src, dst):
+            if not self.fired and "_staging" in src \
+                    and not dst.endswith(".parked"):
+                self.fired = True
+                # do only the COPY half, then die
+                sb, sk = self._inner._bk(src)
+                db, dk = self._inner._bk(dst)
+                self._inner._client.copy_object(
+                    Bucket=db, Key=dk,
+                    CopySource={"Bucket": sb, "Key": sk})
+                raise RuntimeError("injected crash mid-move")
+            return self._inner.move_file(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real_fs = coll._fs
+    coll._fs = CrashMidMove(real_fs)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash mid-move"):
+            coll.insert(_seq_df(spark, seq_schema, [0, 1], 4.0))
+    finally:
+        coll._fs = real_fs
+
+    assert coll.repair_catalog() == ["num=0", "num=1"]
+    rows = coll.query().collect()
+    assert len(rows) == 2
+    assert all(r["value"] == [4.0, 4.0, 4.0] for r in rows)
+    # no staging orphans left behind after the roll-forward commit
+    assert not real_fs.exists(f"{path}/{staging.STAGING_RELPATH}")
+
+
+def test_s3_publish_per_file_op_budget(spark, seq_schema, s3_root):
+    """The publish hot path must cost ~1 COPY + bounded extras per
+    staged file — no redundant dst-exists HEAD/LIST inside the move
+    (the caller already checked).  Budget pinned so a future wrapper
+    can't silently reintroduce the per-file round-trips."""
+    path = f"{s3_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    fs = coll._fs
+    fs.api_counts.clear()
+    coll.insert(_seq_df(spark, seq_schema, [0, 1, 2], 1.0))
+    counts = dict(fs.api_counts)
+    # fresh insert, 3 partitions x 1 file + the one-time _immutable
+    # publish: exactly one COPY per moved file (parking copies nothing —
+    # dst partitions are empty)
+    assert counts["copy"] == 4, counts
+    # per-file metadata overhead stays bounded: phase-2 exists-check +
+    # move, phase-1 marker/park bookkeeping, intent/catalog/config I/O.
+    # 15 HEADs/file would mean the redundant-check regression returned.
+    assert counts.get("head", 0) <= 10 * 3, counts
+    assert counts.get("list", 0) <= 10 * 3, counts
 
 
 def test_s3_intentless_debris_quarantined_file_granular(spark, seq_schema,

@@ -58,15 +58,20 @@ def test_registry_window_invariant():
     from zcollection_spark import entry_queries
 
     names = list(entry_queries.queries())
-    tail_allowed = {"revenue_delta", "priority_class_counts",
-                    "value_percentiles", "revenue_rollup", "big_orders",
-                    "event_gaps"}
+    # round-5 rotation: the tail is now the eight rounds-1-4-green
+    # join/agg variants whose operator surface is covered in-window
+    tail_allowed = {"top_revenue_orders", "promo_revenue",
+                    "order_priority_counts", "returned_item_losses",
+                    "trade_flows", "rollup_hourly", "langid_confusion",
+                    "top_ngrams"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
-                             "dedup_embedding_lsh", "knn_ivf"):
+                             "dedup_embedding_lsh", "knn_ivf",
+                             "knn_lsh_hi", "knn_ivf_hi",
+                             "revenue_delta", "value_percentiles"):
         assert names.index(must_be_recorded) < 50
     oracles = entry_queries.oracle_sql()
     assert set(oracles) <= set(names)
     # a missing data dir degrades the map, never breaks it
     degraded = entry_queries.oracle_sql("/does/not/exist")
-    assert set(degraded) == set(oracles) - {"knn_ivf"}
+    assert set(degraded) == set(oracles) - {"knn_ivf", "knn_ivf_hi"}

@@ -188,6 +188,22 @@ def _must_rename(fs, src: str, dst: str) -> None:
         raise StoreError(f"publish rename failed: {src!r} -> {dst!r}")
 
 
+def _must_move_file(fs, src: str, dst: str) -> None:
+    """File-granular publish move where the caller already did the
+    dst-exists check.  Object stores expose ``move_file`` (one copy +
+    one delete, no redundant dst HEAD/LIST — the dominant metadata cost
+    of a large publish); everything else falls back to rename.  A
+    concurrent overwrite race is benign here: single-object PUTs are
+    atomic and the protocol is last-publish-wins per partition."""
+    mover = getattr(fs, "move_file", None)
+    if mover is not None:
+        if not mover(src, dst):
+            from ..errors import StoreError
+            raise StoreError(f"publish move failed: {src!r} -> {dst!r}")
+    else:
+        _must_rename(fs, src, dst)
+
+
 def _publish_one(fs, root: str, staging_id: str, staging: str,
                  mode: str, rel: str, manifest: list[str] | None) -> None:
     """Publish a single partition (idempotent; safe to re-run).
@@ -217,7 +233,7 @@ def _publish_one(fs, root: str, staging_id: str, staging: str,
                         fs.delete(f"{dst}/{f}")
                     else:
                         fs.mkdirs(_parent(f"{old}/{f}"))
-                        _must_rename(fs, f"{dst}/{f}", f"{old}/{f}")
+                        _must_move_file(fs, f"{dst}/{f}", f"{old}/{f}")
             fs.mkdirs(old)
             fs.write_text(marker, "1")
         # Phase 2 — move each manifest file; any existing target is OURS
@@ -233,7 +249,7 @@ def _publish_one(fs, root: str, staging_id: str, staging: str,
                     f"published — staged data incomplete, cannot roll "
                     f"forward partition {rel!r}")
             fs.mkdirs(_parent(target))
-            _must_rename(fs, source, target)
+            _must_move_file(fs, source, target)
     elif mode == "swap":
         if not fs.exists(src):
             return  # already published by an earlier attempt
@@ -252,7 +268,7 @@ def _publish_one(fs, root: str, staging_id: str, staging: str,
                 continue
             target = f"{dst}/{staging_id}-{fname}"
             if not fs.exists(target):
-                _must_rename(fs, f"{src}/{fname}", target)
+                _must_move_file(fs, f"{src}/{fname}", target)
 
 
 def apply_publish(fs, root: str, staging_id: str, staging: str,

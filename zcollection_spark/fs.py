@@ -556,6 +556,25 @@ class S3FS:
             self._move_object(sb, k, db, dk + k[len(sk):])
         return True
 
+    def move_file(self, src: str, dst: str) -> bool:
+        """Single-object move where the CALLER has already done any
+        dst-exists check: exactly one CopyObject + one DeleteObject, no
+        redundant HEAD/LIST round-trips.  The publish hot path uses this
+        — per-file metadata cost drops from ~7 API calls to ~4, which is
+        the commit-path currency at large file counts.  False when the
+        source object is missing."""
+        sb, sk = self._bk(src)
+        db, dk = self._bk(dst)
+        self.api_counts["copy"] += 1
+        try:
+            self._client.copy_object(Bucket=db, Key=dk,
+                                     CopySource={"Bucket": sb, "Key": sk})
+        except self._client.exceptions.ClientError:
+            return False
+        self.api_counts["delete"] += 1
+        self._client.delete_object(Bucket=sb, Key=sk)
+        return True
+
     def _delimited(self, path: str) -> tuple[list[str], list[str]]:
         bucket, key = self._bk(path)
         prefix = key + "/" if key else ""
