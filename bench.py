@@ -58,7 +58,9 @@ def main() -> None:
                 fn()
                 elapsed = time.time() - t0
                 best = elapsed if best is None else min(best, elapsed)
-            timings[name] = round(best, 3)
+            # 5 decimals: sub-millisecond scenarios (catalog cold open)
+            # report their real cost instead of a suspicious 0.0
+            timings[name] = round(best, 5)
         return deco
 
     counters: dict[str, dict] = {}

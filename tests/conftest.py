@@ -85,3 +85,48 @@ def date_collection(spark, tmp_path, date_schema, date_pdf) -> zc.Collection:
     coll.insert(spark.createDataFrame(date_pdf,
                                       schema=bound.to_struct_type()))
     return coll
+
+
+# -- live S3 endpoint (moto server) — shared by the s3 suites ----------------
+
+@pytest.fixture(scope="session")
+def s3_endpoint():
+    """One live moto server for the whole session (real HTTP S3 API)."""
+    import logging
+    import os
+    pytest.importorskip("boto3")
+    pytest.importorskip("moto")
+    from moto.server import ThreadedMotoServer
+
+    logging.getLogger("werkzeug").setLevel(logging.CRITICAL)
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0,
+                                verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    endpoint = f"http://{host}:{port}"
+    old_env = {k: os.environ.get(k) for k in
+               ("AWS_ENDPOINT_URL", "AWS_ACCESS_KEY_ID",
+                "AWS_SECRET_ACCESS_KEY", "AWS_REGION")}
+    os.environ["AWS_ENDPOINT_URL"] = endpoint
+    os.environ["AWS_ACCESS_KEY_ID"] = "test"
+    os.environ["AWS_SECRET_ACCESS_KEY"] = "test"
+    os.environ["AWS_REGION"] = "us-east-1"
+    yield endpoint
+    for key, val in old_env.items():
+        if val is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = val
+    server.stop()
+
+
+@pytest.fixture()
+def s3_root(s3_endpoint):
+    """A fresh bucket per test; returns its s3:// root."""
+    import uuid
+    import boto3
+    bucket = f"zc-{uuid.uuid4().hex[:12]}"
+    client = boto3.client("s3", endpoint_url=s3_endpoint,
+                          region_name="us-east-1")
+    client.create_bucket(Bucket=bucket)
+    return f"s3://{bucket}/store"

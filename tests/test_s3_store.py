@@ -12,9 +12,6 @@ run here against genuine object-store behavior, not a simulated FS.
 """
 
 import json
-import logging
-import os
-import uuid
 
 import numpy as np
 import pandas as pd
@@ -26,43 +23,6 @@ pytest.importorskip("moto")
 import zcollection_spark as zc  # noqa: E402
 from zcollection_spark.collection import staging  # noqa: E402
 from zcollection_spark.fs import S3FS, fs_for  # noqa: E402
-
-
-@pytest.fixture(scope="session")
-def s3_endpoint():
-    """One live moto server for the whole session (real HTTP S3 API)."""
-    from moto.server import ThreadedMotoServer
-
-    logging.getLogger("werkzeug").setLevel(logging.CRITICAL)
-    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0,
-                                verbose=False)
-    server.start()
-    host, port = server.get_host_and_port()
-    endpoint = f"http://{host}:{port}"
-    old_env = {k: os.environ.get(k) for k in
-               ("AWS_ENDPOINT_URL", "AWS_ACCESS_KEY_ID",
-                "AWS_SECRET_ACCESS_KEY", "AWS_REGION")}
-    os.environ["AWS_ENDPOINT_URL"] = endpoint
-    os.environ["AWS_ACCESS_KEY_ID"] = "test"
-    os.environ["AWS_SECRET_ACCESS_KEY"] = "test"
-    os.environ["AWS_REGION"] = "us-east-1"
-    yield endpoint
-    for key, val in old_env.items():
-        if val is None:
-            os.environ.pop(key, None)
-        else:
-            os.environ[key] = val
-    server.stop()
-
-
-@pytest.fixture()
-def s3_root(s3_endpoint):
-    """A fresh bucket per test; returns its s3:// root."""
-    bucket = f"zc-{uuid.uuid4().hex[:12]}"
-    client = boto3.client("s3", endpoint_url=s3_endpoint,
-                          region_name="us-east-1")
-    client.create_bucket(Bucket=bucket)
-    return f"s3://{bucket}/store"
 
 
 def _seq_df(spark, schema, nums, value):

@@ -1,0 +1,124 @@
+"""Zarr v3 layout on a REAL S3 endpoint — both engine layouts now run
+against genuine object-store semantics.
+
+Executors write zarr chunk/shard objects directly to S3 through
+``zarr3.blobs`` (no scratch bridge needed — all zarr I/O is Python),
+the staged manifest publish moves them object-by-object, and the
+DataSource reader pulls chunks back with plain GETs plus ranged GETs
+for shard partial reads.  Reference analog: zarr collections over
+obstore-S3 (``/root/reference/zcollection/store/obstore_store.py``).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+import zcollection_spark as zc  # noqa: E402
+from zcollection_spark.fs import S3FS  # noqa: E402
+from zcollection_spark.zarr3 import core  # noqa: E402
+from zcollection_spark.zarr3.collection import (  # noqa: E402
+    create_zarr_collection, open_zarr_collection)
+
+
+@pytest.fixture()
+def zschema():
+    return (zc.SchemaBuilder().add_dimension("num")
+            .add_variable("num", "int64", ("num",))
+            .add_variable("v", "float64", ("num",))
+            .build("num"))
+
+
+def _zdf(spark, schema, nums, v):
+    pdf = pd.DataFrame({"num": np.array(nums, dtype=np.int64),
+                        "v": [float(v)] * len(nums)})
+    return spark.createDataFrame(pdf, schema=schema.to_struct_type())
+
+
+def test_zarr_array_roundtrip_on_s3(s3_root):
+    """Core array write/read straight against S3 objects (unsharded and
+    sharded, including the ranged-GET partial read)."""
+    data = np.arange(1000, dtype=np.float64)
+    path = f"{s3_root}/arr"
+    core.write_array(path, data, chunk_shape=(128,))
+    out = core.read_array(path)
+    np.testing.assert_array_equal(out, data)
+
+    spath = f"{s3_root}/sharded"
+    core.write_array(spath, data, chunk_shape=(64,), shard_shape=(256,))
+    np.testing.assert_array_equal(core.read_array(spath), data)
+    # partial read: index tail + selected inner chunks via Range GETs
+    sl = core.read_array_slice(spath, 100, 300)
+    np.testing.assert_array_equal(sl, data[100:300])
+
+
+def test_zarr_collection_roundtrip_on_s3(spark, zschema, s3_root):
+    """create → insert → query → replacement insert → reopen, with
+    executors writing zarr groups directly to S3."""
+    path = f"{s3_root}/zcoll"
+    coll = create_zarr_collection(spark, path, schema=zschema,
+                                  axis="num",
+                                  partitioning=zc.Sequence(("num",)))
+    assert isinstance(coll._fs, S3FS)
+    coll.insert(_zdf(spark, zschema, [0, 0, 1, 2], 1.0))
+    assert coll.partitions() == ["num=0", "num=1", "num=2"]
+    assert coll.query().count() == 4
+    assert coll.query(filters="num >= 1").count() == 2
+
+    # replacement generation swaps via the manifest publish
+    coll.insert(_zdf(spark, zschema, [0, 0, 1, 2], 7.0))
+    rows = coll.query().collect()
+    assert len(rows) == 4
+    assert all(r["v"] == 7.0 for r in rows)
+
+    reopened = open_zarr_collection(spark, path)
+    assert reopened.query().count() == 4
+
+
+def test_zarr_crash_mid_publish_recovers_on_s3(spark, zschema, s3_root):
+    """Kill the file-granular zarr publish after k object moves; repair
+    converges to exactly the new generation."""
+
+    class CrashAfterMoves:
+        def __init__(self, inner, allowed):
+            self._inner = inner
+            self._allowed = allowed
+            self.moves = 0
+
+        def _gate(self, src, dst):
+            if "_staging" in src or "_staging" in dst:
+                if self.moves >= self._allowed:
+                    raise RuntimeError("injected crash during publish")
+                self.moves += 1
+
+        def rename(self, src, dst):
+            self._gate(src, dst)
+            return self._inner.rename(src, dst)
+
+        def move_file(self, src, dst):
+            self._gate(src, dst)
+            return self._inner.move_file(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    for allowed in (0, 3):
+        path = f"{s3_root}/zc-{allowed}"
+        coll = create_zarr_collection(spark, path, schema=zschema,
+                                      axis="num",
+                                      partitioning=zc.Sequence(("num",)))
+        coll.insert(_zdf(spark, zschema, [0, 1], 1.0))
+        real_fs = coll._fs
+        coll._fs = CrashAfterMoves(real_fs, allowed)
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                coll.insert(_zdf(spark, zschema, [0, 1], 9.0))
+        finally:
+            coll._fs = real_fs
+        assert coll.repair_catalog() == ["num=0", "num=1"]
+        rows = coll.query().collect()
+        assert len(rows) == 2, f"allowed={allowed}"
+        assert all(r["v"] == 9.0 for r in rows)
+        assert coll.repair_catalog() == ["num=0", "num=1"]

@@ -436,13 +436,22 @@ class S3FS:
 
     def __init__(self, endpoint_url: str | None = None,
                  region: str | None = None,
-                 scratch_dir: str | None = None):
+                 scratch_dir: str | None = None,
+                 access_key: str | None = None,
+                 secret_key: str | None = None):
         import boto3  # optional dep, import-gated (env ships it)
         from collections import Counter
+        kwargs = {}
+        if access_key:
+            # explicit creds (shipped plan config in Python workers);
+            # otherwise boto3's normal chain (env, instance role)
+            kwargs["aws_access_key_id"] = access_key
+            kwargs["aws_secret_access_key"] = secret_key
         self._client = boto3.client(
             "s3",
             endpoint_url=endpoint_url or os.environ.get("AWS_ENDPOINT_URL"),
-            region_name=region or os.environ.get("AWS_REGION", "us-east-1"))
+            region_name=region or os.environ.get("AWS_REGION", "us-east-1"),
+            **kwargs)
         self._scratch_root = scratch_dir or os.path.join(
             tempfile.gettempdir(), f"zcs3-{uuid.uuid4().hex[:8]}")
         self._etags: dict[str, str] = {}

@@ -1,0 +1,165 @@
+"""Executor-safe blob I/O for the Zarr v3 layout.
+
+The zarr chunk/shard/metadata reads and writes run INSIDE Spark tasks
+(``applyInPandas`` writers, DataSource readers), so they cannot go
+through the driver's metadata FS objects.  This module gives them a
+path-string-keyed blob interface with two backends:
+
+- :class:`LocalBlobs` — pathlib, for ``file://``/bare paths (identical
+  behavior to the original pathlib code).
+- :class:`S3Blobs` — boto3 against ``s3://`` (endpoint/credentials from
+  the standard AWS env vars, which executors inherit in local mode and
+  get from the cluster env otherwise).  Missing-object probes are a
+  single GET-and-catch (not HEAD+GET), and shard partial reads use
+  ranged GETs (``bytes=-n`` / ``bytes=off-len``) — the object-store
+  access pattern ``sharding_indexed`` exists for.
+
+Clients are cached per process (one boto3 client per Python worker).
+The reference reaches the same surface through obstore
+(``/root/reference/zcollection/store/obstore_store.py:27-153``).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+class LocalBlobs:
+    def mkdirs(self, path: str) -> None:
+        Path(path).mkdir(parents=True, exist_ok=True)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+
+    def write_text(self, path: str, text: str) -> None:
+        self.write_bytes(path, text.encode("utf-8"))
+
+    def read_text(self, path: str) -> str:
+        return Path(path).read_text()
+
+    def try_read_bytes(self, path: str) -> bytes | None:
+        p = Path(path)
+        if not p.exists():
+            return None
+        return p.read_bytes()
+
+    def read_tail(self, path: str, nbytes: int) -> bytes | None:
+        p = Path(path)
+        if not p.exists():
+            return None
+        with open(p, "rb") as fh:
+            fh.seek(-nbytes, 2)
+            return fh.read(nbytes)
+
+    def read_at(self, path: str, offset: int, nbytes: int) -> bytes:
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            return fh.read(nbytes)
+
+
+def capture_blob_conf() -> dict | None:
+    """Snapshot the S3 client configuration DRIVER-side so it can ride
+    the pickled plan to executors.
+
+    Long-lived Python workers inherit the driver's environment at
+    worker-daemon START — env vars set later (a test fixture, a
+    late-configured endpoint) never reach reused workers.  Shipping the
+    config in the plan makes zarr executor I/O deterministic.  Explicit
+    credentials are only captured when a custom endpoint is set (test /
+    on-prem rigs); against real AWS, executors use their own credential
+    chain (instance roles), which is the production-correct path.
+    """
+    endpoint = os.environ.get("AWS_ENDPOINT_URL")
+    if endpoint is None:
+        return None
+    return {"endpoint_url": endpoint,
+            "region": os.environ.get("AWS_REGION", "us-east-1"),
+            "access_key": os.environ.get("AWS_ACCESS_KEY_ID"),
+            "secret_key": os.environ.get("AWS_SECRET_ACCESS_KEY")}
+
+
+class S3Blobs:
+    def __init__(self, conf: dict | None = None):
+        import boto3
+        conf = conf or {}
+        kwargs = {}
+        if conf.get("access_key"):
+            kwargs["aws_access_key_id"] = conf["access_key"]
+            kwargs["aws_secret_access_key"] = conf.get("secret_key")
+        self._client = boto3.client(
+            "s3",
+            endpoint_url=conf.get("endpoint_url")
+            or os.environ.get("AWS_ENDPOINT_URL"),
+            region_name=conf.get("region")
+            or os.environ.get("AWS_REGION", "us-east-1"),
+            **kwargs)
+
+    @staticmethod
+    def _bk(path: str) -> tuple[str, str]:
+        rest = path.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        return bucket, key.strip("/")
+
+    def mkdirs(self, path: str) -> None:
+        pass  # prefixes need no creation
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        bucket, key = self._bk(path)
+        self._client.put_object(Bucket=bucket, Key=key, Body=data)
+
+    def write_text(self, path: str, text: str) -> None:
+        self.write_bytes(path, text.encode("utf-8"))
+
+    def read_text(self, path: str) -> str:
+        data = self.try_read_bytes(path)
+        if data is None:
+            raise FileNotFoundError(path)
+        return data.decode("utf-8")
+
+    def try_read_bytes(self, path: str) -> bytes | None:
+        bucket, key = self._bk(path)
+        try:
+            resp = self._client.get_object(Bucket=bucket, Key=key)
+        except self._client.exceptions.NoSuchKey:
+            return None
+        return resp["Body"].read()
+
+    def _ranged(self, path: str, range_header: str) -> bytes | None:
+        bucket, key = self._bk(path)
+        try:
+            resp = self._client.get_object(Bucket=bucket, Key=key,
+                                           Range=range_header)
+        except self._client.exceptions.NoSuchKey:
+            return None
+        return resp["Body"].read()
+
+    def read_tail(self, path: str, nbytes: int) -> bytes | None:
+        return self._ranged(path, f"bytes=-{nbytes}")
+
+    def read_at(self, path: str, offset: int, nbytes: int) -> bytes:
+        data = self._ranged(path, f"bytes={offset}-{offset + nbytes - 1}")
+        if data is None:
+            raise FileNotFoundError(path)
+        return data
+
+
+_CACHE: dict = {}
+
+
+def blobs_for(path: str, conf: dict | None = None):
+    """Blob backend for ``path`` by scheme; clients cached per process
+    (keyed by endpoint so a shipped ``conf`` never collides with a
+    stale env-derived client)."""
+    path = str(path)
+    if path.startswith(("s3://", "s3a://", "s3n://")):
+        key = ("s3", (conf or {}).get("endpoint_url")
+               or os.environ.get("AWS_ENDPOINT_URL"))
+        if key not in _CACHE:
+            _CACHE[key] = S3Blobs(conf)
+        return _CACHE[key]
+    if "local" not in _CACHE:
+        _CACHE["local"] = LocalBlobs()
+    return _CACHE["local"]

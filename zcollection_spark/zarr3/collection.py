@@ -65,14 +65,20 @@ def write_partition_group(spec: dict, pdf: pd.DataFrame) -> str:
     axis = spec["axis"]
     key = {k: int(pdf[k].iloc[0]) for k in spec["keys"]}
     rel = part.encode(key)
-    group_path = Path(spec["root"]) / rel
+    root = str(spec["root"])
+    conf = spec.get("blob_conf")
+    group_path = f"{root}/{rel}"
     pdf = (pdf.sort_values(axis).reset_index(drop=True)
            if axis in pdf.columns else pdf.reset_index(drop=True))
     # partition rewrite is wholesale: clear stale chunks from any
-    # previous (larger) incarnation before writing
-    if group_path.exists():
+    # previous (larger) incarnation before writing.  Staging dirs are
+    # always fresh, so this only fires on direct (non-staged) writes —
+    # local paths only; object-store staging never hits it.
+    if not root.startswith(("s3://", "s3a://", "s3n://")) \
+            and Path(group_path).exists():
         _shutil.rmtree(group_path, ignore_errors=True)
-    write_group(group_path, {"_zc_partition_key": json.dumps(key)})
+    write_group(group_path, {"_zc_partition_key": json.dumps(key)},
+                conf=conf)
     chunk_rows = spec["chunk_rows"]
     # nested-group variables ("a/b/var") need explicit Zarr group docs at
     # every intermediate level (the reference recurses nested groups,
@@ -84,7 +90,7 @@ def write_partition_group(spec: dict, pdf: pd.DataFrame) -> str:
             rel_group = "/".join(parts[:depth])
             if rel_group not in seen_groups:
                 seen_groups.add(rel_group)
-                write_group(group_path / rel_group, {})
+                write_group(f"{group_path}/{rel_group}", {}, conf=conf)
     for name, dtype, extra in spec["var_meta"]:
         series = pdf[name]
         if extra:  # nD variable stored as array column
@@ -107,8 +113,9 @@ def write_partition_group(spec: dict, pdf: pd.DataFrame) -> str:
             chunk = (min(chunk_rows, len(values)) or 1,)
         shard = None if values.dtype == object else shard_decision(
             chunk, values.shape, values.dtype, spec["shard_budget"])
-        write_array(group_path / name, values, chunk_shape=chunk,
-                    shard_shape=shard, codec="zstd", level=spec["level"])
+        write_array(f"{group_path}/{name}", values, chunk_shape=chunk,
+                    shard_shape=shard, codec="zstd", level=spec["level"],
+                    conf=conf)
     return rel
 
 
@@ -142,10 +149,11 @@ def create_zarr_collection(spark: SparkSession, path: str, *,
 
 def open_zarr_collection(spark: SparkSession, path: str) -> "ZarrCollection":
     path = strip_scheme(path).rstrip("/")
-    config_path = Path(path) / CONFIG_NAME
-    if not config_path.exists():
+    fs = fs_for(path, spark)
+    config_path = f"{path}/{CONFIG_NAME}"
+    if not fs.exists(config_path):
         raise CollectionNotFoundError(f"no collection at {path!r}")
-    doc = json.loads(config_path.read_text())
+    doc = json.loads(fs.read_text(config_path))
     return ZarrCollection(spark, path, DatasetSchema.from_json(doc["schema"]),
                           partitioning_from_json(doc["partitioning"]))
 
@@ -159,9 +167,9 @@ class ZarrCollection:
         self.partitioning = partitioning
         self.axis = schema.axis
         self.catalog_enabled = True
-        # metadata fs by scheme; zarr DATA I/O (chunk
-        # encode/decode in executors) is pathlib-based, so
-        # non-local schemes need a mounted path today
+        # metadata fs by scheme; zarr DATA I/O (chunk encode/decode in
+        # executors) goes through zarr3.blobs — local paths and s3://
+        # both work end-to-end (other schemes need a mounted path)
         self._fs = fs_for(self.path, spark)
         self._catalog = Catalog(self._fs, self.path,
                                 walk_depth=partitioning.depth)
@@ -175,8 +183,10 @@ class ZarrCollection:
                     if v.name in df.columns]
         if not imm_vars:
             return
-        imm_path = Path(self.path) / "_immutable"
-        if (imm_path / "zarr.json").exists():
+        from .blobs import blobs_for
+        imm_path = f"{self.path}/_immutable"
+        if blobs_for(imm_path).try_read_bytes(
+                f"{imm_path}/zarr.json") is not None:
             return
         row = df.select(*[v.name for v in imm_vars]).limit(1).collect()
         if not row:
@@ -186,16 +196,20 @@ class ZarrCollection:
             value = np.asarray(row[0][var.name], dtype=np.dtype(
                 var.dtype if not var.dtype.startswith("datetime")
                 else "datetime64[us]"))
-            write_array(imm_path / var.name, np.atleast_1d(value))
+            write_array(f"{imm_path}/{var.name}", np.atleast_1d(value))
 
     def _immutable_row(self) -> dict | None:
-        imm_path = Path(self.path) / "_immutable"
-        if not (imm_path / "zarr.json").exists():
+        from .blobs import blobs_for
+        imm_path = f"{self.path}/_immutable"
+        blobs = blobs_for(imm_path)
+        if blobs.try_read_bytes(f"{imm_path}/zarr.json") is None:
             return None
         out = {}
         for var in self.schema.immutable_variables:
-            if (imm_path / var.name / "zarr.json").exists():
-                out[var.name] = read_array(imm_path / var.name).tolist()
+            if blobs.try_read_bytes(
+                    f"{imm_path}/{var.name}/zarr.json") is not None:
+                out[var.name] = read_array(
+                    f"{imm_path}/{var.name}").tolist()
         return out or None
 
     def _attach_immutable(self, df: DataFrame,
@@ -270,9 +284,11 @@ class ZarrCollection:
         profile = engine_config.profile()
         var_schemas = [v for v in self.schema.partitioned_variables
                        if v.name in columns]
+        from .blobs import capture_blob_conf
         return {
             "root": self.path,
             "axis": axis,
+            "blob_conf": capture_blob_conf(),
             "keys": list(self.partitioning.keys),
             "partitioning_json": json.dumps(self.partitioning.to_json()),
             "chunk_rows": chunk_rows,
@@ -318,8 +334,14 @@ class ZarrCollection:
 
     # ------------------------------------------------------------------
     def to_df(self, *, variables: Iterable[str] | None = None) -> DataFrame:
+        from .blobs import capture_blob_conf
         reader = (self.spark.read.format("zarr3")
                   .option("path", self.path))
+        conf = capture_blob_conf()
+        if conf is not None:
+            # DataSource code runs in Python workers, which keep the env
+            # they were born with — ship the endpoint config in the plan
+            reader = reader.option("blob_conf", json.dumps(conf))
         if variables is not None:
             cols = set(variables) | set(self.partitioning.keys)
             reader = reader.option("columns", ",".join(sorted(cols)))
@@ -386,6 +408,8 @@ class ZarrCollection:
             return self.spark.createDataFrame([], struct)
         nd = {v.name for v in var_schemas if len(v.dimensions) > 1}
         root = self.path
+        from .blobs import capture_blob_conf
+        blob_conf = capture_blob_conf()
 
         def read_spans(batches: Iterable[pd.DataFrame]
                        ) -> Iterable[pd.DataFrame]:
@@ -394,7 +418,8 @@ class ZarrCollection:
                     data = {}
                     for name in names:
                         vals = read_array_slice(f"{root}/{rel}/{name}",
-                                                int(start), int(stop))
+                                                int(start), int(stop),
+                                                conf=blob_conf)
                         if vals.dtype.kind == "M":
                             vals = vals.astype("datetime64[us]")
                         data[name] = list(vals) if name in nd else vals
@@ -480,7 +505,7 @@ class ZarrCollection:
         (``collection/base.py:599-634`` parity)."""
         doomed = self.partitions(filters=filters)
         for rel in doomed:
-            shutil.rmtree(Path(self.path) / rel, ignore_errors=True)
+            self._fs.delete(f"{self.path}/{rel}")
         self._catalog.remove(doomed)
         return doomed
 

@@ -17,6 +17,8 @@ from typing import Any, Mapping
 
 import numpy as np
 
+from .blobs import blobs_for
+
 ZARR_FORMAT = 3
 
 _CORE_DTYPES = {
@@ -277,7 +279,8 @@ def write_array(path: str | Path, data: np.ndarray, *,
                 shard_shape: tuple[int, ...] | None = None,
                 fill_value: Any = None, codec: str = "zstd",
                 level: int = 3,
-                attributes: Mapping[str, Any] | None = None) -> None:
+                attributes: Mapping[str, Any] | None = None,
+                conf: dict | None = None) -> None:
     """Write one Zarr v3 array directory (zarr.json + c/... chunks).
 
     With ``shard_shape`` the array is written through the spec's
@@ -286,8 +289,9 @@ def write_array(path: str | Path, data: np.ndarray, *,
     uint64-LE index — the store-write unit the reference's cloud
     profiles target (``codecs/defaults.py:133-156``).
     """
-    path = Path(path)
-    path.mkdir(parents=True, exist_ok=True)
+    path = str(path)
+    blobs = blobs_for(path, conf)
+    blobs.mkdirs(path)
     src_dtype = data.dtype
     is_vlen = src_dtype.kind in ("U", "O")
     if is_vlen:
@@ -317,8 +321,8 @@ def write_array(path: str | Path, data: np.ndarray, *,
                          fill_value=fill_value, codec=codec, level=level,
                          attributes=dict(attributes or {}),
                          shard_shape=shard_shape)
-    (path / "zarr.json").write_text(
-        json.dumps(meta.to_document(), indent=1))
+    blobs.write_text(f"{path}/zarr.json",
+                     json.dumps(meta.to_document(), indent=1))
     fill = meta.fill_value if meta.fill_value is not None \
         else ("" if meta.is_vlen else 0)
     if shard_shape is None:
@@ -327,20 +331,20 @@ def write_array(path: str | Path, data: np.ndarray, *,
             slices = tuple(slice(i * c, min((i + 1) * c, s))
                            for i, c, s in zip(idx, meta.chunk_shape,
                                               meta.shape))
-            chunk_path = path / "c" / "/".join(map(str, idx))
-            chunk_path.parent.mkdir(parents=True, exist_ok=True)
-            chunk_path.write_bytes(_encode_block(data, slices, meta, fill))
+            chunk_path = f"{path}/c/" + "/".join(map(str, idx))
+            blobs.write_bytes(chunk_path,
+                              _encode_block(data, slices, meta, fill))
         return
-    _write_sharded(path, data, meta, fill)
+    _write_sharded(blobs, path, data, meta, fill)
 
 
-def _write_sharded(path: Path, data: np.ndarray, meta: ZarrArrayMeta,
-                   fill: Any) -> None:
+def _write_sharded(blobs, path: str, data: np.ndarray,
+                   meta: ZarrArrayMeta, fill: Any) -> None:
     shard = meta.shard_shape
     per_shard = tuple(s // c for s, c in zip(shard, meta.chunk_shape))
     for sidx in np.ndindex(*_chunk_count(meta.shape, shard)):
         index = np.full((*per_shard, 2), _MISSING_CHUNK, dtype="<u8")
-        blobs: list[bytes] = []
+        payloads: list[bytes] = []
         offset = 0
         for cidx in np.ndindex(*per_shard):
             slices = tuple(
@@ -352,20 +356,21 @@ def _write_sharded(path: Path, data: np.ndarray, meta: ZarrArrayMeta,
                 continue  # inner chunk entirely past the array edge
             payload = _encode_block(data, slices, meta, fill)
             index[cidx] = (offset, len(payload))
-            blobs.append(payload)
+            payloads.append(payload)
             offset += len(payload)
-        shard_path = path / "c" / "/".join(map(str, sidx))
-        shard_path.parent.mkdir(parents=True, exist_ok=True)
+        shard_path = f"{path}/c/" + "/".join(map(str, sidx))
         index_bytes = index.tobytes()
         checksum = _crc32c(index_bytes).to_bytes(4, "little")
-        shard_path.write_bytes(b"".join(blobs) + index_bytes + checksum)
+        blobs.write_bytes(shard_path,
+                          b"".join(payloads) + index_bytes + checksum)
 
 
-def read_array(path: str | Path) -> np.ndarray:
+def read_array(path: str | Path, conf: dict | None = None) -> np.ndarray:
     """Read one Zarr v3 array directory into a numpy array."""
-    path = Path(path)
+    path = str(path)
+    blobs = blobs_for(path, conf)
     meta = ZarrArrayMeta.from_document(
-        json.loads((path / "zarr.json").read_text()))
+        json.loads(blobs.read_text(f"{path}/zarr.json")))
     storage = meta.storage_dtype
     fill = meta.fill_value if meta.fill_value is not None \
         else ("" if meta.is_vlen else 0)
@@ -385,23 +390,24 @@ def read_array(path: str | Path) -> np.ndarray:
 
     if meta.shard_shape is None:
         for idx in np.ndindex(*_chunk_count(meta.shape, meta.chunk_shape)):
-            chunk_path = path / "c" / "/".join(map(str, idx))
-            if not chunk_path.exists():
+            chunk_path = f"{path}/c/" + "/".join(map(str, idx))
+            payload = blobs.try_read_bytes(chunk_path)
+            if payload is None:
                 continue  # missing chunk = fill value (spec)
             slices = tuple(slice(i * c, min((i + 1) * c, s))
                            for i, c, s in zip(idx, meta.chunk_shape,
                                               meta.shape))
-            place(chunk_path.read_bytes(), slices)
+            place(payload, slices)
     else:
         shard = meta.shard_shape
         per_shard = tuple(s // c for s, c in zip(shard, meta.chunk_shape))
         index_nbytes = int(np.prod(per_shard)) * 16
         tail_nbytes = index_nbytes + 4  # + crc32c of the index
         for sidx in np.ndindex(*_chunk_count(meta.shape, shard)):
-            shard_path = path / "c" / "/".join(map(str, sidx))
-            if not shard_path.exists():
+            shard_path = f"{path}/c/" + "/".join(map(str, sidx))
+            raw = blobs.try_read_bytes(shard_path)
+            if raw is None:
                 continue  # missing shard = fill value
-            raw = shard_path.read_bytes()
             if len(raw) < tail_nbytes:
                 raise ValueError(f"corrupt shard {shard_path}: shorter "
                                  f"than its {tail_nbytes}-byte index")
@@ -431,7 +437,8 @@ def read_array(path: str | Path) -> np.ndarray:
     return out
 
 
-def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
+def read_array_slice(path: str | Path, start: int, stop: int,
+                     conf: dict | None = None) -> np.ndarray:
     """Read rows ``[start, stop)`` along axis 0, touching only the chunks
     (and, inside a shard, only the inner chunks) that intersect the range.
 
@@ -442,9 +449,10 @@ def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
     ranges of the shard file are read (index tail + selected chunks), the
     object-store ``Range`` GET pattern.
     """
-    path = Path(path)
+    path = str(path)
+    blobs = blobs_for(path, conf)
     meta = ZarrArrayMeta.from_document(
-        json.loads((path / "zarr.json").read_text()))
+        json.loads(blobs.read_text(f"{path}/zarr.json")))
     storage = meta.storage_dtype
     fill = meta.fill_value if meta.fill_value is not None \
         else ("" if meta.is_vlen else 0)
@@ -486,10 +494,11 @@ def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
         for row_chunk in range(first_chunk, last_chunk + 1):
             for tail_idx in np.ndindex(*tail_counts) if tail_counts \
                     else [()]:
-                chunk_path = path / "c" / "/".join(
+                chunk_path = f"{path}/c/" + "/".join(
                     map(str, (row_chunk, *tail_idx)))
-                if chunk_path.exists():
-                    place(chunk_path.read_bytes(), row_chunk, tail_idx)
+                payload = blobs.try_read_bytes(chunk_path)
+                if payload is not None:
+                    place(payload, row_chunk, tail_idx)
         if np.dtype(meta.dtype).kind == "M":
             return out.view(meta.dtype)
         return out
@@ -503,48 +512,51 @@ def read_array_slice(path: str | Path, start: int, stop: int) -> np.ndarray:
     for shard_row in range(start // s0, (stop - 1) // s0 + 1):
         for shard_tail in np.ndindex(*shard_tail_counts) \
                 if shard_tail_counts else [()]:
-            shard_path = path / "c" / "/".join(
+            shard_path = f"{path}/c/" + "/".join(
                 map(str, (shard_row, *shard_tail)))
-            if not shard_path.exists():
+            # ranged reads: index tail first, then only the needed inner
+            # chunks — on S3 these are Range GETs, never a full object
+            tail = blobs.read_tail(shard_path, tail_nbytes)
+            if tail is None:
                 continue
-            with open(shard_path, "rb") as fh:
-                fh.seek(-tail_nbytes, 2)
-                tail = fh.read(tail_nbytes)
-                if _crc32c(tail[:-4]) != int.from_bytes(tail[-4:],
-                                                        "little"):
-                    raise ValueError(f"corrupt shard {shard_path}: "
-                                     f"index crc32c mismatch")
-                index = np.frombuffer(tail[:-4], dtype="<u8") \
-                    .reshape(*per_shard, 2)
-                for cidx in np.ndindex(*per_shard):
-                    row_chunk = shard_row * per_shard[0] + cidx[0]
-                    if row_chunk < first_chunk or row_chunk > last_chunk:
-                        continue
-                    off, nbytes = int(index[cidx][0]), int(index[cidx][1])
-                    if off == _MISSING_CHUNK:
-                        continue
-                    tail_idx = tuple(
-                        st * ps + ci
-                        for st, ps, ci in zip(shard_tail, per_shard[1:],
-                                              cidx[1:]))
-                    fh.seek(off)
-                    place(fh.read(nbytes), row_chunk, tail_idx)
+            if _crc32c(tail[:-4]) != int.from_bytes(tail[-4:],
+                                                    "little"):
+                raise ValueError(f"corrupt shard {shard_path}: "
+                                 f"index crc32c mismatch")
+            index = np.frombuffer(tail[:-4], dtype="<u8") \
+                .reshape(*per_shard, 2)
+            for cidx in np.ndindex(*per_shard):
+                row_chunk = shard_row * per_shard[0] + cidx[0]
+                if row_chunk < first_chunk or row_chunk > last_chunk:
+                    continue
+                off, nbytes = int(index[cidx][0]), int(index[cidx][1])
+                if off == _MISSING_CHUNK:
+                    continue
+                tail_idx = tuple(
+                    st * ps + ci
+                    for st, ps, ci in zip(shard_tail, per_shard[1:],
+                                          cidx[1:]))
+                place(blobs.read_at(shard_path, off, nbytes),
+                      row_chunk, tail_idx)
     if np.dtype(meta.dtype).kind == "M":
         return out.view(meta.dtype)
     return out
 
 
 def write_group(path: str | Path,
-                attributes: Mapping[str, Any] | None = None) -> None:
-    path = Path(path)
-    path.mkdir(parents=True, exist_ok=True)
-    (path / "zarr.json").write_text(json.dumps({
+                attributes: Mapping[str, Any] | None = None,
+                conf: dict | None = None) -> None:
+    path = str(path)
+    blobs = blobs_for(path, conf)
+    blobs.mkdirs(path)
+    blobs.write_text(f"{path}/zarr.json", json.dumps({
         "zarr_format": ZARR_FORMAT, "node_type": "group",
         "attributes": dict(attributes or {})}, indent=1))
 
 
 def read_group_meta(path: str | Path) -> dict:
-    doc = json.loads((Path(path) / "zarr.json").read_text())
+    doc = json.loads(blobs_for(str(path)).read_text(
+        f"{path}/zarr.json"))
     if doc.get("node_type") != "group":
         raise ValueError(f"{path} is not a Zarr v3 group")
     return doc

@@ -36,8 +36,11 @@ from ..schema import DatasetSchema
 CONFIG_NAME = "_zcollection.json"
 
 
-def _load_config(root: str) -> tuple[DatasetSchema, object]:
-    doc = json.loads((Path(root) / CONFIG_NAME).read_text())
+def _load_config(root: str,
+                 conf: dict | None = None) -> tuple[DatasetSchema, object]:
+    from .blobs import blobs_for
+    doc = json.loads(
+        blobs_for(root, conf).read_text(f"{root}/{CONFIG_NAME}"))
     return (DatasetSchema.from_json(doc["schema"]),
             partitioning_from_json(doc["partitioning"]))
 
@@ -54,10 +57,16 @@ def _np_to_arrow(values: np.ndarray) -> pa.Array:
 
 
 class ZarrReader(DataSourceReader):
-    def __init__(self, root: str, schema: T.StructType, columns: str | None):
+    def __init__(self, root: str, schema: T.StructType,
+                 columns: str | None, blob_conf: dict | None = None):
         self.root = root
         self.spark_schema = schema
-        self.dataset_schema, self.partitioning = _load_config(root)
+        # arrives via the "blob_conf" option (set by ZarrCollection):
+        # DataSource instances run in Python WORKERS, which keep the env
+        # they were born with — endpoint config must ride the plan
+        self.blob_conf = blob_conf
+        self.dataset_schema, self.partitioning = _load_config(root,
+                                                              blob_conf)
         self.columns = ([c.strip() for c in columns.split(",")]
                         if columns else None)
         self._pruned: list[str] | None = None
@@ -97,9 +106,20 @@ class ZarrReader(DataSourceReader):
 
     # -- partition enumeration (catalog first, walk fallback) ----------
     def partitions(self) -> Sequence[InputPartition]:
+        from pyspark.sql import SparkSession
         from ..collection.catalog import Catalog
-        from ..fs import LocalFS
-        fs = LocalFS()
+        from ..fs import S3FS, fs_for, scheme_of
+        # this also runs in a Python worker: with a shipped blob_conf,
+        # build the S3 metadata FS from it instead of the worker's env
+        if self.blob_conf is not None \
+                and scheme_of(self.root) in ("s3", "s3a", "s3n"):
+            conf = self.blob_conf
+            fs = S3FS(endpoint_url=conf.get("endpoint_url"),
+                      region=conf.get("region"),
+                      access_key=conf.get("access_key"),
+                      secret_key=conf.get("secret_key"))
+        else:
+            fs = fs_for(self.root, SparkSession.getActiveSession())
         relpaths = Catalog(fs, self.root).read()
         if relpaths is None:
             relpaths = fs.list_partition_dirs(self.root,
@@ -115,7 +135,7 @@ class ZarrReader(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
         from .core import read_array
         rel, key = partition.value
-        group_path = Path(self.root) / rel
+        group_path = f"{self.root}/{rel}"
         wanted = self.columns
         arrays: dict[str, pa.Array] = {}
         length = None
@@ -128,37 +148,40 @@ class ZarrReader(DataSourceReader):
                 continue  # lives in _immutable/, attached by the caller
             if wanted is not None and name not in wanted:
                 continue
-            array_path = group_path / name
-            if not (array_path / "zarr.json").exists():
+            array_path = f"{group_path}/{name}"
+            try:
+                values = read_array(array_path, conf=self.blob_conf)
+            except FileNotFoundError:
                 # schema-evolved variable absent from an old partition:
                 # surface the declared fill (zarr missing-chunk semantics)
                 if length is None:
                     length = len(read_array(
-                        group_path / self.dataset_schema.axis))
+                        f"{group_path}/{self.dataset_schema.axis}",
+                        conf=self.blob_conf))
                 var = var_map.get(name)
                 if var is None or var.fill_value is None:
                     raise FileNotFoundError(
                         f"array {name!r} missing in {rel!r} and no "
-                        f"fill_value declared")
+                        f"fill_value declared") from None
                 dtype = np.dtype("datetime64[us]"
                                  if var.dtype.startswith("datetime")
                                  else var.dtype)
                 values = np.full(length, var.fill_value, dtype=dtype)
-            else:
-                values = read_array(array_path)
             if values.dtype.kind == "M":
                 values = values.astype("datetime64[us]")
             arrays[name] = _np_to_arrow(values)
             length = len(values)
         if length is None:  # keys-only projection: length from axis array
             axis = self.dataset_schema.axis
-            length = len(read_array(group_path / axis))
+            length = len(read_array(f"{group_path}/{axis}",
+                                    conf=self.blob_conf))
         for kname in self.partitioning.keys:
             if kname in self.dataset_schema.variable_map \
                     and kname not in arrays and (wanted is None
                                                  or kname in wanted):
                 arrays[kname] = _np_to_arrow(
-                    read_array(group_path / kname))
+                    read_array(f"{group_path}/{kname}",
+                               conf=self.blob_conf))
             elif kname not in self.dataset_schema.variable_map:
                 if wanted is None or kname in wanted:
                     arrays[kname] = pa.array(
@@ -213,13 +236,15 @@ class ZarrWriter(DataSourceArrowWriter):
         return ZarrCommit(rels)
 
     def commit(self, messages):
+        from pyspark.sql import SparkSession
         from ..collection.catalog import Catalog
-        from ..fs import LocalFS
+        from ..fs import fs_for
         rels = sorted({r for m in messages if m is not None
                        for r in m.relpaths})
         from ..partitioning import from_json as pj
         depth = pj(json.loads(self.spec["partitioning_json"])).depth
-        Catalog(LocalFS(), self.spec["root"], walk_depth=depth).add(rels)
+        fs = fs_for(self.spec["root"], SparkSession.getActiveSession())
+        Catalog(fs, self.spec["root"], walk_depth=depth).add(rels)
 
     def abort(self, messages):
         # written-but-uncommitted groups stay invisible to catalog-backed
@@ -234,9 +259,14 @@ class ZarrDataSource(DataSource):
     def name(cls) -> str:
         return "zarr3"
 
+    def _blob_conf(self) -> dict | None:
+        raw = self.options.get("blob_conf")
+        return json.loads(raw) if raw else None
+
     def schema(self) -> T.StructType:
         root = self.options["path"]
-        dataset_schema, partitioning = _load_config(root)
+        dataset_schema, partitioning = _load_config(root,
+                                                    self._blob_conf())
         # immutable (non-axis) variables live in _immutable/, not in the
         # partition groups — the collection layer broadcast-attaches them
         struct = T.StructType(
@@ -259,7 +289,8 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> ZarrReader:
         return ZarrReader(self.options["path"], schema,
-                          self.options.get("columns"))
+                          self.options.get("columns"),
+                          self._blob_conf())
 
     def writer(self, schema: T.StructType, overwrite: bool) -> ZarrWriter:
         return ZarrWriter(self.options["path"])
