@@ -15,6 +15,10 @@ Semantics pinned (and documented in staging.py):
 - a publish that loses a rename race fails LOUDLY with its staging +
   intent intact, and ``repair_catalog`` rolls it forward (making the
   loser win the affected partitions — still a single generation each).
+
+Catalog-commit convergence across writers is CAS-guaranteed (versioned
+read + conditional write, ``Catalog._commit_rmw``) — the commit-level
+races, including cross-process ones, are pinned in test_cas.py.
 """
 
 import threading

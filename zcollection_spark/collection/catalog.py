@@ -19,11 +19,21 @@ import json
 import threading
 from collections import defaultdict
 
+from ..errors import CommitConflictError
+
 CATALOG_RELPATH = "_catalog/state.json"
 
+#: CAS commit attempts before giving up.  Each retry re-reads the
+#: winner's document, so N contending writers need at most N rounds;
+#: 16 covers far beyond any sane concurrent-ingest fan-in.
+_CAS_RETRIES = 16
+
 #: per-path locks serializing read-modify-write catalog updates within a
-#: process (concurrent driver threads).  Cross-process writers still race
-#: last-wins — as in the reference — and ``repair_catalog`` reconciles.
+#: process (concurrent driver threads) — they keep same-process writers
+#: from ever paying a CAS retry.  CROSS-process writers are handled by
+#: the conditional-write commit loop in ``_commit_rmw``: concurrent
+#: catalog commits converge to the union of published partitions (the
+#: reference races last-wins here and needs a rebuild to reconcile).
 _LOCKS: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
 
 
@@ -66,6 +76,27 @@ class Catalog:
         except (ValueError, KeyError, OSError):
             return None
 
+    def _read_doc_versioned(self) -> tuple[dict | None, object | None]:
+        """``(doc, version_token)`` in ONE read.  The token names the
+        bytes read (S3 ETag / content hash) regardless of whether they
+        parse — a corrupt document is replaced conditionally too, so a
+        concurrent repair can't be clobbered blind.  ``(None, None)``
+        means the file is absent (create-only commit)."""
+        try:
+            text, token = self._fs.read_versioned(self._path)
+        except OSError:
+            return None, None
+        if text is None:
+            return None, None
+        try:
+            doc = json.loads(text)
+            partitions = list(doc["partitions"])
+            if doc.get("checksum") != _checksum(partitions):
+                doc = None
+        except (ValueError, KeyError):
+            doc = None
+        return doc, token
+
     def read(self) -> list[str] | None:
         """Sorted partition relpaths, or None if absent/corrupt."""
         doc = self._read_doc()
@@ -97,34 +128,69 @@ class Catalog:
             doc["txn"] = {k: int(v) for k, v in sorted(txn_map.items())}
         self._fs.write_text(self._path, json.dumps(doc, indent=1))
 
+    def _commit_rmw(self, mutate) -> list[str]:
+        """Read-merge-write commit.  On stores with conditional writes
+        (``fs.write_if``) this is an optimistic-concurrency loop: read
+        the document and its version token in ONE GET, apply ``mutate``,
+        conditionally PUT; a lost race re-reads the winner's document
+        and re-merges, so concurrent committers CONVERGE TO THE UNION
+        instead of last-writer-wins (S3: native ``If-Match`` ETag PUT —
+        lock-free, any number of writers; local/HDFS: lock-file CAS).
+        On a store without ``write_if`` the single-shot last-wins write
+        is kept, reconciled by ``repair_catalog`` — the pre-CAS
+        semantics, still pinned for that configuration."""
+        import random
+        import time
+        cas = hasattr(self._fs, "write_if")
+        with _LOCKS[self._path]:
+            for attempt in range(_CAS_RETRIES):
+                if cas:
+                    doc0, token = self._read_doc_versioned()
+                else:
+                    doc0, token = self._read_doc(), None
+                if doc0 is not None:
+                    base = list(doc0["partitions"])
+                elif self._walk_depth is not None:
+                    base = self._fs.list_partition_dirs(self._root,
+                                                        self._walk_depth)
+                else:
+                    base = []
+                txn_map = dict((doc0 or {}).get("txn", {}))
+                partitions, txn_map = mutate(base, txn_map)
+                partitions = sorted(set(partitions))
+                doc = {"format_version": 1, "partitions": partitions,
+                       "checksum": _checksum(partitions)}
+                if txn_map:
+                    doc["txn"] = {k: int(v)
+                                  for k, v in sorted(txn_map.items())}
+                payload = json.dumps(doc, indent=1)
+                if not cas:
+                    self._fs.write_text(self._path, payload)
+                    return partitions
+                try:
+                    self._fs.write_if(self._path, payload, token)
+                    return partitions
+                except CommitConflictError:
+                    if attempt == _CAS_RETRIES - 1:
+                        raise
+                    # jittered backoff: contending drivers desynchronize
+                    time.sleep(random.uniform(0.0, 0.02 * (attempt + 1)))
+        raise AssertionError("unreachable")
+
     def add(self, new: list[str],
             txn: "tuple[str, int] | None" = None) -> list[str]:
-        with _LOCKS[self._path]:
-            # one GET serves both the baseline and the txn ledger (the
-            # commit path's metadata-op budget is benched — don't read
-            # the document twice)
-            doc0 = self._read_doc()
-            txn_map = dict((doc0 or {}).get("txn", {}))
+        def mutate(base: list[str], txn_map: dict):
             if txn is not None:
                 app, version = txn
                 txn_map[app] = max(int(version),
                                    int(txn_map.get(app, -1)))
-            if doc0 is not None:
-                base = list(doc0["partitions"])
-            elif self._walk_depth is not None:
-                base = self._fs.list_partition_dirs(self._root,
-                                                    self._walk_depth)
-            else:
-                base = []
-            merged = sorted(set(base) | set(new))
-            self.write(merged, txn_map=txn_map)
-            return merged
+            return sorted(set(base) | set(new)), txn_map
+
+        return self._commit_rmw(mutate)
 
     def remove(self, gone: list[str]) -> list[str]:
-        with _LOCKS[self._path]:
-            merged = sorted(set(self._baseline()) - set(gone))
-            self.write(merged)
-            return merged
+        return self._commit_rmw(
+            lambda base, txn_map: (sorted(set(base) - set(gone)), txn_map))
 
     def drop(self) -> None:
         self._fs.delete(self._path)

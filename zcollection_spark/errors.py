@@ -28,6 +28,16 @@ class StoreError(ZCollectionError):
     """Storage-layer failure (unreadable config, bad layout)."""
 
 
+class CommitConflictError(StoreError):
+    """Conditional metadata write lost a compare-and-swap race.
+
+    Raised by ``fs.write_if`` when the target changed between the
+    versioned read and the conditional PUT (another writer committed
+    first).  Callers (``Catalog.add``) re-read, re-merge and retry —
+    the optimistic-concurrency loop that makes concurrent catalog
+    commits converge to the union instead of last-writer-wins."""
+
+
 class CollectionExistsError(StoreError):
     """``create_collection`` target already exists and overwrite=False."""
 

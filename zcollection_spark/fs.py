@@ -29,6 +29,8 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+from .errors import CommitConflictError
+
 #: Schemes where a Hadoop FileSystem ``rename`` is a non-atomic
 #: copy+delete per object.  The staging protocol's swap publish assumes
 #: atomic rename; on these stores the commit primitive must be the
@@ -39,6 +41,58 @@ _NON_ATOMIC_RENAME_SCHEMES = frozenset(
 
 def scheme_of(path: str) -> str:
     return path.split("://", 1)[0] if "://" in path else "file"
+
+
+def _content_token(data: str) -> str:
+    """Version token for stores without native conditional writes: a
+    content hash.  Comparing tokens under the store's mutual-exclusion
+    primitive (lock file / in-process lock) gives the same
+    compare-and-swap semantics an S3 ``If-Match`` ETag provides
+    natively."""
+    import hashlib
+    return hashlib.sha256(data.encode("utf-8")).hexdigest()
+
+
+#: Crash-left CAS lock files older than this are broken by the next
+#: writer (the lock only guards a sub-millisecond read-compare-replace).
+_LOCK_TTL_S = 10.0
+
+
+class _FileLock:
+    """``O_CREAT|O_EXCL`` lock file — the mutual-exclusion primitive for
+    conditional writes on filesystems without native compare-and-swap.
+    Exclusive create is atomic on POSIX and on HDFS (``create`` with
+    ``overwrite=false``), which is exactly the property needed."""
+
+    def __init__(self, path: str):
+        self._path = f"{path}.__cas_lock__"
+
+    def __enter__(self):
+        import time
+        deadline = time.monotonic() + _LOCK_TTL_S
+        while True:
+            try:
+                fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(self._path).st_mtime
+                    if age > _LOCK_TTL_S:
+                        os.unlink(self._path)  # crash-left lock: break it
+                        continue
+                except OSError:
+                    continue  # holder released between stat and unlink
+                if time.monotonic() > deadline:
+                    raise CommitConflictError(
+                        f"CAS lock {self._path} held past TTL") from None
+                time.sleep(0.005)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self._path)
+        except OSError:
+            pass
 
 
 class LocalFS:
@@ -59,6 +113,33 @@ class LocalFS:
         tmp = target.parent / f".{target.name}.{uuid.uuid4().hex}.tmp"
         tmp.write_text(data)
         os.replace(tmp, target)  # atomic on POSIX
+
+    def read_versioned(self, path: str) -> tuple[str | None, str | None]:
+        """``(text, token)`` — ``(None, None)`` if the file is absent.
+        The token names the version read; ``write_if`` with it succeeds
+        only if the file is still that version (compare-and-swap)."""
+        try:
+            data = Path(path).read_text()
+        except (FileNotFoundError, IsADirectoryError):
+            return None, None
+        return data, _content_token(data)
+
+    def write_if(self, path: str, data: str, token: str | None) -> None:
+        """Conditional atomic write: ``token=None`` → create-only (fail
+        if the file exists); else the file must still be the version the
+        token names.  Raises :class:`CommitConflictError` if another
+        writer got there first — the caller re-reads and retries."""
+        target = Path(path)
+        target.parent.mkdir(parents=True, exist_ok=True)
+        with _FileLock(path):
+            current, cur_token = self.read_versioned(path)
+            if (token is None and current is not None) or \
+                    (token is not None and cur_token != token):
+                raise CommitConflictError(
+                    f"{path}: version changed under a conditional write")
+            tmp = target.parent / f".{target.name}.{uuid.uuid4().hex}.tmp"
+            tmp.write_text(data)
+            os.replace(tmp, target)
 
     def delete(self, path: str) -> None:
         target = Path(path)
@@ -169,6 +250,28 @@ class MemoryFS:
             if parent:
                 self._dirs.add(parent)
             self._files[p] = data  # dict assignment: atomic PUT
+
+    def read_versioned(self, path: str) -> tuple[str | None, str | None]:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._files:
+                return None, None
+            data = self._files[p]
+            return data, _content_token(data)
+
+    def write_if(self, path: str, data: str, token: str | None) -> None:
+        p = self._norm(path)
+        with self._lock:  # the store's own lock IS the CAS atomicity
+            current = self._files.get(p)
+            cur_token = None if current is None else _content_token(current)
+            if (token is None and current is not None) or \
+                    (token is not None and cur_token != token):
+                raise CommitConflictError(
+                    f"{path}: version changed under a conditional write")
+            parent = p.rsplit("/", 1)[0] if "/" in p else ""
+            if parent:
+                self._dirs.add(parent)
+            self._files[p] = data
 
     def delete(self, path: str) -> None:
         p = self._norm(path)
@@ -290,6 +393,50 @@ class HadoopFS:
         finally:
             stream.close()
 
+    def read_versioned(self, path: str) -> tuple[str | None, str | None]:
+        fs, jpath = self._fs_path(path)
+        if not fs.exists(jpath):
+            return None, None
+        data = self.read_text(path)
+        return data, _content_token(data)
+
+    def write_if(self, path: str, data: str, token: str | None) -> None:
+        """CAS via an exclusive-create lock file — ``create`` with
+        ``overwrite=false`` is atomic on HDFS, giving the mutual
+        exclusion a content-token compare needs."""
+        import time
+        fs, jlock = self._fs_path(f"{path}.__cas_lock__")
+        deadline = time.monotonic() + _LOCK_TTL_S
+        while True:
+            try:
+                fs.create(jlock, False).close()
+                break
+            except Exception:
+                try:
+                    st = fs.getFileStatus(jlock)
+                    if (time.time() * 1000 - st.getModificationTime()
+                            > _LOCK_TTL_S * 1000):
+                        fs.delete(jlock, False)  # crash-left: break it
+                        continue
+                except Exception:
+                    continue  # holder released between create and stat
+                if time.monotonic() > deadline:
+                    raise CommitConflictError(
+                        f"CAS lock {path} held past TTL") from None
+                time.sleep(0.01)
+        try:
+            _, cur_token = self.read_versioned(path)
+            if (token is None and cur_token is not None) or \
+                    (token is not None and cur_token != token):
+                raise CommitConflictError(
+                    f"{path}: version changed under a conditional write")
+            self.write_text(path, data)
+        finally:
+            try:
+                fs.delete(jlock, False)
+            except Exception:
+                pass
+
     def delete(self, path: str) -> None:
         fs, jpath = self._fs_path(path)
         fs.delete(jpath, True)
@@ -367,6 +514,14 @@ class CountingFS:
     def write_text(self, path: str, data: str) -> None:
         self.counts["put"] += 1
         self.inner.write_text(path, data)
+
+    def read_versioned(self, path: str):
+        self.counts["get"] += 1
+        return self.inner.read_versioned(path)
+
+    def write_if(self, path: str, data: str, token) -> None:
+        self.counts["put"] += 1
+        self.inner.write_if(path, data, token)
 
     def delete(self, path: str) -> None:
         self.counts["delete"] += 1
@@ -523,6 +678,38 @@ class S3FS:
         bucket, key = self._bk(path)
         self.api_counts["put"] += 1
         self._client.put_object(Bucket=bucket, Key=key, Body=data)
+
+    def read_versioned(self, path: str) -> tuple[str | None, str | None]:
+        """``(text, ETag)`` — the ETag is S3's native version token for
+        :meth:`write_if`'s conditional PUT."""
+        bucket, key = self._bk(path)
+        self.api_counts["get"] += 1
+        try:
+            resp = self._client.get_object(Bucket=bucket, Key=key)
+        except self._client.exceptions.NoSuchKey:
+            return None, None
+        return resp["Body"].read().decode("utf-8"), resp["ETag"]
+
+    def write_if(self, path: str, data: str, token: str | None) -> None:
+        """True server-side compare-and-swap: conditional PUT with
+        ``If-Match`` (update) / ``If-None-Match: *`` (create-only) —
+        no locks, one API call, scales to any number of writers."""
+        from botocore.exceptions import ClientError
+        bucket, key = self._bk(path)
+        kwargs = ({"IfNoneMatch": "*"} if token is None
+                  else {"IfMatch": token})
+        self.api_counts["put"] += 1
+        try:
+            self._client.put_object(Bucket=bucket, Key=key,
+                                    Body=data.encode("utf-8"), **kwargs)
+        except ClientError as exc:
+            code = exc.response.get("Error", {}).get("Code", "")
+            if code in ("PreconditionFailed", "ConditionalRequestConflict",
+                        "412"):
+                raise CommitConflictError(
+                    f"{path}: conditional PUT lost the race "
+                    f"({code})") from None
+            raise
 
     def delete(self, path: str) -> None:
         bucket, key = self._bk(path)
