@@ -415,11 +415,11 @@ def test_crash_during_catalog_commit_converges(spark, tmp_path,
             self._inner = inner
             self.fired = False
 
-        def add(self, new, txn=None):
+        def add(self, new, txn=None, stats=None, widen=False):
             if not self.fired:
                 self.fired = True
                 raise RuntimeError("injected catalog crash")
-            return self._inner.add(new, txn=txn)
+            return self._inner.add(new, txn=txn, stats=stats, widen=widen)
 
         def __getattr__(self, name):
             return getattr(self._inner, name)

@@ -60,15 +60,16 @@ def test_registry_window_invariant():
     names = list(entry_queries.queries())
     # round-5 rotation: the tail is now the eight rounds-1-4-green
     # join/agg variants whose operator surface is covered in-window
-    tail_allowed = {"top_revenue_orders", "promo_revenue",
-                    "order_priority_counts", "returned_item_losses",
-                    "trade_flows", "rollup_hourly", "langid_confusion",
-                    "top_ngrams"}
+    tail_allowed = {"collection_projection", "top_revenue_orders",
+                    "promo_revenue", "order_priority_counts",
+                    "returned_item_losses", "trade_flows", "rollup_hourly",
+                    "langid_confusion", "top_ngrams"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf",
                              "knn_lsh_hi", "knn_ivf_hi",
-                             "revenue_delta", "value_percentiles"):
+                             "revenue_delta", "value_percentiles",
+                             "collection_zonemap_skip"):
         assert names.index(must_be_recorded) < 50
     oracles = entry_queries.oracle_sql()
     assert set(oracles) <= set(names)

@@ -1,0 +1,247 @@
+"""Zone-map statistics and data-column partition skipping.
+
+``create_collection(stats_columns=[...])`` commits per-partition
+min/max/null-count of the named data columns in the same catalog PUT as
+the partition list; ``query(where=...)`` uses them to skip partitions a
+data-column predicate provably cannot match, then applies the exact
+predicate to the scanned rows.  No reference counterpart — the
+reference prunes on partition keys only
+(``/root/reference/zcollection/partitioning/expression.py``); this is
+the Delta/Iceberg-style data-skipping layer for the 100 TB case.
+
+Pinned here:
+
+- evaluator soundness (conservative may-match, ``not``-duality, nulls,
+  all-null columns, unknown columns, mixed-type degrade);
+- end-to-end: stats land in the catalog, ``where`` answers equal a
+  full-scan filter, and the plan READS FEWER FILES when skipping fires;
+- the stale-stats safety invariant: any republish without fresh stats
+  (``update``) drops the partition's entry — conservative scans, never
+  wrong pruning;
+- append widening: a ``merge='concat'`` publish unions intervals and
+  cannot narrow them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import zcollection_spark as zc
+from zcollection_spark.errors import ExpressionError, SchemaError
+from zcollection_spark.partitioning.zonemap import compile_zone_filter
+
+# ---------------------------------------------------------------------------
+# evaluator
+# ---------------------------------------------------------------------------
+
+
+def test_zone_eval_comparisons():
+    f = compile_zone_filter("value > 10")
+    assert f(None) is True                      # no stats: keep
+    assert f({"value": [0, 5, 0]}) is False     # interval below
+    assert f({"value": [0, 15, 0]}) is True     # straddles
+    assert f({"other": [0, 5, 0]}) is True      # unknown column: keep
+    assert f({"value": [None, None, 3]}) is False  # all-null: nothing matches
+    assert compile_zone_filter("a < b")(
+        {"a": [5, 9, 0], "b": [0, 4, 0]}) is False  # column-column
+
+
+def test_zone_eval_not_duality():
+    g = compile_zone_filter("not (value > 10)")
+    assert g({"value": [20, 30, 0]}) is False   # must(>10) → may(not)=False
+    assert g({"value": [5, 30, 0]}) is True
+    # nulls block 'must', so 'not' stays conservative
+    assert g({"value": [20, 30, 7]}) is True
+
+
+def test_zone_eval_in_membership():
+    h = compile_zone_filter("value in (3, 7)")
+    assert h({"value": [4, 6, 0]}) is False
+    assert h({"value": [4, 8, 0]}) is True
+    i = compile_zone_filter("value not in (3, 7)")
+    assert i({"value": [3, 3, 0]}) is False     # point interval in the set
+    assert i({"value": [3, 4, 0]}) is True
+
+
+def test_zone_eval_bool_ops_and_floats():
+    j = compile_zone_filter("value == 2.5 and kind == 'b'")
+    assert j({"value": [0.0, 1.0, 0], "kind": ["a", "z", 0]}) is False
+    assert j({"value": [0.0, 3.0, 0], "kind": ["a", "z", 0]}) is True
+    k = compile_zone_filter("value < -1.5 or value > 1.5")
+    assert k({"value": [-1.0, 1.0, 0]}) is False
+    assert k({"value": [-2.0, 1.0, 0]}) is True
+
+
+def test_zone_eval_mixed_types_degrade_to_scan():
+    assert compile_zone_filter("value > 'abc'")(
+        {"value": [1, 2, 0]}) is True
+
+
+def test_zone_eval_rejects_bad_grammar():
+    with pytest.raises(ExpressionError):
+        compile_zone_filter("__import__('os')")
+    with pytest.raises(ExpressionError):
+        compile_zone_filter("value + 1 > 2")
+
+
+def test_partition_filter_dialect_still_rejects_floats():
+    from zcollection_spark.partitioning import compile_filter
+    with pytest.raises(ExpressionError):
+        compile_filter("month == 1.5")  # reference quirk stays pinned
+    compile_filter("value == 1.5", allow_float=True)  # where-dialect
+
+
+# ---------------------------------------------------------------------------
+# collection end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _mk(spark, path, nums_values):
+    """A Sequence-partitioned collection, one partition per num, with
+    ``value`` intervals controlled per partition."""
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = zc.create_collection(
+        spark, path, schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)), stats_columns=["value"])
+    frames = []
+    base = 0
+    for num, values in nums_values.items():
+        frames.append(pd.DataFrame({
+            "i": np.arange(base, base + len(values), dtype=np.int64),
+            "value": np.asarray(values, dtype=np.float64),
+            "num": np.int64(num)}))
+        base += len(values)
+    pdf = pd.concat(frames, ignore_index=True)
+    coll.insert(spark.createDataFrame(
+        pdf, schema=coll.schema.to_struct_type()))
+    return coll
+
+
+def test_stats_committed_and_skipping_reads_fewer_files(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "c"), {
+        1: [0.0, 5.0], 2: [10.0, 20.0], 3: [100.0, 200.0]})
+    stats = coll._catalog.read_stats()
+    assert stats["num=1"]["value"] == [0.0, 5.0, 0]
+    assert stats["num=3"]["value"] == [100.0, 200.0, 0]
+
+    full = coll.query()
+    res = coll.query(where="value > 50.0")
+    assert [r.value for r in res.collect()] == [100.0, 200.0]
+    # the scale claim: skipping fired BEFORE file listing
+    assert len(res.inputFiles()) < len(full.inputFiles())
+    assert all("num=3" in f for f in res.inputFiles())
+
+    # nothing can match → quirk-Q6 None, zero partitions listed
+    assert coll.query(where="value > 1000.0") is None
+
+
+def test_where_is_exact_not_just_zonal(spark, tmp_path):
+    """Zone maps keep a partition whose interval straddles the bound;
+    the row-level filter must still drop the non-matching rows."""
+    coll = _mk(spark, str(tmp_path / "c"), {1: [0.0, 99.0], 2: [50.0]})
+    got = sorted(r.value for r in
+                 coll.query(where="value >= 50.0").collect())
+    assert got == [50.0, 99.0]
+
+
+def test_update_refreshes_stats_for_rewritten_partitions(spark, tmp_path):
+    """``update`` rewrites partitions through the stats-aware write
+    path, so the committed bounds describe the NEW values (stale bounds
+    would prune wrongly after values change); untouched partitions keep
+    theirs."""
+    coll = _mk(spark, str(tmp_path / "c"), {1: [1.0, 2.0], 2: [3.0, 4.0]})
+
+    def bump(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["value"] = pdf["value"] + 1000.0
+        return pdf
+
+    coll.update(bump, filters="num == 1")
+    stats = coll._catalog.read_stats()
+    assert stats["num=1"]["value"] == [1001.0, 1002.0, 0]
+    assert stats["num=2"]["value"] == [3.0, 4.0, 0]
+    got = sorted(r.value for r in
+                 coll.query(where="value > 500.0").collect())
+    assert got == [1001.0, 1002.0]
+    # the OLD bounds may no longer prune this partition away
+    assert coll.query(where="value > 100.0") is not None
+
+
+def test_concat_append_widens_interval(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "c"), {1: [10.0, 20.0]})
+    extra = pd.DataFrame({"i": np.array([100, 101], dtype=np.int64),
+                          "value": np.array([-5.0, 90.0]),
+                          "num": np.array([1, 1], dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        extra, schema=coll.schema.to_struct_type()), merge="concat")
+    stats = coll._catalog.read_stats()
+    assert stats["num=1"]["value"] == [-5.0, 90.0, 0]
+    got = sorted(r.value for r in
+                 coll.query(where="value < 0.0").collect())
+    assert got == [-5.0]
+
+
+def test_merge_replace_refreshes_stats(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "c"), {1: [10.0, 20.0]})
+    repl = pd.DataFrame({"i": np.array([0, 1], dtype=np.int64),
+                         "value": np.array([500.0, 600.0]),
+                         "num": np.array([1, 1], dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        repl, schema=coll.schema.to_struct_type()))
+    assert coll._catalog.read_stats()["num=1"]["value"] == [500.0, 600.0, 0]
+
+
+def test_drop_partitions_drops_stats(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "c"), {1: [1.0], 2: [2.0]})
+    coll.drop_partitions(filters="num == 1")
+    assert set(coll._catalog.read_stats()) == {"num=2"}
+
+
+def test_stats_columns_validation(spark, tmp_path):
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    with pytest.raises(SchemaError, match="stats column"):
+        zc.create_collection(
+            spark, str(tmp_path / "a"), schema=schema, axis="i",
+            partitioning=zc.Sequence(("num",)), stats_columns=["nope"])
+    with pytest.raises(SchemaError, match="catalog_enabled"):
+        zc.create_collection(
+            spark, str(tmp_path / "b"), schema=schema, axis="i",
+            partitioning=zc.Sequence(("num",)), catalog_enabled=False,
+            stats_columns=["num"])
+
+
+def test_stats_survive_reopen_and_crash_rollforward(spark, tmp_path):
+    """Stats ride the publish intent: a crash after the intent but
+    before the catalog PUT must roll the stats forward with the
+    partitions."""
+    from zcollection_spark.collection import staging
+
+    coll = _mk(spark, str(tmp_path / "c"), {1: [1.0, 2.0]})
+    # simulate: second insert crashes right after writing the intent
+    orig = staging.apply_publish
+    try:
+        staging.apply_publish = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before publish"))
+        more = pd.DataFrame({"i": np.array([50], dtype=np.int64),
+                             "value": np.array([777.0]),
+                             "num": np.array([2], dtype=np.int64)})
+        with pytest.raises(RuntimeError):
+            coll.insert(spark.createDataFrame(
+                more, schema=coll.schema.to_struct_type()))
+    finally:
+        staging.apply_publish = orig
+    coll.repair_catalog()  # rolls the staged insert forward
+    stats = coll._catalog.read_stats()
+    assert stats["num=2"]["value"] == [777.0, 777.0, 0]
+    assert sorted(r.value for r in
+                  coll.query(where="value > 700.0").collect()) == [777.0]

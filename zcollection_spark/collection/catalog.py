@@ -41,6 +41,26 @@ def _checksum(partitions: list[str]) -> str:
     return hashlib.sha256("\n".join(partitions).encode()).hexdigest()
 
 
+def _widen_stats(old: dict, new: dict) -> dict:
+    """Union two ``{col: [min, max, nulls]}`` maps (append publish).
+    A column present on only one side keeps NO entry — its interval is
+    unknown for the other side's rows, and a partial interval could
+    wrongly prune."""
+    out = {}
+    for col in set(old) & set(new):
+        (alo, ahi, an), (blo, bhi, bn) = old[col][:3], new[col][:3]
+        if alo is None or blo is None:
+            lo = alo if blo is None else blo if alo is None else None
+            hi = ahi if bhi is None else bhi if ahi is None else None
+        else:
+            try:
+                lo, hi = min(alo, blo), max(ahi, bhi)
+            except TypeError:
+                continue  # incomparable types: drop rather than guess
+        out[col] = [lo, hi, int(an or 0) + int(bn or 0)]
+    return out
+
+
 class Catalog:
     def __init__(self, fs, root: str, *, walk_depth: int | None = None):
         self._fs = fs
@@ -102,6 +122,13 @@ class Catalog:
         doc = self._read_doc()
         return list(doc["partitions"]) if doc is not None else None
 
+    def read_stats(self) -> dict:
+        """Per-partition zone-map statistics:
+        ``{relpath: {col: [min, max, null_count]}}`` — empty when the
+        collection records none.  One GET with the partition list."""
+        doc = self._read_doc()
+        return dict((doc or {}).get("stats", {}))
+
     def read_txn(self, app_id: str) -> int:
         """Highest committed transaction version for ``app_id`` (-1 if
         none).  The txn map commits in the SAME atomic catalog PUT as
@@ -114,18 +141,29 @@ class Catalog:
         return int(doc.get("txn", {}).get(app_id, -1))
 
     def write(self, partitions: list[str],
-              txn_map: dict | None = None) -> None:
+              txn_map: dict | None = None,
+              stats_map: dict | None = None) -> None:
         """Write the full document.  ``txn_map=None`` PRESERVES the
         existing txn ledger (a catalog rebuild from a store walk must
-        not forget committed stream batches); pass ``{}`` to reset."""
-        if txn_map is None:
+        not forget committed stream batches); pass ``{}`` to reset.
+        ``stats_map=None`` likewise keeps the zone-map statistics of
+        every surviving partition."""
+        if txn_map is None or stats_map is None:
             doc0 = self._read_doc()
-            txn_map = dict((doc0 or {}).get("txn", {}))
+            if txn_map is None:
+                txn_map = dict((doc0 or {}).get("txn", {}))
+            if stats_map is None:
+                stats_map = dict((doc0 or {}).get("stats", {}))
         partitions = sorted(set(partitions))
         doc = {"format_version": 1, "partitions": partitions,
                "checksum": _checksum(partitions)}
         if txn_map:
             doc["txn"] = {k: int(v) for k, v in sorted(txn_map.items())}
+        stats_map = {rel: st for rel, st in stats_map.items()
+                     if rel in set(partitions)}
+        if stats_map:
+            doc["stats"] = {rel: stats_map[rel]
+                            for rel in sorted(stats_map)}
         self._fs.write_text(self._path, json.dumps(doc, indent=1))
 
     def _commit_rmw(self, mutate) -> list[str]:
@@ -156,13 +194,20 @@ class Catalog:
                 else:
                     base = []
                 txn_map = dict((doc0 or {}).get("txn", {}))
-                partitions, txn_map = mutate(base, txn_map)
+                stats_map = dict((doc0 or {}).get("stats", {}))
+                partitions, txn_map, stats_map = \
+                    mutate(base, txn_map, stats_map)
                 partitions = sorted(set(partitions))
                 doc = {"format_version": 1, "partitions": partitions,
                        "checksum": _checksum(partitions)}
                 if txn_map:
                     doc["txn"] = {k: int(v)
                                   for k, v in sorted(txn_map.items())}
+                stats_map = {rel: st for rel, st in stats_map.items()
+                             if rel in set(partitions)}
+                if stats_map:
+                    doc["stats"] = {rel: stats_map[rel]
+                                    for rel in sorted(stats_map)}
                 payload = json.dumps(doc, indent=1)
                 if not cas:
                     self._fs.write_text(self._path, payload)
@@ -178,19 +223,49 @@ class Catalog:
         raise AssertionError("unreachable")
 
     def add(self, new: list[str],
-            txn: "tuple[str, int] | None" = None) -> list[str]:
-        def mutate(base: list[str], txn_map: dict):
+            txn: "tuple[str, int] | None" = None,
+            stats: dict | None = None,
+            widen: bool = False) -> list[str]:
+        """Add partitions (idempotent union).
+
+        ``stats`` carries zone-map statistics for (a subset of) the new
+        partitions.  STALE-STATS SAFETY INVARIANT: a partition
+        re-published WITHOUT statistics has its old entry dropped —
+        statistics only ever describe the current generation, so any
+        writer path that cannot produce them degrades that partition to
+        conservative full scans, never to wrong pruning.  ``widen=True``
+        (append publishes) unions the new interval into the existing one
+        — and drops the entry when there is no existing one, because
+        appended-rows statistics alone do not describe rows already in
+        the partition."""
+
+        def mutate(base: list[str], txn_map: dict, stats_map: dict):
             if txn is not None:
                 app, version = txn
                 txn_map[app] = max(int(version),
                                    int(txn_map.get(app, -1)))
-            return sorted(set(base) | set(new)), txn_map
+            provided = stats or {}
+            for rel in new:
+                fresh = provided.get(rel)
+                if fresh is None:
+                    stats_map.pop(rel, None)
+                elif not widen:
+                    stats_map[rel] = fresh
+                elif rel in stats_map:
+                    stats_map[rel] = _widen_stats(stats_map[rel], fresh)
+                else:
+                    stats_map.pop(rel, None)
+            return sorted(set(base) | set(new)), txn_map, stats_map
 
         return self._commit_rmw(mutate)
 
     def remove(self, gone: list[str]) -> list[str]:
-        return self._commit_rmw(
-            lambda base, txn_map: (sorted(set(base) - set(gone)), txn_map))
+        def mutate(base: list[str], txn_map: dict, stats_map: dict):
+            for rel in gone:
+                stats_map.pop(rel, None)
+            return sorted(set(base) - set(gone)), txn_map, stats_map
+
+        return self._commit_rmw(mutate)
 
     def drop(self) -> None:
         self._fs.delete(self._path)

@@ -56,6 +56,7 @@ from ..errors import (CollectionExistsError, CollectionNotFoundError,
                       ReadOnlyError, SchemaError, StoreError)
 from ..partitioning import Partitioning, compile_filter
 from ..partitioning import from_json as partitioning_from_json
+from ..partitioning.zonemap import compile_zone_filter
 from ..schema import DatasetSchema, FORMAT_VERSION, upgrade
 from . import staging as staging_proto
 from .catalog import Catalog
@@ -63,6 +64,24 @@ from .merge import (MergeCallable, concat as merge_concat,
                     replace as merge_replace, resolve_merge)
 
 CONFIG_NAME = "_zcollection.json"
+
+
+def _json_stat(value: Any) -> Any:
+    """JSON-encodable scalar for a zone-map bound.  Timestamps become
+    ISO-8601 strings (which order lexicographically, so string literals
+    in ``where`` compare correctly); numpy scalars unwrap; anything
+    exotic falls back to ``str`` — orderings must stay consistent
+    between what is stored and what the evaluator compares."""
+    if value is None or isinstance(value, (int, float, str)):
+        return value
+    if hasattr(value, "item"):  # numpy scalar
+        return _json_stat(value.item())
+    if hasattr(value, "isoformat"):  # datetime / date / pd.Timestamp
+        return value.isoformat()
+    try:
+        return float(value)  # Decimal and friends
+    except (TypeError, ValueError):
+        return str(value)
 IMMUTABLE_RELPATH = "_immutable/data.parquet"
 ROW_IDX = "_row_idx"
 
@@ -71,10 +90,17 @@ def create_collection(spark: SparkSession, path: str, *,
                       schema: DatasetSchema, axis: str,
                       partitioning: Partitioning,
                       catalog_enabled: bool = True,
+                      stats_columns: "Iterable[str] | None" = None,
                       overwrite: bool = False) -> "Collection":
     """DDL: bind the schema to the axis and write the root config
     (``/root/reference/zcollection/api.py:19-62`` →
-    ``collection/base.py:161-234``)."""
+    ``collection/base.py:161-234``).
+
+    ``stats_columns`` opts the collection into zone-map statistics:
+    per-partition min/max/null-count of the named data columns,
+    committed with every publish and used by ``query(where=...)`` to
+    skip partitions a data-column predicate provably cannot match
+    (partitioning/zonemap.py) — requires ``catalog_enabled``."""
     path = fsmod.strip_scheme(path).rstrip("/")
     fs = fsmod.fs_for(path, spark)
     config_path = f"{path}/{CONFIG_NAME}"
@@ -91,12 +117,26 @@ def create_collection(spark: SparkSession, path: str, *,
         if var_map[var].immutable:
             raise SchemaError(
                 f"partitioning variable {var!r} does not span the axis")
+    stats_columns = sorted(stats_columns) if stats_columns else None
+    if stats_columns:
+        if not catalog_enabled:
+            raise SchemaError(
+                "stats_columns requires catalog_enabled=True — the "
+                "catalog document is where the statistics live")
+        for col in stats_columns:
+            if col not in var_map or var_map[col].immutable:
+                raise SchemaError(
+                    f"stats column {col!r} is not a partitioned "
+                    f"variable of the schema")
     doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
            "partitioning": partitioning.to_json(),
            "catalog_enabled": catalog_enabled}
+    if stats_columns:
+        doc["stats_columns"] = stats_columns
     fs.write_text(config_path, json.dumps(doc, indent=1, sort_keys=True))
     coll = Collection(spark, path, bound, partitioning, mode="rw",
-                      catalog_enabled=catalog_enabled)
+                      catalog_enabled=catalog_enabled,
+                      stats_columns=stats_columns)
     if catalog_enabled:
         coll._catalog.write([])
     return coll
@@ -117,7 +157,8 @@ def open_collection(spark: SparkSession, path: str, *,
     schema = DatasetSchema.from_json(doc["schema"])
     partitioning = partitioning_from_json(doc["partitioning"])
     return Collection(spark, path, schema, partitioning, mode=mode,
-                      catalog_enabled=doc.get("catalog_enabled", True))
+                      catalog_enabled=doc.get("catalog_enabled", True),
+                      stats_columns=doc.get("stats_columns"))
 
 
 class Collection:
@@ -125,7 +166,8 @@ class Collection:
 
     def __init__(self, spark: SparkSession, path: str,
                  schema: DatasetSchema, partitioning: Partitioning, *,
-                 mode: str = "r", catalog_enabled: bool = True):
+                 mode: str = "r", catalog_enabled: bool = True,
+                 stats_columns: "list[str] | None" = None):
         if schema.axis is None:
             raise SchemaError("collection schema must be axis-bound")
         self.spark = spark
@@ -135,6 +177,7 @@ class Collection:
         self.axis = schema.axis
         self.mode = mode
         self.catalog_enabled = catalog_enabled
+        self.stats_columns = list(stats_columns) if stats_columns else []
         self._fs = fsmod.fs_for(self.path, spark)
         self._catalog = Catalog(self._fs, self.path,
                                 walk_depth=partitioning.depth)
@@ -270,21 +313,47 @@ class Collection:
                     casts[key] = F.col(key).cast(target)
         return df.withColumns(casts) if casts else df
 
+    def _zone_prune(self, relpaths: list[str],
+                    where: str) -> list[str]:
+        """Drop partitions whose zone-map statistics PROVE the ``where``
+        predicate cannot match (partitioning/zonemap.py).  Partitions
+        without statistics are always kept — pruning is an optimization
+        layered under the exact Catalyst filter, never a correctness
+        boundary."""
+        if not (self.catalog_enabled and self.stats_columns):
+            return relpaths
+        stats_map = self._catalog.read_stats()
+        if not stats_map:
+            return relpaths
+        may_match = compile_zone_filter(where)
+        return [rel for rel in relpaths
+                if may_match(stats_map.get(rel))]
+
     def _load(self, *, filters: str | None = None,
+              where: str | None = None,
               keep_internal: bool = False) -> DataFrame | None:
         """Pruned scan with partition-key columns attached.
 
         Uses the catalog for listing-time pruning when available, and ALWAYS
         also applies the predicate as a Catalyst filter so the plan is
-        correct (and prunes) even on a bare directory tree.
+        correct (and prunes) even on a bare directory tree.  ``where``
+        (data-column dialect, float literals allowed) additionally
+        zone-map-prunes partitions and filters the scanned rows.
         """
         predicate = compile_filter(filters)
         relpaths = self.partitions(filters=filters)
+        if where is not None:
+            relpaths = self._zone_prune(relpaths, where)
         if not relpaths:
             return None
         df = self._read_partitions(relpaths)
         if predicate.expr is not None:
             df = df.where(predicate.to_column())
+        if where is not None:
+            # the exact predicate: pushed into the parquet scan by
+            # Catalyst; zone maps only decided which partitions to list
+            df = df.where(compile_filter(where,
+                                         allow_float=True).to_column())
         df = self._cast_restored_keys(df)
         if not keep_internal and ROW_IDX in df.columns:
             df = df.drop(ROW_IDX)
@@ -292,6 +361,7 @@ class Collection:
 
     def query(self, *, filters: str | None = None,
               variables: Iterable[str] | None = None,
+              where: str | None = None,
               ordered: bool = True) -> DataFrame | None:
         """``filter → project → concat → attach immutables``
         (``base.py:524-595``).
@@ -301,8 +371,15 @@ class Collection:
         numerically by partition key then axis when ``ordered=True`` (a fix
         of quirk Q2; the hash-order of the reference's path sort is not
         reproduced).
+
+        ``where`` filters on DATA columns (same grammar as ``filters``
+        plus float literals): zone-map statistics skip partitions the
+        predicate provably cannot match before any file is listed, and
+        the exact predicate is applied to the scanned rows.  Beyond the
+        reference's surface (key-only pruning) — Delta/Iceberg-style
+        data skipping for the 100 TB case.
         """
-        df = self._load(filters=filters)
+        df = self._load(filters=filters, where=where)
         if df is None:
             return None
         wanted = None
@@ -433,19 +510,64 @@ class Collection:
 
         return self._spark_parquet_write(target, run_write)
 
+    def _collect_stats(self, df: DataFrame,
+                       relpaths: list[str]) -> dict | None:
+        """Per-partition ``{col: [min, max, nulls]}`` zone-map stats for
+        the configured ``stats_columns`` present in ``df``.
+
+        One extra aggregation job over the insert's lineage — map-side
+        partial aggregation means the shuffle is a few rows per
+        partition, and the driver result is bounded by partition count
+        (same bound as the existing distinct-keys collect).  At very
+        large inserts the lineage re-scan is the cost to watch; the
+        column-pruned alternative (re-read only the stats columns from
+        the staged parquet) is a drop-in swap here if that ever
+        dominates."""
+        cols = [c for c in self.stats_columns if c in df.columns]
+        if not cols:
+            return None
+        keys = list(self.partitioning.keys)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"),
+                     F.max(c).alias(f"__hi_{c}"),
+                     F.sum(F.col(c).isNull().cast("long"))
+                     .alias(f"__nn_{c}")]
+        wanted = set(relpaths)
+        out: dict = {}
+        for row in df.groupBy(*keys).agg(*aggs).collect():
+            rel = self.partitioning.encode(
+                {k: int(row[k]) for k in keys})
+            if rel not in wanted:
+                continue
+            out[rel] = {c: [_json_stat(row[f"__lo_{c}"]),
+                            _json_stat(row[f"__hi_{c}"]),
+                            int(row[f"__nn_{c}"] or 0)] for c in cols}
+        return out or None
+
     def _staged_write(self, write_fn: Callable[[str], None], *,
                       mode: str,
-                      txn: "tuple[str, int] | None" = None) -> list[str]:
+                      txn: "tuple[str, int] | None" = None,
+                      stats_df: DataFrame | None = None) -> list[str]:
         """Run ``write_fn(staging_dir)`` and publish atomically
         (stage → intent → rename, staging.py); the catalog add is part of
         the publish so readers never see uncommitted partitions.  ``txn``
         (app_id, version) commits in the same catalog PUT — streaming
-        sinks use it for exactly-once replay skip."""
+        sinks use it for exactly-once replay skip.  ``stats_df`` is the
+        exact DataFrame being written; when given (and the collection
+        has ``stats_columns``) zone-map stats ride the same intent +
+        catalog PUT.  Callers that rewrite partitions WITHOUT providing
+        it (e.g. ``update``) deliberately drop those partitions' stats —
+        conservative scans instead of stale pruning."""
+        stats_fn = None
+        if stats_df is not None and self.stats_columns \
+                and self.catalog_enabled:
+            stats_fn = lambda rels: self._collect_stats(stats_df, rels)  # noqa: E731
         return staging_proto.staged_publish(
             self._fs, self.path, write_fn=write_fn,
             depth=self.partitioning.depth, mode=mode,
             catalog=self._catalog if self.catalog_enabled else None,
-            txn=txn)
+            txn=txn, stats_fn=stats_fn)
 
     def _write(self, derived: DataFrame, *, mode: str,
                txn: "tuple[str, int] | None" = None) -> list[str]:
@@ -458,7 +580,7 @@ class Collection:
         return self._staged_write(
             lambda staging: self._write_tree(self._with_row_idx(derived),
                                              staging),
-            mode=publish, txn=txn)
+            mode=publish, txn=txn, stats_df=derived)
 
     def insert(self, df: DataFrame, *,
                merge: str | MergeCallable | None = None,
@@ -517,7 +639,7 @@ class Collection:
             # partition dirs (existing data is never rewritten)
             self._staged_write(
                 lambda staging: self._write_tree(appended, staging),
-                mode="append", txn=txn)
+                mode="append", txn=txn, stats_df=derived)
         else:
             existing = (self._read_partitions(colliding).drop(ROW_IDX))
             existing = self._cast_restored_keys(existing)
@@ -661,7 +783,7 @@ class Collection:
                            .options(**engine_config.profile()
                                     .writer_options())
                            .parquet(t))),
-            mode="swap")
+            mode="swap", stats_df=df)  # content unchanged: re-derive
         return before
 
     def drop_partitions(self, *, filters: str | None = None) -> list[str]:

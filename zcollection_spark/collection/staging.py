@@ -152,7 +152,8 @@ def _quarantine_move(fs, src: str, dst: str) -> bool:
 
 def write_intent(fs, staging: str, *, mode: str, relpaths: list[str],
                  manifests: dict | None = None,
-                 txn: "tuple[str, int] | None" = None) -> dict:
+                 txn: "tuple[str, int] | None" = None,
+                 stats: dict | None = None) -> dict:
     """Persist the publish intent (the commit point of the write).
 
     ``manifests`` maps each relpath to its staged file list — required
@@ -170,6 +171,11 @@ def write_intent(fs, staging: str, *, mode: str, relpaths: list[str],
                                for rel, files in manifests.items()}
     if txn is not None:
         intent["txn"] = [txn[0], int(txn[1])]
+    if stats is not None:
+        # zone-map stats ride in the intent so a crash roll-forward
+        # commits them with the partitions (stale-stats safety: a
+        # publish without stats DROPS the old entries, catalog.add)
+        intent["stats"] = stats
     fs.write_text(f"{staging}/{INTENT_NAME}", json.dumps(intent, indent=1))
     return intent
 
@@ -302,7 +308,9 @@ def apply_publish(fs, root: str, staging_id: str, staging: str,
     if catalog is not None:
         txn = intent.get("txn")
         catalog.add(relpaths,
-                    txn=(txn[0], int(txn[1])) if txn else None)
+                    txn=(txn[0], int(txn[1])) if txn else None,
+                    stats=intent.get("stats"),
+                    widen=mode == "append")
     # Cleanup ordering is load-bearing on object stores: a recursive
     # delete is UNORDERED there, so deleting the whole staging dir in one
     # call could remove the .parked markers and staged manifest files
@@ -318,7 +326,8 @@ def apply_publish(fs, root: str, staging_id: str, staging: str,
 
 def staged_publish(fs, root: str, *, write_fn, depth: int,
                    mode: str, catalog=None,
-                   txn: "tuple[str, int] | None" = None) -> list[str]:
+                   txn: "tuple[str, int] | None" = None,
+                   stats_fn=None) -> list[str]:
     """Run ``write_fn(staging_dir)`` (the Spark job), then publish its
     output atomically.  Returns the published partition relpaths."""
     staging_id, staging = new_staging_dir(fs, root)
@@ -357,8 +366,13 @@ def staged_publish(fs, root: str, *, write_fn, depth: int,
                         lambda r: _walk_files(fs, f"{staging}/{r}"),
                         missing)):
                     manifests[rel] = files
+    stats = None
+    if stats_fn is not None:
+        # computed AFTER the write job, BEFORE the intent: the stats are
+        # part of the commit or absent from it — never half-applied
+        stats = stats_fn(sorted(relpaths))
     intent = write_intent(fs, staging, mode=mode, relpaths=relpaths,
-                          manifests=manifests, txn=txn)
+                          manifests=manifests, txn=txn, stats=stats)
     apply_publish(fs, root, staging_id, staging, intent, catalog)
     return sorted(relpaths)
 

@@ -66,23 +66,28 @@ def _tautology() -> Predicate:
                      frozenset())
 
 
-def _literal(node: ast.expr) -> Any:
-    """Int/str scalar literals plus tuple/list/set containers thereof."""
-    if isinstance(node, ast.Constant) and isinstance(node.value, (int, str)) \
+def _literal(node: ast.expr, allow_float: bool = False) -> Any:
+    """Int/str scalar literals plus tuple/list/set containers thereof.
+    ``allow_float`` admits float scalars — used by the data-column
+    ``where`` grammar only; partition filters keep the reference's
+    int/str rule (rejection of ``month == 1.5`` is a pinned quirk)."""
+    types = (int, float, str) if allow_float else (int, str)
+    if isinstance(node, ast.Constant) and isinstance(node.value, types) \
             and not isinstance(node.value, bool):
         return node.value
     if isinstance(node, (ast.Tuple, ast.List, ast.Set)):
-        return tuple(_literal(elt) for elt in node.elts)
+        return tuple(_literal(elt, allow_float) for elt in node.elts)
     if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub) \
             and isinstance(node.operand, ast.Constant) \
-            and isinstance(node.operand.value, int):
+            and isinstance(node.operand.value, types) \
+            and not isinstance(node.operand.value, str):
         return -node.operand.value
     raise ExpressionError(
         f"unsupported literal at line {node.lineno}: only int/str scalars "
         f"and tuple/list/set containers are allowed")
 
 
-def _operand(node: ast.expr):
+def _operand(node: ast.expr, allow_float: bool = False):
     """Returns (eval_fn(key)->value, column_fn()->Column)."""
     if isinstance(node, ast.Name):
         name = node.id
@@ -94,22 +99,22 @@ def _operand(node: ast.expr):
                 raise ExpressionError(
                     f"unknown partition key {_name!r}") from None
         return ev, lambda _name=name: F.col(_name)
-    value = _literal(node)
+    value = _literal(node, allow_float)
 
     def ev_lit(key: Mapping[str, Any], _v=value) -> Any:
         return _v
     return ev_lit, lambda _v=value: F.lit(_v)
 
 
-def _compare(node: ast.Compare):
+def _compare(node: ast.Compare, allow_float: bool = False):
     """Chained comparison a < b <= c → (a<b) and (b<=c); in / not in."""
     operands = [node.left, *node.comparators]
     parts_fn: list[Callable[[Mapping[str, Any]], bool]] = []
     parts_col: list[Callable[[], Column]] = []
     for left, op, right in zip(operands, node.ops, operands[1:]):
-        lf, lc = _operand(left)
+        lf, lc = _operand(left, allow_float)
         if isinstance(op, (ast.In, ast.NotIn)):
-            container = _literal(right)
+            container = _literal(right, allow_float)
             if not isinstance(container, tuple):
                 raise ExpressionError(
                     "right side of 'in' must be a tuple/list/set literal")
@@ -128,7 +133,7 @@ def _compare(node: ast.Compare):
         if op_type not in _CMP_OPS:
             raise ExpressionError(
                 f"unsupported comparison operator {op_type.__name__}")
-        rf, rc = _operand(right)
+        rf, rc = _operand(right, allow_float)
         py_op = _CMP_OPS[op_type]
 
         def ev(key, _lf=lf, _rf=rf, _op=py_op):
@@ -153,9 +158,9 @@ def _compare(node: ast.Compare):
     return ev_all, col_all
 
 
-def _walk(node: ast.expr):
+def _walk(node: ast.expr, allow_float: bool = False):
     if isinstance(node, ast.BoolOp):
-        parts = [_walk(v) for v in node.values]
+        parts = [_walk(v, allow_float) for v in node.values]
         if isinstance(node.op, ast.And):
             def ev(key, _p=tuple(parts)):
                 return all(f(key) for f, _ in _p)
@@ -176,11 +181,11 @@ def _walk(node: ast.expr):
                 return out
         return ev, col
     if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
-        inner_fn, inner_col = _walk(node.operand)
+        inner_fn, inner_col = _walk(node.operand, allow_float)
         return (lambda key, _f=inner_fn: not _f(key)), \
                (lambda _c=inner_col: ~_c())
     if isinstance(node, ast.Compare):
-        return _compare(node)
+        return _compare(node, allow_float)
     if isinstance(node, ast.Constant) and isinstance(node.value, bool):
         val = node.value
         return (lambda key, _v=val: _v), (lambda _v=val: F.lit(_v))
@@ -194,13 +199,17 @@ def _collect_names(tree: ast.AST) -> frozenset[str]:
                      if isinstance(n, ast.Name))
 
 
-def compile_filter(expr: str | None) -> Predicate:
-    """Compile a filter string, or return a tautology for ``None``."""
+def compile_filter(expr: str | None, *,
+                   allow_float: bool = False) -> Predicate:
+    """Compile a filter string, or return a tautology for ``None``.
+
+    ``allow_float=True`` is the data-column (``where``) dialect; the
+    partition-key dialect stays int/str-only for reference parity."""
     if expr is None or expr.strip() == "":
         return _tautology()
     try:
         tree = ast.parse(expr, mode="eval")
     except SyntaxError as exc:
         raise ExpressionError(f"invalid filter syntax: {exc}") from None
-    fn, col = _walk(tree.body)
+    fn, col = _walk(tree.body, allow_float)
     return Predicate(expr, fn, col, _collect_names(tree))
