@@ -157,17 +157,24 @@ def test_s3_merge_paths(spark, seq_schema, s3_root):
 def test_s3_writer_manifest_skips_commit_listing(spark, seq_schema,
                                                  s3_root, monkeypatch):
     """The upload step knows exactly what it wrote, so building the
-    publish manifest must not list the store at all (the r4 driver-side
-    walk is gone from the commit path)."""
+    publish manifest must never list STAGING (the r4 driver-side walk is
+    gone from the commit path).  The phase-1 park walk over each dst
+    partition is allowed — one flat LIST per partition is the price of
+    converging from any crash interleaving (old-generation discovery
+    cannot come from writer knowledge)."""
     path = f"{s3_root}/coll"
     coll = zc.create_collection(spark, path, schema=seq_schema,
                                 axis="num",
                                 partitioning=zc.Sequence(("num",)))
 
-    def boom(fs, root, rel=""):
-        raise AssertionError(f"manifest fell back to a walk: {root}")
+    real_walk = staging._walk_files
 
-    monkeypatch.setattr(staging, "_walk_files", boom)
+    def guard(fs, root, rel=""):
+        if f"/{staging.STAGING_RELPATH}/" in root:
+            raise AssertionError(f"manifest fell back to a walk: {root}")
+        return real_walk(fs, root, rel)
+
+    monkeypatch.setattr(staging, "_walk_files", guard)
     coll.insert(_seq_df(spark, seq_schema, [0, 1, 2], 1.0))
     assert coll.query().count() == 3
 

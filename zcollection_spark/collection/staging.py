@@ -93,6 +93,15 @@ def new_staging_dir(fs, root: str) -> tuple[str, str]:
     return staging_id, staging
 
 
+def _exists_file(fs, path: str) -> bool:
+    """Existence of a single FILE/object.  Object stores answer with one
+    HEAD (``exists_file``); ``exists`` would pay an extra prefix LIST on
+    every miss — and publish-path checks miss by design (fresh targets,
+    markers not yet written)."""
+    checker = getattr(fs, "exists_file", None)
+    return checker(path) if checker is not None else fs.exists(path)
+
+
 def _walk_files(fs, root: str, rel: str = "") -> list[str]:
     """All file paths under ``root``, relative, recursive, sorted;
     hidden (``_``/``.``) names skipped at every level.
@@ -140,7 +149,7 @@ def _quarantine_move(fs, src: str, dst: str) -> bool:
     first refused rename so the caller reports the id unresolved."""
     for rel in _walk_all(fs, src):
         target = f"{dst}/{rel}"
-        if fs.exists(target):
+        if _exists_file(fs, target):
             fs.delete(f"{src}/{rel}")
             continue
         fs.mkdirs(_parent(target))
@@ -232,30 +241,43 @@ def _publish_one(fs, root: str, staging_id: str, staging: str,
         # everything — not just non-manifest names — is what makes the
         # later exists-check unambiguous even when old and new
         # generations share filenames (deterministic layouts).
-        if not fs.exists(marker):
-            if fs.exists(dst):
-                for f in _walk_files(fs, dst):
-                    if fs.exists(f"{old}/{f}"):
-                        fs.delete(f"{dst}/{f}")
-                    else:
-                        fs.mkdirs(_parent(f"{old}/{f}"))
-                        _must_move_file(fs, f"{dst}/{f}", f"{old}/{f}")
+        if not _exists_file(fs, marker):
+            # no dst-exists pre-check: the walk is one flat LIST that
+            # returns [] for an absent prefix — a separate exists() on
+            # an object store is HEAD-miss + LIST, pure overhead
+            for f in _walk_files(fs, dst):
+                if _exists_file(fs, f"{old}/{f}"):
+                    fs.delete(f"{dst}/{f}")
+                else:
+                    fs.mkdirs(_parent(f"{old}/{f}"))
+                    _must_move_file(fs, f"{dst}/{f}", f"{old}/{f}")
             fs.mkdirs(old)
             fs.write_text(marker, "1")
-        # Phase 2 — move each manifest file; any existing target is OURS
-        # from an earlier attempt (phase 1 emptied dst before the marker)
+        # Phase 2 — move each manifest file.  The move is attempted
+        # FIRST (no pre-checks): after the phase-1 marker, anything at
+        # the target is OUR identical bytes from an earlier attempt, so
+        # an overwriting copy is idempotent — the happy path is exactly
+        # one copy + one delete per file, and the HEADs only run on the
+        # crash-recovery path (source already consumed).
+        mover = getattr(fs, "move_file", None)
         for f in manifest:
             target = f"{dst}/{f}"
-            if fs.exists(target):
-                continue  # landed in an earlier attempt
             source = f"{src}/{f}"
-            if not fs.exists(source):
+            fs.mkdirs(_parent(target))
+            if mover is not None:
+                moved = mover(source, target)
+            elif _exists_file(fs, target):
+                continue  # landed in an earlier attempt
+            elif _exists_file(fs, source):
+                _must_rename(fs, source, target)
+                moved = True
+            else:
+                moved = False
+            if not moved and not _exists_file(fs, target):
                 raise RuntimeError(
                     f"staged file {source!r} missing and {target!r} not "
                     f"published — staged data incomplete, cannot roll "
                     f"forward partition {rel!r}")
-            fs.mkdirs(_parent(target))
-            _must_move_file(fs, source, target)
     elif mode == "swap":
         if not fs.exists(src):
             return  # already published by an earlier attempt
@@ -273,7 +295,7 @@ def _publish_one(fs, root: str, staging_id: str, staging: str,
             if fname.startswith(("_", ".")):
                 continue
             target = f"{dst}/{staging_id}-{fname}"
-            if not fs.exists(target):
+            if not _exists_file(fs, target):
                 _must_move_file(fs, f"{src}/{fname}", target)
 
 
@@ -389,7 +411,7 @@ def recover(fs, root: str, catalog=None) -> dict:
         staging = f"{staging_root}/{staging_id}"
         intent_path = f"{staging}/{INTENT_NAME}"
         intent = None
-        if fs.exists(intent_path):
+        if _exists_file(fs, intent_path):
             try:
                 intent = json.loads(fs.read_text(intent_path))
             except ValueError:
@@ -455,7 +477,7 @@ def gc_quarantine(fs, root: str, *, older_than: float,
     for qid in fs.list_dirs(qroot):
         marker = f"{qroot}/{qid}/.quarantined_at"
         stamp = None
-        if fs.exists(marker):
+        if _exists_file(fs, marker):
             try:
                 stamp = float(fs.read_text(marker))
             except ValueError:

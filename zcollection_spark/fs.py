@@ -104,6 +104,9 @@ class LocalFS:
     def exists(self, path: str) -> bool:
         return Path(path).exists()
 
+    def exists_file(self, path: str) -> bool:
+        return Path(path).is_file()
+
     def read_text(self, path: str) -> str:
         return Path(path).read_text()
 
@@ -235,6 +238,10 @@ class MemoryFS:
             prefix = p + "/"
             return any(k.startswith(prefix)
                        for k in (*self._files, *self._dirs))
+
+    def exists_file(self, path: str) -> bool:
+        with self._lock:
+            return self._norm(path) in self._files
 
     def read_text(self, path: str) -> str:
         p = self._norm(path)
@@ -372,6 +379,9 @@ class HadoopFS:
         fs, jpath = self._fs_path(path)
         return fs.exists(jpath)
 
+    def exists_file(self, path: str) -> bool:
+        return self.exists(path)  # one RPC either way on Hadoop FS
+
     def read_text(self, path: str) -> str:
         fs, jpath = self._fs_path(path)
         stream = fs.open(jpath)
@@ -506,6 +516,11 @@ class CountingFS:
     def exists(self, path: str) -> bool:
         self.counts["head"] += 1
         return self.inner.exists(path)
+
+    def exists_file(self, path: str) -> bool:
+        self.counts["head"] += 1
+        checker = getattr(self.inner, "exists_file", self.inner.exists)
+        return checker(path)
 
     def read_text(self, path: str) -> str:
         self.counts["get"] += 1
@@ -658,6 +673,15 @@ class S3FS:
             return True
         page = self._list_page(bucket, Prefix=key + "/", MaxKeys=1)
         return bool(page.get("KeyCount"))
+
+    def exists_file(self, path: str) -> bool:
+        """Existence of a single OBJECT: one HEAD, no prefix LIST.
+        ``exists`` must also answer for directory fictions, which costs
+        a LIST on every miss — per-file publish checks use this instead
+        (the dominant saving on the commit path: one LIST per staged
+        file at scale)."""
+        bucket, key = self._bk(path)
+        return self._head(bucket, key) is not None
 
     def read_text(self, path: str) -> str:
         return self.read_bytes(path).decode("utf-8")
