@@ -245,3 +245,63 @@ def test_stats_survive_reopen_and_crash_rollforward(spark, tmp_path):
     assert stats["num=2"]["value"] == [777.0, 777.0, 0]
     assert sorted(r.value for r in
                   coll.query(where="value > 700.0").collect()) == [777.0]
+
+
+# ---------------------------------------------------------------------------
+# zarr3 layout parity
+# ---------------------------------------------------------------------------
+
+
+def _mk_zarr(spark, path, nums_values):
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = create_zarr_collection(
+        spark, path, schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)), stats_columns=["value"])
+    frames = []
+    base = 0
+    for num, values in nums_values.items():
+        frames.append(pd.DataFrame({
+            "i": np.arange(base, base + len(values), dtype=np.int64),
+            "value": np.asarray(values, dtype=np.float64),
+            "num": np.int64(num)}))
+        base += len(values)
+    pdf = pd.concat(frames, ignore_index=True)
+    coll.insert(spark.createDataFrame(
+        pdf, schema=coll.schema.to_struct_type()))
+    return coll
+
+
+def test_zarr3_stats_committed_and_where_prunes(spark, tmp_path):
+    coll = _mk_zarr(spark, str(tmp_path / "z"), {
+        1: [0.0, 5.0], 2: [10.0, 20.0], 3: [100.0, 200.0]})
+    stats = coll._catalog.read_stats()
+    assert stats["num=1"]["value"] == [0.0, 5.0, 0]
+    assert stats["num=3"]["value"] == [100.0, 200.0, 0]
+    got = sorted(r.value for r in
+                 coll.query(where="value > 50.0").collect())
+    assert got == [100.0, 200.0]
+    # all partitions provably excluded → Q6 None, no scan at all
+    assert coll.query(where="value > 1000.0") is None
+
+
+def test_zarr3_where_exact_with_projection(spark, tmp_path):
+    """where columns not in variables= must still filter, then drop."""
+    coll = _mk_zarr(spark, str(tmp_path / "z"), {1: [0.0, 99.0],
+                                                 2: [50.0]})
+    res = coll.query(where="value >= 50.0", variables=["i"])
+    assert res.columns == ["i"]
+    assert res.count() == 2
+
+
+def test_zarr3_reopen_keeps_stats_columns(spark, tmp_path):
+    from zcollection_spark.zarr3.collection import open_zarr_collection
+    coll = _mk_zarr(spark, str(tmp_path / "z"), {1: [1.0]})
+    reopened = open_zarr_collection(spark, coll.path)
+    assert reopened.stats_columns == ["value"]
+    assert reopened.query(where="value < 0.5") is None

@@ -60,28 +60,13 @@ from ..partitioning.zonemap import compile_zone_filter
 from ..schema import DatasetSchema, FORMAT_VERSION, upgrade
 from . import staging as staging_proto
 from .catalog import Catalog
+from .stats import collect_zone_stats
 from .merge import (MergeCallable, concat as merge_concat,
                     replace as merge_replace, resolve_merge)
 
 CONFIG_NAME = "_zcollection.json"
 
 
-def _json_stat(value: Any) -> Any:
-    """JSON-encodable scalar for a zone-map bound.  Timestamps become
-    ISO-8601 strings (which order lexicographically, so string literals
-    in ``where`` compare correctly); numpy scalars unwrap; anything
-    exotic falls back to ``str`` — orderings must stay consistent
-    between what is stored and what the evaluator compares."""
-    if value is None or isinstance(value, (int, float, str)):
-        return value
-    if hasattr(value, "item"):  # numpy scalar
-        return _json_stat(value.item())
-    if hasattr(value, "isoformat"):  # datetime / date / pd.Timestamp
-        return value.isoformat()
-    try:
-        return float(value)  # Decimal and friends
-    except (TypeError, ValueError):
-        return str(value)
 IMMUTABLE_RELPATH = "_immutable/data.parquet"
 ROW_IDX = "_row_idx"
 
@@ -512,38 +497,11 @@ class Collection:
 
     def _collect_stats(self, df: DataFrame,
                        relpaths: list[str]) -> dict | None:
-        """Per-partition ``{col: [min, max, nulls]}`` zone-map stats for
-        the configured ``stats_columns`` present in ``df``.
-
-        One extra aggregation job over the insert's lineage — map-side
-        partial aggregation means the shuffle is a few rows per
-        partition, and the driver result is bounded by partition count
-        (same bound as the existing distinct-keys collect).  At very
-        large inserts the lineage re-scan is the cost to watch; the
-        column-pruned alternative (re-read only the stats columns from
-        the staged parquet) is a drop-in swap here if that ever
-        dominates."""
-        cols = [c for c in self.stats_columns if c in df.columns]
-        if not cols:
-            return None
-        keys = list(self.partitioning.keys)
-        aggs = []
-        for c in cols:
-            aggs += [F.min(c).alias(f"__lo_{c}"),
-                     F.max(c).alias(f"__hi_{c}"),
-                     F.sum(F.col(c).isNull().cast("long"))
-                     .alias(f"__nn_{c}")]
-        wanted = set(relpaths)
-        out: dict = {}
-        for row in df.groupBy(*keys).agg(*aggs).collect():
-            rel = self.partitioning.encode(
-                {k: int(row[k]) for k in keys})
-            if rel not in wanted:
-                continue
-            out[rel] = {c: [_json_stat(row[f"__lo_{c}"]),
-                            _json_stat(row[f"__hi_{c}"]),
-                            int(row[f"__nn_{c}"] or 0)] for c in cols}
-        return out or None
+        """Per-partition zone-map stats (see collection/stats.py for the
+        cost model: one map-side-combined aggregation, driver result
+        bounded by partition count)."""
+        return collect_zone_stats(df, self.partitioning,
+                                  self.stats_columns, relpaths)
 
     def _staged_write(self, write_fn: Callable[[str], None], *,
                       mode: str,

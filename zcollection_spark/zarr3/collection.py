@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from .. import config as engine_config
 from ..collection import staging as staging_proto
 from ..collection.catalog import Catalog
+from ..collection.stats import collect_zone_stats
 from ..collection.merge import MergeCallable, resolve_merge
 from ..collection.merge import replace as merge_replace
 from ..errors import (CollectionExistsError, CollectionNotFoundError,
@@ -122,6 +123,7 @@ def write_partition_group(spec: dict, pdf: pd.DataFrame) -> str:
 def create_zarr_collection(spark: SparkSession, path: str, *,
                            schema: DatasetSchema, axis: str,
                            partitioning: Partitioning,
+                           stats_columns=None,
                            overwrite: bool = False) -> "ZarrCollection":
     path = strip_scheme(path).rstrip("/")
     fs = fs_for(path, spark)
@@ -137,12 +139,23 @@ def create_zarr_collection(spark: SparkSession, path: str, *,
             raise SchemaError(
                 f"variable {var.name!r}: bytes dtypes are not "
                 f"supported by the zarr3 layout (use the parquet layout)")
+    stats_columns = sorted(stats_columns) if stats_columns else None
+    if stats_columns:
+        var_map = bound.variable_map
+        for col in stats_columns:
+            if col not in var_map or var_map[col].immutable:
+                raise SchemaError(
+                    f"stats column {col!r} is not a partitioned "
+                    f"variable of the schema")
     doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
            "partitioning": partitioning.to_json(),
            "data_format": "zarr3", "catalog_enabled": True}
+    if stats_columns:
+        doc["stats_columns"] = stats_columns
     fs.write_text(config_path, json.dumps(doc, indent=1, sort_keys=True))
     write_group(path, {"zcollection": True})
-    coll = ZarrCollection(spark, path, bound, partitioning)
+    coll = ZarrCollection(spark, path, bound, partitioning,
+                          stats_columns=stats_columns)
     coll._catalog.write([])
     return coll
 
@@ -155,18 +168,21 @@ def open_zarr_collection(spark: SparkSession, path: str) -> "ZarrCollection":
         raise CollectionNotFoundError(f"no collection at {path!r}")
     doc = json.loads(fs.read_text(config_path))
     return ZarrCollection(spark, path, DatasetSchema.from_json(doc["schema"]),
-                          partitioning_from_json(doc["partitioning"]))
+                          partitioning_from_json(doc["partitioning"]),
+                          stats_columns=doc.get("stats_columns"))
 
 
 class ZarrCollection:
     def __init__(self, spark: SparkSession, path: str,
-                 schema: DatasetSchema, partitioning: Partitioning):
+                 schema: DatasetSchema, partitioning: Partitioning,
+                 stats_columns=None):
         self.spark = spark
         self.path = path.rstrip("/")
         self.schema = schema
         self.partitioning = partitioning
         self.axis = schema.axis
         self.catalog_enabled = True
+        self.stats_columns = list(stats_columns) if stats_columns else []
         # metadata fs by scheme; zarr DATA I/O (chunk encode/decode in
         # executors) goes through zarr3.blobs — local paths and s3://
         # both work end-to-end (other schemes need a mounted path)
@@ -327,10 +343,14 @@ class ZarrCollection:
              .applyInPandas(write_partition, "relpath string")
              .collect())
 
+        stats_fn = None
+        if self.stats_columns:
+            stats_fn = lambda rels: collect_zone_stats(  # noqa: E731
+                derived, self.partitioning, self.stats_columns, rels)
         return staging_proto.staged_publish(
             self._fs, self.path, write_fn=write_fn,
             depth=self.partitioning.depth, mode="swap",
-            catalog=self._catalog, txn=txn)
+            catalog=self._catalog, txn=txn, stats_fn=stats_fn)
 
     # ------------------------------------------------------------------
     def to_df(self, *, variables: Iterable[str] | None = None) -> DataFrame:
@@ -454,18 +474,78 @@ class ZarrCollection:
             df = df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
         return df
 
+    def _zone_keys_predicate(self, relpaths: list[str]):
+        """Catalyst predicate selecting exactly ``relpaths`` by their
+        partition-key values — how zone-map pruning reaches the zarr3
+        datasource (whose file pruning is driven by pushed key
+        comparisons, not an explicit path list).  Single-key layouts
+        compile to one ``isin`` (scales to large surviving sets);
+        multi-key layouts to an OR of conjunctions, skipped past a cap
+        where the predicate itself would dominate planning — the
+        row-level ``where`` filter keeps correctness either way."""
+        keys = list(self.partitioning.keys)
+        decoded = [self.partitioning.decode(rel) for rel in relpaths]
+        if len(keys) == 1:
+            k = keys[0]
+            return F.col(k).isin([d[k] for d in decoded])
+        if len(decoded) > 512:
+            return None
+        clauses = []
+        for d in decoded:
+            conj = None
+            for k in keys:
+                cmp_ = F.col(k) == F.lit(d[k])
+                conj = cmp_ if conj is None else (conj & cmp_)
+            clauses.append(conj)
+        out = clauses[0]
+        for c in clauses[1:]:
+            out = out | c
+        return out
+
     def query(self, *, filters: str | None = None,
               variables: Iterable[str] | None = None,
+              where: str | None = None,
               ordered: bool = True) -> DataFrame | None:
         """Pruned + projected read through the zarr3 datasource; the
         filter string compiles to a Catalyst predicate whose partition-key
-        comparisons are pushed down into the reader."""
+        comparisons are pushed down into the reader.
+
+        ``where`` (data-column dialect, float literals allowed) adds
+        zone-map partition skipping when the collection records
+        ``stats_columns`` — surviving partitions are re-expressed as a
+        pushed key predicate, and the exact row filter is applied on
+        top (parquet-layout parity, collection/collection.py)."""
         predicate = compile_filter(filters)
-        if not self.partitions(filters=filters):
+        relpaths = self.partitions(filters=filters)
+        if not relpaths:
             return None  # quirk Q6 parity
-        df = self.to_df(variables=variables)
+        zone_pred = None
+        if where is not None and self.stats_columns:
+            stats_map = self._catalog.read_stats()
+            if stats_map:
+                from ..partitioning.zonemap import compile_zone_filter
+                may_match = compile_zone_filter(where)
+                kept = [rel for rel in relpaths
+                        if may_match(stats_map.get(rel))]
+                if not kept:
+                    return None
+                if len(kept) < len(relpaths):
+                    zone_pred = self._zone_keys_predicate(kept)
+        read_vars = variables
+        if variables is not None and where is not None:
+            # the where predicate's columns must survive the scan
+            # projection; they are dropped again after the filter
+            read_vars = sorted(
+                set(variables)
+                | compile_filter(where, allow_float=True).names)
+        df = self.to_df(variables=read_vars)
         if predicate.expr is not None:
             df = df.where(predicate.to_column())
+        if zone_pred is not None:
+            df = df.where(zone_pred)
+        if where is not None:
+            df = df.where(compile_filter(where,
+                                         allow_float=True).to_column())
         if ordered and self.axis in df.columns:
             df = df.orderBy(self.axis)
         if variables is not None:
