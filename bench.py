@@ -135,6 +135,22 @@ def main() -> None:
         counters["query_full"] = {
             "files_read": len(coll.query().inputFiles())}
 
+        # Zone-map data skipping (untimed): a collection with value
+        # stats answers a selective non-key predicate by LISTING only
+        # the partitions whose [min,max] can match — files_read is the
+        # skipping evidence (the same where WITHOUT stats scans all)
+        zm = zc.create_collection(
+            spark, f"{tmp}/events_zm", overwrite=True,
+            schema=infer_schema(events.schema, axis="ts"),
+            axis="ts", partitioning=zc.Date(("ts",), resolution="D"),
+            stats_columns=["value"])
+        zm.insert(events.where(F.month("ts") == 1))
+        zm_hi = zm.query(where="value > 450.0")
+        counters["zonemap_skip"] = {
+            "files_full": len(zm.query().inputFiles()),
+            "files_where": 0 if zm_hi is None else len(zm_hi.inputFiles()),
+            "partitions_with_stats": len(zm._catalog.read_stats())}
+
         # Object-store op budgets (untimed): the same insert + cold open
         # against a REAL S3 endpoint (moto server) through the manifest
         # publish protocol; api_counts are actual S3 API calls, the

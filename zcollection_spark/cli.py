@@ -157,8 +157,10 @@ def cmd_verify(args: argparse.Namespace) -> int:
     if args.gc:
         gc = staging_proto.gc_quarantine(coll._fs, coll.path,
                                          older_than=args.older_than)
+        pruned = coll._catalog.prune_history(args.keep_generations)
         print(json.dumps({"gc_deleted": gc["deleted"],
-                          "gc_kept": gc["kept"]}, indent=1))
+                          "gc_kept": gc["kept"],
+                          "generations_pruned": len(pruned)}, indent=1))
     return 0 if ok else 1
 
 
@@ -206,6 +208,10 @@ def main(argv: list[str] | None = None) -> int:
                       help="rewrite the catalog when inconsistent")
     p_vf.add_argument("--gc", action="store_true",
                       help="delete quarantined debris past --older-than")
+    p_vf.add_argument("--keep-generations", type=int, default=64,
+                      dest="keep_generations", metavar="N",
+                      help="catalog commit snapshots to retain "
+                           "(incremental consumers diff against these)")
     p_vf.add_argument("--older-than", type=float, default=7 * 86400.0,
                       dest="older_than", metavar="SECONDS",
                       help="quarantine TTL for --gc (default 7 days; "

@@ -148,23 +148,104 @@ class Catalog:
         not forget committed stream batches); pass ``{}`` to reset.
         ``stats_map=None`` likewise keeps the zone-map statistics of
         every surviving partition."""
-        if txn_map is None or stats_map is None:
-            doc0 = self._read_doc()
-            if txn_map is None:
-                txn_map = dict((doc0 or {}).get("txn", {}))
-            if stats_map is None:
-                stats_map = dict((doc0 or {}).get("stats", {}))
+        doc0 = self._read_doc()
+        if txn_map is None:
+            txn_map = dict((doc0 or {}).get("txn", {}))
+        if stats_map is None:
+            stats_map = dict((doc0 or {}).get("stats", {}))
+        gen = int((doc0 or {}).get("generation", 0)) + 1
+        # a full rewrite (rebuild/repair) cannot know which partitions
+        # changed: stamp everything with the new generation so
+        # incremental consumers conservatively reprocess, never skip
+        doc = self._build_doc(partitions, txn_map, stats_map, gen,
+                              {rel: gen for rel in partitions})
+        self._fs.write_text(self._path, json.dumps(doc, indent=1))
+        self._snapshot(doc)
+
+    @staticmethod
+    def _build_doc(partitions: list[str], txn_map: dict,
+                   stats_map: dict, generation: int,
+                   touched: dict | None = None) -> dict:
         partitions = sorted(set(partitions))
-        doc = {"format_version": 1, "partitions": partitions,
+        doc = {"format_version": 1, "generation": int(generation),
+               "partitions": partitions,
                "checksum": _checksum(partitions)}
         if txn_map:
             doc["txn"] = {k: int(v) for k, v in sorted(txn_map.items())}
+        live = set(partitions)
         stats_map = {rel: st for rel, st in stats_map.items()
-                     if rel in set(partitions)}
+                     if rel in live}
         if stats_map:
             doc["stats"] = {rel: stats_map[rel]
                             for rel in sorted(stats_map)}
-        self._fs.write_text(self._path, json.dumps(doc, indent=1))
+        # per-partition last-touched generation: the incremental-diff
+        # index (Collection.changes) — one int per partition, the same
+        # asymptotics as the partition list itself
+        touched = {rel: int(g) for rel, g in (touched or {}).items()
+                   if rel in live}
+        if touched:
+            doc["touched"] = {rel: touched[rel]
+                              for rel in sorted(touched)}
+        return doc
+
+    # -- commit history ------------------------------------------------
+    def _gen_path(self, generation: int) -> str:
+        return f"{self._root}/_catalog/gen-{int(generation):012d}.json"
+
+    def _snapshot(self, doc: dict) -> None:
+        """Immutable per-generation snapshot, written AFTER the state
+        commit (best-effort: a crash in between only costs the newest
+        snapshot file, which ``read_at`` serves from state instead).
+        One extra small PUT per commit buys an audit trail and
+        incremental-consumer diffs (``Collection.changes``)."""
+        try:
+            self._fs.write_text(self._gen_path(doc["generation"]),
+                                json.dumps(doc, indent=1))
+        except OSError:
+            pass  # the commit itself (state PUT) already succeeded
+
+    def generation(self) -> int:
+        """Generation of the current catalog state (0 = no catalog)."""
+        doc = self._read_doc()
+        return int((doc or {}).get("generation", 0))
+
+    def read_at(self, generation: int) -> dict | None:
+        """The committed document of ``generation`` — from its snapshot
+        file, or from state when state IS that generation (covers the
+        crash window before the snapshot PUT).  None when the snapshot
+        has been pruned or never existed."""
+        doc = self._read_doc()
+        if doc is not None and int(doc.get("generation", 0)) \
+                == int(generation):
+            return doc
+        try:
+            snap = json.loads(self._fs.read_text(
+                self._gen_path(generation)))
+        except (OSError, ValueError, FileNotFoundError):
+            return None
+        if snap.get("checksum") != _checksum(list(snap["partitions"])):
+            return None
+        return snap
+
+    def history(self) -> list[int]:
+        """Available snapshot generations, ascending (one LIST)."""
+        out = []
+        for name in self._fs.list_files(f"{self._root}/_catalog"):
+            if name.startswith("gen-") and name.endswith(".json"):
+                try:
+                    out.append(int(name[len("gen-"):-len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def prune_history(self, keep_last: int = 16) -> list[int]:
+        """Delete snapshot files beyond the newest ``keep_last`` (the
+        state document is never touched).  Returns pruned generations."""
+        gens = self.history()
+        doomed = gens[:-keep_last] if keep_last > 0 else gens
+        for gen in doomed:
+            self._fs.delete(self._gen_path(gen))
+        return doomed
 
     def _commit_rmw(self, mutate) -> list[str]:
         """Read-merge-write commit.  On stores with conditional writes
@@ -195,25 +276,23 @@ class Catalog:
                     base = []
                 txn_map = dict((doc0 or {}).get("txn", {}))
                 stats_map = dict((doc0 or {}).get("stats", {}))
+                touched = dict((doc0 or {}).get("touched", {}))
+                # the CAS serializes generation numbers: a lost race
+                # re-reads the winner's generation and re-increments
+                gen = int((doc0 or {}).get("generation", 0)) + 1
                 partitions, txn_map, stats_map = \
-                    mutate(base, txn_map, stats_map)
-                partitions = sorted(set(partitions))
-                doc = {"format_version": 1, "partitions": partitions,
-                       "checksum": _checksum(partitions)}
-                if txn_map:
-                    doc["txn"] = {k: int(v)
-                                  for k, v in sorted(txn_map.items())}
-                stats_map = {rel: st for rel, st in stats_map.items()
-                             if rel in set(partitions)}
-                if stats_map:
-                    doc["stats"] = {rel: stats_map[rel]
-                                    for rel in sorted(stats_map)}
+                    mutate(base, txn_map, stats_map, touched, gen)
+                doc = self._build_doc(partitions, txn_map, stats_map,
+                                      gen, touched)
+                partitions = doc["partitions"]
                 payload = json.dumps(doc, indent=1)
                 if not cas:
                     self._fs.write_text(self._path, payload)
+                    self._snapshot(doc)
                     return partitions
                 try:
                     self._fs.write_if(self._path, payload, token)
+                    self._snapshot(doc)
                     return partitions
                 except CommitConflictError:
                     if attempt == _CAS_RETRIES - 1:
@@ -239,13 +318,15 @@ class Catalog:
         appended-rows statistics alone do not describe rows already in
         the partition."""
 
-        def mutate(base: list[str], txn_map: dict, stats_map: dict):
+        def mutate(base: list[str], txn_map: dict, stats_map: dict,
+                   touched: dict, gen: int):
             if txn is not None:
                 app, version = txn
                 txn_map[app] = max(int(version),
                                    int(txn_map.get(app, -1)))
             provided = stats or {}
             for rel in new:
+                touched[rel] = gen
                 fresh = provided.get(rel)
                 if fresh is None:
                     stats_map.pop(rel, None)
@@ -260,7 +341,8 @@ class Catalog:
         return self._commit_rmw(mutate)
 
     def remove(self, gone: list[str]) -> list[str]:
-        def mutate(base: list[str], txn_map: dict, stats_map: dict):
+        def mutate(base: list[str], txn_map: dict, stats_map: dict,
+                   touched: dict, gen: int):
             for rel in gone:
                 stats_map.pop(rel, None)
             return sorted(set(base) - set(gone)), txn_map, stats_map

@@ -252,6 +252,16 @@ class ZarrCollection:
         (-1 if none) — same ledger semantics as the parquet layout."""
         return self._catalog.read_txn(app_id)
 
+    def generation(self) -> int:
+        """Monotonic catalog commit counter (parquet-layout parity)."""
+        return self._catalog.generation()
+
+    def changes(self, since_generation: int) -> dict:
+        """Partition-level diff since a previous commit — see
+        ``Collection.changes`` (identical catalog machinery)."""
+        from ..collection.collection import Collection
+        return Collection.changes(self, since_generation)
+
     def insert(self, df: DataFrame,
                merge: str | MergeCallable | None = None,
                txn: "tuple[str, int] | None" = None) -> list[str]:
