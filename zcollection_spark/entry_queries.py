@@ -149,6 +149,36 @@ SELECT {EVENTS3} FROM events WHERE value > 150.0
 """
 
 
+def q_collection_changes(spark, sf_dir):
+    """Incremental partition diff (``Collection.changes``): a consumer
+    that processed generation g receives exactly the partitions
+    added/replaced since.  Deterministic construction: first insert
+    days 1-9, remember the generation, then insert days >= 9 (day 9
+    replaced, the rest added) — the diff is the day >= 9 partition
+    set."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/events3_chg_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df.where(F.dayofmonth("ts") < 9))
+        gen = coll.generation()
+        coll.insert(df.where(F.dayofmonth("ts") >= 9))
+        return coll, gen
+    coll, gen = _cached(("events3_chg", sf_dir), build)
+    diff = coll.changes(gen)
+    return spark.createDataFrame(
+        [(rel,) for rel in diff["added"]], "relpath string")
+
+
+ORACLE_CHANGES = """
+SELECT DISTINCT 'year=' || year(ts) || '/month=' || month(ts)
+       || '/day=' || day(ts) AS relpath
+FROM events WHERE day(ts) >= 9
+"""
+
+
 def q_collection_sequence(spark, sf_dir):
     """Sequence partitioning round-trip + pruning
     (partitioning/sequence.py:20-156)."""
@@ -1968,6 +1998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": q_rollup_hourly,
         "langid_confusion": q_langid_confusion,
         "top_ngrams": q_top_ngrams,
+        # new this round, tail-gated locally by tools/check_oracle.py;
+        # rotates into the 50-slot driver window next round
+        "collection_changes": q_collection_changes,
     }
 
 
@@ -1987,6 +2020,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     out = {
         "collection_query_prune": ORACLE_QUERY_PRUNE,
         "collection_zonemap_skip": ORACLE_ZONEMAP_SKIP,
+        "collection_changes": ORACLE_CHANGES,
         "collection_projection": ORACLE_PROJECTION,
         "collection_sequence": ORACLE_SEQUENCE,
         "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,
