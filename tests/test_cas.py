@@ -216,3 +216,28 @@ def test_two_racing_writers_lose_nothing(tmp_path, monkeypatch):
     final = Catalog(LocalFS(), root).read()
     expect = sorted({f"num={t}{i}" for t in "ab" for i in range(20)})
     assert final == expect  # 40/40 — no lost update, no repair needed
+
+
+def test_s3_head_propagates_non_404(s3_root, monkeypatch):
+    """Only a 404 means 'absent'.  A throttle/5xx answered as missing
+    would make recovery re-park a published generation and wedge the
+    partition — transient faults must surface."""
+    from botocore.exceptions import ClientError
+    from zcollection_spark.fs import S3FS
+    fs = S3FS()
+    fs.write_text(f"{s3_root}/obj", "x")
+
+    real = fs._client.head_object
+
+    def flaky(Bucket, Key):
+        raise ClientError(
+            {"Error": {"Code": "SlowDown", "Message": "throttled"},
+             "ResponseMetadata": {"HTTPStatusCode": 503}},
+            "HeadObject")
+
+    monkeypatch.setattr(fs._client, "head_object", flaky)
+    with pytest.raises(ClientError):
+        fs.exists_file(f"{s3_root}/obj")
+    monkeypatch.setattr(fs._client, "head_object", real)
+    assert fs.exists_file(f"{s3_root}/obj") is True
+    assert fs.exists_file(f"{s3_root}/missing") is False

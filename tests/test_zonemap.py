@@ -305,3 +305,52 @@ def test_zarr3_reopen_keeps_stats_columns(spark, tmp_path):
     reopened = open_zarr_collection(spark, coll.path)
     assert reopened.stats_columns == ["value"]
     assert reopened.query(where="value < 0.5") is None
+
+
+def test_temporal_stats_columns_rejected(spark, tmp_path):
+    """ISO-string bounds do not order like Spark's timestamp casts
+    ('2024-01-04' vs '2024-01-04T09:00' as text vs as time), so temporal
+    stats columns could silently prune matching rows — both layouts
+    refuse them at create."""
+    from zcollection_spark.data import load_table
+    from zcollection_spark.schema import infer_schema
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with pytest.raises(SchemaError, match="temporal"):
+        zc.create_collection(
+            spark, str(tmp_path / "t"),
+            schema=infer_schema(events.schema, axis="ts"), axis="ts",
+            partitioning=zc.Date(("ts",), resolution="D"),
+            stats_columns=["ts"])
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    df3 = events.select("event_id", "ts", "value")
+    with pytest.raises(SchemaError, match="temporal"):
+        create_zarr_collection(
+            spark, str(tmp_path / "tz"),
+            schema=infer_schema(df3.schema, axis="ts"), axis="ts",
+            partitioning=zc.Date(("ts",), resolution="D"),
+            stats_columns=["ts"])
+
+
+def test_concat_into_new_partition_keeps_exact_stats(spark, tmp_path):
+    """merge='concat' creating a BRAND-NEW partition: the appended rows
+    are its entire content, so the fresh interval is exact and must be
+    kept (only appends into an existing stats-less partition drop)."""
+    coll = _mk(spark, str(tmp_path / "c"), {1: [10.0, 20.0]})
+    extra = pd.DataFrame({"i": np.array([100, 101], dtype=np.int64),
+                          "value": np.array([7.0, 8.0]),
+                          "num": np.array([9, 9], dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        extra, schema=coll.schema.to_struct_type()), merge="concat")
+    stats = coll._catalog.read_stats()
+    assert stats["num=9"]["value"] == [7.0, 8.0, 0]
+
+
+def test_where_tautologies_match_filter_dialect(spark, tmp_path):
+    """compile_filter accepts ''/'True'; the zone dialect must too, and
+    identically whether or not the collection has committed stats."""
+    coll = _mk(spark, str(tmp_path / "c"), {1: [1.0], 2: [2.0]})
+    assert coll.query(where="").count() == 2
+    assert coll.query(where="True").count() == 2
+    assert compile_zone_filter("")({"value": [0, 1, 0]}) is True
+    assert compile_zone_filter("True")(None) is True
+    assert compile_zone_filter("False")({"value": [0, 1, 0]}) is False

@@ -325,6 +325,7 @@ class Catalog:
                 txn_map[app] = max(int(version),
                                    int(txn_map.get(app, -1)))
             provided = stats or {}
+            existing = set(base)
             for rel in new:
                 touched[rel] = gen
                 fresh = provided.get(rel)
@@ -334,6 +335,13 @@ class Catalog:
                     stats_map[rel] = fresh
                 elif rel in stats_map:
                     stats_map[rel] = _widen_stats(stats_map[rel], fresh)
+                elif rel not in existing:
+                    # append created a BRAND-NEW partition: the appended
+                    # rows are its entire content, so the fresh interval
+                    # is exact — only an existing partition without
+                    # stats must stay stats-less (its old rows are an
+                    # unknown interval)
+                    stats_map[rel] = fresh
                 else:
                     stats_map.pop(rel, None)
             return sorted(set(base) | set(new)), txn_map, stats_map

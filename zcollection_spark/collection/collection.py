@@ -67,6 +67,14 @@ from .merge import (MergeCallable, concat as merge_concat,
 CONFIG_NAME = "_zcollection.json"
 
 
+def _is_temporal_dtype(dtype: str) -> bool:
+    """Datetime-ish schema dtypes — excluded from zone-map stats (their
+    string bounds would not order like Spark's timestamp casts)."""
+    d = dtype.lower()
+    return d.startswith(("datetime", "timedelta")) or "date" in d \
+        or "timestamp" in d
+
+
 IMMUTABLE_RELPATH = "_immutable/data.parquet"
 ROW_IDX = "_row_idx"
 
@@ -113,6 +121,17 @@ def create_collection(spark: SparkSession, path: str, *,
                 raise SchemaError(
                     f"stats column {col!r} is not a partitioned "
                     f"variable of the schema")
+            if _is_temporal_dtype(var_map[col].dtype):
+                # bounds are stored as ISO strings but where-literals
+                # are strings Spark CASTS to timestamps — '2024-01-04'
+                # vs '2024-01-04T00:00:00' order differently as text
+                # than as time, so pruning could silently drop rows.
+                # Time ranges are the partitioning axis's job anyway.
+                raise SchemaError(
+                    f"stats column {col!r} is temporal "
+                    f"({var_map[col].dtype}): timestamp pruning is the "
+                    f"partitioning's job — use Date partitioning keys "
+                    f"in filters= instead of where= zone maps")
     doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
            "partitioning": partitioning.to_json(),
            "catalog_enabled": catalog_enabled}
@@ -514,9 +533,10 @@ class Collection:
         sinks use it for exactly-once replay skip.  ``stats_df`` is the
         exact DataFrame being written; when given (and the collection
         has ``stats_columns``) zone-map stats ride the same intent +
-        catalog PUT.  Callers that rewrite partitions WITHOUT providing
-        it (e.g. ``update``) deliberately drop those partitions' stats —
-        conservative scans instead of stale pruning."""
+        catalog PUT.  Any caller that rewrites partitions WITHOUT
+        providing it drops those partitions' stats (conservative scans
+        instead of stale pruning); every in-repo rewrite path — insert,
+        merges, ``update``, ``compact`` — provides it and refreshes."""
         stats_fn = None
         if stats_df is not None and self.stats_columns \
                 and self.catalog_enabled:

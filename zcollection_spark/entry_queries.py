@@ -2078,7 +2078,15 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "big_orders": ORACLE_BIG_ORDERS,
         "event_gaps": ORACLE_EVENT_GAPS,
     }
-    import duckdb as _duckdb
+    try:
+        # duckdb imported inside the guard: its absence degrades the
+        # two data-dependent oracles, never the whole map
+        import duckdb as _duckdb
+    except ImportError as exc:
+        import warnings
+        warnings.warn(f"knn_ivf oracle skipped — duckdb "
+                      f"unavailable: {exc}")
+        return out
     try:
         out["knn_ivf"] = _ivf_oracle(_ivf_centroids_cached(sf_dir))
         out["knn_ivf_hi"] = _ivf_oracle(

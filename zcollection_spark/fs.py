@@ -79,10 +79,21 @@ class _FileLock:
                 try:
                     age = time.time() - os.stat(self._path).st_mtime
                     if age > _LOCK_TTL_S:
-                        os.unlink(self._path)  # crash-left lock: break it
+                        # Break the stale lock by RENAME to a unique
+                        # sidecar, not unlink: two waiters that both saw
+                        # it stale race the rename, exactly one wins,
+                        # and the loser cannot delete a FRESH lock a
+                        # faster waiter already re-created (the lost-
+                        # update hole a blind unlink opens).
+                        debris = f"{self._path}.broken.{uuid.uuid4().hex}"
+                        try:
+                            os.rename(self._path, debris)
+                            os.unlink(debris)
+                        except OSError:
+                            pass  # another waiter won the break race
                         continue
                 except OSError:
-                    continue  # holder released between stat and unlink
+                    pass  # holder released between create and stat
                 if time.monotonic() > deadline:
                     raise CommitConflictError(
                         f"CAS lock {self._path} held past TTL") from None
@@ -415,7 +426,8 @@ class HadoopFS:
         ``overwrite=false`` is atomic on HDFS, giving the mutual
         exclusion a content-token compare needs."""
         import time
-        fs, jlock = self._fs_path(f"{path}.__cas_lock__")
+        lock_path = f"{path}.__cas_lock__"
+        fs, jlock = self._fs_path(lock_path)
         deadline = time.monotonic() + _LOCK_TTL_S
         while True:
             try:
@@ -426,10 +438,18 @@ class HadoopFS:
                     st = fs.getFileStatus(jlock)
                     if (time.time() * 1000 - st.getModificationTime()
                             > _LOCK_TTL_S * 1000):
-                        fs.delete(jlock, False)  # crash-left: break it
-                        continue
+                        # break via rename-to-sidecar: exactly one
+                        # waiter wins; a blind delete could remove a
+                        # FRESH lock another waiter just created
+                        debris = f"{lock_path}.broken.{uuid.uuid4().hex}"
+                        _, jdebris = self._fs_path(debris)
+                        if fs.rename(jlock, jdebris):
+                            fs.delete(jdebris, False)
                 except Exception:
-                    continue  # holder released between create and stat
+                    pass  # holder released / stat or rename refused
+                # EVERY failed create passes the deadline gate + sleep:
+                # a non-contention failure (permissions, connectivity)
+                # surfaces as a conflict instead of a hot infinite loop
                 if time.monotonic() > deadline:
                     raise CommitConflictError(
                         f"CAS lock {path} held past TTL") from None
@@ -639,8 +659,17 @@ class S3FS:
         self.api_counts["head"] += 1
         try:
             return self._client.head_object(Bucket=bucket, Key=key)
-        except self._client.exceptions.ClientError:
-            return None
+        except self._client.exceptions.ClientError as exc:
+            # ONLY a 404 means absent.  A throttle/5xx/403 answered as
+            # "absent" would make recovery re-run phase-1 parking on a
+            # published generation and wedge the partition — transient
+            # faults must surface, not masquerade as missing objects.
+            status = exc.response.get("ResponseMetadata", {}) \
+                .get("HTTPStatusCode")
+            code = exc.response.get("Error", {}).get("Code", "")
+            if status == 404 or code in ("404", "NoSuchKey", "NotFound"):
+                return None
+            raise
 
     def _list_page(self, bucket: str, **kwargs):
         self.api_counts["list"] += 1
@@ -925,14 +954,27 @@ class S3FS:
         return mirror
 
 
+#: One S3FS per (endpoint, region) — the client, the scratch root, and
+#: the ETag-validated localize mirror are all reusable; a fresh instance
+#: per fs_for call would re-download every mirrored object for each
+#: Collection handle on the same store.
+_S3_CACHE: dict = {}
+_S3_CACHE_LOCK = threading.Lock()
+
+
 def fs_for(path: str, spark: SparkSession | None = None):
     """Pick the metadata FS for ``path`` by scheme."""
     if path.startswith("memory://"):
         return _MEMORY_FS
     scheme = scheme_of(path)
     if scheme in ("s3", "s3a", "s3n"):
+        key = (os.environ.get("AWS_ENDPOINT_URL"),
+               os.environ.get("AWS_REGION"))
         try:
-            return S3FS()
+            with _S3_CACHE_LOCK:
+                if key not in _S3_CACHE:
+                    _S3_CACHE[key] = S3FS()
+                return _S3_CACHE[key]
         except ImportError:
             pass  # no boto3: fall through to the JVM connector
     if "://" in path and not path.startswith("file://"):

@@ -207,6 +207,9 @@ def _walk(node: ast.expr):
         return ev
     if isinstance(node, ast.Compare):
         return _compare(node)
+    if isinstance(node, ast.Constant) and isinstance(node.value, bool):
+        val = node.value
+        return lambda stats, _v=val: (_v, _v)
     raise ExpressionError(
         f"unsupported expression node {type(node).__name__}")
 
@@ -220,8 +223,8 @@ def compile_zone_filter(
     :class:`ExpressionError` on grammar violations, same contract as
     ``compile_filter``.
     """
-    if expr is None:
-        return lambda stats: True
+    if expr is None or expr.strip() == "":
+        return lambda stats: True  # tautology — compile_filter parity
     try:
         tree = ast.parse(expr, mode="eval")
     except SyntaxError as exc:

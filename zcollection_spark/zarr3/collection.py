@@ -141,12 +141,18 @@ def create_zarr_collection(spark: SparkSession, path: str, *,
                 f"supported by the zarr3 layout (use the parquet layout)")
     stats_columns = sorted(stats_columns) if stats_columns else None
     if stats_columns:
+        from ..collection.collection import _is_temporal_dtype
         var_map = bound.variable_map
         for col in stats_columns:
             if col not in var_map or var_map[col].immutable:
                 raise SchemaError(
                     f"stats column {col!r} is not a partitioned "
                     f"variable of the schema")
+            if _is_temporal_dtype(var_map[col].dtype):
+                raise SchemaError(
+                    f"stats column {col!r} is temporal "
+                    f"({var_map[col].dtype}): use partitioning filters "
+                    f"for time ranges, not where= zone maps")
     doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
            "partitioning": partitioning.to_json(),
            "data_format": "zarr3", "catalog_enabled": True}
