@@ -186,3 +186,102 @@ def test_wav_roundtrip_property(n, rate, bits, seed):
     assert got_rate == rate and len(decoded) == n
     tol = 2.0 / (1 << (bits - 1))  # quantization bound
     assert np.abs(decoded - samples).max() <= tol
+
+
+# ---------------------------------------------------------------------------
+# zone-map soundness: may_match is CONSERVATIVE
+# ---------------------------------------------------------------------------
+
+_zone_cols = ("a", "b")
+
+
+@st.composite
+def zone_exprs(draw):
+    """Random predicates in the where-dialect over columns a, b."""
+    def leaf():
+        col = draw(st.sampled_from(_zone_cols))
+        kind = draw(st.sampled_from(["cmp", "in", "notin"]))
+        if kind == "cmp":
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "==", "!="]))
+            rhs = draw(st.one_of(
+                st.integers(-20, 20),
+                st.sampled_from(list(_zone_cols))))
+            return f"{col} {op} {rhs}"
+        vals = draw(st.lists(st.integers(-20, 20), min_size=1,
+                             max_size=3))
+        neg = " not" if kind == "notin" else ""
+        return f"{col}{neg} in ({', '.join(map(str, vals))},)"
+
+    parts = [leaf() for _ in range(draw(st.integers(1, 3)))]
+    expr = parts[0]
+    for p in parts[1:]:
+        joiner = draw(st.sampled_from(["and", "or"]))
+        expr = f"({expr}) {joiner} ({p})"
+    if draw(st.booleans()):
+        expr = f"not ({expr})"
+    return expr
+
+
+@st.composite
+def zone_stats(draw):
+    """Random per-column intervals with optional nulls."""
+    out = {}
+    for col in _zone_cols:
+        if not draw(st.booleans()):
+            continue  # unknown column: evaluator must keep
+        lo = draw(st.integers(-15, 15))
+        hi = lo + draw(st.integers(0, 10))
+        nulls = draw(st.integers(0, 2))
+        out[col] = [lo, hi, nulls]
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(expr=zone_exprs(), stats=zone_stats())
+def test_zone_may_match_is_conservative(expr, stats):
+    """If ANY concrete row drawn from the stats intervals satisfies the
+    predicate (SQL three-valued: null comparisons are not-true), the
+    zone evaluator MUST keep the partition.  Skipping a partition that
+    holds a matching row is the one unforgivable zone-map bug; the
+    brute-force check enumerates the full integer cross-product of the
+    (small) intervals plus null combinations."""
+    from zcollection_spark.partitioning.expression import compile_filter
+    from zcollection_spark.partitioning.zonemap import compile_zone_filter
+
+    may = compile_zone_filter(expr)(stats)
+    if may:
+        return  # keeping is always sound
+
+    predicate = compile_filter(expr, allow_float=True)
+
+    def sql_eval(row) -> bool:
+        # evaluate with SQL semantics: any null operand → not-true.
+        # the compiled closure is Python (None comparisons raise), so
+        # probe: if the expression references a null column, SQL says
+        # the comparison is unknown; conservatively treat full-row
+        # evaluation as False only when ALL referenced cols non-null
+        if any(row[c] is None for c in predicate.names if c in row):
+            return False
+        try:
+            return bool(predicate.evaluate(row))
+        except Exception:
+            return False
+
+    domains = []
+    for col in _zone_cols:
+        if col in stats:
+            lo, hi, nulls = stats[col]
+            vals = list(range(lo, hi + 1))
+            if nulls:
+                vals.append(None)
+            domains.append(vals)
+        else:
+            domains.append([0])  # unknown col: stats said nothing,
+            # but then may would be True for any predicate over it —
+            # and we only reach here when may is False
+
+    import itertools
+    for a, b in itertools.product(*domains):
+        assert not sql_eval({"a": a, "b": b}), (
+            f"pruned partition holds matching row a={a} b={b} "
+            f"for {expr!r} with stats {stats!r}")
