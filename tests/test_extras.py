@@ -272,3 +272,35 @@ def test_cli_repair_reports_recovery_outcome(spark, seq_collection,
 
     capsys.readouterr()
     assert cli.main(["verify", root]) == 0
+
+
+def test_cli_changes(spark, seq_collection, capsys):
+    """Ops surface of the incremental diff: bare call prints generation
+    + history; --since prints added/removed."""
+    assert cli.main(["changes", seq_collection.path]) == 0
+    head = json.loads(capsys.readouterr().out)
+    gen = head["generation"]
+    assert gen >= 1 and gen in head["history"]
+
+    import numpy as np
+    import pandas as pd
+    bound = seq_collection.schema
+    pdf = pd.DataFrame({
+        "num": np.array([7, 7], dtype=np.int64),
+        "value": [[1.0, 2.0, 3.0]] * 2,
+        "static": [[10.0, 20.0, 30.0]] * 2})
+    seq_collection.insert(
+        spark.createDataFrame(pdf, schema=bound.to_struct_type()))
+
+    assert cli.main(["changes", seq_collection.path, "--since",
+                     str(gen)]) == 0
+    diff = json.loads(capsys.readouterr().out)
+    assert diff["added"] == ["num=7"] and diff["removed"] == []
+    # unknown/pruned generation: loud error, nonzero exit
+    assert cli.main(["changes", seq_collection.path, "--since",
+                     "999"]) == 1
+    assert "not available" in json.loads(
+        capsys.readouterr().out)["error"]
+    assert cli.main(["inspect", seq_collection.path]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["generation"] == seq_collection.generation()

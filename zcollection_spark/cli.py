@@ -41,6 +41,8 @@ def cmd_inspect(args: argparse.Namespace) -> int:
         "axis": coll.axis,
         "partitioning": coll.partitioning.to_json(),
         "catalog_enabled": coll.catalog_enabled,
+        "generation": coll.generation(),
+        "stats_columns": getattr(coll, "stats_columns", []),
         "n_partitions": len(coll.partitions()),
         "dimensions": [
             {"name": d.name, "size": d.size} for d in
@@ -164,6 +166,24 @@ def cmd_verify(args: argparse.Namespace) -> int:
     return 0 if ok else 1
 
 
+def cmd_changes(args: argparse.Namespace) -> int:
+    """Incremental partition diff since a catalog generation — the ops
+    surface of ``Collection.changes`` (pipelines script against it:
+    process ``added``, invalidate ``removed``, persist ``to``)."""
+    coll = _open(args.path)
+    if args.since is None:
+        print(json.dumps({"generation": coll.generation(),
+                          "history": coll._catalog.history()}, indent=1))
+        return 0
+    from .errors import StoreError
+    try:
+        print(json.dumps(coll.changes(args.since), indent=1))
+        return 0
+    except StoreError as exc:
+        print(json.dumps({"error": str(exc)}, indent=1))
+        return 1
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     coll = _open(args.path, mode="rw")
     report = coll.compact(filters=args.filter)
@@ -223,6 +243,13 @@ def main(argv: list[str] | None = None) -> int:
     p_cp.add_argument("path")
     p_cp.add_argument("--filter", default=None)
     p_cp.set_defaults(fn=cmd_compact)
+
+    p_ch = sub.add_parser(
+        "changes", help="partitions added/removed since a generation "
+                        "(no --since: print generation + history)")
+    p_ch.add_argument("path")
+    p_ch.add_argument("--since", type=int, default=None, metavar="GEN")
+    p_ch.set_defaults(fn=cmd_changes)
 
     args = parser.parse_args(argv)
     return args.fn(args)
