@@ -632,6 +632,20 @@ class Collection:
         return self._catalog.read_txn(app_id) \
             if self.catalog_enabled else -1
 
+    def exclusive_writer(self, *, ttl: float = 60.0,
+                         owner: str | None = None):
+        """Advisory single-producer lease (context manager).
+
+        ``with coll.exclusive_writer(): coll.insert(...)`` — a second
+        cooperating writer gets :class:`LeaseHeldError` until release or
+        TTL expiry; takeover of an expired lease is CAS-serialized so
+        exactly one of N racers wins (collection/lease.py).  Opt-in: the
+        protocol itself converges under concurrent writers, this is for
+        pipelines that want exactly one producer."""
+        from .lease import WriterLease
+        self._require_writable()
+        return WriterLease(self._fs, self.path, ttl=ttl, owner=owner)
+
     def generation(self) -> int:
         """Monotonic catalog commit counter (CAS-serialized).  Readers
         that must not observe a torn multi-writer state compare the

@@ -50,6 +50,16 @@ class ReadOnlyError(ZCollectionError):
     """Write attempted on a collection opened with mode='r'."""
 
 
+class LeaseHeldError(StoreError):
+    """An exclusive-writer lease is held by another live writer.
+
+    Raised by ``Collection.exclusive_writer`` when the lease file
+    exists, is unexpired, and belongs to someone else.  The protocol
+    itself tolerates concurrent writers (union convergence); the lease
+    is the opt-in mutual exclusion for pipelines that want exactly one
+    producer."""
+
+
 class FormatVersionError(SchemaError):
     """On-disk format_version is newer than this library supports."""
 
