@@ -123,3 +123,26 @@ def test_stream_changes_end_to_end(spark, tmp_path):
     _ins(spark, coll, [3])
     # restart from the SAME checkpoint: only the new commit streams
     assert run("chg2") == {("num=3", "added")}
+
+
+def test_reader_is_layout_agnostic_zarr3(spark, tmp_path):
+    """The reader speaks to the catalog, not the data layout — zarr3
+    collections stream the same events."""
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "z"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)))
+    reader = ChangesStreamReader(coll.path)
+    start = reader.initialOffset()
+    pdf = pd.DataFrame({"i": np.array([0, 1], dtype=np.int64),
+                        "num": np.array([4, 5], dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        pdf, schema=coll.schema.to_struct_type()))
+    rows, _ = reader.read(start)
+    assert [(r[1], r[2]) for r in rows] == [("num=4", "added"),
+                                            ("num=5", "added")]
