@@ -189,8 +189,15 @@ def main() -> None:
                     schema=infer_schema(events.schema, axis="ts"),
                     axis="ts", partitioning=zc.Date(("ts",),
                                                     resolution="D"))
+                pre_insert = dict(s3coll._fs.api_counts)
                 s3coll.insert(jan)
-                insert_ops = dict(s3coll._fs.api_counts)
+                # DIFF against the post-create snapshot: fs_for caches
+                # one S3FS per endpoint, so the counter is shared and
+                # cumulative — a raw read would fold create ops in
+                insert_ops = {
+                    k: v - pre_insert.get(k, 0)
+                    for k, v in s3coll._fs.api_counts.items()
+                    if v - pre_insert.get(k, 0)}
                 reopened = zc.open_collection(spark, "s3://bench/events")
                 reopened._fs.api_counts.clear()
                 n_parts = len(reopened.partitions())

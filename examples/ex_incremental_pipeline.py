@@ -65,13 +65,14 @@ def main() -> None:
     diff = coll.changes(checkpoint)
     print(f"since generation {diff['from']}: {len(diff['added'])} "
           f"partitions added, {len(diff['removed'])} removed")
-    delta_filter = " or ".join(
-        "(" + " and ".join(f"{k} == {v}" for k, v in
-                           coll.partitioning.decode(rel).items()) + ")"
-        for rel in diff["added"][:3])
-    sample = coll.query(filters=delta_filter)
-    print(f"first 3 changed partitions re-read: "
-          f"{sample.count()} rows, {len(sample.inputFiles())} files")
+    if diff["added"]:
+        delta_filter = " or ".join(
+            "(" + " and ".join(f"{k} == {v}" for k, v in
+                               coll.partitioning.decode(rel).items())
+            + ")" for rel in diff["added"][:3])
+        sample = coll.query(filters=delta_filter)
+        print(f"first 3 changed partitions re-read: "
+              f"{sample.count()} rows, {len(sample.inputFiles())} files")
 
     # -- or as a stream: one availableNow pass over the same delta -----
     seen = []

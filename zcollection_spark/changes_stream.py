@@ -31,13 +31,13 @@ No reference counterpart (single-process library, no CDC surface).
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Tuple  # noqa: F401 (signature types)
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
-from .collection.catalog import Catalog
+from .collection.catalog import Catalog, diff_documents
 from .errors import StoreError
 
 SCHEMA = T.StructType([
@@ -47,20 +47,8 @@ SCHEMA = T.StructType([
 ])
 
 
-def _diff_rows(base_doc: dict, cur_doc: dict,
-               since: int) -> Iterator[Tuple]:
-    """Change rows between two catalog documents (see
-    ``Collection.changes`` for the stamp semantics)."""
-    to_gen = int(cur_doc.get("generation", 0))
-    old = set(base_doc.get("partitions", []))
-    new = set(cur_doc.get("partitions", []))
-    stamps = cur_doc.get("touched", {})
-    for rel in sorted(new):
-        stamp = int(stamps.get(rel, to_gen))
-        if stamp > since:
-            yield (stamp, rel, "added")
-    for rel in sorted(old - new):
-        yield (to_gen, rel, "removed")
+#: the one diff implementation, shared with Collection.changes
+_diff_rows = diff_documents
 
 
 class ChangesStreamReader(SimpleDataSourceStreamReader):
@@ -97,19 +85,20 @@ class ChangesStreamReader(SimpleDataSourceStreamReader):
                                           "partitions": []}
         to_gen = int(cur.get("generation", 0))
         if to_gen <= since:
-            return [], start
+            # an ITERATOR, not a list: the engine probes an unadvanced
+            # offset with next() (add_result_to_cache) — next([]) is a
+            # TypeError that would kill the query on its first idle poll
+            return iter(()), start
         base = self._doc_at(since)
-        # a LIST, not a generator: the engine pickles prefetched rows
-        # into the offset log for replay
-        return list(_diff_rows(base, cur, since)), {"generation": to_gen}
+        # a LIST (picklable prefetch cache), only for ADVANCED offsets
+        return _diff_rows(base, cur, since), {"generation": to_gen}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         # replay a committed-but-unprocessed batch after restart: both
         # endpoints resolve through immutable snapshot files
         since = int(start["generation"])
-        return list(_diff_rows(self._doc_at(since),
-                               self._doc_at(int(end["generation"])),
-                               since))
+        return _diff_rows(self._doc_at(since),
+                          self._doc_at(int(end["generation"])), since)
 
     def commit(self, end: dict) -> None:
         pass  # retention is GC policy, not per-query
@@ -137,8 +126,12 @@ def register(spark: SparkSession) -> None:
     """Idempotently register the source with a session."""
     try:
         spark.dataSource.register(ChangesDataSource)
-    except Exception:
-        pass  # already registered
+    except Exception as exc:
+        # swallow ONLY the duplicate-registration case; a genuine
+        # failure (unsupported session type) must not surface later as
+        # an unrelated DATA_SOURCE_NOT_FOUND at .load()
+        if "exist" not in str(exc).lower():
+            raise
 
 
 def stream_changes(spark: SparkSession, path: str, *,

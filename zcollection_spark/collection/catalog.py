@@ -41,6 +41,28 @@ def _checksum(partitions: list[str]) -> str:
     return hashlib.sha256("\n".join(partitions).encode()).hexdigest()
 
 
+def diff_documents(base_doc: dict, cur_doc: dict,
+                   since: int) -> list[tuple]:
+    """Partition-level change rows ``(stamp, relpath, change)`` between
+    two catalog documents — THE diff semantics, shared by the batch API
+    (``Collection.changes``) and the CDC stream (changes_stream.py) so
+    the two can never drift apart.  A partition's ``touched`` stamp
+    decides 'changed since'; a missing stamp (legacy document) counts
+    as touched-now so consumers reprocess rather than skip."""
+    to_gen = int(cur_doc.get("generation", 0))
+    old = set(base_doc.get("partitions", []))
+    new = set(cur_doc.get("partitions", []))
+    stamps = cur_doc.get("touched", {})
+    rows = []
+    for rel in sorted(new):
+        stamp = int(stamps.get(rel, to_gen))
+        if stamp > since:
+            rows.append((stamp, rel, "added"))
+    for rel in sorted(old - new):
+        rows.append((to_gen, rel, "removed"))
+    return rows
+
+
 def _widen_stats(old: dict, new: dict) -> dict:
     """Union two ``{col: [min, max, nulls]}`` maps (append publish).
     A column present on only one side keeps NO entry — its interval is

@@ -59,7 +59,7 @@ from ..partitioning import from_json as partitioning_from_json
 from ..partitioning.zonemap import compile_zone_filter
 from ..schema import DatasetSchema, FORMAT_VERSION, upgrade
 from . import staging as staging_proto
-from .catalog import Catalog
+from .catalog import Catalog, diff_documents as catalog_diff
 from .stats import collect_zone_stats
 from .merge import (MergeCallable, concat as merge_concat,
                     replace as merge_replace, resolve_merge)
@@ -160,9 +160,22 @@ def open_collection(spark: SparkSession, path: str, *,
         raise StoreError(f"unreadable collection config: {exc}") from None
     schema = DatasetSchema.from_json(doc["schema"])
     partitioning = partitioning_from_json(doc["partitioning"])
+    stats_columns = doc.get("stats_columns")
+    if stats_columns:
+        # collections written before the temporal-stats rejection may
+        # carry timestamp columns whose ISO-string bounds do not order
+        # like Spark's casts — disable THEIR pruning, keep the rest
+        var_map = schema.variable_map
+        bad = [c for c in stats_columns if c in var_map
+               and _is_temporal_dtype(var_map[c].dtype)]
+        if bad:
+            import warnings
+            warnings.warn(f"ignoring temporal stats columns {bad} "
+                          f"(unsafe string-vs-timestamp ordering)")
+            stats_columns = [c for c in stats_columns if c not in bad]
     return Collection(spark, path, schema, partitioning, mode=mode,
                       catalog_enabled=doc.get("catalog_enabled", True),
-                      stats_columns=doc.get("stats_columns"))
+                      stats_columns=stats_columns)
 
 
 class Collection:
@@ -330,8 +343,17 @@ class Collection:
         if not stats_map:
             return relpaths
         may_match = compile_zone_filter(where)
-        return [rel for rel in relpaths
-                if may_match(stats_map.get(rel))]
+        allowed = set(self.stats_columns)
+
+        def masked(rel):
+            entry = stats_map.get(rel)
+            if entry is None:
+                return None
+            # only columns the open-time validation accepted may prune
+            # (masks legacy temporal entries in the catalog)
+            return {c: v for c, v in entry.items() if c in allowed}
+
+        return [rel for rel in relpaths if may_match(masked(rel))]
 
     def _load(self, *, filters: str | None = None,
               where: str | None = None,
@@ -677,16 +699,10 @@ class Collection:
             raise StoreError(
                 f"generation {since_generation} is not available "
                 f"(pruned history?) — resync with a full scan")
-        old = set(base_doc["partitions"])
-        new = set(current.get("partitions", []))
-        # the catalog stamps every partition with the generation that
-        # last touched it; a missing stamp (legacy doc) counts as
-        # touched-now so consumers reprocess rather than skip
-        stamps = current.get("touched", {})
-        changed = {rel for rel in new
-                   if int(stamps.get(rel, to_gen)) > since_generation}
-        return {"added": sorted(changed),
-                "removed": sorted(old - new),
+        rows = catalog_diff(base_doc, current, since_generation)
+        return {"added": [rel for _, rel, ch in rows if ch == "added"],
+                "removed": [rel for _, rel, ch in rows
+                            if ch == "removed"],
                 "from": since_generation, "to": to_gen}
 
     def nbytes(self, *, filters: str | None = None) -> int:

@@ -53,30 +53,36 @@ class WriterLease:
 
     def acquire(self) -> "WriterLease":
         """Create-only acquire; expired leases are taken over with a
-        token-conditional replace (exactly one of N racers wins)."""
+        token-conditional replace (exactly one of N racers wins).  The
+        held token comes from ``write_if``'s return value — atomic with
+        the write, so a racing takeover can never hand us the usurper's
+        token."""
         try:
-            self._fs.write_if(self._path, self._doc(), None)
+            self._token = self._fs.write_if(self._path, self._doc(),
+                                            None)
+            return self
         except CommitConflictError:
-            text, token = self._fs.read_versioned(self._path)
-            if text is None:
-                # deleted between our attempts: retry the create
-                return self.acquire()
-            try:
-                held = json.loads(text)
-            except ValueError:
-                held = {"owner": "<corrupt>", "expires": 0.0}
-            if float(held.get("expires", 0.0)) > time.time():
-                raise LeaseHeldError(
-                    f"writer lease on {self._path} held by "
-                    f"{held.get('owner')!r} for another "
-                    f"{float(held['expires']) - time.time():.0f}s") \
-                    from None
-            try:
-                self._fs.write_if(self._path, self._doc(), token)
-            except CommitConflictError:
-                raise LeaseHeldError(
-                    f"lost the takeover race for {self._path}") from None
-        self._token = self._fs.read_versioned(self._path)[1]
+            pass
+        text, token = self._fs.read_versioned(self._path)
+        if text is None:
+            # deleted between our attempts: retry the create
+            return self.acquire()
+        try:
+            held = json.loads(text)
+        except ValueError:
+            held = {"owner": "<corrupt>", "expires": 0.0}
+        if float(held.get("expires", 0.0)) > time.time():
+            raise LeaseHeldError(
+                f"writer lease on {self._path} held by "
+                f"{held.get('owner')!r} for another "
+                f"{float(held['expires']) - time.time():.0f}s") \
+                from None
+        try:
+            self._token = self._fs.write_if(self._path, self._doc(),
+                                            token)
+        except CommitConflictError:
+            raise LeaseHeldError(
+                f"lost the takeover race for {self._path}") from None
         return self
 
     def renew(self) -> None:
@@ -86,26 +92,31 @@ class WriterLease:
         if self._token is None:
             raise LeaseHeldError("renew() without an acquired lease")
         try:
-            self._fs.write_if(self._path, self._doc(), self._token)
+            self._token = self._fs.write_if(self._path, self._doc(),
+                                            self._token)
         except CommitConflictError:
             self._token = None
             raise LeaseHeldError(
                 f"lease on {self._path} was taken over — writer must "
                 f"stop") from None
-        self._token = self._fs.read_versioned(self._path)[1]
 
     def release(self) -> None:
-        """Best-effort delete of OUR lease (never someone else's: the
-        current content must still carry our owner id)."""
+        """Release by CAS-EXPIRING our lease document (a tombstone with
+        ``expires=0``), never by delete: a read-then-delete could
+        remove a usurper's live lease when our own expired mid-release
+        (TOCTOU).  The conditional write on OUR token either expires
+        our generation atomically or fails silently because someone
+        already took over — exactly the wanted semantics.  The next
+        acquirer takes the tombstone over through the normal expired
+        path."""
         if self._token is None:
             return
-        text, _ = self._fs.read_versioned(self._path)
-        if text is not None:
-            try:
-                if json.loads(text).get("owner") == self.owner:
-                    self._fs.delete(self._path)
-            except ValueError:
-                pass
+        tomb = json.dumps({"owner": self.owner, "expires": 0.0,
+                           "released": True}, indent=1)
+        try:
+            self._fs.write_if(self._path, tomb, self._token)
+        except CommitConflictError:
+            pass  # taken over already: nothing of ours left to release
         self._token = None
 
     def __enter__(self) -> "WriterLease":

@@ -138,11 +138,15 @@ class LocalFS:
             return None, None
         return data, _content_token(data)
 
-    def write_if(self, path: str, data: str, token: str | None) -> None:
+    def write_if(self, path: str, data: str,
+                 token: str | None) -> str:
         """Conditional atomic write: ``token=None`` → create-only (fail
         if the file exists); else the file must still be the version the
         token names.  Raises :class:`CommitConflictError` if another
-        writer got there first — the caller re-reads and retries."""
+        writer got there first — the caller re-reads and retries.
+        Returns the token of the JUST-WRITTEN version (computed inside
+        the critical section — a caller that re-read instead could
+        adopt a usurper's token after a racing takeover)."""
         target = Path(path)
         target.parent.mkdir(parents=True, exist_ok=True)
         with _FileLock(path):
@@ -154,6 +158,7 @@ class LocalFS:
             tmp = target.parent / f".{target.name}.{uuid.uuid4().hex}.tmp"
             tmp.write_text(data)
             os.replace(tmp, target)
+            return _content_token(data)
 
     def delete(self, path: str) -> None:
         target = Path(path)
@@ -277,7 +282,8 @@ class MemoryFS:
             data = self._files[p]
             return data, _content_token(data)
 
-    def write_if(self, path: str, data: str, token: str | None) -> None:
+    def write_if(self, path: str, data: str,
+                 token: str | None) -> str:
         p = self._norm(path)
         with self._lock:  # the store's own lock IS the CAS atomicity
             current = self._files.get(p)
@@ -290,6 +296,7 @@ class MemoryFS:
             if parent:
                 self._dirs.add(parent)
             self._files[p] = data
+            return _content_token(data)
 
     def delete(self, path: str) -> None:
         p = self._norm(path)
@@ -421,7 +428,7 @@ class HadoopFS:
         data = self.read_text(path)
         return data, _content_token(data)
 
-    def write_if(self, path: str, data: str, token: str | None) -> None:
+    def write_if(self, path: str, data: str, token: str | None) -> str:
         """CAS via an exclusive-create lock file — ``create`` with
         ``overwrite=false`` is atomic on HDFS, giving the mutual
         exclusion a content-token compare needs."""
@@ -461,6 +468,7 @@ class HadoopFS:
                 raise CommitConflictError(
                     f"{path}: version changed under a conditional write")
             self.write_text(path, data)
+            return _content_token(data)
         finally:
             try:
                 fs.delete(jlock, False)
@@ -554,9 +562,9 @@ class CountingFS:
         self.counts["get"] += 1
         return self.inner.read_versioned(path)
 
-    def write_if(self, path: str, data: str, token) -> None:
+    def write_if(self, path: str, data: str, token) -> str:
         self.counts["put"] += 1
-        self.inner.write_if(path, data, token)
+        return self.inner.write_if(path, data, token)
 
     def delete(self, path: str) -> None:
         self.counts["delete"] += 1
@@ -743,18 +751,21 @@ class S3FS:
             return None, None
         return resp["Body"].read().decode("utf-8"), resp["ETag"]
 
-    def write_if(self, path: str, data: str, token: str | None) -> None:
+    def write_if(self, path: str, data: str, token: str | None) -> str:
         """True server-side compare-and-swap: conditional PUT with
         ``If-Match`` (update) / ``If-None-Match: *`` (create-only) —
-        no locks, one API call, scales to any number of writers."""
+        no locks, one API call, scales to any number of writers.
+        Returns the new version's ETag straight from the PUT response
+        (no separate read that a racing takeover could poison)."""
         from botocore.exceptions import ClientError
         bucket, key = self._bk(path)
         kwargs = ({"IfNoneMatch": "*"} if token is None
                   else {"IfMatch": token})
         self.api_counts["put"] += 1
         try:
-            self._client.put_object(Bucket=bucket, Key=key,
-                                    Body=data.encode("utf-8"), **kwargs)
+            return self._client.put_object(
+                Bucket=bucket, Key=key,
+                Body=data.encode("utf-8"), **kwargs)["ETag"]
         except ClientError as exc:
             code = exc.response.get("Error", {}).get("Code", "")
             if code in ("PreconditionFailed", "ConditionalRequestConflict",
@@ -968,8 +979,13 @@ def fs_for(path: str, spark: SparkSession | None = None):
         return _MEMORY_FS
     scheme = scheme_of(path)
     if scheme in ("s3", "s3a", "s3n"):
+        import hashlib as _hl
+        cred = _hl.sha256("\x00".join(
+            os.environ.get(k, "") for k in
+            ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY",
+             "AWS_SESSION_TOKEN")).encode()).hexdigest()
         key = (os.environ.get("AWS_ENDPOINT_URL"),
-               os.environ.get("AWS_REGION"))
+               os.environ.get("AWS_REGION"), cred)
         try:
             with _S3_CACHE_LOCK:
                 if key not in _S3_CACHE:

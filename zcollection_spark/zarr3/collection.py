@@ -173,9 +173,21 @@ def open_zarr_collection(spark: SparkSession, path: str) -> "ZarrCollection":
     if not fs.exists(config_path):
         raise CollectionNotFoundError(f"no collection at {path!r}")
     doc = json.loads(fs.read_text(config_path))
-    return ZarrCollection(spark, path, DatasetSchema.from_json(doc["schema"]),
+    schema = DatasetSchema.from_json(doc["schema"])
+    stats_columns = doc.get("stats_columns")
+    if stats_columns:
+        from ..collection.collection import _is_temporal_dtype
+        var_map = schema.variable_map
+        bad = [c for c in stats_columns if c in var_map
+               and _is_temporal_dtype(var_map[c].dtype)]
+        if bad:
+            import warnings
+            warnings.warn(f"ignoring temporal stats columns {bad} "
+                          f"(unsafe string-vs-timestamp ordering)")
+            stats_columns = [c for c in stats_columns if c not in bad]
+    return ZarrCollection(spark, path, schema,
                           partitioning_from_json(doc["partitioning"]),
-                          stats_columns=doc.get("stats_columns"))
+                          stats_columns=stats_columns)
 
 
 class ZarrCollection:
@@ -541,8 +553,12 @@ class ZarrCollection:
             if stats_map:
                 from ..partitioning.zonemap import compile_zone_filter
                 may_match = compile_zone_filter(where)
+                allowed = set(self.stats_columns)
+                masked = {rel: {c: v for c, v in entry.items()
+                                if c in allowed}
+                          for rel, entry in stats_map.items()}
                 kept = [rel for rel in relpaths
-                        if may_match(stats_map.get(rel))]
+                        if may_match(masked.get(rel))]
                 if not kept:
                     return None
                 if len(kept) < len(relpaths):
