@@ -406,3 +406,33 @@ def test_merge_upsert_axis_is_partition_key(spark, seq_collection,
     seq_collection.insert(batch2, merge=zc.upsert_within(0.5))
     rows = seq_collection.query(filters="num == 2").collect()
     assert [r["value"] for r in rows] == [[5.0, 5.0, 5.0]]
+
+
+def test_compact_min_files_skips_already_compact(spark, tmp_path,
+                                                 date_schema, date_pdf):
+    """Scheduled maintenance stays proportional to fragmentation: a
+    partition already at one file is skipped entirely (no read, no
+    rewrite, no publish)."""
+    import zcollection_spark as zc
+    from pathlib import Path
+    coll = zc.create_collection(
+        spark, str(tmp_path / "cmpm"), schema=date_schema, axis="time",
+        partitioning=zc.Date(("time",), resolution="M"))
+    bound = date_schema.with_partition_axis("time")
+    sdf = spark.createDataFrame(date_pdf, schema=bound.to_struct_type())
+    coll.insert(sdf)
+    coll.insert(sdf.where("month(time) = 1").withColumn(
+        "v", sdf.v + 100), merge="concat")
+    gen_before = coll.generation()
+    report = coll.compact()                 # default min_files=2
+    assert list(report) == ["year=2024/month=1"]
+    # second run: nothing fragmented -> pure no-op, not even a commit
+    gen_mid = coll.generation()
+    assert coll.compact() == {}
+    assert coll.generation() == gen_mid > gen_before
+    # min_files=1 forces the full rewrite
+    full = coll.compact(min_files=1)
+    assert set(full) == set(coll.partitions())
+    one = sum(1 for _ in Path(coll.path, "year=2024/month=2")
+              .glob("*.parquet"))
+    assert one == 1

@@ -186,7 +186,8 @@ def cmd_changes(args: argparse.Namespace) -> int:
 
 def cmd_compact(args: argparse.Namespace) -> int:
     coll = _open(args.path, mode="rw")
-    report = coll.compact(filters=args.filter)
+    report = coll.compact(filters=args.filter,
+                          min_files=args.min_files)
     compacted = {rel: n for rel, n in report.items() if n > 1}
     print(f"compacted {len(compacted)} of {len(report)} partitions "
           f"({sum(report.values())} files -> {len(report)})")
@@ -242,6 +243,10 @@ def main(argv: list[str] | None = None) -> int:
                           help="rewrite partitions as one file each")
     p_cp.add_argument("path")
     p_cp.add_argument("--filter", default=None)
+    p_cp.add_argument("--min-files", type=int, default=2,
+                      dest="min_files", metavar="N",
+                      help="skip partitions with fewer files (cost "
+                           "proportional to fragmentation)")
     p_cp.set_defaults(fn=cmd_compact)
 
     p_ch = sub.add_parser(

@@ -794,7 +794,8 @@ class Collection:
         df.createOrReplaceTempView(name)
         return df
 
-    def compact(self, *, filters: str | None = None) -> dict[str, int]:
+    def compact(self, *, filters: str | None = None,
+                min_files: int = 2) -> dict[str, int]:
         """Rewrite matching partitions into one file each (small-file
         compaction).
 
@@ -805,6 +806,12 @@ class Collection:
         partition overwrite rewrites each touched partition as ONE file.
         ``_row_idx`` is preserved verbatim (recomputing it could reorder
         concat-merged partitions and break views/index row ranges).
+
+        ``min_files`` makes repeated maintenance runs cheap: partitions
+        already at fewer files are skipped ENTIRELY — no read, no
+        rewrite, no publish — so the cost of a scheduled compaction is
+        proportional to the fragmentation, not the collection
+        (``min_files=1`` forces a full rewrite).
 
         Returns ``{partition_relpath: files_before}`` for the rewritten
         partitions.  No vanilla-Spark analog in the reference; the
@@ -820,7 +827,11 @@ class Collection:
             return sum(1 for f in self._fs.list_files(f"{self.path}/{rel}")
                        if f.endswith(".parquet"))
 
-        before = {rel: count_files(rel) for rel in matching}
+        before = {rel: n for rel in matching
+                  if (n := count_files(rel)) >= max(min_files, 1)}
+        matching = sorted(before)
+        if not matching:
+            return {}
         keys = list(self.partitioning.keys)
         df = self._cast_restored_keys(self._read_partitions(matching))
         # staged swap: the rewrite job reads the live partition files while
