@@ -362,14 +362,15 @@ def main() -> None:
         for name, fn in (("knn_lsh", eq.q_knn_lsh),
                          ("knn_ivf", eq.q_knn_ivf),
                          ("knn_lsh_hi", eq.q_knn_lsh_hi),
-                         ("knn_ivf_hi", eq.q_knn_ivf_hi)):
+                         ("knn_ivf_hi", eq.q_knn_ivf_hi),
+                         ("knn_ivfpq", eq.q_knn_ivfpq)):
             t0 = time.monotonic()
             approx = topk_sets(fn(spark, sf_dir))
             sec = round(time.monotonic() - t0, 3)
             rec = [len(exact[q] & approx.get(q, set())) / len(exact[q])
                    for q in exact]
             counters["ann_recall"][name] = round(sum(rec) / len(rec), 3)
-            if name.endswith("_hi"):
+            if name.endswith("_hi") or name.endswith("pq"):
                 counters["ann_recall"][name + "_sec"] = sec
         # the measured recall-vs-seconds curve behind the _hi configs
         # (tools/ann_sweep.py); committed so the chosen configuration is

@@ -60,7 +60,8 @@ def test_registry_window_invariant():
     names = list(entry_queries.queries())
     # round-5 rotation: the tail is now the eight rounds-1-4-green
     # join/agg variants whose operator surface is covered in-window
-    tail_allowed = {"collection_changes", "collection_projection",
+    tail_allowed = {"collection_changes", "knn_ivfpq",
+                    "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",

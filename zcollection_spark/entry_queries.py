@@ -1919,6 +1919,23 @@ WHERE event_type = 'purchase'
 # registry
 # ---------------------------------------------------------------------------
 
+def q_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN: coarse cells + 8-byte product-quantized residual
+    codes with exact re-rank of the ADC survivors
+    (functions/similarity.py:ivfpq_topk) — the memory-scale ANN path
+    (32x smaller candidate rows than raw float32 at dim=64).  No SQL
+    oracle: the asymmetric-distance reconstruction is not expressible
+    in DuckDB; recall vs exact is recorded in bench counters and
+    pinned with a floor in tests/test_functions.py."""
+    from .functions.similarity import ivfpq_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.orderBy("vec_id").limit(5)
+    return ivfpq_topk(emb, queries_df, id_col="vec_id",
+                      vec_col="embedding", query_id_col="vec_id",
+                      k=10, n_cells=16, n_probe=12, m=8, n_codes=128,
+                      refine_factor=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
@@ -2001,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round, tail-gated locally by tools/check_oracle.py;
         # rotates into the 50-slot driver window next round
         "collection_changes": q_collection_changes,
+        "knn_ivfpq": q_knn_ivfpq,  # no SQL oracle (ADC reconstruction)
     }
 
 

@@ -15,7 +15,8 @@ from .dedup import (dedup_exact, dedup_keep_latest,
                     minhash_signatures, lsh_candidate_pairs,
                     ngram_jaccard_pairs, simhash, simhash_duplicate_pairs)
 from .similarity import (cosine_similarity_col, brute_force_topk,
-                         embedding_dup_pairs, ivf_topk, lsh_bucket_topk)
+                         embedding_dup_pairs, ivf_topk, ivfpq_topk,
+                         lsh_bucket_topk)
 from .ann_index import query_ivf_index, write_ivf_index
 from .text import (fingerprint, language_id, text_stats, token_count,
                    word_shingles, words)
@@ -25,7 +26,7 @@ __all__ = [
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
     "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
-    "ivf_topk", "lsh_bucket_topk",
+    "ivf_topk", "ivfpq_topk", "lsh_bucket_topk",
     "write_ivf_index", "query_ivf_index",
     "fingerprint", "language_id", "text_stats", "token_count",
     "word_shingles", "words",

@@ -567,3 +567,163 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
            .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
     return (scored.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted file
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(residuals: "np.ndarray", m: int, n_codes: int,
+                       *, seed: int, iters: int) -> "np.ndarray":
+    """Per-subspace PQ codebooks over residual vectors: split the dim
+    into ``m`` equal subspaces and k-means each independently (the
+    standard PQ recipe).  Returns ``(m, n_codes, dim//m)`` float64."""
+    n, dim = residuals.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        block = residuals[:, j * sub:(j + 1) * sub]
+        cb = _lloyd_kmeans([row.tolist() for row in block],
+                           n_codes, seed=seed + j, iters=iters)
+        books[j, :len(cb)] = np.asarray(cb, dtype=np.float64)
+        if len(cb) < n_codes:  # tiny training sets: repeat last center
+            books[j, len(cb):] = books[j, len(cb) - 1]
+    return books
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
+               vec_col: str, query_id_col: str,
+               query_vec_col: str | None = None, k: int = 10,
+               n_cells: int = 16, n_probe: int = 4,
+               m: int = 8, n_codes: int = 64,
+               refine_factor: int = 0,
+               seed: int = 42, train_cap: int = 100_000,
+               max_iter: int = 10) -> DataFrame:
+    """IVF-PQ approximate top-k cosine: coarse cells (shared IVF
+    kernel) + per-subspace product quantization of the RESIDUALS.
+
+    THE memory-scale path for ANN: each corpus vector is stored as a
+    cell id plus ``m`` byte-sized codes (8 bytes here vs 256 bytes of
+    float32 at dim=64 — a 32x index shrink), so at 100 TB the scored
+    candidate set streams as tiny code rows instead of raw vectors.
+    Scoring is asymmetric (ADC): the query stays exact, the corpus
+    vector is reconstructed as ``centroid(cell) + Σ_j codebook_j[code_j]``
+    and the score is one gather + one dot per row, vectorized per Arrow
+    batch.  Corpus vectors are L2-normalized BEFORE quantization so the
+    inner product IS the cosine.
+
+    ``refine_factor=r > 0`` re-ranks the top ``r*k`` ADC candidates per
+    query with exact cosine (one id-join back to the raw vectors) — the
+    classic accuracy knob: ADC recall decides which candidates survive,
+    exact math decides their order.
+
+    Same deterministic training contract as :func:`ivf_topk` (bounded
+    id-ordered sample, seeded Lloyd); the coarse assignment reuses
+    ``make_cell_assigner``, so a vector's cell agrees with every other
+    IVF path.
+    """
+    query_vec_col = query_vec_col or vec_col
+    sample = train_centroid_sample(corpus, id_col, vec_col,
+                                   train_cap, n_cells)
+    svecs = np.asarray(sample, dtype=np.float64)
+    svecs = svecs / np.maximum(
+        np.linalg.norm(svecs, axis=1, keepdims=True), 1e-12)
+    cent = _lloyd_kmeans([r_.tolist() for r_ in svecs], n_cells,
+                         seed=seed, iters=max_iter)
+    cent_np, cent_sq = centroid_arrays(cent)
+    d2 = (-2.0 * (svecs @ cent_np.T) + cent_sq[None, :])
+    books = train_pq_codebooks(
+        svecs - cent_np[d2.argmin(1)], m, n_codes,
+        seed=seed + 1000, iters=max_iter)
+    sub = svecs.shape[1] // m
+
+    _assign = make_cell_assigner(cent_np, cent_sq)
+
+    @F.pandas_udf("array<int>")
+    def _encode(batch: pd.Series) -> pd.Series:
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cells_ = (-2.0 * (mat @ cent_np.T)
+                  + cent_sq[None, :]).argmin(1)
+        res = mat - cent_np[cells_]
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            block = res[:, j * sub:(j + 1) * sub]
+            bj = books[j]
+            dj = (-2.0 * (block @ bj.T)
+                  + (bj * bj).sum(1)[None, :])
+            codes[:, j] = dj.argmin(1)
+        return pd.Series([c_.tolist() for c_ in codes])
+
+    cells = corpus.select(
+        F.col(id_col),
+        _assign(vec_col).alias("__cell"),
+        _encode(vec_col).alias("__codes"))
+
+    n_probe_eff = min(n_probe, len(cent))
+
+    @F.pandas_udf("array<int>")
+    def _probe(batch: pd.Series) -> pd.Series:
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        dq = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
+        order = np.argsort(dq, axis=1, kind="stable")[:, :n_probe_eff]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    probes = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.transform(query_vec_col,
+                    lambda v: v.cast("double")).alias("__qvec"),
+        F.explode(_probe(query_vec_col)).alias("__cell"))
+    joined = cells.join(F.broadcast(probes), on="__cell")
+
+    @F.pandas_udf("double")
+    def _adc(qvec: pd.Series, cell: pd.Series,
+             codes: pd.Series) -> pd.Series:
+        q = np.array(qvec.tolist(), dtype=np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                           1e-12)
+        c_ = cell.to_numpy(dtype=np.int64)
+        code_mat = np.array(codes.tolist(), dtype=np.int64)
+        # reconstruction = centroid + per-subspace codebook rows;
+        # score = q · reconstruction (corpus side unit-normalized at
+        # encode time, so this IS the cosine estimate)
+        recon = cent_np[c_].copy()
+        for j in range(m):
+            recon[:, j * sub:(j + 1) * sub] += books[j][code_mat[:, j]]
+        return pd.Series(np.einsum("nd,nd->n", q, recon))
+
+    scored = joined.select(
+        F.col("__qid").alias("query_id"), F.col(id_col),
+        _adc("__qvec", "__cell", "__codes").alias("cosine"))
+    win = (Window.partitionBy("query_id")
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    if refine_factor <= 0:
+        return (scored.withColumn("rank", F.row_number().over(win))
+                .where(F.col("rank") <= k))
+    # exact re-rank of the ADC survivors: candidates shrink to r*k per
+    # query BEFORE the raw vectors are touched
+    cand = (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k * refine_factor)
+            .drop("rank", "cosine"))
+    raw = corpus.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("__cvec")
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    qraw = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(query_vec_col,
+                    lambda v: v.cast("double")).alias("__qvec"))
+    exact = (cand.join(raw, on=id_col)
+             .join(F.broadcast(qraw), on="query_id"))
+    sim = (_dot(F.col("__cvec"), F.col("__qvec"))
+           / (F.col("__cnorm") * _norm(F.col("__qvec"))))
+    rescored = exact.select("query_id", id_col, sim.alias("cosine"))
+    win2 = (Window.partitionBy("query_id")
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    return (rescored.withColumn("rank", F.row_number().over(win2))
+            .where(F.col("rank") <= k))
