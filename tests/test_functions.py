@@ -482,3 +482,35 @@ def test_ivfpq_rejects_bad_subspace_split(spark):
         ivfpq_topk(df, df, id_col="vec_id", vec_col="embedding",
                    query_id_col="vec_id", k=2, n_cells=2, n_probe=1,
                    m=4).collect()
+
+
+def test_ivfpq_nonunit_norm_corpus(spark):
+    """Vectors with wildly varying norms: the cell a row is filed under
+    and the centroid its residual was quantized against must be the
+    SAME (a raw-vector assigner can disagree with the normalized
+    encoder, reconstructing with the wrong cell).  Self-queries must
+    still rank themselves first."""
+    from zcollection_spark.functions.similarity import ivfpq_topk
+    rng = np.random.default_rng(7)
+    scales = np.concatenate([np.full(12, 0.05), np.full(12, 50.0)])
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(24, dtype=np.int64),
+        "embedding": [(rng.normal(size=16) * s).astype(
+            np.float32).tolist() for s in scales]})
+    df = spark.createDataFrame(pdf)
+    out = ivfpq_topk(df, df.where(F.col("vec_id").isin(0, 13, 23)),
+                     id_col="vec_id", vec_col="embedding",
+                     query_id_col="vec_id", k=3, n_cells=4, n_probe=4,
+                     m=4, n_codes=16)
+    first = {r["query_id"]: r["vec_id"] for r in
+             out.where(F.col("rank") == 1).collect()}
+    assert first == {0: 0, 13: 13, 23: 23}
+
+
+def test_ivfpq_empty_corpus_raises_clearly(spark):
+    from zcollection_spark.functions.similarity import ivfpq_topk
+    df = _vec_df(spark, n=4, dim=8).where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivfpq_topk(df, df, id_col="vec_id", vec_col="embedding",
+                   query_id_col="vec_id", k=2, n_cells=2, n_probe=1,
+                   m=4)

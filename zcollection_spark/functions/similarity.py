@@ -164,6 +164,28 @@ def make_cell_assigner(cent_np: "np.ndarray", cent_sq: "np.ndarray"):
     return _assign
 
 
+def make_probe_udf(cent_np: "np.ndarray", cent_sq: "np.ndarray",
+                   n_probe: int, *, normalize: bool = False):
+    """Per-query probe cells: the ``n_probe`` nearest centroids by
+    euclidean distance, one vectorized stable argsort per Arrow batch
+    (ties break by cell index).  THE probe kernel shared by ivf_topk
+    and ivfpq_topk — ``normalize`` matches the space the centroids were
+    trained in (PQ trains on unit-norm vectors)."""
+
+    @F.pandas_udf("array<int>")
+    def _probe(batch: pd.Series) -> pd.Series:
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        if normalize:
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        d2 = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist()
+                          for row in order])
+
+    return _probe
+
+
 def train_centroid_sample(corpus: DataFrame, id_col: str, vec_col: str,
                           train_cap: int, n_cells: int) -> list:
     """The bounded, id-ordered training sample both IVF paths train on
@@ -222,18 +244,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
         _assign(vec_col).alias("__cell"),
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
 
-    # per-query probe cells: the n_probe nearest centroids by euclidean
-    # distance, as one vectorized argsort per Arrow batch (ties broken by
-    # cell index — numpy stable sort) — no centroid cross join, no
-    # window shuffle
-    n_probe_eff = min(n_probe, len(cent))
-
-    @F.pandas_udf("array<int>")
-    def _probe(batch: pd.Series) -> pd.Series:
-        mat = np.array(batch.tolist(), dtype=np.float64)
-        d2 = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
-        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe_eff]
-        return pd.Series([row.astype(np.int32).tolist() for row in order])
+    # per-query probe cells: shared kernel (make_probe_udf) — no
+    # centroid cross join, no window shuffle
+    _probe = make_probe_udf(cent_np, cent_sq, min(n_probe, len(cent)))
 
     probes = (queries.select(
         F.col(query_id_col).alias("__qid"),
@@ -620,13 +633,16 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     exact math decides their order.
 
     Same deterministic training contract as :func:`ivf_topk` (bounded
-    id-ordered sample, seeded Lloyd); the coarse assignment reuses
-    ``make_cell_assigner``, so a vector's cell agrees with every other
-    IVF path.
+    id-ordered sample, seeded Lloyd).  NOTE: cells live in the
+    normalized-vector space here (PQ quantizes unit-norm residuals), so
+    they are parallel to — not interchangeable with — ``ivf_topk``'s
+    raw-space cells.
     """
     query_vec_col = query_vec_col or vec_col
     sample = train_centroid_sample(corpus, id_col, vec_col,
                                    train_cap, n_cells)
+    if not sample:
+        raise ValueError("cannot train IVF-PQ on an empty corpus")
     svecs = np.asarray(sample, dtype=np.float64)
     svecs = svecs / np.maximum(
         np.linalg.norm(svecs, axis=1, keepdims=True), 1e-12)
@@ -639,10 +655,13 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
         seed=seed + 1000, iters=max_iter)
     sub = svecs.shape[1] // m
 
-    _assign = make_cell_assigner(cent_np, cent_sq)
-
-    @F.pandas_udf("array<int>")
-    def _encode(batch: pd.Series) -> pd.Series:
+    # cell + codes in ONE UDF over the NORMALIZED vector: one matmul
+    # per batch instead of two, and — load-bearing for correctness —
+    # the residual is always quantized against the SAME centroid the
+    # row is filed under (a separate raw-vector assigner can disagree
+    # on non-unit-norm corpora, reconstructing with the wrong cell)
+    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    def _encode(batch: pd.Series) -> pd.DataFrame:
         mat = np.array(batch.tolist(), dtype=np.float64)
         mat = mat / np.maximum(
             np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -656,23 +675,17 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
             dj = (-2.0 * (block @ bj.T)
                   + (bj * bj).sum(1)[None, :])
             codes[:, j] = dj.argmin(1)
-        return pd.Series([c_.tolist() for c_ in codes])
+        return pd.DataFrame({
+            "cell": cells_.astype(np.int32),
+            "codes": [c_.tolist() for c_ in codes]})
 
-    cells = corpus.select(
-        F.col(id_col),
-        _assign(vec_col).alias("__cell"),
-        _encode(vec_col).alias("__codes"))
+    cells = (corpus
+             .select(F.col(id_col), _encode(vec_col).alias("__pq"))
+             .select(id_col, F.col("__pq.cell").alias("__cell"),
+                     F.col("__pq.codes").alias("__codes")))
 
-    n_probe_eff = min(n_probe, len(cent))
-
-    @F.pandas_udf("array<int>")
-    def _probe(batch: pd.Series) -> pd.Series:
-        mat = np.array(batch.tolist(), dtype=np.float64)
-        mat = mat / np.maximum(
-            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        dq = -2.0 * (mat @ cent_np.T) + cent_sq[None, :]
-        order = np.argsort(dq, axis=1, kind="stable")[:, :n_probe_eff]
-        return pd.Series([row.astype(np.int32).tolist() for row in order])
+    _probe = make_probe_udf(cent_np, cent_sq, min(n_probe, len(cent)),
+                            normalize=True)
 
     probes = queries.select(
         F.col(query_id_col).alias("__qid"),
