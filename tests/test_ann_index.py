@@ -71,3 +71,46 @@ def test_index_probe_prunes_partitions(spark, tmp_path, corpus):
         if "FileSourceScan" in node.getClass().getSimpleName():
             selected.append(node.selectedPartitions().partitionCount())
     assert selected and max(selected) <= 2, selected  # 2 of 6 cells
+
+
+def test_ivfpq_index_matches_inline_and_prunes(spark, tmp_path):
+    """The materialized IVF-PQ index returns exactly what the inline
+    ivfpq_topk returns for the same training inputs, reads only probed
+    cell partitions, and stores codes (8 ints) instead of vectors."""
+    from zcollection_spark.data import load_table
+    from zcollection_spark.functions.ann_index import (query_ivfpq_index,
+                                                       write_ivfpq_index)
+    from zcollection_spark.functions.similarity import ivfpq_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(3)
+    path = str(tmp_path / "pqidx")
+    meta = write_ivfpq_index(emb, path, id_col="vec_id",
+                             vec_col="embedding", n_cells=8, m=8,
+                             n_codes=32)
+    assert meta["n_cells"] == 8 and len(meta["codebooks"]) == 8
+    # no raw vectors in the index files
+    schema = spark.read.parquet(path).schema
+    assert set(schema.fieldNames()) == {"vec_id", "codes", "cell"}
+
+    via_index = query_ivfpq_index(
+        spark, path, queries, query_id_col="vec_id", k=5, n_probe=4)
+    inline = ivfpq_topk(emb, queries, id_col="vec_id",
+                        vec_col="embedding", query_id_col="vec_id",
+                        k=5, n_cells=8, n_probe=4, m=8, n_codes=32)
+    as_set = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select("query_id", "vec_id", "rank").collect()))
+    assert as_set(via_index) == as_set(inline)
+
+    # partition pruning: only probed cell dirs appear in the scan
+    files = via_index.inputFiles()
+    cells_read = {f.split("cell=")[1].split("/")[0] for f in files}
+    assert len(cells_read) <= 3 * 4  # <= queries x n_probe
+
+    # refine path: exact re-rank via the raw corpus
+    refined = query_ivfpq_index(
+        spark, path, queries, query_id_col="vec_id", k=5, n_probe=4,
+        refine_with=emb)
+    first = {r.query_id: r.vec_id for r in
+             refined.where(F.col("rank") == 1).collect()}
+    assert all(q == v for q, v in first.items())  # self is rank 1

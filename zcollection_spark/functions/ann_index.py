@@ -114,3 +114,129 @@ def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
            .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
     return (scored.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# materialized IVF-PQ index: cell partitions of 8-byte code rows
+# ---------------------------------------------------------------------------
+
+PQ_SIDECAR = "_ivfpq_index.json"
+
+
+def write_ivfpq_index(corpus: DataFrame, path: str, *, id_col: str,
+                      vec_col: str, n_cells: int = 16, m: int = 8,
+                      n_codes: int = 64, seed: int = 42,
+                      train_cap: int = 100_000,
+                      max_iter: int = 10) -> dict:
+    """Materialize the IVF-PQ index: ``cell=N/`` partitions of
+    ``(id, codes)`` rows — the raw vectors are NOT stored.
+
+    This is the memory-scale layout end to end: at dim=64 a code row is
+    ~8 bytes of payload vs 256 bytes of float32, so the whole index is
+    ~32x smaller than the corpus and a probe reads only its cells'
+    code files (Catalyst partition pruning).  Centroids + codebooks
+    ride a JSON sidecar; re-use them (returned) to encode new batches
+    consistently.  Training is the same deterministic recipe as
+    :func:`similarity.ivfpq_topk` (shared ``train_ivfpq``)."""
+    from .similarity import make_pq_encoder, train_ivfpq
+
+    sample = train_centroid_sample(corpus, id_col, vec_col,
+                                   train_cap, n_cells)
+    cent, books = train_ivfpq(sample, n_cells=n_cells, m=m,
+                              n_codes=n_codes, seed=seed,
+                              iters=max_iter)
+    cent_np, cent_sq = centroid_arrays(cent)
+    encode = make_pq_encoder(cent_np, cent_sq, books)
+    (corpus.select(F.col(id_col), encode(vec_col).alias("__pq"))
+     .select(id_col, F.col("__pq.codes").alias("codes"),
+             F.col("__pq.cell").alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    meta = {"format_version": 1, "id_col": id_col, "vec_col": vec_col,
+            "id_type": corpus.schema[id_col].dataType.simpleString(),
+            "n_cells": len(cent), "m": int(m), "n_codes": int(n_codes),
+            "centroids": cent,
+            "codebooks": [[[float(x) for x in row] for row in book]
+                          for book in books]}
+    fs = fs_for(path, corpus.sparkSession)
+    fs.write_text(f"{path.rstrip('/')}/{PQ_SIDECAR}", json.dumps(meta))
+    return meta
+
+
+def query_ivfpq_index(spark: SparkSession, path: str,
+                      queries: DataFrame, *, query_id_col: str,
+                      query_vec_col: str | None = None, k: int = 10,
+                      n_probe: int = 4,
+                      refine_with: DataFrame | None = None,
+                      refine_factor: int = 4) -> DataFrame:
+    """ANN top-k against a materialized IVF-PQ index.
+
+    Probe cells resolve driver-side from the sidecar (queries are the
+    bounded side); the scan reads ONLY probed ``cell=N/`` partitions
+    and ONLY code rows — no raw vectors touched.  ADC scores via the
+    shared scorer; pass ``refine_with=corpus`` to re-rank the top
+    ``refine_factor*k`` survivors with exact cosine (one id-join back
+    to the raw vectors, candidates shrink first).  With the same
+    training inputs, results match :func:`similarity.ivfpq_topk`
+    (pinned by tests/test_ann_index.py)."""
+    from .similarity import make_adc_scorer
+
+    fs = fs_for(path, spark)
+    meta = json.loads(fs.read_text(f"{path.rstrip('/')}/{PQ_SIDECAR}"))
+    id_col = meta["id_col"]
+    cent_np, cent_sq = centroid_arrays(meta["centroids"])
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    n_probe_eff = min(n_probe, len(cent_np))
+    query_vec_col = query_vec_col or meta["vec_col"]
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r[1], dtype=np.float64)
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        d2 = -2.0 * (cent_np @ v) + cent_sq
+        for cell in np.argsort(d2, kind="stable")[:n_probe_eff]:
+            probe_rows.append((r[0], int(cell), [float(x) for x in v]))
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], f"query_id {qid_type}, {id_col} "
+                f"{meta.get('id_type', 'long')}, cosine double, "
+                f"rank int")
+    probes = spark.createDataFrame(
+        probe_rows, f"__qid {qid_type}, cell int, __qvec array<double>")
+
+    wanted = sorted({c for _, c, _ in probe_rows})
+    index = (spark.read.parquet(path)
+             .where(F.col("cell").isin(wanted))
+             .select(id_col, "codes", "cell"))
+    joined = index.join(F.broadcast(probes), on="cell")
+    adc = make_adc_scorer(cent_np, books)
+    scored = joined.select(
+        F.col("__qid").alias("query_id"), F.col(id_col),
+        adc("__qvec", "cell", "codes").alias("cosine"))
+    win = (Window.partitionBy("query_id")
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    if refine_with is None:
+        return (scored.withColumn("rank", F.row_number().over(win))
+                .where(F.col("rank") <= k))
+    cand = (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k * max(refine_factor, 1))
+            .drop("rank", "cosine"))
+    raw = refine_with.select(
+        F.col(id_col),
+        F.transform(meta["vec_col"],
+                    lambda v: v.cast("double")).alias("__cvec")
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    qraw = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(query_vec_col,
+                    lambda v: v.cast("double")).alias("__qvec"))
+    exact = (cand.join(raw, on=id_col)
+             .join(F.broadcast(qraw), on="query_id"))
+    sim = (_dot(F.col("__cvec"), F.col("__qvec"))
+           / (F.col("__cnorm") * _norm(F.col("__qvec"))))
+    rescored = exact.select("query_id", id_col, sim.alias("cosine"))
+    win2 = (Window.partitionBy("query_id")
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    return (rescored.withColumn("rank", F.row_number().over(win2))
+            .where(F.col("rank") <= k))

@@ -606,6 +606,79 @@ def train_pq_codebooks(residuals: "np.ndarray", m: int, n_codes: int,
     return books
 
 
+def train_ivfpq(sample: list, *, n_cells: int, m: int, n_codes: int,
+                seed: int, iters: int) -> tuple:
+    """(centroids, codebooks) trained on a driver-sized sample —
+    normalized-space coarse kmeans + per-subspace residual PQ.  The one
+    training recipe behind ivfpq_topk and write_ivfpq_index (identical
+    inputs → identical index)."""
+    if not sample:
+        raise ValueError("cannot train IVF-PQ on an empty corpus")
+    svecs = np.asarray(sample, dtype=np.float64)
+    svecs = svecs / np.maximum(
+        np.linalg.norm(svecs, axis=1, keepdims=True), 1e-12)
+    cent = _lloyd_kmeans([r_.tolist() for r_ in svecs], n_cells,
+                         seed=seed, iters=iters)
+    cent_np, cent_sq = centroid_arrays(cent)
+    d2 = (-2.0 * (svecs @ cent_np.T) + cent_sq[None, :])
+    books = train_pq_codebooks(
+        svecs - cent_np[d2.argmin(1)], m, n_codes,
+        seed=seed + 1000, iters=iters)
+    return cent, books
+
+
+def make_pq_encoder(cent_np: "np.ndarray", cent_sq: "np.ndarray",
+                    books: "np.ndarray"):
+    """cell + codes from the NORMALIZED vector in ONE UDF — one matmul
+    per batch, and (load-bearing) the residual is always quantized
+    against the SAME centroid the row is filed under."""
+    m, _, sub = books.shape
+
+    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    def _encode(batch: pd.Series) -> pd.DataFrame:
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cells_ = (-2.0 * (mat @ cent_np.T)
+                  + cent_sq[None, :]).argmin(1)
+        res = mat - cent_np[cells_]
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            block = res[:, j * sub:(j + 1) * sub]
+            bj = books[j]
+            dj = (-2.0 * (block @ bj.T)
+                  + (bj * bj).sum(1)[None, :])
+            codes[:, j] = dj.argmin(1)
+        return pd.DataFrame({
+            "cell": cells_.astype(np.int32),
+            "codes": [c_.tolist() for c_ in codes]})
+
+    return _encode
+
+
+def make_adc_scorer(cent_np: "np.ndarray", books: "np.ndarray"):
+    """Asymmetric-distance score: exact (normalized) query × corpus
+    reconstruction ``centroid(cell) + Σ_j codebook_j[code_j]`` — one
+    gather + einsum per Arrow batch.  Corpus vectors were unit-norm at
+    encode time, so this IS the cosine estimate."""
+    m, _, sub = books.shape
+
+    @F.pandas_udf("double")
+    def _adc(qvec: pd.Series, cell: pd.Series,
+             codes: pd.Series) -> pd.Series:
+        q = np.array(qvec.tolist(), dtype=np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                           1e-12)
+        c_ = cell.to_numpy(dtype=np.int64)
+        code_mat = np.array(codes.tolist(), dtype=np.int64)
+        recon = cent_np[c_].copy()
+        for j in range(m):
+            recon[:, j * sub:(j + 1) * sub] += books[j][code_mat[:, j]]
+        return pd.Series(np.einsum("nd,nd->n", q, recon))
+
+    return _adc
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                vec_col: str, query_id_col: str,
                query_vec_col: str | None = None, k: int = 10,
@@ -641,43 +714,11 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     query_vec_col = query_vec_col or vec_col
     sample = train_centroid_sample(corpus, id_col, vec_col,
                                    train_cap, n_cells)
-    if not sample:
-        raise ValueError("cannot train IVF-PQ on an empty corpus")
-    svecs = np.asarray(sample, dtype=np.float64)
-    svecs = svecs / np.maximum(
-        np.linalg.norm(svecs, axis=1, keepdims=True), 1e-12)
-    cent = _lloyd_kmeans([r_.tolist() for r_ in svecs], n_cells,
-                         seed=seed, iters=max_iter)
+    cent, books = train_ivfpq(sample, n_cells=n_cells, m=m,
+                              n_codes=n_codes, seed=seed,
+                              iters=max_iter)
     cent_np, cent_sq = centroid_arrays(cent)
-    d2 = (-2.0 * (svecs @ cent_np.T) + cent_sq[None, :])
-    books = train_pq_codebooks(
-        svecs - cent_np[d2.argmin(1)], m, n_codes,
-        seed=seed + 1000, iters=max_iter)
-    sub = svecs.shape[1] // m
-
-    # cell + codes in ONE UDF over the NORMALIZED vector: one matmul
-    # per batch instead of two, and — load-bearing for correctness —
-    # the residual is always quantized against the SAME centroid the
-    # row is filed under (a separate raw-vector assigner can disagree
-    # on non-unit-norm corpora, reconstructing with the wrong cell)
-    @F.pandas_udf("struct<cell:int, codes:array<int>>")
-    def _encode(batch: pd.Series) -> pd.DataFrame:
-        mat = np.array(batch.tolist(), dtype=np.float64)
-        mat = mat / np.maximum(
-            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        cells_ = (-2.0 * (mat @ cent_np.T)
-                  + cent_sq[None, :]).argmin(1)
-        res = mat - cent_np[cells_]
-        codes = np.empty((len(mat), m), dtype=np.int32)
-        for j in range(m):
-            block = res[:, j * sub:(j + 1) * sub]
-            bj = books[j]
-            dj = (-2.0 * (block @ bj.T)
-                  + (bj * bj).sum(1)[None, :])
-            codes[:, j] = dj.argmin(1)
-        return pd.DataFrame({
-            "cell": cells_.astype(np.int32),
-            "codes": [c_.tolist() for c_ in codes]})
+    _encode = make_pq_encoder(cent_np, cent_sq, books)
 
     cells = (corpus
              .select(F.col(id_col), _encode(vec_col).alias("__pq"))
@@ -693,22 +734,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                     lambda v: v.cast("double")).alias("__qvec"),
         F.explode(_probe(query_vec_col)).alias("__cell"))
     joined = cells.join(F.broadcast(probes), on="__cell")
-
-    @F.pandas_udf("double")
-    def _adc(qvec: pd.Series, cell: pd.Series,
-             codes: pd.Series) -> pd.Series:
-        q = np.array(qvec.tolist(), dtype=np.float64)
-        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
-                           1e-12)
-        c_ = cell.to_numpy(dtype=np.int64)
-        code_mat = np.array(codes.tolist(), dtype=np.int64)
-        # reconstruction = centroid + per-subspace codebook rows;
-        # score = q · reconstruction (corpus side unit-normalized at
-        # encode time, so this IS the cosine estimate)
-        recon = cent_np[c_].copy()
-        for j in range(m):
-            recon[:, j * sub:(j + 1) * sub] += books[j][code_mat[:, j]]
-        return pd.Series(np.einsum("nd,nd->n", q, recon))
+    _adc = make_adc_scorer(cent_np, books)
 
     scored = joined.select(
         F.col("__qid").alias("query_id"), F.col(id_col),
