@@ -89,9 +89,10 @@ def test_ivfpq_index_matches_inline_and_prunes(spark, tmp_path):
                              vec_col="embedding", n_cells=8, m=8,
                              n_codes=32)
     assert meta["n_cells"] == 8 and len(meta["codebooks"]) == 8
-    # no raw vectors in the index files
+    # no raw vectors in the index files; codes are smallint payload
     schema = spark.read.parquet(path).schema
     assert set(schema.fieldNames()) == {"vec_id", "codes", "cell"}
+    assert schema["codes"].dataType.simpleString() == "array<smallint>"
 
     via_index = query_ivfpq_index(
         spark, path, queries, query_id_col="vec_id", k=5, n_probe=4)
@@ -102,10 +103,29 @@ def test_ivfpq_index_matches_inline_and_prunes(spark, tmp_path):
         map(tuple, df.select("query_id", "vec_id", "rank").collect()))
     assert as_set(via_index) == as_set(inline)
 
-    # partition pruning: only probed cell dirs appear in the scan
-    files = via_index.inputFiles()
-    cells_read = {f.split("cell=")[1].split("/")[0] for f in files}
-    assert len(cells_read) <= 3 * 4  # <= queries x n_probe
+    # partition pruning, from the JVM scan node of the same scan
+    # expression the query builds (the full query plan is AQE-wrapped;
+    # inputFiles alone does not reflect the runtime filter).  n_probe=1
+    # over 3 queries can touch at most 3 of the 8 cell dirs.
+    import json as _json
+    from zcollection_spark.functions.ann_index import PQ_SIDECAR
+    from zcollection_spark.functions.similarity import (centroid_arrays,
+                                                        driver_probe_rows)
+    meta2 = _json.loads(
+        (tmp_path / "pqidx" / PQ_SIDECAR).read_text())
+    cent_np, cent_sq = centroid_arrays(meta2["centroids"])
+    qrows = queries.select("vec_id", "embedding").collect()
+    wanted = sorted({c for _, c, _ in driver_probe_rows(
+        qrows, cent_np, cent_sq, 1, normalize=True)})
+    assert len(wanted) <= 3
+    scan = spark.read.parquet(path).where(F.col("cell").isin(wanted))
+    scan.count()
+    leaves = scan._jdf.queryExecution().executedPlan().collectLeaves()
+    selected = [leaves.apply(i).selectedPartitions().partitionCount()
+                for i in range(leaves.length())
+                if "FileSourceScan" in leaves.apply(i).getClass()
+                .getSimpleName()]
+    assert selected and max(selected) <= 3, selected
 
     # refine path: exact re-rank via the raw corpus
     refined = query_ivfpq_index(
@@ -114,3 +134,26 @@ def test_ivfpq_index_matches_inline_and_prunes(spark, tmp_path):
     first = {r.query_id: r.vec_id for r in
              refined.where(F.col("rank") == 1).collect()}
     assert all(q == v for q, v in first.items())  # self is rank 1
+
+
+def test_ivfpq_index_meta_reuse_keeps_codes_compatible(spark, tmp_path):
+    """A second batch indexed with meta= reuses the first training:
+    identical vectors encode to identical (cell, codes) rows — the
+    requirement for extending an index (codes from different trainings
+    are mutually incompatible)."""
+    from zcollection_spark.data import load_table
+    from zcollection_spark.functions.ann_index import write_ivfpq_index
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    half_a = emb.where("vec_id < 250")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    meta = write_ivfpq_index(emb, p1, id_col="vec_id",
+                             vec_col="embedding", n_cells=8, m=8,
+                             n_codes=32)
+    write_ivfpq_index(half_a, p2, id_col="vec_id",
+                      vec_col="embedding", meta=meta)
+    full = {r.vec_id: (r.cell, tuple(r.codes))
+            for r in spark.read.parquet(p1).collect()}
+    part = {r.vec_id: (r.cell, tuple(r.codes))
+            for r in spark.read.parquet(p2).collect()}
+    assert part and all(full[k] == v for k, v in part.items())

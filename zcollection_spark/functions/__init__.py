@@ -14,10 +14,11 @@ from .dedup import (dedup_exact, dedup_keep_latest,
                     exact_duplicate_groups, md5_long,
                     minhash_signatures, lsh_candidate_pairs,
                     ngram_jaccard_pairs, simhash, simhash_duplicate_pairs)
+from .ann_index import (query_ivf_index, query_ivfpq_index,
+                        write_ivf_index, write_ivfpq_index)
 from .similarity import (cosine_similarity_col, brute_force_topk,
                          embedding_dup_pairs, ivf_topk, ivfpq_topk,
                          lsh_bucket_topk)
-from .ann_index import query_ivf_index, write_ivf_index
 from .text import (fingerprint, language_id, text_stats, token_count,
                    word_shingles, words)
 
@@ -28,6 +29,7 @@ __all__ = [
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "ivfpq_topk", "lsh_bucket_topk",
     "write_ivf_index", "query_ivf_index",
+    "write_ivfpq_index", "query_ivfpq_index",
     "fingerprint", "language_id", "text_stats", "token_count",
     "word_shingles", "words",
     "attach_fake_payload", "extract_image_features",

@@ -127,24 +127,33 @@ def write_ivfpq_index(corpus: DataFrame, path: str, *, id_col: str,
                       vec_col: str, n_cells: int = 16, m: int = 8,
                       n_codes: int = 64, seed: int = 42,
                       train_cap: int = 100_000,
-                      max_iter: int = 10) -> dict:
+                      max_iter: int = 10,
+                      meta: dict | None = None) -> dict:
     """Materialize the IVF-PQ index: ``cell=N/`` partitions of
     ``(id, codes)`` rows — the raw vectors are NOT stored.
 
-    This is the memory-scale layout end to end: at dim=64 a code row is
-    ~8 bytes of payload vs 256 bytes of float32, so the whole index is
-    ~32x smaller than the corpus and a probe reads only its cells'
-    code files (Catalyst partition pruning).  Centroids + codebooks
-    ride a JSON sidecar; re-use them (returned) to encode new batches
-    consistently.  Training is the same deterministic recipe as
+    This is the memory-scale layout end to end: at dim=64 a code row
+    is ~16 bytes of smallint payload vs 256 bytes of float32 (~16x
+    smaller before parquet bit-packing shrinks the small code values
+    further), and a probe reads only its cells' code files (Catalyst
+    partition pruning).  Centroids + codebooks ride a JSON sidecar;
+    pass a previous index's returned ``meta`` to REUSE its training —
+    codes from different trainings are mutually incompatible, so
+    consistent multi-batch indexing must share one — otherwise
+    training is the same deterministic recipe as
     :func:`similarity.ivfpq_topk` (shared ``train_ivfpq``)."""
     from .similarity import make_pq_encoder, train_ivfpq
 
-    sample = train_centroid_sample(corpus, id_col, vec_col,
-                                   train_cap, n_cells)
-    cent, books = train_ivfpq(sample, n_cells=n_cells, m=m,
-                              n_codes=n_codes, seed=seed,
-                              iters=max_iter)
+    if meta is not None:
+        cent = [list(map(float, c)) for c in meta["centroids"]]
+        books = np.asarray(meta["codebooks"], dtype=np.float64)
+        m, n_codes = books.shape[0], books.shape[1]
+    else:
+        sample = train_centroid_sample(corpus, id_col, vec_col,
+                                       train_cap, n_cells)
+        cent, books = train_ivfpq(sample, n_cells=n_cells, m=m,
+                                  n_codes=n_codes, seed=seed,
+                                  iters=max_iter)
     cent_np, cent_sq = centroid_arrays(cent)
     encode = make_pq_encoder(cent_np, cent_sq, books)
     (corpus.select(F.col(id_col), encode(vec_col).alias("__pq"))
@@ -178,7 +187,8 @@ def query_ivfpq_index(spark: SparkSession, path: str,
     to the raw vectors, candidates shrink first).  With the same
     training inputs, results match :func:`similarity.ivfpq_topk`
     (pinned by tests/test_ann_index.py)."""
-    from .similarity import make_adc_scorer
+    from .similarity import (driver_probe_rows, exact_rerank,
+                             make_adc_scorer)
 
     fs = fs_for(path, spark)
     meta = json.loads(fs.read_text(f"{path.rstrip('/')}/{PQ_SIDECAR}"))
@@ -189,13 +199,8 @@ def query_ivfpq_index(spark: SparkSession, path: str,
     query_vec_col = query_vec_col or meta["vec_col"]
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
-    probe_rows = []
-    for r in qrows:
-        v = np.asarray(r[1], dtype=np.float64)
-        v = v / max(float(np.linalg.norm(v)), 1e-12)
-        d2 = -2.0 * (cent_np @ v) + cent_sq
-        for cell in np.argsort(d2, kind="stable")[:n_probe_eff]:
-            probe_rows.append((r[0], int(cell), [float(x) for x in v]))
+    probe_rows = driver_probe_rows(qrows, cent_np, cent_sq,
+                                   n_probe_eff, normalize=True)
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     if not probe_rows:
         return spark.createDataFrame(
@@ -222,21 +227,7 @@ def query_ivfpq_index(spark: SparkSession, path: str,
     cand = (scored.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k * max(refine_factor, 1))
             .drop("rank", "cosine"))
-    raw = refine_with.select(
-        F.col(id_col),
-        F.transform(meta["vec_col"],
-                    lambda v: v.cast("double")).alias("__cvec")
-    ).withColumn("__cnorm", _norm(F.col("__cvec")))
-    qraw = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.transform(query_vec_col,
-                    lambda v: v.cast("double")).alias("__qvec"))
-    exact = (cand.join(raw, on=id_col)
-             .join(F.broadcast(qraw), on="query_id"))
-    sim = (_dot(F.col("__cvec"), F.col("__qvec"))
-           / (F.col("__cnorm") * _norm(F.col("__qvec"))))
-    rescored = exact.select("query_id", id_col, sim.alias("cosine"))
-    win2 = (Window.partitionBy("query_id")
-            .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
-    return (rescored.withColumn("rank", F.row_number().over(win2))
-            .where(F.col("rank") <= k))
+    return exact_rerank(cand, refine_with, queries, id_col=id_col,
+                        vec_col=meta["vec_col"],
+                        query_id_col=query_id_col,
+                        query_vec_col=query_vec_col, k=k)

@@ -594,12 +594,13 @@ def train_pq_codebooks(residuals: "np.ndarray", m: int, n_codes: int,
     n, dim = residuals.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n_codes > 32767:
+        raise ValueError("n_codes must fit a smallint code column")
     sub = dim // m
     books = np.empty((m, n_codes, sub), dtype=np.float64)
     for j in range(m):
         block = residuals[:, j * sub:(j + 1) * sub]
-        cb = _lloyd_kmeans([row.tolist() for row in block],
-                           n_codes, seed=seed + j, iters=iters)
+        cb = _lloyd_kmeans(block, n_codes, seed=seed + j, iters=iters)
         books[j, :len(cb)] = np.asarray(cb, dtype=np.float64)
         if len(cb) < n_codes:  # tiny training sets: repeat last center
             books[j, len(cb):] = books[j, len(cb) - 1]
@@ -617,8 +618,7 @@ def train_ivfpq(sample: list, *, n_cells: int, m: int, n_codes: int,
     svecs = np.asarray(sample, dtype=np.float64)
     svecs = svecs / np.maximum(
         np.linalg.norm(svecs, axis=1, keepdims=True), 1e-12)
-    cent = _lloyd_kmeans([r_.tolist() for r_ in svecs], n_cells,
-                         seed=seed, iters=iters)
+    cent = _lloyd_kmeans(svecs, n_cells, seed=seed, iters=iters)
     cent_np, cent_sq = centroid_arrays(cent)
     d2 = (-2.0 * (svecs @ cent_np.T) + cent_sq[None, :])
     books = train_pq_codebooks(
@@ -634,7 +634,7 @@ def make_pq_encoder(cent_np: "np.ndarray", cent_sq: "np.ndarray",
     against the SAME centroid the row is filed under."""
     m, _, sub = books.shape
 
-    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    @F.pandas_udf("struct<cell:int, codes:array<smallint>>")
     def _encode(batch: pd.Series) -> pd.DataFrame:
         mat = np.array(batch.tolist(), dtype=np.float64)
         mat = mat / np.maximum(
@@ -642,7 +642,7 @@ def make_pq_encoder(cent_np: "np.ndarray", cent_sq: "np.ndarray",
         cells_ = (-2.0 * (mat @ cent_np.T)
                   + cent_sq[None, :]).argmin(1)
         res = mat - cent_np[cells_]
-        codes = np.empty((len(mat), m), dtype=np.int32)
+        codes = np.empty((len(mat), m), dtype=np.int16)
         for j in range(m):
             block = res[:, j * sub:(j + 1) * sub]
             bj = books[j]
@@ -654,6 +654,53 @@ def make_pq_encoder(cent_np: "np.ndarray", cent_sq: "np.ndarray",
             "codes": [c_.tolist() for c_ in codes]})
 
     return _encode
+
+
+def driver_probe_rows(qrows, cent_np: "np.ndarray",
+                      cent_sq: "np.ndarray", n_probe: int, *,
+                      normalize: bool = False) -> list:
+    """Driver-side probe selection over collected (bounded) query rows:
+    ``(qid, cell, qvec)`` tuples, ``n_probe`` nearest centroids each,
+    stable tie-break — the ONE probe-selection used by both
+    materialized-index query paths (make_probe_udf is its distributed
+    twin)."""
+    out = []
+    for r in qrows:
+        v = np.asarray(r[1], dtype=np.float64)
+        if normalize:
+            v = v / max(float(np.linalg.norm(v)), 1e-12)
+        d2 = -2.0 * (cent_np @ v) + cent_sq
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
+            out.append((r[0], int(cell), [float(x) for x in v]))
+    return out
+
+
+def exact_rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 *, id_col: str, vec_col: str, query_id_col: str,
+                 query_vec_col: str, k: int) -> DataFrame:
+    """Exact-cosine re-rank of approximate candidates: one id-join back
+    to the raw vectors, query norms precomputed ONCE on the tiny
+    broadcast side (never per candidate row).  The shared refine stage
+    of ivfpq_topk and query_ivfpq_index — one implementation keeps the
+    two result-identical."""
+    raw = corpus.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("__cvec")
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    qraw = (queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(query_vec_col,
+                    lambda v: v.cast("double")).alias("__qvec"))
+        .withColumn("__qnorm", _norm(F.col("__qvec"))))
+    exact = (cand.join(raw, on=id_col)
+             .join(F.broadcast(qraw), on="query_id"))
+    sim = (_dot(F.col("__cvec"), F.col("__qvec"))
+           / (F.col("__cnorm") * F.col("__qnorm")))
+    rescored = exact.select("query_id", id_col, sim.alias("cosine"))
+    win = (Window.partitionBy("query_id")
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    return (rescored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k))
 
 
 def make_adc_scorer(cent_np: "np.ndarray", books: "np.ndarray"):
@@ -691,9 +738,11 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     kernel) + per-subspace product quantization of the RESIDUALS.
 
     THE memory-scale path for ANN: each corpus vector is stored as a
-    cell id plus ``m`` byte-sized codes (8 bytes here vs 256 bytes of
-    float32 at dim=64 — a 32x index shrink), so at 100 TB the scored
-    candidate set streams as tiny code rows instead of raw vectors.
+    cell id plus ``m`` smallint codes (16 bytes of payload here vs 256
+    bytes of float32 at dim=64 — a ~16x shrink before parquet
+    bit-packing, which shrinks the small code values further), so at
+    100 TB the scored candidate set streams as tiny code rows instead
+    of raw vectors.
     Scoring is asymmetric (ADC): the query stays exact, the corpus
     vector is reconstructed as ``centroid(cell) + Σ_j codebook_j[code_j]``
     and the score is one gather + one dot per row, vectorized per Arrow
@@ -749,20 +798,6 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     cand = (scored.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k * refine_factor)
             .drop("rank", "cosine"))
-    raw = corpus.select(
-        F.col(id_col),
-        F.transform(vec_col, lambda v: v.cast("double")).alias("__cvec")
-    ).withColumn("__cnorm", _norm(F.col("__cvec")))
-    qraw = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.transform(query_vec_col,
-                    lambda v: v.cast("double")).alias("__qvec"))
-    exact = (cand.join(raw, on=id_col)
-             .join(F.broadcast(qraw), on="query_id"))
-    sim = (_dot(F.col("__cvec"), F.col("__qvec"))
-           / (F.col("__cnorm") * _norm(F.col("__qvec"))))
-    rescored = exact.select("query_id", id_col, sim.alias("cosine"))
-    win2 = (Window.partitionBy("query_id")
-            .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
-    return (rescored.withColumn("rank", F.row_number().over(win2))
-            .where(F.col("rank") <= k))
+    return exact_rerank(cand, corpus, queries, id_col=id_col,
+                        vec_col=vec_col, query_id_col=query_id_col,
+                        query_vec_col=query_vec_col, k=k)
