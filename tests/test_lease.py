@@ -107,3 +107,23 @@ def test_lease_on_s3_native_cas(s3_root):
     a.renew()
     a.release()
     WriterLease(fs, s3_root, ttl=60).acquire()
+
+
+def test_zarr3_exclusive_writer_parity(spark, tmp_path):
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "z"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)))
+    with coll.exclusive_writer(ttl=60):
+        with pytest.raises(LeaseHeldError):
+            coll.exclusive_writer(ttl=60).acquire()
+        pdf = pd.DataFrame({"i": np.array([0], dtype=np.int64),
+                            "num": np.array([1], dtype=np.int64)})
+        coll.insert(spark.createDataFrame(
+            pdf, schema=coll.schema.to_struct_type()))
+    coll.exclusive_writer(ttl=60).acquire().release()

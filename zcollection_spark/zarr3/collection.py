@@ -274,6 +274,14 @@ class ZarrCollection:
         """Monotonic catalog commit counter (parquet-layout parity)."""
         return self._catalog.generation()
 
+    def exclusive_writer(self, *, ttl: float = 60.0,
+                         owner: str | None = None):
+        """Advisory single-producer lease (parquet-layout parity —
+        collection/lease.py; the lease lives next to the catalog, so
+        it is layout-agnostic by construction)."""
+        from ..collection.lease import WriterLease
+        return WriterLease(self._fs, self.path, ttl=ttl, owner=owner)
+
     def changes(self, since_generation: int) -> dict:
         """Partition-level diff since a previous commit — see
         ``Collection.changes`` (identical catalog machinery)."""
