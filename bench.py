@@ -373,12 +373,14 @@ def main() -> None:
             if name.endswith("_hi") or name.endswith("pq"):
                 counters["ann_recall"][name + "_sec"] = sec
         # the measured recall-vs-seconds curve behind the _hi configs
-        # (tools/ann_sweep.py); committed so the chosen configuration is
-        # evidence, not a guess
+        # lives in ANN_SWEEP.json (tools/ann_sweep.py).  Reference it by
+        # NAME only: round 5 inlined the whole sweep here and the
+        # headline JSON line grew past the driver's tail-capture window,
+        # clipping the metric/value prefix ("parsed": null — no official
+        # bench number that round).  The headline line must stay small.
         sweep_file = Path(__file__).resolve().parent / "ANN_SWEEP.json"
         if sweep_file.exists():
-            counters["ann_recall_curve"] = json.loads(
-                sweep_file.read_text())
+            counters["ann_recall_curve_file"] = sweep_file.name
 
         @timed("text_stats")
         def _():
@@ -392,14 +394,38 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
 
-    print(json.dumps({
+    # ONE compact line (no spaces) so the driver's tail capture always
+    # holds the complete JSON document; counters carry only scalars and
+    # small dicts (big artifacts are referenced by filename above).
+    print(emit_headline(timings, counters, sf))
+
+
+#: Headline-line size budget.  The driver captures a bounded stdout
+#: tail; a line past it gets clipped and parses as null (this happened
+#: in round 5 when the full ANN sweep was inlined into counters).  8 KiB
+#: is ~6x the current full line and far below any sane tail window.
+HEADLINE_BUDGET = 8192
+
+
+def emit_headline(timings: dict, counters: dict, sf: str) -> str:
+    """The single-line headline JSON.  If counters ever push the line
+    past HEADLINE_BUDGET, shed them (keeping a marker) rather than let
+    the metric/value/queries prefix get clipped out of the driver's
+    tail capture — the headline number must survive at any cost."""
+    doc = {
         "metric": "zcollection_spark headline suite wall-clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "counters": counters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    line = json.dumps(doc, separators=(",", ":"))
+    if len(line) > HEADLINE_BUDGET:
+        doc["counters"] = {"dropped": "counters exceeded headline "
+                           "budget; see BENCH_local artifacts"}
+        line = json.dumps(doc, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -78,3 +78,26 @@ def test_registry_window_invariant():
     # a missing data dir degrades the map, never breaks it
     degraded = entry_queries.oracle_sql("/does/not/exist")
     assert set(degraded) == set(oracles) - {"knn_ivf", "knn_ivf_hi"}
+
+
+def test_bench_headline_stays_one_small_line():
+    """Round-5 regression: inlining the ANN sweep into counters pushed
+    the headline JSON past the driver's tail capture ('parsed': null).
+    The emitter must (a) stay compact, (b) shed counters before ever
+    exceeding the budget, (c) never shed the metric/value/queries."""
+    import json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    timings = {f"q{i}": 1.234 for i in range(40)}
+    line = bench.emit_headline(timings, {"files_read": 1}, "0.1")
+    assert "\n" not in line and len(line) < bench.HEADLINE_BUDGET
+    doc = json.loads(line)
+    assert doc["value"] == round(40 * 1.234, 3)
+    assert doc["queries"] == timings
+    # a runaway counters blob is shed, not allowed to clip the prefix
+    huge = {"curve": [{"recall": 0.9, "sec": 1.0}] * 2000}
+    line = json.loads(bench.emit_headline(timings, huge, "0.1"))
+    assert line["queries"] == timings
+    assert "dropped" in line["counters"]
