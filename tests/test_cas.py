@@ -241,3 +241,50 @@ def test_s3_head_propagates_non_404(s3_root, monkeypatch):
     monkeypatch.setattr(fs._client, "head_object", real)
     assert fs.exists_file(f"{s3_root}/obj") is True
     assert fs.exists_file(f"{s3_root}/missing") is False
+
+
+def test_catalog_write_is_cas_serialized_no_duplicate_generation(tmp_path):
+    """ADVICE r5 (medium): the rebuild path (Catalog.write) must ride
+    the same CAS loop as add/remove — an unconditional read-then-PUT
+    racing a concurrent add could mint a DUPLICATE generation (both
+    read gen N, both write N+1), overwriting the add's gen-(N+1)
+    snapshot with a different document and corrupting changes() replay."""
+    fs = _InterferingFS([])
+    cat = Catalog(fs, str(tmp_path / "store"))
+    cat.add(["num=1"])                       # gen 1
+
+    class _AddInterferer(LocalFS):
+        fired = False
+
+        def write_if(self, path, data, token):
+            if not _AddInterferer.fired:
+                _AddInterferer.fired = True
+                # a concurrent driver lands an add (gen 2) between the
+                # rebuild's read and its conditional write (raw write —
+                # a Catalog.add here would self-deadlock on the
+                # in-process per-path lock the caller already holds)
+                text, tok = LocalFS.read_versioned(self, path)
+                doc = json.loads(text)
+                parts = sorted(set(doc["partitions"]) | {"num=7"})
+                gen = int(doc.get("generation", 0)) + 1
+                doc.update(partitions=parts, generation=gen,
+                           touched={"num=7": gen},
+                           checksum=catmod._checksum(parts))
+                LocalFS.write_if(self, path, json.dumps(doc), tok)
+                LocalFS.write_text(
+                    self,
+                    str(tmp_path / "store" / "_catalog"
+                        / f"gen-{gen:012d}.json"),
+                    json.dumps(doc))
+            return LocalFS.write_if(self, path, data, token)
+
+    cat2 = Catalog(_AddInterferer(), str(tmp_path / "store"))
+    cat2.write(["num=1", "num=3"])           # rebuild: replaces the list
+    # the rebuild retried with a fresh token and took gen 3 — gen 2 is
+    # still the interfering add's snapshot, not overwritten
+    assert cat2.generation() == 3
+    assert cat2.read() == ["num=1", "num=3"]
+    assert cat2.read_at(2)["partitions"] == ["num=1", "num=7"]
+    assert cat2.read_at(3)["partitions"] == ["num=1", "num=3"]
+    # every partition restamped with the rebuild generation
+    assert cat2.read_at(3)["touched"] == {"num=1": 3, "num=3": 3}

@@ -388,3 +388,52 @@ def test_s3_crash_mid_cleanup_quarantines(spark, seq_schema, s3_root):
     rows = coll.query().collect()
     assert len(rows) == 2
     assert all(r["value"] == [5.0, 5.0, 5.0] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# error classification (ADVICE r5): transient faults never read as absence
+# ---------------------------------------------------------------------------
+
+def _client_error(status, code):
+    from botocore.exceptions import ClientError
+    return ClientError(
+        {"Error": {"Code": code, "Message": code},
+         "ResponseMetadata": {"HTTPStatusCode": status}}, "op")
+
+
+def test_move_file_transient_copy_fault_raises_not_false(s3_root,
+                                                         monkeypatch):
+    """A throttle/5xx during CopyObject must RAISE — returning False
+    ('source missing') would surface in staging recovery as the
+    misleading 'staged data incomplete, cannot roll forward'."""
+    fs = S3FS()
+    fs.write_text(f"{s3_root}/src.txt", "x")
+
+    def throttled(**kwargs):
+        raise _client_error(503, "SlowDown")
+    monkeypatch.setattr(fs._client, "copy_object", throttled)
+    from botocore.exceptions import ClientError
+    with pytest.raises(ClientError):
+        fs.move_file(f"{s3_root}/src.txt", f"{s3_root}/dst.txt")
+    # the source is untouched — a retry can proceed
+    assert fs.exists_file(f"{s3_root}/src.txt")
+
+
+def test_move_file_missing_source_returns_false(s3_root):
+    fs = S3FS()
+    assert fs.move_file(f"{s3_root}/no-such.txt",
+                        f"{s3_root}/dst.txt") is False
+
+
+def test_head_403_maps_to_clear_permissions_error(s3_root, monkeypatch):
+    """Restricted credentials (no s3:ListBucket) make S3 answer HEAD on
+    a missing key with 403; that must surface as a StoreError naming
+    the permission, not masquerade as absent or a raw ClientError."""
+    from zcollection_spark.errors import StoreError
+    fs = S3FS()
+
+    def denied(**kwargs):
+        raise _client_error(403, "AccessDenied")
+    monkeypatch.setattr(fs._client, "head_object", denied)
+    with pytest.raises(StoreError, match="s3:ListBucket"):
+        fs.exists_file(f"{s3_root}/whatever.txt")

@@ -58,9 +58,10 @@ def test_registry_window_invariant():
     from zcollection_spark import entry_queries
 
     names = list(entry_queries.queries())
-    # round-5 rotation: the tail is now the eight rounds-1-4-green
-    # join/agg variants whose operator surface is covered in-window
-    tail_allowed = {"collection_changes", "knn_ivfpq",
+    # round-6 rotation: collection_changes + knn_ivfpq moved into the
+    # window (the round-5 promise); the tail is driver-green plain
+    # agg/join variants whose operator surface is covered in-window
+    tail_allowed = {"priority_class_counts", "big_orders",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
@@ -69,15 +70,20 @@ def test_registry_window_invariant():
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf",
-                             "knn_lsh_hi", "knn_ivf_hi",
+                             "knn_lsh_hi", "knn_ivf_hi", "knn_ivfpq",
+                             "collection_changes",
                              "revenue_delta", "value_percentiles",
                              "collection_zonemap_skip"):
         assert names.index(must_be_recorded) < 50
     oracles = entry_queries.oracle_sql()
     assert set(oracles) <= set(names)
+    # every registry entry has a value-level oracle — knn_ivfpq was the
+    # last rows-only entry (closed round 6)
+    assert "knn_ivfpq" in oracles
     # a missing data dir degrades the map, never breaks it
     degraded = entry_queries.oracle_sql("/does/not/exist")
-    assert set(degraded) == set(oracles) - {"knn_ivf", "knn_ivf_hi"}
+    assert set(degraded) == set(oracles) - {"knn_ivf", "knn_ivf_hi",
+                                            "knn_ivfpq"}
 
 
 def test_bench_headline_stays_one_small_line():

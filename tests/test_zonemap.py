@@ -354,3 +354,60 @@ def test_where_tautologies_match_filter_dialect(spark, tmp_path):
     assert compile_zone_filter("")({"value": [0, 1, 0]}) is True
     assert compile_zone_filter("True")(None) is True
     assert compile_zone_filter("False")({"value": [0, 1, 0]}) is False
+
+
+def test_nan_partition_is_never_pruned(spark, tmp_path):
+    """ADVICE r5 (high): Spark's aggregate ordering ranks NaN above
+    every number, so raw F.max would store hi=NaN; NaN comparisons are
+    all False in Python, silently pruning a partition that holds
+    matching rows (500.0 — and the NaN row itself, which Spark's
+    comparison semantics rank greater than any number).  Floating
+    columns must collect NaN-free bounds and a NaN-holding partition
+    must evaluate as TOP (always scanned)."""
+    coll = _mk(spark, str(tmp_path / "c"), {
+        1: [1.0, 500.0, -1.0], 2: [10.0, 20.0]})
+    # the -1.0 sentinel becomes a GENUINE JVM-side NaN (a pandas NaN
+    # would be converted to null on createDataFrame, missing the point)
+    import pyspark.sql.functions as SF
+    patched = (coll.query().withColumn(
+        "value", SF.when(SF.col("value") < 0,
+                         SF.lit(float("nan")))
+        .otherwise(SF.col("value"))))
+    coll.insert(patched, merge="replace")
+    stats = coll._catalog.read_stats()
+    # the poisoned partition stores the TOP form, the clean one exact
+    assert stats["num=1"]["value"] == [None, None, 0]
+    assert stats["num=2"]["value"] == [10.0, 20.0, 0]
+
+    res = coll.query(where="value > 150.0")
+    assert res is not None
+    vals = [r.value for r in res.collect()]
+    # 500.0 survives; NaN > 150.0 is TRUE under Spark semantics
+    assert 500.0 in vals and any(np.isnan(v) for v in vals)
+    # and the clean partition was still skipped by its real bounds
+    assert all("num=2" not in f for f in res.inputFiles())
+
+
+def test_nan_bound_in_old_catalog_degrades_to_scan():
+    """Defense in depth: a catalog written BEFORE the NaN-free
+    collection (json round-trips NaN) must evaluate as TOP, not prune."""
+    from zcollection_spark.partitioning.zonemap import compile_zone_filter
+    may = compile_zone_filter("value > 150.0")
+    assert may({"value": [1.0, float("nan"), 0]}) is True
+    assert may({"value": [float("nan"), float("nan"), 0]}) is True
+
+
+def test_decimal_bounds_widen_not_round(spark, tmp_path):
+    """ADVICE r5 (low): float(Decimal) rounds to nearest, which can
+    round a stored min UP past the true min; bounds must widen outward
+    so boundary predicates never prune the extreme row."""
+    from decimal import Decimal
+
+    from zcollection_spark.collection.stats import json_stat
+    # a Decimal that is not exactly representable as a float
+    d = Decimal("0.1000000000000000000000001")
+    lo, hi = json_stat(d, "lo"), json_stat(d, "hi")
+    assert lo <= float(d) <= hi and lo < hi
+    # exactly-representable values stay exact in both directions
+    assert json_stat(Decimal("0.5"), "lo") == 0.5
+    assert json_stat(Decimal("0.5"), "hi") == 0.5

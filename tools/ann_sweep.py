@@ -83,6 +83,28 @@ def main() -> int:
             out["ivf"].append(row)
             print("ivf ", json.dumps(row), flush=True)
 
+    # IVF-PQ: the round-5 sweep varied n_probe only (at m=8, refine=4)
+    # and recall plateaued at 0.72 — the numpy replay in round 6 showed
+    # the binding constraints are m (subspace width) and refine_factor
+    # (exact-rerank pool), NOT the coarse quantizer.  Sweep those two
+    # axes so the chosen config is measured evidence.
+    from zcollection_spark.functions.similarity import ivfpq_topk
+    out["ivfpq"] = []
+    for m, n_codes in ((8, 128), (16, 64)):
+        for n_probe, refine in ((8, 4), (8, 8), (12, 8), (12, 16)):
+            t0 = time.monotonic()
+            approx = _topk_sets(ivfpq_topk(
+                emb, queries, id_col="vec_id", vec_col="embedding",
+                query_id_col="vec_id", k=K, n_cells=16,
+                n_probe=n_probe, m=m, n_codes=n_codes,
+                refine_factor=refine))
+            sec = round(time.monotonic() - t0, 3)
+            row = {"n_cells": 16, "m": m, "n_codes": n_codes,
+                   "n_probe": n_probe, "refine_factor": refine,
+                   "recall": _recall(exact, approx), "sec": sec}
+            out["ivfpq"].append(row)
+            print("ivfpq ", json.dumps(row), flush=True)
+
     target = Path(__file__).resolve().parent.parent / "ANN_SWEEP.json"
     target.write_text(json.dumps(out, indent=1))
     print(f"wrote {target}")

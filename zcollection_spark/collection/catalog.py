@@ -165,24 +165,36 @@ class Catalog:
     def write(self, partitions: list[str],
               txn_map: dict | None = None,
               stats_map: dict | None = None) -> None:
-        """Write the full document.  ``txn_map=None`` PRESERVES the
-        existing txn ledger (a catalog rebuild from a store walk must
-        not forget committed stream batches); pass ``{}`` to reset.
+        """Write the full document (rebuild/repair: REPLACES the
+        partition list).  ``txn_map=None`` PRESERVES the existing txn
+        ledger (a catalog rebuild from a store walk must not forget
+        committed stream batches); pass ``{}`` to reset.
         ``stats_map=None`` likewise keeps the zone-map statistics of
-        every surviving partition."""
-        doc0 = self._read_doc()
-        if txn_map is None:
-            txn_map = dict((doc0 or {}).get("txn", {}))
-        if stats_map is None:
-            stats_map = dict((doc0 or {}).get("stats", {}))
-        gen = int((doc0 or {}).get("generation", 0)) + 1
-        # a full rewrite (rebuild/repair) cannot know which partitions
-        # changed: stamp everything with the new generation so
-        # incremental consumers conservatively reprocess, never skip
-        doc = self._build_doc(partitions, txn_map, stats_map, gen,
-                              {rel: gen for rel in partitions})
-        self._fs.write_text(self._path, json.dumps(doc, indent=1))
-        self._snapshot(doc)
+        every surviving partition.
+
+        Routed through the same CAS loop as ``add``/``remove``
+        (ADVICE r5): an unconditional read-then-PUT racing a concurrent
+        CAS commit could mint a DUPLICATE generation number — both
+        writers read gen N and write N+1 — overwriting the gen-(N+1)
+        snapshot with a different document, so ``changes()`` replay
+        could diff against the wrong base without any error.  Inside
+        ``_commit_rmw`` the rebuild serializes with every other commit
+        and generation numbers stay unique (the replacement semantics
+        are unchanged: a rebuild's list wins by design)."""
+
+        def mutate(base: list[str], txn_map0: dict, stats_map0: dict,
+                   touched: dict, gen: int):
+            new_txn = txn_map0 if txn_map is None else dict(txn_map)
+            new_stats = (stats_map0 if stats_map is None
+                         else dict(stats_map))
+            # a full rewrite cannot know which partitions changed:
+            # stamp everything with the new generation so incremental
+            # consumers conservatively reprocess, never skip
+            touched.clear()
+            touched.update({rel: gen for rel in partitions})
+            return list(partitions), new_txn, new_stats
+
+        self._commit_rmw(mutate)
 
     @staticmethod
     def _build_doc(partitions: list[str], txn_map: dict,

@@ -29,7 +29,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-from .errors import CommitConflictError
+from .errors import CommitConflictError, StoreError
 
 #: Schemes where a Hadoop FileSystem ``rename`` is a non-atomic
 #: copy+delete per object.  The staging protocol's swap publish assumes
@@ -677,6 +677,19 @@ class S3FS:
             code = exc.response.get("Error", {}).get("Code", "")
             if status == 404 or code in ("404", "NoSuchKey", "NotFound"):
                 return None
+            if status == 403 or code in ("403", "AccessDenied"):
+                # S3 answers HEAD-on-missing-key with 403 when the
+                # credentials lack s3:ListBucket — indistinguishable
+                # from "forbidden", so surface a CLEAR permissions
+                # error instead of either guessing "absent" (corrupts
+                # recovery) or a raw ClientError (ADVICE r5)
+                raise StoreError(
+                    f"HEAD s3://{bucket}/{key} returned 403: the "
+                    f"credentials may lack s3:ListBucket (S3 reports "
+                    f"403 instead of 404 for missing keys without "
+                    f"it) or s3:GetObject; zcollection_spark requires "
+                    f"s3:ListBucket to distinguish absent from "
+                    f"forbidden") from exc
             raise
 
     def _list_page(self, bucket: str, **kwargs):
@@ -829,8 +842,18 @@ class S3FS:
         try:
             self._client.copy_object(Bucket=db, Key=dk,
                                      CopySource={"Bucket": sb, "Key": sk})
-        except self._client.exceptions.ClientError:
-            return False
+        except self._client.exceptions.ClientError as exc:
+            # False ONLY for a missing source (the _head rule, ADVICE
+            # r5): a throttle/5xx/403 returned as "missing" would
+            # surface in staging recovery as the misleading "staged
+            # data incomplete, cannot roll forward" — transient faults
+            # must raise, not masquerade as absence.
+            status = exc.response.get("ResponseMetadata", {}) \
+                .get("HTTPStatusCode")
+            code = exc.response.get("Error", {}).get("Code", "")
+            if status == 404 or code in ("404", "NoSuchKey", "NotFound"):
+                return False
+            raise
         self.api_counts["delete"] += 1
         self._client.delete_object(Bucket=sb, Key=sk)
         return True

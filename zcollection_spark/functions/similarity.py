@@ -733,7 +733,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                m: int = 8, n_codes: int = 64,
                refine_factor: int = 0,
                seed: int = 42, train_cap: int = 100_000,
-               max_iter: int = 10) -> DataFrame:
+               max_iter: int = 10,
+               trained: "tuple | None" = None) -> DataFrame:
     """IVF-PQ approximate top-k cosine: coarse cells (shared IVF
     kernel) + per-subspace product quantization of the RESIDUALS.
 
@@ -759,13 +760,30 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     normalized-vector space here (PQ quantizes unit-norm residuals), so
     they are parallel to — not interchangeable with — ``ivf_topk``'s
     raw-space cells.
+
+    RECALL KNOBS (measured, tools/ann_sweep.py → ANN_SWEEP.json): on
+    isotropic embeddings ADC noise swamps the tiny cosine margins, so
+    raising ``n_probe`` alone plateaus — the binding constraints are
+    ``m`` (more, smaller subspaces → less quantization error; m=16 at
+    dim=64 lifts recall@10 from 0.72 to 0.90 at the same n_probe) and
+    ``refine_factor`` (a bigger exact-rerank pool recovers what ADC
+    misranks).  Prefer raw :func:`ivf_topk` when vectors fit the scan
+    budget; IVF-PQ earns its error when the corpus must shrink 8-32x.
+
+    ``trained=(centroids, codebooks)`` reuses a pre-trained quantizer
+    (:func:`train_ivfpq`) — the same train-once/reuse contract as
+    ``ivf_topk``'s ``centroids=``, and what lets an external oracle
+    replay cell assignment, codes, and ADC bit-identically.
     """
     query_vec_col = query_vec_col or vec_col
-    sample = train_centroid_sample(corpus, id_col, vec_col,
-                                   train_cap, n_cells)
-    cent, books = train_ivfpq(sample, n_cells=n_cells, m=m,
-                              n_codes=n_codes, seed=seed,
-                              iters=max_iter)
+    if trained is None:
+        sample = train_centroid_sample(corpus, id_col, vec_col,
+                                       train_cap, n_cells)
+        cent, books = train_ivfpq(sample, n_cells=n_cells, m=m,
+                                  n_codes=n_codes, seed=seed,
+                                  iters=max_iter)
+    else:
+        cent, books = trained
     cent_np, cent_sq = centroid_arrays(cent)
     _encode = make_pq_encoder(cent_np, cent_sq, books)
 

@@ -32,6 +32,7 @@ module extends the same grammar to data-column statistics.
 from __future__ import annotations
 
 import ast
+import math
 from typing import Any, Callable, Mapping, Sequence
 
 from ..errors import ExpressionError
@@ -140,6 +141,12 @@ def _interval_of(name: str, stats: Mapping[str, Sequence] | None) -> _Interval:
     nulls = int(entry[2]) if len(entry) > 2 and entry[2] is not None else 0
     if lo is None or hi is None:
         return _Interval.empty() if nulls else _Interval.top()
+    # Defensive: a NaN bound (older catalogs written before stats.py
+    # collected NaN-free bounds — json round-trips NaN) makes every
+    # Python comparison False, which would silently prune partitions
+    # that hold matching rows.  Degrade to TOP, never prune on it.
+    if any(isinstance(b, float) and math.isnan(b) for b in (lo, hi)):
+        return _Interval.top()
     return _Interval(lo, hi, has_null=nulls > 0)
 
 
