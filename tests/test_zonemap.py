@@ -411,3 +411,34 @@ def test_decimal_bounds_widen_not_round(spark, tmp_path):
     # exactly-representable values stay exact in both directions
     assert json_stat(Decimal("0.5"), "lo") == 0.5
     assert json_stat(Decimal("0.5"), "hi") == 0.5
+
+
+def test_widen_with_nan_top_form_poisons_union():
+    """Appending a NaN-bearing batch (TOP-form stats [None,None,0]) to
+    a clean partition must widen to TOP — keeping the clean bounds
+    would prune a partition that now holds NaN rows (which Spark ranks
+    above every number, so they match any > predicate)."""
+    from zcollection_spark.collection.catalog import _widen_stats
+    top, clean, allnull = [None, None, 0], [1.0, 5.0, 0], [None, None, 3]
+    assert _widen_stats({"v": clean}, {"v": top}) == {"v": top}
+    assert _widen_stats({"v": top}, {"v": clean}) == {"v": top}
+    assert _widen_stats({"v": top}, {"v": allnull}) == {"v": top}
+    # all-null + clean keeps the clean interval with summed nulls
+    assert _widen_stats({"v": allnull}, {"v": clean}) == {"v": [1.0, 5.0, 3]}
+    # clean + clean still unions exactly
+    assert _widen_stats({"v": clean}, {"v": [0.5, 9.0, 1]}) \
+        == {"v": [0.5, 9.0, 1]}
+
+
+def test_nan_append_widens_existing_partition_to_top(spark, tmp_path):
+    """End to end: concat-append NaN rows into a clean partition; the
+    committed stats must become TOP and the partition must be scanned."""
+    import pyspark.sql.functions as SF
+    coll = _mk(spark, str(tmp_path / "c"), {1: [1.0, 5.0]})
+    assert coll._catalog.read_stats()["num=1"]["value"] == [1.0, 5.0, 0]
+    extra = (coll.query().withColumn("value", SF.lit(float("nan")))
+             .withColumn("i", SF.col("i") + 100))
+    coll.insert(extra, merge="concat")
+    assert coll._catalog.read_stats()["num=1"]["value"] == [None, None, 0]
+    res = coll.query(where="value > 150.0")
+    assert res is not None and res.count() > 0  # the NaN rows match

@@ -67,10 +67,21 @@ def _widen_stats(old: dict, new: dict) -> dict:
     """Union two ``{col: [min, max, nulls]}`` maps (append publish).
     A column present on only one side keeps NO entry — its interval is
     unknown for the other side's rows, and a partial interval could
-    wrongly prune."""
+    wrongly prune.
+
+    ``[None, None, 0]`` is the TOP form (stats.py writes it for
+    NaN-bearing float columns: no orderable bounds exist) and is
+    DISTINCT from ``[None, None, n>0]`` (all-null: provably matches
+    nothing).  A TOP side poisons the union to TOP — merging a clean
+    interval over it would claim bounds for rows that have none."""
     out = {}
     for col in set(old) & set(new):
         (alo, ahi, an), (blo, bhi, bn) = old[col][:3], new[col][:3]
+        a_top = alo is None and ahi is None and not an
+        b_top = blo is None and bhi is None and not bn
+        if a_top or b_top:
+            out[col] = [None, None, 0]
+            continue
         if alo is None or blo is None:
             lo = alo if blo is None else blo if alo is None else None
             hi = ahi if bhi is None else bhi if ahi is None else None
@@ -194,7 +205,10 @@ class Catalog:
             touched.update({rel: gen for rel in partitions})
             return list(partitions), new_txn, new_stats
 
-        self._commit_rmw(mutate)
+        # need_base=False: a rebuild REPLACES the list, so the
+        # no-catalog-yet baseline walk is wasted round-trips (and a
+        # fresh store has nothing to walk)
+        self._commit_rmw(mutate, need_base=False)
 
     @staticmethod
     def _build_doc(partitions: list[str], txn_map: dict,
@@ -281,7 +295,7 @@ class Catalog:
             self._fs.delete(self._gen_path(gen))
         return doomed
 
-    def _commit_rmw(self, mutate) -> list[str]:
+    def _commit_rmw(self, mutate, need_base: bool = True) -> list[str]:
         """Read-merge-write commit.  On stores with conditional writes
         (``fs.write_if``) this is an optimistic-concurrency loop: read
         the document and its version token in ONE GET, apply ``mutate``,
@@ -303,7 +317,7 @@ class Catalog:
                     doc0, token = self._read_doc(), None
                 if doc0 is not None:
                     base = list(doc0["partitions"])
-                elif self._walk_depth is not None:
+                elif need_base and self._walk_depth is not None:
                     base = self._fs.list_partition_dirs(self._root,
                                                         self._walk_depth)
                 else:

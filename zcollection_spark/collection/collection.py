@@ -44,6 +44,7 @@ tightened — ``update`` must return all partitioned variables unless
 from __future__ import annotations
 
 import json
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -823,12 +824,20 @@ class Collection:
         if not matching:
             return {}
 
-        def count_files(rel: str) -> int:
-            return sum(1 for f in self._fs.list_files(f"{self.path}/{rel}")
-                       if f.endswith(".parquet"))
+        def count_files(rel: str) -> tuple[str, int]:
+            return rel, sum(
+                1 for f in self._fs.list_files(f"{self.path}/{rel}")
+                if f.endswith(".parquet"))
 
-        before = {rel: n for rel in matching
-                  if (n := count_files(rel)) >= max(min_files, 1)}
+        # one LIST per partition — pooled like the publish path
+        # (staging_proto.PUBLISH_POOL): sequential round-trips on an object
+        # store would make the maintenance walk O(partitions) latency
+        with ThreadPoolExecutor(
+                max_workers=min(staging_proto.PUBLISH_POOL,
+                                len(matching))) as pool:
+            counts = dict(pool.map(count_files, matching))
+        before = {rel: n for rel, n in counts.items()
+                  if n >= max(min_files, 1)}
         matching = sorted(before)
         if not matching:
             return {}
@@ -853,8 +862,18 @@ class Collection:
         (``base.py:599-634``; ≈ ALTER TABLE DROP PARTITION)."""
         self._require_writable()
         doomed = self.partitions(filters=filters)
-        for rel in doomed:
-            self._fs.delete(f"{self.path}/{rel}")
+        if len(doomed) <= 1:
+            for rel in doomed:
+                self._fs.delete(f"{self.path}/{rel}")
+        else:
+            # pooled deletes (staging_proto.PUBLISH_POOL parity): object-store
+            # prefix deletes are independent round-trips
+            with ThreadPoolExecutor(
+                    max_workers=min(staging_proto.PUBLISH_POOL,
+                                    len(doomed))) as pool:
+                list(pool.map(
+                    lambda rel: self._fs.delete(f"{self.path}/{rel}"),
+                    doomed))
         if self.catalog_enabled:
             self._catalog.remove(doomed)
         return doomed

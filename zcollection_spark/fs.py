@@ -503,6 +503,8 @@ class HadoopFS:
 
     def list_partition_dirs(self, root: str, depth: int) -> list[str]:
         fs, jroot = self._fs_path(root)
+        if not fs.exists(jroot):
+            return []  # missing root = no partitions (LocalFS parity)
         results: list[str] = []
 
         def walk(jpath, level: int, rel: str) -> None:
@@ -1001,18 +1003,39 @@ def fs_for(path: str, spark: SparkSession | None = None):
     if path.startswith("memory://"):
         return _MEMORY_FS
     scheme = scheme_of(path)
-    if scheme in ("s3", "s3a", "s3n"):
+    if scheme in ("s3", "s3a", "s3n", "gs"):
+        # The supported object-store class is "speaks the S3 API".
+        # That covers real S3, any S3-compatible endpoint (MinIO,
+        # Ceph, moto), and Google Cloud Storage through its XML
+        # interoperability API (HMAC keys + https://storage.
+        # googleapis.com — a documented, public GCS mode).  Azure Blob
+        # does not speak S3: az://-style paths fall through to the
+        # HadoopFS branch (JVM hadoop-azure connector), the same way
+        # the reference delegates multi-scheme auth to obstore
+        # (store/factory.py:22-79).
         import hashlib as _hl
-        cred = _hl.sha256("\x00".join(
-            os.environ.get(k, "") for k in
-            ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY",
-             "AWS_SESSION_TOKEN")).encode()).hexdigest()
-        key = (os.environ.get("AWS_ENDPOINT_URL"),
+        if scheme == "gs":
+            endpoint = os.environ.get("GCS_ENDPOINT_URL",
+                                      "https://storage.googleapis.com")
+            access = os.environ.get("GCS_ACCESS_KEY_ID")
+            secret = os.environ.get("GCS_SECRET_ACCESS_KEY")
+            cred_src = (endpoint, access or "", secret or "")
+        else:
+            endpoint = os.environ.get("AWS_ENDPOINT_URL")
+            access = secret = None
+            cred_src = tuple(os.environ.get(k, "") for k in
+                             ("AWS_ACCESS_KEY_ID",
+                              "AWS_SECRET_ACCESS_KEY",
+                              "AWS_SESSION_TOKEN"))
+        cred = _hl.sha256("\x00".join(cred_src).encode()).hexdigest()
+        key = (scheme == "gs", endpoint,
                os.environ.get("AWS_REGION"), cred)
         try:
             with _S3_CACHE_LOCK:
                 if key not in _S3_CACHE:
-                    _S3_CACHE[key] = S3FS()
+                    _S3_CACHE[key] = S3FS(endpoint_url=endpoint,
+                                          access_key=access,
+                                          secret_key=secret)
                 return _S3_CACHE[key]
         except ImportError:
             pass  # no boto3: fall through to the JVM connector

@@ -31,6 +31,30 @@ from .similarity import (_dot, _lloyd_kmeans, _norm, centroid_arrays,
 
 INDEX_SIDECAR = "_ivf_index.json"
 
+#: Default ceiling for the driver-collected query side of index
+#: lookups.  Top-k serving query sets are thousands of rows at most; a
+#: million-row "query set" collected to the driver is almost always a
+#: misuse (that workload belongs in the inline ivf/ivfpq_topk join
+#: path) — and OOMing the driver is the worst way to find out.
+MAX_QUERY_ROWS = 100_000
+
+
+def _bounded_query_rows(queries: DataFrame, query_id_col: str,
+                        query_vec_col: str, max_query_rows: int) -> list:
+    """Collect the query side, enforcing the documented bounded-side
+    contract: one job (``take(limit+1)``), a clear error instead of a
+    driver OOM when the bound is exceeded."""
+    rows = (queries.select(query_id_col, query_vec_col)
+            .take(max_query_rows + 1))
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}: "
+            f"index lookups collect queries to the driver by design "
+            f"(bounded side); for corpus-scale query sets use the "
+            f"inline ivf_topk/ivfpq_topk join path, or raise "
+            f"max_query_rows= explicitly if the driver can hold it")
+    return rows
+
 
 def write_ivf_index(corpus: DataFrame, path: str, *, id_col: str,
                     vec_col: str, n_cells: int = 16, seed: int = 42,
@@ -63,7 +87,8 @@ def write_ivf_index(corpus: DataFrame, path: str, *, id_col: str,
 def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
                     *, query_id_col: str,
                     query_vec_col: str | None = None,
-                    k: int = 10, n_probe: int = 2) -> DataFrame:
+                    k: int = 10, n_probe: int = 2,
+                    max_query_rows: int = MAX_QUERY_ROWS) -> DataFrame:
     """ANN top-k against a materialized IVF index.
 
     Per query the ``n_probe`` nearest cells are computed driver-side
@@ -80,7 +105,8 @@ def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
     n_probe_eff = min(n_probe, len(cent_np))
     query_vec_col = query_vec_col or vec_col
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = _bounded_query_rows(queries, query_id_col, query_vec_col,
+                                max_query_rows)
     probe_rows = []
     for r in qrows:
         v = np.asarray(r[1], dtype=np.float64)
@@ -176,7 +202,8 @@ def query_ivfpq_index(spark: SparkSession, path: str,
                       query_vec_col: str | None = None, k: int = 10,
                       n_probe: int = 4,
                       refine_with: DataFrame | None = None,
-                      refine_factor: int = 4) -> DataFrame:
+                      refine_factor: int = 4,
+                      max_query_rows: int = MAX_QUERY_ROWS) -> DataFrame:
     """ANN top-k against a materialized IVF-PQ index.
 
     Probe cells resolve driver-side from the sidecar (queries are the
@@ -198,7 +225,8 @@ def query_ivfpq_index(spark: SparkSession, path: str,
     n_probe_eff = min(n_probe, len(cent_np))
     query_vec_col = query_vec_col or meta["vec_col"]
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = _bounded_query_rows(queries, query_id_col, query_vec_col,
+                                max_query_rows)
     probe_rows = driver_probe_rows(qrows, cent_np, cent_sq,
                                    n_probe_eff, normalize=True)
     qid_type = queries.schema[query_id_col].dataType.simpleString()
