@@ -514,3 +514,54 @@ def test_ivfpq_empty_corpus_raises_clearly(spark):
         ivfpq_topk(df, df, id_col="vec_id", vec_col="embedding",
                    query_id_col="vec_id", k=2, n_cells=2, n_probe=1,
                    m=4)
+
+
+# ---------------------------------------------------------------------------
+# curation: PII scrub / decontamination / repetition
+# ---------------------------------------------------------------------------
+
+def test_scrub_pii_counts_and_sentinels(spark):
+    from zcollection_spark.functions import scrub_pii
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or admin@site.org, host 192.168.0.1, "
+             "ssn 123-45-6789 end"),
+         (2, "clean text, nothing to scrub 1.2 not-an-ip 12-34-5678")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_ssn) == (2, 1, 1)
+    assert rows[1].text_scrubbed == (
+        "mail <EMAIL> or <EMAIL>, host <IPV4>, ssn <SSN> end")
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_ssn) == (0, 0, 0)
+    assert rows[2].text_scrubbed == rows[2].text
+
+
+def test_contamination_flags_overlap_only(spark):
+    from zcollection_spark.functions import contamination
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"),
+         (2, "totally unrelated words in here now"),
+         (3, "quick brown fox appears here too")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox story")], "doc_id long, text string")
+    got = {r.doc_id: r.n_overlap
+           for r in contamination(train, bench, id_col="doc_id",
+                                  n=3).collect()}
+    # docs 1 and 3 share the 3-gram 'quick brown fox'; doc 2 is clean
+    assert got == {1: 1, 3: 1}
+
+
+def test_repetition_stats_known_ratios(spark):
+    from zcollection_spark.functions import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam ham"),          # top token 4/5
+         (2, "all words here are unique tokens"),  # top token 1/6
+         (3, "a b c a b c a b c a b c")],          # repeated 3-grams
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            repetition_stats(df, n=3).collect()}
+    assert rows[1].top_token_ratio == pytest.approx(0.8)
+    assert rows[2].top_token_ratio == pytest.approx(1 / 6)
+    # doc 3: 10 3-grams, only 3 distinct ('a b c','b c a','c a b')
+    assert rows[3].dup_ngram_ratio == pytest.approx(0.7)
+    assert rows[2].dup_ngram_ratio == 0.0

@@ -66,7 +66,10 @@ def test_registry_window_invariant():
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",
-                    "langid_confusion", "top_ngrams"}
+                    "langid_confusion", "top_ngrams",
+                    # new round 6 (curation), full oracles, rotate-in
+                    # candidates for round 7
+                    "pii_scrub", "decontaminate", "doc_repetition"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf",

@@ -2010,6 +2010,112 @@ WHERE event_type = 'purchase'
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (functions/curation.py): deterministic synthetic
+    PII is injected per doc (the synthetic corpus has none), then
+    counted and replaced with sentinels — pure JVM regexp expressions,
+    scan-speed at any scale.  The oracle replays the same Java/RE2-
+    identical patterns in DuckDB."""
+    from .functions import scrub_pii
+    docs = load_table(spark, sf_dir, "documents")
+    inj = docs.select(
+        "doc_id",
+        F.concat(F.lit("contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(" ssn 123-45-6789 "), F.col("text"))
+        .alias("text"))
+    out = scrub_pii(inj)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.length("text_scrubbed").cast("long").alias("n_chars_scrubbed"))
+
+
+def _pii_oracle() -> str:
+    from .functions.curation import PII_PATTERNS, _SCRUB_ORDER
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS BIGINT)"
+        f" AS n_{k}" for k in _SCRUB_ORDER)
+    scrub = "t"
+    for k in _SCRUB_ORDER:
+        scrub = (f"regexp_replace({scrub}, '{PII_PATTERNS[k]}', "
+                 f"'<{k.upper()}>', 'g')")
+    return f"""
+WITH inj AS (SELECT doc_id,
+  'contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.'
+  || CAST(doc_id % 256 AS VARCHAR) || ' ssn 123-45-6789 ' || text AS t
+  FROM documents)
+SELECT doc_id, {counts},
+       CAST(length({scrub}) AS BIGINT) AS n_chars_scrubbed
+FROM inj
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/curation.py): training docs
+    sharing any word 3-gram with the held-out benchmark slice
+    (doc_id % 97 == 0) — benchmark shingles broadcast, one scan +
+    explode + semi-join over the corpus side."""
+    from .functions import contamination
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    out = contamination(train, bench, id_col="doc_id", n=3)
+    return out.select("doc_id",
+                      F.col("n_overlap").cast("long").alias("n_overlap"))
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH {_shingle_sql(3)},
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM train JOIN bench USING (s)
+GROUP BY doc_id
+"""
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition (functions/curation.py):
+    top-token share (one aggregate pass over the sorted token array —
+    no shuffle) and duplicate-5-gram ratio per document."""
+    from .functions import repetition_stats
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, n=5)
+    return out.select(
+        "doc_id",
+        F.round("top_token_ratio", 6).alias("top_token_ratio"),
+        F.round("dup_ngram_ratio", 6).alias("dup_ngram_ratio"))
+
+
+ORACLE_DOC_REPETITION = """
+WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                      AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t, len(w) AS n FROM words),
+freq AS (SELECT doc_id, t, count(*) AS c, any_value(n) AS n
+         FROM tok GROUP BY doc_id, t),
+top AS (SELECT doc_id, max(c) AS mx, any_value(n) AS n
+        FROM freq GROUP BY doc_id),
+shall AS (SELECT doc_id,
+            CASE WHEN len(w) >= 5
+                 THEN array_to_string(list_slice(w, gs, gs + 4), ' ')
+                 ELSE array_to_string(w, ' ') END AS s
+          FROM words,
+               UNNEST(generate_series(
+                 1, CASE WHEN len(w) >= 5 THEN len(w) - 4
+                         ELSE 1 END)) u(gs)),
+dup AS (SELECT doc_id,
+               1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*) AS r
+        FROM shall GROUP BY doc_id)
+SELECT t.doc_id, round(CAST(t.mx AS DOUBLE) / t.n, 6) AS top_token_ratio,
+       round(d.r, 6) AS dup_ngram_ratio
+FROM top t JOIN dup d ON d.doc_id = t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2149,6 +2255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window agg peers, still gated by tools/check_oracle.py
         "priority_class_counts": q_priority_class_counts,
         "big_orders": q_big_orders,
+        # new round 6 (curation ops), tail-gated with full oracles by
+        # tools/check_oracle.py; candidates to rotate in next round
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -2207,6 +2318,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "source_quality": ORACLE_SOURCE_QUALITY,
         "top_ngrams": ORACLE_TOP_NGRAMS,
         "fingerprint": ORACLE_FINGERPRINT,
+        "pii_scrub": _pii_oracle(),
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "doc_repetition": ORACLE_DOC_REPETITION,
         "knn_bruteforce": ORACLE_KNN,
         "knn_lsh": _lsh_oracle(),
         "knn_lsh_hi": _lsh_oracle(n_planes=LSH_HI["n_planes"],

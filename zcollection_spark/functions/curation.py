@@ -1,0 +1,123 @@
+"""Training-data curation: PII scrubbing, benchmark decontamination,
+intra-document repetition.
+
+The remaining standard passes of an LLM data pipeline beyond dedup/
+quality scoring (functions/text.py, functions/dedup.py): strip
+personally-identifying spans, drop documents that leak evaluation
+benchmarks, and measure within-document repetition (boilerplate/spam
+signal).  All JVM-side column expressions (whole-stage codegen; no
+Python in the hot path), with exact DuckDB SQL twins — regex patterns
+are restricted to constructs with identical semantics in Java regex
+(Spark) and RE2 (DuckDB): no lookaround, no backreferences.
+
+No reference counterpart: the reference is an array-storage engine;
+these are the data-pipeline operators the build brief adds as
+first-class components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_shingles, words
+
+#: PII span patterns (Java-regex/RE2-identical).  Deliberately
+#: conservative, high-precision forms — a curation pass prefers missing
+#: an exotic obfuscated email over mangling ordinary text.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+#: Scrub order is load-bearing: emails can contain digit runs, and an
+#: SSN-shaped span inside an already-replaced token must not re-match,
+#: so spans are counted on the ORIGINAL text and replaced longest-form
+#: first.
+_SCRUB_ORDER = ("email", "ipv4", "ssn")
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str = "text_scrubbed") -> DataFrame:
+    """Replace PII spans with ``<KIND>`` sentinels and count them.
+
+    Adds ``n_{kind}`` count columns (matched on the original text) and
+    ``out_col`` with every span replaced — each kind is one JVM
+    ``regexp_replace``/``regexp_extract_all`` over the row, no shuffle,
+    no UDF: the pass is scan-speed at any scale.
+    """
+    out = df
+    for kind in _SCRUB_ORDER:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))))
+    scrubbed: Column = F.col(text_col)
+    for kind in _SCRUB_ORDER:
+        scrubbed = F.regexp_replace(
+            scrubbed, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out.withColumn(out_col, scrubbed)
+
+
+def contamination(train: DataFrame, benchmark: DataFrame, *,
+                  id_col: str, text_col: str = "text",
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any word
+    ``n``-gram with the benchmark set, with the overlap count.
+
+    Returns ``(id_col, n_overlap)`` for flagged documents only (the
+    drop list).  Scale shape: the benchmark side reduces to DISTINCT
+    shingles and is broadcast (benchmarks are thousands of documents,
+    not billions), so the training side is one scan + explode +
+    broadcast semi-join + partial-aggregated count — no full shuffle
+    of the corpus and fan-out bounded by tokens-per-document.
+    """
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles(text_col, n))
+                        .alias("__s"))
+                .distinct())
+    train_sh = (train
+                .select(F.col(id_col),
+                        F.explode(word_shingles(text_col, n))
+                        .alias("__s"))
+                .distinct())
+    return (train_sh.join(F.broadcast(bench_sh), on="__s")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_overlap")))
+
+
+def repetition_stats(df: DataFrame, *, text_col: str = "text",
+                     n: int = 5) -> DataFrame:
+    """Within-document repetition: the boilerplate/spam signal.
+
+    Adds ``top_token_ratio`` (most frequent token's share of all
+    tokens) and ``dup_ngram_ratio`` (1 - distinct/total word
+    ``n``-grams).  Both are per-row Catalyst expressions — the
+    top-token count runs over the SORTED token array in one
+    ``aggregate`` pass (longest equal-run), so the cost is
+    O(tokens·log tokens) per document with NO shuffle, instead of the
+    explode + groupBy + window two-shuffle alternative.
+    """
+    toks = words(text_col)
+    sorted_toks = F.array_sort(toks)
+    run = F.aggregate(
+        sorted_toks,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    grams = word_shingles(text_col, n)
+    return (df
+            .withColumn("top_token_ratio",
+                        run / F.size(toks).cast("double"))
+            .withColumn("dup_ngram_ratio",
+                        F.lit(1.0) - F.size(F.array_distinct(grams))
+                        / F.size(grams).cast("double")))
