@@ -1,0 +1,115 @@
+"""Read-only HTTP(S) store: published-manifest collections over a live
+local HTTP server (reference parity: the obstore http backend,
+``/root/reference/zcollection/store/obstore_store.py:27``).
+
+HTTP cannot LIST, so the authoring side publishes ``_catalog/files.json``
+(``Collection.write_manifest``) and ``HttpFS`` mirrors exactly the named
+files (ETag/Last-Modified-validated).  Every mutating operation raises
+ReadOnlyError — the store class is honest about what a static file
+server can do.
+"""
+
+import functools
+import http.server
+import threading
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import zcollection_spark as zc
+from zcollection_spark.errors import ReadOnlyError, StoreError
+from zcollection_spark.fs import HttpFS, fs_for
+
+
+@pytest.fixture()
+def http_root(tmp_path):
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", tmp_path
+    srv.shutdown()
+
+
+def _publish(spark, local_dir):
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = zc.create_collection(
+        spark, str(local_dir / "coll"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)))
+    pdf = pd.DataFrame({
+        "i": np.arange(30, dtype=np.int64),
+        "value": np.arange(30, dtype=np.float64) * 1.5,
+        "num": np.repeat(np.arange(3, dtype=np.int64), 10)})
+    coll.insert(spark.createDataFrame(pdf,
+                                      schema=coll.schema.to_struct_type()))
+    manifest = coll.write_manifest()
+    return coll, manifest
+
+
+def test_http_collection_end_to_end(spark, http_root):
+    url, tmp_path = http_root
+    local, manifest = _publish(spark, tmp_path)
+    assert set(manifest) == {"num=0", "num=1", "num=2"}
+
+    coll = zc.open_collection(spark, f"{url}/coll", mode="r")
+    assert isinstance(coll._fs, HttpFS)
+    assert coll.partitions() == ["num=0", "num=1", "num=2"]
+
+    got = coll.query(filters="num == 1")
+    want = local.query(filters="num == 1")
+    assert sorted(r.value for r in got.collect()) \
+        == sorted(r.value for r in want.collect())
+    # full query too
+    assert coll.query().count() == 30
+
+
+def test_http_store_is_read_only(spark, http_root):
+    url, tmp_path = http_root
+    _publish(spark, tmp_path)
+    fs = fs_for(f"{url}/coll")
+    with pytest.raises(ReadOnlyError):
+        fs.write_text(f"{url}/coll/x.txt", "nope")
+    with pytest.raises(ReadOnlyError):
+        fs.delete(f"{url}/coll/num=0")
+    coll = zc.open_collection(spark, f"{url}/coll", mode="r")
+    with pytest.raises(ReadOnlyError):
+        coll.insert(coll.query())
+
+
+def test_http_without_manifest_fails_loudly(spark, http_root):
+    url, tmp_path = http_root
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    zc.create_collection(spark, str(tmp_path / "c2"), schema=schema,
+                         axis="i", partitioning=zc.Sequence(("num",)))
+    fs = fs_for(f"{url}/c2")
+    with pytest.raises(StoreError, match="write_manifest"):
+        fs.list_partition_dirs(f"{url}/c2", 1)
+
+
+def test_http_manifest_refresh_and_mirror_validation(spark, http_root):
+    """Republished data (new manifest ETag) must be re-mirrored; the
+    mirror never serves a stale generation."""
+    url, tmp_path = http_root
+    local, _ = _publish(spark, tmp_path)
+    coll = zc.open_collection(spark, f"{url}/coll", mode="r")
+    assert coll.query(filters="num == 2").count() == 10
+
+    import pyspark.sql.functions as F
+    local.insert(local.query(filters="num == 2")
+                 .withColumn("value", F.col("value") + 1000.0),
+                 merge="replace")
+    local.write_manifest()
+    coll2 = zc.open_collection(spark, f"{url}/coll", mode="r")
+    vals = sorted(r.value for r in
+                  coll2.query(filters="num == 2").collect())
+    assert vals[0] >= 1000.0

@@ -235,3 +235,32 @@ def test_dedup_embedding_block_plan(spark):
     fp = final_plan(plan)
     assert "MapInPandas" in fp
     assert "BroadcastNestedLoopJoin" not in fp
+
+
+# -- curation ops (round 6): scan-speed / broadcast shapes ------------------
+
+def test_pii_scrub_no_python_no_shuffle(spark):
+    """PII scrubbing is pure JVM regexp expressions: no Python eval
+    node, no Exchange — the pass runs at scan speed."""
+    plan = executed_plan(eq.q_pii_scrub(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert count_exchanges(plan) == []
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set is the bounded side: broadcast
+    semi-equi-join, never a sort-merge or cartesian candidate join."""
+    plan = executed_plan(eq.q_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doc_repetition_shuffle_free(spark):
+    """Top-token share runs as ONE aggregate expression over the
+    sorted token array — per-row, no Exchange, no Python."""
+    plan = executed_plan(eq.q_doc_repetition(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert count_exchanges(plan) == []

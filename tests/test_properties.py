@@ -285,3 +285,43 @@ def test_zone_may_match_is_conservative(expr, stats):
         assert not sql_eval({"a": a, "b": b}), (
             f"pruned partition holds matching row a={a} b={b} "
             f"for {expr!r} with stats {stats!r}")
+
+
+@st.composite
+def widen_entries(draw):
+    """A stats entry in any of its committed forms: clean interval,
+    all-null EMPTY, or NaN TOP ([None, None, 0])."""
+    kind = draw(st.sampled_from(["clean", "allnull", "top"]))
+    if kind == "clean":
+        lo = draw(st.integers(-15, 15))
+        hi = lo + draw(st.integers(0, 10))
+        return [float(lo), float(hi), draw(st.integers(0, 2))]
+    if kind == "allnull":
+        return [None, None, draw(st.integers(1, 3))]
+    return [None, None, 0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(a=widen_entries(), b=widen_entries())
+def test_widen_stats_is_sound_by_construction(a, b):
+    """Soundness of the append-widen union: the merged entry must keep
+    every value either side could hold.  Concretely: a clean merged
+    interval must CONTAIN both input intervals; any TOP input forces a
+    TOP output (the NaN case — unknown values fit no interval); nulls
+    are never lost."""
+    from zcollection_spark.collection.catalog import _widen_stats
+
+    merged = _widen_stats({"v": a}, {"v": b})["v"]
+    lo, hi, nulls = merged
+
+    def is_top(e):
+        return e[0] is None and e[1] is None and not e[2]
+
+    if is_top(a) or is_top(b):
+        assert is_top(merged)
+        return
+    assert nulls == int(a[2] or 0) + int(b[2] or 0)
+    for side in (a, b):
+        if side[0] is not None:
+            assert lo is not None and lo <= side[0]
+            assert hi is not None and hi >= side[1]

@@ -857,6 +857,41 @@ class Collection:
             mode="swap", stats_df=df)  # content unchanged: re-derive
         return before
 
+    def write_manifest(self) -> dict[str, list[str]]:
+        """Publish the file manifest (``_catalog/files.json``): every
+        partition's data files plus ``_immutable``, one small PUT.
+
+        This is what makes a collection servable from a LIST-less
+        read-only store (plain HTTP/CDN — ``fs.HttpFS``): the consumer
+        GETs the manifest instead of listing, then mirrors exactly the
+        named files.  Run it as the last step of publishing a dataset
+        (file walks are pooled like the publish path).  Returns the
+        manifest mapping."""
+        self._require_writable()
+        rels = self.partitions()
+
+        def files_of(rel: str) -> tuple[str, list[str]]:
+            return rel, sorted(
+                f for f in self._fs.list_files(f"{self.path}/{rel}")
+                if not f.startswith((".", "_")))
+
+        if len(rels) <= 1:
+            manifest = dict(files_of(rel) for rel in rels)
+        else:
+            with ThreadPoolExecutor(
+                    max_workers=min(staging_proto.PUBLISH_POOL,
+                                    len(rels))) as pool:
+                manifest = dict(pool.map(files_of, rels))
+        imm_dir = IMMUTABLE_RELPATH.rsplit("/", 1)[0]
+        if self._fs.exists(f"{self.path}/{IMMUTABLE_RELPATH}"):
+            manifest[imm_dir] = [IMMUTABLE_RELPATH.rsplit("/", 1)[1]]
+        gen = self._catalog.generation() if self.catalog_enabled else 0
+        self._fs.write_text(
+            f"{self.path}/{fsmod.HTTP_MANIFEST_RELPATH}",
+            json.dumps({"format_version": 1, "generation": gen,
+                        "files": manifest}, indent=1, sort_keys=True))
+        return manifest
+
     def drop_partitions(self, *, filters: str | None = None) -> list[str]:
         """Delete matching partitions — ALL when ``filters=None``
         (``base.py:599-634``; ≈ ALTER TABLE DROP PARTITION)."""

@@ -20,6 +20,8 @@ catalog swap protocol requires (see ``catalog.py``).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import shutil
 import tempfile
@@ -29,7 +31,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-from .errors import CommitConflictError, StoreError
+from .errors import CommitConflictError, ReadOnlyError, StoreError
 
 #: Schemes where a Hadoop FileSystem ``rename`` is a non-atomic
 #: copy+delete per object.  The staging protocol's swap publish assumes
@@ -990,6 +992,214 @@ class S3FS:
         return mirror
 
 
+#: Name of the published file manifest an HTTP(S) store requires —
+#: written by ``Collection.write_manifest()`` at publish time.
+HTTP_MANIFEST_RELPATH = "_catalog/files.json"
+
+
+class HttpFS:
+    """READ-ONLY store over plain HTTP(S) — reference parity with the
+    obstore http backend (``store/obstore_store.py:27``), re-expressed
+    for the one thing HTTP can honestly do: serve a PUBLISHED,
+    immutable collection (a dataset on a static file server / CDN).
+
+    HTTP has no LIST, so a published collection must carry a file
+    manifest (``_catalog/files.json``, one small GET — written by
+    ``Collection.write_manifest()`` on the authoring store).  Metadata
+    reads are direct GET/HEAD (urllib, stdlib); bulk reads go through
+    the same ETag-validated localize mirror as the connector-less S3
+    bridge (Hadoop's HttpFileSystem cannot listStatus, so Spark cannot
+    scan http:// paths natively).  EVERY mutating operation raises
+    :class:`ReadOnlyError` — there is no such thing as an HTTP write.
+    """
+
+    requires_localization = True
+
+    def __init__(self, scratch_dir: str | None = None):
+        self._scratch_root = scratch_dir or os.path.join(
+            tempfile.gettempdir(), f"zchttp-{uuid.uuid4().hex[:8]}")
+        self._etags: dict[str, str] = {}
+        self._manifests: dict[str, tuple[str | None, dict]] = {}
+
+    # -- plumbing -------------------------------------------------------
+    @staticmethod
+    def _request(url: str, method: str = "GET"):
+        import urllib.request
+        return urllib.request.urlopen(
+            urllib.request.Request(url, method=method), timeout=30)
+
+    def _head(self, url: str):
+        import urllib.error
+        try:
+            with self._request(url, "HEAD") as resp:
+                return dict(resp.headers)
+        except urllib.error.HTTPError as exc:
+            if exc.code in (404, 410):
+                return None
+            raise
+        except urllib.error.URLError:
+            raise StoreError(f"HTTP store unreachable: {url}") from None
+
+    def _get(self, url: str) -> "tuple[bytes, str | None]":
+        import urllib.error
+        try:
+            with self._request(url) as resp:
+                return resp.read(), resp.headers.get("ETag")
+        except urllib.error.HTTPError as exc:
+            if exc.code in (404, 410):
+                raise FileNotFoundError(url) from None
+            raise
+
+    def _manifest(self, root: str) -> dict:
+        """The published manifest for ``root`` (ETag-cached): ``{rel:
+        [file, ...]}`` with partition relpaths as keys."""
+        url = f"{root.rstrip('/')}/{HTTP_MANIFEST_RELPATH}"
+        cached = self._manifests.get(root)
+        headers = self._head(url)
+        if headers is None:
+            raise StoreError(
+                f"no {HTTP_MANIFEST_RELPATH} at {root}: HTTP stores are "
+                f"read-only and cannot LIST — publish the collection "
+                f"with Collection.write_manifest() first")
+        etag = headers.get("ETag")
+        if cached is not None and etag is not None and cached[0] == etag:
+            return cached[1]
+        body, etag2 = self._get(url)
+        doc = json.loads(body.decode())
+        files = dict(doc.get("files", {}))
+        self._manifests[root] = (etag or etag2, files)
+        return files
+
+    # -- read surface ---------------------------------------------------
+    def supports_atomic_rename(self, path: str) -> bool:
+        return False
+
+    def exists_file(self, path: str) -> bool:
+        return self._head(path) is not None
+
+    def exists(self, path: str) -> bool:
+        # a file, or any manifest-known prefix (directories are
+        # fictions here exactly as on S3)
+        return self._head(path) is not None
+
+    def read_text(self, path: str) -> str:
+        return self._get(path)[0].decode()
+
+    def read_bytes(self, path: str) -> bytes:
+        return self._get(path)[0]
+
+    def read_versioned(self, path: str) -> tuple[str | None, str | None]:
+        try:
+            body, etag = self._get(path)
+        except FileNotFoundError:
+            return None, None
+        text = body.decode()
+        return text, etag or _content_token(text)
+
+    def list_files(self, path: str) -> list[str]:
+        """Manifest-backed listing: ``path`` must be ``root/relpath``
+        for a manifest at some ancestor ``root``."""
+        root, rel = self._split_known_root(path)
+        return sorted(self._manifest(root).get(rel, []))
+
+    def list_dirs(self, path: str) -> list[str]:
+        root, rel = self._split_known_root(path)
+        prefix = f"{rel}/" if rel else ""
+        out = {r[len(prefix):].split("/")[0]
+               for r in self._manifest(root)
+               if r.startswith(prefix) and r != rel}
+        return sorted(out)
+
+    def list_partition_dirs(self, root: str, depth: int) -> list[str]:
+        return sorted(r for r in self._manifest(root)
+                      if not r.startswith(("_", "."))
+                      and len(r.split("/")) == depth)
+
+    def _split_known_root(self, path: str) -> tuple[str, str]:
+        """Split ``path`` into (manifest root, relpath) by probing the
+        cached roots first, then ancestor-walking with HEAD."""
+        path = path.rstrip("/")
+        for root in self._manifests:
+            if path == root or path.startswith(root + "/"):
+                return root, path[len(root):].strip("/")
+        parts = path.split("/")
+        # walk up: the manifest lives at the collection root
+        for i in range(len(parts), 2, -1):
+            root = "/".join(parts[:i])
+            if self._head(
+                    f"{root}/{HTTP_MANIFEST_RELPATH}") is not None:
+                return root, "/".join(parts[i:])
+        raise StoreError(f"no published manifest above {path}")
+
+    def localize(self, root: str,
+                 relpaths: "list[str] | None" = None) -> str:
+        """ETag-validated local mirror of the manifest-listed files
+        under ``relpaths`` (all partitions when None) — same contract
+        as ``S3FS.localize``, driven by the manifest instead of LIST."""
+        files = self._manifest(root)
+        base = root.rstrip("/")
+        mirror = os.path.join(
+            self._scratch_root, "r",
+            hashlib.sha256(base.encode()).hexdigest()[:16])
+        wanted = list(files) if relpaths is None else relpaths
+        for rel in wanted:
+            seen = set()
+            for fname in files.get(rel, []):
+                krel = f"{rel}/{fname}" if rel else fname
+                url = f"{base}/{krel}"
+                local = os.path.join(mirror, *krel.split("/"))
+                headers = self._head(url)
+                if headers is None:
+                    # vanished remotely: drop from the mirror
+                    if os.path.exists(local):
+                        os.remove(local)
+                        self._etags.pop(local, None)
+                    continue
+                seen.add(local)
+                # servers without ETag: Last-Modified alone has 1 s
+                # granularity, so fold in Content-Length (same-named
+                # re-publishes within a second still usually differ)
+                etag = headers.get("ETag") or (
+                    f"{headers.get('Last-Modified')}"
+                    f":{headers.get('Content-Length')}"
+                    if headers.get("Last-Modified") else None)
+                if etag and self._etags.get(local) == etag \
+                        and os.path.exists(local):
+                    continue
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                body, _ = self._get(url)
+                with open(local, "wb") as fh:
+                    fh.write(body)
+                if etag:
+                    self._etags[local] = etag
+            # a republished partition renames its files: purge mirror
+            # files the manifest no longer lists, or a stale generation
+            # would leak into the scan alongside the new one
+            local_prefix = os.path.join(mirror, *rel.split("/")) \
+                if rel else mirror
+            if os.path.isdir(local_prefix):
+                for dirpath, _, filenames in os.walk(local_prefix):
+                    for fname in filenames:
+                        full = os.path.join(dirpath, fname)
+                        if full not in seen:
+                            os.remove(full)
+                            self._etags.pop(full, None)
+        return mirror
+
+    # -- writes: refused ------------------------------------------------
+    def _read_only(self, *_args, **_kwargs):
+        raise ReadOnlyError(
+            "HTTP(S) stores are read-only: publish from a writable "
+            "store (local/S3/HDFS) and serve the files statically")
+
+    write_text = write_bytes = write_if = delete = move_file = \
+        rename = upload_tree = new_scratch_dir = _read_only
+
+
+_HTTP_FS = None
+_HTTP_FS_LOCK = threading.Lock()
+
+
 #: One S3FS per (endpoint, region) — the client, the scratch root, and
 #: the ETag-validated localize mirror are all reusable; a fresh instance
 #: per fs_for call would re-download every mirrored object for each
@@ -1003,6 +1213,12 @@ def fs_for(path: str, spark: SparkSession | None = None):
     if path.startswith("memory://"):
         return _MEMORY_FS
     scheme = scheme_of(path)
+    if scheme in ("http", "https"):
+        global _HTTP_FS
+        with _HTTP_FS_LOCK:
+            if _HTTP_FS is None:
+                _HTTP_FS = HttpFS()
+            return _HTTP_FS
     if scheme in ("s3", "s3a", "s3n", "gs"):
         # The supported object-store class is "speaks the S3 API".
         # That covers real S3, any S3-compatible endpoint (MinIO,
