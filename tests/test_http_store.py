@@ -113,3 +113,50 @@ def test_http_manifest_refresh_and_mirror_validation(spark, http_root):
     vals = sorted(r.value for r in
                   coll2.query(filters="num == 2").collect())
     assert vals[0] >= 1000.0
+
+
+# ---------------------------------------------------------------------------
+# zarr3 over HTTP: no manifest needed — chunk names come from zarr metadata
+# ---------------------------------------------------------------------------
+
+def test_zarr3_collection_served_over_http(spark, http_root):
+    """The zarr3 layout is directly servable from a static file server:
+    the catalog GET names the partitions and zarr metadata names every
+    chunk, so reads are pure GETs (shard partial reads as HTTP Range
+    requests; Range-less servers degrade to slice-locally)."""
+    from zcollection_spark.zarr3.collection import (create_zarr_collection,
+                                                    open_zarr_collection)
+    url, tmp_path = http_root
+    schema = (zc.SchemaBuilder().add_dimension("num")
+              .add_variable("num", "int64", ("num",))
+              .add_variable("v", "float64", ("num",))
+              .build("num"))
+    local = create_zarr_collection(
+        spark, str(tmp_path / "zcoll"), schema=schema, axis="num",
+        partitioning=zc.Sequence(("num",)))
+    pdf = pd.DataFrame({"num": np.array([0, 0, 1, 2], dtype=np.int64),
+                        "v": [1.5, 2.5, 3.5, 4.5]})
+    local.insert(spark.createDataFrame(pdf,
+                                       schema=schema.to_struct_type()))
+
+    coll = open_zarr_collection(spark, f"{url}/zcoll")
+    assert isinstance(coll._fs, HttpFS)
+    assert coll.partitions() == ["num=0", "num=1", "num=2"]
+    got = sorted(r.v for r in coll.query().collect())
+    assert got == [1.5, 2.5, 3.5, 4.5]
+    assert coll.query(filters="num >= 1").count() == 2
+
+
+def test_zarr3_array_http_ranged_reads(http_root):
+    """Sharded partial reads over HTTP: read_array_slice issues Range
+    requests; python's http.server ignores Range (200 full body) and
+    the blob layer slices locally — results identical."""
+    from zcollection_spark.zarr3 import core
+    url, tmp_path = http_root
+    data = np.arange(1000, dtype=np.float64)
+    core.write_array(str(tmp_path / "sharded"), data,
+                     chunk_shape=(64,), shard_shape=(256,))
+    out = core.read_array(f"{url}/sharded")
+    np.testing.assert_array_equal(out, data)
+    sl = core.read_array_slice(f"{url}/sharded", 100, 300)
+    np.testing.assert_array_equal(sl, data[100:300])

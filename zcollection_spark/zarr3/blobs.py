@@ -146,6 +146,64 @@ class S3Blobs:
         return data
 
 
+class HttpBlobs:
+    """READ-ONLY blob access over plain HTTP(S) — zarr chunk names are
+    derived from the zarr metadata (never a LIST), so a zarr3
+    collection is directly servable from a static file server with no
+    manifest at all: metadata GET + chunk GETs, shard partial reads as
+    HTTP Range requests.  Servers that ignore Range (python's
+    http.server answers 200 full-body) degrade to slice-locally —
+    correct, just not partial I/O; real object stores and CDNs answer
+    206.  Writes raise, matching ``fs.HttpFS``."""
+
+    def _get(self, path: str, headers: dict | None = None):
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(path, headers=headers or {})
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as exc:
+            if exc.code in (404, 410):
+                return None, None
+            if exc.code == 416:  # range past EOF: absent-equivalent
+                return None, None
+            raise
+
+    def mkdirs(self, path: str) -> None:
+        pass
+
+    def _read_only(self, *_a, **_k):
+        from ..errors import ReadOnlyError
+        raise ReadOnlyError("HTTP(S) stores are read-only")
+
+    write_bytes = write_text = _read_only
+
+    def read_text(self, path: str) -> str:
+        data = self.try_read_bytes(path)
+        if data is None:
+            raise FileNotFoundError(path)
+        return data.decode("utf-8")
+
+    def try_read_bytes(self, path: str) -> bytes | None:
+        _, body = self._get(path)
+        return body
+
+    def read_tail(self, path: str, nbytes: int) -> bytes | None:
+        status, body = self._get(path,
+                                 {"Range": f"bytes=-{nbytes}"})
+        if body is None:
+            return None
+        return body if status == 206 else body[-nbytes:]
+
+    def read_at(self, path: str, offset: int, nbytes: int) -> bytes:
+        status, body = self._get(
+            path, {"Range": f"bytes={offset}-{offset + nbytes - 1}"})
+        if body is None:
+            raise FileNotFoundError(path)
+        return body if status == 206 else body[offset:offset + nbytes]
+
+
 _CACHE: dict = {}
 
 
@@ -160,6 +218,10 @@ def blobs_for(path: str, conf: dict | None = None):
         if key not in _CACHE:
             _CACHE[key] = S3Blobs(conf)
         return _CACHE[key]
+    if path.startswith(("http://", "https://")):
+        if "http" not in _CACHE:
+            _CACHE["http"] = HttpBlobs()
+        return _CACHE["http"]
     if "local" not in _CACHE:
         _CACHE["local"] = LocalBlobs()
     return _CACHE["local"]
