@@ -304,3 +304,19 @@ def test_cli_changes(spark, seq_collection, capsys):
     assert cli.main(["inspect", seq_collection.path]) == 0
     doc = json.loads(capsys.readouterr().out)
     assert doc["generation"] == seq_collection.generation()
+
+
+def test_cli_manifest(spark, seq_collection, capsys):
+    """`manifest` publishes _catalog/files.json for read-only HTTP
+    serving; the file lists every partition's data files."""
+    from pathlib import Path
+    assert cli.main(["manifest", seq_collection.path]) == 0
+    out = capsys.readouterr().out
+    assert "_catalog/files.json" in out
+    doc = json.loads((Path(seq_collection.path)
+                      / "_catalog" / "files.json").read_text())
+    assert set(doc["files"]) >= set(seq_collection.partitions())
+    for rel, files in doc["files"].items():
+        if rel.startswith("_"):
+            continue
+        assert files and all(f.endswith(".parquet") for f in files)

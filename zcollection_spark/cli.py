@@ -194,6 +194,16 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_manifest(args: argparse.Namespace) -> int:
+    """Publish the file manifest that makes the collection servable
+    from a LIST-less read-only store (plain HTTP/CDN — fs.HttpFS)."""
+    coll = _open(args.path, mode="rw")
+    manifest = coll.write_manifest()
+    print(f"wrote _catalog/files.json: {len(manifest)} partitions, "
+          f"{sum(len(v) for v in manifest.values())} files")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="zcollection_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -248,6 +258,12 @@ def main(argv: list[str] | None = None) -> int:
                       help="skip partitions with fewer files (cost "
                            "proportional to fragmentation)")
     p_cp.set_defaults(fn=cmd_compact)
+
+    p_mf = sub.add_parser(
+        "manifest", help="publish _catalog/files.json (serve the "
+                         "collection over read-only HTTP)")
+    p_mf.add_argument("path")
+    p_mf.set_defaults(fn=cmd_manifest)
 
     p_ch = sub.add_parser(
         "changes", help="partitions added/removed since a generation "
