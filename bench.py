@@ -425,6 +425,11 @@ def emit_headline(timings: dict, counters: dict, sf: str) -> str:
         doc["counters"] = {"dropped": "counters exceeded headline "
                            "budget; see BENCH_local artifacts"}
         line = json.dumps(doc, separators=(",", ":"))
+    if len(line) > HEADLINE_BUDGET:
+        # last resort (a 400+-query registry): keep metric/value — the
+        # one thing the driver must never lose — and drop the rest
+        doc["queries"] = {"dropped": len(timings)}
+        line = json.dumps(doc, separators=(",", ":"))
     return line
 
 

@@ -160,3 +160,64 @@ def test_zarr3_array_http_ranged_reads(http_root):
     np.testing.assert_array_equal(out, data)
     sl = core.read_array_slice(f"{url}/sharded", 100, 300)
     np.testing.assert_array_equal(sl, data[100:300])
+
+
+def test_http_collection_with_immutable_variables(spark, http_root):
+    """Review fix: _immutable/data.parquet is a Spark-written parquet
+    DIRECTORY — the manifest must key it by the full relpath and list
+    the part files inside, and HttpFS.exists must answer directory
+    probes from the manifest (directory URLs 404 on real servers).
+    Without both, immutable variables silently vanish over HTTP."""
+    schema = (zc.SchemaBuilder()
+              .add_dimension("num")
+              .add_dimension("x", size=3)
+              .add_variable("num", "int64", ("num",))
+              .add_variable("value", "float32", ("num", "x"))
+              .add_variable("static", "float32", ("x",))
+              .build())
+    url, tmp_path = http_root
+    local = zc.create_collection(
+        spark, str(tmp_path / "coll"), schema=schema, axis="num",
+        partitioning=zc.Sequence(("num",)))
+    pdf = pd.DataFrame({
+        "num": np.array([0, 0, 1], dtype=np.int64),
+        "value": [[1.0, 2.0, 3.0]] * 3,
+        "static": [[10.0, 20.0, 30.0]] * 3})
+    local.insert(spark.createDataFrame(
+        pdf, schema=schema.with_partition_axis("num").to_struct_type()))
+    manifest = local.write_manifest()
+    assert manifest["_immutable/data.parquet"], \
+        "manifest must list the part files INSIDE the parquet directory"
+
+    coll = zc.open_collection(spark, f"{url}/coll", mode="r")
+    rows = coll.query().collect()
+    assert len(rows) == 3
+    # the immutable column is attached, not silently dropped
+    assert all(list(r.static) == [10.0, 20.0, 30.0] for r in rows)
+
+
+def test_http_stale_manifest_is_a_loud_error(spark, http_root):
+    """Review fix: a publisher that commits new partitions but forgets
+    write_manifest() must produce a clear error, not silently-empty
+    replaced partitions (the old file names 404 and get purged)."""
+    url, tmp_path = http_root
+    local, _ = _publish(spark, tmp_path)
+    import pyspark.sql.functions as F
+    local.insert(local.query(filters="num == 2")
+                 .withColumn("value", F.col("value") + 1000.0),
+                 merge="replace")        # catalog gen bumps; manifest stale
+    coll = zc.open_collection(spark, f"{url}/coll", mode="r")
+    with pytest.raises(StoreError, match="stale manifest"):
+        coll.query(filters="num == 2").collect()
+
+
+def test_gs_without_interop_config_falls_to_hadoop(spark, monkeypatch):
+    """Review fix: gs:// routes to the S3-compatible surface ONLY with
+    explicit GCS interop (HMAC) config — otherwise the JVM
+    gcs-connector path (service-account auth) keeps working instead of
+    signing googleapis.com requests with AWS credentials."""
+    from zcollection_spark.fs import HadoopFS
+    for var in ("GCS_ENDPOINT_URL", "GCS_ACCESS_KEY_ID",
+                "GCS_SECRET_ACCESS_KEY"):
+        monkeypatch.delenv(var, raising=False)
+    assert isinstance(fs_for("gs://bucket/x", spark), HadoopFS)

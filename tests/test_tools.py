@@ -110,3 +110,17 @@ def test_bench_headline_stays_one_small_line():
     line = json.loads(bench.emit_headline(timings, huge, "0.1"))
     assert line["queries"] == timings
     assert "dropped" in line["counters"]
+
+
+def test_bench_headline_last_resort_keeps_metric_value():
+    """Even a pathological timings map (400+ queries) must never clip
+    metric/value: the second shed stage drops the queries block too."""
+    import json
+
+    import bench
+    timings = {f"a_very_long_query_name_{i}": 1.0 for i in range(500)}
+    line = bench.emit_headline(timings, {"x": 1}, "0.1")
+    assert len(line) <= bench.HEADLINE_BUDGET
+    doc = json.loads(line)
+    assert doc["value"] == 500.0
+    assert doc["queries"] == {"dropped": 500}

@@ -198,6 +198,12 @@ def cmd_manifest(args: argparse.Namespace) -> int:
     """Publish the file manifest that makes the collection servable
     from a LIST-less read-only store (plain HTTP/CDN — fs.HttpFS)."""
     coll = _open(args.path, mode="rw")
+    if not hasattr(coll, "write_manifest"):
+        # zarr3: chunk names derive from zarr metadata — HTTP serving
+        # needs no manifest (fs.HttpBlobs reads are pure GETs)
+        print("zarr3 collections need no manifest; serve the directory "
+              "as-is (chunk names come from zarr metadata)")
+        return 0
     manifest = coll.write_manifest()
     print(f"wrote _catalog/files.json: {len(manifest)} partitions, "
           f"{sum(len(v) for v in manifest.values())} files")

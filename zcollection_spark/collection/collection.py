@@ -830,12 +830,7 @@ class Collection:
                 if f.endswith(".parquet"))
 
         # one LIST per partition — pooled like the publish path
-        # (staging_proto.PUBLISH_POOL): sequential round-trips on an object
-        # store would make the maintenance walk O(partitions) latency
-        with ThreadPoolExecutor(
-                max_workers=min(staging_proto.PUBLISH_POOL,
-                                len(matching))) as pool:
-            counts = dict(pool.map(count_files, matching))
+        counts = dict(self._pooled_map(count_files, matching))
         before = {rel: n for rel, n in counts.items()
                   if n >= max(min_files, 1)}
         matching = sorted(before)
@@ -857,6 +852,18 @@ class Collection:
             mode="swap", stats_df=df)  # content unchanged: re-derive
         return before
 
+    def _pooled_map(self, fn, items: list):
+        """Map ``fn`` over ``items`` on the maintenance thread pool
+        (staging_proto.PUBLISH_POOL parity): object-store metadata
+        round-trips are independent, so sequential loops would cost
+        O(items) latency.  Returns results in item order."""
+        if len(items) <= 1:
+            return [fn(it) for it in items]
+        with ThreadPoolExecutor(
+                max_workers=min(staging_proto.PUBLISH_POOL,
+                                len(items))) as pool:
+            return list(pool.map(fn, items))
+
     def write_manifest(self) -> dict[str, list[str]]:
         """Publish the file manifest (``_catalog/files.json``): every
         partition's data files plus ``_immutable``, one small PUT.
@@ -875,16 +882,17 @@ class Collection:
                 f for f in self._fs.list_files(f"{self.path}/{rel}")
                 if not f.startswith((".", "_")))
 
-        if len(rels) <= 1:
-            manifest = dict(files_of(rel) for rel in rels)
-        else:
-            with ThreadPoolExecutor(
-                    max_workers=min(staging_proto.PUBLISH_POOL,
-                                    len(rels))) as pool:
-                manifest = dict(pool.map(files_of, rels))
-        imm_dir = IMMUTABLE_RELPATH.rsplit("/", 1)[0]
+        manifest = dict(self._pooled_map(files_of, rels))
         if self._fs.exists(f"{self.path}/{IMMUTABLE_RELPATH}"):
-            manifest[imm_dir] = [IMMUTABLE_RELPATH.rsplit("/", 1)[1]]
+            # _immutable/data.parquet is a Spark-written parquet
+            # DIRECTORY: the manifest key must be the relpath the read
+            # path localizes (IMMUTABLE_RELPATH) and list the part
+            # files INSIDE it — publishing it as a single file would
+            # silently drop immutable variables over HTTP
+            manifest[IMMUTABLE_RELPATH] = sorted(
+                f for f in self._fs.list_files(
+                    f"{self.path}/{IMMUTABLE_RELPATH}")
+                if not f.startswith("."))
         gen = self._catalog.generation() if self.catalog_enabled else 0
         self._fs.write_text(
             f"{self.path}/{fsmod.HTTP_MANIFEST_RELPATH}",
@@ -897,18 +905,8 @@ class Collection:
         (``base.py:599-634``; ≈ ALTER TABLE DROP PARTITION)."""
         self._require_writable()
         doomed = self.partitions(filters=filters)
-        if len(doomed) <= 1:
-            for rel in doomed:
-                self._fs.delete(f"{self.path}/{rel}")
-        else:
-            # pooled deletes (staging_proto.PUBLISH_POOL parity): object-store
-            # prefix deletes are independent round-trips
-            with ThreadPoolExecutor(
-                    max_workers=min(staging_proto.PUBLISH_POOL,
-                                    len(doomed))) as pool:
-                list(pool.map(
-                    lambda rel: self._fs.delete(f"{self.path}/{rel}"),
-                    doomed))
+        self._pooled_map(
+            lambda rel: self._fs.delete(f"{self.path}/{rel}"), doomed)
         if self.catalog_enabled:
             self._catalog.remove(doomed)
         return doomed

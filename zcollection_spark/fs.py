@@ -1050,9 +1050,19 @@ class HttpFS:
                 raise FileNotFoundError(url) from None
             raise
 
-    def _manifest(self, root: str) -> dict:
-        """The published manifest for ``root`` (ETag-cached): ``{rel:
-        [file, ...]}`` with partition relpaths as keys."""
+    @staticmethod
+    def _version_token(headers: dict) -> "str | None":
+        """ETag, or Last-Modified:Content-Length for servers without
+        one (1 s mtime granularity alone is not enough)."""
+        return headers.get("ETag") or (
+            f"{headers.get('Last-Modified')}"
+            f":{headers.get('Content-Length')}"
+            if headers.get("Last-Modified") else None)
+
+    def _manifest_doc(self, root: str) -> dict:
+        """The published manifest DOCUMENT for ``root``, token-cached
+        (ETag or Last-Modified:Content-Length): repeated metadata ops
+        pay one HEAD, not HEAD + GET + parse."""
         url = f"{root.rstrip('/')}/{HTTP_MANIFEST_RELPATH}"
         cached = self._manifests.get(root)
         headers = self._head(url)
@@ -1061,14 +1071,17 @@ class HttpFS:
                 f"no {HTTP_MANIFEST_RELPATH} at {root}: HTTP stores are "
                 f"read-only and cannot LIST — publish the collection "
                 f"with Collection.write_manifest() first")
-        etag = headers.get("ETag")
-        if cached is not None and etag is not None and cached[0] == etag:
+        token = self._version_token(headers)
+        if cached is not None and token is not None and cached[0] == token:
             return cached[1]
-        body, etag2 = self._get(url)
+        body, _ = self._get(url)
         doc = json.loads(body.decode())
-        files = dict(doc.get("files", {}))
-        self._manifests[root] = (etag or etag2, files)
-        return files
+        self._manifests[root] = (token, doc)
+        return doc
+
+    def _manifest(self, root: str) -> dict:
+        """``{rel: [file, ...]}`` with partition relpaths as keys."""
+        return dict(self._manifest_doc(root).get("files", {}))
 
     # -- read surface ---------------------------------------------------
     def supports_atomic_rename(self, path: str) -> bool:
@@ -1078,9 +1091,21 @@ class HttpFS:
         return self._head(path) is not None
 
     def exists(self, path: str) -> bool:
-        # a file, or any manifest-known prefix (directories are
-        # fictions here exactly as on S3)
-        return self._head(path) is not None
+        """A file (HEAD), or any manifest-known prefix — directory
+        URLs 404 on real static servers/CDNs, so directory probes
+        (e.g. the ``_immutable`` check) consult the manifest."""
+        if self._head(path) is not None:
+            return True
+        try:
+            root, rel = self._split_known_root(path)
+        except StoreError:
+            return False
+        if not rel:
+            return True
+        for key in self._manifest(root):
+            if key == rel or key.startswith(rel + "/"):
+                return True
+        return False
 
     def read_text(self, path: str) -> str:
         return self._get(path)[0].decode()
@@ -1135,9 +1160,41 @@ class HttpFS:
                  relpaths: "list[str] | None" = None) -> str:
         """ETag-validated local mirror of the manifest-listed files
         under ``relpaths`` (all partitions when None) — same contract
-        as ``S3FS.localize``, driven by the manifest instead of LIST."""
-        files = self._manifest(root)
+        as ``S3FS.localize``, driven by the manifest instead of LIST.
+
+        The manifest generation is validated against the LIVE catalog
+        (one extra small GET): a publisher that commits new partitions
+        but forgets to re-run ``write_manifest()`` would otherwise make
+        replaced partitions read as silently EMPTY (their old file
+        names 404 and get purged from the mirror) — stale metadata must
+        be a loud error, not quiet data loss."""
+        doc = self._manifest_doc(root)
+        files = dict(doc.get("files", {}))
         base = root.rstrip("/")
+        # "_catalog/state.json" is the stable on-disk catalog name
+        # (collection/catalog.py CATALOG_RELPATH; not imported to keep
+        # fs.py free of collection-layer imports)
+        state, _ = self.read_versioned(f"{base}/_catalog/state.json")
+        if state is not None and "generation" in doc:
+            try:
+                live_gen = int(json.loads(state).get("generation", 0))
+            except ValueError:
+                live_gen = None
+            if live_gen is not None \
+                    and int(doc["generation"]) != live_gen:
+                # our CACHED manifest may be the stale side (the
+                # Last-Modified token has 1 s granularity): drop the
+                # cache and re-GET once before declaring staleness
+                self._manifests.pop(root, None)
+                doc = self._manifest_doc(root)
+                files = dict(doc.get("files", {}))
+            if live_gen is not None \
+                    and int(doc.get("generation", live_gen)) != live_gen:
+                raise StoreError(
+                    f"stale manifest at {base}: manifest generation "
+                    f"{doc['generation']} != catalog generation "
+                    f"{live_gen} — re-run Collection.write_manifest() "
+                    f"after every publish")
         mirror = os.path.join(
             self._scratch_root, "r",
             hashlib.sha256(base.encode()).hexdigest()[:16])
@@ -1156,13 +1213,7 @@ class HttpFS:
                         self._etags.pop(local, None)
                     continue
                 seen.add(local)
-                # servers without ETag: Last-Modified alone has 1 s
-                # granularity, so fold in Content-Length (same-named
-                # re-publishes within a second still usually differ)
-                etag = headers.get("ETag") or (
-                    f"{headers.get('Last-Modified')}"
-                    f":{headers.get('Content-Length')}"
-                    if headers.get("Last-Modified") else None)
+                etag = self._version_token(headers)
                 if etag and self._etags.get(local) == etag \
                         and os.path.exists(local):
                     continue
@@ -1219,6 +1270,12 @@ def fs_for(path: str, spark: SparkSession | None = None):
             if _HTTP_FS is None:
                 _HTTP_FS = HttpFS()
             return _HTTP_FS
+    if scheme == "gs" and not (os.environ.get("GCS_ENDPOINT_URL")
+                               or os.environ.get("GCS_ACCESS_KEY_ID")):
+        # no GCS interop (HMAC) configuration: fall through to the JVM
+        # gcs-connector (service-account auth) rather than signing
+        # googleapis.com requests with AWS credentials
+        scheme = "gs-hadoop"
     if scheme in ("s3", "s3a", "s3n", "gs"):
         # The supported object-store class is "speaks the S3 API".
         # That covers real S3, any S3-compatible endpoint (MinIO,
@@ -1229,7 +1286,6 @@ def fs_for(path: str, spark: SparkSession | None = None):
         # HadoopFS branch (JVM hadoop-azure connector), the same way
         # the reference delegates multi-scheme auth to obstore
         # (store/factory.py:22-79).
-        import hashlib as _hl
         if scheme == "gs":
             endpoint = os.environ.get("GCS_ENDPOINT_URL",
                                       "https://storage.googleapis.com")
@@ -1243,7 +1299,7 @@ def fs_for(path: str, spark: SparkSession | None = None):
                              ("AWS_ACCESS_KEY_ID",
                               "AWS_SECRET_ACCESS_KEY",
                               "AWS_SESSION_TOKEN"))
-        cred = _hl.sha256("\x00".join(cred_src).encode()).hexdigest()
+        cred = hashlib.sha256("\x00".join(cred_src).encode()).hexdigest()
         key = (scheme == "gs", endpoint,
                os.environ.get("AWS_REGION"), cred)
         try:
