@@ -264,3 +264,14 @@ def test_doc_repetition_shuffle_free(spark):
     plan = executed_plan(eq.q_doc_repetition(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert count_exchanges(plan) == []
+
+
+def test_knn_ivfpq_broadcast_probes_no_cartesian(spark):
+    """IVF-PQ serving shape: the probe side (5 queries x n_probe cells)
+    broadcasts into a cell equi-join over code rows; candidates never
+    come from a cartesian product, and the exact re-rank joins back by
+    id (equi), not by similarity scan."""
+    plan = executed_plan(eq.q_knn_ivfpq(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
