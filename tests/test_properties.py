@@ -325,3 +325,32 @@ def test_widen_stats_is_sound_by_construction(a, b):
         if side[0] is not None:
             assert lo is not None and lo <= side[0]
             assert hi is not None and hi >= side[1]
+
+
+PII_TOKENS = ["bob@x.io", "a.b+c@mail-host.org", "10.0.0.7",
+              "255.1.2.3", "123-45-6789", "plain", "a@b", "1.2.3",
+              "12-34-5678", "word@", ".com", "x" * 30]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(PII_TOKENS), min_size=1,
+                          max_size=8),
+                min_size=1, max_size=8))
+def test_scrub_pii_idempotent_and_complete(spark, docs):
+    """Scrubbing is a fixpoint: a scrubbed text contains no remaining
+    PII span (counts on the scrubbed column are all zero) and
+    re-scrubbing changes nothing — sentinel insertion must never
+    create new matches."""
+    from pyspark.sql import functions as F
+
+    from zcollection_spark.functions import scrub_pii
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string")
+    once = scrub_pii(df).select(
+        "doc_id", F.col("text_scrubbed").alias("text"))
+    twice = scrub_pii(once)
+    rows = twice.collect()
+    assert all(r.n_email == 0 and r.n_ipv4 == 0 and r.n_ssn == 0
+               for r in rows)
+    assert all(r.text_scrubbed == r.text for r in rows)
