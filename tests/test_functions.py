@@ -565,3 +565,23 @@ def test_repetition_stats_known_ratios(spark):
     # doc 3: 10 3-grams, only 3 distinct ('a b c','b c a','c a b')
     assert rows[3].dup_ngram_ratio == pytest.approx(0.7)
     assert rows[2].dup_ngram_ratio == 0.0
+
+
+def test_quality_filter_rules_and_verdict(spark):
+    from zcollection_spark.functions import quality_filter
+    good = " ".join(f"the quick token{i} of it" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, good),                                   # passes everything
+         (2, "spam " * 60),                           # repetition fails
+         (3, "too short"),                            # word count fails
+         (4, " ".join(f"w{i}" for i in range(60)))],  # no stopwords
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in quality_filter(
+        df, rules={"min_words": 20, "min_stopword_hits": 2,
+                   "max_top_token_ratio": 0.2}).collect()}
+    assert rows[1].keep
+    assert not rows[2].keep and not rows[2].q_repetition
+    assert not rows[3].keep and not rows[3].q_word_count
+    assert not rows[4].keep and not rows[4].q_stopwords
+    # per-rule columns stay independently readable (drop-reason audit)
+    assert rows[2].q_word_count and rows[3].q_symbol_ratio

@@ -69,7 +69,8 @@ def test_registry_window_invariant():
                     "langid_confusion", "top_ngrams",
                     # new round 6 (curation), full oracles, rotate-in
                     # candidates for round 7
-                    "pii_scrub", "decontaminate", "doc_repetition"}
+                    "pii_scrub", "decontaminate", "doc_repetition",
+                    "quality_filter"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf",

@@ -2078,6 +2078,64 @@ GROUP BY doc_id
 """
 
 
+#: Entry-query thresholds for the Gopher-style filter, tuned to the
+#: short synthetic docs so the verdict is genuinely mixed (sf0.01:
+#: n in [10,99], stopword hits >= 2 for ~63%, top-token p90 ~ 0.14).
+QF_RULES = {"min_words": 20, "min_stopword_hits": 2,
+            "max_top_token_ratio": 0.12}
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style quality filter (functions/curation.py): the
+    published heuristic rules (Rae et al. 2021) as one pass of JVM
+    expressions — per-rule boolean columns for drop-reason analytics
+    plus the conjunction verdict."""
+    from .functions import quality_filter
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_filter(docs, rules=QF_RULES)
+    return out.select("doc_id", "q_word_count", "q_mean_word_len",
+                      "q_symbol_ratio", "q_stopwords", "q_repetition",
+                      "keep")
+
+
+def _quality_oracle() -> str:
+    from .functions.curation import GOPHER_RULES
+    from .functions.text import STOPWORDS
+    r = dict(GOPHER_RULES)
+    r.update(QF_RULES)
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                      AS w, text FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t, len(w) AS n FROM words),
+freq AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+top AS (SELECT doc_id, max(c) AS mx FROM freq GROUP BY doc_id),
+base AS (SELECT doc_id, len(w) AS n,
+                (length(text) - (len(w) - 1)) / len(w) AS mean_len,
+                len(regexp_extract_all(text, '[#…]')) AS symbols,
+                len(list_intersect(list_distinct(w),
+                                   [{stops}])) AS stop_hits
+         FROM words),
+q AS (SELECT b.doc_id,
+             b.n >= {r['min_words']}
+               AND b.n <= {r['max_words']} AS q_word_count,
+             b.mean_len >= {r['min_mean_word_len']}
+               AND b.mean_len <= {r['max_mean_word_len']}
+               AS q_mean_word_len,
+             b.symbols / b.n <= {r['max_symbol_ratio']}
+               AS q_symbol_ratio,
+             b.stop_hits >= {r['min_stopword_hits']} AS q_stopwords,
+             CAST(t.mx AS DOUBLE) / b.n <= {r['max_top_token_ratio']}
+               AS q_repetition
+      FROM base b JOIN top t ON t.doc_id = b.doc_id)
+SELECT doc_id, q_word_count, q_mean_word_len, q_symbol_ratio,
+       q_stopwords, q_repetition,
+       q_word_count AND q_mean_word_len AND q_symbol_ratio
+         AND q_stopwords AND q_repetition AS keep
+FROM q
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Within-document repetition (functions/curation.py):
     top-token share (one aggregate pass over the sorted token array —
@@ -2260,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "doc_repetition": q_doc_repetition,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -2321,6 +2380,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "pii_scrub": _pii_oracle(),
         "decontaminate": ORACLE_DECONTAMINATE,
         "doc_repetition": ORACLE_DOC_REPETITION,
+        "quality_filter": _quality_oracle(),
         "knn_bruteforce": ORACLE_KNN,
         "knn_lsh": _lsh_oracle(),
         "knn_lsh_hi": _lsh_oracle(n_planes=LSH_HI["n_planes"],

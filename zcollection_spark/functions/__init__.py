@@ -21,7 +21,8 @@ from .similarity import (cosine_similarity_col, brute_force_topk,
                          lsh_bucket_topk)
 from .text import (fingerprint, language_id, text_stats, token_count,
                    word_shingles, words)
-from .curation import (contamination, repetition_stats, scrub_pii)
+from .curation import (contamination, quality_filter,
+                       repetition_stats, scrub_pii)
 
 __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
@@ -29,7 +30,8 @@ __all__ = [
     "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "ivfpq_topk", "lsh_bucket_topk",
-    "contamination", "repetition_stats", "scrub_pii",
+    "contamination", "quality_filter", "repetition_stats",
+    "scrub_pii",
     "write_ivf_index", "query_ivf_index",
     "write_ivfpq_index", "query_ivfpq_index",
     "fingerprint", "language_id", "text_stats", "token_count",

@@ -87,6 +87,71 @@ def contamination(train: DataFrame, benchmark: DataFrame, *,
             .agg(F.count("*").alias("n_overlap")))
 
 
+#: Gopher-style quality-rule thresholds (Rae et al. 2021, "Scaling
+#: Language Models: ... Gopher", table A1 — the published heuristics,
+#: parameterized).  Tuned DOWN for short synthetic docs in the entry
+#: query; production corpora use the paper's values.
+GOPHER_RULES = {
+    "min_words": 50, "max_words": 100_000,
+    "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,       # '#' or '…' per word
+    "min_stopword_hits": 2,        # distinct common-word hits
+    "max_top_token_ratio": 0.2,    # repetition guard
+}
+
+
+def quality_filter(df: DataFrame, *, text_col: str = "text",
+                   rules: dict | None = None) -> DataFrame:
+    """Gopher-style quality verdict per document: the published
+    heuristic rule set (word-count bounds, mean word length bounds,
+    symbol ratio, stopword requirement, repetition guard) as ONE pass
+    of JVM column expressions — no shuffle, no Python, so the filter
+    is scan-speed over any corpus.
+
+    Adds boolean ``q_*`` columns (one per rule, for drop-reason
+    analytics) and ``keep`` (their conjunction).  Thresholds override
+    via ``rules``."""
+    from .text import STOPWORDS
+    r = dict(GOPHER_RULES)
+    r.update(rules or {})
+    toks = words(text_col)
+    n = F.size(toks)
+    mean_len = (F.length(text_col) - (n - 1)) / n
+    symbols = F.size(F.regexp_extract_all(
+        text_col, F.lit(r"[#…]"), F.lit(0)))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks), F.lit(list(STOPWORDS))))
+    sorted_toks = F.array_sort(toks)
+    top_run = F.aggregate(
+        sorted_toks,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    checks = {
+        "q_word_count": (n >= r["min_words"]) & (n <= r["max_words"]),
+        "q_mean_word_len": (mean_len >= r["min_mean_word_len"])
+        & (mean_len <= r["max_mean_word_len"]),
+        "q_symbol_ratio": (symbols / n) <= r["max_symbol_ratio"],
+        "q_stopwords": stop_hits >= r["min_stopword_hits"],
+        "q_repetition": (top_run / n.cast("double"))
+        <= r["max_top_token_ratio"],
+    }
+    out = df
+    keep = F.lit(True)
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def repetition_stats(df: DataFrame, *, text_col: str = "text",
                      n: int = 5) -> DataFrame:
     """Within-document repetition: the boilerplate/spam signal.
