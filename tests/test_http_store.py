@@ -221,3 +221,53 @@ def test_gs_without_interop_config_falls_to_hadoop(spark, monkeypatch):
                 "GCS_SECRET_ACCESS_KEY"):
         monkeypatch.delenv(var, raising=False)
     assert isinstance(fs_for("gs://bucket/x", spark), HadoopFS)
+
+
+def test_http_refuses_legacy_v1_manifest_with_immutable(spark, http_root):
+    """Review fix: a format-1 manifest that published the _immutable
+    parquet DIRECTORY as a single file must be refused loudly — serving
+    it would silently drop the immutable variables from every query."""
+    import json as _json
+    url, tmp_path = http_root
+    local, _ = _publish(spark, tmp_path)
+    doc = _json.loads((tmp_path / "coll" / "_catalog"
+                       / "files.json").read_text())
+    doc["format_version"] = 1
+    doc["files"]["_immutable"] = ["data.parquet"]
+    (tmp_path / "coll" / "_catalog" / "files.json").write_text(
+        _json.dumps(doc))
+    fs = fs_for(f"{url}/coll")
+    fs._manifests.clear()
+    with pytest.raises(StoreError, match="format_version 1"):
+        fs.list_partition_dirs(f"{url}/coll", 1)
+
+
+def test_gs_partial_config_falls_to_hadoop(spark, monkeypatch):
+    """Endpoint-only or key-without-secret configs must NOT reach the
+    S3 surface (they would sign googleapis.com requests with ambient
+    AWS credentials or die with PartialCredentialsError)."""
+    from zcollection_spark.fs import HadoopFS
+    for var in ("GCS_ENDPOINT_URL", "GCS_ACCESS_KEY_ID",
+                "GCS_SECRET_ACCESS_KEY"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("GCS_ENDPOINT_URL", "https://storage.googleapis.com")
+    assert isinstance(fs_for("gs://b/x", spark), HadoopFS)
+    monkeypatch.setenv("GCS_ACCESS_KEY_ID", "key-no-secret")
+    assert isinstance(fs_for("gs://b/x", spark), HadoopFS)
+
+
+def test_write_manifest_detects_concurrent_commit(spark, http_root):
+    """Review fix: a commit landing between write_manifest's listing
+    and its PUT must raise, not publish a fresh generation over a
+    stale file list (which would pass the HttpFS staleness guard)."""
+    url, tmp_path = http_root
+    local, _ = _publish(spark, tmp_path)
+    gens = iter([7, 8])
+    import zcollection_spark.errors as errs
+    orig = local._catalog.generation
+    local._catalog.generation = lambda: next(gens)
+    try:
+        with pytest.raises(errs.StoreError, match="changed while"):
+            local.write_manifest()
+    finally:
+        local._catalog.generation = orig

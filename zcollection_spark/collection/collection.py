@@ -875,6 +875,12 @@ class Collection:
         (file walks are pooled like the publish path).  Returns the
         manifest mapping."""
         self._require_writable()
+        # generation read BEFORE the listing: a concurrent insert
+        # between listing and stamping would otherwise publish a
+        # manifest carrying the NEW generation over a STALE file list —
+        # passing the HttpFS staleness guard while naming deleted
+        # files (the silent-empty-partition case the guard exists for)
+        gen = self._catalog.generation() if self.catalog_enabled else 0
         rels = self.partitions()
 
         def files_of(rel: str) -> tuple[str, list[str]]:
@@ -888,15 +894,24 @@ class Collection:
             # DIRECTORY: the manifest key must be the relpath the read
             # path localizes (IMMUTABLE_RELPATH) and list the part
             # files INSIDE it — publishing it as a single file would
-            # silently drop immutable variables over HTTP
+            # silently drop immutable variables over HTTP.  Same
+            # dotfile/underscore filter as partitions (_SUCCESS et al.
+            # are markers, not data).
             manifest[IMMUTABLE_RELPATH] = sorted(
                 f for f in self._fs.list_files(
                     f"{self.path}/{IMMUTABLE_RELPATH}")
-                if not f.startswith("."))
-        gen = self._catalog.generation() if self.catalog_enabled else 0
+                if not f.startswith((".", "_")))
+        if self.catalog_enabled and self._catalog.generation() != gen:
+            raise StoreError(
+                "collection changed while write_manifest was listing "
+                "files — retry after concurrent writers settle")
+        # format_version 2: immutable entries key the full relpath and
+        # list the parquet part files (v1 published the directory as a
+        # single file; HttpFS refuses v1 manifests with an _immutable
+        # entry rather than silently dropping those variables)
         self._fs.write_text(
             f"{self.path}/{fsmod.HTTP_MANIFEST_RELPATH}",
-            json.dumps({"format_version": 1, "generation": gen,
+            json.dumps({"format_version": 2, "generation": gen,
                         "files": manifest}, indent=1, sort_keys=True))
         return manifest
 

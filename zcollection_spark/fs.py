@@ -1076,6 +1076,16 @@ class HttpFS:
             return cached[1]
         body, _ = self._get(url)
         doc = json.loads(body.decode())
+        if int(doc.get("format_version", 1)) < 2 \
+                and "_immutable" in doc.get("files", {}):
+            # v1 published the Spark parquet DIRECTORY as a single
+            # file; serving it would silently drop the immutable
+            # variables from every query — refuse loudly instead
+            raise StoreError(
+                f"manifest at {root} is format_version 1 with an "
+                f"_immutable entry (predates the immutable-directory "
+                f"fix): re-run Collection.write_manifest() on the "
+                f"authoring store")
         self._manifests[root] = (token, doc)
         return doc
 
@@ -1270,11 +1280,14 @@ def fs_for(path: str, spark: SparkSession | None = None):
             if _HTTP_FS is None:
                 _HTTP_FS = HttpFS()
             return _HTTP_FS
-    if scheme == "gs" and not (os.environ.get("GCS_ENDPOINT_URL")
-                               or os.environ.get("GCS_ACCESS_KEY_ID")):
-        # no GCS interop (HMAC) configuration: fall through to the JVM
-        # gcs-connector (service-account auth) rather than signing
-        # googleapis.com requests with AWS credentials
+    if scheme == "gs" and not (os.environ.get("GCS_ACCESS_KEY_ID")
+                               and os.environ.get(
+                                   "GCS_SECRET_ACCESS_KEY")):
+        # the S3-interop surface needs the FULL HMAC pair — a partial
+        # config (endpoint only, or key without secret) would sign
+        # googleapis.com requests with ambient AWS credentials or die
+        # with PartialCredentialsError; fall through to the JVM
+        # gcs-connector (service-account auth) instead
         scheme = "gs-hadoop"
     if scheme in ("s3", "s3a", "s3n", "gs"):
         # The supported object-store class is "speaks the S3 API".

@@ -87,6 +87,25 @@ def contamination(train: DataFrame, benchmark: DataFrame, *,
             .agg(F.count("*").alias("n_overlap")))
 
 
+def _top_token_run(toks) -> Column:
+    """Count of the most frequent token — ONE aggregate pass over the
+    SORTED token array (longest equal-run == max frequency), shuffle-
+    free: the shared kernel of repetition_stats and quality_filter."""
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+
+
 #: Gopher-style quality-rule thresholds (Rae et al. 2021, "Scaling
 #: Language Models: ... Gopher", table A1 — the published heuristics,
 #: parameterized).  Tuned DOWN for short synthetic docs in the entry
@@ -121,20 +140,7 @@ def quality_filter(df: DataFrame, *, text_col: str = "text",
         text_col, F.lit(r"[#…]"), F.lit(0)))
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(toks), F.lit(list(STOPWORDS))))
-    sorted_toks = F.array_sort(toks)
-    top_run = F.aggregate(
-        sorted_toks,
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("best")),
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(t == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1))).alias("best")),
-        lambda acc: acc["best"])
+    top_run = _top_token_run(toks)
     checks = {
         "q_word_count": (n >= r["min_words"]) & (n <= r["max_words"]),
         "q_mean_word_len": (mean_len >= r["min_mean_word_len"])
@@ -165,20 +171,7 @@ def repetition_stats(df: DataFrame, *, text_col: str = "text",
     explode + groupBy + window two-shuffle alternative.
     """
     toks = words(text_col)
-    sorted_toks = F.array_sort(toks)
-    run = F.aggregate(
-        sorted_toks,
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("best")),
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(t == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1))).alias("best")),
-        lambda acc: acc["best"])
+    run = _top_token_run(toks)
     grams = word_shingles(text_col, n)
     return (df
             .withColumn("top_token_ratio",
