@@ -275,3 +275,11 @@ def test_knn_ivfpq_broadcast_probes_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_filter_shuffle_free(spark):
+    """The Gopher-rule verdict is one pass of per-row expressions:
+    no Exchange, no Python eval nodes."""
+    plan = executed_plan(eq.q_quality_filter(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert count_exchanges(plan) == []
