@@ -271,3 +271,44 @@ def test_write_manifest_detects_concurrent_commit(spark, http_root):
             local.write_manifest()
     finally:
         local._catalog.generation = orig
+
+
+def test_http_transient_503_is_retried(tmp_path):
+    """CDNs throttle: a 503 on the first attempts must be retried with
+    backoff, not surface as failure (and 404 must NOT be retried)."""
+    (tmp_path / "f.txt").write_text("payload")
+    fails = {"n": 2, "hits_404": 0}
+
+    class _Flaky(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def do_GET(self):
+            if self.path.endswith("f.txt") and fails["n"] > 0:
+                fails["n"] -= 1
+                self.send_error(503)
+                return
+            if self.path.endswith("missing.txt"):
+                fails["hits_404"] += 1
+            super().do_GET()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        fs = HttpFS()
+        assert fs.read_text(f"{url}/f.txt") == "payload"
+        assert fails["n"] == 0  # both 503s consumed by retries
+        with pytest.raises(FileNotFoundError):
+            fs.read_bytes(f"{url}/missing.txt")
+        assert fails["hits_404"] == 1  # absent is NOT retried
+
+        from zcollection_spark.zarr3.blobs import HttpBlobs
+        fails["n"] = 2
+        assert HttpBlobs().try_read_bytes(f"{url}/f.txt") == b"payload"
+        assert fails["n"] == 0
+    finally:
+        srv.shutdown()

@@ -1021,12 +1021,29 @@ class HttpFS:
         self._etags: dict[str, str] = {}
         self._manifests: dict[str, tuple[str | None, dict]] = {}
 
+    #: bounded retry for transient faults (5xx, connection resets) —
+    #: CDNs throttle; a throttle must not read as absence or failure
+    _RETRIES = 3
+
     # -- plumbing -------------------------------------------------------
-    @staticmethod
-    def _request(url: str, method: str = "GET"):
+    @classmethod
+    def _request(cls, url: str, method: str = "GET"):
+        import time
+        import urllib.error
         import urllib.request
-        return urllib.request.urlopen(
-            urllib.request.Request(url, method=method), timeout=30)
+        for attempt in range(cls._RETRIES + 1):
+            try:
+                return urllib.request.urlopen(
+                    urllib.request.Request(url, method=method),
+                    timeout=30)
+            except urllib.error.HTTPError as exc:
+                if exc.code < 500 or attempt == cls._RETRIES:
+                    raise
+            except urllib.error.URLError:
+                if attempt == cls._RETRIES:
+                    raise
+            time.sleep(0.1 * (2 ** attempt))
+        raise AssertionError("unreachable")
 
     def _head(self, url: str):
         import urllib.error

@@ -156,19 +156,30 @@ class HttpBlobs:
     correct, just not partial I/O; real object stores and CDNs answer
     206.  Writes raise, matching ``fs.HttpFS``."""
 
+    #: bounded transient-fault retry (5xx / resets), matching fs.HttpFS
+    _RETRIES = 3
+
     def _get(self, path: str, headers: dict | None = None):
+        import time
         import urllib.error
         import urllib.request
         req = urllib.request.Request(path, headers=headers or {})
-        try:
-            with urllib.request.urlopen(req, timeout=30) as resp:
-                return resp.status, resp.read()
-        except urllib.error.HTTPError as exc:
-            if exc.code in (404, 410):
-                return None, None
-            if exc.code == 416:  # range past EOF: absent-equivalent
-                return None, None
-            raise
+        for attempt in range(self._RETRIES + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    return resp.status, resp.read()
+            except urllib.error.HTTPError as exc:
+                if exc.code in (404, 410):
+                    return None, None
+                if exc.code == 416:  # range past EOF: absent-equivalent
+                    return None, None
+                if exc.code < 500 or attempt == self._RETRIES:
+                    raise
+            except urllib.error.URLError:
+                if attempt == self._RETRIES:
+                    raise
+            time.sleep(0.1 * (2 ** attempt))
+        raise AssertionError("unreachable")
 
     def mkdirs(self, path: str) -> None:
         pass
