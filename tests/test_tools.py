@@ -67,15 +67,17 @@ def test_registry_window_invariant():
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",
                     "langid_confusion", "top_ngrams",
-                    # new round 6 (curation), full oracles, rotate-in
-                    # candidates for round 7
-                    "pii_scrub", "decontaminate", "doc_repetition",
-                    "quality_filter"}
+                    # rotated out round 6 second half (all driver-green
+                    # r1-r5) for the curation quartet
+                    "regional_revenue", "revenue_rollup", "event_gaps",
+                    "source_quality"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf",
                              "knn_lsh_hi", "knn_ivf_hi", "knn_ivfpq",
-                             "collection_changes",
+                             "collection_changes", "pii_scrub",
+                             "decontaminate", "doc_repetition",
+                             "quality_filter",
                              "revenue_delta", "value_percentiles",
                              "collection_zonemap_skip"):
         assert names.index(must_be_recorded) < 50

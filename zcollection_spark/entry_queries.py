@@ -2235,14 +2235,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
     # in-window peer come last.  ROTATION (round 6, as promised in r5):
-    # collection_changes (CDC diff) and knn_ivfpq (now with a full
-    # DuckDB oracle) move INTO the window; priority_class_counts
-    # (case-when agg — surface covered by pricing_summary) and
-    # big_orders (agg + post-agg filter — covered by top_revenue_orders'
-    # history and in-window agg peers) rotate to the tail, both
-    # driver-green in round 5.  Every registry entry has at least one
-    # driver-recorded green or rotates in this round, and
-    # tools/check_oracle.py still gates all.
+    # collection_changes (CDC diff), knn_ivfpq (now with a full DuckDB
+    # oracle) and the new curation quartet (pii_scrub, decontaminate,
+    # doc_repetition, quality_filter — hash-green at sf0.001/0.01/0.1)
+    # move INTO the window; six multiply-driver-green plain-SQL
+    # variants rotate to the tail (priority_class_counts, big_orders,
+    # regional_revenue, revenue_rollup, event_gaps, source_quality —
+    # each green in r5 or earlier, surfaces covered in-window).  Every
+    # registry entry has at least one driver-recorded green or rotates
+    # in this round, and tools/check_oracle.py still gates all 65.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
@@ -2257,11 +2258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_overlay": q_view_overlay,
         "index_lookup": q_index_lookup,
         "pricing_summary": q_pricing_summary,
-        "regional_revenue": q_regional_revenue,
         "revenue_delta": q_revenue_delta,
         "value_percentiles": q_value_percentiles,
-        "revenue_rollup": q_revenue_rollup,
-        "event_gaps": q_event_gaps,
         "collection_changes": q_collection_changes,
         "knn_ivfpq": q_knn_ivfpq,
         "asof_enrich": q_asof_enrich,
@@ -2279,8 +2277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
-        "source_quality": q_source_quality,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "doc_repetition": q_doc_repetition,
+        "quality_filter": q_quality_filter,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -2313,12 +2314,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window agg peers, still gated by tools/check_oracle.py
         "priority_class_counts": q_priority_class_counts,
         "big_orders": q_big_orders,
-        # new round 6 (curation ops), tail-gated with full oracles by
-        # tools/check_oracle.py; candidates to rotate in next round
-        "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
-        "doc_repetition": q_doc_repetition,
-        "quality_filter": q_quality_filter,
+        # rotated out round 6 second half (driver-green r1-r5) to make
+        # room for the curation quartet; surfaces covered in-window
+        # (lag: user_sessions; join+agg: pricing_summary/asof_enrich;
+        # rollup: rollup_hourly green r1-r4; per-source agg:
+        # map_partition_stats) — still gated by tools/check_oracle.py
+        "regional_revenue": q_regional_revenue,
+        "revenue_rollup": q_revenue_rollup,
+        "event_gaps": q_event_gaps,
+        "source_quality": q_source_quality,
     }
 
 
