@@ -585,3 +585,19 @@ def test_quality_filter_rules_and_verdict(spark):
     assert not rows[4].keep and not rows[4].q_stopwords
     # per-rule columns stay independently readable (drop-reason audit)
     assert rows[2].q_word_count and rows[3].q_symbol_ratio
+
+
+def test_quality_filter_null_text_is_dropped_not_lost(spark):
+    """ADVICE fix: NULL text must yield keep=False (not NULL) — with a
+    NULL verdict the row vanishes from BOTH where('keep') and
+    where('NOT keep'), i.e. from drop-reason analytics entirely."""
+    from zcollection_spark.functions import quality_filter
+    df = spark.createDataFrame([(1, None), (2, "")],
+                               "doc_id long, text string")
+    out = quality_filter(df)
+    rows = {r.doc_id: r for r in out.collect()}
+    for doc in (1, 2):
+        assert rows[doc].keep is False
+        assert rows[doc].q_word_count is False
+    # the partition keep/drop must be exhaustive
+    assert out.where("keep").count() + out.where("NOT keep").count() == 2

@@ -258,19 +258,46 @@ def test_gs_partial_config_falls_to_hadoop(spark, monkeypatch):
 
 def test_write_manifest_detects_concurrent_commit(spark, http_root):
     """Review fix: a commit landing between write_manifest's listing
-    and its PUT must raise, not publish a fresh generation over a
-    stale file list (which would pass the HttpFS staleness guard)."""
+    and its PUT must not leave a manifest whose file list/generation
+    are stale.  A PERMANENTLY racing writer exhausts the bounded
+    retries and raises."""
     url, tmp_path = http_root
     local, _ = _publish(spark, tmp_path)
-    gens = iter([7, 8])
+    import itertools
+    gens = itertools.count(7)  # never the same twice: always racing
     import zcollection_spark.errors as errs
     orig = local._catalog.generation
     local._catalog.generation = lambda: next(gens)
     try:
-        with pytest.raises(errs.StoreError, match="changed while"):
+        with pytest.raises(errs.StoreError, match="kept changing"):
             local.write_manifest()
     finally:
         local._catalog.generation = orig
+
+
+def test_write_manifest_retries_past_one_race(spark, http_root):
+    """ADVICE fix: a commit landing between the pre-listing generation
+    read and the manifest PUT triggers a REWRITE (post-PUT re-check),
+    so the published manifest ends up carrying the settled
+    generation instead of leaving a consumer-side hard error."""
+    url, tmp_path = http_root
+    local, _ = _publish(spark, tmp_path)
+    import json as _json
+    seq = [7, 8, 8, 8]  # cycle 1 sees 7 then 8 (race); cycle 2 stable
+
+    def fake_gen(_seq=iter(seq)):
+        return next(_seq, 8)
+
+    orig = local._catalog.generation
+    local._catalog.generation = lambda: fake_gen()
+    try:
+        manifest = local.write_manifest()
+    finally:
+        local._catalog.generation = orig
+    assert set(manifest) == {"num=0", "num=1", "num=2"}
+    doc = _json.loads(
+        (tmp_path / "coll" / "_catalog" / "files.json").read_text())
+    assert doc["generation"] == 8  # the SETTLED generation, not 7
 
 
 def test_http_transient_503_is_retried(tmp_path):
@@ -310,5 +337,59 @@ def test_http_transient_503_is_retried(tmp_path):
         fails["n"] = 2
         assert HttpBlobs().try_read_bytes(f"{url}/f.txt") == b"payload"
         assert fails["n"] == 0
+    finally:
+        srv.shutdown()
+
+
+def test_split_known_root_prefers_deepest_cached_root():
+    """ADVICE fix: with nested collections (manifests cached at both
+    /a and /a/b), a path under /a/b must resolve against /a/b's
+    manifest regardless of cache insertion order — the shallow root
+    would otherwise answer with wrong or empty listings."""
+    outer = "http://h/a"
+    inner = "http://h/a/b"
+    for order in ((outer, inner), (inner, outer)):
+        fs = HttpFS()
+        for root in order:  # cache insertion order must not matter
+            fs._manifests[root] = (None, {"files": {"p=0": ["x"]}})
+        assert fs._split_known_root(f"{inner}/p=0") == (inner, "p=0")
+        assert fs._split_known_root(f"{outer}/p=0") == (outer, "p=0")
+        # a path under outer-but-not-inner still resolves to outer
+        assert fs._split_known_root(f"{outer}/q=1") == (outer, "q=1")
+
+
+def test_http_range_past_eof_is_corruption_not_absent(tmp_path):
+    """ADVICE fix: a 416 on a shard read_at means the object EXISTS
+    but is shorter than the shard index claims — truncation must raise
+    a corruption StoreError, not FileNotFoundError('missing')."""
+    (tmp_path / "shard.bin").write_bytes(b"0123456789")
+
+    class _Ranged(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            if rng and rng.startswith("bytes=") and "-" in rng:
+                start = rng[len("bytes="):].split("-")[0]
+                if start and int(start) >= 10:  # past EOF
+                    self.send_error(416)
+                    return
+            super().do_GET()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Ranged)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        from zcollection_spark.zarr3.blobs import HttpBlobs
+        blobs = HttpBlobs()
+        with pytest.raises(StoreError, match="truncated/corrupt"):
+            blobs.read_at(f"{url}/shard.bin", 100, 8)
+        # a genuinely missing object is still FileNotFoundError
+        with pytest.raises(FileNotFoundError):
+            blobs.read_at(f"{url}/gone.bin", 0, 4)
     finally:
         srv.shutdown()

@@ -127,3 +127,30 @@ def test_bench_headline_last_resort_keeps_metric_value():
     doc = json.loads(line)
     assert doc["value"] == 500.0
     assert doc["queries"] == {"dropped": 500}
+
+
+def test_guard_accepts_driver_wrapper_shape(tmp_path, monkeypatch, capsys):
+    """VERDICT r6 residual: the driver's BENCH_r0N.json nests the
+    headline under 'parsed' in pretty-printed JSON; bench_guard must
+    run against it directly, and still accept raw headline lines."""
+    import json
+
+    import bench_guard
+
+    headline = {"sf": "0.1", "value": 2.0, "queries": {"q1": 2.0}}
+    anchor = tmp_path / "anchor.json"
+    anchor.write_text(json.dumps({"sf": "0.1", "value": 1.5,
+                                  "queries": {"q1": 1.5}}))
+    wrapper = tmp_path / "BENCH_rXX.json"
+    wrapper.write_text(json.dumps(
+        {"n": 1, "rc": 0, "tail": "...", "parsed": headline}, indent=2))
+    monkeypatch.setattr(sys, "argv", ["bench_guard", str(wrapper),
+                                      "--anchor", str(anchor)])
+    assert bench_guard.main() == 0
+    assert "OK" in capsys.readouterr().out
+    # raw multi-line stdout capture (log noise + headline last line)
+    raw = tmp_path / "raw.json"
+    raw.write_text("not json log line\n" + json.dumps(headline) + "\n")
+    monkeypatch.setattr(sys, "argv", ["bench_guard", str(raw),
+                                      "--anchor", str(anchor)])
+    assert bench_guard.main() == 0

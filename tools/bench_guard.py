@@ -72,8 +72,16 @@ def main() -> int:
     ap.add_argument("--max-ratio", type=float, default=2.0)
     args = ap.parse_args()
     anchor = json.loads(Path(args.anchor).read_text())
-    current = json.loads(Path(args.bench_json).read_text().strip()
-                         .splitlines()[-1])
+    text = Path(args.bench_json).read_text().strip()
+    try:
+        # whole-file JSON: raw headline object OR the driver wrapper
+        # (BENCH_r0N.json — pretty-printed, headline under "parsed")
+        current = json.loads(text)
+    except json.JSONDecodeError:
+        # bench.py stdout capture: headline is the last line
+        current = json.loads(text.splitlines()[-1])
+    if "parsed" in current and "queries" not in current:
+        current = current["parsed"]
     return compare(anchor, current, args.max_ratio)
 
 

@@ -875,6 +875,15 @@ class Collection:
         (file walks are pooled like the publish path).  Returns the
         manifest mapping."""
         self._require_writable()
+        for attempt in range(3):
+            manifest, stable = self._write_manifest_once()
+            if stable:
+                return manifest
+        raise StoreError(
+            "collection kept changing while write_manifest was "
+            "publishing — retry after concurrent writers settle")
+
+    def _write_manifest_once(self) -> tuple[dict[str, list[str]], bool]:
         # generation read BEFORE the listing: a concurrent insert
         # between listing and stamping would otherwise publish a
         # manifest carrying the NEW generation over a STALE file list —
@@ -901,10 +910,6 @@ class Collection:
                 f for f in self._fs.list_files(
                     f"{self.path}/{IMMUTABLE_RELPATH}")
                 if not f.startswith((".", "_")))
-        if self.catalog_enabled and self._catalog.generation() != gen:
-            raise StoreError(
-                "collection changed while write_manifest was listing "
-                "files — retry after concurrent writers settle")
         # format_version 2: immutable entries key the full relpath and
         # list the parquet part files (v1 published the directory as a
         # single file; HttpFS refuses v1 manifests with an _immutable
@@ -913,7 +918,16 @@ class Collection:
             f"{self.path}/{fsmod.HTTP_MANIFEST_RELPATH}",
             json.dumps({"format_version": 2, "generation": gen,
                         "files": manifest}, indent=1, sort_keys=True))
-        return manifest
+        # generation re-checked AFTER the PUT: a commit landing between
+        # the pre-listing read and the PUT would otherwise leave a
+        # published manifest whose file list/generation are stale (the
+        # HttpFS.localize guard turns that into a consumer-side hard
+        # error; rewriting here keeps that guard defense-in-depth, not
+        # the primary mechanism).  Caller retries the whole
+        # list-stamp-put cycle when unstable.
+        if self.catalog_enabled and self._catalog.generation() != gen:
+            return manifest, False
+        return manifest, True
 
     def drop_partitions(self, *, filters: str | None = None) -> list[str]:
         """Delete matching partitions — ALL when ``filters=None``

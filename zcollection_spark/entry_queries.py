@@ -2117,16 +2117,17 @@ base AS (SELECT doc_id, len(w) AS n,
                                    [{stops}])) AS stop_hits
          FROM words),
 q AS (SELECT b.doc_id,
-             b.n >= {r['min_words']}
-               AND b.n <= {r['max_words']} AS q_word_count,
-             b.mean_len >= {r['min_mean_word_len']}
-               AND b.mean_len <= {r['max_mean_word_len']}
+             COALESCE(b.n >= {r['min_words']}
+               AND b.n <= {r['max_words']}, FALSE) AS q_word_count,
+             COALESCE(b.mean_len >= {r['min_mean_word_len']}
+               AND b.mean_len <= {r['max_mean_word_len']}, FALSE)
                AS q_mean_word_len,
-             b.symbols / b.n <= {r['max_symbol_ratio']}
-               AS q_symbol_ratio,
-             b.stop_hits >= {r['min_stopword_hits']} AS q_stopwords,
-             CAST(t.mx AS DOUBLE) / b.n <= {r['max_top_token_ratio']}
-               AS q_repetition
+             COALESCE(b.symbols / b.n <= {r['max_symbol_ratio']},
+               FALSE) AS q_symbol_ratio,
+             COALESCE(b.stop_hits >= {r['min_stopword_hits']}, FALSE)
+               AS q_stopwords,
+             COALESCE(CAST(t.mx AS DOUBLE) / b.n
+               <= {r['max_top_token_ratio']}, FALSE) AS q_repetition
       FROM base b JOIN top t ON t.doc_id = b.doc_id)
 SELECT doc_id, q_word_count, q_mean_word_len, q_symbol_ratio,
        q_stopwords, q_repetition,

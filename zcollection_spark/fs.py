@@ -1171,7 +1171,10 @@ class HttpFS:
         """Split ``path`` into (manifest root, relpath) by probing the
         cached roots first, then ancestor-walking with HEAD."""
         path = path.rstrip("/")
-        for root in self._manifests:
+        # Deepest cached root wins: with nested collections (manifests
+        # at both /a and /a/b) insertion order must not let /a capture
+        # paths that belong to /a/b.
+        for root in sorted(self._manifests, key=len, reverse=True):
             if path == root or path.startswith(root + "/"):
                 return root, path[len(root):].strip("/")
         parts = path.split("/")

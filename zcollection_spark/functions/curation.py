@@ -153,9 +153,12 @@ def quality_filter(df: DataFrame, *, text_col: str = "text",
     out = df
     keep = F.lit(True)
     for name, cond in checks.items():
-        out = out.withColumn(name, cond)
+        # NULL text must read as a FAILED rule, not a NULL one:
+        # otherwise `where('keep')` AND `where('NOT keep')` both drop
+        # the row and null-text documents vanish from drop analytics.
+        out = out.withColumn(name, F.coalesce(cond, F.lit(False)))
         keep = keep & F.col(name)
-    return out.withColumn("keep", keep)
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
 
 
 def repetition_stats(df: DataFrame, *, text_col: str = "text",

@@ -171,8 +171,11 @@ class HttpBlobs:
             except urllib.error.HTTPError as exc:
                 if exc.code in (404, 410):
                     return None, None
-                if exc.code == 416:  # range past EOF: absent-equivalent
-                    return None, None
+                if exc.code == 416:
+                    # Range past EOF: the OBJECT exists but is shorter
+                    # than the requested window — distinct from absent,
+                    # so corruption isn't masked as a missing object.
+                    return 416, None
                 if exc.code < 500 or attempt == self._RETRIES:
                     raise
             except urllib.error.URLError:
@@ -204,12 +207,22 @@ class HttpBlobs:
         status, body = self._get(path,
                                  {"Range": f"bytes=-{nbytes}"})
         if body is None:
+            # 416 on a suffix range means a zero-byte object: no tail
+            # to read — callers treat that the same as absent.
             return None
         return body if status == 206 else body[-nbytes:]
 
     def read_at(self, path: str, offset: int, nbytes: int) -> bytes:
         status, body = self._get(
             path, {"Range": f"bytes={offset}-{offset + nbytes - 1}"})
+        if status == 416:
+            # The shard index pointed past EOF on a Range-honoring
+            # server: the object EXISTS but is truncated — corruption,
+            # not a missing-object condition.
+            from ..errors import StoreError
+            raise StoreError(
+                f"shard {path} is truncated/corrupt: range "
+                f"{offset}-{offset + nbytes - 1} past end of object")
         if body is None:
             raise FileNotFoundError(path)
         return body if status == 206 else body[offset:offset + nbytes]
