@@ -58,18 +58,17 @@ def test_registry_window_invariant():
     from zcollection_spark import entry_queries
 
     names = list(entry_queries.queries())
-    # round-6 rotation: collection_changes + knn_ivfpq moved into the
-    # window (the round-5 promise); the tail is driver-green plain
-    # agg/join variants whose operator surface is covered in-window
-    tail_allowed = {"priority_class_counts", "big_orders",
+    # round-7 rotation (first half of the r6 cadence promise):
+    # priority_class_counts/big_orders/regional_revenue rotate back IN;
+    # text_stats/language_id/fingerprint (driver-green r6, surfaces
+    # covered in-window by the curation quartet) sit out until r8
+    tail_allowed = {"text_stats", "language_id", "fingerprint",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",
                     "langid_confusion", "top_ngrams",
-                    # rotated out round 6 second half (all driver-green
-                    # r1-r5) for the curation quartet
-                    "regional_revenue", "revenue_rollup", "event_gaps",
+                    "revenue_rollup", "event_gaps",
                     "source_quality"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
@@ -78,6 +77,8 @@ def test_registry_window_invariant():
                              "collection_changes", "pii_scrub",
                              "decontaminate", "doc_repetition",
                              "quality_filter",
+                             "priority_class_counts", "big_orders",
+                             "regional_revenue",
                              "revenue_delta", "value_percentiles",
                              "collection_zonemap_skip"):
         assert names.index(must_be_recorded) < 50

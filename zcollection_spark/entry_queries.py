@@ -2235,16 +2235,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 6, as promised in r5):
-    # collection_changes (CDC diff), knn_ivfpq (now with a full DuckDB
-    # oracle) and the new curation quartet (pii_scrub, decontaminate,
-    # doc_repetition, quality_filter — hash-green at sf0.001/0.01/0.1)
-    # move INTO the window; six multiply-driver-green plain-SQL
-    # variants rotate to the tail (priority_class_counts, big_orders,
-    # regional_revenue, revenue_rollup, event_gaps, source_quality —
-    # each green in r5 or earlier, surfaces covered in-window).  Every
-    # registry entry has at least one driver-recorded green or rotates
-    # in this round, and tools/check_oracle.py still gates all 65.
+    # in-window peer come last.  ROTATION (round 7, first half of the
+    # r6 cadence promise): priority_class_counts, big_orders and
+    # regional_revenue (rotated out r6, driver-green r1-r5) come BACK
+    # into the window so their newest driver green stays <=2 rounds
+    # old; text_stats, language_id and fingerprint (driver-green r6,
+    # pure JVM-expression surfaces covered in-window by the curation
+    # quartet) sit out this round and return in r8 together with
+    # revenue_rollup/event_gaps/source_quality.  Every registry entry
+    # has a driver green <=2 rounds old after this rotation, and
+    # tools/check_oracle.py still gates all 65.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
@@ -2276,9 +2276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
+        "priority_class_counts": q_priority_class_counts,
+        "big_orders": q_big_orders,
+        "regional_revenue": q_regional_revenue,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "doc_repetition": q_doc_repetition,
@@ -2311,16 +2311,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": q_rollup_hourly,
         "langid_confusion": q_langid_confusion,
         "top_ngrams": q_top_ngrams,
-        # rotated out round 6 (driver-green r5); surfaces covered by
-        # in-window agg peers, still gated by tools/check_oracle.py
-        "priority_class_counts": q_priority_class_counts,
-        "big_orders": q_big_orders,
-        # rotated out round 6 second half (driver-green r1-r5) to make
-        # room for the curation quartet; surfaces covered in-window
-        # (lag: user_sessions; join+agg: pricing_summary/asof_enrich;
-        # rollup: rollup_hourly green r1-r4; per-source agg:
-        # map_partition_stats) — still gated by tools/check_oracle.py
-        "regional_revenue": q_regional_revenue,
+        # rotated out round 7 (driver-green r6): pure JVM-expression
+        # text surfaces, covered in-window by the curation quartet
+        # (quality_filter/doc_repetition/pii_scrub); back in r8
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        # rotated out round 6 second half (driver-green r1-r5); return
+        # to the window in r8 per the cadence; surfaces covered
+        # in-window (rollup: rollup_hourly green r1-r4; lag:
+        # user_sessions; per-source agg: map_partition_stats) — still
+        # gated by tools/check_oracle.py
         "revenue_rollup": q_revenue_rollup,
         "event_gaps": q_event_gaps,
         "source_quality": q_source_quality,
