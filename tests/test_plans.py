@@ -137,6 +137,23 @@ def test_knn_bruteforce_no_join_partial_topk(spark):
         assert node not in plan, node
 
 
+def test_knn_lsh_single_corpus_pass(spark):
+    # LSH top-k must (a) keep candidate generation an equi-join (no
+    # cartesian), (b) broadcast the query side (corpus never shuffles
+    # into the join), and (c) hash the corpus ONCE: the corpus vector
+    # rides through the bucket join, so only 3 parquet scans exist
+    # (corpus + the two query projections) — a 4th would mean the
+    # corpus re-scan/re-hash crept back in
+    plan = executed_plan(eq.q_knn_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # AQE plan strings repeat scans in the "Initial Plan" section —
+    # count only the final physical plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 3, final.count("Scan parquet")
+
+
 def test_order_priority_semi_join_shape(spark):
     plan = executed_plan(eq.q_order_priority_counts(spark, SF_DIR))
     assert "LeftSemi" in plan, "EXISTS must plan as a semi-join"

@@ -1079,6 +1079,25 @@ FROM r WHERE rank <= 10
 """
 
 
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(sf_dir: str) -> int | None:
+    """Embedding dimensionality straight from the parquet footer+first
+    page — no Spark job.  None when the file is absent (synthetic test
+    frames): lsh_bucket_topk then samples it with one Spark job."""
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if path not in _EMB_DIM_CACHE:
+        try:
+            import pyarrow.parquet as pq
+            cell = pq.ParquetFile(path).read_row_group(
+                0, columns=["embedding"])["embedding"][0]
+            _EMB_DIM_CACHE[path] = len(cell)
+        except (OSError, IndexError, KeyError):
+            return None
+    return _EMB_DIM_CACHE[path]
+
+
 def q_knn_lsh(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH buckets — the scale
     path of similarity search.  Approximate but seed-DETERMINISTIC: the
@@ -1089,7 +1108,8 @@ def q_knn_lsh(spark, sf_dir):
     queries_df = emb.where(F.col("vec_id") < 5)
     topk = lsh_bucket_topk(emb, queries_df, id_col="vec_id",
                            vec_col="embedding", query_id_col="vec_id",
-                           k=10, n_planes=4, n_tables=8)
+                           k=10, n_planes=4, n_tables=8,
+                           dim=_emb_dim(sf_dir))
     return topk.select("query_id", "vec_id",
                        F.round("cosine", 6).alias("cosine"),
                        F.col("rank").cast("long").alias("rank"))
@@ -1206,7 +1226,7 @@ def q_knn_lsh_hi(spark, sf_dir):
     queries_df = emb.where(F.col("vec_id") < 5)
     topk = lsh_bucket_topk(emb, queries_df, id_col="vec_id",
                            vec_col="embedding", query_id_col="vec_id",
-                           k=10, **LSH_HI)
+                           k=10, dim=_emb_dim(sf_dir), **LSH_HI)
     return topk.select("query_id", "vec_id",
                        F.round("cosine", 6).alias("cosine"),
                        F.col("rank").cast("long").alias("rank"))

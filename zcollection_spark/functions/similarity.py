@@ -553,27 +553,36 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
     """
     query_vec_col = query_vec_col or vec_col
     if dim is None:
-        sample = corpus.select(F.size(vec_col).alias("n")).first()
+        # one extra Spark job — callers on a known corpus should pass
+        # dim (entry_queries reads it from the parquet schema for free)
+        sample = queries.select(F.size(query_vec_col).alias("n")).first()
         dim = int(sample["n"])
     table_buckets = _table_buckets_udf(dim, n_planes, n_tables, seed)
 
-    # signatures only — vectors stay out of the candidate join, and a
-    # pair meeting in several tables is deduped BEFORE the cosine (the
-    # per-pair HOF dot product would otherwise run once per collision)
-    c_sig = corpus.select(
-        F.col(id_col),
+    # ONE corpus pass: the corpus vector rides through the broadcast
+    # bucket equi-join (map-side, no corpus shuffle) and a pair meeting
+    # in several tables is deduped by the groupBy BEFORE the cosine
+    # (the per-pair HOF dot product would otherwise run once per
+    # collision).  The only shuffle is the candidate rows — #candidate
+    # pairs × one vector each — which also serves as the window's
+    # partitioning; the previous signature-only formulation scanned +
+    # re-hashed the corpus twice and needed a second broadcast of the
+    # candidate list.  Query vectors broadcast ONCE (not fanned out
+    # n_tables× through the bucket join).
+    c_rows = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cvec"),
         F.posexplode(table_buckets(F.col(vec_col))).alias("__t", "__b"))
     q_sig = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.posexplode(table_buckets(F.col(query_vec_col)))
         .alias("__t", "__b"))
-    cand = (c_sig.join(F.broadcast(q_sig), on=["__t", "__b"])
-            .select("__qid", id_col).distinct())
+    cand = (c_rows.join(F.broadcast(q_sig), on=["__t", "__b"])
+            .groupBy("__qid", id_col)
+            .agg(F.first("__cvec").alias("__cvec")))
     q_vecs = queries.select(F.col(query_id_col).alias("__qid"),
                             F.col(query_vec_col).alias("__qvec"))
-    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
-    scored = (corpus.join(F.broadcast(cand), on=id_col)
-              .join(F.broadcast(q_vecs), on="__qid")
+    sim = cosine_similarity_col(F.col("__cvec"), F.col("__qvec"))
+    scored = (cand.join(F.broadcast(q_vecs), on="__qid")
               .select(F.col("__qid").alias("query_id"), F.col(id_col),
                       sim.alias("cosine")))
     win = (Window.partitionBy("query_id")
