@@ -1,0 +1,226 @@
+"""Minimal in-process Azure Blob emulator (Azurite-style) for contract
+tests: the subset of the public Blob REST API `AzureBlobFS` speaks —
+Put/Get/Head/Delete Blob, Copy Blob (``x-ms-copy-source``), List Blobs
+(``restype=container&comp=list`` with prefix/delimiter XML), conditional
+PUT (``If-Match`` / ``If-None-Match: *``), per-blob ETags.
+
+SharedKey auth is VERIFIED: the handler recomputes the canonical
+string-to-sign from the raw request (an independent implementation of
+the documented algorithm, not an import of the client's signer) and
+rejects mismatches with 403 — so a client-side canonicalization bug
+fails tests here instead of only against real Azure.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import http.server
+import threading
+import uuid
+from urllib.parse import parse_qsl, unquote, urlsplit
+from xml.sax.saxutils import escape
+
+ACCOUNT = "devstoreaccount1"
+KEY_B64 = base64.b64encode(b"azurite-mini-test-key-0123456789").decode()
+
+
+class _State:
+    def __init__(self):
+        self.blobs: dict[tuple[str, str], tuple[bytes, str]] = {}
+        self.lock = threading.Lock()
+
+
+def _sign(key: bytes, method: str, account: str, container: str,
+          blob: str, params: dict, headers: dict,
+          content_length: str) -> str:
+    std = [headers.get("Content-Encoding", ""),
+           headers.get("Content-Language", ""),
+           content_length,
+           headers.get("Content-MD5", ""),
+           headers.get("Content-Type", ""),
+           "",
+           headers.get("If-Modified-Since", ""),
+           headers.get("If-Match", ""),
+           headers.get("If-None-Match", ""),
+           headers.get("If-Unmodified-Since", ""),
+           headers.get("Range", "")]
+    canon_headers = "".join(
+        f"{n}:{v}\n" for n, v in sorted(
+            (n.lower(), v.strip()) for n, v in headers.items()
+            if n.lower().startswith("x-ms-")))
+    resource = f"/{account}/{container}"
+    if blob:
+        resource += f"/{blob}"
+    canon_resource = resource + "".join(
+        f"\n{n.lower()}:{v}" for n, v in sorted(params.items()))
+    to_sign = "\n".join([method] + std) + "\n" \
+        + canon_headers + canon_resource
+    return base64.b64encode(
+        hmac.new(key, to_sign.encode(), hashlib.sha256).digest()).decode()
+
+
+def make_handler(state: _State):
+    key = base64.b64decode(KEY_B64)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        # -- plumbing ---------------------------------------------------
+        def _parse(self):
+            parts = urlsplit(self.path)
+            params = dict(parse_qsl(parts.query, keep_blank_values=True))
+            segs = unquote(parts.path).lstrip("/").split("/", 2)
+            account = segs[0] if segs else ""
+            container = segs[1] if len(segs) > 1 else ""
+            blob = segs[2] if len(segs) > 2 else ""
+            return account, container, blob, params
+
+        def _reject(self, code: int, azcode: str):
+            body = (f'<?xml version="1.0"?><Error><Code>{azcode}'
+                    f'</Code></Error>').encode()
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _check_auth(self, account, container, blob, params,
+                        body_len: int) -> bool:
+            auth = self.headers.get("Authorization", "")
+            want_prefix = f"SharedKey {account}:"
+            if not auth.startswith(want_prefix):
+                self._reject(403, "AuthenticationFailed")
+                return False
+            length = str(body_len) if body_len else ""
+            expect = _sign(key, self.command, account, container, blob,
+                           params, dict(self.headers.items()), length)
+            if auth[len(want_prefix):] != expect:
+                self._reject(403, "AuthenticationFailed")
+                return False
+            return True
+
+        def _respond(self, code: int, headers: dict | None = None,
+                     body: bytes = b""):
+            self.send_response(code)
+            for n, v in (headers or {}).items():
+                self.send_header(n, v)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        # -- verbs ------------------------------------------------------
+        def do_PUT(self):
+            account, container, blob, params = self._parse()
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            if not self._check_auth(account, container, blob, params,
+                                    length):
+                return
+            src = self.headers.get("x-ms-copy-source")
+            with state.lock:
+                existing = state.blobs.get((container, blob))
+                if self.headers.get("If-None-Match") == "*" and existing:
+                    return self._reject(409, "BlobAlreadyExists")
+                cond = self.headers.get("If-Match")
+                if cond and (existing is None or existing[1] != cond):
+                    return self._reject(412, "ConditionNotMet")
+                if src:
+                    sparts = urlsplit(src)
+                    ssegs = unquote(sparts.path).lstrip("/").split("/", 2)
+                    skey = (ssegs[1], ssegs[2]) if len(ssegs) > 2 \
+                        else (None, None)
+                    if skey not in state.blobs:
+                        return self._reject(404, "BlobNotFound")
+                    body = state.blobs[skey][0]
+                etag = f'"0x{uuid.uuid4().hex[:16].upper()}"'
+                state.blobs[(container, blob)] = (body, etag)
+            hdrs = {"ETag": etag}
+            if src:
+                hdrs["x-ms-copy-status"] = "success"
+            self._respond(201, hdrs)
+
+        def do_GET(self):
+            account, container, blob, params = self._parse()
+            if not self._check_auth(account, container, blob, params, 0):
+                return
+            if params.get("comp") == "list":
+                return self._list(container, params)
+            with state.lock:
+                entry = state.blobs.get((container, blob))
+            if entry is None:
+                return self._reject(404, "BlobNotFound")
+            data, etag = entry
+            self._respond(200, {"ETag": etag}, data)
+
+        def do_HEAD(self):
+            account, container, blob, params = self._parse()
+            if not self._check_auth(account, container, blob, params, 0):
+                return
+            with state.lock:
+                entry = state.blobs.get((container, blob))
+            if entry is None:
+                return self._respond(404)
+            data, etag = entry
+            self._respond(200, {"ETag": etag,
+                                "x-ms-blob-type": "BlockBlob"}, data)
+
+        def do_DELETE(self):
+            account, container, blob, params = self._parse()
+            if not self._check_auth(account, container, blob, params, 0):
+                return
+            with state.lock:
+                if (container, blob) not in state.blobs:
+                    return self._reject(404, "BlobNotFound")
+                del state.blobs[(container, blob)]
+            self._respond(202)
+
+        def _list(self, container: str, params: dict):
+            prefix = params.get("prefix", "")
+            delim = params.get("delimiter")
+            with state.lock:
+                names = sorted(n for c, n in state.blobs
+                               if c == container
+                               and n.startswith(prefix))
+                entries = {n: state.blobs[(container, n)]
+                           for n in names}
+            blobs_xml, prefixes = [], []
+            for name in names:
+                if delim:
+                    rest = name[len(prefix):]
+                    if delim in rest:
+                        p = prefix + rest.split(delim)[0] + delim
+                        if p not in prefixes:
+                            prefixes.append(p)
+                        continue
+                data, etag = entries[name]
+                blobs_xml.append(
+                    f"<Blob><Name>{escape(name)}</Name><Properties>"
+                    f"<Etag>{escape(etag)}</Etag>"
+                    f"<Content-Length>{len(data)}</Content-Length>"
+                    f"</Properties></Blob>")
+            pre_xml = "".join(f"<BlobPrefix><Name>{escape(p)}</Name>"
+                              f"</BlobPrefix>" for p in prefixes)
+            body = (f'<?xml version="1.0" encoding="utf-8"?>'
+                    f"<EnumerationResults><Blobs>"
+                    f"{''.join(blobs_xml)}{pre_xml}</Blobs>"
+                    f"<NextMarker/></EnumerationResults>").encode()
+            self._respond(200, {"Content-Type": "application/xml"}, body)
+
+    return Handler
+
+
+def start_server():
+    """Start the emulator on an ephemeral port; returns
+    ``(server, endpoint)`` where endpoint is Azurite path-style
+    (``http://127.0.0.1:port/devstoreaccount1``)."""
+    state = _State()
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(state))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}/{ACCOUNT}"
+    return srv, endpoint

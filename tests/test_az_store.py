@@ -1,0 +1,223 @@
+"""End-to-end tests for the az:// (Azure Blob) store backend.
+
+The reference speaks az:// via obstore
+(``/root/reference/zcollection/store/obstore_store.py:27``,
+``store/factory.py:22-79``); :class:`AzureBlobFS` speaks the public Blob
+REST API directly (SharedKey signing, no SDK).  The emulator
+(``azurite_mini.py``) VERIFIES every request signature with an
+independent implementation of the documented canonicalization, so the
+auth crypto is exercised, not just the semantics.
+
+Covers the same contract surface the s3 suite covers on moto: raw store
+contract (write/read/list/rename/CAS), collection create → insert →
+query → replacement insert → mirror invalidation, and routing.
+"""
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import zcollection_spark as zc
+from zcollection_spark.errors import CommitConflictError
+from zcollection_spark.fs import AzureBlobFS, fs_for
+
+from tests.azurite_mini import ACCOUNT, KEY_B64, start_server
+
+
+@pytest.fixture(scope="session")
+def az_endpoint():
+    """One emulator for the session; env configured like a real
+    deployment (account + key + endpoint override)."""
+    srv, endpoint = start_server()
+    old = {k: os.environ.get(k) for k in
+           ("AZURE_STORAGE_ACCOUNT", "AZURE_STORAGE_KEY",
+            "AZURE_BLOB_ENDPOINT")}
+    os.environ["AZURE_STORAGE_ACCOUNT"] = ACCOUNT
+    os.environ["AZURE_STORAGE_KEY"] = KEY_B64
+    os.environ["AZURE_BLOB_ENDPOINT"] = endpoint
+    yield endpoint
+    for key, val in old.items():
+        if val is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = val
+    srv.shutdown()
+
+
+@pytest.fixture()
+def az_root(az_endpoint):
+    """A fresh container per test; returns its az:// root."""
+    return f"az://zc-{uuid.uuid4().hex[:12]}/store"
+
+
+def _seq_df(spark, schema, nums, value):
+    bound = schema.with_partition_axis("num")
+    pdf = pd.DataFrame({
+        "num": np.array(nums, dtype=np.int64),
+        "value": [[value] * 3] * len(nums),
+        "static": [[10.0, 20.0, 30.0]] * len(nums)})
+    return spark.createDataFrame(pdf, schema=bound.to_struct_type())
+
+
+def test_azfs_contract(az_root):
+    fs = AzureBlobFS()
+    assert fs.supports_atomic_rename(az_root) is False
+
+    fs.write_text(f"{az_root}/a/b/file.txt", "payload")
+    assert fs.exists(f"{az_root}/a/b/file.txt")
+    assert fs.exists(f"{az_root}/a/b")       # prefix counts as a dir
+    assert fs.exists(f"{az_root}/a")
+    assert not fs.exists(f"{az_root}/a/bx")  # no partial-name match
+    assert fs.read_text(f"{az_root}/a/b/file.txt") == "payload"
+    with pytest.raises(FileNotFoundError):
+        fs.read_text(f"{az_root}/a/b/missing.txt")
+
+    fs.write_text(f"{az_root}/a/b/two.txt", "2")
+    fs.write_text(f"{az_root}/a/c.txt", "3")
+    assert fs.list_files(f"{az_root}/a/b") == ["file.txt", "two.txt"]
+    assert fs.list_files(f"{az_root}/a") == ["c.txt"]
+    assert fs.list_dirs(f"{az_root}/a") == ["b"]
+
+    # rename = copy+delete; refuses occupied destinations
+    assert fs.rename(f"{az_root}/a/c.txt", f"{az_root}/a/d.txt")
+    assert not fs.exists(f"{az_root}/a/c.txt")
+    assert fs.read_text(f"{az_root}/a/d.txt") == "3"
+    fs.write_text(f"{az_root}/a/e.txt", "occupied")
+    assert fs.rename(f"{az_root}/a/d.txt", f"{az_root}/a/e.txt") is False
+    # directory (prefix) rename moves every object
+    assert fs.rename(f"{az_root}/a/b", f"{az_root}/a/b2")
+    assert fs.list_files(f"{az_root}/a/b2") == ["file.txt", "two.txt"]
+    assert fs.list_files(f"{az_root}/a/b") == []
+
+    # recursive delete of a prefix fiction
+    fs.delete(f"{az_root}/a")
+    assert fs.list_files(f"{az_root}/a") == []
+    assert not fs.exists(f"{az_root}/a")
+
+
+def test_azfs_move_file_missing_source_returns_false(az_root):
+    fs = AzureBlobFS()
+    assert fs.move_file(f"{az_root}/nope.txt",
+                        f"{az_root}/dst.txt") is False
+
+
+def test_azfs_conditional_put_cas(az_root):
+    """write_if is a true server-side CAS: create-only refuses an
+    existing blob; stale-ETag updates lose with CommitConflictError."""
+    fs = AzureBlobFS()
+    path = f"{az_root}/_catalog/state.json"
+    tok1 = fs.write_if(path, json.dumps({"generation": 1}), None)
+    assert tok1
+    with pytest.raises(CommitConflictError):
+        fs.write_if(path, "{}", None)          # create-only, exists
+    tok2 = fs.write_if(path, json.dumps({"generation": 2}), tok1)
+    assert tok2 and tok2 != tok1
+    with pytest.raises(CommitConflictError):
+        fs.write_if(path, "{}", tok1)          # stale token
+    text, tok = fs.read_versioned(path)
+    assert json.loads(text) == {"generation": 2}
+    assert tok == tok2
+
+
+def test_azfs_bad_key_is_auth_error(az_endpoint, az_root):
+    """The emulator independently verifies SharedKey signatures: a
+    wrong key must surface as a clear store error, not absence."""
+    import base64
+    from zcollection_spark.errors import StoreError
+    bad = AzureBlobFS(ACCOUNT,
+                      base64.b64encode(b"wrong-key").decode(),
+                      az_endpoint)
+    with pytest.raises(StoreError, match="403"):
+        bad.write_text(f"{az_root}/x.txt", "nope")
+
+
+def test_az_scheme_routes_to_azureblobfs(az_endpoint):
+    assert isinstance(fs_for("az://cont/coll"), AzureBlobFS)
+
+
+def test_az_without_creds_falls_to_hadoop(monkeypatch):
+    monkeypatch.delenv("AZURE_STORAGE_ACCOUNT", raising=False)
+    monkeypatch.delenv("AZURE_STORAGE_KEY", raising=False)
+    # no SparkSession handle → the HadoopFS branch raises the
+    # documented error instead of silently picking LocalFS
+    with pytest.raises(ValueError, match="SparkSession"):
+        fs_for("az://cont/coll")
+
+
+def test_az_collection_roundtrip(spark, seq_schema, az_root):
+    """create → insert → query → reopen → replacement insert, all on
+    az:// through the scratch bridge (no JVM connector), with the
+    manifest-driven file-granular publish path engaged."""
+    path = f"{az_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    assert isinstance(coll._fs, AzureBlobFS)
+    coll.insert(_seq_df(spark, seq_schema, [0, 0, 1, 2], 1.0))
+    assert coll.partitions() == ["num=0", "num=1", "num=2"]
+    assert coll.query().count() == 4
+    assert coll.query(filters="num >= 1").count() == 2
+
+    reopened = zc.open_collection(spark, path, mode="rw")
+    assert reopened.query().count() == 4
+
+    # replacement insert must invalidate the ETag-validated mirror
+    coll.insert(_seq_df(spark, seq_schema, [1], 9.0), merge="replace")
+    rows = coll.query(filters="num == 1").collect()
+    assert len(rows) == 1 and rows[0]["value"] == [9.0, 9.0, 9.0]
+    assert coll.query().count() == 4
+
+
+def test_az_publish_leaves_no_partial_state_on_crash(spark, seq_schema,
+                                                     az_root):
+    """The staging protocol's no-partial-state guarantee holds on
+    az:// exactly as on s3://: a crash mid-publish (after k Copy Blob
+    moves) is recoverable and queries converge to exactly the new
+    generation, never a mix."""
+
+    class CrashAfterMoves:
+        def __init__(self, inner, allowed):
+            self._inner = inner
+            self._allowed = allowed
+            self.moves = 0
+
+        def _gate(self, src, dst):
+            if "_staging" in src or "_staging" in dst:
+                if self.moves >= self._allowed:
+                    raise RuntimeError("injected crash during publish")
+                self.moves += 1
+
+        def rename(self, src, dst):
+            self._gate(src, dst)
+            return self._inner.rename(src, dst)
+
+        def move_file(self, src, dst):  # the publish hot path
+            self._gate(src, dst)
+            return self._inner.move_file(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    for allowed in (0, 2):
+        path = f"{az_root}/coll-{allowed}"
+        coll = zc.create_collection(spark, path, schema=seq_schema,
+                                    axis="num",
+                                    partitioning=zc.Sequence(("num",)))
+        coll.insert(_seq_df(spark, seq_schema, [0, 0, 1, 2], 1.0))
+
+        real_fs = coll._fs
+        coll._fs = CrashAfterMoves(real_fs, allowed)
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                coll.insert(_seq_df(spark, seq_schema,
+                                    [0, 0, 1, 2], 9.0))
+        finally:
+            coll._fs = real_fs
+        assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+        rows = coll.query().collect()
+        assert len(rows) == 4, f"allowed={allowed}"
+        assert all(r["value"] == [9.0, 9.0, 9.0] for r in rows)

@@ -38,7 +38,8 @@ from .errors import CommitConflictError, ReadOnlyError, StoreError
 #: atomic rename; on these stores the commit primitive must be the
 #: catalog/manifest PUT instead (see staging.py design note).
 _NON_ATOMIC_RENAME_SCHEMES = frozenset(
-    {"s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "abfs", "abfss"})
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "az", "wasb", "abfs",
+     "abfss"})
 
 
 def scheme_of(path: str) -> str:
@@ -1289,6 +1290,465 @@ _S3_CACHE: dict = {}
 _S3_CACHE_LOCK = threading.Lock()
 
 
+class AzureBlobFS:
+    """Azure Blob Storage backend speaking the public Blob REST API
+    directly (urllib + SharedKey request signing — no SDK dependency;
+    the auth scheme and the canonical string-to-sign are the documented
+    public protocol).  Closes the last untested store scheme: the
+    reference speaks ``az://`` via obstore
+    (``/root/reference/zcollection/store/obstore_store.py:27``,
+    ``store/factory.py:22-79``).
+
+    Same two-plane contract as :class:`S3FS`:
+
+    - **metadata plane**: HEAD = Get Blob Properties, GET/PUT/DELETE
+      blob, List Blobs (``restype=container&comp=list`` with
+      prefix/delimiter, marker-paginated), Copy Blob
+      (``x-ms-copy-source``) + Delete for the rename fiction, and a
+      TRUE server-side compare-and-swap via conditional PUT
+      (``If-Match`` / ``If-None-Match: *`` — Azure ETags), which is
+      everything the CAS catalog commit needs.
+    - **bulk plane**: with ``hadoop-azure`` on the cluster Spark scans
+      ``abfss://`` natively; without a JVM connector (this
+      environment) ``requires_localization`` routes bulk I/O through
+      the scratch bridge (:meth:`upload_tree` / ETag-validated
+      :meth:`localize`) exactly like S3.
+
+    Rename is copy+delete (non-atomic — ``az`` is in
+    ``_NON_ATOMIC_RENAME_SCHEMES``), so collections on az:// take the
+    manifest-driven file-granular publish path.  Copy Blob is
+    synchronous within an account for block blobs; a ``pending`` copy
+    status raises rather than silently losing the move.
+
+    Configuration (env or constructor): ``AZURE_STORAGE_ACCOUNT``,
+    ``AZURE_STORAGE_KEY`` (base64), optional ``AZURE_BLOB_ENDPOINT``
+    (Azurite-style ``http://host:port/account``; defaults to
+    ``https://{account}.blob.core.windows.net``).  Paths are
+    ``az://container/key...``.
+    """
+
+    requires_localization = True
+
+    _API_VERSION = "2021-08-06"
+
+    def __init__(self, account: str | None = None,
+                 key: str | None = None,
+                 endpoint: str | None = None,
+                 scratch_dir: str | None = None):
+        from collections import Counter
+        self.account = account or os.environ["AZURE_STORAGE_ACCOUNT"]
+        raw = key or os.environ["AZURE_STORAGE_KEY"]
+        import base64
+        self._key = base64.b64decode(raw)
+        self._endpoint = (endpoint
+                          or os.environ.get("AZURE_BLOB_ENDPOINT")
+                          or f"https://{self.account}"
+                          f".blob.core.windows.net").rstrip("/")
+        self._scratch_root = scratch_dir or os.path.join(
+            tempfile.gettempdir(), f"zcaz-{uuid.uuid4().hex[:8]}")
+        self._etags: dict[str, str] = {}
+        self.api_counts = Counter()
+
+    # -- path / signing helpers ----------------------------------------
+    @staticmethod
+    def _ck(path: str) -> tuple[str, str]:
+        rest = path.split("://", 1)[1] if "://" in path else path
+        container, _, key = rest.partition("/")
+        return container, key.strip("/")
+
+    def _url(self, container: str, key: str, params: dict) -> str:
+        from urllib.parse import quote, urlencode
+        url = f"{self._endpoint}/{container}"
+        if key:
+            url += "/" + quote(key)
+        if params:
+            url += "?" + urlencode(sorted(params.items()))
+        return url
+
+    def _authorization(self, method: str, container: str, key: str,
+                       params: dict, headers: dict,
+                       body: bytes | None) -> str:
+        """SharedKey signature (the documented public algorithm): HMAC
+        over VERB, the standard header slots, canonicalized ``x-ms-*``
+        headers, and the canonicalized resource incl. query params."""
+        import base64
+        import hmac
+        length = str(len(body)) if body else ""  # "" for 0 since 2015
+        std = [headers.get("Content-Encoding", ""),
+               headers.get("Content-Language", ""),
+               length,
+               headers.get("Content-MD5", ""),
+               headers.get("Content-Type", ""),
+               "",  # Date: x-ms-date is set instead
+               headers.get("If-Modified-Since", ""),
+               headers.get("If-Match", ""),
+               headers.get("If-None-Match", ""),
+               headers.get("If-Unmodified-Since", ""),
+               headers.get("Range", "")]
+        canon_headers = "".join(
+            f"{name.lower()}:{value}\n" for name, value in sorted(
+                (n.lower(), v) for n, v in headers.items()
+                if n.lower().startswith("x-ms-")))
+        resource = f"/{self.account}/{container}"
+        if key:
+            resource += f"/{key}"
+        canon_resource = resource + "".join(
+            f"\n{n.lower()}:{v}" for n, v in sorted(params.items()))
+        to_sign = "\n".join([method] + std) + "\n" \
+            + canon_headers + canon_resource
+        sig = base64.b64encode(hmac.new(
+            self._key, to_sign.encode("utf-8"),
+            hashlib.sha256).digest()).decode()
+        return f"SharedKey {self.account}:{sig}"
+
+    def _request(self, method: str, container: str, key: str,
+                 params: dict | None = None,
+                 headers: dict | None = None,
+                 body: bytes | None = None):
+        """Signed request → ``(status, headers, body)``; 404/"absent"
+        mapping is per-operation (the S3FS ``_head`` rule: ONLY a real
+        404 may read as absent)."""
+        import email.utils
+        import urllib.error
+        import urllib.request
+        params = dict(params or {})
+        headers = dict(headers or {})
+        if body is not None:
+            # urllib injects a default Content-Type on bodied requests
+            # AFTER signing — set it explicitly so the signed value and
+            # the sent value agree
+            headers.setdefault("Content-Type", "application/octet-stream")
+        headers.setdefault("x-ms-date",
+                           email.utils.formatdate(usegmt=True))
+        headers.setdefault("x-ms-version", self._API_VERSION)
+        headers["Authorization"] = self._authorization(
+            method, container, key, params, headers, body)
+        req = urllib.request.Request(
+            self._url(container, key, params), data=body,
+            headers=headers, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as exc:
+            data = exc.read()
+            if exc.code == 403:
+                raise StoreError(
+                    f"{method} az://{container}/{key} returned 403: "
+                    f"check AZURE_STORAGE_ACCOUNT/KEY (signature or "
+                    f"permissions)") from exc
+            return exc.code, dict(exc.headers), data
+        except urllib.error.URLError as exc:
+            raise StoreError(
+                f"Azure Blob endpoint unreachable: "
+                f"{self._endpoint}: {exc}") from None
+
+    # -- contract surface ----------------------------------------------
+    def supports_atomic_rename(self, path: str) -> bool:
+        return False
+
+    def _head(self, container: str, key: str):
+        self.api_counts["head"] += 1
+        status, hdrs, _ = self._request("HEAD", container, key)
+        if status == 404:
+            return None
+        if status >= 400:
+            raise StoreError(
+                f"HEAD az://{container}/{key} failed: {status}")
+        return hdrs
+
+    def _list_page(self, container: str, *, prefix: str,
+                   delimiter: str | None = None,
+                   marker: str | None = None):
+        """One List Blobs page → (blobs, prefixes, next_marker) where
+        blobs are (name, etag, size)."""
+        import xml.etree.ElementTree as ET
+        self.api_counts["list"] += 1
+        params = {"restype": "container", "comp": "list",
+                  "prefix": prefix}
+        if delimiter:
+            params["delimiter"] = delimiter
+        if marker:
+            params["marker"] = marker
+        status, _, body = self._request("GET", container, "", params)
+        if status >= 400:
+            raise StoreError(
+                f"LIST az://{container} ({prefix!r}) failed: {status}")
+        root = ET.fromstring(body.decode("utf-8"))
+        blobs = [(b.findtext("Name"),
+                  b.findtext("Properties/Etag") or "",
+                  int(b.findtext("Properties/Content-Length") or 0))
+                 for b in root.iter("Blob")]
+        prefixes = [p.findtext("Name") for p in root.iter("BlobPrefix")]
+        return blobs, prefixes, (root.findtext("NextMarker") or None)
+
+    def _iter_keys(self, container: str, prefix: str):
+        marker = None
+        while True:
+            blobs, _, marker = self._list_page(container, prefix=prefix,
+                                               marker=marker)
+            yield from blobs
+            if not marker:
+                return
+
+    def exists(self, path: str) -> bool:
+        container, key = self._ck(path)
+        if not key:
+            return True
+        if self._head(container, key) is not None:
+            return True
+        blobs, prefixes, _ = self._list_page(container,
+                                             prefix=key + "/")
+        return bool(blobs or prefixes)
+
+    def exists_file(self, path: str) -> bool:
+        container, key = self._ck(path)
+        return self._head(container, key) is not None
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def read_bytes(self, path: str) -> bytes:
+        container, key = self._ck(path)
+        self.api_counts["get"] += 1
+        status, _, body = self._request("GET", container, key)
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            raise StoreError(f"GET {path} failed: {status}")
+        return body
+
+    def write_text(self, path: str, data: str) -> None:
+        self.write_bytes(path, data.encode("utf-8"))
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        container, key = self._ck(path)
+        self.api_counts["put"] += 1
+        status, _, _ = self._request(
+            "PUT", container, key,
+            headers={"x-ms-blob-type": "BlockBlob"}, body=data)
+        if status >= 400:
+            raise StoreError(f"PUT {path} failed: {status}")
+
+    def read_versioned(self, path: str) -> tuple[str | None, str | None]:
+        container, key = self._ck(path)
+        self.api_counts["get"] += 1
+        status, hdrs, body = self._request("GET", container, key)
+        if status == 404:
+            return None, None
+        if status >= 400:
+            raise StoreError(f"GET {path} failed: {status}")
+        return body.decode("utf-8"), hdrs.get("ETag")
+
+    def write_if(self, path: str, data: str, token: str | None) -> str:
+        """Server-side compare-and-swap via conditional PUT — Azure
+        honors ``If-Match`` (update) and ``If-None-Match: *``
+        (create-only) on Put Blob; the losing writer gets 412 (or 409
+        BlobAlreadyExists for the create case)."""
+        container, key = self._ck(path)
+        cond = ({"If-None-Match": "*"} if token is None
+                else {"If-Match": token})
+        cond["x-ms-blob-type"] = "BlockBlob"
+        self.api_counts["put"] += 1
+        status, hdrs, _ = self._request("PUT", container, key,
+                                        headers=cond,
+                                        body=data.encode("utf-8"))
+        if status in (409, 412):
+            raise CommitConflictError(
+                f"{path}: conditional PUT lost the race ({status})")
+        if status >= 400:
+            raise StoreError(f"conditional PUT {path} failed: {status}")
+        return hdrs.get("ETag")
+
+    def delete(self, path: str) -> None:
+        container, key = self._ck(path)
+        doomed = [key] if self._head(container, key) is not None else []
+        doomed += [name for name, _, _ in
+                   self._iter_keys(container, key + "/")]
+        for name in doomed:
+            self.api_counts["delete"] += 1
+            status, _, _ = self._request("DELETE", container, name)
+            if status >= 400 and status != 404:
+                raise StoreError(
+                    f"DELETE az://{container}/{name} failed: {status}")
+
+    def mkdirs(self, path: str) -> None:
+        pass  # directories are prefix fictions on a flat keyspace
+
+    def _copy_blob(self, container: str, src_key: str,
+                   dst_key: str) -> None:
+        self.api_counts["copy"] += 1
+        src_url = self._url(container, src_key, {})
+        status, hdrs, _ = self._request(
+            "PUT", container, dst_key,
+            headers={"x-ms-copy-source": src_url})
+        if status >= 400:
+            raise StoreError(
+                f"COPY az://{container}/{src_key} -> {dst_key} "
+                f"failed: {status}")
+        if hdrs.get("x-ms-copy-status", "success") != "success":
+            # block-blob copies within an account are synchronous; a
+            # pending status here would mean the delete below could
+            # race the copy — fail loudly instead
+            raise StoreError(
+                f"COPY az://{container}/{src_key} not synchronous "
+                f"(status {hdrs.get('x-ms-copy-status')})")
+
+    def move_file(self, src: str, dst: str) -> bool:
+        """Single-object move (caller did any dst-exists check): one
+        Copy Blob + one Delete.  False ONLY for a missing source."""
+        sc, sk = self._ck(src)
+        dc, dk = self._ck(dst)
+        if self._head(sc, sk) is None:
+            return False
+        self._copy_blob(sc, sk, dk) if sc == dc else \
+            self._copy_cross(sc, sk, dc, dk)
+        self.api_counts["delete"] += 1
+        self._request("DELETE", sc, sk)
+        return True
+
+    def _copy_cross(self, sc: str, sk: str, dc: str, dk: str) -> None:
+        # cross-container copy: same API, source URL names the source
+        # container (rare in collection layouts; kept for contract
+        # completeness)
+        self.api_counts["copy"] += 1
+        status, hdrs, _ = self._request(
+            "PUT", dc, dk,
+            headers={"x-ms-copy-source": self._url(sc, sk, {})})
+        if status >= 400:
+            raise StoreError(f"COPY az://{sc}/{sk} -> az://{dc}/{dk} "
+                             f"failed: {status}")
+
+    def rename(self, src: str, dst: str) -> bool:
+        if self.exists(dst):
+            return False
+        sc, sk = self._ck(src)
+        if self._head(sc, sk) is not None:
+            return self.move_file(src, dst)
+        keys = [k for k, _, _ in self._iter_keys(sc, sk + "/")]
+        if not keys:
+            return False
+        dc, dk = self._ck(dst)
+        for k in keys:
+            self._copy_blob(sc, k, dk + k[len(sk):]) if sc == dc else \
+                self._copy_cross(sc, k, dc, dk + k[len(sk):])
+            self.api_counts["delete"] += 1
+            self._request("DELETE", sc, k)
+        return True
+
+    def _delimited(self, path: str) -> tuple[list[str], list[str]]:
+        container, key = self._ck(path)
+        prefix = key + "/" if key else ""
+        files, dirs, marker = [], [], None
+        while True:
+            blobs, prefixes, marker = self._list_page(
+                container, prefix=prefix, delimiter="/", marker=marker)
+            files += [name[len(prefix):] for name, _, _ in blobs
+                      if name != prefix]
+            dirs += [p[len(prefix):].rstrip("/") for p in prefixes]
+            if not marker:
+                return sorted(files), sorted(dirs)
+
+    def list_files(self, path: str) -> list[str]:
+        return self._delimited(path)[0]
+
+    def list_dirs(self, path: str) -> list[str]:
+        return self._delimited(path)[1]
+
+    def _rel_keys(self, root: str):
+        container, base = self._ck(root)
+        start = len(base) + 1 if base else 0
+        for name, etag, size in self._iter_keys(
+                container, base + "/" if base else ""):
+            yield name[start:], etag, size
+
+    def walk_files(self, root: str) -> list[str]:
+        return sorted(
+            rel for rel, _, _ in self._rel_keys(root)
+            if not any(c.startswith(("_", "."))
+                       for c in rel.split("/")))
+
+    def list_partition_dirs(self, root: str, depth: int) -> list[str]:
+        out = set()
+        for rel, _, _ in self._rel_keys(root):
+            comps = rel.split("/")
+            if len(comps) <= depth:
+                continue
+            head = comps[:depth]
+            if any(c.startswith(("_", ".")) for c in comps) \
+                    or not all("=" in c for c in head):
+                continue
+            out.add("/".join(head))
+        return sorted(out)
+
+    # -- bulk bridge (no-JVM-connector configurations only) -------------
+    def new_scratch_dir(self) -> str:
+        path = os.path.join(self._scratch_root, "w", uuid.uuid4().hex)
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def upload_tree(self, local_dir: str, remote_dir: str) -> list[str]:
+        container, base = self._ck(remote_dir)
+        uploaded: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(local_dir):
+            dirnames[:] = [d for d in dirnames
+                           if not d.startswith(("_", "."))]
+            for fname in filenames:
+                if fname.startswith(("_", ".")):
+                    continue
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, local_dir).replace(os.sep, "/")
+                with open(full, "rb") as fh:
+                    self.write_bytes(f"az://{container}/{base}/{rel}",
+                                     fh.read())
+                uploaded.append(rel)
+        shutil.rmtree(local_dir, ignore_errors=True)
+        return sorted(uploaded)
+
+    def localize(self, root: str,
+                 relpaths: "list[str] | None" = None) -> str:
+        """ETag-validated local mirror — same contract as
+        ``S3FS.localize`` (unchanged ETags never re-downloaded, vanished
+        blobs purged so a stale generation cannot leak into a scan)."""
+        container, base = self._ck(root)
+        mirror = os.path.join(self._scratch_root, "r", container,
+                              base.replace("/", "_"))
+        prefixes = relpaths if relpaths is not None else [""]
+        for rel in prefixes:
+            rkey = f"{base}/{rel}".strip("/") if rel else base
+            seen = set()
+            for name, etag, _ in self._iter_keys(
+                    container, rkey + "/" if rkey else ""):
+                krel = name[len(base) + 1:] if base else name
+                if rel == "" and any(c.startswith(("_", "."))
+                                     for c in krel.split("/")):
+                    continue
+                local = os.path.join(mirror, *krel.split("/"))
+                seen.add(local)
+                if self._etags.get(local) == etag \
+                        and os.path.exists(local):
+                    continue
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                with open(local, "wb") as fh:
+                    fh.write(self.read_bytes(f"az://{container}/{name}"))
+                self._etags[local] = etag
+            local_prefix = os.path.join(mirror, *rel.split("/")) \
+                if rel else mirror
+            if os.path.isdir(local_prefix):
+                for dirpath, _, filenames in os.walk(local_prefix):
+                    for fname in filenames:
+                        full = os.path.join(dirpath, fname)
+                        if full not in seen:
+                            os.remove(full)
+                            self._etags.pop(full, None)
+        return mirror
+
+
+#: One AzureBlobFS per (endpoint, account, key) — same reuse rationale
+#: as ``_S3_CACHE``.
+_AZ_CACHE: dict = {}
+_AZ_CACHE_LOCK = threading.Lock()
+
+
 def fs_for(path: str, spark: SparkSession | None = None):
     """Pick the metadata FS for ``path`` by scheme."""
     if path.startswith("memory://"):
@@ -1300,6 +1760,22 @@ def fs_for(path: str, spark: SparkSession | None = None):
             if _HTTP_FS is None:
                 _HTTP_FS = HttpFS()
             return _HTTP_FS
+    if scheme == "az":
+        account = os.environ.get("AZURE_STORAGE_ACCOUNT")
+        azkey = os.environ.get("AZURE_STORAGE_KEY")
+        if account and azkey:
+            endpoint = (os.environ.get("AZURE_BLOB_ENDPOINT")
+                        or f"https://{account}.blob.core.windows.net")
+            cred = hashlib.sha256(
+                f"{account}\x00{azkey}".encode()).hexdigest()
+            with _AZ_CACHE_LOCK:
+                cache_key = (endpoint, cred)
+                if cache_key not in _AZ_CACHE:
+                    _AZ_CACHE[cache_key] = AzureBlobFS(
+                        account, azkey, endpoint)
+                return _AZ_CACHE[cache_key]
+        # no full credential pair: fall through to the JVM
+        # hadoop-azure connector (service-principal / MSI auth)
     if scheme == "gs" and not (os.environ.get("GCS_ACCESS_KEY_ID")
                                and os.environ.get(
                                    "GCS_SECRET_ACCESS_KEY")):
