@@ -601,3 +601,43 @@ def test_quality_filter_null_text_is_dropped_not_lost(spark):
         assert rows[doc].q_word_count is False
     # the partition keep/drop must be exhaustive
     assert out.where("keep").count() + out.where("NOT keep").count() == 2
+
+
+def test_suggest_lsh_planes_scaling():
+    """sf1 gate finding: fixed n_planes means fixed bucket COUNT, so
+    within-bucket pair work grows quadratically with the corpus
+    (measured 7.5s -> 828s sf0.01 -> sf1 at 4 planes).  The helper
+    holds the EXPECTED bucket size constant instead."""
+    from zcollection_spark.functions import suggest_lsh_planes
+    assert suggest_lsh_planes(50) == 4          # tiny corpus: floor
+    assert suggest_lsh_planes(2_000) == 5       # sf0.1 embeddings
+    assert suggest_lsh_planes(20_000) == 9      # sf1
+    assert suggest_lsh_planes(2_000_000) == 15
+    assert suggest_lsh_planes(10**12) == 24     # clamped
+    # doubling the corpus adds at most one plane (monotone, gentle)
+    for n in (10**3, 10**6, 10**9):
+        assert 0 <= suggest_lsh_planes(2 * n) - suggest_lsh_planes(n) <= 1
+
+
+def test_embedding_dup_pairs_auto_planes(spark):
+    """n_planes='auto' must stay deterministic and agree with the
+    explicit value the helper yields for that corpus size."""
+    import numpy as np
+    from zcollection_spark.functions import (embedding_dup_pairs,
+                                             suggest_lsh_planes)
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8).astype("float32")
+    base[1] = base[0] * 1.001  # one planted near-dup pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>")
+    auto = embedding_dup_pairs(df, id_col="vec_id", vec_col="embedding",
+                               threshold=0.95, method="lsh",
+                               n_planes="auto", n_tables=8, dim=8)
+    explicit = embedding_dup_pairs(
+        df, id_col="vec_id", vec_col="embedding", threshold=0.95,
+        method="lsh", n_planes=suggest_lsh_planes(40), n_tables=8, dim=8)
+    got = sorted((r.id_a, r.id_b) for r in auto.collect())
+    want = sorted((r.id_a, r.id_b) for r in explicit.collect())
+    assert got == want
+    assert (0, 1) in got  # the planted pair survives bucketing

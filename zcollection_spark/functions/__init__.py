@@ -18,7 +18,7 @@ from .ann_index import (query_ivf_index, query_ivfpq_index,
                         write_ivf_index, write_ivfpq_index)
 from .similarity import (cosine_similarity_col, brute_force_topk,
                          embedding_dup_pairs, ivf_topk, ivfpq_topk,
-                         lsh_bucket_topk)
+                         lsh_bucket_topk, suggest_lsh_planes)
 from .text import (fingerprint, language_id, text_stats, token_count,
                    word_shingles, words)
 from .curation import (contamination, quality_filter,
@@ -30,6 +30,7 @@ __all__ = [
     "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "ivfpq_topk", "lsh_bucket_topk",
+    "suggest_lsh_planes",
     "contamination", "quality_filter", "repetition_stats",
     "scrub_pii",
     "write_ivf_index", "query_ivf_index",

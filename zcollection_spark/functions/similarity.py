@@ -310,6 +310,14 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
                                 threshold=threshold, n_blocks=n_blocks,
                                 max_block_bytes=max_block_bytes)
     if method == "lsh":
+        if n_planes == "auto":
+            # plane count must GROW with the corpus: fixed planes mean
+            # fixed bucket COUNT (2^P per table), so bucket SIZE — and
+            # the within-bucket pair fan-out — grows linearly with n
+            # and the candidate join quadratically (measured: the
+            # 4-plane config went 7.5 s → 828 s from sf0.01 to sf1).
+            # One count probe, same precedent as n_blocks=None.
+            n_planes = suggest_lsh_planes(df.count())
         return _dup_pairs_lsh(df, id_col=id_col, vec_col=vec_col,
                               threshold=threshold, n_planes=n_planes,
                               n_tables=n_tables, seed=seed, dim=dim)
@@ -318,6 +326,22 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
                                     threshold=threshold)
     raise ValueError(f"unknown method {method!r} "
                      "(expected block|lsh|broadcast)")
+
+
+def suggest_lsh_planes(n_rows: int, target_bucket: int = 64,
+                       max_planes: int = 24) -> int:
+    """Planes so the EXPECTED bucket holds ~``target_bucket`` vectors:
+    ``P = ceil(log2(n / target_bucket))``, clamped to [4, max_planes].
+
+    Within-bucket work is O(bucket²); holding bucket size constant as
+    the corpus grows keeps total candidate work O(n · target_bucket)
+    — linear — at the cost of per-pair recall (compensate with more
+    tables: recall = 1-(1-(1-θ/π)^P)^L)."""
+    import math
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, min(max_planes,
+                      math.ceil(math.log2(n_rows / target_bucket))))
 
 
 def auto_n_blocks(n_rows: int, dim: int, max_block_bytes: int) -> int:
