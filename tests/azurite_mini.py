@@ -155,6 +155,23 @@ def make_handler(state: _State):
             if entry is None:
                 return self._reject(404, "BlobNotFound")
             data, etag = entry
+            rng = self.headers.get("Range")
+            if rng and rng.startswith("bytes="):
+                spec = rng[len("bytes="):]
+                if spec.startswith("-"):        # suffix range
+                    n = int(spec[1:])
+                    if len(data) == 0:
+                        return self._reject(416, "InvalidRange")
+                    return self._respond(206, {"ETag": etag},
+                                         data[-n:])
+                start_s, _, end_s = spec.partition("-")
+                start = int(start_s)
+                if start >= len(data):
+                    return self._reject(416, "InvalidRange")
+                end = min(int(end_s), len(data) - 1) if end_s \
+                    else len(data) - 1
+                return self._respond(206, {"ETag": etag},
+                                     data[start:end + 1])
             self._respond(200, {"ETag": etag}, data)
 
         def do_HEAD(self):

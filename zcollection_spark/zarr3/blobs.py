@@ -72,13 +72,19 @@ def capture_blob_conf() -> dict | None:
     on-prem rigs); against real AWS, executors use their own credential
     chain (instance roles), which is the production-correct path.
     """
+    conf: dict = {}
     endpoint = os.environ.get("AWS_ENDPOINT_URL")
-    if endpoint is None:
-        return None
-    return {"endpoint_url": endpoint,
-            "region": os.environ.get("AWS_REGION", "us-east-1"),
-            "access_key": os.environ.get("AWS_ACCESS_KEY_ID"),
-            "secret_key": os.environ.get("AWS_SECRET_ACCESS_KEY")}
+    if endpoint is not None:
+        conf.update({"endpoint_url": endpoint,
+                     "region": os.environ.get("AWS_REGION", "us-east-1"),
+                     "access_key": os.environ.get("AWS_ACCESS_KEY_ID"),
+                     "secret_key": os.environ.get("AWS_SECRET_ACCESS_KEY")})
+    az_account = os.environ.get("AZURE_STORAGE_ACCOUNT")
+    az_key = os.environ.get("AZURE_STORAGE_KEY")
+    if az_account and az_key:
+        conf.update({"az_account": az_account, "az_key": az_key,
+                     "az_endpoint": os.environ.get("AZURE_BLOB_ENDPOINT")})
+    return conf or None
 
 
 class S3Blobs:
@@ -144,6 +150,71 @@ class S3Blobs:
         if data is None:
             raise FileNotFoundError(path)
         return data
+
+
+class AzureBlobs:
+    """Azure Blob backend for zarr chunk/shard I/O: executors PUT
+    chunk objects directly and shard partial reads go out as signed
+    HTTP Range requests — same contract as :class:`S3Blobs`, built on
+    :class:`..fs.AzureBlobFS`'s SharedKey request layer (the Range
+    header sits in the signed string-to-sign slot, so ranged reads
+    authenticate like any other op)."""
+
+    def __init__(self, conf: dict | None = None):
+        from ..fs import AzureBlobFS
+        conf = conf or {}
+        self._fs = AzureBlobFS(
+            conf.get("az_account"), conf.get("az_key"),
+            conf.get("az_endpoint"))
+
+    def mkdirs(self, path: str) -> None:
+        pass  # prefixes need no creation
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self._fs.write_bytes(path, data)
+
+    def write_text(self, path: str, text: str) -> None:
+        self._fs.write_text(path, text)
+
+    def read_text(self, path: str) -> str:
+        return self._fs.read_text(path)
+
+    def try_read_bytes(self, path: str) -> bytes | None:
+        try:
+            return self._fs.read_bytes(path)
+        except FileNotFoundError:
+            return None
+
+    def _ranged(self, path: str, range_header: str):
+        container, key = self._fs._ck(path)
+        return self._fs._request("GET", container, key,
+                                 headers={"Range": range_header})
+
+    def read_tail(self, path: str, nbytes: int) -> bytes | None:
+        status, _, body = self._ranged(path, f"bytes=-{nbytes}")
+        if status == 404 or status == 416:
+            # 416 on a suffix range: zero-byte object — no tail
+            return None
+        if status >= 400:
+            from ..errors import StoreError
+            raise StoreError(f"ranged GET {path} failed: {status}")
+        return body if status == 206 else body[-nbytes:]
+
+    def read_at(self, path: str, offset: int, nbytes: int) -> bytes:
+        status, _, body = self._ranged(
+            path, f"bytes={offset}-{offset + nbytes - 1}")
+        if status == 416:
+            # shard index pointed past EOF: truncation, not absence
+            from ..errors import StoreError
+            raise StoreError(
+                f"shard {path} is truncated/corrupt: range "
+                f"{offset}-{offset + nbytes - 1} past end of object")
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            from ..errors import StoreError
+            raise StoreError(f"ranged GET {path} failed: {status}")
+        return body if status == 206 else body[offset:offset + nbytes]
 
 
 class HttpBlobs:
@@ -241,6 +312,16 @@ def blobs_for(path: str, conf: dict | None = None):
                or os.environ.get("AWS_ENDPOINT_URL"))
         if key not in _CACHE:
             _CACHE[key] = S3Blobs(conf)
+        return _CACHE[key]
+    if path.startswith("az://"):
+        c = conf or {}
+        key = ("az",
+               c.get("az_endpoint")
+               or os.environ.get("AZURE_BLOB_ENDPOINT"),
+               c.get("az_account")
+               or os.environ.get("AZURE_STORAGE_ACCOUNT"))
+        if key not in _CACHE:
+            _CACHE[key] = AzureBlobs(c)
         return _CACHE[key]
     if path.startswith(("http://", "https://")):
         if "http" not in _CACHE:
