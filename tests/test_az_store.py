@@ -274,3 +274,36 @@ def test_zarr_collection_roundtrip_on_az(spark, az_root):
 
     reopened = open_zarr_collection(spark, path)
     assert reopened.query().count() == 4
+
+
+def test_az_transient_503_is_retried(az_endpoint, az_root, monkeypatch):
+    """Azure throttles routinely: 429/500/503 must be retried with
+    backoff, while 404/412/409 must NOT be (absent/conflict semantics
+    would corrupt recovery if masked by retries)."""
+    import urllib.error
+    import urllib.request
+
+    fs = AzureBlobFS()
+    fs.write_text(f"{az_root}/r.txt", "payload")
+
+    real_open = urllib.request.urlopen
+    fails = {"n": 2, "total": 0}
+
+    def flaky(req, *a, **kw):
+        fails["total"] += 1
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise urllib.error.HTTPError(req.full_url, 503,
+                                         "Service Unavailable", {}, None)
+        return real_open(req, *a, **kw)
+
+    monkeypatch.setattr(urllib.request, "urlopen", flaky)
+    monkeypatch.setattr("time.sleep", lambda *_: None)
+    assert fs.read_text(f"{az_root}/r.txt") == "payload"
+    assert fails["n"] == 0          # both 503s consumed by retries
+
+    # a 404 is answered immediately, never retried
+    fails["total"] = 0
+    with pytest.raises(FileNotFoundError):
+        fs.read_bytes(f"{az_root}/missing.txt")
+    assert fails["total"] == 1

@@ -1331,6 +1331,9 @@ class AzureBlobFS:
 
     _API_VERSION = "2021-08-06"
 
+    #: bounded transient-fault retry (429/5xx/resets), matching HttpFS
+    _RETRIES = 3
+
     def __init__(self, account: str | None = None,
                  key: str | None = None,
                  endpoint: str | None = None,
@@ -1426,21 +1429,37 @@ class AzureBlobFS:
         req = urllib.request.Request(
             self._url(container, key, params), data=body,
             headers=headers, method=method)
-        try:
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                return resp.status, dict(resp.headers), resp.read()
-        except urllib.error.HTTPError as exc:
-            data = exc.read()
-            if exc.code == 403:
-                raise StoreError(
-                    f"{method} az://{container}/{key} returned 403: "
-                    f"check AZURE_STORAGE_ACCOUNT/KEY (signature or "
-                    f"permissions)") from exc
-            return exc.code, dict(exc.headers), data
-        except urllib.error.URLError as exc:
-            raise StoreError(
-                f"Azure Blob endpoint unreachable: "
-                f"{self._endpoint}: {exc}") from None
+        # bounded transient-fault retry (throttle 429/500/503 and
+        # connection resets), the same discipline as HttpFS — object
+        # stores throttle routinely and a flaky window must not fail
+        # an insert.  4xx (absent/conflict/precondition) never retries.
+        import time
+        last_exc = None
+        for attempt in range(self._RETRIES + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return resp.status, dict(resp.headers), resp.read()
+            except urllib.error.HTTPError as exc:
+                data = exc.read()
+                if exc.code == 403:
+                    raise StoreError(
+                        f"{method} az://{container}/{key} returned "
+                        f"403: check AZURE_STORAGE_ACCOUNT/KEY "
+                        f"(signature or permissions)") from exc
+                if exc.code not in (429, 500, 503) \
+                        or attempt == self._RETRIES:
+                    return exc.code, dict(exc.headers), data
+                last_exc = exc
+            except urllib.error.URLError as exc:
+                if attempt == self._RETRIES:
+                    raise StoreError(
+                        f"Azure Blob endpoint unreachable: "
+                        f"{self._endpoint}: {exc}") from None
+                last_exc = exc
+            time.sleep(0.1 * (2 ** attempt))
+        raise StoreError(
+            f"{method} az://{container}/{key} kept failing after "
+            f"{self._RETRIES + 1} attempts: {last_exc}")
 
     # -- contract surface ----------------------------------------------
     def supports_atomic_rename(self, path: str) -> bool:
