@@ -307,3 +307,22 @@ def test_az_transient_503_is_retried(az_endpoint, az_root, monkeypatch):
     with pytest.raises(FileNotFoundError):
         fs.read_bytes(f"{az_root}/missing.txt")
     assert fails["total"] == 1
+
+
+def test_az_publish_per_file_op_budget(spark, seq_schema, az_root):
+    """Same op discipline as the s3 budget pin: ~1 Copy Blob per staged
+    file on a fresh insert, bounded HEAD/LIST overhead — a wrapper
+    reintroducing per-file exists round-trips must fail here too."""
+    path = f"{az_root}/coll"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    fs = coll._fs
+    fs.api_counts.clear()
+    coll.insert(_seq_df(spark, seq_schema, [0, 1, 2], 1.0))
+    counts = dict(fs.api_counts)
+    # fresh insert, 3 partitions x 1 file + the one-time _immutable
+    # publish: exactly one Copy Blob per moved file
+    assert counts["copy"] == 4, counts
+    assert counts.get("head", 0) <= 10 * 3, counts
+    assert counts.get("list", 0) <= 10 * 3, counts
