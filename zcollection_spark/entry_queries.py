@@ -822,15 +822,36 @@ def q_dedup_embedding(spark, sf_dir):
                         F.round("cosine", 6).alias("cosine"))
 
 
+def _lsh_dedup_planes(sf_dir: str) -> int:
+    """Scale-aware plane count for the graded LSH dedup entry: the
+    corpus row count comes straight from the parquet footer (no Spark
+    job) and feeds :func:`suggest_lsh_planes`, so the SAME value
+    parameterizes the Spark query and its DuckDB oracle — scale-correct
+    bucketing (the sf1 gate measured fixed-4-planes at 828 s vs 15 s
+    auto) while staying seed-deterministic and oracle-exact.  Falls
+    back to 4 (the sf0.01-era config) when the file is unreadable, on
+    BOTH sides, keeping query/oracle consistent on synthetic dirs."""
+    from .functions.similarity import suggest_lsh_planes
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    try:
+        import pyarrow.parquet as pq
+        n = pq.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return 4
+    return suggest_lsh_planes(n)
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Sub-quadratic near-dup pairs: LSH bucket prefilter + exact cosine
     within buckets.  Seed-deterministic, so the oracle REPLAYS the
-    bucketing (like knn_lsh) instead of comparing against exact truth."""
+    bucketing (like knn_lsh) instead of comparing against exact truth.
+    The plane count scales with the corpus (``_lsh_dedup_planes``)."""
     from .functions import embedding_dup_pairs
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_dup_pairs(emb, id_col="vec_id", vec_col="embedding",
                                 threshold=0.45, method="lsh",
-                                n_planes=4, n_tables=8, dim=64)
+                                n_planes=_lsh_dedup_planes(sf_dir),
+                                n_tables=8, dim=64)
     return pairs.select("id_a", "id_b",
                         F.round("cosine", 6).alias("cosine"))
 
@@ -2118,7 +2139,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
-        "dedup_embedding_lsh": _dedup_lsh_oracle(),
+        "dedup_embedding_lsh": _dedup_lsh_oracle(
+            n_planes=_lsh_dedup_planes(sf_dir)),
         "text_stats": ORACLE_TEXT_STATS,
         "language_id": _langid_oracle(),
         "langid_confusion": _langid_confusion_oracle(),
