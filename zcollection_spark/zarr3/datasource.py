@@ -108,16 +108,23 @@ class ZarrReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         from pyspark.sql import SparkSession
         from ..collection.catalog import Catalog
-        from ..fs import S3FS, fs_for, scheme_of
+        from ..fs import AzureBlobFS, S3FS, fs_for, scheme_of
         # this also runs in a Python worker: with a shipped blob_conf,
-        # build the S3 metadata FS from it instead of the worker's env
-        if self.blob_conf is not None \
+        # build the object-store metadata FS from it instead of the
+        # worker's env (workers keep the environment they were BORN
+        # with — late-set endpoint config never reaches them)
+        conf = self.blob_conf
+        if conf is not None \
                 and scheme_of(self.root) in ("s3", "s3a", "s3n"):
-            conf = self.blob_conf
             fs = S3FS(endpoint_url=conf.get("endpoint_url"),
                       region=conf.get("region"),
                       access_key=conf.get("access_key"),
                       secret_key=conf.get("secret_key"))
+        elif conf is not None and scheme_of(self.root) == "az" \
+                and conf.get("az_account"):
+            fs = AzureBlobFS(conf.get("az_account"),
+                             conf.get("az_key"),
+                             conf.get("az_endpoint"))
         else:
             fs = fs_for(self.root, SparkSession.getActiveSession())
         relpaths = Catalog(fs, self.root).read()
