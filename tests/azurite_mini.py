@@ -96,8 +96,16 @@ def make_handler(state: _State):
                 self._reject(403, "AuthenticationFailed")
                 return False
             length = str(body_len) if body_len else ""
-            expect = _sign(key, self.command, account, container, blob,
-                           params, dict(self.headers.items()), length)
+            # real Azure canonicalizes the percent-ENCODED URI path as
+            # sent on the wire — verify against the RAW path segments
+            # (no unquote), so a client that signs the decoded key
+            # fails here the same way it would against Azure
+            raw = urlsplit(self.path).path.lstrip("/").split("/", 2)
+            raw_container = raw[1] if len(raw) > 1 else ""
+            raw_blob = raw[2] if len(raw) > 2 else ""
+            expect = _sign(key, self.command, account, raw_container,
+                           raw_blob, params, dict(self.headers.items()),
+                           length)
             if auth[len(want_prefix):] != expect:
                 self._reject(403, "AuthenticationFailed")
                 return False

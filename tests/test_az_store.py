@@ -99,10 +99,65 @@ def test_azfs_contract(az_root):
     assert not fs.exists(f"{az_root}/a")
 
 
+def test_azfs_keys_needing_percent_encoding(az_root):
+    """Regression (r7 ADVICE high): real Azure signs the percent-ENCODED
+    URI path as sent; signing the decoded key 403s on any blob whose key
+    contains '='/space/unicode — i.e. every hive partition path like
+    ``num=1`` that collection inserts write.  The emulator now verifies
+    against the raw encoded request path, so this test fails exactly the
+    way real Azure would on a canonicalization bug."""
+    fs = AzureBlobFS()
+    keys = ["part/num=1/chunk.bin", "with space/f=2.txt",
+            "uni-δ/τ=3.json"]
+    for i, key in enumerate(keys):
+        fs.write_text(f"{az_root}/{key}", f"v{i}")
+    for i, key in enumerate(keys):
+        assert fs.read_text(f"{az_root}/{key}") == f"v{i}"
+    assert fs.list_dirs(f"{az_root}/part") == ["num=1"]
+    # rename across an encoded prefix goes copy+sign+delete per object
+    assert fs.rename(f"{az_root}/part", f"{az_root}/part2")
+    assert fs.read_text(f"{az_root}/part2/num=1/chunk.bin") == "v0"
+
+
 def test_azfs_move_file_missing_source_returns_false(az_root):
     fs = AzureBlobFS()
     assert fs.move_file(f"{az_root}/nope.txt",
                         f"{az_root}/dst.txt") is False
+
+
+def test_azfs_move_delete_failure_raises(az_root, monkeypatch):
+    """r8 ADVICE: a post-copy DELETE that fails (after retries) must
+    raise, not silently leave BOTH src and dst as duplicate data."""
+    from zcollection_spark.errors import StoreError
+    fs = AzureBlobFS()
+    fs.write_text(f"{az_root}/src.txt", "x")
+    real = AzureBlobFS._request
+
+    def flaky(self, method, container, key, *a, **kw):
+        if method == "DELETE":
+            return 503, {}, b""
+        return real(self, method, container, key, *a, **kw)
+
+    monkeypatch.setattr(AzureBlobFS, "_request", flaky)
+    with pytest.raises(StoreError, match="source blob survives"):
+        fs.move_file(f"{az_root}/src.txt", f"{az_root}/dst.txt")
+
+
+def test_az_blobs_midrange_truncation_raises(az_root):
+    """r8 ADVICE: a shard truncated MID-range comes back 206 with a
+    clamped short body (the emulator clamps like real Azure); read_at
+    must raise the truncation StoreError, not silently return fewer
+    than nbytes."""
+    from zcollection_spark.errors import StoreError
+    from zcollection_spark.zarr3.blobs import AzureBlobs
+    fs = AzureBlobFS()
+    fs.write_bytes(f"{az_root}/shard.bin", b"0123456789")
+    blobs = AzureBlobs()
+    assert blobs.read_at(f"{az_root}/shard.bin", 2, 4) == b"2345"
+    with pytest.raises(StoreError, match="truncated/corrupt"):
+        blobs.read_at(f"{az_root}/shard.bin", 5, 8)   # 206, clamped
+    with pytest.raises(StoreError, match="truncated/corrupt"):
+        blobs.read_at(f"{az_root}/shard.bin", 100, 8)  # 416, past EOF
 
 
 def test_azfs_conditional_put_cas(az_root):

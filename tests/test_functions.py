@@ -147,6 +147,24 @@ def test_lsh_bucket_topk_self_rank1(spark):
     assert first == {0: 0, 1: 1, 2: 2}  # self shares its own bucket
 
 
+def test_lsh_bucket_topk_empty_queries_no_dim(spark):
+    """r8 ADVICE: dim sampling from queries.first() must not crash on
+    an empty queries frame — fall back to the corpus, and return the
+    natural empty frame when both are empty."""
+    df = _vec_df(spark)
+    empty_q = df.where(F.col("vec_id") < 0)
+    out = lsh_bucket_topk(df, empty_q, id_col="vec_id",
+                          vec_col="embedding", query_id_col="vec_id",
+                          k=3, n_planes=4)
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert out.count() == 0
+    both_empty = lsh_bucket_topk(empty_q, empty_q, id_col="vec_id",
+                                 vec_col="embedding",
+                                 query_id_col="vec_id", k=3, n_planes=4)
+    assert both_empty.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert both_empty.count() == 0
+
+
 def test_embedding_dup_pairs_empty_result_keeps_schema(spark):
     vecs = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]  # orthogonal
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")

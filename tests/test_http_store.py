@@ -388,6 +388,11 @@ def test_http_range_past_eof_is_corruption_not_absent(tmp_path):
         blobs = HttpBlobs()
         with pytest.raises(StoreError, match="truncated/corrupt"):
             blobs.read_at(f"{url}/shard.bin", 100, 8)
+        # r8 ADVICE: a range STARTING in-bounds but ending past EOF
+        # comes back 206 with a clamped short body — same corruption
+        # class, must raise instead of returning fewer than nbytes
+        with pytest.raises(StoreError, match="truncated/corrupt"):
+            blobs.read_at(f"{url}/shard.bin", 5, 8)
         # a genuinely missing object is still FileNotFoundError
         with pytest.raises(FileNotFoundError):
             blobs.read_at(f"{url}/gone.bin", 0, 4)

@@ -58,18 +58,20 @@ def test_registry_window_invariant():
     from zcollection_spark import entry_queries
 
     names = list(entry_queries.queries())
-    # round-7 rotation (first half of the r6 cadence promise):
-    # priority_class_counts/big_orders/regional_revenue rotate back IN;
-    # text_stats/language_id/fingerprint (driver-green r6, surfaces
-    # covered in-window by the curation quartet) sit out until r8
-    tail_allowed = {"text_stats", "language_id", "fingerprint",
+    # round-8 rotation (completes the r6 cadence promise): text_stats/
+    # language_id/fingerprint and revenue_rollup/event_gaps/
+    # source_quality rotate back IN; priority/big/regional (second
+    # sit-out cycle) plus revenue_delta/capped_sample/browse_no_buy
+    # (surfaces covered in-window, all driver-green r7) sit out
+    # until r9
+    tail_allowed = {"priority_class_counts", "big_orders",
+                    "regional_revenue", "revenue_delta",
+                    "capped_sample", "browse_no_buy",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",
-                    "langid_confusion", "top_ngrams",
-                    "revenue_rollup", "event_gaps",
-                    "source_quality"}
+                    "langid_confusion", "top_ngrams"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf",
@@ -77,9 +79,10 @@ def test_registry_window_invariant():
                              "collection_changes", "pii_scrub",
                              "decontaminate", "doc_repetition",
                              "quality_filter",
-                             "priority_class_counts", "big_orders",
-                             "regional_revenue",
-                             "revenue_delta", "value_percentiles",
+                             "text_stats", "language_id", "fingerprint",
+                             "revenue_rollup", "event_gaps",
+                             "source_quality",
+                             "value_percentiles",
                              "collection_zonemap_skip"):
         assert names.index(must_be_recorded) < 50
     oracles = entry_queries.oracle_sql()

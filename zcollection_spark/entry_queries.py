@@ -836,7 +836,10 @@ def _lsh_dedup_planes(sf_dir: str) -> int:
     try:
         import pyarrow.parquet as pq
         n = pq.ParquetFile(path).metadata.num_rows
-    except OSError:
+    except Exception:
+        # OSError (missing) AND pyarrow's ArrowInvalid (corrupt
+        # footer) both degrade to the documented 4-plane fallback —
+        # an escaping ArrowInvalid would fail the whole oracle map
         return 4
     return suggest_lsh_planes(n)
 
@@ -1998,16 +2001,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 7, first half of the
-    # r6 cadence promise): priority_class_counts, big_orders and
-    # regional_revenue (rotated out r6, driver-green r1-r5) come BACK
-    # into the window so their newest driver green stays <=2 rounds
-    # old; text_stats, language_id and fingerprint (driver-green r6,
-    # pure JVM-expression surfaces covered in-window by the curation
-    # quartet) sit out this round and return in r8 together with
-    # revenue_rollup/event_gaps/source_quality.  Every registry entry
-    # has a driver green <=2 rounds old after this rotation, and
-    # tools/check_oracle.py still gates all 65.
+    # in-window peer come last.  ROTATION (round 8, completing the r6
+    # cadence promise): text_stats, language_id, fingerprint
+    # (driver-green r6) and revenue_rollup, event_gaps, source_quality
+    # (driver-green r1-r5, out since r6) come BACK into the window so
+    # their newest driver green stays <=2 rounds old.  Sitting out in
+    # exchange (all driver-green THIS round's predecessor, r7, so their
+    # greens stay <=2 rounds old through r9 when they return):
+    # priority_class_counts / big_orders / regional_revenue (second
+    # sit-out cycle, same covered-surface argument as r6) plus
+    # revenue_delta (filter-pushdown scan agg — pushdown covered by
+    # collection_query_prune/zonemap_skip, decimal-exact agg by
+    # pricing_summary/big-decimal peers), capped_sample (row_number-
+    # per-key cap — covered by dedup_keep_latest's keyed row_number)
+    # and browse_no_buy (distinct + set-difference — distinct covered
+    # by dedup_exact, anti semantics by decontaminate/merge_upsert).
+    # Every registry entry has a driver green <=2 rounds old after this
+    # rotation, and tools/check_oracle.py still gates all 65.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
@@ -2022,26 +2032,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_overlay": q_view_overlay,
         "index_lookup": q_index_lookup,
         "pricing_summary": q_pricing_summary,
-        "revenue_delta": q_revenue_delta,
         "value_percentiles": q_value_percentiles,
         "collection_changes": q_collection_changes,
         "knn_ivfpq": q_knn_ivfpq,
         "asof_enrich": q_asof_enrich,
         "interval_match": q_interval_match,
         "user_sessions": q_user_sessions,
-        "browse_no_buy": q_browse_no_buy,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_latest": q_dedup_keep_latest,
-        "capped_sample": q_capped_sample,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "priority_class_counts": q_priority_class_counts,
-        "big_orders": q_big_orders,
-        "regional_revenue": q_regional_revenue,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "revenue_rollup": q_revenue_rollup,
+        "event_gaps": q_event_gaps,
+        "source_quality": q_source_quality,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "doc_repetition": q_doc_repetition,
@@ -2060,11 +2070,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
         # --- entries below fall outside the driver's 50-slot window;
-        # all were driver-verified green in earlier rounds (projection in
-    # r1-r4; its variables= surface also runs inside the in-window
-    # collection_query_prune), their
-        # operator surface (join/agg/window/explode) is covered by
-        # in-window peers, and tools/check_oracle.py still gates them ---
+        # all were driver-verified green in earlier rounds (projection
+        # in r1-r4; its variables= surface also runs inside the
+        # in-window collection_query_prune), their operator surface
+        # (join/agg/window/explode) is covered by in-window peers, and
+        # tools/check_oracle.py still gates them ---
         "collection_projection": q_collection_projection,
         "top_revenue_orders": q_top_revenue_orders,
         "promo_revenue": q_promo_revenue,
@@ -2074,20 +2084,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": q_rollup_hourly,
         "langid_confusion": q_langid_confusion,
         "top_ngrams": q_top_ngrams,
-        # rotated out round 7 (driver-green r6): pure JVM-expression
-        # text surfaces, covered in-window by the curation quartet
-        # (quality_filter/doc_repetition/pii_scrub); back in r8
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
-        # rotated out round 6 second half (driver-green r1-r5); return
-        # to the window in r8 per the cadence; surfaces covered
-        # in-window (rollup: rollup_hourly green r1-r4; lag:
-        # user_sessions; per-source agg: map_partition_stats) — still
+        # rotated out round 8 (all driver-green r7; back in r9):
+        # priority/big/regional on their second sit-out cycle, plus
+        # revenue_delta / capped_sample / browse_no_buy — covered-
+        # surface arguments in the queries() header comment; still
         # gated by tools/check_oracle.py
-        "revenue_rollup": q_revenue_rollup,
-        "event_gaps": q_event_gaps,
-        "source_quality": q_source_quality,
+        "priority_class_counts": q_priority_class_counts,
+        "big_orders": q_big_orders,
+        "regional_revenue": q_regional_revenue,
+        "revenue_delta": q_revenue_delta,
+        "capped_sample": q_capped_sample,
+        "browse_no_buy": q_browse_no_buy,
     }
 
 

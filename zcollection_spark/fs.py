@@ -1392,9 +1392,14 @@ class AzureBlobFS:
             f"{name.lower()}:{value}\n" for name, value in sorted(
                 (n.lower(), v) for n, v in headers.items()
                 if n.lower().startswith("x-ms-")))
+        # Azure builds the string-to-sign from the percent-ENCODED URI
+        # path exactly as sent on the wire (same quote() as _url) —
+        # signing the decoded key 403s on any blob containing '='/space
+        # (i.e. every hive partition path like num=1).
+        from urllib.parse import quote
         resource = f"/{self.account}/{container}"
         if key:
-            resource += f"/{key}"
+            resource += f"/{quote(key)}"
         canon_resource = resource + "".join(
             f"\n{n.lower()}:{v}" for n, v in sorted(params.items()))
         to_sign = "\n".join([method] + std) + "\n" \
@@ -1621,9 +1626,19 @@ class AzureBlobFS:
             return False
         self._copy_blob(sc, sk, dk) if sc == dc else \
             self._copy_cross(sc, sk, dc, dk)
-        self.api_counts["delete"] += 1
-        self._request("DELETE", sc, sk)
+        self._delete_source(sc, sk)
         return True
+
+    def _delete_source(self, container: str, key: str) -> None:
+        """Post-copy source delete: a silent failure would leave BOTH
+        src and dst visible as duplicate data, so anything but success
+        or already-gone (404) raises."""
+        self.api_counts["delete"] += 1
+        status, _, _ = self._request("DELETE", container, key)
+        if status >= 400 and status != 404:
+            raise StoreError(
+                f"DELETE az://{container}/{key} after copy failed: "
+                f"{status} (source blob survives; re-run the move)")
 
     def _copy_cross(self, sc: str, sk: str, dc: str, dk: str) -> None:
         # cross-container copy: same API, source URL names the source
@@ -1650,8 +1665,7 @@ class AzureBlobFS:
         for k in keys:
             self._copy_blob(sc, k, dk + k[len(sk):]) if sc == dc else \
                 self._copy_cross(sc, k, dc, dk + k[len(sk):])
-            self.api_counts["delete"] += 1
-            self._request("DELETE", sc, k)
+            self._delete_source(sc, k)
         return True
 
     def _delimited(self, path: str) -> tuple[list[str], list[str]]:

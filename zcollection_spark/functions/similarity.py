@@ -580,6 +580,14 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
         # one extra Spark job — callers on a known corpus should pass
         # dim (entry_queries reads it from the parquet schema for free)
         sample = queries.select(F.size(query_vec_col).alias("n")).first()
+        if sample is None:  # no queries: sample the corpus instead so
+            sample = corpus.select(F.size(vec_col).alias("n")).first()
+        if sample is None:  # both empty: the natural empty result
+            return (queries.limit(0).select(
+                F.col(query_id_col).alias("query_id"))
+                .crossJoin(corpus.limit(0).select(
+                    id_col, F.lit(0.0).alias("cosine"),
+                    F.lit(0).alias("rank"))))
         dim = int(sample["n"])
     table_buckets = _table_buckets_udf(dim, n_planes, n_tables, seed)
 

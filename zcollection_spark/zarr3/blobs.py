@@ -214,7 +214,15 @@ class AzureBlobs:
         if status >= 400:
             from ..errors import StoreError
             raise StoreError(f"ranged GET {path} failed: {status}")
-        return body if status == 206 else body[offset:offset + nbytes]
+        out = body if status == 206 else body[offset:offset + nbytes]
+        if len(out) < nbytes:
+            # a 206 with a clamped short body means the object ends
+            # mid-range — same truncation class as the 416 above
+            from ..errors import StoreError
+            raise StoreError(
+                f"shard {path} is truncated/corrupt: ranged read at "
+                f"{offset} returned {len(out)} of {nbytes} bytes")
+        return out
 
 
 class HttpBlobs:
@@ -296,7 +304,14 @@ class HttpBlobs:
                 f"{offset}-{offset + nbytes - 1} past end of object")
         if body is None:
             raise FileNotFoundError(path)
-        return body if status == 206 else body[offset:offset + nbytes]
+        out = body if status == 206 else body[offset:offset + nbytes]
+        if len(out) < nbytes:
+            # 206 with a clamped short body: object ends mid-range
+            from ..errors import StoreError
+            raise StoreError(
+                f"shard {path} is truncated/corrupt: ranged read at "
+                f"{offset} returned {len(out)} of {nbytes} bytes")
+        return out
 
 
 _CACHE: dict = {}
