@@ -313,6 +313,28 @@ def test_embedding_dup_pairs_block_no_driver_collect(spark, monkeypatch):
     assert pairs == [(0, 1)]
 
 
+def test_simhash_banded_matches_bruteforce_hamming(spark):
+    """Hamming banding is pigeonhole-EXACT: the banded equi-join +
+    bit_count filter must produce exactly the pairs a brute-force
+    all-pairs Hamming-distance scan finds, for several k."""
+    rows = [(i, f"token{i} alpha beta gamma delta epsilon") for i in range(8)]
+    rows += [(i + 100, "shared body of words " + ("x " * (i % 3)))
+             for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash(df, id_col="doc_id", text_col="text",
+                    n_bits=24).collect()}
+    ids = sorted(sigs)
+    for k in (0, 1, 2, 3):
+        brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if bin(sigs[a] ^ sigs[b]).count("1") <= k}
+        banded = {(r["id_a"], r["id_b"]) for r in
+                  simhash_duplicate_pairs(
+                      df, id_col="doc_id", text_col="text", n_bits=24,
+                      max_hamming=k).collect()}
+        assert banded == brute, f"k={k}"
+
+
 def test_simhash_salted_join_matches_unsalted_on_hot_key(spark):
     """Skew guard: many docs with an identical signature (the hot-key
     scenario) must produce the exact same pair set salted or not."""

@@ -804,11 +804,16 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (identical 32-bit signature)."""
+    """SimHash near-dup pairs: 48-bit signatures, Hamming distance ≤ 1
+    via exact pigeonhole banding (2 bands × 24 bits → equi-join on
+    16M-bucket band keys, then a JVM bit_count(xor) ≤ 1 filter) —
+    sub-quadratic candidates at every scale, and unlike the previous
+    identical-signature join it actually pairs ≤k-bit neighbors."""
     from .functions import simhash_duplicate_pairs
     docs = load_table(spark, sf_dir, "documents")
     return simhash_duplicate_pairs(docs, id_col="doc_id",
-                                   text_col="text", n_bits=32)
+                                   text_col="text", n_bits=48,
+                                   max_hamming=1)
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -2144,7 +2149,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "dedup_minhash": _minhash_oracle(),
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
-        "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash": _simhash_oracle(48, 1),
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "dedup_embedding_lsh": _dedup_lsh_oracle(
             n_planes=_lsh_dedup_planes(sf_dir)),

@@ -7,9 +7,10 @@ one shuffle.
 - MinHash+LSH: shingle → md5 hash → k permutation-min aggregates → band →
   bucket self-join.  The self-join keys on (band, bucket-hash), so only
   genuinely colliding docs meet — never an O(n²) cross join.
-- SimHash: per-token bit votes aggregated per doc, then bucket-join on the
-  whole signature (near-dup = identical 16-bit simhash here; a banded
-  variant would split the signature).
+- SimHash: per-token bit votes aggregated per doc (packed counters, 3 per
+  long), then a Hamming-banded bucket self-join: k+1 signature bands →
+  equi-join on (band, value) → exact bit_count(xor) ≤ k filter.  Banding
+  is pigeonhole-exact for Hamming ≤ k, never a cross join.
 - n-gram Jaccard: candidate pairs from a shared-shingle join, Jaccard from
   exact distinct-shingle counts.
 
@@ -133,6 +134,13 @@ def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
+#: packed vote-counter slot width: 3 counters per 64-bit sum, each
+#: counting up to 2^20-1 set bits — i.e. docs may have up to ~1M
+#: DISTINCT tokens before a counter could overflow (a pathological
+#: multi-MB document; typical web docs are orders of magnitude below).
+_SIMHASH_SLOT = 20
+
+
 def simhash(df: DataFrame, *, id_col: str, text_col: str,
             n_bits: int = 32) -> DataFrame:
     """(id, simhash) — bit j set iff the sum over distinct tokens of
@@ -141,6 +149,14 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
     Bit extraction uses INTEGER division (``h div 2^j``) — float division
     would silently mangle low bits of a 60-bit hash.  The hash domain is
     folded to ``n_bits`` bits so every vote bit genuinely varies.
+
+    The per-bit vote sums are PACKED three-to-a-long (20-bit slots):
+    vote_j > 0 ⟺ 2·count_j > n_tokens, so one ``count(*)`` plus
+    ``ceil(n_bits/3)`` packed sums replace ``n_bits`` independent sum
+    aggregates — same exact result (pure integer arithmetic, no
+    overflow below 2^20 distinct tokens per doc), one third the
+    aggregation buffers.  The DuckDB oracle keeps the unpacked per-bit
+    formulation; both are exact so the results hash-match.
     """
     if not 1 <= n_bits <= 62:
         raise ValueError("n_bits must be in [1, 62]")
@@ -150,49 +166,121 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
     hashed = toks.select(
         id_col,
         (md5_long(F.col("__tok")) % F.lit(1 << n_bits)).alias("__h"))
-    votes = [
-        F.sum(F.when(F.expr(f"__h div {1 << j}") % 2 == 1, 1)
-              .otherwise(-1)).alias(f"b{j}")
-        for j in range(n_bits)]
-    agg = hashed.groupBy(id_col).agg(*votes)
+    # bit-spread packing: v = 3 adjacent hash bits (b2 b1 b0).  v*MAGIC
+    # lays disjoint copies of v at offsets 0 / SLOT-1 / 2(SLOT-1) (no
+    # carries — the ranges don't overlap), so the MASK picks b0@0,
+    # b1@SLOT, b2@2·SLOT: three counters incremented with one shift,
+    # two ANDs and a multiply per group instead of per-bit div/mod
+    # chains.  At 48 bits the whole vote aggregation costs less than
+    # the md5 itself.
+    magic = F.lit(1 + (1 << (_SIMHASH_SLOT - 1))
+                  + (1 << (2 * (_SIMHASH_SLOT - 1))))
+    mask = F.lit(1 | (1 << _SIMHASH_SLOT) | (1 << (2 * _SIMHASH_SLOT)))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for g in range((n_bits + 2) // 3):
+        v = F.shiftright(F.col("__h"), 3 * g).bitwiseAND(F.lit(7))
+        if 3 * g + 3 > n_bits:  # partial last group: drop excess bits
+            v = v.bitwiseAND(F.lit((1 << (n_bits - 3 * g)) - 1))
+        aggs.append(F.sum((v * magic).bitwiseAND(mask)).alias(f"p{g}"))
+    agg = hashed.groupBy(id_col).agg(*aggs)
     sig = None
     for j in range(n_bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        g, s = divmod(j, 3)
+        count_j = (F.shiftright(F.col(f"p{g}"), _SIMHASH_SLOT * s)
+                   .bitwiseAND(F.lit((1 << _SIMHASH_SLOT) - 1)))
+        term = F.when(count_j * 2 > F.col("__n"),
+                      F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select(id_col, sig.cast("long").alias("simhash"))
 
 
 def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
                             n_bits: int = 32,
-                            salt_buckets: int = 8) -> DataFrame:
-    """Docs with IDENTICAL simhash → near-dup pairs (id_a < id_b).
+                            salt_buckets: int = 8,
+                            max_hamming: int = 0) -> DataFrame:
+    """Docs whose simhashes differ in ≤ ``max_hamming`` bits → near-dup
+    pairs (id_a < id_b).
 
-    Skew guard: a single hot signature (e.g. near-empty docs all hashing
-    to 0) would funnel its whole group through one join task.  The
-    self-join is therefore SALTED: the left side gets a deterministic
-    salt from the doc id, the right side is replicated to all
-    ``salt_buckets`` salts, and the join keys on (simhash, salt) — each
-    (a < b) pair still meets exactly once (at a's salt), so the output
-    is identical to the unsalted join, but a hot key's work is spread
-    over ``salt_buckets`` tasks.  The replication cost is bounded: the
-    signature table is two columns, and only the right side fans out.
+    Hamming banding (the standard pigeonhole construction, cf. Manku et
+    al., WWW'07 "Detecting near-duplicates for web crawling"): split the
+    ``n_bits`` signature into ``max_hamming + 1`` contiguous bit bands —
+    any pair within the Hamming budget must agree EXACTLY on at least
+    one band, so an equi-join on (band, band_value) finds every
+    qualifying pair (banding is exact here, not probabilistic), and a
+    JVM ``bit_count(xor)`` filter keeps only true ≤k neighbors.  With
+    ``max_hamming=0`` this degrades to the identical-signature join.
+    Candidate selectivity per band is ``2^(n_bits/(k+1))`` — size
+    ``n_bits`` so bands stay wide (48 bits / k=1 → 2^24 buckets).
+
+    Skew guard: a single hot band value (e.g. near-empty docs all
+    hashing to 0) would funnel its whole group through one join task.
+    The self-join is therefore SALTED: the left side gets a
+    deterministic salt from the doc id, the right side is replicated to
+    all ``salt_buckets`` salts, and the join keys on (band, bval, salt)
+    — each (a < b) pair still meets at a's salt in any shared band, so
+    the output is identical to the unsalted join, but a hot key's work
+    is spread over ``salt_buckets`` tasks.
     """
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
-    sig = simhash(df, id_col=id_col, text_col=text_col,
-                  n_bits=n_bits).persist()
+    if not 0 <= max_hamming < n_bits:
+        raise ValueError("max_hamming must be in [0, n_bits)")
+    bands = max_hamming + 1
+    width = n_bits // bands
+    if width < 1:
+        raise ValueError("n_bits must give every band at least one bit")
+    sig = simhash(df, id_col=id_col, text_col=text_col, n_bits=n_bits)
+    band_structs = []
+    for b in range(bands):
+        lo = b * width
+        w = n_bits - lo if b == bands - 1 else width  # last takes slack
+        bval = F.expr(f"simhash div {1 << lo}") % F.lit(1 << w)
+        band_structs.append(F.struct(F.lit(b).alias("band"),
+                                     bval.cast("long").alias("bval")))
+    # one materialization feeds BOTH join sides (signature aggregation
+    # runs once); the full signature rides along for the hamming filter
+    banded = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.bval").alias("bval")).persist()
     salt = (md5_long(F.col(id_col).cast("string"))
             % F.lit(salt_buckets)).cast("int")
-    left = sig.withColumn("__salt", salt).alias("l")
-    right = sig.withColumn(
+    left = banded.withColumn("__salt", salt).alias("l")
+    right = banded.withColumn(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     ).alias("r")
-    return (left.join(right, on=["simhash", "__salt"])
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+
+    # first-matching-band emission (the Manku dedup trick): a pair
+    # agreeing on several bands would be emitted once per band; instead
+    # each band b only emits pairs whose EARLIER bands all differ, so
+    # every pair surfaces exactly once and the final DISTINCT shuffle
+    # disappears entirely.  Band b' equality is recomputed from the two
+    # full signatures riding on the join rows — no extra join.
+    def _band_bits(side: str, b: int) -> Column:
+        lo = b * width
+        w = n_bits - lo if b == bands - 1 else width
+        return (F.shiftright(F.col(f"{side}.simhash"), lo)
+                .bitwiseAND(F.lit((1 << w) - 1)))
+
+    first_match = F.lit(True)
+    for b in range(1, bands):
+        prior_differ = F.lit(True)
+        for bp in range(b):
+            prior_differ = prior_differ & (
+                _band_bits("l", bp) != _band_bits("r", bp))
+        first_match = F.when(F.col("band") == b, prior_differ) \
+            .otherwise(first_match)
+
+    return (left.join(right, on=["band", "bval", "__salt"])
             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .where(hamming <= max_hamming)
+            .where(first_match)
             .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .distinct())
+                    F.col(f"r.{id_col}").alias("id_b")))
 
 
 # ---------------------------------------------------------------------------

@@ -67,13 +67,33 @@ FROM bands l JOIN bands r
 """
 
 
-def _simhash_oracle(n_bits: int = 32) -> str:
+def _simhash_oracle(n_bits: int = 32, max_hamming: int = 0) -> str:
+    """DuckDB twin of functions.dedup.simhash_duplicate_pairs.
+
+    The vote stage stays in the simple unpacked per-bit formulation
+    (Spark packs three counters per long — pure integer arithmetic, so
+    the signatures are bit-identical either way).  The pair stage
+    replays the Hamming banding — pigeonhole-EXACT for distance ≤ k,
+    and it keeps the oracle itself sub-quadratic so the sf1 gate can
+    run it (a naive n² bit_count join over 50k docs would dominate the
+    whole oracle suite).
+    """
     votes = ", ".join(
         f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
         f" AS b{j}" for j in range(n_bits))
     bits = " + ".join(
         f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
         for j in range(n_bits))
+    bands = max_hamming + 1
+    width = n_bits // bands
+    band_selects = []
+    for b in range(bands):
+        lo = b * width
+        w = n_bits - lo if b == bands - 1 else width
+        band_selects.append(
+            f"SELECT doc_id, simhash, {b} AS band, "
+            f"(simhash // {1 << lo}) % {1 << w} AS bval FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
     return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, t FROM (
@@ -83,10 +103,12 @@ hx AS (SELECT doc_id,
                 % {1 << n_bits} AS h
        FROM toks),
 votes AS (SELECT doc_id, {votes} FROM hx GROUP BY doc_id),
-sig AS (SELECT doc_id, {bits} AS simhash FROM votes)
+sig AS (SELECT doc_id, {bits} AS simhash FROM votes),
+bands AS ({bands_sql})
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-FROM sig l JOIN sig r
-  ON l.simhash = r.simhash AND l.doc_id < r.doc_id
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
 """
 
 
