@@ -90,6 +90,36 @@ def test_zarr_no_match_returns_none(spark, zarr_events):
     assert zarr_events.query(filters="day == 99") is None
 
 
+def test_zarr_plan_cache_sees_new_inserts(spark, zarr_events):
+    """The base-scan plan cache is keyed on the catalog generation:
+    a query AFTER an insert must read the new partitions, not the
+    cached pre-insert plan."""
+    import pandas as pd
+    before = zarr_events.query().count()
+    assert zarr_events.to_df() is zarr_events.to_df()  # cache hit
+    pdf = pd.DataFrame({
+        "event_id": np.arange(3, dtype=np.int64) + 10_000_000,
+        "ts": pd.to_datetime(["2025-06-01T01:00"] * 3).astype(
+            "datetime64[us]"),
+        "value": np.array([1.0, 2.0, 3.0])})
+    schema = zarr_events.schema.with_partition_axis("ts")
+    zarr_events.insert(spark.createDataFrame(
+        pdf, schema=schema.to_struct_type()))
+    assert zarr_events.query().count() == before + 3
+    assert zarr_events.query(filters="year == 2025").count() == 3
+
+
+def test_zarr_single_partition_ordered_no_exchange(spark, zarr_events):
+    """A pruned one-partition ordered query sorts within the single
+    reader task — no orderBy Exchange in the executed plan — and still
+    returns axis-ordered rows."""
+    df = zarr_events.query(filters="day == 5")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    ts = [r["ts"] for r in df.select("ts").collect()]
+    assert ts == sorted(ts) and len(ts) > 0
+
+
 def test_zarr_values_match_parquet_source(spark, zarr_events):
     from zcollection_spark.data import load_table
     src = (load_table(spark, "/root/testdata/sf0.001", "events")
