@@ -88,9 +88,46 @@ def make_handler(state: _State):
             self.end_headers()
             self.wfile.write(body)
 
+        def _check_sas(self, account, container, params) -> bool:
+            """Verify a SERVICE SAS (sr=c) — independent replay of the
+            documented 16-field string-to-sign — plus expiry and the
+            per-verb permission letter (r=GET/HEAD, w/c=PUT, d=DELETE,
+            l=List).  Anything off → 403, like real Azure."""
+            import datetime
+            sv = params.get("sv", "")
+            sp = params.get("sp", "")
+            se = params.get("se", "")
+            if params.get("sr") != "c":
+                return self._reject(403, "AuthenticationFailed") or False
+            resource = f"/blob/{account}/{container}"
+            to_sign = "\n".join([sp, params.get("st", ""), se, resource,
+                                 "", "", "", sv, "c", "", "",
+                                 "", "", "", "", ""])
+            want = base64.b64encode(hmac.new(
+                key, to_sign.encode(), hashlib.sha256).digest()).decode()
+            if params.get("sig") != want:
+                return self._reject(403, "AuthenticationFailed") or False
+            try:
+                exp = datetime.datetime.fromisoformat(
+                    se.replace("Z", "+00:00"))
+            except ValueError:
+                return self._reject(403, "AuthenticationFailed") or False
+            if exp < datetime.datetime.now(datetime.timezone.utc):
+                return self._reject(403, "AuthenticationFailed") or False
+            needed = ("l" if params.get("comp") == "list"
+                      else "d" if self.command == "DELETE"
+                      else "wc" if self.command == "PUT"
+                      else "r")
+            if not any(ch in sp for ch in needed):
+                return self._reject(403, "AuthorizationPermission"
+                                    "Mismatch") or False
+            return True
+
         def _check_auth(self, account, container, blob, params,
                         body_len: int) -> bool:
             auth = self.headers.get("Authorization", "")
+            if not auth and "sig" in params:
+                return self._check_sas(account, container, params)
             want_prefix = f"SharedKey {account}:"
             if not auth.startswith(want_prefix):
                 self._reject(403, "AuthenticationFailed")

@@ -160,6 +160,94 @@ def test_az_blobs_midrange_truncation_raises(az_root):
         blobs.read_at(f"{az_root}/shard.bin", 100, 8)  # 416, past EOF
 
 
+def _mint_sas(container, permissions="racwdl",
+              expiry="2099-01-01T00:00:00Z"):
+    return AzureBlobFS.generate_container_sas(
+        ACCOUNT, KEY_B64, container,
+        permissions=permissions, expiry=expiry)
+
+
+def _sas_fs(az_root, **kw):
+    container = az_root.split("://", 1)[1].split("/", 1)[0]
+    return AzureBlobFS(sas_token=_mint_sas(container, **kw))
+
+
+def test_az_sas_contract(az_endpoint, az_root):
+    """The SharedKey contract surface under SAS query-parameter auth:
+    write/read/list/rename(copy+delete)/delete — the emulator verifies
+    every SAS signature + permission letter independently."""
+    container = az_root.split("://", 1)[1].split("/", 1)[0]
+    fs = AzureBlobFS(sas_token=_mint_sas(container))
+    fs.write_text(f"{az_root}/p/num=1/a.txt", "payload")
+    assert fs.read_text(f"{az_root}/p/num=1/a.txt") == "payload"
+    fs.write_text(f"{az_root}/p/num=1/b.txt", "2")
+    assert fs.list_files(f"{az_root}/p/num=1") == ["a.txt", "b.txt"]
+    assert fs.rename(f"{az_root}/p", f"{az_root}/q")
+    assert fs.read_text(f"{az_root}/q/num=1/a.txt") == "payload"
+    fs.delete(f"{az_root}/q")
+    assert not fs.exists(f"{az_root}/q")
+
+
+def test_az_sas_cas_conditional_put(az_endpoint, az_root):
+    """CAS works identically under SAS (If-Match rides the headers,
+    auth rides the query string)."""
+    fs = _sas_fs(az_root)
+    path = f"{az_root}/state.json"
+    tok1 = fs.write_if(path, "v1", None)
+    assert tok1
+    with pytest.raises(CommitConflictError):
+        fs.write_if(path, "v1b", None)     # create-only, exists
+    tok2 = fs.write_if(path, "v2", tok1)
+    assert tok2 and tok2 != tok1
+    with pytest.raises(CommitConflictError):
+        fs.write_if(path, "v3", tok1)      # stale token
+    text, tok = fs.read_versioned(path)
+    assert text == "v2" and tok == tok2
+
+
+def test_az_sas_bad_or_expired_rejected(az_endpoint, az_root):
+    """Forged signature, expired token, and missing permission all come
+    back 403 from the verifying emulator."""
+    from zcollection_spark.errors import StoreError
+    container = az_root.split("://", 1)[1].split("/", 1)[0]
+    good = _mint_sas(container)
+    forged = good.replace("sig=", "sig=AAAA")
+    fs_bad = AzureBlobFS(sas_token=forged)
+    with pytest.raises(StoreError):
+        fs_bad.write_text(f"{az_root}/x.txt", "nope")
+
+    expired = _mint_sas(container, expiry="2020-01-01T00:00:00Z")
+    fs_exp = AzureBlobFS(sas_token=expired)
+    with pytest.raises(StoreError):
+        fs_exp.write_text(f"{az_root}/x.txt", "nope")
+
+    # read-only grant: reads fine, writes 403
+    _sas_fs(az_root).write_text(f"{az_root}/ro.txt", "v")
+    fs_ro = _sas_fs(az_root, permissions="rl")
+    assert fs_ro.read_text(f"{az_root}/ro.txt") == "v"
+    assert fs_ro.list_files(az_root) == ["ro.txt"]
+    with pytest.raises(StoreError):
+        fs_ro.write_text(f"{az_root}/new.txt", "nope")
+
+
+def test_az_sas_collection_roundtrip(spark, seq_schema, az_root,
+                                     monkeypatch):
+    """A collection written and read entirely under a SAS grant — the
+    env route (fs_for) picks the native backend from account+SAS with
+    no account key present."""
+    container = az_root.split("://", 1)[1].split("/", 1)[0]
+    monkeypatch.delenv("AZURE_STORAGE_KEY", raising=False)
+    monkeypatch.setenv("AZURE_STORAGE_SAS_TOKEN", _mint_sas(container))
+    from zcollection_spark.fs import fs_for
+    assert isinstance(fs_for(az_root), AzureBlobFS)
+    coll = zc.create_collection(
+        spark, f"{az_root}/coll", schema=seq_schema, axis="num",
+        partitioning=zc.Sequence(("num",)))
+    coll.insert(_seq_df(spark, seq_schema, [1, 2, 3], 1.0))
+    got = coll.query(filters="num in (1, 3)")
+    assert sorted(r["num"] for r in got.select("num").collect()) == [1, 3]
+
+
 def test_azfs_conditional_put_cas(az_root):
     """write_if is a true server-side CAS: create-only refuses an
     existing blob; stale-ETag updates lose with CommitConflictError."""

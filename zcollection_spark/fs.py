@@ -1320,9 +1320,13 @@ class AzureBlobFS:
     synchronous within an account for block blobs; a ``pending`` copy
     status raises rather than silently losing the move.
 
-    Configuration (env or constructor): ``AZURE_STORAGE_ACCOUNT``,
-    ``AZURE_STORAGE_KEY`` (base64), optional ``AZURE_BLOB_ENDPOINT``
-    (Azurite-style ``http://host:port/account``; defaults to
+    Configuration (env or constructor): ``AZURE_STORAGE_ACCOUNT`` plus
+    ONE of ``AZURE_STORAGE_KEY`` (base64 account key → SharedKey
+    header signing) or ``AZURE_STORAGE_SAS_TOKEN`` (a SAS query
+    string → query-parameter auth, the scoped/expiring grant;
+    :meth:`generate_container_sas` mints one from an account key);
+    optional ``AZURE_BLOB_ENDPOINT`` (Azurite-style
+    ``http://host:port/account``; defaults to
     ``https://{account}.blob.core.windows.net``).  Paths are
     ``az://container/key...``.
     """
@@ -1337,12 +1341,34 @@ class AzureBlobFS:
     def __init__(self, account: str | None = None,
                  key: str | None = None,
                  endpoint: str | None = None,
-                 scratch_dir: str | None = None):
+                 scratch_dir: str | None = None,
+                 sas_token: str | None = None):
         from collections import Counter
+        from urllib.parse import parse_qsl
         self.account = account or os.environ["AZURE_STORAGE_ACCOUNT"]
-        raw = key or os.environ["AZURE_STORAGE_KEY"]
+        raw, sas = key or None, sas_token or None
+        if raw is None and sas is None:  # explicit args beat env
+            raw = os.environ.get("AZURE_STORAGE_KEY")
+            sas = os.environ.get("AZURE_STORAGE_SAS_TOKEN")
         import base64
-        self._key = base64.b64decode(raw)
+        # two auth modes, account key preferred: SharedKey header
+        # signing when the key is present, else SAS query-parameter
+        # auth (the most common real-world Azure grant — a scoped,
+        # expiring token minted by the account owner; the client just
+        # appends it, servers verify).  Blob Range reads, conditional
+        # PUT CAS and Copy Blob all work identically under SAS because
+        # the params ride every URL, including x-ms-copy-source.
+        if raw:
+            self._key = base64.b64decode(raw)
+            self._sas: dict | None = None
+        elif sas:
+            self._key = None
+            self._sas = dict(parse_qsl(sas.lstrip("?"),
+                                       keep_blank_values=True))
+        else:
+            raise KeyError(
+                "AzureBlobFS needs AZURE_STORAGE_KEY or "
+                "AZURE_STORAGE_SAS_TOKEN (or constructor equivalents)")
         self._endpoint = (endpoint
                           or os.environ.get("AZURE_BLOB_ENDPOINT")
                           or f"https://{self.account}"
@@ -1364,6 +1390,8 @@ class AzureBlobFS:
         url = f"{self._endpoint}/{container}"
         if key:
             url += "/" + quote(key)
+        if self._sas:  # SAS auth rides every URL as query parameters
+            params = {**params, **self._sas}
         if params:
             url += "?" + urlencode(sorted(params.items()))
         return url
@@ -1409,6 +1437,49 @@ class AzureBlobFS:
             hashlib.sha256).digest()).decode()
         return f"SharedKey {self.account}:{sig}"
 
+    @staticmethod
+    def generate_container_sas(account: str, key_b64: str,
+                               container: str, *,
+                               permissions: str = "racwdl",
+                               expiry: str, start: str = "",
+                               version: str = "2021-08-06") -> str:
+        """Mint a SERVICE SAS scoped to one container — the documented
+        public algorithm (16-field string-to-sign of the 2020-12-06+
+        versions, HMAC-SHA256 under the account key,
+        canonicalized resource ``/blob/{account}/{container}``).
+
+        ``expiry``/``start`` are ISO-8601 UTC (``2026-01-01T00:00:00Z``);
+        ``permissions`` uses the standard letters (r=read, a=add,
+        c=create, w=write, d=delete, l=list) in canonical order.
+        Returns the query-string token (``sv=...&sp=...&sig=...``) that
+        :class:`AzureBlobFS` accepts as ``sas_token`` — how an account
+        owner grants a pipeline scoped, expiring access without ever
+        sharing the account key.
+        """
+        import base64
+        import hmac
+        from urllib.parse import urlencode
+        key = base64.b64decode(key_b64)
+        resource = f"/blob/{account}/{container}"
+        to_sign = "\n".join([
+            permissions, start, expiry, resource,
+            "",       # signedIdentifier (stored access policy)
+            "",       # signedIP
+            "",       # signedProtocol
+            version,
+            "c",      # signedResource: container
+            "",       # signedSnapshotTime
+            "",       # signedEncryptionScope
+            "", "", "", "", ""])  # rscc rscd rsce rscl rsct
+        sig = base64.b64encode(hmac.new(
+            key, to_sign.encode("utf-8"), hashlib.sha256).digest()
+        ).decode()
+        q = {"sv": version, "sp": permissions, "se": expiry,
+             "sr": "c", "sig": sig}
+        if start:
+            q["st"] = start
+        return urlencode(q)
+
     def _request(self, method: str, container: str, key: str,
                  params: dict | None = None,
                  headers: dict | None = None,
@@ -1429,8 +1500,9 @@ class AzureBlobFS:
         headers.setdefault("x-ms-date",
                            email.utils.formatdate(usegmt=True))
         headers.setdefault("x-ms-version", self._API_VERSION)
-        headers["Authorization"] = self._authorization(
-            method, container, key, params, headers, body)
+        if self._sas is None:
+            headers["Authorization"] = self._authorization(
+                method, container, key, params, headers, body)
         req = urllib.request.Request(
             self._url(container, key, params), data=body,
             headers=headers, method=method)
@@ -1796,19 +1868,22 @@ def fs_for(path: str, spark: SparkSession | None = None):
     if scheme == "az":
         account = os.environ.get("AZURE_STORAGE_ACCOUNT")
         azkey = os.environ.get("AZURE_STORAGE_KEY")
-        if account and azkey:
+        azsas = os.environ.get("AZURE_STORAGE_SAS_TOKEN")
+        if account and (azkey or azsas):
             endpoint = (os.environ.get("AZURE_BLOB_ENDPOINT")
                         or f"https://{account}.blob.core.windows.net")
             cred = hashlib.sha256(
-                f"{account}\x00{azkey}".encode()).hexdigest()
+                f"{account}\x00{azkey or ''}\x00{azsas or ''}"
+                .encode()).hexdigest()
             with _AZ_CACHE_LOCK:
                 cache_key = (endpoint, cred)
                 if cache_key not in _AZ_CACHE:
                     _AZ_CACHE[cache_key] = AzureBlobFS(
-                        account, azkey, endpoint)
+                        account, azkey, endpoint, sas_token=azsas)
                 return _AZ_CACHE[cache_key]
-        # no full credential pair: fall through to the JVM
-        # hadoop-azure connector (service-principal / MSI auth)
+        # no usable credential (neither account key nor SAS): fall
+        # through to the JVM hadoop-azure connector
+        # (service-principal / MSI auth)
     if scheme == "gs" and not (os.environ.get("GCS_ACCESS_KEY_ID")
                                and os.environ.get(
                                    "GCS_SECRET_ACCESS_KEY")):

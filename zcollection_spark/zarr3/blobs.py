@@ -81,8 +81,10 @@ def capture_blob_conf() -> dict | None:
                      "secret_key": os.environ.get("AWS_SECRET_ACCESS_KEY")})
     az_account = os.environ.get("AZURE_STORAGE_ACCOUNT")
     az_key = os.environ.get("AZURE_STORAGE_KEY")
-    if az_account and az_key:
+    az_sas = os.environ.get("AZURE_STORAGE_SAS_TOKEN")
+    if az_account and (az_key or az_sas):
         conf.update({"az_account": az_account, "az_key": az_key,
+                     "az_sas": az_sas,
                      "az_endpoint": os.environ.get("AZURE_BLOB_ENDPOINT")})
     return conf or None
 
@@ -165,7 +167,7 @@ class AzureBlobs:
         conf = conf or {}
         self._fs = AzureBlobFS(
             conf.get("az_account"), conf.get("az_key"),
-            conf.get("az_endpoint"))
+            conf.get("az_endpoint"), sas_token=conf.get("az_sas"))
 
     def mkdirs(self, path: str) -> None:
         pass  # prefixes need no creation
@@ -334,7 +336,14 @@ def blobs_for(path: str, conf: dict | None = None):
                c.get("az_endpoint")
                or os.environ.get("AZURE_BLOB_ENDPOINT"),
                c.get("az_account")
-               or os.environ.get("AZURE_STORAGE_ACCOUNT"))
+               or os.environ.get("AZURE_STORAGE_ACCOUNT"),
+               # auth identity (resolved the same way the client ctor
+               # resolves it): a SAS-scoped client must not be reused
+               # where key auth was configured, nor across tokens
+               bool(c.get("az_key")
+                    or os.environ.get("AZURE_STORAGE_KEY")),
+               c.get("az_sas")
+               or os.environ.get("AZURE_STORAGE_SAS_TOKEN"))
         if key not in _CACHE:
             _CACHE[key] = AzureBlobs(c)
         return _CACHE[key]

@@ -124,7 +124,8 @@ class ZarrReader(DataSourceReader):
                 and conf.get("az_account"):
             fs = AzureBlobFS(conf.get("az_account"),
                              conf.get("az_key"),
-                             conf.get("az_endpoint"))
+                             conf.get("az_endpoint"),
+                             sas_token=conf.get("az_sas"))
         else:
             fs = fs_for(self.root, SparkSession.getActiveSession())
         relpaths = Catalog(fs, self.root).read()
