@@ -90,8 +90,13 @@ def test_registry_window_invariant():
     # every registry entry has a value-level oracle — knn_ivfpq was the
     # last rows-only entry (closed round 6)
     assert "knn_ivfpq" in oracles
-    # a missing data dir degrades the map, never breaks it
-    degraded = entry_queries.oracle_sql("/does/not/exist")
+    # a missing data dir degrades the map, never breaks it — and
+    # SILENTLY (r7 advice follow-up): a nonexistent sf_dir is the
+    # degradation contract working, not a data problem worth a warning
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        degraded = entry_queries.oracle_sql("/does/not/exist")
     assert set(degraded) == set(oracles) - {"knn_ivf", "knn_ivf_hi",
                                             "knn_ivfpq"}
 

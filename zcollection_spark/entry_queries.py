@@ -2204,10 +2204,16 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # missing sf_dir/parquet only: degrade that one query to the
         # driver's rows-only check.  Anything else (a kmeans bug, bad
         # data) must surface loudly, not silently weaken the gate.
-        # Synthetic fixture dirs (pytest tmp paths) legitimately lack
-        # embeddings.parquet — the degradation is expected there and
-        # warning about it is pure noise in unrelated test runs.
-        if not any(tok in str(sf_dir) for tok in ("/tmp", "pytest")):
+        # Synthetic dirs legitimately lack embeddings.parquet: pytest
+        # tmp paths AND any sf_dir that does not exist at all (the
+        # degradation contract being exercised) — warning there is
+        # pure noise in unrelated runs.  A dir that EXISTS but whose
+        # embeddings table is unreadable is a real data problem and
+        # still warns.
+        synthetic = (not os.path.isdir(str(sf_dir))
+                     or any(tok in str(sf_dir)
+                            for tok in ("/tmp", "pytest")))
+        if not synthetic:
             import warnings
             warnings.warn(f"knn_ivf oracle skipped — embeddings table "
                           f"unavailable: {exc}")
