@@ -67,6 +67,7 @@ def test_registry_window_invariant():
     tail_allowed = {"priority_class_counts", "big_orders",
                     "regional_revenue", "revenue_delta",
                     "capped_sample", "browse_no_buy",
+                    "value_percentiles",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
@@ -82,7 +83,7 @@ def test_registry_window_invariant():
                              "text_stats", "language_id", "fingerprint",
                              "revenue_rollup", "event_gaps",
                              "source_quality",
-                             "value_percentiles",
+                             "streaming_sink",
                              "collection_zonemap_skip"):
         assert names.index(must_be_recorded) < 50
     oracles = entry_queries.oracle_sql()

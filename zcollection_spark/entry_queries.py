@@ -1251,6 +1251,62 @@ FROM events GROUP BY 1
 """
 
 
+def _sink_coll(spark: SparkSession, sf_dir: str):
+    """events streamed (availableNow) through the exactly-once
+    foreachBatch sink into a Date-partitioned collection, then the
+    last committed micro-batch FORCE-REPLAYED through the same sink —
+    the txn ledger must make the replay a no-op."""
+    def build():
+        from .streaming import (make_batch_sink, stream_events,
+                                write_stream_to_collection)
+        ev = _events3(spark, sf_dir)
+        root = f"{_tmp()}/sink_{abs(hash(sf_dir))}"
+        coll = create_collection(
+            spark, f"{root}/coll",
+            schema=infer_schema(ev.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        q = write_stream_to_collection(
+            stream_events(spark, sf_dir).select("event_id", "ts",
+                                                "value"),
+            coll, checkpoint_dir=f"{root}/ckpt", app_id="graded-sink")
+        q.awaitTermination()
+        # forced duplicate delivery: re-run the highest committed batch
+        # id through a fresh sink closure.  If the ledger skip failed,
+        # every row would land twice and the per-day counts below would
+        # double — hash-mismatching the oracle.
+        last = coll.txn_version("graded-sink")
+        assert last >= 0, "stream committed no batch"
+        make_batch_sink(coll, merge=None, app_id="graded-sink")(ev, last)
+        return coll
+    return _cached(("sink", sf_dir), build)
+
+
+def q_streaming_sink(spark, sf_dir):
+    """Exactly-once streaming SINK graded end-to-end (closing the CDC
+    loop: collections are both stream source and stream sink).  The
+    events stream lands through the transactional foreachBatch sink
+    (txn version committed in the same atomic catalog PUT as the
+    partition list — the Delta-sink pattern on the collection catalog),
+    a committed batch is force-replayed (must no-op), and the collection
+    reads back as per-day counts + value sums.  Duplicate delivery
+    would double the counts: exactly-once is VALUE-gated by the oracle,
+    not just asserted in pytest."""
+    coll = _sink_coll(spark, sf_dir)
+    out = coll.query()
+    return (out.groupBy(F.month("ts").alias("m"),
+                        F.dayofmonth("ts").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .orderBy("m", "d"))
+
+
+ORACLE_STREAMING_SINK = """
+SELECT month(ts) AS m, day(ts) AS d, count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY m, d
+"""
+
+
 def q_streaming_stateful(spark, sf_dir):
     """applyInPandasWithState custom stateful operator (per-user running
     totals); with one availableNow batch the final state equals the batch
@@ -2022,7 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and browse_no_buy (distinct + set-difference — distinct covered
     # by dedup_exact, anti semantics by decontaminate/merge_upsert).
     # Every registry entry has a driver green <=2 rounds old after this
-    # rotation, and tools/check_oracle.py still gates all 65.
+    # rotation, and tools/check_oracle.py still gates all 66.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
@@ -2037,7 +2093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_overlay": q_view_overlay,
         "index_lookup": q_index_lookup,
         "pricing_summary": q_pricing_summary,
-        "value_percentiles": q_value_percentiles,
         "collection_changes": q_collection_changes,
         "knn_ivfpq": q_knn_ivfpq,
         "asof_enrich": q_asof_enrich,
@@ -2074,6 +2129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,
         "streaming_stateful": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
+        # NEW r8 (in-window, closing the CDC loop): the exactly-once
+        # foreachBatch sink graded end-to-end with a forced replay;
+        # value_percentiles (plain percentile aggregate, driver-green
+        # r7) sits out in exchange and returns r9
+        "streaming_sink": q_streaming_sink,
         # --- entries below fall outside the driver's 50-slot window;
         # all were driver-verified green in earlier rounds (projection
         # in r1-r4; its variables= surface also runs inside the
@@ -2100,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_delta": q_revenue_delta,
         "capped_sample": q_capped_sample,
         "browse_no_buy": q_browse_no_buy,
+        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -2175,6 +2236,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "streaming_hourly": ORACLE_STREAMING,
         "streaming_stateful": ORACLE_STREAMING_STATEFUL,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
+        "streaming_sink": ORACLE_STREAMING_SINK,
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "value_percentiles": ORACLE_PERCENTILES,
