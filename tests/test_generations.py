@@ -160,3 +160,58 @@ def test_zarr3_generation_parity(spark, tmp_path):
         pdf, schema=coll.schema.to_struct_type()))
     assert coll.generation() > g0
     assert coll.changes(g0)["added"] == ["num=5"]
+
+
+def test_history_ledger_describes_each_commit(spark, tmp_path):
+    """Collection.history: one row per generation, newest first, with
+    exactly what that commit added/replaced/removed — and the streaming
+    txn ledger rides along."""
+    coll = _mk(spark, str(tmp_path / "h"))
+    coll.insert(_df(spark, coll, [(1, 1.0), (2, 2.0)]))
+    coll.insert(_df(spark, coll, [(2, 9.0)]), merge="replace")
+    coll.insert(_df(spark, coll, [(3, 3.0)]),
+                txn=("app-x", 7))
+    coll.drop_partitions(filters="num == 1")
+
+    hist = coll.history()
+    gens = [h["generation"] for h in hist]
+    assert gens == sorted(gens, reverse=True)
+
+    by_gen = {h["generation"]: h for h in hist}
+    g0 = min(gens)                       # create: the empty catalog
+    assert by_gen[g0]["added"] == [] and by_gen[g0]["n_partitions"] == 0
+    assert by_gen[g0 + 1]["added"] == ["num=1", "num=2"]
+    assert by_gen[g0 + 2]["added"] == ["num=2"]     # replacement
+    assert by_gen[g0 + 3]["added"] == ["num=3"]
+    assert by_gen[g0 + 3]["txn"] == {"app-x": 7}
+    drop = by_gen[g0 + 4]
+    assert drop["added"] == [] and drop["removed"] == ["num=1"]
+    assert drop["n_partitions"] == 2
+
+    # limit caps the ledger from the newest end
+    assert [h["generation"] for h in coll.history(limit=2)] \
+        == gens[:2]
+
+
+def test_history_cli_and_zarr_parity(spark, tmp_path, capsys):
+    """The CLI surface prints the same ledger; ZarrCollection exposes
+    the identical API (shared catalog machinery)."""
+    import json as _json
+    from zcollection_spark.cli import main as cli_main
+    coll = _mk(spark, str(tmp_path / "hc"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    rc = cli_main(["history", str(tmp_path / "hc"), "--limit", "3"])
+    assert rc == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert rows[0]["added"] == ["num=1"]
+
+    from zcollection_spark.schema import infer_schema
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    ev = _df(spark, coll, [(1, 1.0)])
+    zcoll = create_zarr_collection(
+        spark, str(tmp_path / "hz"),
+        schema=infer_schema(ev.schema, axis="i"), axis="i",
+        partitioning=zc.Sequence(("num",)))
+    zcoll.insert(ev)
+    zhist = zcoll.history()
+    assert zhist[0]["added"] == ["num=1"]

@@ -184,6 +184,14 @@ def cmd_changes(args: argparse.Namespace) -> int:
         return 1
 
 
+def cmd_history(args: argparse.Namespace) -> int:
+    """Commit ledger, newest first (``Collection.history``) — what each
+    catalog generation added/replaced/removed, DESCRIBE-HISTORY style."""
+    coll = _open(args.path)
+    print(json.dumps(coll.history(limit=args.limit), indent=1))
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     coll = _open(args.path, mode="rw")
     report = coll.compact(filters=args.filter,
@@ -277,6 +285,13 @@ def main(argv: list[str] | None = None) -> int:
     p_ch.add_argument("path")
     p_ch.add_argument("--since", type=int, default=None, metavar="GEN")
     p_ch.set_defaults(fn=cmd_changes)
+
+    p_hi = sub.add_parser(
+        "history", help="commit ledger, newest first (what each "
+                        "generation added/replaced/removed)")
+    p_hi.add_argument("path")
+    p_hi.add_argument("--limit", type=int, default=10)
+    p_hi.set_defaults(fn=cmd_history)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -706,6 +706,46 @@ class Collection:
                             if ch == "removed"],
                 "from": since_generation, "to": to_gen}
 
+    def history(self, *, limit: int = 10) -> list[dict]:
+        """The commit ledger, newest first: one row per catalog
+        generation with what that commit did — ``{"generation", "n_partitions",
+        "added" (incl. replaced), "removed", "txn"}``.
+
+        Lakehouse-table ``DESCRIBE HISTORY`` semantics on the snapshot
+        trail the catalog already writes: ``added`` comes from each
+        document's per-partition ``touched`` stamps (exact, no
+        neighbor snapshot needed), ``removed`` from the diff against
+        the previous available snapshot (``None`` when that snapshot
+        was pruned — unknown, never silently empty).  Driver-side
+        metadata only: ``limit`` small documents, no Spark job."""
+        if not self.catalog_enabled:
+            raise StoreError("history() requires the catalog")
+        gens = set(self._catalog.history())
+        current = self._catalog.generation()
+        if current:  # newest snapshot PUT is best-effort; read_at
+            gens.add(current)  # serves the live state regardless
+        gens = sorted(gens)[-int(limit):]
+        docs = {g: self._catalog.read_at(g) for g in gens}
+        out = []
+        for g in reversed(gens):
+            doc = docs.get(g)
+            if doc is None:
+                continue
+            stamps = doc.get("touched", {})
+            parts = doc.get("partitions", [])
+            added = sorted(rel for rel in parts
+                           if int(stamps.get(rel, g)) == g)
+            prev = docs.get(g - 1) if g - 1 in docs \
+                else self._catalog.read_at(g - 1)
+            removed = (sorted(set(prev.get("partitions", []))
+                              - set(parts))
+                       if prev is not None
+                       else (None if g > 1 else []))
+            out.append({"generation": g, "n_partitions": len(parts),
+                        "added": added, "removed": removed,
+                        "txn": dict(doc.get("txn", {}))})
+        return out
+
     def nbytes(self, *, filters: str | None = None) -> int:
         """Catalyst's byte estimate of the (pruned, projected) query
         output — the lazy engine's honest analog of the reference's

@@ -293,6 +293,12 @@ class ZarrCollection:
         from ..collection.collection import Collection
         return Collection.changes(self, since_generation)
 
+    def history(self, *, limit: int = 10) -> list[dict]:
+        """Commit ledger, newest first — see ``Collection.history``
+        (identical catalog machinery)."""
+        from ..collection.collection import Collection
+        return Collection.history(self, limit=limit)
+
     def insert(self, df: DataFrame,
                merge: str | MergeCallable | None = None,
                txn: "tuple[str, int] | None" = None) -> list[str]:
