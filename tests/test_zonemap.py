@@ -442,3 +442,122 @@ def test_nan_append_widens_existing_partition_to_top(spark, tmp_path):
     assert coll._catalog.read_stats()["num=1"]["value"] == [None, None, 0]
     res = coll.query(where="value > 150.0")
     assert res is not None and res.count() > 0  # the NaN rows match
+
+
+# ---------------------------------------------------------------------------
+# bloom filters: equality skipping on high-cardinality columns
+# ---------------------------------------------------------------------------
+
+
+def _mk_bloom(spark, path, nums_ids, **kw):
+    """Sequence-partitioned collection with a high-cardinality string
+    ``doc`` column and an int ``uid`` column, blooms on both."""
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("uid", "int64", ("i",))
+              .add_variable("doc", "str", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = zc.create_collection(
+        spark, path, schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)),
+        bloom_columns=["doc", "uid"], **kw)
+    frames, base = [], 0
+    for num, ids in nums_ids.items():
+        frames.append(pd.DataFrame({
+            "i": np.arange(base, base + len(ids), dtype=np.int64),
+            "uid": np.asarray(ids, dtype=np.int64),
+            "doc": [f"doc-{v}" for v in ids],
+            "num": np.int64(num)}))
+        base += len(ids)
+    pdf = pd.concat(frames, ignore_index=True)
+    coll.insert(spark.createDataFrame(
+        pdf, schema=coll.schema.to_struct_type()))
+    return coll
+
+
+def test_bloom_point_lookup_prunes_partitions(spark, tmp_path):
+    """Equality on a high-cardinality column skips partitions whose
+    bloom proves the value absent — zone maps alone cannot (disjoint id
+    SETS, overlapping id RANGES)."""
+    coll = _mk_bloom(spark, str(tmp_path / "b"), {
+        1: [10, 30, 50], 2: [20, 40, 60], 3: [15, 25, 35]})
+    stats = coll._catalog.read_stats()
+    assert "uid#bloom" in stats["num=1"] and "doc#bloom" in stats["num=1"]
+
+    res = coll.query(where="uid == 40")
+    assert [r.uid for r in res.collect()] == [40]
+    assert all("num=2" in f for f in res.inputFiles())
+
+    res = coll.query(where="doc == 'doc-15'")
+    assert [r.doc for r in res.collect()] == ["doc-15"]
+    assert all("num=3" in f for f in res.inputFiles())
+
+    # IN: every candidate absent from a partition's bloom → skipped
+    res = coll.query(where="uid in (20, 60)")
+    assert sorted(r.uid for r in res.collect()) == [20, 60]
+    assert all("num=2" in f for f in res.inputFiles())
+
+    # no partition can hold the probe → quirk-Q6 None
+    assert coll.query(where="uid == 9999") is None
+    assert coll.query(where="doc == 'doc-9999'") is None
+
+
+def test_bloom_soundness_present_and_cross_type(spark, tmp_path):
+    """No false negatives: a present value always scans its partition;
+    cross-type literals (float probe on an int column) must NOT prune —
+    Spark's cast semantics could still match."""
+    coll = _mk_bloom(spark, str(tmp_path / "b2"), {1: [7], 2: [8]})
+    for uid in (7, 8):
+        assert [r.uid for r in
+                coll.query(where=f"uid == {uid}").collect()] == [uid]
+    # float literal: bloom canon is str(7.0) != "7" — must degrade to
+    # scan-everything, and Spark's exact filter still matches the row
+    res = coll.query(where="uid == 7.0")
+    assert [r.uid for r in res.collect()] == [7]
+    assert len(res.inputFiles()) == 2  # NOT pruned
+
+
+def test_bloom_append_merge_unions_filters(spark, tmp_path):
+    """A concat append into an existing partition ORs the blooms: both
+    the old and the new values keep matching."""
+    coll = _mk_bloom(spark, str(tmp_path / "b3"), {1: [100]})
+    pdf = pd.DataFrame({
+        "i": np.array([50], dtype=np.int64),
+        "uid": np.array([200], dtype=np.int64),
+        "doc": ["doc-200"], "num": np.array([1], dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        pdf, schema=coll.schema.to_struct_type()), merge="concat")
+    for uid in (100, 200):
+        assert [r.uid for r in
+                coll.query(where=f"uid == {uid}").collect()] == [uid]
+    assert coll.query(where="uid == 300") is None
+
+
+def test_bloom_reopen_and_validation(spark, tmp_path):
+    """Config survives reopen; non-int/string columns and missing
+    catalog are rejected at create time."""
+    coll = _mk_bloom(spark, str(tmp_path / "b4"), {1: [1]})
+    re = zc.open_collection(spark, str(tmp_path / "b4"))
+    assert re.bloom_columns == ["doc", "uid"]
+    assert re.query(where="uid == 2") is None
+    assert [r.uid for r in re.query(where="uid == 1").collect()] == [1]
+
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    from zcollection_spark.errors import SchemaError
+    with pytest.raises(SchemaError, match="integer or string"):
+        zc.create_collection(
+            spark, str(tmp_path / "bad"), schema=schema, axis="i",
+            partitioning=zc.Sequence(("num",)),
+            bloom_columns=["value"])
+    with pytest.raises(SchemaError, match="bloom_bits"):
+        zc.create_collection(
+            spark, str(tmp_path / "bad2"), schema=schema, axis="i",
+            partitioning=zc.Sequence(("num",)),
+            bloom_columns=["num"], bloom_bits=100)

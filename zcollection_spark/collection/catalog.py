@@ -76,6 +76,14 @@ def _widen_stats(old: dict, new: dict) -> dict:
     interval over it would claim bounds for rows that have none."""
     out = {}
     for col in set(old) & set(new):
+        if isinstance(old[col], dict) or isinstance(new[col], dict):
+            # bloom entries ("col#bloom"): union = bitwise OR; any
+            # geometry mismatch drops the entry (scan, never mis-prune)
+            from .stats import merge_bloom_entries
+            merged = merge_bloom_entries(old[col], new[col])
+            if merged is not None:
+                out[col] = merged
+            continue
         (alo, ahi, an), (blo, bhi, bn) = old[col][:3], new[col][:3]
         a_top = alo is None and ahi is None and not an
         b_top = blo is None and bhi is None and not bn

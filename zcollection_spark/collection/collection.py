@@ -85,6 +85,8 @@ def create_collection(spark: SparkSession, path: str, *,
                       partitioning: Partitioning,
                       catalog_enabled: bool = True,
                       stats_columns: "Iterable[str] | None" = None,
+                      bloom_columns: "Iterable[str] | None" = None,
+                      bloom_bits: int = 1024,
                       overwrite: bool = False) -> "Collection":
     """DDL: bind the schema to the axis and write the root config
     (``/root/reference/zcollection/api.py:19-62`` →
@@ -94,7 +96,15 @@ def create_collection(spark: SparkSession, path: str, *,
     per-partition min/max/null-count of the named data columns,
     committed with every publish and used by ``query(where=...)`` to
     skip partitions a data-column predicate provably cannot match
-    (partitioning/zonemap.py) — requires ``catalog_enabled``."""
+    (partitioning/zonemap.py) — requires ``catalog_enabled``.
+
+    ``bloom_columns`` adds per-partition bloom filters (``bloom_bits``
+    bits each, int/string columns only) for EQUALITY skipping on
+    high-cardinality columns where min/max intervals cannot prune —
+    ``query(where="doc_id == K")`` skips every partition whose filter
+    proves K absent (Delta/Iceberg-style point-lookup skipping; see
+    collection/stats.py).  Like zone maps, pruning is an optimization
+    only: the exact predicate always also runs over scanned rows."""
     path = fsmod.strip_scheme(path).rstrip("/")
     fs = fsmod.fs_for(path, spark)
     config_path = f"{path}/{CONFIG_NAME}"
@@ -133,15 +143,42 @@ def create_collection(spark: SparkSession, path: str, *,
                     f"({var_map[col].dtype}): timestamp pruning is the "
                     f"partitioning's job — use Date partitioning keys "
                     f"in filters= instead of where= zone maps")
+    bloom_columns = sorted(bloom_columns) if bloom_columns else None
+    if bloom_columns:
+        from .stats import bloom_kind_of
+        if not catalog_enabled:
+            raise SchemaError(
+                "bloom_columns requires catalog_enabled=True — the "
+                "catalog document is where the filters live")
+        if bloom_bits % 64 or bloom_bits <= 0:
+            raise SchemaError("bloom_bits must be a positive multiple "
+                              "of 64")
+        for col in bloom_columns:
+            if col not in var_map or var_map[col].immutable:
+                raise SchemaError(
+                    f"bloom column {col!r} is not a partitioned "
+                    f"variable of the schema")
+            np_kind = var_map[col].dtype
+            if not (np_kind.startswith(("int", "uint", "<U"))
+                    or np_kind in ("str", "vlen-utf8")):
+                raise SchemaError(
+                    f"bloom column {col!r} must be integer or string "
+                    f"typed (got {np_kind}): the cross-side hash canon "
+                    f"is only exact for those")
     doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
            "partitioning": partitioning.to_json(),
            "catalog_enabled": catalog_enabled}
     if stats_columns:
         doc["stats_columns"] = stats_columns
+    if bloom_columns:
+        doc["bloom_columns"] = bloom_columns
+        doc["bloom_bits"] = int(bloom_bits)
     fs.write_text(config_path, json.dumps(doc, indent=1, sort_keys=True))
     coll = Collection(spark, path, bound, partitioning, mode="rw",
                       catalog_enabled=catalog_enabled,
-                      stats_columns=stats_columns)
+                      stats_columns=stats_columns,
+                      bloom_columns=bloom_columns,
+                      bloom_bits=bloom_bits)
     if catalog_enabled:
         coll._catalog.write([])
     return coll
@@ -161,6 +198,8 @@ def open_collection(spark: SparkSession, path: str, *,
         raise StoreError(f"unreadable collection config: {exc}") from None
     schema = DatasetSchema.from_json(doc["schema"])
     partitioning = partitioning_from_json(doc["partitioning"])
+    bloom_columns = doc.get("bloom_columns")
+    bloom_bits = int(doc.get("bloom_bits", 1024))
     stats_columns = doc.get("stats_columns")
     if stats_columns:
         # collections written before the temporal-stats rejection may
@@ -176,7 +215,9 @@ def open_collection(spark: SparkSession, path: str, *,
             stats_columns = [c for c in stats_columns if c not in bad]
     return Collection(spark, path, schema, partitioning, mode=mode,
                       catalog_enabled=doc.get("catalog_enabled", True),
-                      stats_columns=stats_columns)
+                      stats_columns=stats_columns,
+                      bloom_columns=bloom_columns,
+                      bloom_bits=bloom_bits)
 
 
 class Collection:
@@ -185,7 +226,9 @@ class Collection:
     def __init__(self, spark: SparkSession, path: str,
                  schema: DatasetSchema, partitioning: Partitioning, *,
                  mode: str = "r", catalog_enabled: bool = True,
-                 stats_columns: "list[str] | None" = None):
+                 stats_columns: "list[str] | None" = None,
+                 bloom_columns: "list[str] | None" = None,
+                 bloom_bits: int = 1024):
         if schema.axis is None:
             raise SchemaError("collection schema must be axis-bound")
         self.spark = spark
@@ -196,6 +239,8 @@ class Collection:
         self.mode = mode
         self.catalog_enabled = catalog_enabled
         self.stats_columns = list(stats_columns) if stats_columns else []
+        self.bloom_columns = list(bloom_columns) if bloom_columns else []
+        self.bloom_bits = int(bloom_bits)
         self._fs = fsmod.fs_for(self.path, spark)
         self._catalog = Catalog(self._fs, self.path,
                                 walk_depth=partitioning.depth)
@@ -338,13 +383,15 @@ class Collection:
         without statistics are always kept — pruning is an optimization
         layered under the exact Catalyst filter, never a correctness
         boundary."""
-        if not (self.catalog_enabled and self.stats_columns):
+        if not (self.catalog_enabled
+                and (self.stats_columns or self.bloom_columns)):
             return relpaths
         stats_map = self._catalog.read_stats()
         if not stats_map:
             return relpaths
         may_match = compile_zone_filter(where)
-        allowed = set(self.stats_columns)
+        allowed = set(self.stats_columns) \
+            | {f"{c}#bloom" for c in self.bloom_columns}
 
         def masked(rel):
             entry = stats_map.get(rel)
@@ -539,11 +586,23 @@ class Collection:
 
     def _collect_stats(self, df: DataFrame,
                        relpaths: list[str]) -> dict | None:
-        """Per-partition zone-map stats (see collection/stats.py for the
-        cost model: one map-side-combined aggregation, driver result
-        bounded by partition count)."""
-        return collect_zone_stats(df, self.partitioning,
+        """Per-partition zone-map stats + bloom filters (see
+        collection/stats.py for the cost model: one map-side-combined
+        aggregation each, driver result bounded by partition count)."""
+        zone = collect_zone_stats(df, self.partitioning,
                                   self.stats_columns, relpaths)
+        if not self.bloom_columns:
+            return zone
+        from .stats import collect_bloom_stats
+        bloom = collect_bloom_stats(df, self.partitioning,
+                                    self.bloom_columns, relpaths,
+                                    m_bits=self.bloom_bits)
+        if bloom is None:
+            return zone
+        merged = {rel: dict(entry) for rel, entry in (zone or {}).items()}
+        for rel, entry in bloom.items():
+            merged.setdefault(rel, {}).update(entry)
+        return merged or None
 
     def _staged_write(self, write_fn: Callable[[str], None], *,
                       mode: str,
@@ -561,8 +620,8 @@ class Collection:
         instead of stale pruning); every in-repo rewrite path — insert,
         merges, ``update``, ``compact`` — provides it and refreshes."""
         stats_fn = None
-        if stats_df is not None and self.stats_columns \
-                and self.catalog_enabled:
+        if stats_df is not None and self.catalog_enabled \
+                and (self.stats_columns or self.bloom_columns):
             stats_fn = lambda rels: self._collect_stats(stats_df, rels)  # noqa: E731
         return staging_proto.staged_publish(
             self._fs, self.path, write_fn=write_fn,

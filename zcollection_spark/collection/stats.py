@@ -110,3 +110,119 @@ def collect_zone_stats(df: DataFrame, partitioning, stats_columns,
                         int(row[f"__nn_{c}"] or 0)]
         out[rel] = entry
     return out or None
+
+
+# ---------------------------------------------------------------------------
+# bloom filters: equality skipping on high-cardinality int/string columns
+# ---------------------------------------------------------------------------
+
+#: Spark integral type names eligible for blooms ("i" kind); "string"
+#: is the "s" kind.  Everything else is rejected at create_collection
+#: time — cross-engine string canonicalization is only exact for these.
+_BLOOM_INT_TYPES = {"byte", "short", "integer", "long"}
+
+
+def bloom_kind_of(spark_type_name: str) -> str | None:
+    if spark_type_name in _BLOOM_INT_TYPES:
+        return "i"
+    if spark_type_name == "string":
+        return "s"
+    return None
+
+
+def collect_bloom_stats(df: DataFrame, partitioning, bloom_columns,
+                        relpaths: list[str], *,
+                        m_bits: int = 1024) -> dict | None:
+    """Per-partition bloom filters ``{rel: {"col#bloom": {...}}}`` for
+    the eligible ``bloom_columns`` present in ``df``.
+
+    Zone-map min/max cannot prune an equality predicate on a
+    high-cardinality unsorted column (every partition's interval spans
+    the probe); a small per-partition bloom can — the Delta/Iceberg
+    file-skipping companion, committed in the same catalog PUT as the
+    zone stats.  Build cost: the SAME one map-side-combined aggregation
+    shape as the zone stats — each row contributes k=3 md5-derived bit
+    positions, OR-folded into ``m_bits/64`` ``bit_or`` aggregates, so
+    the shuffle stays a few hundred bytes per partition and the driver
+    result is bounded by partition count.  The row hash canon is the
+    column CAST TO STRING (exact for int/string — validated at config
+    time), matching :func:`partitioning.zonemap.bloom_value_positions`
+    on the query side.  NULL rows contribute no bits (equality against
+    NULL never matches).
+    """
+    from ..partitioning.zonemap import BLOOM_K
+    cols = [c for c in (bloom_columns or []) if c in df.columns]
+    kinds = {f.name: bloom_kind_of(f.dataType.typeName())
+             for f in df.schema.fields if f.name in cols}
+    cols = [c for c in cols if kinds.get(c)]
+    if not cols:
+        return None
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError("bloom_bits must be a positive multiple of 64")
+    n_longs = m_bits // 64
+    keys = list(partitioning.keys)
+    # stage 1: k md5-derived bit positions per row per column (the
+    # PySpark shiftleft wrapper only takes literal shift amounts, so
+    # the dynamic shifts below go through SQL expressions over these
+    # projected position columns)
+    pos_cols = []
+    for c in cols:
+        digest = F.md5(F.col(c).cast("string"))
+        for j in range(BLOOM_K):
+            pos_cols.append(
+                (F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10)
+                 .cast("long") % F.lit(m_bits)).alias(f"__p_{c}_{j}"))
+    proj = df.select(*keys, *pos_cols)
+    aggs = []
+    for c in cols:
+        for i in range(n_longs):
+            contrib = " | ".join(
+                f"(case when __p_{c}_{j} div 64 = {i} then "
+                f"shiftleft(cast(1 as bigint), "
+                f"cast(__p_{c}_{j} % 64 as int)) "
+                f"else cast(0 as bigint) end)"
+                for j in range(BLOOM_K))
+            aggs.append(F.bit_or(F.expr(contrib))
+                        .alias(f"__bf_{c}_{i}"))
+    import base64
+    import struct
+    wanted = set(relpaths)
+    out: dict = {}
+    for row in proj.groupBy(*keys).agg(*aggs).collect():
+        rel = partitioning.encode({k: int(row[k]) for k in keys})
+        if rel not in wanted:
+            continue
+        entry = {}
+        for c in cols:
+            longs = [int(row[f"__bf_{c}_{i}"] or 0)
+                     for i in range(n_longs)]
+            entry[f"{c}#bloom"] = {
+                "m": m_bits, "k": BLOOM_K, "t": kinds[c],
+                "b64": base64.b64encode(
+                    struct.pack(f"<{n_longs}q", *longs)).decode()}
+        out[rel] = entry
+    return out or None
+
+
+def merge_bloom_entries(a, b):
+    """Union two bloom entries (append publish): bitwise OR when the
+    geometry matches, else None (drop — a mismatched filter cannot
+    soundly describe both sides' rows)."""
+    import base64
+    import struct
+    try:
+        if not (isinstance(a, dict) and isinstance(b, dict)):
+            return None
+        if (a["m"], a["k"], a["t"]) != (b["m"], b["k"], b["t"]):
+            return None
+        ra, rb = base64.b64decode(a["b64"]), base64.b64decode(b["b64"])
+        if len(ra) != len(rb):
+            return None
+        n = len(ra) // 8
+        la = struct.unpack(f"<{n}q", ra)
+        lb = struct.unpack(f"<{n}q", rb)
+        merged = struct.pack(f"<{n}q", *[x | y for x, y in zip(la, lb)])
+        return {"m": a["m"], "k": a["k"], "t": a["t"],
+                "b64": base64.b64encode(merged).decode()}
+    except Exception:
+        return None

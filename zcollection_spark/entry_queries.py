@@ -2078,7 +2078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and browse_no_buy (distinct + set-difference — distinct covered
     # by dedup_exact, anti semantics by decontaminate/merge_upsert).
     # Every registry entry has a driver green <=2 rounds old after this
-    # rotation, and tools/check_oracle.py still gates all 66.
+    # rotation, and tools/check_oracle.py still gates all 66.  r9 slot
+    # note: a graded collection_bloom_skip entry (per-partition bloom
+    # point-lookup skipping, pytest-gated in r8 via test_zonemap.py)
+    # should take one of the six slots the returning rotation frees.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,

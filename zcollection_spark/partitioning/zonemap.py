@@ -111,6 +111,63 @@ def _contains(a: "_Interval", container: tuple) -> tuple[bool, bool]:
     return may, must
 
 
+# -- bloom probes (equality skipping on high-cardinality columns) -----------
+
+#: hash count of the partition bloom filters (md5 gives 32 hex chars =
+#: four independent 32-bit slices; three are used)
+BLOOM_K = 3
+
+
+def bloom_value_positions(value, m_bits: int) -> list:
+    """The k bit positions of ``value`` in an ``m_bits`` bloom filter.
+
+    Canonicalization is the CAST-TO-STRING form shared with the
+    Spark-side build (``collection/stats.py``): ``str(int)`` matches
+    Spark's long→string cast exactly, strings hash as themselves —
+    which is why blooms are restricted to integer/string columns."""
+    import hashlib
+    digest = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return [int(digest[8 * j:8 * j + 8], 16) % m_bits
+            for j in range(BLOOM_K)]
+
+
+def bloom_may_contain(entry, value) -> bool:
+    """Conservative membership probe against a stats bloom entry
+    (``{"m", "k", "t", "b64"}``).  Returns False ONLY when the probe is
+    sound: the literal's Python type matches the column kind recorded
+    at build time (``t``: "i" int / "s" str — cross-type comparisons
+    go through Spark casts whose string canon differs, e.g. ``5.0`` vs
+    ``"5"``, so they always scan), and all k bits miss.  Any anomaly —
+    malformed entry, unknown kind, wrong m — degrades to True (scan)."""
+    import base64
+    import struct
+    try:
+        if not isinstance(entry, dict):
+            return True
+        kind = entry.get("t")
+        if isinstance(value, bool):
+            return True
+        if not ((kind == "i" and isinstance(value, int))
+                or (kind == "s" and isinstance(value, str))):
+            return True
+        m = int(entry["m"])
+        raw = base64.b64decode(entry["b64"])
+        if len(raw) * 8 != m or int(entry.get("k")) != BLOOM_K:
+            return True
+        longs = struct.unpack(f"<{len(raw) // 8}q", raw)
+        return all((longs[pos >> 6] >> (pos & 63)) & 1
+                   for pos in bloom_value_positions(value, m))
+    except Exception:
+        return True
+
+
+def _bloom_may(stats, name: str, value) -> bool:
+    entry = (stats or {}).get(f"{name}#bloom")
+    if entry is None:
+        return True
+    return bloom_may_contain(entry, value)
+
+
 # -- the walker (mirrors expression.py's grammar) ---------------------------
 
 
@@ -171,10 +228,20 @@ def _compare(node: ast.Compare):
                 raise ExpressionError(
                     "right side of 'in' must be a tuple/list/set literal")
             negate = isinstance(op, ast.NotIn)
+            # positive membership can ALSO consult the column's bloom:
+            # every candidate missing the filter proves no row matches
+            # (NotIn cannot prune via bloom — may-contain is one-sided)
+            bname = left.id if isinstance(left, ast.Name) \
+                and not negate else None
 
-            def part(stats, _lf=lf, _c=container, _n=negate):
+            def part(stats, _lf=lf, _c=container, _n=negate, _b=bname):
                 may, must = _contains(_lf(stats), _c)
-                return (not must, not may) if _n else (may, must)
+                if _n:
+                    return (not must), (not may)
+                if may and _b is not None \
+                        and not any(_bloom_may(stats, _b, v) for v in _c):
+                    may = False
+                return may, must
             parts.append(part)
             continue
         op_type = type(op)
@@ -183,9 +250,25 @@ def _compare(node: ast.Compare):
             raise ExpressionError(
                 f"unsupported comparison operator {op_type.__name__}")
         rf = _operand(right)
+        # equality against a literal: the column's bloom (when the
+        # partition carries one) can prove the point value absent
+        probe = None
+        if op_type is ast.Eq:
+            if isinstance(left, ast.Name) and not isinstance(right,
+                                                             ast.Name):
+                probe = (left.id, _literal(right))
+            elif isinstance(right, ast.Name) \
+                    and not isinstance(left, ast.Name):
+                probe = (right.id, _literal(left))
+            if probe is not None and isinstance(probe[1], tuple):
+                probe = None  # container literal: invalid for Eq anyway
 
-        def part(stats, _lf=lf, _rf=rf, _op=op_type):
-            return _cmp_bounds(_op, _lf(stats), _rf(stats))
+        def part(stats, _lf=lf, _rf=rf, _op=op_type, _p=probe):
+            may, must = _cmp_bounds(_op, _lf(stats), _rf(stats))
+            if may and _p is not None \
+                    and not _bloom_may(stats, _p[0], _p[1]):
+                may = False
+            return may, must
         parts.append(part)
 
     def ev(stats, _parts=tuple(parts)):
