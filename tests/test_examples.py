@@ -41,11 +41,19 @@ def _load(path: Path):
 @pytest.mark.parametrize("path", EXAMPLES, ids=[p.stem for p in EXAMPLES])
 def test_example_runs(spark, path):
     env_before = dict(os.environ)
+    # standalone examples legitimately spark.stop() on exit; in-process
+    # they share the suite's session, and stopping it would kill every
+    # test that runs after this module (the whole tail errors with
+    # NoneType session failures) — neuter stop() for the duration
+    from pyspark.sql import SparkSession
+    real_stop = SparkSession.stop
+    SparkSession.stop = lambda self: None
     try:
         mod = _load(path)
         assert hasattr(mod, "main"), f"{path.name} has no main()"
         mod.main()
     finally:
+        SparkSession.stop = real_stop
         for k in set(os.environ) - set(env_before):
             del os.environ[k]
         os.environ.update(env_before)
