@@ -561,3 +561,39 @@ def test_bloom_reopen_and_validation(spark, tmp_path):
             spark, str(tmp_path / "bad2"), schema=schema, axis="i",
             partitioning=zc.Sequence(("num",)),
             bloom_columns=["num"], bloom_bits=100)
+
+
+def test_zarr3_bloom_point_lookup_prunes(spark, tmp_path):
+    """Bloom skipping works identically on the zarr layout: the filters
+    commit in the same catalog PUT and the surviving partitions become
+    the pushed key predicate."""
+    from zcollection_spark.zarr3.collection import (create_zarr_collection,
+                                                    open_zarr_collection)
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("uid", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "zb"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)), bloom_columns=["uid"])
+    frames, base = [], 0
+    for num, ids in {1: [10, 30], 2: [20, 40]}.items():
+        frames.append(pd.DataFrame({
+            "i": np.arange(base, base + len(ids), dtype=np.int64),
+            "uid": np.asarray(ids, dtype=np.int64),
+            "num": np.int64(num)}))
+        base += len(ids)
+    coll.insert(spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        schema=coll.schema.to_struct_type()))
+
+    assert "uid#bloom" in coll._catalog.read_stats()["num=1"]
+    res = coll.query(where="uid == 40")
+    assert [r.uid for r in res.collect()] == [40]
+    assert coll.query(where="uid == 9999") is None
+    # reopen keeps the bloom config
+    re = open_zarr_collection(spark, str(tmp_path / "zb"))
+    assert re.bloom_columns == ["uid"]
+    assert re.query(where="uid == 10").count() == 1

@@ -124,6 +124,8 @@ def create_zarr_collection(spark: SparkSession, path: str, *,
                            schema: DatasetSchema, axis: str,
                            partitioning: Partitioning,
                            stats_columns=None,
+                           bloom_columns=None,
+                           bloom_bits: int = 1024,
                            overwrite: bool = False) -> "ZarrCollection":
     path = strip_scheme(path).rstrip("/")
     fs = fs_for(path, spark)
@@ -153,15 +155,37 @@ def create_zarr_collection(spark: SparkSession, path: str, *,
                     f"stats column {col!r} is temporal "
                     f"({var_map[col].dtype}): use partitioning filters "
                     f"for time ranges, not where= zone maps")
+    bloom_columns = sorted(bloom_columns) if bloom_columns else None
+    if bloom_columns:
+        if bloom_bits % 64 or bloom_bits <= 0:
+            raise SchemaError("bloom_bits must be a positive multiple "
+                              "of 64")
+        var_map = bound.variable_map
+        for col in bloom_columns:
+            if col not in var_map or var_map[col].immutable:
+                raise SchemaError(
+                    f"bloom column {col!r} is not a partitioned "
+                    f"variable of the schema")
+            dt = var_map[col].dtype
+            if not (dt.startswith(("int", "uint", "<U"))
+                    or dt in ("str", "vlen-utf8")):
+                raise SchemaError(
+                    f"bloom column {col!r} must be integer or string "
+                    f"typed (got {dt})")
     doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
            "partitioning": partitioning.to_json(),
            "data_format": "zarr3", "catalog_enabled": True}
     if stats_columns:
         doc["stats_columns"] = stats_columns
+    if bloom_columns:
+        doc["bloom_columns"] = bloom_columns
+        doc["bloom_bits"] = int(bloom_bits)
     fs.write_text(config_path, json.dumps(doc, indent=1, sort_keys=True))
     write_group(path, {"zcollection": True})
     coll = ZarrCollection(spark, path, bound, partitioning,
-                          stats_columns=stats_columns)
+                          stats_columns=stats_columns,
+                          bloom_columns=bloom_columns,
+                          bloom_bits=bloom_bits)
     coll._catalog.write([])
     return coll
 
@@ -187,17 +211,22 @@ def open_zarr_collection(spark: SparkSession, path: str) -> "ZarrCollection":
             stats_columns = [c for c in stats_columns if c not in bad]
     return ZarrCollection(spark, path, schema,
                           partitioning_from_json(doc["partitioning"]),
-                          stats_columns=stats_columns)
+                          stats_columns=stats_columns,
+                          bloom_columns=doc.get("bloom_columns"),
+                          bloom_bits=int(doc.get("bloom_bits", 1024)))
 
 
 class ZarrCollection:
     def __init__(self, spark: SparkSession, path: str,
                  schema: DatasetSchema, partitioning: Partitioning,
-                 stats_columns=None):
+                 stats_columns=None, bloom_columns=None,
+                 bloom_bits: int = 1024):
         self.spark = spark
         self.path = path.rstrip("/")
         self.schema = schema
         self.partitioning = partitioning
+        self.bloom_columns = list(bloom_columns) if bloom_columns else []
+        self.bloom_bits = int(bloom_bits)
         self.axis = schema.axis
         self.catalog_enabled = True
         self.stats_columns = list(stats_columns) if stats_columns else []
@@ -391,9 +420,22 @@ class ZarrCollection:
              .collect())
 
         stats_fn = None
-        if self.stats_columns:
-            stats_fn = lambda rels: collect_zone_stats(  # noqa: E731
-                derived, self.partitioning, self.stats_columns, rels)
+        if self.stats_columns or self.bloom_columns:
+            def stats_fn(rels):
+                zone = collect_zone_stats(derived, self.partitioning,
+                                          self.stats_columns, rels)
+                if not self.bloom_columns:
+                    return zone
+                from ..collection.stats import collect_bloom_stats
+                bloom = collect_bloom_stats(
+                    derived, self.partitioning, self.bloom_columns,
+                    rels, m_bits=self.bloom_bits)
+                if bloom is None:
+                    return zone
+                merged = {rel: dict(e) for rel, e in (zone or {}).items()}
+                for rel, entry in bloom.items():
+                    merged.setdefault(rel, {}).update(entry)
+                return merged or None
         return staging_proto.staged_publish(
             self._fs, self.path, write_fn=write_fn,
             depth=self.partitioning.depth, mode="swap",
@@ -583,12 +625,14 @@ class ZarrCollection:
         if not relpaths:
             return None  # quirk Q6 parity
         zone_pred = None
-        if where is not None and self.stats_columns:
+        if where is not None and (self.stats_columns
+                                  or self.bloom_columns):
             stats_map = self._catalog.read_stats()
             if stats_map:
                 from ..partitioning.zonemap import compile_zone_filter
                 may_match = compile_zone_filter(where)
-                allowed = set(self.stats_columns)
+                allowed = set(self.stats_columns) \
+                    | {f"{c}#bloom" for c in self.bloom_columns}
                 masked = {rel: {c: v for c, v in entry.items()
                                 if c in allowed}
                           for rel, entry in stats_map.items()}
