@@ -681,3 +681,91 @@ def test_embedding_dup_pairs_auto_planes(spark):
     want = sorted((r.id_a, r.id_b) for r in explicit.collect())
     assert got == want
     assert (0, 1) in got  # the planted pair survives bucketing
+
+
+def test_hash_split_deterministic_and_oracle_exact(spark):
+    """hash_split: stable across runs/orderings, fractions roughly
+    honored, and the uniform draw replays EXACTLY in DuckDB."""
+    import duckdb
+    from zcollection_spark.functions import hash_split
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, id_col="doc_id",
+                     splits={"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    # reshuffled input -> identical assignment
+    got2 = {r["doc_id"]: r["split"] for r in
+            hash_split(df.orderBy(F.rand(seed=1)), id_col="doc_id",
+                       splits={"train": 0.8, "val": 0.1, "test": 0.1})
+            .collect()}
+    assert got == got2
+    counts = {}
+    for v in got.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.05 < counts["val"] / 2000 < 0.15
+    # DuckDB replay of the same draw agrees row-for-row
+    want = dict(duckdb.sql("""
+        SELECT i, CASE WHEN u < 0.8 THEN 'train'
+                       WHEN u < 0.9 THEN 'val' ELSE 'test' END
+        FROM (SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))
+                        ::BIGINT / 16.0^15 AS u
+              FROM generate_series(0, 1999) t(i))""").fetchall())
+    assert got == want
+
+    with pytest.raises(ValueError):
+        hash_split(df, id_col="doc_id", splits={"a": 0.5, "b": 0.4})
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from zcollection_spark.functions import chunk_documents
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "one")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, id_col="doc_id", text_col="text",
+                          chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+            for r in out.collect()}
+    # stride 3, 10 tokens -> ceil((10-1)/3)=3 chunks
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in rows
+    assert rows[(2, 0)] == ("short doc", 2)
+    assert rows[(3, 0)] == ("one", 1)
+    # full coverage: every token appears in some chunk of its doc
+    joined = " ".join(rows[(1, i)][0] for i in range(3))
+    assert all(f"w{i}" in joined.split() for i in range(10))
+    with pytest.raises(ValueError):
+        chunk_documents(df, id_col="doc_id", text_col="text",
+                        chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_matches_duckdb_replay(spark):
+    """Chunk boundaries replay exactly in DuckDB on the real documents
+    table (the oracle-style cross-engine pin)."""
+    import duckdb
+    from zcollection_spark.data import load_table
+    from zcollection_spark.functions import chunk_documents
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = chunk_documents(docs, id_col="doc_id", text_col="text",
+                          chunk_tokens=64, overlap=8)
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+           for r in out.collect()}
+    want = {}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    for doc_id, cid, text, n in con.execute(r"""
+        WITH w AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM documents),
+        c AS (SELECT doc_id, t,
+                     greatest(CAST(ceil((len(t) - 8) / 56.0) AS INT), 1)
+                       AS nc FROM w)
+        SELECT doc_id, i - 1,
+               array_to_string(list_slice(t, (i-1)*56 + 1,
+                                          (i-1)*56 + 64), ' '),
+               least(len(t) - (i-1)*56, 64)
+        FROM c, UNNEST(generate_series(1, nc)) s(i)""").fetchall():
+        want[(doc_id, cid)] = (text, n)
+    assert got == want

@@ -19,10 +19,11 @@ from .ann_index import (query_ivf_index, query_ivfpq_index,
 from .similarity import (cosine_similarity_col, brute_force_topk,
                          embedding_dup_pairs, ivf_topk, ivfpq_topk,
                          lsh_bucket_topk, suggest_lsh_planes)
-from .text import (fingerprint, language_id, text_stats, token_count,
-                   word_shingles, words)
+from .text import (chunk_documents, fingerprint, language_id,
+                   text_stats, token_count, word_shingles, words)
 from .curation import (contamination, quality_filter,
                        repetition_stats, scrub_pii)
+from .sampling import cap_per_group, hash_split, stratified_sample
 
 __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
@@ -36,7 +37,8 @@ __all__ = [
     "write_ivf_index", "query_ivf_index",
     "write_ivfpq_index", "query_ivfpq_index",
     "fingerprint", "language_id", "text_stats", "token_count",
-    "word_shingles", "words",
+    "word_shingles", "words", "chunk_documents",
+    "cap_per_group", "hash_split", "stratified_sample",
     "attach_fake_payload", "extract_image_features",
     "extract_audio_features", "sample_frames",
     "encode_ppm", "decode_ppm", "encode_wav", "decode_wav",

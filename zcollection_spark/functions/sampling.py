@@ -43,3 +43,37 @@ def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: Mapping, seed: int = 42) -> DataFrame:
     """Seeded Bernoulli per-stratum sampling (``df.sampleBy``)."""
     return df.sampleBy(strata_col, dict(fractions), seed)
+
+
+def hash_split(df: DataFrame, *, id_col: str,
+               splits: Mapping[str, float] | None = None,
+               salt: str = "") -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column
+    derived from the md5 of the id — the same document lands in the
+    same split on every run, engine, cluster size, and insertion order
+    (what keeps eval sets uncontaminated across corpus rebuilds; change
+    ``salt`` to draw a fresh assignment).
+
+    ``splits`` maps name → fraction (must sum to ~1; default
+    98/1/1 train/val/test).  The uniform draw is the first 15 md5 hex
+    chars scaled by 16^-15 — exactly replayable in DuckDB
+    (``('0x' || substr(md5(...), 1, 15))::BIGINT / 16.0^15``), so split
+    assignment is oracle-checkable like the rest of the dedup family.
+    Pure JVM expression; no shuffle, no RNG state.
+    """
+    splits = dict(splits or {"train": 0.98, "val": 0.01, "test": 0.01})
+    if not splits or abs(sum(splits.values()) - 1.0) > 1e-6:
+        raise ValueError("split fractions must sum to 1")
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        expr = (F.when(u < F.lit(acc), F.lit(name)) if expr is None
+                else expr.when(u < F.lit(acc), F.lit(name)))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn("split", expr)

@@ -120,3 +120,48 @@ def fingerprint(col: Column | str) -> Column:
         toks, F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(31) + md5_long(t) % F.lit(FP_MOD))
         % F.lit(FP_MOD))
+
+
+def chunk_documents(df: DataFrame, *, id_col: str, text_col: str,
+                    chunk_tokens: int = 512,
+                    overlap: int = 0) -> DataFrame:
+    """Explode documents into fixed-token training windows:
+    ``(id, chunk_id, chunk_text, n_tokens)``, one row per window of
+    ``chunk_tokens`` whitespace tokens advancing by
+    ``chunk_tokens - overlap`` — the packing step every sequence-model
+    pipeline runs before batching.
+
+    Pure Catalyst (``split`` → ``sequence``/``posexplode`` →
+    ``slice``/``array_join``): scan-speed at any scale, no UDF, and
+    exactly replayable in DuckDB (``generate_series`` +
+    ``list_slice``), so chunk boundaries are oracle-checkable.  The
+    final window may be shorter; a document shorter than one window
+    yields a single chunk; chunking is deterministic in the document
+    alone (no partitioning dependence).
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = words(text_col)
+    n = F.size(toks)
+    # windows fully covering n tokens: ceil(max(n - overlap, 1)/stride)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride))
+        .cast("int"), F.lit(1))
+    starts = F.sequence(F.lit(0), n_chunks - F.lit(1))
+    out = (df.select(F.col(id_col), toks.alias("__toks"),
+                     F.posexplode(starts).alias("__i", "__start"))
+           .select(
+               id_col,
+               F.col("__i").cast("long").alias("chunk_id"),
+               F.array_join(
+                   F.slice(F.col("__toks"),
+                           F.col("__start") * F.lit(stride) + F.lit(1),
+                           F.lit(chunk_tokens)), " ").alias("chunk_text"),
+               F.least(
+                   F.size(F.col("__toks"))
+                   - F.col("__start") * F.lit(stride),
+                   F.lit(chunk_tokens)).cast("long").alias("n_tokens")))
+    return out
