@@ -1,0 +1,86 @@
+"""A training-corpus build end-to-end: bloom point-lookup skipping,
+deterministic splits, fixed-token chunking, and the commit ledger.
+
+The document-side shape of a 100 TB pretraining pipeline:
+
+1. documents land in a collection with BLOOM FILTERS on ``doc_id`` —
+   later point lookups ("show me doc K", dedup victim audits) skip
+   every partition whose filter proves the id absent, where min/max
+   zone maps cannot help on an unsorted high-cardinality column;
+2. ``hash_split`` stamps a deterministic train/val/test assignment —
+   the same document lands in the same split on every rebuild, so eval
+   sets stay uncontaminated across corpus versions;
+3. ``chunk_documents`` explodes text into fixed-token windows with
+   overlap — the packing step before sequence batching, pure Catalyst;
+4. ``history()`` shows what every commit did, DESCRIBE-HISTORY style.
+
+Run: ``python examples/ex_training_corpus.py``
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+import zcollection_spark as zc
+from zcollection_spark.data import load_table
+from zcollection_spark.functions import chunk_documents, hash_split
+from zcollection_spark.schema import infer_schema
+
+
+def main() -> None:
+    spark = zc.get_spark("ex-training-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="zcs_ex_") + "/docs"
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text", "lang", "source")
+
+    # 1. a GroupedSequence collection with a bloom on doc_id
+    coll = zc.create_collection(
+        spark, root,
+        schema=infer_schema(docs.schema, axis="doc_id"),
+        axis="doc_id",
+        partitioning=zc.GroupedSequence(("doc_id",), size=64),
+        bloom_columns=["doc_id"])
+    coll.insert(docs)
+
+    probe = docs.select(F.max("doc_id")).first()[0]
+    hit = coll.query(where=f"doc_id == {probe}")
+    pruned = coll._zone_prune(coll.partitions(), f"doc_id == {probe}")
+    print(f"point lookup doc_id == {probe}: {hit.count()} row, "
+          f"{len(pruned)}/{len(coll.partitions())} partitions scanned")
+    assert hit.count() == 1 and len(pruned) < len(coll.partitions())
+    assert coll.query(where="doc_id == 99999999") is None  # 0 scanned
+
+    # 2. deterministic split assignment
+    split = hash_split(coll.query(), id_col="doc_id",
+                       splits={"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n"))
+              .collect()}
+    print("splits:", counts)
+    assert set(counts) == {"train", "val", "test"}
+
+    # 3. fixed-token chunking of the train split
+    chunks = chunk_documents(split.where(F.col("split") == "train"),
+                             id_col="doc_id", text_col="text",
+                             chunk_tokens=128, overlap=16)
+    stats = chunks.agg(F.count("*").alias("n_chunks"),
+                       F.sum("n_tokens").alias("tokens")).first()
+    print(f"train chunks: {stats['n_chunks']} windows, "
+          f"{stats['tokens']} tokens")
+    assert stats["n_chunks"] >= counts["train"]
+
+    # 4. the commit ledger
+    for row in coll.history(limit=3):
+        print(f"gen {row['generation']}: +{len(row['added'])} "
+              f"partitions, {row['n_partitions']} total")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
