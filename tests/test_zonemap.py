@@ -597,3 +597,40 @@ def test_zarr3_bloom_point_lookup_prunes(spark, tmp_path):
     re = open_zarr_collection(spark, str(tmp_path / "zb"))
     assert re.bloom_columns == ["uid"]
     assert re.query(where="uid == 10").count() == 1
+
+
+def test_bloom_and_zone_stats_coexist_and_widen(spark, tmp_path):
+    """A collection with BOTH stats_columns and bloom_columns: the two
+    entry shapes share the catalog stats map, and an append widens the
+    interval while OR-ing the bloom."""
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("uid", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = zc.create_collection(
+        spark, str(tmp_path / "bz"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)),
+        stats_columns=["value"], bloom_columns=["uid"])
+
+    def df(i0, uids, values):
+        pdf = pd.DataFrame({
+            "i": np.arange(i0, i0 + len(uids), dtype=np.int64),
+            "uid": np.asarray(uids, dtype=np.int64),
+            "value": np.asarray(values, dtype=np.float64),
+            "num": np.int64(1)})
+        return spark.createDataFrame(pdf,
+                                     schema=coll.schema.to_struct_type())
+
+    coll.insert(df(0, [10], [5.0]))
+    coll.insert(df(10, [20], [50.0]), merge="concat")
+    entry = coll._catalog.read_stats()["num=1"]
+    assert entry["value"] == [5.0, 50.0, 0]        # widened interval
+    for uid in (10, 20):                            # OR-ed bloom
+        assert [r.uid for r in
+                coll.query(where=f"uid == {uid}").collect()] == [uid]
+    assert coll.query(where="uid == 30") is None
+    # combined predicate: zone prunes on value, bloom on uid
+    assert coll.query(where="uid == 10 and value > 100.0") is None
