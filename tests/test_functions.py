@@ -769,3 +769,16 @@ def test_chunk_documents_matches_duckdb_replay(spark):
         FROM c, UNNEST(generate_series(1, nc)) s(i)""").fetchall():
         want[(doc_id, cid)] = (text, n)
     assert got == want
+
+
+def test_chunk_documents_null_and_empty_text(spark):
+    from zcollection_spark.functions import chunk_documents
+    df = spark.createDataFrame([(1, None), (2, "")],
+                               "doc_id long, text string")
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(df, id_col="doc_id",
+                                     text_col="text",
+                                     chunk_tokens=4).collect()}
+    # a null doc behaves like an empty doc: one empty chunk, never a
+    # negative token count
+    assert rows == {(1, 0): ("", 1), (2, 0): ("", 1)}

@@ -144,7 +144,10 @@ def chunk_documents(df: DataFrame, *, id_col: str, text_col: str,
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must be in [0, chunk_tokens)")
     stride = chunk_tokens - overlap
-    toks = words(text_col)
+    # NULL text: size(split(NULL)) is -1 in Spark, which would emit a
+    # negative-n_tokens row; coalesce to '' so a null doc yields the
+    # same single empty chunk as an empty doc (DuckDB replay agrees)
+    toks = words(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     # windows fully covering n tokens: ceil(max(n - overlap, 1)/stride)
     n_chunks = F.greatest(
