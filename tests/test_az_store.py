@@ -469,3 +469,20 @@ def test_az_publish_per_file_op_budget(spark, seq_schema, az_root):
     assert counts["copy"] == 4, counts
     assert counts.get("head", 0) <= 10 * 3, counts
     assert counts.get("list", 0) <= 10 * 3, counts
+
+
+def test_az_sas_permission_letters_normalized(az_endpoint, az_root):
+    """Out-of-order permission letters are canonicalized before signing
+    (real Azure rejects non-canonical order); unknown letters raise."""
+    container = az_root.split("://", 1)[1].split("/", 1)[0]
+    tok = AzureBlobFS.generate_container_sas(
+        ACCOUNT, KEY_B64, container, permissions="wlcar",  # scrambled
+        expiry="2099-01-01T00:00:00Z")
+    assert "sp=racwl" in tok
+    fs = AzureBlobFS(sas_token=tok)
+    fs.write_text(f"{az_root}/norm.txt", "v")
+    assert fs.read_text(f"{az_root}/norm.txt") == "v"
+    with pytest.raises(ValueError, match="unknown SAS permission"):
+        AzureBlobFS.generate_container_sas(
+            ACCOUNT, KEY_B64, container, permissions="rz",
+            expiry="2099-01-01T00:00:00Z")

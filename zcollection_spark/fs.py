@@ -1459,6 +1459,14 @@ class AzureBlobFS:
         import base64
         import hmac
         from urllib.parse import urlencode
+        # Azure requires the permission letters in THE canonical order
+        # (racwdxyltmeop...) inside the signed string — normalize here
+        # so generate(permissions="wr") signs (and works) as "rw" would
+        canon = "racwdxyltmeop"
+        if not set(permissions) <= set(canon):
+            raise ValueError(f"unknown SAS permission letters in "
+                             f"{permissions!r} (allowed: {canon})")
+        permissions = "".join(ch for ch in canon if ch in permissions)
         key = base64.b64decode(key_b64)
         resource = f"/blob/{account}/{container}"
         to_sign = "\n".join([
