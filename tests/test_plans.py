@@ -300,3 +300,14 @@ def test_quality_filter_shuffle_free(spark):
     plan = executed_plan(eq.q_quality_filter(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert count_exchanges(plan) == []
+
+
+def test_graded_bloom_skip_reads_two_partitions(spark):
+    """The graded collection_bloom_skip entry must actually SKIP: the
+    min/max event_id probes live in (at most) two daily partitions, so
+    the scan lists at most two partition directories — the bloom layer
+    pruned the other ~28 before any file was touched."""
+    df = eq.q_collection_bloom_skip(spark, SF_DIR)
+    dirs = {f.rsplit("/", 1)[0] for f in df.inputFiles()}
+    assert 1 <= len(dirs) <= 2, sorted(dirs)
+    assert df.count() == 2

@@ -151,6 +151,39 @@ SELECT {EVENTS3} FROM events WHERE value > 150.0
 """
 
 
+def q_collection_bloom_skip(spark, sf_dir):
+    """Per-partition bloom-filter data skipping (``bloom_columns``,
+    collection/stats.py:133, partitioning/zonemap.py): a point lookup
+    on a high-cardinality NON-key column prunes every partition whose
+    bloom proves the probe absent.  Zone maps cannot do this — daily
+    event_id RANGES overlap while the id SETS are disjoint — so this is
+    the skipping layer for needle-in-haystack equality at 100 TB (the
+    Delta/Iceberg bloom-index analog).  Probes are the min/max event_id
+    read from the table itself, so the entry is deterministic at every
+    sf; the exact predicate is also applied row-level, keeping the
+    result oracle-exact regardless of which partitions were skipped."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/events3_bl_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"),
+            bloom_columns=["event_id"])
+        coll.insert(df)
+        lo, hi = df.agg(F.min("event_id"), F.max("event_id")).first()
+        return coll, int(lo), int(hi)
+    coll, lo, hi = _cached(("events3_bl", sf_dir), build)
+    return coll.query(where=f"event_id in ({lo}, {hi})",
+                      variables=["event_id", "ts", "value"])
+
+
+ORACLE_BLOOM_SKIP = f"""
+SELECT {EVENTS3} FROM events
+WHERE event_id = (SELECT min(event_id) FROM events)
+   OR event_id = (SELECT max(event_id) FROM events)
+"""
+
+
 def q_collection_changes(spark, sf_dir):
     """Incremental partition diff (``Collection.changes``): a consumer
     that processed generation g receives exactly the partitions
@@ -2164,6 +2197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_sample": q_capped_sample,
         "browse_no_buy": q_browse_no_buy,
         "value_percentiles": q_value_percentiles,
+        # NEW r8 (out-of-window, promote in r9 per the header note):
+        # per-partition bloom-filter point-lookup skipping — graded
+        # here so the r9 promotion is pure registry motion
+        "collection_bloom_skip": q_collection_bloom_skip,
     }
 
 
@@ -2243,6 +2280,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "value_percentiles": ORACLE_PERCENTILES,
+        "collection_bloom_skip": ORACLE_BLOOM_SKIP,
         "revenue_rollup": ORACLE_REVENUE_ROLLUP,
         "big_orders": ORACLE_BIG_ORDERS,
         "event_gaps": ORACLE_EVENT_GAPS,
