@@ -98,3 +98,28 @@ def test_deterministic(scaled, tmp_path):
         a = (Path(scaled) / f"{t}.parquet").read_bytes()
         b = (out2 / f"{t}.parquet").read_bytes()
         assert a == b, t
+
+
+def test_word_multiset_drifts_per_copy(scaled):
+    """simhash is order-blind: replicas that keep the source word
+    MULTISET are genuine near-dups to it, so cross-copy pair counts
+    would grow O(k^2) by construction (the r7 verdict's dirty sf3
+    point).  The token substitution must make every eligible replica's
+    multiset differ from its source — while test_dup_structure above
+    already pins that within-copy dup groups still survive exactly."""
+    from collections import Counter
+    src = duckdb.sql(
+        f"SELECT text FROM '{SRC}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    out = duckdb.sql(
+        f"SELECT text FROM '{scaled}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    n = len(src)
+    eligible = drifted = 0
+    for i in range(n):
+        words = src[i][0].split()
+        if len(words) < 2:
+            continue
+        eligible += 1
+        drifted += Counter(out[n + i][0].split()) != Counter(words)
+    assert eligible > 0 and drifted == eligible

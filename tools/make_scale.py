@@ -77,15 +77,34 @@ def _offsets(src: Path) -> dict[str, int]:
 
 
 def _shuffle_words(text: str, copy: int) -> str:
-    """Deterministic word shuffle keyed by (copy, text): identical
-    source texts map to identical outputs (dup groups survive), while
-    word-shingle overlap with the source copy is destroyed."""
+    """Deterministic word shuffle + light token substitution, keyed by
+    (copy, text): identical source texts map to identical outputs (dup
+    groups survive EXACTLY within a copy), while cross-copy similarity
+    is destroyed on BOTH axes a fingerprint can see —
+
+    - word ORDER (the shuffle): kills shingle/n-gram overlap, so
+      minhash/jaccard candidate counts grow linearly, not O(k^2);
+    - word MULTISET (the substitution, ~1/8 of words replaced with
+      (copy, text)-keyed tokens): kills order-blind similarity, so
+      simhash no longer sees every cross-copy replica pair as a
+      genuine near-dup — without this the sf3 simhash point measured
+      a data-construction artifact (x8.9 pair growth), not the
+      operator (r7 verdict residual #3).
+
+    The substitution tokens embed the seed (copy + text digest), so two
+    DIFFERENT source docs never gain shared tokens — no spurious
+    within-copy similarity is introduced."""
     words = text.split()
     if len(words) < 2:
         return text
     seed = (copy * 2654435761 + zlib.crc32(text.encode())) % (2 ** 32)
-    perm = np.random.RandomState(seed).permutation(len(words))
-    return " ".join(words[i] for i in perm)
+    rng = np.random.RandomState(seed)
+    words = [words[i] for i in rng.permutation(len(words))]
+    n_sub = min(len(words), max(2, len(words) // 8))
+    for j, pos in enumerate(rng.choice(len(words), size=n_sub,
+                                       replace=False)):
+        words[pos] = f"zz{seed:08x}{j}"
+    return " ".join(words)
 
 
 def scale_table(src: Path, out: Path, table: str, factor: int,
