@@ -355,6 +355,68 @@ def test_simhash_salted_join_matches_unsalted_on_hot_key(spark):
     assert len(salted) == 12 * 11 // 2 + 1
 
 
+def test_simhash_unpacked_matches_packed(spark, docs):
+    """packed=False (per-bit sums, exact to 2^62 tokens) is the same
+    function: identical signatures on every doc."""
+    packed = {r["doc_id"]: r["simhash"] for r in
+              simhash(docs, id_col="doc_id", text_col="text",
+                      n_bits=32).collect()}
+    unpacked = {r["doc_id"]: r["simhash"] for r in
+                simhash(docs, id_col="doc_id", text_col="text",
+                        n_bits=32, packed=False).collect()}
+    assert packed == unpacked
+
+
+def test_simhash_packed_overflow_fails_loud(spark, monkeypatch):
+    """A document with >= 2^SLOT distinct tokens would silently corrupt
+    the packed vote counters; the guard must raise instead — and the
+    unpacked path must still produce the right signature.  SLOT is
+    shrunk to 8 so the pathological doc stays test-sized."""
+    import zcollection_spark.functions.dedup as dd
+    monkeypatch.setattr(dd, "_SIMHASH_SLOT", 8)
+    big = " ".join(f"tok{i}" for i in range(300))   # 300 >= 2^8
+    small = "just a few distinct tokens"
+    df = spark.createDataFrame([(1, big), (2, small)],
+                               "doc_id long, text string")
+    with pytest.raises(Exception, match="SIMHASH_PACKED_OVERFLOW"):
+        dd.simhash(df, id_col="doc_id", text_col="text",
+                   n_bits=24).collect()
+    # fallback path: exact, no limit — and bit-identical to packed on
+    # the doc that fits (packed checked at the default 20-bit slot)
+    unpacked = {r["doc_id"]: r["simhash"] for r in
+                dd.simhash(df, id_col="doc_id", text_col="text",
+                           n_bits=24, packed=False).collect()}
+    monkeypatch.setattr(dd, "_SIMHASH_SLOT", 20)
+    packed = {r["doc_id"]: r["simhash"] for r in
+              dd.simhash(df, id_col="doc_id", text_col="text",
+                         n_bits=24).collect()}
+    assert unpacked == packed
+
+
+def test_dedup_pairs_release_their_cached_banding(spark, docs):
+    """lsh_candidate_pairs / simhash_duplicate_pairs persist their band
+    frame for the self-join; unpersist_intermediates(pairs) must leave
+    NO lingering cached RDDs in the session."""
+    from zcollection_spark.functions.dedup import (minhash_signatures,
+                                                   lsh_candidate_pairs,
+                                                   unpersist_intermediates)
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    sh = simhash_duplicate_pairs(docs, id_col="doc_id", text_col="text",
+                                 n_bits=24, max_hamming=1)
+    sh.count()
+    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text",
+                              shingle_size=3)
+    mh = lsh_candidate_pairs(sigs, id_col="doc_id")
+    mh.count()
+    assert jsc.getPersistentRDDs().size() > base  # caches were live
+    unpersist_intermediates(sh)
+    unpersist_intermediates(mh)
+    assert jsc.getPersistentRDDs().size() == base
+    # contract is a safe no-op on frames without intermediates
+    unpersist_intermediates(docs)
+
+
 def test_jaccard_max_df_bounds_hot_shingle_candidates(spark):
     """Property: one shingle present in 50% of docs must not blow up the
     candidate join when max_df is on.  At threshold=0.0 the output IS

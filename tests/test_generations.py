@@ -191,6 +191,12 @@ def test_history_ledger_describes_each_commit(spark, tmp_path):
     # limit caps the ledger from the newest end
     assert [h["generation"] for h in coll.history(limit=2)] \
         == gens[:2]
+    # limit=0 would slice [-0:] == everything — rejected loudly
+    import pytest
+    with pytest.raises(ValueError, match="limit"):
+        coll.history(limit=0)
+    with pytest.raises(ValueError, match="limit"):
+        coll.history(limit=-1)
 
 
 def test_history_cli_and_zarr_parity(spark, tmp_path, capsys):

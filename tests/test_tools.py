@@ -166,3 +166,18 @@ def test_guard_accepts_driver_wrapper_shape(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["bench_guard", str(raw),
                                       "--anchor", str(anchor)])
     assert bench_guard.main() == 0
+
+
+def test_scale_gate_headline_parse_guards_empty_stdout():
+    """A 0-exit bench with empty / non-JSON / headline-less stdout must
+    yield None (gate fails loudly), never IndexError or a poisoned
+    BENCH_sf1.json."""
+    import scale_gate
+
+    assert scale_gate._parse_headline("") is None
+    assert scale_gate._parse_headline("\n  \n") is None
+    assert scale_gate._parse_headline("log noise\nnot json") is None
+    assert scale_gate._parse_headline('["a", "list"]') is None
+    assert scale_gate._parse_headline('{"no_value_key": 1}') is None
+    good = '{"metric": "t", "value": 1.5, "queries": {}, "sf": "1"}'
+    assert scale_gate._parse_headline("warn line\n" + good) == good

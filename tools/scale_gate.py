@@ -39,6 +39,22 @@ def run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
     return subprocess.run([str(c) for c in cmd], **kw)
 
 
+def _parse_headline(stdout: str) -> str | None:
+    """Last stdout line iff it parses as a bench headline dict — a
+    0-exit bench with empty or non-JSON output must fail the gate, not
+    IndexError or poison BENCH_sf1.json."""
+    lines = stdout.strip().splitlines()
+    if not lines:
+        return None
+    candidate = lines[-1]
+    try:
+        parsed = json.loads(candidate)
+    except ValueError:
+        return None
+    return candidate if isinstance(parsed, dict) and "value" in parsed \
+        else None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -80,7 +96,12 @@ def main() -> int:
         sys.stderr.write(proc.stderr[-2000:])
         print("FAIL: bench at sf1", file=sys.stderr)
         return proc.returncode
-    headline = proc.stdout.strip().splitlines()[-1]
+    headline = _parse_headline(proc.stdout)
+    if headline is None:
+        sys.stderr.write(proc.stdout[-2000:])
+        print("FAIL: bench at sf1 printed no JSON headline",
+              file=sys.stderr)
+        return 1
     fresh = REPO / ".scale" / "BENCH_sf1_fresh.json"
     fresh.write_text(headline + "\n")
     print(headline[:200] + (" ..." if len(headline) > 200 else ""))

@@ -779,6 +779,8 @@ class Collection:
         metadata only: ``limit`` small documents, no Spark job."""
         if not self.catalog_enabled:
             raise StoreError("history() requires the catalog")
+        if limit <= 0:  # [-0:] would return the WHOLE ledger
+            raise ValueError("history(limit=...) must be >= 1")
         gens = set(self._catalog.history())
         current = self._catalog.generation()
         if current:  # newest snapshot PUT is best-effort; read_at

@@ -32,6 +32,34 @@ from .text import word_shingles, words
 MINHASH_PRIME = (1 << 31) - 1
 
 
+def unpersist_intermediates(df: DataFrame) -> DataFrame:
+    """Release the persisted band frame backing a pairs DataFrame.
+
+    ``lsh_candidate_pairs`` and ``simhash_duplicate_pairs`` persist
+    their banding so the expensive signature aggregation feeds both
+    self-join sides once (Spark does not reuse the exchange across the
+    aliased sides).  The cache must outlive the returned LAZY plan, so
+    the functions cannot unpersist it themselves; instead they attach
+    the handle and the CALLER releases it after consuming the result:
+
+    >>> pairs = simhash_duplicate_pairs(docs, ...)
+    >>> pairs.count()                 # or write/collect/...
+    >>> unpersist_intermediates(pairs)
+
+    No-op (and safe) on DataFrames without attached intermediates.
+    Long-lived sessions that skip this accumulate cached band frames;
+    one-shot jobs may let executor teardown reclaim them.
+    """
+    for cached in getattr(df, "_zc_cached", ()):
+        cached.unpersist()
+    return df
+
+
+def _attach_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    result._zc_cached = cached
+    return result
+
+
 def md5_long(col: Column | str) -> Column:
     """First 15 hex chars of md5 as a non-negative int64 (60 bits).
 
@@ -119,15 +147,17 @@ def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str,
     ).select(id_col, F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
     # both sides of the self-join read the banding — materialize once so
-    # the signature aggregation (explode + k min-aggs) runs a single time
+    # the signature aggregation (explode + k min-aggs) runs a single
+    # time; released by the caller via unpersist_intermediates()
     banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
-    return (left.join(right, on=["band", "bucket"])
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .distinct())
+    return _attach_cached(
+        left.join(right, on=["band", "bucket"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct(), banded)
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +172,7 @@ _SIMHASH_SLOT = 20
 
 
 def simhash(df: DataFrame, *, id_col: str, text_col: str,
-            n_bits: int = 32) -> DataFrame:
+            n_bits: int = 32, packed: bool = True) -> DataFrame:
     """(id, simhash) — bit j set iff the sum over distinct tokens of
     ±1 votes (sign from token-hash bit j) is positive.
 
@@ -150,13 +180,20 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
     would silently mangle low bits of a 60-bit hash.  The hash domain is
     folded to ``n_bits`` bits so every vote bit genuinely varies.
 
-    The per-bit vote sums are PACKED three-to-a-long (20-bit slots):
-    vote_j > 0 ⟺ 2·count_j > n_tokens, so one ``count(*)`` plus
-    ``ceil(n_bits/3)`` packed sums replace ``n_bits`` independent sum
-    aggregates — same exact result (pure integer arithmetic, no
-    overflow below 2^20 distinct tokens per doc), one third the
-    aggregation buffers.  The DuckDB oracle keeps the unpacked per-bit
-    formulation; both are exact so the results hash-match.
+    With ``packed=True`` (default) the per-bit vote sums are PACKED
+    three-to-a-long (20-bit slots): vote_j > 0 ⟺ 2·count_j > n_tokens,
+    so one ``count(*)`` plus ``ceil(n_bits/3)`` packed sums replace
+    ``n_bits`` independent sum aggregates — same exact result (pure
+    integer arithmetic), one third the aggregation buffers.  A packed
+    counter would silently overflow into its neighbor past 2^20
+    DISTINCT tokens in one document, so the packed path GUARDS the
+    limit: any such pathological document raises
+    ``SIMHASH_PACKED_OVERFLOW`` at execution time (fail loud, never
+    emit a corrupt signature); rerun with ``packed=False`` — the
+    unpacked per-bit aggregation, exact to 2^62 tokens — for corpora
+    that legitimately contain multi-million-distinct-token documents.
+    The DuckDB oracle keeps the unpacked per-bit formulation; both are
+    exact so the results hash-match.
     """
     if not 1 <= n_bits <= 62:
         raise ValueError("n_bits must be in [1, 62]")
@@ -166,6 +203,19 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
     hashed = toks.select(
         id_col,
         (md5_long(F.col("__tok")) % F.lit(1 << n_bits)).alias("__h"))
+    if not packed:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for j in range(n_bits):
+            aggs.append(F.sum(
+                F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))
+            ).alias(f"c{j}"))
+        agg = hashed.groupBy(id_col).agg(*aggs)
+        sig = None
+        for j in range(n_bits):
+            term = F.when(F.col(f"c{j}") * 2 > F.col("__n"),
+                          F.lit(1 << j)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        return agg.select(id_col, sig.cast("long").alias("simhash"))
     # bit-spread packing: v = 3 adjacent hash bits (b2 b1 b0).  v*MAGIC
     # lays disjoint copies of v at offsets 0 / SLOT-1 / 2(SLOT-1) (no
     # carries — the ranges don't overlap), so the MASK picks b0@0,
@@ -191,7 +241,18 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
         term = F.when(count_j * 2 > F.col("__n"),
                       F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return agg.select(id_col, sig.cast("long").alias("simhash"))
+    # overflow guard (fail loud, never corrupt): a 20-bit packed slot
+    # caps at 2^20-1 votes, and every per-bit count is <= __n, so
+    # __n < 2^SLOT proves no slot overflowed.  raise_error fires at
+    # execution time only for offending documents.
+    guarded = F.when(
+        F.col("__n") < F.lit(1 << _SIMHASH_SLOT), sig.cast("long")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("SIMHASH_PACKED_OVERFLOW: document "),
+        F.col(id_col).cast("string"),
+        F.lit(f" has >= 2^{_SIMHASH_SLOT} distinct tokens; "
+              "rerun with simhash(..., packed=False)"))))
+    return agg.select(id_col, guarded.cast("long").alias("simhash"))
 
 
 def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
@@ -240,7 +301,8 @@ def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
         band_structs.append(F.struct(F.lit(b).alias("band"),
                                      bval.cast("long").alias("bval")))
     # one materialization feeds BOTH join sides (signature aggregation
-    # runs once); the full signature rides along for the hamming filter
+    # runs once); the full signature rides along for the hamming
+    # filter; released by the caller via unpersist_intermediates()
     banded = sig.select(
         id_col, "simhash",
         F.explode(F.array(*band_structs)).alias("bb")
@@ -282,12 +344,13 @@ def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
         first_match = F.when(F.col("band") == b, prior_differ) \
             .otherwise(first_match)
 
-    return (left.join(right, on=join_on)
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .where(hamming <= max_hamming)
-            .where(first_match)
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b")))
+    return _attach_cached(
+        left.join(right, on=join_on)
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .where(hamming <= max_hamming)
+        .where(first_match)
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b")), banded)
 
 
 # ---------------------------------------------------------------------------
