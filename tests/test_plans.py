@@ -283,6 +283,26 @@ def test_doc_repetition_shuffle_free(spark):
     assert count_exchanges(plan) == []
 
 
+def test_chunk_documents_shuffle_free_no_python(spark):
+    """Sequence packing is split → posexplode → slice per row: a
+    Generate node, no Exchange, no Python eval — scan speed at any
+    corpus size (graded r9)."""
+    plan = executed_plan(eq.q_chunk_documents(spark, SF_DIR))
+    assert "Generate" in plan          # the posexplode
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert count_exchanges(plan) == []
+
+
+def test_hash_split_shuffle_free_no_python(spark):
+    """Deterministic split assignment is one md5 projection: no
+    Exchange, no Python, no RNG state (graded r9)."""
+    plan = executed_plan(eq.q_hash_split(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert count_exchanges(plan) == []
+
+
 def test_knn_ivfpq_broadcast_probes_no_cartesian(spark):
     """IVF-PQ serving shape: the probe side (5 queries x n_probe cells)
     broadcasts into a cell equi-join over code rows; candidates never

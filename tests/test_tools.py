@@ -58,33 +58,36 @@ def test_registry_window_invariant():
     from zcollection_spark import entry_queries
 
     names = list(entry_queries.queries())
-    # round-8 rotation (completes the r6 cadence promise): text_stats/
-    # language_id/fingerprint and revenue_rollup/event_gaps/
-    # source_quality rotate back IN; priority/big/regional (second
-    # sit-out cycle) plus revenue_delta/capped_sample/browse_no_buy
-    # (surfaces covered in-window, all driver-green r7) sit out
-    # until r9
-    tail_allowed = {"priority_class_counts", "big_orders",
-                    "regional_revenue", "revenue_delta",
-                    "capped_sample", "browse_no_buy",
-                    "value_percentiles",
+    # round-9 rotation (executes the r8 ledger): the seven r8 sit-outs
+    # return, collection_bloom_skip promotes in-window, and the two
+    # r8-built ops gain graded entries (chunk_documents, hash_split).
+    # Sitting out until r10 (all driver-green r8; covered-surface
+    # arguments in the queries() header): the six text/plain-agg rows,
+    # the _hi knn parameter variants (defaults now graded at the
+    # retuned high-recall point), dedup_keep_latest (capped_sample's
+    # surface) and multimodal_features (subset of multimodal_decoded)
+    tail_allowed = {"text_stats", "language_id", "fingerprint",
+                    "revenue_rollup", "event_gaps", "source_quality",
+                    "knn_lsh_hi", "knn_ivf_hi",
+                    "dedup_keep_latest", "multimodal_features",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",
-                    "langid_confusion", "top_ngrams",
-                    # graded r8 out-of-window; promotes in r9
-                    "collection_bloom_skip"}
+                    "langid_confusion", "top_ngrams"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf",
-                             "knn_lsh_hi", "knn_ivf_hi", "knn_ivfpq",
+                             "knn_lsh", "knn_ivfpq",
                              "collection_changes", "pii_scrub",
                              "decontaminate", "doc_repetition",
                              "quality_filter",
-                             "text_stats", "language_id", "fingerprint",
-                             "revenue_rollup", "event_gaps",
-                             "source_quality",
+                             "chunk_documents", "hash_split",
+                             "collection_bloom_skip",
+                             "priority_class_counts", "big_orders",
+                             "regional_revenue", "revenue_delta",
+                             "capped_sample", "browse_no_buy",
+                             "value_percentiles",
                              "streaming_sink",
                              "collection_zonemap_skip"):
         assert names.index(must_be_recorded) < 50
