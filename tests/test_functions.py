@@ -721,6 +721,30 @@ def test_suggest_lsh_planes_scaling():
         assert 0 <= suggest_lsh_planes(2 * n) - suggest_lsh_planes(n) <= 1
 
 
+def test_suggest_ann_configs():
+    """r9 retune: the graded knn defaults auto-derive from the corpus
+    row count.  Pin the measured operating points (ANN_SWEEP.json:
+    lsh (4,17) recall 0.94, ivf (16,8) recall 0.90 at sf0.1) and the
+    structural properties that make the rule scale."""
+    from zcollection_spark.functions.similarity import (suggest_ivf_config,
+                                                        suggest_lsh_config)
+    assert suggest_lsh_config(500) == (4, 17)    # sf0.01 graded point
+    assert suggest_lsh_config(2_000) == (4, 17)  # sf0.1 graded point
+    assert suggest_ivf_config(500) == (8, 4)     # sf0.01 graded point
+    assert suggest_ivf_config(2_000) == (16, 8)  # sf0.1 graded point
+    for n in (10**3, 10**5, 10**7, 10**9):
+        planes, tables = suggest_lsh_config(n)
+        # feasibility cap: the chosen plane count must still be able
+        # to reach the recall target within the table budget
+        assert 1 - (1 - 0.60 ** planes) ** tables >= 0.9 - 1e-9
+        assert tables <= 64
+        cells, probe = suggest_ivf_config(n)
+        assert 8 <= cells <= 256 and probe * 2 >= cells  # frac >= 1/2
+    import pytest
+    with pytest.raises(ValueError, match="target_recall"):
+        suggest_lsh_config(1000, target_recall=1.0)
+
+
 def test_embedding_dup_pairs_auto_planes(spark):
     """n_planes='auto' must stay deterministic and agree with the
     explicit value the helper yields for that corpus size."""

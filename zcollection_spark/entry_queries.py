@@ -1140,17 +1140,44 @@ def _emb_dim(sf_dir: str) -> int | None:
     return _EMB_DIM_CACHE[path]
 
 
+def _emb_count(sf_dir: str) -> int | None:
+    """Corpus row count from the parquet footer (no Spark job); None
+    when unreadable — callers then fall back to the fixed sf0.01-era
+    configs on BOTH the Spark and oracle sides, keeping them paired."""
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    try:
+        import pyarrow.parquet as pq
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _knn_lsh_config(sf_dir: str) -> tuple[int, int]:
+    """Footer-auto-tuned (n_planes, n_tables) for the graded knn_lsh
+    entry (r8 sweep follow-up: the old fixed 4×8 sat at recall 0.76
+    while 4×16 dominated it on BOTH axes).  suggest_lsh_config targets
+    recall 0.9 from the row count alone — (4, 17) at sf0.01/sf0.1,
+    measured 0.94 — and the SAME pair parameterizes the DuckDB
+    replay."""
+    from .functions.similarity import suggest_lsh_config
+    n = _emb_count(sf_dir)
+    return (4, 8) if n is None else suggest_lsh_config(n)
+
+
 def q_knn_lsh(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH buckets — the scale
     path of similarity search.  Approximate but seed-DETERMINISTIC: the
     hyperplanes are a pure function of (dim, n_planes, seed), so
-    :func:`_lsh_oracle` replays the exact bucketing in DuckDB."""
+    :func:`_lsh_oracle` replays the exact bucketing in DuckDB.  The
+    (planes, tables) operating point is footer-auto-tuned to recall
+    ~0.9 (:func:`_knn_lsh_config`)."""
     from .functions import lsh_bucket_topk
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
+    planes, tables = _knn_lsh_config(sf_dir)
     topk = lsh_bucket_topk(emb, queries_df, id_col="vec_id",
                            vec_col="embedding", query_id_col="vec_id",
-                           k=10, n_planes=4, n_tables=8,
+                           k=10, n_planes=planes, n_tables=tables,
                            dim=_emb_dim(sf_dir))
     return topk.select("query_id", "vec_id",
                        F.round("cosine", 6).alias("cosine"),
@@ -1186,18 +1213,32 @@ def _ivf_centroids_cached(sf_dir: str,
     return _IVF_CENTROID_CACHE[key]
 
 
+def _knn_ivf_config(sf_dir: str) -> tuple[int, int]:
+    """Footer-auto-tuned (n_cells, n_probe) for the graded knn_ivf
+    entry: cells sized to ~125 vectors, probe fraction 1/2 (the
+    measured recall-0.90 point at sf0.1) — (8, 4) at sf0.01, (16, 8)
+    at sf0.1.  The same pair parameterizes the DuckDB oracle."""
+    from .functions.similarity import suggest_ivf_config
+    n = _emb_count(sf_dir)
+    return (8, 4) if n is None else suggest_ivf_config(n)
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF approximate top-k (k-means cells + n_probe search) — the other
     ANN scale path.  Deterministic: reuses the pre-trained centroids from
     :func:`_ivf_centroids`, which :func:`_ivf_oracle` embeds as literals
-    so DuckDB replays cell assignment, probing, and ranking exactly."""
+    so DuckDB replays cell assignment, probing, and ranking exactly.
+    The (cells, probes) operating point is footer-auto-tuned
+    (:func:`_knn_ivf_config`)."""
     from .functions import ivf_topk
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
+    cells, probes = _knn_ivf_config(sf_dir)
     topk = ivf_topk(emb, queries_df, id_col="vec_id",
                     vec_col="embedding", query_id_col="vec_id",
-                    k=10, n_cells=8, n_probe=4,
-                    centroids=_ivf_centroids_cached(sf_dir))
+                    k=10, n_cells=cells, n_probe=probes,
+                    centroids=_ivf_centroids_cached(sf_dir,
+                                                    n_cells=cells))
     return topk.select("query_id", "vec_id",
                        F.round("cosine", 6).alias("cosine"),
                        F.col("rank").cast("long").alias("rank"))
@@ -2335,7 +2376,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "doc_repetition": ORACLE_DOC_REPETITION,
         "quality_filter": _quality_oracle(),
         "knn_bruteforce": ORACLE_KNN,
-        "knn_lsh": _lsh_oracle(),
+        "knn_lsh": _lsh_oracle(dim=_emb_dim(sf_dir) or 64,
+                               n_planes=_knn_lsh_config(sf_dir)[0],
+                               n_tables=_knn_lsh_config(sf_dir)[1]),
         "knn_lsh_hi": _lsh_oracle(n_planes=LSH_HI["n_planes"],
                                   n_tables=LSH_HI["n_tables"]),
         "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
@@ -2365,7 +2408,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                       f"unavailable: {exc}")
         return out
     try:
-        out["knn_ivf"] = _ivf_oracle(_ivf_centroids_cached(sf_dir))
+        ivf_cells, ivf_probes = _knn_ivf_config(sf_dir)
+        out["knn_ivf"] = _ivf_oracle(
+            _ivf_centroids_cached(sf_dir, n_cells=ivf_cells),
+            n_probe=ivf_probes)
         out["knn_ivf_hi"] = _ivf_oracle(
             _ivf_centroids_cached(sf_dir, n_cells=IVF_HI["n_cells"]),
             n_probe=IVF_HI["n_probe"])

