@@ -634,3 +634,103 @@ def test_bloom_and_zone_stats_coexist_and_widen(spark, tmp_path):
     assert coll.query(where="uid == 30") is None
     # combined predicate: zone prunes on value, bloom on uid
     assert coll.query(where="uid == 10 and value > 100.0") is None
+
+
+# ---------------------------------------------------------------------------
+# sidecar blooms: bitsets past BLOOM_INLINE_MAX_BITS move out of state.json
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_sidecar_layout_keeps_catalog_put_bounded(spark, tmp_path):
+    """bloom_bits past the inline threshold: the state document carries
+    content-addressed refs (~100 bytes/partition — the op-budget pin),
+    payloads live under _catalog/blooms/, and point-lookup pruning is
+    exactly as sharp as the inline layout via the two-pass resolve."""
+    import json
+    coll = _mk_bloom(spark, str(tmp_path / "sc"), {
+        1: [10, 30, 50], 2: [20, 40, 60], 3: [15, 25, 35]},
+        bloom_bits=8192)
+    state = json.loads(
+        (tmp_path / "sc" / "_catalog" / "state.json").read_text())
+    entries = [v for rel in state["stats"]
+               for c, v in state["stats"][rel].items()
+               if c.endswith("#bloom")]
+    assert len(entries) == 6  # 3 partitions x 2 bloom columns
+    assert all("ref" in e and "b64" not in e for e in entries)
+    blooms = sorted((tmp_path / "sc" / "_catalog" / "blooms").iterdir())
+    assert {e["ref"] for e in entries} == {p.name for p in blooms}
+    # op-budget pin: at 8 KiB filters the document would be ~8.5 KiB
+    # PER ENTRY inlined (~51 KiB here); with refs the whole PUT stays
+    # small and scales with partition COUNT, not filter size
+    assert len(json.dumps(state)) < 4000
+
+    # pruning through the sidecars is exact (pass 2 fetches + probes)
+    res = coll.query(where="uid == 40")
+    assert [r.uid for r in res.collect()] == [40]
+    assert all("num=2" in f for f in res.inputFiles())
+    res = coll.query(where="doc == 'doc-15'")
+    assert all("num=3" in f for f in res.inputFiles())
+    assert coll.query(where="uid == 9999") is None
+
+    # a vanished/corrupt sidecar degrades to scan — never an error,
+    # never a wrong prune (fresh collection: payload cache is empty)
+    for p in blooms:
+        p.unlink()
+    cold = zc.open_collection(spark, str(tmp_path / "sc"))
+    res = cold.query(where="uid == 40")
+    assert [r.uid for r in res.collect()] == [40]
+    assert len({f.rsplit("/", 2)[-2] for f in res.inputFiles()}) == 3
+
+
+def test_bloom_sidecar_append_merge_and_sweep(spark, tmp_path):
+    """Append publish ORs sidecar filters (old ref + fresh bitset →
+    new content address); prune_history sweeps payloads no retained
+    snapshot references, and never a referenced one."""
+    coll = _mk_bloom(spark, str(tmp_path / "sm"), {1: [100]},
+                     bloom_bits=8192)
+    pdf = pd.DataFrame({
+        "i": np.array([50], dtype=np.int64),
+        "uid": np.array([200], dtype=np.int64),
+        "doc": ["doc-200"], "num": np.array([1], dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        pdf, schema=coll.schema.to_struct_type()), merge="concat")
+    # the merged filter is exact: both generations' values hit, a
+    # foreign value proves absence through the sidecar
+    fresh = zc.open_collection(spark, str(tmp_path / "sm"))
+    for uid in (100, 200):
+        assert [r.uid for r in
+                fresh.query(where=f"uid == {uid}").collect()] == [uid]
+    assert fresh.query(where="uid == 300") is None
+
+    bloom_dir = tmp_path / "sm" / "_catalog" / "blooms"
+    before = {p.name for p in bloom_dir.iterdir()}
+    assert len(before) >= 3  # gen-1 filters + merged gen-2 filters
+    removed = coll._catalog.prune_history(keep_last=1)
+    assert removed  # at least one snapshot fell off
+    after = {p.name for p in bloom_dir.iterdir()}
+    assert after < before  # superseded payloads swept
+    import json
+    state = json.loads(
+        (tmp_path / "sm" / "_catalog" / "state.json").read_text())
+    live = {v["ref"] for rel in state["stats"]
+            for c, v in state["stats"][rel].items()
+            if c.endswith("#bloom")}
+    assert live <= after  # everything referenced survived
+    cold = zc.open_collection(spark, str(tmp_path / "sm"))
+    assert cold.query(where="uid == 300") is None  # still prunes
+
+
+def test_merge_bloom_entries_ref_without_loader_drops():
+    """A sidecar entry reaching the widen path without a loader (or
+    with an unreadable payload) drops the merged entry — scan, never
+    mis-prune — and sweep on a collection without sidecars is a no-op."""
+    from zcollection_spark.collection.stats import merge_bloom_entries
+    import base64
+    inline = {"m": 128, "k": 3, "t": "i",
+              "b64": base64.b64encode(b"\x00" * 16).decode()}
+    ref = {"m": 128, "k": 3, "t": "i", "ref": "deadbeef"}
+    assert merge_bloom_entries(inline, ref) is None
+    assert merge_bloom_entries(ref, inline, load=lambda r: None) is None
+    out = merge_bloom_entries(
+        ref, inline, load=lambda r: inline["b64"])
+    assert out is not None and out["b64"] == inline["b64"]

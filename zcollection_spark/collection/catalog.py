@@ -23,6 +23,11 @@ from ..errors import CommitConflictError
 
 CATALOG_RELPATH = "_catalog/state.json"
 
+#: content-addressed sidecar bloom payloads (see
+#: ``stats.BLOOM_INLINE_MAX_BITS`` for the inline/sidecar cut-over and
+#: its 100-TB cost model)
+BLOOMS_RELDIR = "_catalog/blooms"
+
 #: CAS commit attempts before giving up.  Each retry re-reads the
 #: winner's document, so N contending writers need at most N rounds;
 #: 16 covers far beyond any sane concurrent-ingest fan-in.
@@ -63,7 +68,7 @@ def diff_documents(base_doc: dict, cur_doc: dict,
     return rows
 
 
-def _widen_stats(old: dict, new: dict) -> dict:
+def _widen_stats(old: dict, new: dict, bloom_load=None) -> dict:
     """Union two ``{col: [min, max, nulls]}`` maps (append publish).
     A column present on only one side keeps NO entry — its interval is
     unknown for the other side's rows, and a partial interval could
@@ -80,7 +85,8 @@ def _widen_stats(old: dict, new: dict) -> dict:
             # bloom entries ("col#bloom"): union = bitwise OR; any
             # geometry mismatch drops the entry (scan, never mis-prune)
             from .stats import merge_bloom_entries
-            merged = merge_bloom_entries(old[col], new[col])
+            merged = merge_bloom_entries(old[col], new[col],
+                                         load=bloom_load)
             if merged is not None:
                 out[col] = merged
             continue
@@ -245,6 +251,85 @@ class Catalog:
         return doc
 
     # -- commit history ------------------------------------------------
+    # -- sidecar blooms (content-addressed payloads) -------------------
+
+    def bloom_path(self, ref: str) -> str:
+        return f"{self._root}/{BLOOMS_RELDIR}/{ref}"
+
+    def load_bloom(self, ref) -> "str | None":
+        """Sidecar b64 payload, or None (degrade to scan) on any
+        failure — a missing/corrupt sidecar must never fail a query."""
+        try:
+            return self._fs.read_text(self.bloom_path(str(ref)))
+        except Exception:
+            return None
+
+    def store_bloom(self, b64: str) -> str:
+        """Write a sidecar payload; returns its content address.
+        Idempotent: an existing object with the same hash is reused
+        (CAS retries and concurrent writers converge for free)."""
+        from .stats import bloom_payload_ref
+        ref = bloom_payload_ref(b64)
+        path = self.bloom_path(ref)
+        if not self._fs.exists_file(path):
+            self._fs.write_text(path, b64)
+        return ref
+
+    def _externalize_blooms(self, stats_map: dict) -> dict:
+        """Move every inline bloom bitset past BLOOM_INLINE_MAX_BITS
+        into a sidecar object, leaving ``{"m","k","t","ref"}`` in the
+        document.  Runs INSIDE the commit loop, before the catalog PUT:
+        sidecars are durable first, so a reader never sees a dangling
+        ref from this writer; a crash between sidecar write and PUT
+        leaves only harmless orphans (``sweep_blooms``)."""
+        from .stats import BLOOM_INLINE_MAX_BITS
+        out = {}
+        for rel, entry in stats_map.items():
+            if not isinstance(entry, dict):
+                out[rel] = entry
+                continue
+            new_entry = entry
+            for col, val in entry.items():
+                if not (isinstance(val, dict) and "b64" in val
+                        and int(val.get("m", 0)) > BLOOM_INLINE_MAX_BITS):
+                    continue
+                if new_entry is entry:
+                    new_entry = dict(entry)
+                slim = {k: v for k, v in val.items() if k != "b64"}
+                slim["ref"] = self.store_bloom(val["b64"])
+                new_entry[col] = slim
+            out[rel] = new_entry
+        return out
+
+    def sweep_blooms(self) -> list[str]:
+        """Delete sidecar payloads unreachable from the live document
+        and every retained snapshot; returns the removed refs.  Safe to
+        run any time — referenced payloads are immutable."""
+        bloom_dir = f"{self._root}/{BLOOMS_RELDIR}"
+        try:
+            present = {p.rsplit("/", 1)[-1]
+                       for p in self._fs.list_files(bloom_dir)}
+        except Exception:
+            return []
+        if not present:
+            return []
+        docs = [self._read_doc()]
+        docs += [self.read_at(g) for g in self.history()]
+        live = set()
+        for doc in docs:
+            for entry in (doc or {}).get("stats", {}).values():
+                for val in entry.values() if isinstance(entry, dict) \
+                        else ():
+                    if isinstance(val, dict) and "ref" in val:
+                        live.add(str(val["ref"]))
+        removed = sorted(present - live)
+        for ref in removed:
+            try:
+                self._fs.delete(self.bloom_path(ref))
+            except Exception:
+                pass  # an orphan that survives is still just garbage
+        return removed
+
     def _gen_path(self, generation: int) -> str:
         return f"{self._root}/_catalog/gen-{int(generation):012d}.json"
 
@@ -301,6 +386,10 @@ class Catalog:
         doomed = gens[:-keep_last] if keep_last > 0 else gens
         for gen in doomed:
             self._fs.delete(self._gen_path(gen))
+        if doomed:
+            # snapshots were the only thing keeping superseded sidecar
+            # blooms reachable — sweep them in the same maintenance op
+            self.sweep_blooms()
         return doomed
 
     def _commit_rmw(self, mutate, need_base: bool = True) -> list[str]:
@@ -338,6 +427,7 @@ class Catalog:
                 gen = int((doc0 or {}).get("generation", 0)) + 1
                 partitions, txn_map, stats_map = \
                     mutate(base, txn_map, stats_map, touched, gen)
+                stats_map = self._externalize_blooms(stats_map)
                 doc = self._build_doc(partitions, txn_map, stats_map,
                                       gen, touched)
                 partitions = doc["partitions"]
@@ -390,7 +480,8 @@ class Catalog:
                 elif not widen:
                     stats_map[rel] = fresh
                 elif rel in stats_map:
-                    stats_map[rel] = _widen_stats(stats_map[rel], fresh)
+                    stats_map[rel] = _widen_stats(stats_map[rel], fresh,
+                                                  self.load_bloom)
                 elif rel not in existing:
                     # append created a BRAND-NEW partition: the appended
                     # rows are its entire content, so the fresh interval

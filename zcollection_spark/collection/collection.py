@@ -244,6 +244,9 @@ class Collection:
         self._fs = fsmod.fs_for(self.path, spark)
         self._catalog = Catalog(self._fs, self.path,
                                 walk_depth=partitioning.depth)
+        # content-addressed sidecar bloom payloads are immutable:
+        # cache them for the collection's lifetime (ref -> b64 | None)
+        self._bloom_payloads: dict = {}
 
     # ------------------------------------------------------------------
     # partition enumeration + pruning (collection/base.py:302-386)
@@ -401,7 +404,52 @@ class Collection:
             # (masks legacy temporal entries in the catalog)
             return {c: v for c, v in entry.items() if c in allowed}
 
-        return [rel for rel in relpaths if may_match(masked(rel))]
+        # pass 1: intervals + inline blooms (a sidecar ref carries no
+        # bitset, so the probe conservatively keeps the partition)
+        survivors = [rel for rel in relpaths if may_match(masked(rel))]
+        resolved = self._resolve_sidecar_blooms(
+            {rel: masked(rel) for rel in survivors})
+        if resolved is None:
+            return survivors
+        # pass 2: sidecar filters, fetched ONLY for interval-surviving
+        # partitions — the 100-TB cost model of the sidecar layout
+        return [rel for rel in survivors if may_match(resolved[rel])]
+
+    def _resolve_sidecar_blooms(self, entries: dict) -> "dict | None":
+        """Substitute sidecar bloom refs with their payloads (bounded
+        thread-pool GETs, content-addressed so cached per collection
+        forever).  None when nothing needs resolving; an unreadable
+        payload leaves the ref form (probe degrades to scan)."""
+        refs = {str(val["ref"])
+                for entry in entries.values() if entry
+                for val in entry.values()
+                if isinstance(val, dict) and "ref" in val
+                and "b64" not in val}
+        refs -= set(self._bloom_payloads)
+        if refs:
+            with ThreadPoolExecutor(max_workers=min(16, len(refs))) \
+                    as pool:
+                for ref, b64 in zip(refs, pool.map(
+                        self._catalog.load_bloom, refs)):
+                    self._bloom_payloads[ref] = b64
+        out = {}
+        any_resolved = False
+        for rel, entry in entries.items():
+            new_entry = entry
+            for col, val in (entry or {}).items():
+                if not (isinstance(val, dict) and "ref" in val
+                        and "b64" not in val):
+                    continue
+                b64 = self._bloom_payloads.get(str(val["ref"]))
+                if b64 is None:
+                    continue
+                if new_entry is entry:
+                    new_entry = dict(entry)
+                new_entry[col] = {**{k: v for k, v in val.items()
+                                     if k != "ref"}, "b64": b64}
+                any_resolved = True
+            out[rel] = new_entry
+        return out if any_resolved else None
 
     def _load(self, *, filters: str | None = None,
               where: str | None = None,

@@ -121,6 +121,28 @@ def collect_zone_stats(df: DataFrame, partitioning, stats_columns,
 #: time — cross-engine string canonicalization is only exact for these.
 _BLOOM_INT_TYPES = {"byte", "short", "integer", "long"}
 
+#: Largest bloom geometry whose bitset stays INLINE in
+#: ``_catalog/state.json``.  The default 1024-bit filters cost ~176
+#: b64 bytes per (partition, column) — inlining keeps point lookups a
+#: single catalog GET.  Past this, the bitset moves to a
+#: content-addressed SIDECAR object under ``_catalog/blooms/`` and the
+#: state entry carries a ``ref`` instead: at the SCALING.md 100-TB
+#: sizing (2^23-bit ≈ 1 MiB filters × ~100k partitions) inlining would
+#: push ~100 GB through every catalog PUT; with sidecars the PUT stays
+#: ~100 bytes per partition and filters are fetched lazily — only for
+#: partitions that survive interval pruning, only for probed columns.
+BLOOM_INLINE_MAX_BITS = 4096
+
+
+def bloom_payload_ref(b64: str) -> str:
+    """Content address of a sidecar bloom payload (sha256 of the b64
+    text, 24 hex chars).  Content addressing makes sidecar writes
+    idempotent across CAS retries and concurrent writers, snapshots
+    share unchanged filters for free, and GC is a reachability sweep
+    (``Catalog.sweep_blooms``)."""
+    import hashlib
+    return hashlib.sha256(b64.encode("ascii")).hexdigest()[:24]
+
 
 def bloom_kind_of(spark_type_name: str) -> str | None:
     if spark_type_name in _BLOOM_INT_TYPES:
@@ -204,18 +226,34 @@ def collect_bloom_stats(df: DataFrame, partitioning, bloom_columns,
     return out or None
 
 
-def merge_bloom_entries(a, b):
+def merge_bloom_entries(a, b, load=None):
     """Union two bloom entries (append publish): bitwise OR when the
     geometry matches, else None (drop — a mismatched filter cannot
-    soundly describe both sides' rows)."""
+    soundly describe both sides' rows).
+
+    ``load(ref) -> b64 | None`` resolves sidecar entries
+    (``{"ref": ...}``, no inline bitset); an unresolvable side drops
+    the entry — scan, never mis-prune.  The merged result is returned
+    INLINE; the catalog re-externalizes it past the size threshold."""
     import base64
     import struct
+
+    def payload(e):
+        if "b64" in e:
+            return e["b64"]
+        if load is not None and "ref" in e:
+            return load(e["ref"])
+        return None
+
     try:
         if not (isinstance(a, dict) and isinstance(b, dict)):
             return None
         if (a["m"], a["k"], a["t"]) != (b["m"], b["k"], b["t"]):
             return None
-        ra, rb = base64.b64decode(a["b64"]), base64.b64decode(b["b64"])
+        pa, pb = payload(a), payload(b)
+        if pa is None or pb is None:
+            return None
+        ra, rb = base64.b64decode(pa), base64.b64decode(pb)
         if len(ra) != len(rb):
             return None
         n = len(ra) // 8
