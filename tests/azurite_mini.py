@@ -30,6 +30,20 @@ class _State:
     def __init__(self):
         self.blobs: dict[tuple[str, str], tuple[bytes, str]] = {}
         self.lock = threading.Lock()
+        #: issued OAuth tokens: token -> expiry epoch (the emulator's
+        #: AAD: tokens come from the IMDS stub or issue_token())
+        self.tokens: dict[str, float] = {}
+        #: TTL the IMDS stub grants (tests shrink it to force refresh)
+        self.imds_ttl: float = 3600.0
+
+
+def issue_token(state: _State, ttl: float = 3600.0) -> str:
+    """Mint a bearer token the emulator will accept for ``ttl``
+    seconds (negative ttl = already expired)."""
+    import time
+    token = f"zc-test-{uuid.uuid4().hex}"
+    state.tokens[token] = time.time() + ttl
+    return token
 
 
 def _sign(key: bytes, method: str, account: str, container: str,
@@ -128,6 +142,17 @@ def make_handler(state: _State):
             auth = self.headers.get("Authorization", "")
             if not auth and "sig" in params:
                 return self._check_sas(account, container, params)
+            if auth.startswith("Bearer "):
+                # AAD/MSI mode: the token must have been issued by the
+                # IMDS stub (or issue_token) and still be live — real
+                # Azure answers expired/unknown bearer tokens with 401
+                # InvalidAuthenticationInfo, not 403
+                import time
+                expiry = state.tokens.get(auth[len("Bearer "):])
+                if expiry is None or expiry < time.time():
+                    self._reject(401, "InvalidAuthenticationInfo")
+                    return False
+                return True
             want_prefix = f"SharedKey {account}:"
             if not auth.startswith(want_prefix):
                 self._reject(403, "AuthenticationFailed")
@@ -190,6 +215,21 @@ def make_handler(state: _State):
             self._respond(201, hdrs)
 
         def do_GET(self):
+            if self.path.startswith("/metadata/identity/oauth2/token"):
+                # IMDS stub (the documented managed-identity endpoint):
+                # requires the Metadata header, mints a state-tracked
+                # token with the configured TTL
+                import json as _json
+                import time
+                if self.headers.get("Metadata", "").lower() != "true":
+                    return self._reject(400, "MissingMetadataHeader")
+                token = issue_token(state, state.imds_ttl)
+                body = _json.dumps({
+                    "access_token": token,
+                    "expires_on": str(int(state.tokens[token])),
+                    "token_type": "Bearer"}).encode()
+                return self._respond(
+                    200, {"Content-Type": "application/json"}, body)
             account, container, blob, params = self._parse()
             if not self._check_auth(account, container, blob, params, 0):
                 return
@@ -283,6 +323,7 @@ def start_server():
     state = _State()
     srv = http.server.ThreadingHTTPServer(
         ("127.0.0.1", 0), make_handler(state))
+    srv.state = state  # tests mint/expire bearer tokens through this
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     endpoint = f"http://127.0.0.1:{srv.server_address[1]}/{ACCOUNT}"
     return srv, endpoint

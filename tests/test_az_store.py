@@ -29,9 +29,10 @@ from tests.azurite_mini import ACCOUNT, KEY_B64, start_server
 
 
 @pytest.fixture(scope="session")
-def az_endpoint():
+def az_server():
     """One emulator for the session; env configured like a real
-    deployment (account + key + endpoint override)."""
+    deployment (account + key + endpoint override).  Yields
+    ``(server, endpoint)`` — ``server.state`` mints bearer tokens."""
     srv, endpoint = start_server()
     old = {k: os.environ.get(k) for k in
            ("AZURE_STORAGE_ACCOUNT", "AZURE_STORAGE_KEY",
@@ -39,13 +40,18 @@ def az_endpoint():
     os.environ["AZURE_STORAGE_ACCOUNT"] = ACCOUNT
     os.environ["AZURE_STORAGE_KEY"] = KEY_B64
     os.environ["AZURE_BLOB_ENDPOINT"] = endpoint
-    yield endpoint
+    yield srv, endpoint
     for key, val in old.items():
         if val is None:
             os.environ.pop(key, None)
         else:
             os.environ[key] = val
     srv.shutdown()
+
+
+@pytest.fixture(scope="session")
+def az_endpoint(az_server):
+    return az_server[1]
 
 
 @pytest.fixture()
@@ -486,3 +492,101 @@ def test_az_sas_permission_letters_normalized(az_endpoint, az_root):
         AzureBlobFS.generate_container_sas(
             ACCOUNT, KEY_B64, container, permissions="rz",
             expiry="2099-01-01T00:00:00Z")
+
+
+# ---------------------------------------------------------------------------
+# bearer (AAD/MSI) auth — the last real-world Azure grant (r9)
+# ---------------------------------------------------------------------------
+
+
+def _bearer_fs(az_server, **kw):
+    srv, _ = az_server
+    from tests.azurite_mini import issue_token
+    token = kw.pop("token", None) or issue_token(srv.state)
+    return AzureBlobFS(bearer_token=token, **kw)
+
+
+def test_az_bearer_contract(az_server, az_root):
+    """The full store contract under Authorization: Bearer — the
+    emulator accepts only live tokens it issued; Copy Blob carries
+    x-ms-copy-source-authorization (the source URL has no auth)."""
+    fs = _bearer_fs(az_server)
+    fs.write_text(f"{az_root}/p/num=1/a.txt", "payload")
+    assert fs.read_text(f"{az_root}/p/num=1/a.txt") == "payload"
+    fs.write_text(f"{az_root}/p/num=1/b.txt", "2")
+    assert fs.list_files(f"{az_root}/p/num=1") == ["a.txt", "b.txt"]
+    assert fs.rename(f"{az_root}/p", f"{az_root}/q")  # copy+delete
+    assert fs.read_text(f"{az_root}/q/num=1/a.txt") == "payload"
+    # CAS works identically (If-Match rides headers, auth is a header)
+    tok1 = fs.write_if(f"{az_root}/state.json", "v1", None)
+    with pytest.raises(CommitConflictError):
+        fs.write_if(f"{az_root}/state.json", "v1b", None)
+    assert fs.write_if(f"{az_root}/state.json", "v2", tok1) != tok1
+    fs.delete(f"{az_root}/q")
+    assert not fs.exists(f"{az_root}/q")
+
+
+def test_az_bearer_expired_or_unknown_401(az_server, az_root):
+    """An expired or never-issued token comes back 401 from the
+    emulator and surfaces as a credentials StoreError (no silent
+    retry storm) when no provider can refresh it."""
+    from zcollection_spark.errors import StoreError
+    from tests.azurite_mini import issue_token
+    srv, _ = az_server
+    expired = issue_token(srv.state, ttl=-10)
+    fs = AzureBlobFS(bearer_token=expired)
+    with pytest.raises(StoreError, match="401 under bearer"):
+        fs.write_text(f"{az_root}/x.txt", "data")
+    fs2 = AzureBlobFS(bearer_token="never-issued")
+    with pytest.raises(StoreError, match="401 under bearer"):
+        fs2.read_text(f"{az_root}/x.txt")
+
+
+def test_az_bearer_provider_refreshes_on_401(az_server, az_root):
+    """A provider-backed client survives mid-session expiry: the 401
+    triggers exactly one refresh and the request succeeds with the new
+    token."""
+    from tests.azurite_mini import issue_token
+    srv, _ = az_server
+    calls = []
+
+    def provider():
+        import time
+        # first token dies immediately; the refreshed one is live
+        ttl = -5 if not calls else 3600
+        token = issue_token(srv.state, ttl=ttl)
+        calls.append(token)
+        return token, time.time() + max(ttl, 0)
+
+    fs = AzureBlobFS(token_provider=provider)
+    fs.write_text(f"{az_root}/r.txt", "refreshed")
+    assert fs.read_text(f"{az_root}/r.txt") == "refreshed"
+    assert len(calls) == 2  # initial mint + exactly one 401 refresh
+
+
+def test_az_msi_provider_against_imds_stub(az_server, az_root,
+                                           monkeypatch):
+    """msi_token_provider speaks the documented IMDS shape (Metadata
+    header, access_token/expires_on JSON) — driven against the
+    emulator's stub; fs_for routes to provider-backed AzureBlobFS when
+    only AZURE_MSI_ENDPOINT is configured."""
+    from zcollection_spark.fs import msi_token_provider
+    import zcollection_spark.fs as fsmod
+    srv, endpoint = az_server
+    imds = endpoint.rsplit("/", 1)[0] + "/metadata/identity/oauth2/token"
+    provider = msi_token_provider(endpoint=imds)
+    token, expires = provider()
+    assert token in srv.state.tokens and expires > 0
+    fs = AzureBlobFS(token_provider=msi_token_provider(endpoint=imds))
+    fs.write_text(f"{az_root}/m.txt", "via-msi")
+    assert fs.read_text(f"{az_root}/m.txt") == "via-msi"
+    # dispatch: MSI endpoint alone (no key/SAS/static bearer) routes
+    # az:// to the native client with a provider attached
+    monkeypatch.delenv("AZURE_STORAGE_KEY", raising=False)
+    monkeypatch.delenv("AZURE_STORAGE_SAS_TOKEN", raising=False)
+    monkeypatch.setenv("AZURE_MSI_ENDPOINT", imds)
+    routed = fs_for(az_root)
+    assert isinstance(routed, AzureBlobFS)
+    assert routed._token_provider is not None
+    routed.write_text(f"{az_root}/d.txt", "dispatched")
+    assert routed.read_text(f"{az_root}/d.txt") == "dispatched"

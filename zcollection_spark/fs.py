@@ -1290,6 +1290,44 @@ _S3_CACHE: dict = {}
 _S3_CACHE_LOCK = threading.Lock()
 
 
+def msi_token_provider(resource: str = "https://storage.azure.com/",
+                       endpoint: str | None = None,
+                       api_version: str = "2018-02-01"):
+    """Token provider speaking the documented Azure Instance Metadata
+    Service (IMDS) managed-identity endpoint: a GET to
+    ``http://169.254.169.254/metadata/identity/oauth2/token`` with the
+    ``Metadata: true`` header returns ``{"access_token", "expires_on"}``
+    for the VM/pod's assigned identity — no secret ever touches the
+    process.  ``AZURE_MSI_ENDPOINT`` (or ``endpoint``) overrides the
+    address for App-Service-style deployments and tests.
+
+    Returns a callable ``() -> (token, expires_on_epoch)`` suitable for
+    :class:`AzureBlobFS`'s ``token_provider``; the client caches the
+    token and re-invokes 5 minutes before expiry or on a 401.
+    """
+    import json as _json
+    import urllib.request
+    from urllib.parse import urlencode
+    base = (endpoint or os.environ.get("AZURE_MSI_ENDPOINT")
+            or "http://169.254.169.254/metadata/identity/oauth2/token")
+
+    def provider():
+        query = urlencode({"api-version": api_version,
+                           "resource": resource})
+        req = urllib.request.Request(f"{base}?{query}",
+                                     headers={"Metadata": "true"})
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                doc = _json.loads(resp.read())
+            return doc["access_token"], float(doc.get("expires_on", 0))
+        except Exception as exc:
+            raise StoreError(
+                f"managed-identity token fetch failed at {base}: "
+                f"{exc}") from exc
+
+    return provider
+
+
 class AzureBlobFS:
     """Azure Blob Storage backend speaking the public Blob REST API
     directly (urllib + SharedKey request signing — no SDK dependency;
@@ -1342,22 +1380,35 @@ class AzureBlobFS:
                  key: str | None = None,
                  endpoint: str | None = None,
                  scratch_dir: str | None = None,
-                 sas_token: str | None = None):
+                 sas_token: str | None = None,
+                 bearer_token: str | None = None,
+                 token_provider=None):
         from collections import Counter
         from urllib.parse import parse_qsl
         self.account = account or os.environ["AZURE_STORAGE_ACCOUNT"]
-        raw, sas = key or None, sas_token or None
-        if raw is None and sas is None:  # explicit args beat env
+        raw, sas, bearer = key or None, sas_token or None, \
+            bearer_token or None
+        if raw is None and sas is None and bearer is None \
+                and token_provider is None:  # explicit args beat env
             raw = os.environ.get("AZURE_STORAGE_KEY")
             sas = os.environ.get("AZURE_STORAGE_SAS_TOKEN")
+            bearer = os.environ.get("AZURE_STORAGE_BEARER_TOKEN")
         import base64
-        # two auth modes, account key preferred: SharedKey header
+        # three auth modes, account key preferred: SharedKey header
         # signing when the key is present, else SAS query-parameter
         # auth (the most common real-world Azure grant — a scoped,
         # expiring token minted by the account owner; the client just
-        # appends it, servers verify).  Blob Range reads, conditional
-        # PUT CAS and Copy Blob all work identically under SAS because
-        # the params ride every URL, including x-ms-copy-source.
+        # appends it, servers verify), else AAD/MSI BEARER tokens
+        # (``Authorization: Bearer`` — the OAuth grant every
+        # role-assignment deployment uses; ``token_provider``, e.g.
+        # :func:`msi_token_provider`, refreshes expiring tokens).
+        # Blob Range reads, conditional PUT CAS and Copy Blob all work
+        # identically under SAS because the params ride every URL,
+        # including x-ms-copy-source; under bearer auth Copy Blob
+        # carries ``x-ms-copy-source-authorization`` instead.
+        self._bearer = None
+        self._bearer_exp: "float | None" = None
+        self._token_provider = None
         if raw:
             self._key = base64.b64decode(raw)
             self._sas: dict | None = None
@@ -1365,10 +1416,16 @@ class AzureBlobFS:
             self._key = None
             self._sas = dict(parse_qsl(sas.lstrip("?"),
                                        keep_blank_values=True))
+        elif bearer or token_provider is not None:
+            self._key = None
+            self._sas = None
+            self._bearer = bearer
+            self._token_provider = token_provider
         else:
             raise KeyError(
-                "AzureBlobFS needs AZURE_STORAGE_KEY or "
-                "AZURE_STORAGE_SAS_TOKEN (or constructor equivalents)")
+                "AzureBlobFS needs AZURE_STORAGE_KEY, "
+                "AZURE_STORAGE_SAS_TOKEN or AZURE_STORAGE_BEARER_TOKEN "
+                "(or constructor equivalents)")
         self._endpoint = (endpoint
                           or os.environ.get("AZURE_BLOB_ENDPOINT")
                           or f"https://{self.account}"
@@ -1395,6 +1452,24 @@ class AzureBlobFS:
         if params:
             url += "?" + urlencode(sorted(params.items()))
         return url
+
+    def _bearer_token(self, force_refresh: bool = False) -> str:
+        """Current OAuth access token; provider-backed tokens refresh
+        lazily 5 minutes before expiry (and immediately on a 401)."""
+        import time
+        if self._token_provider is not None and (
+                force_refresh or self._bearer is None
+                or (self._bearer_exp is not None
+                    and time.time() > self._bearer_exp - 300)):
+            token, expires = self._token_provider()
+            self._bearer = str(token)
+            self._bearer_exp = float(expires) if expires else None
+        if not self._bearer:
+            raise StoreError(
+                "AzureBlobFS bearer auth has no token (provider "
+                "returned nothing and AZURE_STORAGE_BEARER_TOKEN "
+                "is unset)")
+        return self._bearer
 
     def _authorization(self, method: str, container: str, key: str,
                        params: dict, headers: dict,
@@ -1508,29 +1583,43 @@ class AzureBlobFS:
         headers.setdefault("x-ms-date",
                            email.utils.formatdate(usegmt=True))
         headers.setdefault("x-ms-version", self._API_VERSION)
-        if self._sas is None:
-            headers["Authorization"] = self._authorization(
-                method, container, key, params, headers, body)
-        req = urllib.request.Request(
-            self._url(container, key, params), data=body,
-            headers=headers, method=method)
         # bounded transient-fault retry (throttle 429/500/503 and
         # connection resets), the same discipline as HttpFS — object
         # stores throttle routinely and a flaky window must not fail
-        # an insert.  4xx (absent/conflict/precondition) never retries.
+        # an insert.  4xx (absent/conflict/precondition) never retries,
+        # EXCEPT one 401 under provider-backed bearer auth: the token
+        # may simply have expired mid-session — refresh once and retry.
         import time
         last_exc = None
+        token_refreshed = False
         for attempt in range(self._RETRIES + 1):
+            if self._key is not None:
+                headers["Authorization"] = self._authorization(
+                    method, container, key, params, headers, body)
+            elif self._sas is None:  # bearer (AAD/MSI) mode
+                headers["Authorization"] = \
+                    f"Bearer {self._bearer_token()}"
+            req = urllib.request.Request(
+                self._url(container, key, params), data=body,
+                headers=headers, method=method)
             try:
                 with urllib.request.urlopen(req, timeout=60) as resp:
                     return resp.status, dict(resp.headers), resp.read()
             except urllib.error.HTTPError as exc:
                 data = exc.read()
-                if exc.code == 403:
+                if exc.code == 401 and self._token_provider is not None \
+                        and not token_refreshed:
+                    token_refreshed = True
+                    self._bearer_token(force_refresh=True)
+                    continue
+                if exc.code in (401, 403):
+                    mode = ("SharedKey" if self._key is not None else
+                            "SAS" if self._sas is not None else "bearer")
                     raise StoreError(
                         f"{method} az://{container}/{key} returned "
-                        f"403: check AZURE_STORAGE_ACCOUNT/KEY "
-                        f"(signature or permissions)") from exc
+                        f"{exc.code} under {mode} auth: check "
+                        f"credentials (signature, token expiry or "
+                        f"permissions)") from exc
                 if exc.code not in (429, 500, 503) \
                         or attempt == self._RETRIES:
                     return exc.code, dict(exc.headers), data
@@ -1682,9 +1771,15 @@ class AzureBlobFS:
                    dst_key: str) -> None:
         self.api_counts["copy"] += 1
         src_url = self._url(container, src_key, {})
+        copy_headers = {"x-ms-copy-source": src_url}
+        if self._key is None and self._sas is None:
+            # bearer mode: the source URL carries no auth (unlike SAS,
+            # where the token rides x-ms-copy-source too) — the
+            # documented header authorizes the source read instead
+            copy_headers["x-ms-copy-source-authorization"] = \
+                f"Bearer {self._bearer_token()}"
         status, hdrs, _ = self._request(
-            "PUT", container, dst_key,
-            headers={"x-ms-copy-source": src_url})
+            "PUT", container, dst_key, headers=copy_headers)
         if status >= 400:
             raise StoreError(
                 f"COPY az://{container}/{src_key} -> {dst_key} "
@@ -1877,21 +1972,30 @@ def fs_for(path: str, spark: SparkSession | None = None):
         account = os.environ.get("AZURE_STORAGE_ACCOUNT")
         azkey = os.environ.get("AZURE_STORAGE_KEY")
         azsas = os.environ.get("AZURE_STORAGE_SAS_TOKEN")
-        if account and (azkey or azsas):
+        azbearer = os.environ.get("AZURE_STORAGE_BEARER_TOKEN")
+        azmsi = os.environ.get("AZURE_MSI_ENDPOINT")
+        if account and (azkey or azsas or azbearer or azmsi):
             endpoint = (os.environ.get("AZURE_BLOB_ENDPOINT")
                         or f"https://{account}.blob.core.windows.net")
             cred = hashlib.sha256(
                 f"{account}\x00{azkey or ''}\x00{azsas or ''}"
+                f"\x00{azbearer or ''}\x00{azmsi or ''}"
                 .encode()).hexdigest()
+            # MSI endpoint configured and no static credential wins:
+            # provider-backed bearer auth with automatic refresh
+            provider = (msi_token_provider()
+                        if azmsi and not (azkey or azsas or azbearer)
+                        else None)
             with _AZ_CACHE_LOCK:
                 cache_key = (endpoint, cred)
                 if cache_key not in _AZ_CACHE:
                     _AZ_CACHE[cache_key] = AzureBlobFS(
-                        account, azkey, endpoint, sas_token=azsas)
+                        account, azkey, endpoint, sas_token=azsas,
+                        bearer_token=azbearer, token_provider=provider)
                 return _AZ_CACHE[cache_key]
-        # no usable credential (neither account key nor SAS): fall
-        # through to the JVM hadoop-azure connector
-        # (service-principal / MSI auth)
+        # no usable credential (no account key, SAS, bearer token or
+        # MSI endpoint): fall through to the JVM hadoop-azure
+        # connector (service-principal auth)
     if scheme == "gs" and not (os.environ.get("GCS_ACCESS_KEY_ID")
                                and os.environ.get(
                                    "GCS_SECRET_ACCESS_KEY")):
