@@ -160,9 +160,14 @@ def cmd_verify(args: argparse.Namespace) -> int:
         gc = staging_proto.gc_quarantine(coll._fs, coll.path,
                                          older_than=args.older_than)
         pruned = coll._catalog.prune_history(args.keep_generations)
+        # prune_history sweeps sidecar blooms itself when snapshots
+        # fall off; the explicit call covers the nothing-pruned case
+        # and reports the count either way
+        swept = coll._catalog.sweep_blooms()
         print(json.dumps({"gc_deleted": gc["deleted"],
                           "gc_kept": gc["kept"],
-                          "generations_pruned": len(pruned)}, indent=1))
+                          "generations_pruned": len(pruned),
+                          "blooms_swept": len(swept)}, indent=1))
     return 0 if ok else 1
 
 

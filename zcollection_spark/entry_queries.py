@@ -1431,16 +1431,21 @@ def q_streaming_sink(spark, sf_dir):
     not just asserted in pytest."""
     coll = _sink_coll(spark, sf_dir)
     out = coll.query()
+    # decimal-exact sum: a raw double sum is order-dependent and the
+    # two engines aggregate in different orders — at sf3 (30x rows per
+    # day-group) the drift crossed the 6-decimal rounding boundary
     return (out.groupBy(F.month("ts").alias("m"),
                         F.dayofmonth("ts").alias("d"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 6).alias("sum_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 6).alias("sum_value"))
             .orderBy("m", "d"))
 
 
 ORACLE_STREAMING_SINK = """
 SELECT month(ts) AS m, day(ts) AS d, count(*) AS n,
-       round(sum(value), 6) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY m, d
 """
 

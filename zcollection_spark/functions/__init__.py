@@ -13,12 +13,14 @@ from .multimodal import (attach_fake_payload, decode_ppm, decode_wav,
 from .dedup import (dedup_exact, dedup_keep_latest,
                     exact_duplicate_groups, md5_long,
                     minhash_signatures, lsh_candidate_pairs,
-                    ngram_jaccard_pairs, simhash, simhash_duplicate_pairs)
+                    ngram_jaccard_pairs, simhash, simhash_duplicate_pairs,
+                    unpersist_intermediates)
 from .ann_index import (query_ivf_index, query_ivfpq_index,
                         write_ivf_index, write_ivfpq_index)
 from .similarity import (cosine_similarity_col, brute_force_topk,
                          embedding_dup_pairs, ivf_topk, ivfpq_topk,
-                         lsh_bucket_topk, suggest_lsh_planes)
+                         lsh_bucket_topk, suggest_ivf_config,
+                         suggest_lsh_config, suggest_lsh_planes)
 from .text import (chunk_documents, fingerprint, language_id,
                    text_stats, token_count, word_shingles, words)
 from .curation import (contamination, quality_filter,
@@ -29,9 +31,10 @@ __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
     "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
+    "unpersist_intermediates",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "ivfpq_topk", "lsh_bucket_topk",
-    "suggest_lsh_planes",
+    "suggest_lsh_planes", "suggest_lsh_config", "suggest_ivf_config",
     "contamination", "quality_filter", "repetition_stats",
     "scrub_pii",
     "write_ivf_index", "query_ivf_index",
