@@ -868,3 +868,63 @@ def test_chunk_documents_null_and_empty_text(spark):
     # a null doc behaves like an empty doc: one empty chunk, never a
     # negative token count
     assert rows == {(1, 0): ("", 1), (2, 0): ("", 1)}
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """Next-fit packing per group: order preserved, bins never exceed
+    the budget unless a single chunk alone does (own bin, never split),
+    groups independent."""
+    from zcollection_spark.functions.text import pack_sequences
+    rows = [  # (doc, chunk, tokens)
+        (1, 0, 40), (1, 1, 40), (1, 2, 30),   # 40+40 fits 96; +30 spills
+        (1, 3, 120),                          # oversize: own bin
+        (1, 4, 10),
+        (2, 0, 96), (2, 1, 1),                # exact fit then spill
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, "
+                                     "n_tokens long")
+    out = {(r.doc_id, r.chunk_id): (r.bin, r.bin_fill)
+           for r in pack_sequences(df, id_col="doc_id",
+                                   order_col="chunk_id",
+                                   token_col="n_tokens",
+                                   context_len=96).collect()}
+    assert out[(1, 0)] == (0, 40)
+    assert out[(1, 1)] == (0, 80)
+    assert out[(1, 2)] == (1, 30)    # would overflow -> new bin
+    assert out[(1, 3)] == (2, 120)   # oversize chunk gets its own bin
+    assert out[(1, 4)] == (3, 10)    # and closes it for the next chunk
+    assert out[(2, 0)] == (0, 96)    # exact fit stays
+    assert out[(2, 1)] == (1, 1)
+    import pytest
+    with pytest.raises(ValueError, match="context_len"):
+        pack_sequences(df, id_col="doc_id", order_col="chunk_id",
+                       token_col="n_tokens", context_len=0)
+
+
+def test_pack_sequences_packing_efficiency(spark, docs):
+    """End-to-end with chunk_documents: every chunk appears exactly
+    once, bins are dense (0..max consecutive per doc), and fill never
+    exceeds the budget except oversize singletons."""
+    from zcollection_spark.functions.text import (chunk_documents,
+                                                  pack_sequences)
+    chunks = chunk_documents(docs, id_col="doc_id", text_col="text",
+                             chunk_tokens=4, overlap=1)
+    packed = pack_sequences(chunks, id_col="doc_id",
+                            order_col="chunk_id", token_col="n_tokens",
+                            context_len=10).collect()
+    assert len(packed) == chunks.count()
+    per_doc: dict = {}
+    for r in packed:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        bins = [r.bin for r in rows]
+        assert bins == sorted(bins) and bins[0] == 0
+        assert set(bins) == set(range(max(bins) + 1))  # dense
+        fill: dict = {}
+        for r in rows:
+            fill[r.bin] = fill.get(r.bin, 0) + r.n_tokens
+            assert r.bin_fill == fill[r.bin]
+        for b, total in fill.items():
+            n_in_bin = sum(1 for r in rows if r.bin == b)
+            assert total <= 10 or n_in_bin == 1

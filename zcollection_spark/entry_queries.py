@@ -1089,6 +1089,57 @@ FROM (SELECT doc_id, lang,
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing after chunking (NEW r9): 32/8 windows
+    packed into 96-token training bins per document.  The per-group
+    scan is inherently sequential, so it runs as Arrow-batched
+    applyInPandas over the document key — one hash exchange, then
+    embarrassingly parallel (the 100-TB shape); the DuckDB twin
+    replays the exact greedy recurrence as a recursive CTE."""
+    from .functions.text import chunk_documents, pack_sequences
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, id_col="doc_id", text_col="text",
+                             chunk_tokens=32, overlap=8) \
+        .select("doc_id", "chunk_id", "n_tokens")
+    packed = pack_sequences(chunks, id_col="doc_id",
+                            order_col="chunk_id", token_col="n_tokens",
+                            context_len=96)
+    return packed.select("doc_id", "chunk_id", "n_tokens",
+                         "bin", "bin_fill")
+
+
+# the packing recurrence, replayed exactly: next-fit greedy over
+# chunk_id order, reset when the bin would exceed 96 tokens
+ORACLE_PACK_SEQUENCES = """
+WITH RECURSIVE
+t AS (SELECT doc_id,
+             regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
+      FROM documents),
+c AS (SELECT doc_id, w,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(w) - 8) / 24.0) AS INT), 1) - 1))
+             AS i
+      FROM t),
+chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                  CAST(least(len(w) - i * 24, 32) AS BIGINT) AS n_tokens
+           FROM c),
+r AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS bin_fill
+  FROM chunks WHERE chunk_id = 0
+  UNION ALL
+  SELECT ch.doc_id, ch.chunk_id, ch.n_tokens,
+         CASE WHEN r.bin_fill + ch.n_tokens > 96
+              THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.bin_fill + ch.n_tokens > 96
+              THEN ch.n_tokens ELSE r.bin_fill + ch.n_tokens END
+  FROM chunks ch
+  JOIN r ON ch.doc_id = r.doc_id AND ch.chunk_id = r.chunk_id + 1
+)
+SELECT doc_id, chunk_id, n_tokens, bin, bin_fill FROM r
+"""
+
+
 def q_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-10 per query vector (vec_id < 5)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2315,6 +2366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_hi": q_knn_ivf_hi,
         "dedup_keep_latest": q_dedup_keep_latest,
         "multimodal_features": q_multimodal_features,
+        # NEW r9 (out-of-window — the window is full; promote in r10):
+        # greedy sequence packing, check_oracle-gated like the rest of
+        # the tail (recursive-CTE oracle)
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2371,6 +2426,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "text_stats": ORACLE_TEXT_STATS,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "hash_split": ORACLE_HASH_SPLIT,
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
         "language_id": _langid_oracle(),
         "langid_confusion": _langid_confusion_oracle(),
         "source_quality": ORACLE_SOURCE_QUALITY,

@@ -22,7 +22,8 @@ from .similarity import (cosine_similarity_col, brute_force_topk,
                          lsh_bucket_topk, suggest_ivf_config,
                          suggest_lsh_config, suggest_lsh_planes)
 from .text import (chunk_documents, fingerprint, language_id,
-                   text_stats, token_count, word_shingles, words)
+                   pack_sequences, text_stats, token_count,
+                   word_shingles, words)
 from .curation import (contamination, quality_filter,
                        repetition_stats, scrub_pii)
 from .sampling import cap_per_group, hash_split, stratified_sample
@@ -40,7 +41,7 @@ __all__ = [
     "write_ivf_index", "query_ivf_index",
     "write_ivfpq_index", "query_ivfpq_index",
     "fingerprint", "language_id", "text_stats", "token_count",
-    "word_shingles", "words", "chunk_documents",
+    "word_shingles", "words", "chunk_documents", "pack_sequences",
     "cap_per_group", "hash_split", "stratified_sample",
     "attach_fake_payload", "extract_image_features",
     "extract_audio_features", "sample_frames",
