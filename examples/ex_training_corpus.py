@@ -74,6 +74,28 @@ def main() -> None:
           f"{stats['tokens']} tokens")
     assert stats["n_chunks"] >= counts["train"]
 
+    # 3b. greedy sequence packing: chunks → context-length bins.
+    # The group key is ANY axis: doc_id for strict document isolation,
+    # or — as here — a deterministic SHARD key so chunks from many
+    # short documents pack together (that is where the efficiency is:
+    # web documents are usually far shorter than the context window).
+    # Packing efficiency = tokens / (bins × context): the fraction of
+    # the context window the batch actually trains on.
+    from zcollection_spark.functions import pack_sequences
+    sharded = chunks.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias("pos"),
+        "doc_id", "chunk_id", "n_tokens")
+    packed = pack_sequences(sharded, id_col="shard", order_col="pos",
+                            token_col="n_tokens", context_len=256)
+    bins = packed.groupBy("shard", "bin").agg(
+        F.sum("n_tokens").alias("fill"))
+    eff = bins.agg((F.sum("fill")
+                    / (F.count("*") * 256)).alias("eff")).first()["eff"]
+    print(f"packed into {bins.count()} bins of 256, "
+          f"efficiency {eff:.0%}")
+    assert eff > 0.5  # cross-document packing fills the window
+
     # 4. the commit ledger
     for row in coll.history(limit=3):
         print(f"gen {row['generation']}: +{len(row['added'])} "

@@ -183,7 +183,12 @@ def pack_sequences(df: DataFrame, *, id_col: str,
     Adds ``bin`` (0-based within the group) and ``bin_fill`` (tokens
     in the bin after placing the chunk).  A chunk larger than
     ``context_len`` gets a bin of its own (never split, never
-    dropped).  The scan is inherently sequential PER GROUP (each
+    dropped).  ``id_col`` is ANY grouping axis: the document id for
+    strict per-document isolation, or a deterministic shard key to
+    pack chunks from many short documents together — the usual web
+    corpus case, where cross-document packing is the difference
+    between ~20% and ~85% context utilization
+    (examples/ex_training_corpus.py measures both).  The scan is inherently sequential PER GROUP (each
     placement depends on the previous fill), so it runs as an
     Arrow-batched ``applyInPandas`` over ``id_col`` — groups (documents)
     are independent, which is exactly the partitioning axis at 100 TB:
