@@ -734,3 +734,52 @@ def test_merge_bloom_entries_ref_without_loader_drops():
     out = merge_bloom_entries(
         ref, inline, load=lambda r: inline["b64"])
     assert out is not None and out["b64"] == inline["b64"]
+
+
+def test_zarr3_sidecar_bloom_prunes_and_degrades(spark, tmp_path):
+    """Layout parity: the zarr query path resolves sidecar bloom refs
+    through the same survivor-only pass — exact point-lookup pruning
+    past the inline threshold, scan-degrade when payloads vanish."""
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    import json
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("uid", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "zb"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)),
+        bloom_columns=["uid"], bloom_bits=8192)
+    rows = {1: [10, 30], 2: [20, 40], 3: [15, 25]}
+    frames, base = [], 0
+    for num, ids in rows.items():
+        frames.append(pd.DataFrame({
+            "i": np.arange(base, base + len(ids), dtype=np.int64),
+            "uid": np.asarray(ids, dtype=np.int64),
+            "num": np.int64(num)}))
+        base += len(ids)
+    coll.insert(spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        schema=coll.schema.to_struct_type()))
+
+    state = json.loads(
+        (tmp_path / "zb" / "_catalog" / "state.json").read_text())
+    entries = [v for rel in state["stats"]
+               for c, v in state["stats"][rel].items()
+               if c.endswith("#bloom")]
+    assert entries and all("ref" in e and "b64" not in e
+                           for e in entries)
+
+    res = coll.query(where="uid == 40")
+    assert [r.uid for r in res.collect()] == [40]
+    assert coll.query(where="uid == 9999") is None  # all pruned
+
+    # vanished payloads: fresh open degrades to scan, never errors
+    for p in (tmp_path / "zb" / "_catalog" / "blooms").iterdir():
+        p.unlink()
+    from zcollection_spark.zarr3.collection import open_zarr_collection
+    cold = open_zarr_collection(spark, str(tmp_path / "zb"))
+    res = cold.query(where="uid == 40")
+    assert [r.uid for r in res.collect()] == [40]

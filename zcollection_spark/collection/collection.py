@@ -416,40 +416,12 @@ class Collection:
         return [rel for rel in survivors if may_match(resolved[rel])]
 
     def _resolve_sidecar_blooms(self, entries: dict) -> "dict | None":
-        """Substitute sidecar bloom refs with their payloads (bounded
-        thread-pool GETs, content-addressed so cached per collection
-        forever).  None when nothing needs resolving; an unreadable
-        payload leaves the ref form (probe degrades to scan)."""
-        refs = {str(val["ref"])
-                for entry in entries.values() if entry
-                for val in entry.values()
-                if isinstance(val, dict) and "ref" in val
-                and "b64" not in val}
-        refs -= set(self._bloom_payloads)
-        if refs:
-            with ThreadPoolExecutor(max_workers=min(16, len(refs))) \
-                    as pool:
-                for ref, b64 in zip(refs, pool.map(
-                        self._catalog.load_bloom, refs)):
-                    self._bloom_payloads[ref] = b64
-        out = {}
-        any_resolved = False
-        for rel, entry in entries.items():
-            new_entry = entry
-            for col, val in (entry or {}).items():
-                if not (isinstance(val, dict) and "ref" in val
-                        and "b64" not in val):
-                    continue
-                b64 = self._bloom_payloads.get(str(val["ref"]))
-                if b64 is None:
-                    continue
-                if new_entry is entry:
-                    new_entry = dict(entry)
-                new_entry[col] = {**{k: v for k, v in val.items()
-                                     if k != "ref"}, "b64": b64}
-                any_resolved = True
-            out[rel] = new_entry
-        return out if any_resolved else None
+        """Substitute sidecar bloom refs with their payloads
+        (collection/stats.py:resolve_sidecar_blooms; content-addressed
+        so cached per collection forever)."""
+        from .stats import resolve_sidecar_blooms
+        return resolve_sidecar_blooms(entries, self._catalog.load_bloom,
+                                      self._bloom_payloads)
 
     def _load(self, *, filters: str | None = None,
               where: str | None = None,

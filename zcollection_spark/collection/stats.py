@@ -226,6 +226,45 @@ def collect_bloom_stats(df: DataFrame, partitioning, bloom_columns,
     return out or None
 
 
+def resolve_sidecar_blooms(entries: dict, load, cache: dict):
+    """Substitute sidecar bloom refs in ``{rel: {col: entry}}`` with
+    their payloads (bounded thread-pool ``load(ref)`` GETs; results —
+    including failures, sidecars are immutable — memoized in
+    ``cache``).  Returns the substituted map, or None when nothing
+    needed resolving; an unreadable payload keeps the ref form, so the
+    probe degrades to scan.  Shared by the parquet and zarr query
+    paths (both prune on the same catalog stats)."""
+    from concurrent.futures import ThreadPoolExecutor
+    refs = {str(val["ref"])
+            for entry in entries.values() if entry
+            for val in entry.values()
+            if isinstance(val, dict) and "ref" in val
+            and "b64" not in val}
+    refs -= set(cache)
+    if refs:
+        with ThreadPoolExecutor(max_workers=min(16, len(refs))) as pool:
+            for ref, b64 in zip(refs, pool.map(load, refs)):
+                cache[ref] = b64
+    out = {}
+    any_resolved = False
+    for rel, entry in entries.items():
+        new_entry = entry
+        for col, val in (entry or {}).items():
+            if not (isinstance(val, dict) and "ref" in val
+                    and "b64" not in val):
+                continue
+            b64 = cache.get(str(val["ref"]))
+            if b64 is None:
+                continue
+            if new_entry is entry:
+                new_entry = dict(entry)
+            new_entry[col] = {**{k: v for k, v in val.items()
+                                 if k != "ref"}, "b64": b64}
+            any_resolved = True
+        out[rel] = new_entry
+    return out if any_resolved else None
+
+
 def merge_bloom_entries(a, b, load=None):
     """Union two bloom entries (append publish): bitwise OR when the
     geometry matches, else None (drop — a mismatched filter cannot

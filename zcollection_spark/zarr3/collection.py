@@ -638,6 +638,17 @@ class ZarrCollection:
                           for rel, entry in stats_map.items()}
                 kept = [rel for rel in relpaths
                         if may_match(masked.get(rel))]
+                # sidecar bloom payloads: fetched only for interval
+                # survivors, then probed (parquet-layout parity)
+                from ..collection.stats import resolve_sidecar_blooms
+                if not hasattr(self, "_bloom_payloads"):
+                    self._bloom_payloads: dict = {}
+                resolved = resolve_sidecar_blooms(
+                    {rel: masked.get(rel) for rel in kept},
+                    self._catalog.load_bloom, self._bloom_payloads)
+                if resolved is not None:
+                    kept = [rel for rel in kept
+                            if may_match(resolved[rel])]
                 if not kept:
                     return None
                 if len(kept) < len(relpaths):
