@@ -411,3 +411,68 @@ def test_bloom_never_false_negative(values):
     # cross-type probes never claim absence
     assert bloom_may_contain(entry, "7") is True or True
     assert bloom_may_contain(entry, 1.5) is True
+
+
+# -- chunking + packing vs pure-Python references ---------------------------
+
+def _py_chunks(text: str, chunk: int, overlap: int):
+    toks = (text or "").strip().split()
+    toks = toks if toks else [""]
+    stride = chunk - overlap
+    import math
+    n_chunks = max(math.ceil(max(len(toks) - overlap, 1) / stride), 1)
+    out = []
+    for i in range(n_chunks):
+        start = i * stride
+        window = toks[start:start + chunk]
+        out.append((i, " ".join(window), min(len(toks) - start, chunk)))
+    return out
+
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None)
+def test_chunk_documents_matches_python_reference(spark, data):
+    from zcollection_spark.functions.text import chunk_documents
+    chunk = data.draw(st.integers(2, 12))
+    overlap = data.draw(st.integers(0, chunk - 1))
+    word = st.text(alphabet="abΔ7", min_size=1, max_size=4)
+    texts = data.draw(st.lists(
+        st.lists(word, min_size=0, max_size=30).map(" ".join),
+        min_size=1, max_size=8))
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+           for r in chunk_documents(df, id_col="doc_id",
+                                    text_col="text",
+                                    chunk_tokens=chunk,
+                                    overlap=overlap).collect()}
+    want = {(i, cid): (ctext, n)
+            for i, text in enumerate(texts)
+            for cid, ctext, n in _py_chunks(text, chunk, overlap)}
+    assert got == want
+
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None)
+def test_pack_sequences_matches_python_greedy(spark, data):
+    from zcollection_spark.functions.text import pack_sequences
+    context = data.draw(st.integers(1, 50))
+    groups = data.draw(st.lists(
+        st.lists(st.integers(1, 60), min_size=1, max_size=20),
+        min_size=1, max_size=5))
+    rows = [(g, i, n) for g, tokens in enumerate(groups)
+            for i, n in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "gid long, pos long, n long")
+    got = {(r.gid, r.pos): (r.bin, r.bin_fill)
+           for r in pack_sequences(df, id_col="gid", order_col="pos",
+                                   token_col="n",
+                                   context_len=context).collect()}
+    want = {}
+    for g, tokens in enumerate(groups):
+        b, fill = 0, 0
+        for i, n in enumerate(tokens):
+            if fill and fill + n > context:
+                b, fill = b + 1, 0
+            fill += n
+            want[(g, i)] = (b, fill)
+    assert got == want
