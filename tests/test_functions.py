@@ -928,3 +928,32 @@ def test_pack_sequences_packing_efficiency(spark, docs):
         for b, total in fill.items():
             n_in_bin = sum(1 for r in rows if r.bin == b)
             assert total <= 10 or n_in_bin == 1
+
+
+def test_stratified_sample_exact_deterministic_and_bounded(spark):
+    """The sample is a pure function of (id, salt, fractions): same
+    subset on every call, different under a new salt, empty for
+    unlisted strata, loud on out-of-range fractions."""
+    from zcollection_spark.functions import stratified_sample_exact
+    rows = [(i, "en" if i % 2 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kw = dict(id_col="doc_id", strata_col="lang",
+              fractions={"en": 0.5, "de": 0.25})
+    one = {r.doc_id for r in stratified_sample_exact(df, **kw).collect()}
+    two = {r.doc_id for r in stratified_sample_exact(df, **kw).collect()}
+    assert one == two and one  # deterministic, non-empty
+    resalted = {r.doc_id for r in stratified_sample_exact(
+        df, salt="v2", **kw).collect()}
+    assert resalted != one  # a new salt draws a fresh sample
+    # rough rate sanity: md5 uniform keeps strata near their fractions
+    n_en = sum(1 for i in one if i % 2)
+    n_de = sum(1 for i in one if not i % 2)
+    assert 30 <= n_en <= 70 and 10 <= n_de <= 40
+    # unlisted stratum drops entirely
+    only_en = stratified_sample_exact(df, id_col="doc_id",
+                                      strata_col="lang",
+                                      fractions={"en": 1.0})
+    assert {r.lang for r in only_en.collect()} == {"en"}
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample_exact(df, id_col="doc_id", strata_col="lang",
+                                fractions={"en": 1.5})

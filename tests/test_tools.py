@@ -75,8 +75,8 @@ def test_registry_window_invariant():
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",
                     "langid_confusion", "top_ngrams",
-                    # graded r9 out-of-window (window full); promotes r10
-                    "pack_sequences"}
+                    # graded r9 out-of-window (window full); promote r10
+                    "pack_sequences", "stratified_sample"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf",

@@ -783,3 +783,57 @@ def test_zarr3_sidecar_bloom_prunes_and_degrades(spark, tmp_path):
     cold = open_zarr_collection(spark, str(tmp_path / "zb"))
     res = cold.query(where="uid == 40")
     assert [r.uid for r in res.collect()] == [40]
+
+
+def test_bloom_sidecar_concurrent_writers_converge(spark, tmp_path):
+    """Two threads race concat-appends on a sidecar-bloom collection:
+    the CAS commit loop re-runs externalization on retry
+    (content-addressed writes are idempotent), so after both commits
+    every referenced payload exists, both writers' values probe
+    correctly, and a sweep removes only unreachable payloads."""
+    import json
+    import threading
+    coll = _mk_bloom(spark, str(tmp_path / "cw"), {1: [100], 2: [200]},
+                     bloom_bits=8192)
+    other = zc.open_collection(spark, str(tmp_path / "cw"), mode="rw")
+    barrier = threading.Barrier(2)
+    failures: list = []
+
+    def worker(c, num, uid):
+        try:
+            barrier.wait(timeout=60)
+            pdf = pd.DataFrame({
+                "i": np.array([uid], dtype=np.int64),
+                "uid": np.array([uid], dtype=np.int64),
+                "doc": [f"doc-{uid}"],
+                "num": np.array([num], dtype=np.int64)})
+            c.insert(spark.createDataFrame(
+                pdf, schema=c.schema.to_struct_type()), merge="concat")
+        except Exception as exc:
+            failures.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(coll, 1, 111)),
+               threading.Thread(target=worker, args=(other, 2, 222))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not failures, failures
+
+    state = json.loads(
+        (tmp_path / "cw" / "_catalog" / "state.json").read_text())
+    refs = {v["ref"] for rel in state["stats"]
+            for c, v in state["stats"][rel].items()
+            if c.endswith("#bloom")}
+    on_disk = {p.name for p in
+               (tmp_path / "cw" / "_catalog" / "blooms").iterdir()}
+    assert refs <= on_disk  # no dangling reference, ever
+    fresh = zc.open_collection(spark, str(tmp_path / "cw"))
+    for uid in (100, 111, 200, 222):  # both generations' values probe
+        assert [r.uid for r in
+                fresh.query(where=f"uid == {uid}").collect()] == [uid]
+    assert fresh.query(where="uid == 999") is None
+    coll._catalog.prune_history(keep_last=1)
+    after = {p.name for p in
+             (tmp_path / "cw" / "_catalog" / "blooms").iterdir()}
+    assert refs <= after  # sweep never removes a live payload

@@ -1140,6 +1140,33 @@ SELECT doc_id, chunk_id, n_tokens, bin, bin_fill FROM r
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (NEW r9): per-language
+    down-sampling where the SAMPLE itself is a pure function of the
+    doc id — rebuilds and other engines draw the identical subset
+    (Spark's seeded sampleBy cannot be replayed off-engine; this
+    md5-draw variant can, so the sample is auditable).  Fractions are
+    exact binary (1/2, 1/4, 1/8) so the threshold comparison is
+    bit-identical on both engines; unlisted strata drop."""
+    from .functions.sampling import stratified_sample_exact
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_exact(
+        docs, id_col="doc_id", strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.125}) \
+        .select("doc_id", "lang", "source")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source
+FROM (SELECT doc_id, lang, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             / 16.0 ** 15 AS u
+      FROM documents)
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                    WHEN 'fr' THEN 0.125 ELSE 0.0 END
+"""
+
+
 def q_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-10 per query vector (vec_id < 5)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2367,9 +2394,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_latest": q_dedup_keep_latest,
         "multimodal_features": q_multimodal_features,
         # NEW r9 (out-of-window — the window is full; promote in r10):
-        # greedy sequence packing, check_oracle-gated like the rest of
-        # the tail (recursive-CTE oracle)
+        # greedy sequence packing (recursive-CTE oracle) and exact
+        # stratified sampling, check_oracle-gated like the rest of
+        # the tail
         "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2427,6 +2456,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "hash_split": ORACLE_HASH_SPLIT,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "language_id": _langid_oracle(),
         "langid_confusion": _langid_confusion_oracle(),
         "source_quality": ORACLE_SOURCE_QUALITY,

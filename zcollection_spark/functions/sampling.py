@@ -77,3 +77,33 @@ def hash_split(df: DataFrame, *, id_col: str,
     expr = (F.lit(names[-1]) if expr is None
             else expr.otherwise(F.lit(names[-1])))
     return df.withColumn("split", expr)
+
+
+def stratified_sample_exact(df: DataFrame, *, id_col: str,
+                            strata_col: str, fractions: Mapping,
+                            salt: str = "") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5 draw
+    (same uniform as :func:`hash_split`) falls below its stratum's
+    fraction.  Unlike ``stratified_sample`` (Spark's seeded
+    ``sampleBy`` — engine RNG, not replayable elsewhere), the SAMPLE
+    ITSELF is a pure function of (id, salt, fractions): rebuilds,
+    other engines and resized clusters draw the identical subset,
+    which is what an audit of "which rows trained" needs.  Strata
+    absent from ``fractions`` are dropped (fraction 0).  Pure JVM
+    expression; no shuffle, no RNG state.
+    """
+    fractions = {k: float(v) for k, v in dict(fractions).items()}
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} must be "
+                             f"in [0, 1], got {frac}")
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    frac = None
+    for name, fr in fractions.items():
+        cond = F.col(strata_col) == F.lit(name)
+        frac = (F.when(cond, F.lit(fr)) if frac is None
+                else frac.when(cond, F.lit(fr)))
+    frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
+    return df.where(u < frac)
