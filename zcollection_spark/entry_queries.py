@@ -742,12 +742,18 @@ def q_rollup_hourly(spark, sf_dir):
             .withColumn("hour", F.hour("ts"))
             .rollup("day", "hour")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 6).alias("sum_value")))
+                 # decimal-exact: the grand-total row sums EVERY event;
+                 # a raw double sum is aggregation-order-dependent and
+                 # the engines disagree past ~1M rows (the sf3
+                 # streaming_sink lesson, applied before it bites here)
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 6).alias("sum_value")))
 
 
 ORACLE_ROLLUP = """
 SELECT day(ts) AS day, hour(ts) AS hour, count(*) AS n,
-       round(sum(value), 6) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value
 FROM events GROUP BY ROLLUP (day(ts), hour(ts))
 """
 
