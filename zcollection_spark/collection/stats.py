@@ -235,12 +235,11 @@ def resolve_sidecar_blooms(entries: dict, load, cache: dict):
     probe degrades to scan.  Shared by the parquet and zarr query
     paths (both prune on the same catalog stats)."""
     from concurrent.futures import ThreadPoolExecutor
-    refs = {str(val["ref"])
-            for entry in entries.values() if entry
-            for val in entry.values()
-            if isinstance(val, dict) and "ref" in val
-            and "b64" not in val}
-    refs -= set(cache)
+    refs = sorted({str(val["ref"])
+                   for entry in entries.values() if entry
+                   for val in entry.values()
+                   if isinstance(val, dict) and "ref" in val
+                   and "b64" not in val} - set(cache))
     if refs:
         with ThreadPoolExecutor(max_workers=min(16, len(refs))) as pool:
             for ref, b64 in zip(refs, pool.map(load, refs)):
