@@ -590,3 +590,46 @@ def test_az_msi_provider_against_imds_stub(az_server, az_root,
     assert routed._token_provider is not None
     routed.write_text(f"{az_root}/d.txt", "dispatched")
     assert routed.read_text(f"{az_root}/d.txt") == "dispatched"
+
+
+def test_az_bearer_401_refresh_survives_throttle_streak(monkeypatch):
+    """A 401 landing on the LAST transient-retry attempt (after a 429
+    streak) must still get its refreshed-token retry — the refresh is
+    not charged against the throttle budget."""
+    import io
+    import urllib.error
+    import urllib.request
+
+    calls = []
+    script = [429, 429, 429, 401, 200]
+
+    def fake_urlopen(req, timeout=None):
+        code = script[len(calls)]
+        calls.append((code, req.headers.get("Authorization")))
+        if code == 200:
+            class R:
+                status = 200
+                headers = {}
+                def read(self): return b"ok"
+                def __enter__(self): return self
+                def __exit__(self, *a): return False
+            return R()
+        raise urllib.error.HTTPError(req.full_url, code, "err",
+                                     {}, io.BytesIO(b""))
+
+    tokens = []
+
+    def provider():
+        tokens.append(f"tok{len(tokens)}")
+        return tokens[-1], 10**12
+
+    fs = AzureBlobFS(account="acct", token_provider=provider,
+                     endpoint="http://example.invalid/acct")
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    import time as _time
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    status, hdrs, body = fs._request("GET", "c", "k")
+    assert status == 200 and body == b"ok"
+    assert [c for c, _ in calls] == [429, 429, 429, 401, 200]
+    assert len(tokens) == 2  # initial mint + the post-401 refresh
+    assert calls[-1][1] == "Bearer tok1"  # retried with the NEW token

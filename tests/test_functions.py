@@ -357,7 +357,9 @@ def test_simhash_salted_join_matches_unsalted_on_hot_key(spark):
 
 def test_simhash_unpacked_matches_packed(spark, docs):
     """packed=False (per-bit sums, exact to 2^62 tokens) is the same
-    function: identical signatures on every doc."""
+    function: identical signatures on every doc — and the passthrough
+    on simhash_duplicate_pairs (the advertised overflow remediation)
+    yields the identical pair set."""
     packed = {r["doc_id"]: r["simhash"] for r in
               simhash(docs, id_col="doc_id", text_col="text",
                       n_bits=32).collect()}
@@ -365,6 +367,13 @@ def test_simhash_unpacked_matches_packed(spark, docs):
                 simhash(docs, id_col="doc_id", text_col="text",
                         n_bits=32, packed=False).collect()}
     assert packed == unpacked
+    pairs_p = {(r.id_a, r.id_b) for r in simhash_duplicate_pairs(
+        docs, id_col="doc_id", text_col="text", n_bits=24,
+        max_hamming=1).collect()}
+    pairs_u = {(r.id_a, r.id_b) for r in simhash_duplicate_pairs(
+        docs, id_col="doc_id", text_col="text", n_bits=24,
+        max_hamming=1, packed=False).collect()}
+    assert pairs_p == pairs_u
 
 
 def test_simhash_packed_overflow_fails_loud(spark, monkeypatch):

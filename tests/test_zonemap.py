@@ -705,8 +705,12 @@ def test_bloom_sidecar_append_merge_and_sweep(spark, tmp_path):
     bloom_dir = tmp_path / "sm" / "_catalog" / "blooms"
     before = {p.name for p in bloom_dir.iterdir()}
     assert len(before) >= 3  # gen-1 filters + merged gen-2 filters
-    removed = coll._catalog.prune_history(keep_last=1)
-    assert removed  # at least one snapshot fell off
+    # default grace protects just-written payloads from a racing sweep
+    coll._catalog.prune_history(keep_last=2)
+    assert {p.name for p in bloom_dir.iterdir()} == before
+    removed = coll._catalog.prune_history(keep_last=1,
+                                          bloom_grace_seconds=0)
+    assert removed or coll._catalog.last_swept  # maintenance ran
     after = {p.name for p in bloom_dir.iterdir()}
     assert after < before  # superseded payloads swept
     import json

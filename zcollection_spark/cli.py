@@ -161,9 +161,10 @@ def cmd_verify(args: argparse.Namespace) -> int:
                                          older_than=args.older_than)
         pruned = coll._catalog.prune_history(args.keep_generations)
         # prune_history sweeps sidecar blooms itself when snapshots
-        # fall off; the explicit call covers the nothing-pruned case
-        # and reports the count either way
-        swept = coll._catalog.sweep_blooms()
+        # fall off (count in last_swept); the explicit call covers the
+        # nothing-pruned case — together they report everything swept
+        swept = set(coll._catalog.last_swept)
+        swept |= set(coll._catalog.sweep_blooms())
         print(json.dumps({"gc_deleted": gc["deleted"],
                           "gc_kept": gc["kept"],
                           "generations_pruned": len(pruned),

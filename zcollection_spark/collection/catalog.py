@@ -114,6 +114,9 @@ class Catalog:
         self._root = root.rstrip("/")
         self._path = f"{self._root}/{CATALOG_RELPATH}"
         self._walk_depth = walk_depth
+        #: refs removed by the most recent sweep_blooms (direct or via
+        #: prune_history) — observability for CLI/maintenance callers
+        self.last_swept: list[str] = []
 
     def _baseline(self) -> list[str]:
         """Current catalog, or — if it's absent/corrupt — a store walk.
@@ -301,17 +304,32 @@ class Catalog:
             out[rel] = new_entry
         return out
 
-    def sweep_blooms(self) -> list[str]:
+    def sweep_blooms(self, grace_seconds: float = 900.0) -> list[str]:
         """Delete sidecar payloads unreachable from the live document
-        and every retained snapshot; returns the removed refs.  Safe to
-        run any time — referenced payloads are immutable."""
+        and every retained snapshot; returns the removed refs and
+        records them on ``self.last_swept`` (so callers that sweep
+        indirectly — ``prune_history`` — can still report the count).
+
+        RACE SAFETY: ``_externalize_blooms`` writes payloads BEFORE
+        the catalog PUT, so a concurrent writer's fresh payload is
+        momentarily unreferenced — deleting it would leave the
+        writer's committed document with a dangling ref (degraded
+        pruning forever).  The sweep therefore skips any candidate
+        younger than ``grace_seconds`` (store ``mtime``; an UNKNOWN
+        age also skips — conservative), which out-waits any real
+        commit window including CAS retries.  ``grace_seconds=0``
+        forces immediate collection for offline maintenance when no
+        writer can be live."""
+        import time
         bloom_dir = f"{self._root}/{BLOOMS_RELDIR}"
         try:
             present = {p.rsplit("/", 1)[-1]
                        for p in self._fs.list_files(bloom_dir)}
         except Exception:
+            self.last_swept = []
             return []
         if not present:
+            self.last_swept = []
             return []
         docs = [self._read_doc()]
         docs += [self.read_at(g) for g in self.history()]
@@ -322,12 +340,20 @@ class Catalog:
                         else ():
                     if isinstance(val, dict) and "ref" in val:
                         live.add(str(val["ref"]))
-        removed = sorted(present - live)
-        for ref in removed:
+        probe = getattr(self._fs, "mtime", None)
+        cutoff = time.time() - grace_seconds
+        removed = []
+        for ref in sorted(present - live):
+            if grace_seconds > 0:
+                age = probe(self.bloom_path(ref)) if probe else None
+                if age is None or age > cutoff:
+                    continue  # possibly in-flight: out-wait it
             try:
                 self._fs.delete(self.bloom_path(ref))
+                removed.append(ref)
             except Exception:
                 pass  # an orphan that survives is still just garbage
+        self.last_swept = removed
         return removed
 
     def _gen_path(self, generation: int) -> str:
@@ -379,9 +405,13 @@ class Catalog:
                     continue
         return sorted(out)
 
-    def prune_history(self, keep_last: int = 16) -> list[int]:
+    def prune_history(self, keep_last: int = 16, *,
+                      bloom_grace_seconds: float = 900.0) -> list[int]:
         """Delete snapshot files beyond the newest ``keep_last`` (the
-        state document is never touched).  Returns pruned generations."""
+        state document is never touched).  Returns pruned generations.
+        Superseded sidecar blooms are swept in the same maintenance op
+        (``bloom_grace_seconds`` guards in-flight writers; see
+        :meth:`sweep_blooms` — the count lands in ``last_swept``)."""
         gens = self.history()
         doomed = gens[:-keep_last] if keep_last > 0 else gens
         for gen in doomed:
@@ -389,7 +419,7 @@ class Catalog:
         if doomed:
             # snapshots were the only thing keeping superseded sidecar
             # blooms reachable — sweep them in the same maintenance op
-            self.sweep_blooms()
+            self.sweep_blooms(grace_seconds=bloom_grace_seconds)
         return doomed
 
     def _commit_rmw(self, mutate, need_base: bool = True) -> list[str]:

@@ -228,9 +228,9 @@ def collect_bloom_stats(df: DataFrame, partitioning, bloom_columns,
 
 def resolve_sidecar_blooms(entries: dict, load, cache: dict):
     """Substitute sidecar bloom refs in ``{rel: {col: entry}}`` with
-    their payloads (bounded thread-pool ``load(ref)`` GETs; results —
-    including failures, sidecars are immutable — memoized in
-    ``cache``).  Returns the substituted map, or None when nothing
+    their payloads (bounded thread-pool ``load(ref)`` GETs; successful
+    payloads — immutable, content-addressed — memoized in ``cache``;
+    failures are retried on the next query, never negatively cached).  Returns the substituted map, or None when nothing
     needed resolving; an unreadable payload keeps the ref form, so the
     probe degrades to scan.  Shared by the parquet and zarr query
     paths (both prune on the same catalog stats)."""
@@ -243,7 +243,12 @@ def resolve_sidecar_blooms(entries: dict, load, cache: dict):
     if refs:
         with ThreadPoolExecutor(max_workers=min(16, len(refs))) as pool:
             for ref, b64 in zip(refs, pool.map(load, refs)):
-                cache[ref] = b64
+                # only SUCCESSES are memoized: a failed GET may be a
+                # transient throttle, and negatively caching it would
+                # disable bloom pruning for the collection's lifetime —
+                # the retry cost is one GET per query for that ref
+                if b64 is not None:
+                    cache[ref] = b64
     out = {}
     any_resolved = False
     for rel, entry in entries.items():

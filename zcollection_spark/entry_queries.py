@@ -876,16 +876,11 @@ def _lsh_dedup_planes(sf_dir: str) -> int:
     back to 4 (the sf0.01-era config) when the file is unreadable, on
     BOTH sides, keeping query/oracle consistent on synthetic dirs."""
     from .functions.similarity import suggest_lsh_planes
-    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    try:
-        import pyarrow.parquet as pq
-        n = pq.ParquetFile(path).metadata.num_rows
-    except Exception:
-        # OSError (missing) AND pyarrow's ArrowInvalid (corrupt
-        # footer) both degrade to the documented 4-plane fallback —
-        # an escaping ArrowInvalid would fail the whole oracle map
-        return 4
-    return suggest_lsh_planes(n)
+    # missing file AND corrupt footer both degrade to the documented
+    # 4-plane fallback (an escaping error would fail the whole oracle
+    # map); the footer read itself is shared with _emb_count
+    n = _emb_count(sf_dir)
+    return 4 if n is None else suggest_lsh_planes(n)
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
@@ -1224,16 +1219,23 @@ def _emb_dim(sf_dir: str) -> int | None:
     return _EMB_DIM_CACHE[path]
 
 
+_EMB_COUNT_CACHE: dict = {}
+
+
 def _emb_count(sf_dir: str) -> int | None:
-    """Corpus row count from the parquet footer (no Spark job); None
+    """Corpus row count from the parquet footer (no Spark job, cached
+    per path — building one oracle map probes it several times); None
     when unreadable — callers then fall back to the fixed sf0.01-era
     configs on BOTH the Spark and oracle sides, keeping them paired."""
     path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    try:
-        import pyarrow.parquet as pq
-        return pq.ParquetFile(path).metadata.num_rows
-    except Exception:
-        return None
+    if path not in _EMB_COUNT_CACHE:
+        try:
+            import pyarrow.parquet as pq
+            _EMB_COUNT_CACHE[path] = pq.ParquetFile(path) \
+                .metadata.num_rows
+        except Exception:
+            return None  # transient: do not negatively cache
+    return _EMB_COUNT_CACHE[path]
 
 
 def _knn_lsh_config(sf_dir: str) -> tuple[int, int]:
@@ -2311,7 +2313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # metadata projection — a strict subset of in-window
     # multimodal_decoded's Arrow-batched decode path).  Every rotating
     # entry's newest driver green stays <=2 rounds old, and
-    # tools/check_oracle.py still gates all 69.  r10 ledger note: the
+    # tools/check_oracle.py still gates all 71 (the two late-r9 ops,
+    # pack_sequences and stratified_sample, ride the tail until the
+    # r10 promotion).  r10 ledger note: the
     # ten r9 sit-outs return in r10; free the slots by sitting out
     # returning plain-SQL rows (priority/big/regional/revenue_delta/
     # browse_no_buy/value_percentiles et al.) on the same covered-
@@ -2474,8 +2478,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "quality_filter": _quality_oracle(),
         "knn_bruteforce": ORACLE_KNN,
         "knn_lsh": _lsh_oracle(dim=_emb_dim(sf_dir) or 64,
-                               n_planes=_knn_lsh_config(sf_dir)[0],
-                               n_tables=_knn_lsh_config(sf_dir)[1]),
+                               **dict(zip(("n_planes", "n_tables"),
+                                          _knn_lsh_config(sf_dir)))),
         "knn_lsh_hi": _lsh_oracle(n_planes=LSH_HI["n_planes"],
                                   n_tables=LSH_HI["n_tables"]),
         "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,

@@ -121,6 +121,14 @@ class LocalFS:
     def exists_file(self, path: str) -> bool:
         return Path(path).is_file()
 
+    def mtime(self, path: str) -> "float | None":
+        """Last-modified epoch seconds, or None when unknown/absent —
+        maintenance sweeps use it as a write-in-flight grace signal."""
+        try:
+            return Path(path).stat().st_mtime
+        except OSError:
+            return None
+
     def read_text(self, path: str) -> str:
         return Path(path).read_text()
 
@@ -238,6 +246,7 @@ class MemoryFS:
     def __init__(self):
         self._files: dict[str, str] = {}
         self._dirs: set[str] = set()
+        self._mtimes: dict[str, float] = {}
         self._lock = threading.RLock()
 
     @staticmethod
@@ -276,6 +285,12 @@ class MemoryFS:
             if parent:
                 self._dirs.add(parent)
             self._files[p] = data  # dict assignment: atomic PUT
+            import time
+            self._mtimes[p] = time.time()
+
+    def mtime(self, path: str) -> "float | None":
+        with self._lock:
+            return self._mtimes.get(self._norm(path))
 
     def read_versioned(self, path: str) -> tuple[str | None, str | None]:
         p = self._norm(path)
@@ -299,6 +314,8 @@ class MemoryFS:
             if parent:
                 self._dirs.add(parent)
             self._files[p] = data
+            import time
+            self._mtimes[p] = time.time()
             return _content_token(data)
 
     def delete(self, path: str) -> None:
@@ -402,6 +419,13 @@ class HadoopFS:
 
     def exists_file(self, path: str) -> bool:
         return self.exists(path)  # one RPC either way on Hadoop FS
+
+    def mtime(self, path: str) -> "float | None":
+        try:
+            fs, jpath = self._fs_path(path)
+            return fs.getFileStatus(jpath).getModificationTime() / 1000.0
+        except Exception:
+            return None
 
     def read_text(self, path: str) -> str:
         fs, jpath = self._fs_path(path)
@@ -550,6 +574,11 @@ class CountingFS:
         self.counts["head"] += 1
         return self.inner.exists(path)
 
+    def mtime(self, path: str) -> "float | None":
+        self.counts["head"] += 1
+        probe = getattr(self.inner, "mtime", None)
+        return probe(path) if probe else None
+
     def exists_file(self, path: str) -> bool:
         self.counts["head"] += 1
         checker = getattr(self.inner, "exists_file", self.inner.exists)
@@ -667,6 +696,12 @@ class S3FS:
             path.split("://", 1)[1]
         bucket, _, key = rest.partition("/")
         return bucket, key.strip("/")
+
+    def mtime(self, path: str) -> "float | None":
+        bucket, key = self._bk(path)
+        head = self._head(bucket, key)
+        lm = (head or {}).get("LastModified")
+        return lm.timestamp() if lm is not None else None
 
     def _head(self, bucket: str, key: str):
         self.api_counts["head"] += 1
@@ -1592,7 +1627,8 @@ class AzureBlobFS:
         import time
         last_exc = None
         token_refreshed = False
-        for attempt in range(self._RETRIES + 1):
+        attempt = 0
+        while True:
             if self._key is not None:
                 headers["Authorization"] = self._authorization(
                     method, container, key, params, headers, body)
@@ -1609,6 +1645,10 @@ class AzureBlobFS:
                 data = exc.read()
                 if exc.code == 401 and self._token_provider is not None \
                         and not token_refreshed:
+                    # the one free refresh does NOT consume a
+                    # transient-retry slot — a 401 landing on the last
+                    # attempt after a throttle streak must still get
+                    # its refreshed-token retry
                     token_refreshed = True
                     self._bearer_token(force_refresh=True)
                     continue
@@ -1631,9 +1671,11 @@ class AzureBlobFS:
                         f"{self._endpoint}: {exc}") from None
                 last_exc = exc
             time.sleep(0.1 * (2 ** attempt))
-        raise StoreError(
-            f"{method} az://{container}/{key} kept failing after "
-            f"{self._RETRIES + 1} attempts: {last_exc}")
+            attempt += 1
+            if attempt > self._RETRIES:
+                raise StoreError(
+                    f"{method} az://{container}/{key} kept failing "
+                    f"after {self._RETRIES + 1} attempts: {last_exc}")
 
     # -- contract surface ----------------------------------------------
     def supports_atomic_rename(self, path: str) -> bool:
@@ -1648,6 +1690,18 @@ class AzureBlobFS:
             raise StoreError(
                 f"HEAD az://{container}/{key} failed: {status}")
         return hdrs
+
+    def mtime(self, path: str) -> "float | None":
+        import email.utils
+        container, key = self._ck(path)
+        hdrs = self._head(container, key)
+        lm = (hdrs or {}).get("Last-Modified")
+        if not lm:
+            return None
+        try:
+            return email.utils.parsedate_to_datetime(lm).timestamp()
+        except (TypeError, ValueError):
+            return None
 
     def _list_page(self, container: str, *, prefix: str,
                    delimiter: str | None = None,

@@ -251,14 +251,16 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str,
         F.lit("SIMHASH_PACKED_OVERFLOW: document "),
         F.col(id_col).cast("string"),
         F.lit(f" has >= 2^{_SIMHASH_SLOT} distinct tokens; "
-              "rerun with simhash(..., packed=False)"))))
+              "rerun with packed=False (simhash and "
+              "simhash_duplicate_pairs both accept it)"))))
     return agg.select(id_col, guarded.cast("long").alias("simhash"))
 
 
 def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
                             n_bits: int = 32,
                             salt_buckets: int = 1,
-                            max_hamming: int = 0) -> DataFrame:
+                            max_hamming: int = 0,
+                            packed: bool = True) -> DataFrame:
     """Docs whose simhashes differ in ≤ ``max_hamming`` bits → near-dup
     pairs (id_a < id_b).
 
@@ -292,7 +294,8 @@ def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
     width = n_bits // bands
     if width < 1:
         raise ValueError("n_bits must give every band at least one bit")
-    sig = simhash(df, id_col=id_col, text_col=text_col, n_bits=n_bits)
+    sig = simhash(df, id_col=id_col, text_col=text_col, n_bits=n_bits,
+                  packed=packed)
     band_structs = []
     for b in range(bands):
         lo = b * width

@@ -28,6 +28,17 @@ def deterministic_rank(id_col: Column | str, salt: str = "") -> Column:
     return F.md5(F.concat(col.cast("string"), F.lit(salt)))
 
 
+def uniform_draw(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1): the first 15 md5 hex chars of
+    (id, salt) scaled by 16^-15 — THE shared draw behind
+    :func:`hash_split` and :func:`stratified_sample_exact`.  One
+    definition on purpose: the DuckDB replay contract
+    (``('0x' || substr(md5(...), 1, 15))::BIGINT / 16.0 ** 15``)
+    depends on every consumer staying bit-identical."""
+    return (F.conv(F.substring(deterministic_rank(id_col, salt), 1, 15),
+                   16, 10).cast("double") / F.lit(float(16 ** 15)))
+
+
 def cap_per_group(df: DataFrame, *, keys: str | Iterable[str],
                   id_col: str, n: int, salt: str = "") -> DataFrame:
     """Keep at most ``n`` rows per key group, chosen by deterministic
@@ -64,9 +75,7 @@ def hash_split(df: DataFrame, *, id_col: str,
     splits = dict(splits or {"train": 0.98, "val": 0.01, "test": 0.01})
     if not splits or abs(sum(splits.values()) - 1.0) > 1e-6:
         raise ValueError("split fractions must sum to 1")
-    u = (F.conv(F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
-        1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    u = uniform_draw(id_col, salt)
     expr = None
     acc = 0.0
     names = list(splits)
@@ -97,9 +106,7 @@ def stratified_sample_exact(df: DataFrame, *, id_col: str,
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for stratum {name!r} must be "
                              f"in [0, 1], got {frac}")
-    u = (F.conv(F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
-        1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    u = uniform_draw(id_col, salt)
     frac = None
     for name, fr in fractions.items():
         cond = F.col(strata_col) == F.lit(name)

@@ -199,6 +199,12 @@ def pack_sequences(df: DataFrame, *, id_col: str,
     """
     if context_len < 1:
         raise ValueError("context_len must be >= 1")
+    clash = {"bin", "bin_fill"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"pack_sequences adds {sorted(clash)} but the input "
+            f"already has such column(s) — drop or rename them first "
+            f"(e.g. when re-packing an already-packed frame)")
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
