@@ -303,13 +303,15 @@ def test_hash_split_shuffle_free_no_python(spark):
     assert count_exchanges(plan) == []
 
 
-def test_pack_sequences_one_exchange_grouped_pandas(spark):
-    """Greedy packing is sequential per document, so the plan is ONE
-    hash exchange on the group key feeding an Arrow-batched
-    FlatMapGroupsInPandas — no second shuffle, no row-at-a-time
-    Python eval (graded r9)."""
+def test_pack_sequences_one_exchange_streaming_pandas(spark):
+    """Greedy packing is sequential per group but NOT per-group UDF
+    dispatch (that shape measured 117 s for 45 k tiny groups at sf1):
+    the plan is ONE hash exchange + in-partition sort feeding a
+    batch-streaming MapInPandas — no per-group FlatMapGroupsInPandas,
+    no second shuffle, no row-at-a-time Python eval (graded r9)."""
     plan = executed_plan(eq.q_pack_sequences(spark, SF_DIR))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert len(count_exchanges(plan)) == 1
 

@@ -1092,11 +1092,13 @@ FROM (SELECT doc_id, lang,
 
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing after chunking (NEW r9): 32/8 windows
-    packed into 96-token training bins per document.  The per-group
-    scan is inherently sequential, so it runs as Arrow-batched
-    applyInPandas over the document key — one hash exchange, then
-    embarrassingly parallel (the 100-TB shape); the DuckDB twin
-    replays the exact greedy recurrence as a recursive CTE."""
+    packed into 96-token training bins per document.  One hash
+    exchange + in-partition sort feeding a batch-streaming
+    mapInPandas that carries (group, bin, fill) state across Arrow
+    batches — one Python invocation per PARTITION, not per group
+    (per-group applyInPandas dispatch measured 14× slower at sf1);
+    the DuckDB twin replays the exact greedy recurrence as a
+    recursive CTE."""
     from .functions.text import chunk_documents, pack_sequences
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, id_col="doc_id", text_col="text",
