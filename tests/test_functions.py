@@ -966,3 +966,22 @@ def test_stratified_sample_exact_deterministic_and_bounded(spark):
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample_exact(df, id_col="doc_id", strata_col="lang",
                                 fractions={"en": 1.5})
+
+
+def test_pack_sequences_null_group_ids_pack_as_one_group(spark):
+    """Arrow->pandas converts nullable long ids to float NaN; the
+    packer must canonicalize so ALL null-id rows pack as one group
+    (groupBy semantics), not reset per row."""
+    from zcollection_spark.functions.text import pack_sequences
+    rows = [(None, 0, 60), (None, 1, 60), (None, 2, 10),
+            (7, 0, 60), (7, 1, 60)]
+    df = spark.createDataFrame(rows, "gid long, pos long, n long")
+    out = {(r.gid, r.pos): (r.bin, r.bin_fill)
+           for r in pack_sequences(df, id_col="gid", order_col="pos",
+                                   token_col="n",
+                                   context_len=96).collect()}
+    assert out[(None, 0)] == (0, 60)
+    assert out[(None, 1)] == (1, 60)   # spills: SAME group, next bin
+    assert out[(None, 2)] == (1, 70)
+    assert out[(7, 0)] == (0, 60)
+    assert out[(7, 1)] == (1, 60)

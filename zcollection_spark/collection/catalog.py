@@ -269,13 +269,17 @@ class Catalog:
 
     def store_bloom(self, b64: str) -> str:
         """Write a sidecar payload; returns its content address.
-        Idempotent: an existing object with the same hash is reused
-        (CAS retries and concurrent writers converge for free)."""
+        Idempotent (content-addressed), and ALWAYS re-PUT even when an
+        object with the same hash exists: the rewrite refreshes the
+        payload's mtime, which is what keeps sweep_blooms' grace
+        window honest — a reused-but-not-yet-referenced payload must
+        look young to a concurrent sweep, or it would be collected
+        before this writer's catalog PUT lands (the PUT is atomic
+        tmp+rename / unconditional object write, so concurrent
+        identical writes converge)."""
         from .stats import bloom_payload_ref
         ref = bloom_payload_ref(b64)
-        path = self.bloom_path(ref)
-        if not self._fs.exists_file(path):
-            self._fs.write_text(path, b64)
+        self._fs.write_text(self.bloom_path(ref), b64)
         return ref
 
     def _externalize_blooms(self, stats_map: dict) -> dict:
@@ -345,7 +349,10 @@ class Catalog:
         removed = []
         for ref in sorted(present - live):
             if grace_seconds > 0:
-                age = probe(self.bloom_path(ref)) if probe else None
+                try:
+                    age = probe(self.bloom_path(ref)) if probe else None
+                except Exception:
+                    age = None  # probe failure = unknown age
                 if age is None or age > cutoff:
                     continue  # possibly in-flight: out-wait it
             try:

@@ -2427,6 +2427,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     if sf_dir is None:
         sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                                 "/root/testdata/sf0.01")
+    lsh_planes, lsh_tables = _knn_lsh_config(sf_dir)
     out = {
         "collection_query_prune": ORACLE_QUERY_PRUNE,
         "collection_zonemap_skip": ORACLE_ZONEMAP_SKIP,
@@ -2480,8 +2481,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "quality_filter": _quality_oracle(),
         "knn_bruteforce": ORACLE_KNN,
         "knn_lsh": _lsh_oracle(dim=_emb_dim(sf_dir) or 64,
-                               **dict(zip(("n_planes", "n_tables"),
-                                          _knn_lsh_config(sf_dir)))),
+                               n_planes=lsh_planes,
+                               n_tables=lsh_tables),
         "knn_lsh_hi": _lsh_oracle(n_planes=LSH_HI["n_planes"],
                                   n_tables=LSH_HI["n_tables"]),
         "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,

@@ -323,9 +323,11 @@ class MemoryFS:
         prefix = p + "/"
         with self._lock:
             self._files.pop(p, None)
+            self._mtimes.pop(p, None)
             self._dirs.discard(p)
             for k in [k for k in self._files if k.startswith(prefix)]:
                 del self._files[k]
+                self._mtimes.pop(k, None)
             self._dirs -= {d for d in self._dirs if d.startswith(prefix)}
 
     def mkdirs(self, path: str) -> None:
@@ -346,6 +348,9 @@ class MemoryFS:
                        if k == s or k.startswith(sp)}
             for old, new in moves_f.items():
                 self._files[new] = self._files.pop(old)
+                stamp = self._mtimes.pop(old, None)
+                if stamp is not None:
+                    self._mtimes[new] = stamp
             for old, new in moves_d.items():
                 self._dirs.discard(old)
                 self._dirs.add(new)
@@ -1625,7 +1630,6 @@ class AzureBlobFS:
         # EXCEPT one 401 under provider-backed bearer auth: the token
         # may simply have expired mid-session — refresh once and retry.
         import time
-        last_exc = None
         token_refreshed = False
         attempt = 0
         while True:
@@ -1663,19 +1667,15 @@ class AzureBlobFS:
                 if exc.code not in (429, 500, 503) \
                         or attempt == self._RETRIES:
                     return exc.code, dict(exc.headers), data
-                last_exc = exc
             except urllib.error.URLError as exc:
                 if attempt == self._RETRIES:
                     raise StoreError(
                         f"Azure Blob endpoint unreachable: "
                         f"{self._endpoint}: {exc}") from None
-                last_exc = exc
+            # every branch above returns or raises at the final
+            # attempt, so this backoff only runs with retries left
             time.sleep(0.1 * (2 ** attempt))
             attempt += 1
-            if attempt > self._RETRIES:
-                raise StoreError(
-                    f"{method} az://{container}/{key} kept failing "
-                    f"after {self._RETRIES + 1} attempts: {last_exc}")
 
     # -- contract surface ----------------------------------------------
     def supports_atomic_rename(self, path: str) -> bool:

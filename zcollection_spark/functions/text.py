@@ -234,6 +234,14 @@ def pack_sequences(df: DataFrame, *, id_col: str,
             fills = np.empty(len(pdf), dtype=np.int64)
             for i in range(len(pdf)):
                 gid, n = gids[i], int(toks[i])
+                # NULL group ids: Arrow->pandas turns a nullable long
+                # column into float64 with NaN, and NaN != NaN would
+                # reset the group on EVERY null row — canonicalize to
+                # None so all nulls pack as ONE group, matching what a
+                # groupBy on the column does (nulls sort together, so
+                # they are contiguous here)
+                if isinstance(gid, float) and gid != gid:
+                    gid = None
                 if cur_gid is sentinel or gid != cur_gid:
                     cur_gid, cur_bin, cur_fill = gid, 0, 0
                 elif cur_fill and cur_fill + n > context_len:
