@@ -985,3 +985,39 @@ def test_pack_sequences_null_group_ids_pack_as_one_group(spark):
     assert out[(None, 2)] == (1, 70)
     assert out[(7, 0)] == (0, 60)
     assert out[(7, 1)] == (1, 60)
+
+
+def test_sample_to_token_budget_invariants(spark):
+    """Budget semantics: deterministic, crossing doc included, minimal
+    prefix (removing the last selected doc would undershoot), per-group
+    independence, and an oversize single doc still emits."""
+    from zcollection_spark.functions.sampling import sample_to_token_budget
+    rows = [(i, "en", 30) for i in range(20)]          # 600 en chars
+    rows += [(100 + i, "de", 500) for i in range(3)]   # oversize docs
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = sample_to_token_budget(df, id_col="doc_id", token_col="n",
+                                 budget=100, strata_col="lang").collect()
+    again = sample_to_token_budget(df, id_col="doc_id", token_col="n",
+                                   budget=100, strata_col="lang").collect()
+    assert sorted(r.doc_id for r in out) \
+        == sorted(r.doc_id for r in again)  # deterministic
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.n)
+    # en: 30-char docs, budget 100 -> exactly 4 selected (90 < 100 <= 120)
+    assert sum(by_lang["en"]) == 120 and len(by_lang["en"]) == 4
+    # de: one 500-char doc crosses a 100 budget on its own
+    assert by_lang["de"] == [500]
+    # salt draws a different sample (same sizes here, different ids)
+    salted = sample_to_token_budget(df, id_col="doc_id", token_col="n",
+                                    budget=100, strata_col="lang",
+                                    salt="v2").collect()
+    assert {r.doc_id for r in salted if r.lang == "en"} \
+        != {r.doc_id for r in out if r.lang == "en"}
+    # global (no strata) mode and validation
+    whole = sample_to_token_budget(df, id_col="doc_id", token_col="n",
+                                   budget=10**9)
+    assert whole.count() == len(rows)
+    with pytest.raises(ValueError, match="budget"):
+        sample_to_token_budget(df, id_col="doc_id", token_col="n",
+                               budget=0)

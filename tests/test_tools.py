@@ -76,7 +76,8 @@ def test_registry_window_invariant():
                     "returned_item_losses", "trade_flows", "rollup_hourly",
                     "langid_confusion", "top_ngrams",
                     # graded r9 out-of-window (window full); promote r10
-                    "pack_sequences", "stratified_sample"}
+                    "pack_sequences", "stratified_sample",
+                    "token_budget"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf",

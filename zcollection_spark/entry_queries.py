@@ -1170,6 +1170,33 @@ WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
 """
 
 
+def q_token_budget(spark, sf_dir):
+    """Deterministic token-budget sampling (NEW r9): per-language
+    document selection in md5 order until a 20 k-char budget is met
+    (the crossing document included) — "give me N tokens per language"
+    as one window shuffle, reproducible on any engine/cluster, exact
+    SQL twin (same running-sum window)."""
+    from .functions.sampling import sample_to_token_budget
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_to_token_budget(docs, id_col="doc_id",
+                                  token_col="n_chars", budget=20_000,
+                                  strata_col="lang") \
+        .select("doc_id", "lang", F.col("n_chars").cast("long")
+                .alias("n_chars"))
+
+
+ORACLE_TOKEN_BUDGET = """
+SELECT doc_id, lang, n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents)
+WHERE cum - n_chars < 20000
+"""
+
+
 def q_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-10 per query vector (vec_id < 5)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2411,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
     }
 
 
@@ -2470,6 +2498,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "hash_split": ORACLE_HASH_SPLIT,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "token_budget": ORACLE_TOKEN_BUDGET,
         "language_id": _langid_oracle(),
         "langid_confusion": _langid_confusion_oracle(),
         "source_quality": ORACLE_SOURCE_QUALITY,

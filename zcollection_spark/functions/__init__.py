@@ -26,7 +26,8 @@ from .text import (chunk_documents, fingerprint, language_id,
                    word_shingles, words)
 from .curation import (contamination, quality_filter,
                        repetition_stats, scrub_pii)
-from .sampling import (cap_per_group, hash_split, stratified_sample,
+from .sampling import (cap_per_group, hash_split,
+                       sample_to_token_budget, stratified_sample,
                        stratified_sample_exact)
 
 __all__ = [
@@ -44,7 +45,7 @@ __all__ = [
     "fingerprint", "language_id", "text_stats", "token_count",
     "word_shingles", "words", "chunk_documents", "pack_sequences",
     "cap_per_group", "hash_split", "stratified_sample",
-    "stratified_sample_exact",
+    "stratified_sample_exact", "sample_to_token_budget",
     "attach_fake_payload", "extract_image_features",
     "extract_audio_features", "sample_frames",
     "encode_ppm", "decode_ppm", "encode_wav", "decode_wav",

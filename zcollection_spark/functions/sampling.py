@@ -114,3 +114,32 @@ def stratified_sample_exact(df: DataFrame, *, id_col: str,
                 else frac.when(cond, F.lit(fr)))
     frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
     return df.where(u < frac)
+
+
+def sample_to_token_budget(df: DataFrame, *, id_col: str,
+                           token_col: str,
+                           budget: int,
+                           strata_col: str | None = None,
+                           salt: str = "") -> DataFrame:
+    """Deterministic token-budget sampling: keep documents — in md5
+    order, so the SAME documents on every run/engine/cluster — until
+    the running token total reaches ``budget`` (per ``strata_col``
+    group when given, e.g. "2 M tokens per language").  The document
+    that crosses the budget line is INCLUDED (budgets are met, not
+    undershot; a single over-budget document still yields output), so
+    every group with data emits at least one row.
+
+    One window shuffle (rank + running sum over the same ordering);
+    the deterministic md5 order is what makes the sample auditable and
+    the oracle exact — engine-native ``sample``/``TABLESAMPLE`` can
+    hit a byte budget only approximately and never reproducibly."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    keys = [strata_col] if strata_col else []
+    w = (Window.partitionBy(*keys)
+         .orderBy(deterministic_rank(id_col, salt), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.sum(F.col(token_col)).over(w)
+    return (df.withColumn("__cum", running)
+            .where((F.col("__cum") - F.col(token_col)) < budget)
+            .drop("__cum"))
