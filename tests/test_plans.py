@@ -316,6 +316,24 @@ def test_pack_sequences_one_exchange_streaming_pandas(spark):
     assert len(count_exchanges(plan)) == 1
 
 
+def test_token_budget_no_per_stratum_window(spark):
+    """The budget cut must NOT serialize a stratum through one task
+    (the r9 shape windowed the FULL input partitioned only by lang —
+    one task per language at 100 TB): every window spec in the plan is
+    keyed by the md5-range bucket — the only stratum-ordered window
+    runs over the aggregated per-bucket totals (metadata-sized) and
+    orders BY the bucket — the cutoff table broadcasts back, and the
+    full-input shuffle carries (stratum, bucket) keys so cut work
+    spreads across num_buckets tasks per stratum."""
+    plan = final_plan(executed_plan(eq.q_token_budget(spark, SF_DIR)))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, plan
+    assert all("__tb_bucket" in s for s in specs), specs
+    assert "BroadcastHashJoin" in plan
+    assert any("hashpartitioning(lang" in e and "__tb_bucket" in e
+               for e in count_exchanges(plan)), count_exchanges(plan)
+
+
 def test_knn_ivfpq_broadcast_probes_no_cartesian(spark):
     """IVF-PQ serving shape: the probe side (5 queries x n_probe cells)
     broadcasts into a cell equi-join over code rows; candidates never

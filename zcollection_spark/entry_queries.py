@@ -1171,11 +1171,14 @@ WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
 
 
 def q_token_budget(spark, sf_dir):
-    """Deterministic token-budget sampling (NEW r9): per-language
-    document selection in md5 order until a 20 k-char budget is met
-    (the crossing document included) — "give me N tokens per language"
-    as one window shuffle, reproducible on any engine/cluster, exact
-    SQL twin (same running-sum window)."""
+    """Deterministic token-budget sampling (NEW r9; reshaped r10):
+    per-language document selection in md5 order until a 20 k-char
+    budget is met (the crossing document included) — "give me N tokens
+    per language" via a bucketed two-pass prefix sum (per-(lang,
+    md5-range-bucket) totals, cutoff buckets broadcast back, running
+    sum only inside each bucket), so no stratum ever serializes
+    through one task; reproducible on any engine/cluster, exact SQL
+    twin (the equivalent single running-sum window)."""
     from .functions.sampling import sample_to_token_budget
     docs = load_table(spark, sf_dir, "documents")
     return sample_to_token_budget(docs, id_col="doc_id",

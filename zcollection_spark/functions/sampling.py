@@ -120,7 +120,8 @@ def sample_to_token_budget(df: DataFrame, *, id_col: str,
                            token_col: str,
                            budget: int,
                            strata_col: str | None = None,
-                           salt: str = "") -> DataFrame:
+                           salt: str = "",
+                           num_buckets: int = 256) -> DataFrame:
     """Deterministic token-budget sampling: keep documents — in md5
     order, so the SAME documents on every run/engine/cluster — until
     the running token total reaches ``budget`` (per ``strata_col``
@@ -129,17 +130,71 @@ def sample_to_token_budget(df: DataFrame, *, id_col: str,
     undershot; a single over-budget document still yields output), so
     every group with data emits at least one row.
 
-    One window shuffle (rank + running sum over the same ordering);
-    the deterministic md5 order is what makes the sample auditable and
-    the oracle exact — engine-native ``sample``/``TABLESAMPLE`` can
-    hit a byte budget only approximately and never reproducibly."""
+    Scale shape (reshaped round 10 — a per-stratum global-sort window
+    would serialize a 50 %-English corpus through ONE task at 100 TB):
+    the md5 draw is range-bucketed into ``num_buckets`` contiguous
+    slices of the sample order, so the running sum decomposes into
+
+    1. per-(stratum, bucket) token totals — an ordinary map-side-
+       combined aggregation, fully parallel;
+    2. a prefix sum over that TINY totals table (≤ strata × buckets
+       rows) picking, per stratum, the buckets that start under
+       budget — everything past the cutoff bucket never shuffles;
+    3. a broadcast join of those cutoffs back onto the input plus a
+       running-sum window partitioned by (stratum, bucket) — many
+       small tasks per stratum, each seeded with its bucket's exact
+       prefix offset, never one task per stratum.
+
+    Bit-identical to the single-window form (same md5 order, same
+    strict ``running - tokens < budget`` rule — the DuckDB oracle is
+    unchanged); the deterministic md5 order is what makes the sample
+    auditable — engine-native ``sample``/``TABLESAMPLE`` can hit a
+    byte budget only approximately and never reproducibly.  Strata are
+    expected to be low-cardinality (languages, sources): the cutoff
+    table broadcast is ~``strata × ceil(budget-covering buckets)``
+    rows."""
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
     keys = [strata_col] if strata_col else []
-    w = (Window.partitionBy(*keys)
-         .orderBy(deterministic_rank(id_col, salt), F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    running = F.sum(F.col(token_col)).over(w)
-    return (df.withColumn("__cum", running)
+    order = [deterministic_rank(id_col, salt), F.col(id_col)]
+    # floor(u * B) is non-decreasing along the (md5, id) sort order, so
+    # buckets are contiguous slices of the per-stratum sample order.
+    bucket = F.least(F.floor(uniform_draw(id_col, salt) * num_buckets),
+                     F.lit(num_buckets - 1)).cast("int")
+    work = df.withColumn("__tb_bucket", bucket)
+
+    # Pass 1: per-(stratum, bucket) totals, then buckets that START
+    # under budget.  The prefix window runs over <= num_buckets rows
+    # per stratum — metadata-sized — never over the input.
+    wb = (Window.partitionBy(*keys).orderBy("__tb_bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    totals = (work.groupBy(*keys, "__tb_bucket")
+              .agg(F.sum(F.col(token_col)).alias("__tb_tot")))
+    cuts = (totals
+            .withColumn("__tb_prefix",
+                        F.sum(F.coalesce(F.col("__tb_tot"), F.lit(0)))
+                        .over(wb) - F.coalesce(F.col("__tb_tot"),
+                                               F.lit(0)))
+            .where(F.col("__tb_prefix") < budget)
+            .drop("__tb_tot"))
+    renames = {c: f"__tb_c_{c}" for c in keys}
+    for old, new in renames.items():
+        cuts = cuts.withColumnRenamed(old, new)
+    cuts = cuts.withColumnRenamed("__tb_bucket", "__tb_c_bucket")
+
+    # Pass 2: broadcast the cutoffs, drop past-cutoff buckets BEFORE
+    # the shuffle (the inner join keeps only buckets with a cuts row),
+    # and finish with the running sum inside each (stratum, bucket).
+    cond = work["__tb_bucket"] == cuts["__tb_c_bucket"]
+    for old, new in renames.items():
+        cond = cond & work[old].eqNullSafe(cuts[new])
+    ww = (Window.partitionBy(*keys, "__tb_bucket").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.col("__tb_prefix") + F.sum(F.col(token_col)).over(ww)
+    return (work.join(F.broadcast(cuts), cond, "inner")
+            .withColumn("__cum", running)
             .where((F.col("__cum") - F.col(token_col)) < budget)
-            .drop("__cum"))
+            .drop("__cum", "__tb_bucket", "__tb_c_bucket", "__tb_prefix",
+                  *renames.values()))
