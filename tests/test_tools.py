@@ -58,39 +58,48 @@ def test_registry_window_invariant():
     from zcollection_spark import entry_queries
 
     names = list(entry_queries.queries())
-    # round-9 rotation (executes the r8 ledger): the seven r8 sit-outs
-    # return, collection_bloom_skip promotes in-window, and the two
-    # r8-built ops gain graded entries (chunk_documents, hash_split).
-    # Sitting out until r10 (all driver-green r8; covered-surface
-    # arguments in the queries() header): the six text/plain-agg rows,
-    # the _hi knn parameter variants (defaults now graded at the
-    # retuned high-recall point), dedup_keep_latest (capped_sample's
-    # surface) and multimodal_features (subset of multimodal_decoded)
-    tail_allowed = {"text_stats", "language_id", "fingerprint",
-                    "revenue_rollup", "event_gaps", "source_quality",
-                    "knn_lsh_hi", "knn_ivf_hi",
-                    "dedup_keep_latest", "multimodal_features",
+    # THE registry count lives here, not in prose: the hand-counted
+    # totals in the queries() header comment rotted in r8 ("all 66")
+    # and again in r9 ("all 71"), so adding a query now forces this
+    # pin — and with it the rotation ledger — to be updated.
+    assert len(names) == 72, len(names)
+    assert len(names[:50]) == len(set(names[:50])) == 50
+    # round-10 rotation (executes the r9 ledger): the ten r9 sit-outs
+    # return in-window and the three never-driver-graded r9 samplers
+    # promote (pack_sequences, stratified_sample, token_budget).
+    # Sitting out until r11 (all driver-green r9; covered-surface
+    # arguments in the queries() header): seven plain-SQL rows,
+    # capped_sample (dedup_keep_latest's surface), quality_filter /
+    # doc_repetition (pure-expression, covered by the returning text
+    # trio), the knn defaults (parameter twins of the returning _hi
+    # rows), and chunk_documents (runs inside pack_sequences).
+    tail_allowed = {"pricing_summary", "chunk_documents",
+                    "doc_repetition", "quality_filter",
+                    "knn_lsh", "knn_ivf",
+                    "priority_class_counts", "big_orders",
+                    "regional_revenue", "revenue_delta",
+                    "capped_sample", "browse_no_buy",
+                    "value_percentiles",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",
-                    "langid_confusion", "top_ngrams",
-                    # graded r9 out-of-window (window full); promote r10
-                    "pack_sequences", "stratified_sample",
-                    "token_budget"}
+                    "langid_confusion", "top_ngrams"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
-                             "dedup_embedding_lsh", "knn_ivf",
-                             "knn_lsh", "knn_ivfpq",
+                             "dedup_embedding_lsh", "knn_ivf_hi",
+                             "knn_lsh_hi", "knn_ivfpq",
+                             "knn_bruteforce",
                              "collection_changes", "pii_scrub",
-                             "decontaminate", "doc_repetition",
-                             "quality_filter",
-                             "chunk_documents", "hash_split",
+                             "decontaminate",
+                             "text_stats", "language_id", "fingerprint",
+                             "revenue_rollup", "event_gaps",
+                             "source_quality",
+                             "dedup_keep_latest", "multimodal_features",
+                             "pack_sequences", "stratified_sample",
+                             "token_budget",
+                             "hash_split",
                              "collection_bloom_skip",
-                             "priority_class_counts", "big_orders",
-                             "regional_revenue", "revenue_delta",
-                             "capped_sample", "browse_no_buy",
-                             "value_percentiles",
                              "streaming_sink",
                              "collection_zonemap_skip"):
         assert names.index(must_be_recorded) < 50

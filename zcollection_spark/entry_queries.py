@@ -2323,40 +2323,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 9, executing the r8
-    # ledger): the seven r8 sit-outs come BACK in-window
-    # (priority_class_counts, big_orders, regional_revenue,
-    # revenue_delta, capped_sample, browse_no_buy, value_percentiles —
-    # all driver-green r7), collection_bloom_skip PROMOTES in-window as
-    # the r8 header note promised, and the two r8-built operators gain
-    # graded entries (chunk_documents, hash_split — first-class
-    # training-pipeline ops, deterministic DuckDB twins).  Sitting out
-    # in exchange (ALL driver-green r8, so their greens stay <=2
-    # rounds old through r10 when they return): text_stats /
-    # language_id / fingerprint / revenue_rollup / event_gaps /
-    # source_quality (pure-expression + plain-agg surfaces covered by
-    # in-window quality_filter, doc_repetition, pricing_summary,
-    # value_percentiles), knn_lsh_hi / knn_ivf_hi (parameter variants
-    # of in-window knn_lsh / knn_ivf, which now run at the retuned
-    # high-recall operating point — the _hi rows are duplicates of the
-    # graded defaults), dedup_keep_latest (keyed row_number cap —
-    # exactly capped_sample's surface, returning this round; exact
-    # dedup covered by dedup_exact), and multimodal_features (typed
-    # metadata projection — a strict subset of in-window
-    # multimodal_decoded's Arrow-batched decode path).  Every rotating
-    # entry's newest driver green stays <=2 rounds old, and
-    # tools/check_oracle.py still gates all 71 (the two late-r9 ops,
-    # pack_sequences and stratified_sample, ride the tail until the
-    # r10 promotion).  r10 ledger note: the
-    # ten r9 sit-outs return in r10; free the slots by sitting out
-    # returning plain-SQL rows (priority/big/regional/revenue_delta/
-    # browse_no_buy/value_percentiles et al.) on the same covered-
-    # surface arguments.
+    # in-window peer come last.  ROTATION (round 10, executing the r9
+    # ledger): the ten r9 sit-outs come BACK in-window (text_stats,
+    # language_id, fingerprint, revenue_rollup, event_gaps,
+    # source_quality, knn_lsh_hi, knn_ivf_hi, dedup_keep_latest,
+    # multimodal_features — all driver-green r8), and the three
+    # never-driver-graded r9 operators PROMOTE in-window
+    # (pack_sequences, stratified_sample, token_budget).  Sitting out
+    # in exchange (ALL driver-green r9, so their greens stay <=2
+    # rounds old through r11 when they return): the seven plain-SQL
+    # rows priority_class_counts / big_orders / regional_revenue /
+    # revenue_delta / browse_no_buy / value_percentiles /
+    # pricing_summary (join + grouped-agg + percentile surfaces
+    # covered by returning revenue_rollup, event_gaps and
+    # source_quality plus the in-window collection/merge queries),
+    # capped_sample (keyed row_number cap — exactly
+    # dedup_keep_latest's surface, returning this round),
+    # quality_filter and doc_repetition (pure-JVM expression passes
+    # over documents — returning text_stats / fingerprint /
+    # language_id cover the surface), knn_lsh / knn_ivf (parameter
+    # twins of returning knn_lsh_hi / knn_ivf_hi at the same retuned
+    # operating point; knn_bruteforce + knn_ivfpq stay in-window),
+    # and chunk_documents (its sequence/slice chunking runs INSIDE
+    # the promoted pack_sequences pipeline).  Every rotating entry's
+    # newest driver green stays <=2 rounds old; the registry count
+    # and window split are PINNED in
+    # tests/test_tools.py::test_registry_window_invariant (the
+    # hand-counted totals in this comment rotted twice — r8 and r9 —
+    # so the test owns the numbers now).  r11 ledger note: the
+    # thirteen r10 sit-outs return in r11; free the slots by sitting
+    # out r10's returning rows on the symmetric covered-surface
+    # arguments.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
-        # PROMOTED r9 (per the r8 header note): per-partition bloom
-        # point-lookup skipping, graded with its <=2-dirs plan pin
         "collection_bloom_skip": q_collection_bloom_skip,
         "collection_sequence": q_collection_sequence,
         "collection_grouped_sequence": q_collection_grouped_sequence,
@@ -2368,7 +2368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_derived": q_update_derived,
         "view_overlay": q_view_overlay,
         "index_lookup": q_index_lookup,
-        "pricing_summary": q_pricing_summary,
         "collection_changes": q_collection_changes,
         "knn_ivfpq": q_knn_ivfpq,
         "asof_enrich": q_asof_enrich,
@@ -2381,16 +2380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        # NEW r9: graded entries for the two r8-built pipeline ops
-        "chunk_documents": q_chunk_documents,
         "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
-        "doc_repetition": q_doc_repetition,
-        "quality_filter": q_quality_filter,
         "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
         "embedding_centroids": q_embedding_centroids,
         "multimodal_decoded": q_multimodal_decoded,
         "zarr_roundtrip": q_zarr_roundtrip,
@@ -2399,32 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sink": q_streaming_sink,
-        # returning r9 (sat out r8; driver-green r7)
-        "priority_class_counts": q_priority_class_counts,
-        "big_orders": q_big_orders,
-        "regional_revenue": q_regional_revenue,
-        "revenue_delta": q_revenue_delta,
-        "capped_sample": q_capped_sample,
-        "browse_no_buy": q_browse_no_buy,
-        "value_percentiles": q_value_percentiles,
-        # --- entries below fall outside the driver's 50-slot window;
-        # all were driver-verified green in earlier rounds (projection
-        # in r1-r4; its variables= surface also runs inside the
-        # in-window collection_query_prune), their operator surface
-        # (join/agg/window/explode) is covered by in-window peers, and
-        # tools/check_oracle.py still gates them ---
-        "collection_projection": q_collection_projection,
-        "top_revenue_orders": q_top_revenue_orders,
-        "promo_revenue": q_promo_revenue,
-        "order_priority_counts": q_order_priority_counts,
-        "returned_item_losses": q_returned_item_losses,
-        "trade_flows": q_trade_flows,
-        "rollup_hourly": q_rollup_hourly,
-        "langid_confusion": q_langid_confusion,
-        "top_ngrams": q_top_ngrams,
-        # rotated out round 9 (all driver-green r8; back in r10):
-        # covered-surface arguments in the queries() header comment;
-        # still gated by tools/check_oracle.py
+        # returning r10 (sat out r9; driver-green r8)
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -2435,13 +2403,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_hi": q_knn_ivf_hi,
         "dedup_keep_latest": q_dedup_keep_latest,
         "multimodal_features": q_multimodal_features,
-        # NEW r9 (out-of-window — the window is full; promote in r10):
-        # greedy sequence packing (recursive-CTE oracle) and exact
-        # stratified sampling, check_oracle-gated like the rest of
-        # the tail
+        # PROMOTED r10 (built r9 out-of-window; first driver grading)
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
+        # --- entries below fall outside the driver's 50-slot window;
+        # all were driver-verified green in earlier rounds (the 13
+        # r10 sit-outs in r9; the permanent plain-SQL tail in r1-r4),
+        # their operator surface is covered by in-window peers (see
+        # the rotation ledger above), and tools/check_oracle.py still
+        # gates every one of them ---
+        "collection_projection": q_collection_projection,
+        "top_revenue_orders": q_top_revenue_orders,
+        "promo_revenue": q_promo_revenue,
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_losses": q_returned_item_losses,
+        "trade_flows": q_trade_flows,
+        "rollup_hourly": q_rollup_hourly,
+        "langid_confusion": q_langid_confusion,
+        "top_ngrams": q_top_ngrams,
+        # rotated out round 10 (all driver-green r9; back in r11):
+        # covered-surface arguments in the queries() header comment
+        "pricing_summary": q_pricing_summary,
+        "chunk_documents": q_chunk_documents,
+        "doc_repetition": q_doc_repetition,
+        "quality_filter": q_quality_filter,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "priority_class_counts": q_priority_class_counts,
+        "big_orders": q_big_orders,
+        "regional_revenue": q_regional_revenue,
+        "revenue_delta": q_revenue_delta,
+        "capped_sample": q_capped_sample,
+        "browse_no_buy": q_browse_no_buy,
+        "value_percentiles": q_value_percentiles,
     }
 
 
