@@ -2011,6 +2011,530 @@ _AZ_CACHE: dict = {}
 _AZ_CACHE_LOCK = threading.Lock()
 
 
+def gce_metadata_token_provider(endpoint: str | None = None,
+                                service_account: str = "default"):
+    """Token provider speaking the documented GCE metadata server: a GET
+    to ``http://metadata.google.internal/computeMetadata/v1/instance/
+    service-accounts/{sa}/token`` with the ``Metadata-Flavor: Google``
+    header returns ``{"access_token", "expires_in"}`` for the VM/pod's
+    attached service account — the GCS twin of :func:`msi_token_provider`
+    (same shape, but ``expires_in`` is a TTL in SECONDS where Azure's
+    IMDS returns an ``expires_on`` epoch).  ``GCE_METADATA_ENDPOINT``
+    (or ``endpoint``) overrides the address for tests and proxies.
+
+    Returns a callable ``() -> (token, expires_at_epoch)`` suitable for
+    :class:`GcsFS`'s ``token_provider``; the client caches the token and
+    re-invokes 5 minutes before expiry or on a 401.
+    """
+    import json as _json
+    import time as _time
+    import urllib.request
+    base = (endpoint or os.environ.get("GCE_METADATA_ENDPOINT")
+            or "http://metadata.google.internal").rstrip("/")
+    url = (f"{base}/computeMetadata/v1/instance/service-accounts/"
+           f"{service_account}/token")
+
+    def provider():
+        req = urllib.request.Request(
+            url, headers={"Metadata-Flavor": "Google"})
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                doc = _json.loads(resp.read())
+            return (doc["access_token"],
+                    _time.time() + float(doc.get("expires_in", 0)))
+        except Exception as exc:
+            raise StoreError(
+                f"GCE metadata token fetch failed at {url}: "
+                f"{exc}") from exc
+
+    return provider
+
+
+class GcsFS:
+    """Google Cloud Storage backend speaking the public JSON API
+    directly (urllib + OAuth2 ``Authorization: Bearer`` — no SDK
+    dependency), closing the gs:// auth gap: the S3-interop path below
+    covers HMAC keys only, while real GCS deployments overwhelmingly
+    grant access through SERVICE ACCOUNTS (attached identities /
+    workload identity), whose credential is an OAuth2 access token.
+    The reference gets every GCS auth mode via obstore
+    (``/root/reference/zcollection/store/obstore_store.py:27``,
+    ``store/factory.py:22-79``); this class is the az AAD/MSI bearer
+    pattern (:class:`AzureBlobFS`, :func:`msi_token_provider`) cloned
+    onto GCS's documented endpoints.
+
+    Same two-plane contract as :class:`S3FS` / :class:`AzureBlobFS`:
+
+    - **metadata plane**: objects get/insert/delete, metadata GET,
+      media GET (``?alt=media``), Objects: list (prefix/delimiter,
+      ``pageToken``-paginated), Objects: rewrite + delete for the
+      rename fiction, and TRUE server-side compare-and-swap via
+      generation preconditions (``ifGenerationMatch`` — 0 is
+      create-if-absent, a generation number is the documented CAS;
+      losers get 412), which is everything the catalog commit needs.
+    - **bulk plane**: with the gcs-connector on the cluster Spark scans
+      ``gs://`` natively; without a JVM connector
+      ``requires_localization`` routes bulk I/O through the scratch
+      bridge (:meth:`upload_tree` / generation-validated
+      :meth:`localize`) exactly like S3 and az.
+
+    Rename is rewrite+delete (non-atomic — ``gs`` is in
+    ``_NON_ATOMIC_RENAME_SCHEMES``), so collections on gs:// take the
+    manifest-driven file-granular publish path.
+
+    Configuration (env or constructor): ``GCS_BEARER_TOKEN`` (a static
+    OAuth2 access token) or ``GCE_METADATA_ENDPOINT`` (provider-backed
+    tokens with automatic refresh via
+    :func:`gce_metadata_token_provider`); optional ``GCS_JSON_ENDPOINT``
+    (fake-gcs-server-style ``http://host:port``; defaults to
+    ``https://storage.googleapis.com``).  Paths are ``gs://bucket/key``.
+    """
+
+    requires_localization = True
+
+    #: bounded transient-fault retry (429/5xx/resets), matching HttpFS
+    _RETRIES = 3
+
+    def __init__(self, endpoint: str | None = None,
+                 scratch_dir: str | None = None,
+                 bearer_token: str | None = None,
+                 token_provider=None):
+        from collections import Counter
+        bearer = bearer_token or None
+        if bearer is None and token_provider is None:
+            bearer = os.environ.get("GCS_BEARER_TOKEN")
+            if bearer is None and os.environ.get("GCE_METADATA_ENDPOINT"):
+                token_provider = gce_metadata_token_provider()
+        if bearer is None and token_provider is None:
+            raise KeyError(
+                "GcsFS needs GCS_BEARER_TOKEN or GCE_METADATA_ENDPOINT "
+                "(or constructor equivalents); for HMAC interop keys "
+                "use the gs:// S3-interop path instead")
+        self._bearer = bearer
+        self._bearer_exp: "float | None" = None
+        self._token_provider = token_provider
+        self._endpoint = (endpoint
+                          or os.environ.get("GCS_JSON_ENDPOINT")
+                          or "https://storage.googleapis.com").rstrip("/")
+        self._scratch_root = scratch_dir or os.path.join(
+            tempfile.gettempdir(), f"zcgs-{uuid.uuid4().hex[:8]}")
+        self._generations: dict[str, str] = {}
+        self.api_counts = Counter()
+
+    # -- path / auth helpers ---------------------------------------------
+    @staticmethod
+    def _bk(path: str) -> tuple[str, str]:
+        rest = path.split("://", 1)[1] if "://" in path else path
+        bucket, _, key = rest.partition("/")
+        return bucket, key.strip("/")
+
+    def _obj_url(self, bucket: str, key: str,
+                 params: dict | None = None) -> str:
+        from urllib.parse import quote, urlencode
+        url = f"{self._endpoint}/storage/v1/b/{bucket}/o"
+        if key:
+            # the JSON API wants the object name as ONE path segment:
+            # slashes percent-encoded (safe=""), unlike XML/S3 paths
+            url += "/" + quote(key, safe="")
+        if params:
+            url += "?" + urlencode(sorted(params.items()))
+        return url
+
+    def _bearer_token(self, force_refresh: bool = False) -> str:
+        """Current OAuth access token; provider-backed tokens refresh
+        lazily 5 minutes before expiry (and immediately on a 401)."""
+        import time
+        if self._token_provider is not None and (
+                force_refresh or self._bearer is None
+                or (self._bearer_exp is not None
+                    and time.time() > self._bearer_exp - 300)):
+            token, expires = self._token_provider()
+            self._bearer = str(token)
+            self._bearer_exp = float(expires) if expires else None
+        if not self._bearer:
+            raise StoreError(
+                "GcsFS bearer auth has no token (provider returned "
+                "nothing and GCS_BEARER_TOKEN is unset)")
+        return self._bearer
+
+    def _request(self, method: str, url: str,
+                 headers: dict | None = None,
+                 body: bytes | None = None):
+        """Bearer-authorized request → ``(status, headers, body)``;
+        404/"absent" mapping is per-operation (the S3FS ``_head`` rule:
+        ONLY a real 404 may read as absent).  Bounded transient-fault
+        retry (429/500/503/resets) like HttpFS; 4xx never retries,
+        EXCEPT one 401 under provider-backed auth — the token may have
+        expired mid-session, so refresh once and retry (same contract
+        as :class:`AzureBlobFS`)."""
+        import time
+        import urllib.error
+        import urllib.request
+        headers = dict(headers or {})
+        if body is not None:
+            headers.setdefault("Content-Type", "application/octet-stream")
+        token_refreshed = False
+        attempt = 0
+        while True:
+            headers["Authorization"] = f"Bearer {self._bearer_token()}"
+            req = urllib.request.Request(url, data=body, headers=headers,
+                                         method=method)
+            try:
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return resp.status, dict(resp.headers), resp.read()
+            except urllib.error.HTTPError as exc:
+                data = exc.read()
+                if exc.code == 401 and self._token_provider is not None \
+                        and not token_refreshed:
+                    # the one free refresh does NOT consume a
+                    # transient-retry slot
+                    token_refreshed = True
+                    self._bearer_token(force_refresh=True)
+                    continue
+                if exc.code in (401, 403):
+                    raise StoreError(
+                        f"{method} {url.split('?')[0]} returned "
+                        f"{exc.code} under bearer auth: check the "
+                        f"token (expiry, scopes or IAM role)") from exc
+                if exc.code not in (429, 500, 503) \
+                        or attempt == self._RETRIES:
+                    return exc.code, dict(exc.headers), data
+            except urllib.error.URLError as exc:
+                if attempt == self._RETRIES:
+                    raise StoreError(
+                        f"GCS endpoint unreachable: {self._endpoint}: "
+                        f"{exc}") from None
+            time.sleep(0.1 * (2 ** attempt))
+            attempt += 1
+
+    # -- contract surface --------------------------------------------------
+    def supports_atomic_rename(self, path: str) -> bool:
+        return False
+
+    def _meta(self, bucket: str, key: str) -> "dict | None":
+        self.api_counts["head"] += 1
+        status, _, body = self._request("GET", self._obj_url(bucket, key))
+        if status == 404:
+            return None
+        if status >= 400:
+            raise StoreError(
+                f"GET metadata gs://{bucket}/{key} failed: {status}")
+        return json.loads(body)
+
+    def mtime(self, path: str) -> "float | None":
+        import datetime
+        bucket, key = self._bk(path)
+        meta = self._meta(bucket, key)
+        updated = (meta or {}).get("updated")
+        if not updated:
+            return None
+        try:
+            return datetime.datetime.fromisoformat(
+                updated.replace("Z", "+00:00")).timestamp()
+        except ValueError:
+            return None
+
+    def _list_page(self, bucket: str, *, prefix: str,
+                   delimiter: str | None = None,
+                   page_token: str | None = None):
+        """One Objects:list page → (items, prefixes, next_token) where
+        items are (name, generation, size)."""
+        self.api_counts["list"] += 1
+        params = {"prefix": prefix}
+        if delimiter:
+            params["delimiter"] = delimiter
+        if page_token:
+            params["pageToken"] = page_token
+        status, _, body = self._request(
+            "GET", self._obj_url(bucket, "", params))
+        if status >= 400:
+            raise StoreError(
+                f"LIST gs://{bucket} ({prefix!r}) failed: {status}")
+        doc = json.loads(body)
+        items = [(o["name"], o.get("generation", ""),
+                  int(o.get("size", 0))) for o in doc.get("items", ())]
+        return items, list(doc.get("prefixes", ())), \
+            doc.get("nextPageToken")
+
+    def _iter_keys(self, bucket: str, prefix: str):
+        token = None
+        while True:
+            items, _, token = self._list_page(bucket, prefix=prefix,
+                                              page_token=token)
+            yield from items
+            if not token:
+                return
+
+    def exists(self, path: str) -> bool:
+        bucket, key = self._bk(path)
+        if not key:
+            return True
+        if self._meta(bucket, key) is not None:
+            return True
+        items, prefixes, _ = self._list_page(bucket, prefix=key + "/")
+        return bool(items or prefixes)
+
+    def exists_file(self, path: str) -> bool:
+        bucket, key = self._bk(path)
+        return self._meta(bucket, key) is not None
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def read_bytes(self, path: str) -> bytes:
+        bucket, key = self._bk(path)
+        self.api_counts["get"] += 1
+        status, _, body = self._request(
+            "GET", self._obj_url(bucket, key, {"alt": "media"}))
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            raise StoreError(f"GET {path} failed: {status}")
+        return body
+
+    def write_text(self, path: str, data: str) -> None:
+        self.write_bytes(path, data.encode("utf-8"))
+
+    def _upload(self, bucket: str, key: str, data: bytes,
+                extra_params: dict | None = None):
+        from urllib.parse import urlencode
+        params = {"uploadType": "media", "name": key}
+        params.update(extra_params or {})
+        url = (f"{self._endpoint}/upload/storage/v1/b/{bucket}/o?"
+               + urlencode(sorted(params.items())))
+        return self._request("POST", url, body=data)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        bucket, key = self._bk(path)
+        self.api_counts["put"] += 1
+        status, _, _ = self._upload(bucket, key, data)
+        if status >= 400:
+            raise StoreError(f"PUT {path} failed: {status}")
+
+    def read_versioned(self, path: str) -> tuple[str | None, str | None]:
+        bucket, key = self._bk(path)
+        self.api_counts["get"] += 1
+        status, hdrs, body = self._request(
+            "GET", self._obj_url(bucket, key, {"alt": "media"}))
+        if status == 404:
+            return None, None
+        if status >= 400:
+            raise StoreError(f"GET {path} failed: {status}")
+        return body.decode("utf-8"), hdrs.get("x-goog-generation")
+
+    def write_if(self, path: str, data: str, token: str | None) -> str:
+        """Server-side compare-and-swap via generation preconditions —
+        the documented GCS contract: ``ifGenerationMatch=0`` means
+        create-only, a generation number means replace-exactly-this;
+        the losing writer gets 412."""
+        bucket, key = self._bk(path)
+        self.api_counts["put"] += 1
+        status, _, body = self._upload(
+            bucket, key, data.encode("utf-8"),
+            {"ifGenerationMatch": token if token is not None else "0"})
+        if status == 412:
+            raise CommitConflictError(
+                f"{path}: conditional PUT lost the race ({status})")
+        if status >= 400:
+            raise StoreError(f"conditional PUT {path} failed: {status}")
+        return json.loads(body).get("generation")
+
+    def delete(self, path: str) -> None:
+        bucket, key = self._bk(path)
+        doomed = [key] if self._meta(bucket, key) is not None else []
+        doomed += [name for name, _, _ in
+                   self._iter_keys(bucket, key + "/")]
+        for name in doomed:
+            self.api_counts["delete"] += 1
+            status, _, _ = self._request(
+                "DELETE", self._obj_url(bucket, name))
+            if status >= 400 and status != 404:
+                raise StoreError(
+                    f"DELETE gs://{bucket}/{name} failed: {status}")
+
+    def mkdirs(self, path: str) -> None:
+        pass  # directories are prefix fictions on a flat keyspace
+
+    def _rewrite(self, sb: str, sk: str, db: str, dk: str) -> None:
+        """Objects: rewrite — the documented server-side copy.  Large
+        objects may need several calls chained by ``rewriteToken``;
+        loop until ``done`` (single-call for the sizes catalogs move,
+        but the protocol requires the loop)."""
+        from urllib.parse import quote, urlencode
+        self.api_counts["copy"] += 1
+        rewrite_token = None
+        while True:
+            url = (f"{self._endpoint}/storage/v1/b/{sb}/o/"
+                   f"{quote(sk, safe='')}/rewriteTo/b/{db}/o/"
+                   f"{quote(dk, safe='')}")
+            if rewrite_token:
+                url += "?" + urlencode({"rewriteToken": rewrite_token})
+            status, _, body = self._request("POST", url, body=b"")
+            if status == 404:
+                raise FileNotFoundError(f"gs://{sb}/{sk}")
+            if status >= 400:
+                raise StoreError(
+                    f"REWRITE gs://{sb}/{sk} -> gs://{db}/{dk} "
+                    f"failed: {status}")
+            doc = json.loads(body)
+            if doc.get("done", True):
+                return
+            rewrite_token = doc.get("rewriteToken")
+
+    def _delete_source(self, bucket: str, key: str) -> None:
+        """Post-copy source delete: a silent failure would leave BOTH
+        src and dst visible as duplicate data, so anything but success
+        or already-gone (404) raises."""
+        self.api_counts["delete"] += 1
+        status, _, _ = self._request(
+            "DELETE", self._obj_url(bucket, key))
+        if status >= 400 and status != 404:
+            raise StoreError(
+                f"DELETE gs://{bucket}/{key} after copy failed: "
+                f"{status} (source object survives; re-run the move)")
+
+    def move_file(self, src: str, dst: str) -> bool:
+        """Single-object move (caller did any dst-exists check): one
+        rewrite + one delete.  False ONLY for a missing source."""
+        sb, sk = self._bk(src)
+        db, dk = self._bk(dst)
+        if self._meta(sb, sk) is None:
+            return False
+        self._rewrite(sb, sk, db, dk)
+        self._delete_source(sb, sk)
+        return True
+
+    def rename(self, src: str, dst: str) -> bool:
+        if self.exists(dst):
+            return False
+        sb, sk = self._bk(src)
+        if self._meta(sb, sk) is not None:
+            return self.move_file(src, dst)
+        keys = [k for k, _, _ in self._iter_keys(sb, sk + "/")]
+        if not keys:
+            return False
+        db, dk = self._bk(dst)
+        for k in keys:
+            self._rewrite(sb, k, db, dk + k[len(sk):])
+            self._delete_source(sb, k)
+        return True
+
+    def _delimited(self, path: str) -> tuple[list[str], list[str]]:
+        bucket, key = self._bk(path)
+        prefix = key + "/" if key else ""
+        files, dirs, token = [], [], None
+        while True:
+            items, prefixes, token = self._list_page(
+                bucket, prefix=prefix, delimiter="/", page_token=token)
+            files += [name[len(prefix):] for name, _, _ in items
+                      if name != prefix]
+            dirs += [p[len(prefix):].rstrip("/") for p in prefixes
+                     if p[len(prefix):].rstrip("/") not in dirs]
+            if not token:
+                return sorted(files), sorted(dirs)
+
+    def list_files(self, path: str) -> list[str]:
+        return self._delimited(path)[0]
+
+    def list_dirs(self, path: str) -> list[str]:
+        return self._delimited(path)[1]
+
+    def _rel_keys(self, root: str):
+        bucket, base = self._bk(root)
+        start = len(base) + 1 if base else 0
+        for name, gen, size in self._iter_keys(
+                bucket, base + "/" if base else ""):
+            yield name[start:], gen, size
+
+    def walk_files(self, root: str) -> list[str]:
+        return sorted(
+            rel for rel, _, _ in self._rel_keys(root)
+            if not any(c.startswith(("_", "."))
+                       for c in rel.split("/")))
+
+    def list_partition_dirs(self, root: str, depth: int) -> list[str]:
+        out = set()
+        for rel, _, _ in self._rel_keys(root):
+            comps = rel.split("/")
+            if len(comps) <= depth:
+                continue
+            head = comps[:depth]
+            if any(c.startswith(("_", ".")) for c in comps) \
+                    or not all("=" in c for c in head):
+                continue
+            out.add("/".join(head))
+        return sorted(out)
+
+    # -- bulk bridge (no-JVM-connector configurations only) ---------------
+    def new_scratch_dir(self) -> str:
+        path = os.path.join(self._scratch_root, "w", uuid.uuid4().hex)
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def upload_tree(self, local_dir: str, remote_dir: str) -> list[str]:
+        bucket, base = self._bk(remote_dir)
+        uploaded: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(local_dir):
+            dirnames[:] = [d for d in dirnames
+                           if not d.startswith(("_", "."))]
+            for fname in filenames:
+                if fname.startswith(("_", ".")):
+                    continue
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, local_dir).replace(os.sep, "/")
+                with open(full, "rb") as fh:
+                    self.write_bytes(f"gs://{bucket}/{base}/{rel}",
+                                     fh.read())
+                uploaded.append(rel)
+        shutil.rmtree(local_dir, ignore_errors=True)
+        return sorted(uploaded)
+
+    def localize(self, root: str,
+                 relpaths: "list[str] | None" = None) -> str:
+        """Generation-validated local mirror — same contract as
+        ``S3FS.localize`` (unchanged generations never re-downloaded,
+        vanished objects purged so a stale generation cannot leak into
+        a scan)."""
+        bucket, base = self._bk(root)
+        mirror = os.path.join(self._scratch_root, "r", bucket,
+                              base.replace("/", "_"))
+        prefixes = relpaths if relpaths is not None else [""]
+        for rel in prefixes:
+            rkey = f"{base}/{rel}".strip("/") if rel else base
+            seen = set()
+            for name, gen, _ in self._iter_keys(
+                    bucket, rkey + "/" if rkey else ""):
+                krel = name[len(base) + 1:] if base else name
+                if rel == "" and any(c.startswith(("_", "."))
+                                     for c in krel.split("/")):
+                    continue
+                local = os.path.join(mirror, *krel.split("/"))
+                seen.add(local)
+                if self._generations.get(local) == gen \
+                        and os.path.exists(local):
+                    continue
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                with open(local, "wb") as fh:
+                    fh.write(self.read_bytes(f"gs://{bucket}/{name}"))
+                self._generations[local] = gen
+            local_prefix = os.path.join(mirror, *rel.split("/")) \
+                if rel else mirror
+            if os.path.isdir(local_prefix):
+                for dirpath, _, filenames in os.walk(local_prefix):
+                    for fname in filenames:
+                        full = os.path.join(dirpath, fname)
+                        if full not in seen:
+                            os.remove(full)
+                            self._generations.pop(full, None)
+        return mirror
+
+
+#: One GcsFS per (endpoint, credential) — same reuse rationale as
+#: ``_S3_CACHE``.
+_GCS_CACHE: dict = {}
+_GCS_CACHE_LOCK = threading.Lock()
+
+
 def fs_for(path: str, spark: SparkSession | None = None):
     """Pick the metadata FS for ``path`` by scheme."""
     if path.startswith("memory://"):
@@ -2056,8 +2580,29 @@ def fs_for(path: str, spark: SparkSession | None = None):
         # the S3-interop surface needs the FULL HMAC pair — a partial
         # config (endpoint only, or key without secret) would sign
         # googleapis.com requests with ambient AWS credentials or die
-        # with PartialCredentialsError; fall through to the JVM
-        # gcs-connector (service-account auth) instead
+        # with PartialCredentialsError.  No HMAC pair: try the NATIVE
+        # service-account path (OAuth bearer against the JSON API —
+        # the az AAD/MSI pattern) before surrendering to the JVM
+        # gcs-connector
+        gsbearer = os.environ.get("GCS_BEARER_TOKEN")
+        gsmeta = os.environ.get("GCE_METADATA_ENDPOINT")
+        if gsbearer or gsmeta:
+            endpoint = (os.environ.get("GCS_JSON_ENDPOINT")
+                        or "https://storage.googleapis.com")
+            cred = hashlib.sha256(
+                f"{gsbearer or ''}\x00{gsmeta or ''}"
+                .encode()).hexdigest()
+            # metadata endpoint configured and no static token wins:
+            # provider-backed bearer auth with automatic refresh
+            provider = (gce_metadata_token_provider()
+                        if gsmeta and not gsbearer else None)
+            with _GCS_CACHE_LOCK:
+                cache_key = (endpoint, cred)
+                if cache_key not in _GCS_CACHE:
+                    _GCS_CACHE[cache_key] = GcsFS(
+                        endpoint, bearer_token=gsbearer,
+                        token_provider=provider)
+                return _GCS_CACHE[cache_key]
         scheme = "gs-hadoop"
     if scheme in ("s3", "s3a", "s3n", "gs"):
         # The supported object-store class is "speaks the S3 API".
