@@ -94,7 +94,11 @@ def main() -> None:
                     / (F.count("*") * 256)).alias("eff")).first()["eff"]
     print(f"packed into {bins.count()} bins of 256, "
           f"efficiency {eff:.0%}")
-    assert eff > 0.5  # cross-document packing fills the window
+    # cross-document packing fills the window: measured 86% here and
+    # 88.5% at sf3 (1.09 M chunks; SCALING.md r10 note) vs ~28%
+    # unpacked — the committed number behind the ~20%→~85% claim in
+    # functions/text.py
+    assert eff > 0.8
 
     # 4. the commit ledger
     for row in coll.history(limit=3):
