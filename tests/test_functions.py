@@ -461,6 +461,54 @@ def test_jaccard_max_df_bounds_hot_shingle_candidates(spark):
     assert len(got) == 1 and abs(got[0]["jaccard"] - 1.0) < 1e-12
 
 
+def test_jaccard_prefix_filter_lossless_on_borderline_pairs(spark):
+    """The prefix filter (AllPairs/PPJoin) must be LOSSLESS at every
+    ceil boundary of the lemma: random word sets over a small
+    vocabulary produce many pairs sitting exactly on / around each
+    threshold, and the prefix-filtered path must equal both the full
+    self-join path and a pure-Python exact reference."""
+    import itertools
+    import random
+    rng = random.Random(20260815)
+    vocab = [f"w{i:02d}" for i in range(60)]
+    docs = {i: rng.sample(vocab, rng.randint(3, 25)) for i in range(120)}
+    # engineered near-duplicates so the HIGH-threshold strata are
+    # populated too: copies of a 20-word doc with 0/1/2 words swapped
+    # (J = 1.0, 19/21 ≈ 0.905, 18/22 ≈ 0.818 against the original)
+    base = rng.sample(vocab, 20)
+    docs[200] = list(base)
+    docs[201] = list(base)
+    docs[202] = base[:-1] + [f"x{rng.randint(0, 9)}"]
+    docs[203] = base[:-2] + ["xa", "xb"]
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()],
+        "doc_id long, text string")
+    sets = {i: set(ws) for i, ws in docs.items()}
+    for t in (0.5, 2 / 3, 0.8, 0.9):
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= t:
+                want[(a, b)] = j
+        got_prefix = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                      ngram_jaccard_pairs(df, id_col="doc_id",
+                                          text_col="text",
+                                          shingle_size=1, threshold=t,
+                                          prefix_filter=True).collect()}
+        got_full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                    ngram_jaccard_pairs(df, id_col="doc_id",
+                                        text_col="text",
+                                        shingle_size=1, threshold=t,
+                                        prefix_filter=False).collect()}
+        assert set(got_prefix) == set(want) == set(got_full), t
+        for pair, j in want.items():
+            assert abs(got_prefix[pair] - j) < 1e-12
+    # the vocabulary is small enough that borderline pairs exist at
+    # every tested threshold — otherwise this test proves nothing
+    assert want, "0.9-threshold stratum empty; regenerate the corpus"
+
+
 def test_embedding_block_guard_fails_fast_and_auto_sizes(spark):
     vecs = [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(64)]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
