@@ -221,3 +221,75 @@ def test_history_cli_and_zarr_parity(spark, tmp_path, capsys):
     zcoll.insert(ev)
     zhist = zcoll.history()
     assert zhist[0]["added"] == ["num=1"]
+
+
+# ---------------------------------------------------------------------------
+# time-travel reads (query/partitions at_generation) — VERSION AS OF
+# ---------------------------------------------------------------------------
+
+
+def test_query_at_generation_append_only_history(spark, tmp_path):
+    """The batch complement of changes(): an append-only history is
+    exactly reconstructable at every retained generation, and the
+    current read is unaffected."""
+    coll = _mk(spark, str(tmp_path / "tt"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g2 = coll.generation()
+    coll.insert(_df(spark, coll, [(3, 3.0)]))
+    g3 = coll.generation()
+    assert coll.partitions(at_generation=g2) == ["num=1", "num=2"]
+    rows = coll.query(at_generation=g2).select("num").collect()
+    assert sorted(r.num for r in rows) == [1, 2]
+    # key filters compose with the historical partition list
+    only = coll.query(filters="num == 1", at_generation=g2).collect()
+    assert len(only) == 1 and only[0].value == 1.0
+    # earliest and current generations both reconstruct
+    assert [r.num for r in
+            coll.query(at_generation=g1).select("num").collect()] == [1]
+    assert coll.partitions(at_generation=g3) == ["num=1", "num=2",
+                                                 "num=3"]
+    # the present-day read is untouched by any of the above
+    assert sorted(r.num for r in
+                  coll.query().select("num").collect()) == [1, 2, 3]
+
+
+def test_query_at_generation_refuses_rewritten_partition(spark,
+                                                         tmp_path):
+    """Partition dirs are mutable: once a gen-N partition is
+    republished, gen N cannot be reconstructed — the read must raise,
+    never silently mix generations (the soundness gate)."""
+    coll = _mk(spark, str(tmp_path / "tt2"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g2 = coll.generation()
+    # default merge REPLACES partition num=1 -> its touched stamp bumps
+    coll.insert(_df(spark, coll, [(1, 9.0)]))
+    with pytest.raises(ValueError, match="republished or dropped"):
+        coll.query(at_generation=g2)
+    with pytest.raises(ValueError, match="republished or dropped"):
+        coll.partitions(at_generation=g2)
+    # a generation at/after the rewrite is reconstructable again
+    now = coll.generation()
+    vals = {r.num: r.value for r in
+            coll.query(at_generation=now).collect()}
+    assert vals == {1: 9.0, 2: 2.0}
+
+
+def test_query_at_generation_refuses_after_drop_and_prune(spark,
+                                                          tmp_path):
+    coll = _mk(spark, str(tmp_path / "tt3"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g2 = coll.generation()
+    coll.drop_partitions(filters="num == 1")
+    with pytest.raises(ValueError, match="republished or dropped"):
+        coll.query(at_generation=g2)
+    # the surviving partition still reconstructs at the current gen
+    assert coll.partitions(at_generation=coll.generation()) == ["num=2"]
+    # pruned snapshot -> loud unavailability, mirroring changes()
+    coll.insert(_df(spark, coll, [(3, 3.0)]))
+    coll._catalog.prune_history(keep_last=1)
+    with pytest.raises(ValueError, match="not available"):
+        coll.query(at_generation=g2)

@@ -172,6 +172,13 @@ class Catalog:
         doc = self._read_doc()
         return list(doc["partitions"]) if doc is not None else None
 
+    def read_doc(self) -> dict | None:
+        """The validated CURRENT document (partitions + generation +
+        touched + stats), or None if absent/corrupt — the public read
+        for consumers that need more than the partition list
+        (time-travel staleness verification)."""
+        return self._read_doc()
+
     def read_stats(self) -> dict:
         """Per-partition zone-map statistics:
         ``{relpath: {col: [min, max, null_count]}}`` — empty when the

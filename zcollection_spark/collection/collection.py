@@ -251,15 +251,75 @@ class Collection:
     # ------------------------------------------------------------------
     # partition enumeration + pruning (collection/base.py:302-386)
     # ------------------------------------------------------------------
-    def partitions(self, *, filters: str | None = None) -> list[str]:
+    def _snapshot_for_read(self, generation: int) -> dict:
+        """The gen-``generation`` catalog document, verified SAFE to
+        read against the current store state — the soundness gate of
+        time-travel (``at_generation``) reads.
+
+        Partition directories here are MUTABLE (unlike the immutable
+        data files of Delta/Iceberg/icechunk), so an old partition
+        LIST only reconstructs an old view while every listed
+        partition is physically untouched since that generation.  The
+        catalog's per-partition ``touched`` stamps (the same index
+        ``changes()`` diffs with) prove exactly that: refuse loudly
+        when any gen-N partition was republished, appended to, or
+        dropped after N — a time-travel read either returns the exact
+        historical answer or raises, never silently mixes generations.
+        Snapshots themselves are retained by ``prune_history``
+        (default: last 16 generations).
+        """
+        if not self.catalog_enabled:
+            raise ValueError("at_generation requires the catalog "
+                             "(this collection runs catalog-less)")
+        generation = int(generation)
+        snap = self._catalog.read_at(generation)
+        if snap is None:
+            raise ValueError(
+                f"generation {generation} is not available "
+                f"(snapshot pruned or never committed); "
+                f"history() lists what is retained")
+        current = self._catalog.read_doc()
+        if current is None:
+            raise ValueError(
+                "cannot verify a time-travel read: the current catalog "
+                "is absent or corrupt (run repair_catalog first)")
+        cur_gen = int(current.get("generation", 0))
+        touched = current.get("touched", {})
+        live = set(current.get("partitions", []))
+        # a missing stamp (legacy document) counts as touched-now —
+        # the diff_documents convention: conservative, never a lie
+        stale = [rel for rel in snap.get("partitions", [])
+                 if rel not in live
+                 or int(touched.get(rel, cur_gen)) > generation]
+        if stale:
+            raise ValueError(
+                f"generation {generation} is no longer "
+                f"reconstructable: {len(stale)} partition(s) were "
+                f"republished or dropped since (e.g. {stale[:3]}); "
+                f"partition directories are mutable, so time-travel "
+                f"is exact only while every generation-{generation} "
+                f"partition is untouched")
+        return snap
+
+    def partitions(self, *, filters: str | None = None,
+                   at_generation: int | None = None) -> list[str]:
         """Matching partition relpaths in numeric key order (Q2 fixed).
 
         Catalog hit = one GET; miss = depth-limited store walk
         (``base.py:340-386``) — on object stores the walk is the expensive
         path, which is why inserts keep the catalog current.
+
+        ``at_generation`` lists the partition set AS OF that committed
+        generation (verified reconstructable — see
+        :meth:`_snapshot_for_read`).
         """
         predicate = compile_filter(filters)
-        relpaths = self._catalog.read() if self.catalog_enabled else None
+        if at_generation is not None:
+            relpaths = list(
+                self._snapshot_for_read(at_generation)["partitions"])
+        else:
+            relpaths = (self._catalog.read() if self.catalog_enabled
+                        else None)
         if relpaths is None:
             relpaths = self._fs.list_partition_dirs(
                 self.path, self.partitioning.depth)
@@ -379,17 +439,20 @@ class Collection:
                     casts[key] = F.col(key).cast(target)
         return df.withColumns(casts) if casts else df
 
-    def _zone_prune(self, relpaths: list[str],
-                    where: str) -> list[str]:
+    def _zone_prune(self, relpaths: list[str], where: str,
+                    stats_map: dict | None = None) -> list[str]:
         """Drop partitions whose zone-map statistics PROVE the ``where``
         predicate cannot match (partitioning/zonemap.py).  Partitions
         without statistics are always kept — pruning is an optimization
         layered under the exact Catalyst filter, never a correctness
-        boundary."""
+        boundary.  ``stats_map`` overrides the catalog read (time-travel
+        passes the SNAPSHOT's statistics: they describe the data as of
+        that generation, which the staleness gate proved unchanged)."""
         if not (self.catalog_enabled
                 and (self.stats_columns or self.bloom_columns)):
             return relpaths
-        stats_map = self._catalog.read_stats()
+        if stats_map is None:
+            stats_map = self._catalog.read_stats()
         if not stats_map:
             return relpaths
         may_match = compile_zone_filter(where)
@@ -425,7 +488,8 @@ class Collection:
 
     def _load(self, *, filters: str | None = None,
               where: str | None = None,
-              keep_internal: bool = False) -> DataFrame | None:
+              keep_internal: bool = False,
+              at_generation: int | None = None) -> DataFrame | None:
         """Pruned scan with partition-key columns attached.
 
         Uses the catalog for listing-time pruning when available, and ALWAYS
@@ -435,9 +499,13 @@ class Collection:
         zone-map-prunes partitions and filters the scanned rows.
         """
         predicate = compile_filter(filters)
-        relpaths = self.partitions(filters=filters)
+        relpaths = self.partitions(filters=filters,
+                                   at_generation=at_generation)
         if where is not None:
-            relpaths = self._zone_prune(relpaths, where)
+            snap_stats = (dict(self._snapshot_for_read(at_generation)
+                               .get("stats", {}))
+                          if at_generation is not None else None)
+            relpaths = self._zone_prune(relpaths, where, snap_stats)
         if not relpaths:
             return None
         df = self._read_partitions(relpaths)
@@ -456,7 +524,8 @@ class Collection:
     def query(self, *, filters: str | None = None,
               variables: Iterable[str] | None = None,
               where: str | None = None,
-              ordered: bool = True) -> DataFrame | None:
+              ordered: bool = True,
+              at_generation: int | None = None) -> DataFrame | None:
         """``filter → project → concat → attach immutables``
         (``base.py:524-595``).
 
@@ -472,8 +541,20 @@ class Collection:
         the exact predicate is applied to the scanned rows.  Beyond the
         reference's surface (key-only pruning) — Delta/Iceberg-style
         data skipping for the 100 TB case.
-        """
-        df = self._load(filters=filters, where=where)
+
+        ``at_generation`` reads the collection AS OF a committed
+        generation (``VERSION AS OF``, the batch complement of
+        ``changes()``/``history()``): the partition list and zone
+        statistics come from that generation's catalog snapshot, after
+        a staleness gate proves every listed partition is physically
+        untouched since — exact for append-only/append-mostly
+        histories (the training-corpus shape), and a loud ``ValueError``
+        when a wanted partition was republished or dropped (mutable
+        partition directories cannot reconstruct it) or the snapshot
+        was pruned.  Immutable variables attach at their CURRENT value
+        (write-once by contract)."""
+        df = self._load(filters=filters, where=where,
+                        at_generation=at_generation)
         if df is None:
             return None
         wanted = None

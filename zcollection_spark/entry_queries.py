@@ -214,6 +214,36 @@ FROM events WHERE day(ts) >= 9
 """
 
 
+def q_collection_time_travel(spark, sf_dir):
+    """VERSION AS OF (NEW r10): read the collection AS OF a remembered
+    generation after later commits — ``query(at_generation=g)``
+    resolves the partition list (and zone statistics) from the gen-g
+    catalog snapshot, AFTER a staleness gate proves every listed
+    partition is physically untouched since (mutable partition dirs:
+    the read is exact or it raises, never a silent mix of
+    generations).  Build: insert days < 10 of every month (remember
+    g), then days >= 10 — pure appends, nothing replaced — and read
+    at g: exactly the day < 10 events, whatever landed after."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/events3_tt_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df.where(F.dayofmonth("ts") < 10))
+        gen = coll.generation()
+        coll.insert(df.where(F.dayofmonth("ts") >= 10))
+        return coll, gen
+    coll, gen = _cached(("events3_tt", sf_dir), build)
+    return (coll.query(at_generation=gen)
+            .select("event_id", "value"))
+
+
+ORACLE_TIME_TRAVEL = """
+SELECT event_id, value FROM events WHERE day(ts) < 10
+"""
+
+
 def q_collection_sequence(spark, sf_dir):
     """Sequence partitioning round-trip + pruning
     (partitioning/sequence.py:20-156)."""
@@ -2357,9 +2387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_tools.py::test_registry_window_invariant (the
     # hand-counted totals in this comment rotted twice — r8 and r9 —
     # so the test owns the numbers now).  r11 ledger note: the
-    # thirteen r10 sit-outs return in r11; free the slots by sitting
-    # out r10's returning rows on the symmetric covered-surface
-    # arguments.
+    # thirteen r10 sit-outs return in r11 AND the r10-built
+    # collection_time_travel (tail, never driver-graded) promotes;
+    # free the slots by sitting out r10's returning rows on the
+    # symmetric covered-surface arguments.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
@@ -2443,6 +2474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_sample": q_capped_sample,
         "browse_no_buy": q_browse_no_buy,
         "value_percentiles": q_value_percentiles,
+        # NEW r10 (out-of-window — the window is full; promote in r11
+        # with the returning sit-outs): VERSION-AS-OF reads, the batch
+        # complement of collection_changes; check_oracle-gated like
+        # the rest of the tail
+        "collection_time_travel": q_collection_time_travel,
     }
 
 
@@ -2464,6 +2500,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "collection_query_prune": ORACLE_QUERY_PRUNE,
         "collection_zonemap_skip": ORACLE_ZONEMAP_SKIP,
         "collection_changes": ORACLE_CHANGES,
+        "collection_time_travel": ORACLE_TIME_TRAVEL,
         "collection_projection": ORACLE_PROJECTION,
         "collection_sequence": ORACLE_SEQUENCE,
         "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,
