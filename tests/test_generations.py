@@ -293,3 +293,67 @@ def test_query_at_generation_refuses_after_drop_and_prune(spark,
     coll._catalog.prune_history(keep_last=1)
     with pytest.raises(ValueError, match="not available"):
         coll.query(at_generation=g2)
+
+
+def test_zarr_query_at_generation_parity(spark, tmp_path):
+    """The zarr layout shares the staleness gate: append-only history
+    reconstructs (via a pushed key predicate over the historical
+    partition set), a replaced partition refuses."""
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "ztt"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)))
+
+    def ins(num, vals):
+        pdf = pd.DataFrame({
+            "i": np.arange(len(vals), dtype=np.int64) + num * 100,
+            "value": np.array(vals, dtype=np.float64),
+            "num": np.full(len(vals), num, dtype=np.int64)})
+        coll.insert(spark.createDataFrame(
+            pdf, schema=coll.schema.to_struct_type()))
+
+    ins(1, [1.0]); ins(2, [2.0])
+    g2 = coll.generation()
+    ins(3, [3.0])
+    assert coll.partitions(at_generation=g2) == ["num=1", "num=2"]
+    assert sorted(r.num for r in
+                  coll.query(at_generation=g2).collect()) == [1, 2]
+    assert sorted(r.num for r in coll.query().collect()) == [1, 2, 3]
+    ins(1, [9.0])   # replace num=1 -> gen g2 is gone
+    with pytest.raises(ValueError, match="republished or dropped"):
+        coll.query(at_generation=g2)
+
+
+def test_zarr_filterless_query_after_filtered(spark, tmp_path):
+    """Regression: the cached zarr base scan shares ONE reader whose
+    pushed-filter state is only reset when a query pushes filters — a
+    filterless query planned after a filtered one must NOT inherit the
+    previous pruning (found via time-travel, but reproducible with a
+    plain key filter)."""
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "zreset"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)))
+    pdf = pd.DataFrame({
+        "i": np.arange(3, dtype=np.int64),
+        "value": np.array([1.0, 2.0, 3.0]),
+        "num": np.array([1, 2, 3], dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        pdf, schema=coll.schema.to_struct_type()))
+    assert sorted(r.num for r in coll.query().collect()) == [1, 2, 3]
+    assert sorted(r.num for r in
+                  coll.query(filters="num in (1, 2)").collect()) == [1, 2]
+    # the poisoned read: same generation, no filters
+    assert sorted(r.num for r in coll.query().collect()) == [1, 2, 3]

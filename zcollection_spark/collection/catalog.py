@@ -68,6 +68,49 @@ def diff_documents(base_doc: dict, cur_doc: dict,
     return rows
 
 
+def verify_snapshot_readable(catalog: "Catalog", generation: int) -> dict:
+    """The gen-``generation`` document, verified SAFE to read against
+    the current store state — the soundness gate behind time-travel
+    (``at_generation``) reads, shared by the parquet and zarr layouts.
+
+    Partition directories are MUTABLE (unlike the immutable data files
+    of Delta/Iceberg/icechunk), so an old partition LIST reconstructs
+    an old view only while every listed partition is physically
+    untouched since that generation.  The per-partition ``touched``
+    stamps (the same index ``diff_documents`` uses) prove exactly
+    that; a missing stamp (legacy document) counts as touched-now —
+    conservative refusal, never a lie.  Raises ``ValueError`` for a
+    pruned/unknown generation, an unverifiable current catalog, or any
+    republished/dropped partition.
+    """
+    generation = int(generation)
+    snap = catalog.read_at(generation)
+    if snap is None:
+        raise ValueError(
+            f"generation {generation} is not available "
+            f"(snapshot pruned or never committed); "
+            f"history() lists what is retained")
+    current = catalog.read_doc()
+    if current is None:
+        raise ValueError(
+            "cannot verify a time-travel read: the current catalog "
+            "is absent or corrupt (run repair_catalog first)")
+    cur_gen = int(current.get("generation", 0))
+    touched = current.get("touched", {})
+    live = set(current.get("partitions", []))
+    stale = [rel for rel in snap.get("partitions", [])
+             if rel not in live
+             or int(touched.get(rel, cur_gen)) > generation]
+    if stale:
+        raise ValueError(
+            f"generation {generation} is no longer reconstructable: "
+            f"{len(stale)} partition(s) were republished or dropped "
+            f"since (e.g. {stale[:3]}); partition directories are "
+            f"mutable, so time-travel is exact only while every "
+            f"generation-{generation} partition is untouched")
+    return snap
+
+
 def _widen_stats(old: dict, new: dict, bloom_load=None) -> dict:
     """Union two ``{col: [min, max, nulls]}`` maps (append publish).
     A column present on only one side keeps NO entry — its interval is

@@ -271,35 +271,8 @@ class Collection:
         if not self.catalog_enabled:
             raise ValueError("at_generation requires the catalog "
                              "(this collection runs catalog-less)")
-        generation = int(generation)
-        snap = self._catalog.read_at(generation)
-        if snap is None:
-            raise ValueError(
-                f"generation {generation} is not available "
-                f"(snapshot pruned or never committed); "
-                f"history() lists what is retained")
-        current = self._catalog.read_doc()
-        if current is None:
-            raise ValueError(
-                "cannot verify a time-travel read: the current catalog "
-                "is absent or corrupt (run repair_catalog first)")
-        cur_gen = int(current.get("generation", 0))
-        touched = current.get("touched", {})
-        live = set(current.get("partitions", []))
-        # a missing stamp (legacy document) counts as touched-now —
-        # the diff_documents convention: conservative, never a lie
-        stale = [rel for rel in snap.get("partitions", [])
-                 if rel not in live
-                 or int(touched.get(rel, cur_gen)) > generation]
-        if stale:
-            raise ValueError(
-                f"generation {generation} is no longer "
-                f"reconstructable: {len(stale)} partition(s) were "
-                f"republished or dropped since (e.g. {stale[:3]}); "
-                f"partition directories are mutable, so time-travel "
-                f"is exact only while every generation-{generation} "
-                f"partition is untouched")
-        return snap
+        from .catalog import verify_snapshot_readable
+        return verify_snapshot_readable(self._catalog, generation)
 
     def partitions(self, *, filters: str | None = None,
                    at_generation: int | None = None) -> list[str]:

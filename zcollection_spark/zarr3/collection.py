@@ -467,6 +467,19 @@ class ZarrCollection:
             cols = set(variables) | set(self.partitioning.keys)
             reader = reader.option("columns", ",".join(sorted(cols)))
         df = reader.load()
+        # The cached scan SHARES one reader instance across every query
+        # planned on top of it, and ``ZarrReader.pushFilters`` keeps its
+        # accepted-filter state on that instance — but Spark only calls
+        # pushFilters when a query HAS pushable filters, so a filterless
+        # query planned after a filtered one would inherit the previous
+        # query's pruning (read [1,2] forever after a num in (1,2)
+        # read).  Baking one trivially-true PUSHABLE predicate into the
+        # cached plan guarantees every derived query's planning invokes
+        # pushFilters and RESETS that state (the reader rejects
+        # IsNotNull, so it survives as a no-op row filter; partition
+        # keys are never null).  Regression-pinned in
+        # test_generations.py::test_zarr_filterless_query_after_filtered.
+        df = df.where(F.col(self.partitioning.keys[0]).isNotNull())
         if len(self._df_cache) > 8:  # stale generations/projections
             self._df_cache.clear()
         self._df_cache[key] = df
@@ -610,7 +623,8 @@ class ZarrCollection:
     def query(self, *, filters: str | None = None,
               variables: Iterable[str] | None = None,
               where: str | None = None,
-              ordered: bool = True) -> DataFrame | None:
+              ordered: bool = True,
+              at_generation: int | None = None) -> DataFrame | None:
         """Pruned + projected read through the zarr3 datasource; the
         filter string compiles to a Catalyst predicate whose partition-key
         comparisons are pushed down into the reader.
@@ -619,15 +633,33 @@ class ZarrCollection:
         zone-map partition skipping when the collection records
         ``stats_columns`` — surviving partitions are re-expressed as a
         pushed key predicate, and the exact row filter is applied on
-        top (parquet-layout parity, collection/collection.py)."""
+        top (parquet-layout parity, collection/collection.py).
+
+        ``at_generation`` reads AS OF a committed generation (parquet-
+        layout parity: partition list + zone statistics from the gen-N
+        snapshot, staleness-gated — see
+        ``collection.catalog.verify_snapshot_readable``); the
+        historical partition set is pushed into the reader as a key
+        predicate."""
         predicate = compile_filter(filters)
-        relpaths = self.partitions(filters=filters)
+        relpaths = self.partitions(filters=filters,
+                                   at_generation=at_generation)
         if not relpaths:
             return None  # quirk Q6 parity
         zone_pred = None
+        if at_generation is not None:
+            # restrict the scan to the HISTORICAL partition set (new
+            # partitions committed after gen N must not be read even
+            # though the datasource lists them)
+            zone_pred = self._zone_keys_predicate(relpaths)
         if where is not None and (self.stats_columns
                                   or self.bloom_columns):
-            stats_map = self._catalog.read_stats()
+            if at_generation is not None:
+                from ..collection.catalog import verify_snapshot_readable
+                stats_map = dict(verify_snapshot_readable(
+                    self._catalog, at_generation).get("stats", {}))
+            else:
+                stats_map = self._catalog.read_stats()
             if stats_map:
                 from ..partitioning.zonemap import compile_zone_filter
                 may_match = compile_zone_filter(where)
@@ -766,9 +798,15 @@ class ZarrCollection:
         self._catalog.write(relpaths)
         return sorted(relpaths)
 
-    def partitions(self, *, filters: str | None = None) -> list[str]:
+    def partitions(self, *, filters: str | None = None,
+                   at_generation: int | None = None) -> list[str]:
         predicate = compile_filter(filters)
-        relpaths = self._catalog.read()
+        if at_generation is not None:
+            from ..collection.catalog import verify_snapshot_readable
+            relpaths = list(verify_snapshot_readable(
+                self._catalog, at_generation)["partitions"])
+        else:
+            relpaths = self._catalog.read()
         if relpaths is None:
             relpaths = self._fs.list_partition_dirs(
                 self.path, self.partitioning.depth)
