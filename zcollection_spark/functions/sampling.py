@@ -1,13 +1,21 @@
 """Deterministic sampling / budget capping for training-data pipelines.
 
-Two shapes a corpus build needs constantly:
+The shapes a corpus build needs constantly — all replayable (the draw
+is md5 of the id: stable across runs, engines, cluster sizes, and
+insertion order; no RNG state), which is what makes dataset cards and
+ablations reproducible:
 
 - :func:`cap_per_group` — "at most N documents per language/source/
-  domain": a deterministic pseudo-random rank inside each group (md5 of
-  the id — stable across runs, engines, and partitionings; no RNG
-  state), one window shuffle.  Unlike ``sampleBy`` this gives EXACT
-  counts and is replayable — the same corpus always yields the same
-  sample, which is what makes dataset cards and ablations reproducible.
+  domain": deterministic pseudo-random rank inside each group, one
+  window shuffle, EXACT counts (unlike ``sampleBy``).
+- :func:`hash_split` — train/val/test assignment as a pure JVM
+  expression; the same document lands in the same split on every
+  rebuild (uncontaminated eval sets).
+- :func:`stratified_sample_exact` — per-stratum fraction sampling
+  where the SAMPLE ITSELF is a pure function of (id, salt, fractions).
+- :func:`sample_to_token_budget` — "N tokens per language" in md5
+  order, crossing document included; bucketed two-pass prefix sum so
+  no stratum serializes through one task at scale.
 - :func:`stratified_sample` — thin wrapper over ``df.sampleBy`` for
   fraction-based (approximate, Bernoulli) sampling when exactness
   doesn't matter; seeded for reproducibility within one Spark version.
