@@ -85,6 +85,17 @@ def main() -> None:
     print(f"CDC stream delivered {len(seen)} change events "
           f"(== changes() diff: {sorted(seen) == diff['added']})")
 
+    # -- time travel: re-read EXACTLY what the checkpoint saw ----------
+    # (VERSION AS OF — the batch complement of changes(): auditing
+    # "what did the model train on" replays the historical view; the
+    # appends above left every checkpoint-era partition untouched, so
+    # the read is exact; a republished partition would raise instead)
+    asof = coll.query(at_generation=checkpoint)
+    now = coll.query()
+    print(f"as of generation {checkpoint}: {asof.count()} rows "
+          f"(today: {now.count()})")
+    assert asof.count() < now.count()
+
     spark.stop()
 
 

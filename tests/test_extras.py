@@ -320,3 +320,36 @@ def test_cli_manifest(spark, seq_collection, capsys):
         if rel.startswith("_"):
             continue
         assert files and all(f.endswith(".parquet") for f in files)
+
+
+def test_cli_ls_at_generation(spark, tmp_path, capsys):
+    """--at-generation lists the historical partition set (and refuses
+    an unavailable generation with a nonzero exit... via the raised
+    ValueError surfacing, matching the API contract)."""
+    import numpy as np
+    import pandas as pd
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = zc.create_collection(
+        spark, str(tmp_path / "clitt"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)))
+
+    def ins(num):
+        pdf = pd.DataFrame({"i": np.array([num], dtype=np.int64),
+                            "num": np.array([num], dtype=np.int64)})
+        coll.insert(spark.createDataFrame(
+            pdf, schema=coll.schema.to_struct_type()))
+
+    ins(1)
+    g1 = coll.generation()
+    ins(2)
+    assert cli.main(["ls", coll.path, "--at-generation", str(g1),
+                     "--json"]) == 0
+    assert json.loads(capsys.readouterr().out) == ["num=1"]
+    assert cli.main(["ls", coll.path, "--json"]) == 0
+    assert json.loads(capsys.readouterr().out) == ["num=1", "num=2"]
+    with pytest.raises(ValueError, match="not available"):
+        cli.main(["ls", coll.path, "--at-generation", "999"])

@@ -25,7 +25,8 @@ def _open(path: str, mode: str = "r"):
 
 def cmd_ls(args: argparse.Namespace) -> int:
     coll = _open(args.path)
-    partitions = coll.partitions(filters=args.filter)
+    partitions = coll.partitions(filters=args.filter,
+                                 at_generation=args.at_generation)
     if args.json:
         print(json.dumps(partitions, indent=1))
     else:
@@ -231,6 +232,12 @@ def main(argv: list[str] | None = None) -> int:
     p_ls = sub.add_parser("ls", help="list partitions")
     p_ls.add_argument("path")
     p_ls.add_argument("--filter", default=None)
+    p_ls.add_argument("--at-generation", type=int, default=None,
+                      dest="at_generation",
+                      help="list the partition set AS OF this committed "
+                           "generation (time-travel; refuses loudly if "
+                           "any listed partition was republished or "
+                           "dropped since, or the snapshot was pruned)")
     p_ls.add_argument("--json", action="store_true")
     p_ls.set_defaults(fn=cmd_ls)
 
