@@ -1069,3 +1069,63 @@ def test_sample_to_token_budget_invariants(spark):
     with pytest.raises(ValueError, match="budget"):
         sample_to_token_budget(df, id_col="doc_id", token_col="n",
                                budget=0)
+
+
+def test_upsample_by_weight_exact_copy_counts(spark):
+    """Copy counts are a pure function of (id, salt, weights): floor(w)
+    copies always, the fractional copy iff the shared md5 draw is under
+    frac(w) — verified against a pure-Python replay of the same draw."""
+    import hashlib
+    import pytest as _pytest
+    from zcollection_spark.functions.sampling import upsample_by_weight
+    rows = [(i, ["en", "de", "fr", "xx"][i % 4]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = {"en": 2.5, "de": 1.0, "fr": 0.25}
+    out = upsample_by_weight(df, id_col="doc_id", strata_col="lang",
+                             weights=weights).collect()
+
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15],
+                   16) / 16.0 ** 15
+
+    import collections
+    got = collections.Counter((r.doc_id, r.lang) for r in out)
+    import math
+    want = {}
+    for i, lang in rows:
+        w = weights.get(lang, 0.0)
+        n = int(math.floor(w)) + (1 if u(i) < w - math.floor(w) else 0)
+        if n:
+            want[(i, lang)] = n
+    assert dict(got) == want
+    # copy indices are dense 0..n-1 per row
+    copies = collections.defaultdict(set)
+    for r in out:
+        copies[r.doc_id].add(r.copy)
+    for (i, lang), n in want.items():
+        assert copies[i] == set(range(n))
+    # en x2.5 means every en doc appears 2 or 3 times; fr is an exact
+    # deterministic quarter (same draw as stratified_sample_exact)
+    en_counts = {n for (i, lang), n in want.items() if lang == "en"}
+    assert en_counts <= {2, 3} and len(en_counts) == 2
+    # validation
+    with _pytest.raises(ValueError, match="weight"):
+        upsample_by_weight(df, id_col="doc_id", strata_col="lang",
+                           weights={"en": -1})
+    with _pytest.raises(ValueError, match="copy"):
+        upsample_by_weight(df.withColumn("copy", F.lit(0)),
+                           id_col="doc_id", strata_col="lang",
+                           weights={"en": 1.0})
+
+
+def test_upsample_by_weight_shuffle_free_plan(spark):
+    """Pure projection + explode: no Exchange, no Python eval."""
+    from zcollection_spark.functions.sampling import upsample_by_weight
+    from zcollection_spark.data import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = upsample_by_weight(docs, id_col="doc_id", strata_col="lang",
+                             weights={"en": 2.0})
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan

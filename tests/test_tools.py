@@ -62,7 +62,7 @@ def test_registry_window_invariant():
     # totals in the queries() header comment rotted in r8 ("all 66")
     # and again in r9 ("all 71"), so adding a query now forces this
     # pin — and with it the rotation ledger — to be updated.
-    assert len(names) == 73, len(names)
+    assert len(names) == 74, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
     # round-10 rotation (executes the r9 ledger): the ten r9 sit-outs
     # return in-window and the three never-driver-graded r9 samplers
@@ -86,7 +86,7 @@ def test_registry_window_invariant():
                     "returned_item_losses", "trade_flows", "rollup_hourly",
                     "langid_confusion", "top_ngrams",
                     # built r10 out-of-window (window full); promote r11
-                    "collection_time_travel"}
+                    "collection_time_travel", "upsample_weights"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivf_hi",

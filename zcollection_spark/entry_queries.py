@@ -1233,6 +1233,39 @@ def q_token_budget(spark, sf_dir):
                 .alias("n_chars"))
 
 
+def q_upsample_weights(spark, sf_dir):
+    """Deterministic weighted upsampling (NEW r10): the "epochs per
+    source" data-mixing knob — en ×2.5 (2 copies + an exact md5-drawn
+    half), de ×1, fr ×0.25 (exact quarter), others drop.  Every copy
+    count is a pure function of (id, weights), so the mixture replays
+    bit-identically on any engine; the DuckDB twin unnests the same
+    generate_series."""
+    from .functions.sampling import upsample_by_weight
+    docs = load_table(spark, sf_dir, "documents")
+    return upsample_by_weight(docs, id_col="doc_id", strata_col="lang",
+                              weights={"en": 2.5, "de": 1.0,
+                                       "fr": 0.25}) \
+        .select("doc_id", "lang", F.col("copy").cast("long")
+                .alias("copy"))
+
+
+ORACLE_UPSAMPLE_WEIGHTS = """
+SELECT doc_id, lang, c AS copy
+FROM (
+  SELECT doc_id, lang,
+         CAST(floor(w) AS BIGINT)
+         + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n
+  FROM (SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+                         WHEN 'fr' THEN 0.25 ELSE 0.0 END AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 ::BIGINT / 16.0 ** 15 AS u
+        FROM documents)
+) base, LATERAL unnest(generate_series(0, n - 1)) AS g(c)
+WHERE n >= 1
+"""
+
+
 ORACLE_TOKEN_BUDGET = """
 SELECT doc_id, lang, n_chars
 FROM (SELECT doc_id, lang, n_chars,
@@ -2396,10 +2429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_tools.py::test_registry_window_invariant (the
     # hand-counted totals in this comment rotted twice — r8 and r9 —
     # so the test owns the numbers now).  r11 ledger note: the
-    # thirteen r10 sit-outs return in r11 AND the r10-built
-    # collection_time_travel (tail, never driver-graded) promotes;
-    # free the slots by sitting out r10's returning rows on the
-    # symmetric covered-surface arguments.
+    # thirteen r10 sit-outs return in r11 AND the two r10-built tail
+    # entries promote (collection_time_travel, upsample_weights —
+    # never driver-graded); free the slots by sitting out r10's
+    # returning rows on the symmetric covered-surface arguments.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
@@ -2484,10 +2517,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "browse_no_buy": q_browse_no_buy,
         "value_percentiles": q_value_percentiles,
         # NEW r10 (out-of-window — the window is full; promote in r11
-        # with the returning sit-outs): VERSION-AS-OF reads, the batch
-        # complement of collection_changes; check_oracle-gated like
+        # with the returning sit-outs): VERSION-AS-OF reads (the batch
+        # complement of collection_changes) and deterministic weighted
+        # upsampling (the data-mixing knob); check_oracle-gated like
         # the rest of the tail
         "collection_time_travel": q_collection_time_travel,
+        "upsample_weights": q_upsample_weights,
     }
 
 
@@ -2510,6 +2545,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "collection_zonemap_skip": ORACLE_ZONEMAP_SKIP,
         "collection_changes": ORACLE_CHANGES,
         "collection_time_travel": ORACLE_TIME_TRAVEL,
+        "upsample_weights": ORACLE_UPSAMPLE_WEIGHTS,
         "collection_projection": ORACLE_PROJECTION,
         "collection_sequence": ORACLE_SEQUENCE,
         "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,

@@ -28,7 +28,7 @@ from .curation import (contamination, quality_filter,
                        repetition_stats, scrub_pii)
 from .sampling import (cap_per_group, hash_split,
                        sample_to_token_budget, stratified_sample,
-                       stratified_sample_exact)
+                       stratified_sample_exact, upsample_by_weight)
 
 __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
@@ -46,6 +46,7 @@ __all__ = [
     "word_shingles", "words", "chunk_documents", "pack_sequences",
     "cap_per_group", "hash_split", "stratified_sample",
     "stratified_sample_exact", "sample_to_token_budget",
+    "upsample_by_weight",
     "attach_fake_payload", "extract_image_features",
     "extract_audio_features", "sample_frames",
     "encode_ppm", "decode_ppm", "encode_wav", "decode_wav",

@@ -124,6 +124,57 @@ def stratified_sample_exact(df: DataFrame, *, id_col: str,
     return df.where(u < frac)
 
 
+def upsample_by_weight(df: DataFrame, *, id_col: str,
+                       strata_col: str, weights: Mapping,
+                       salt: str = "",
+                       copy_col: str = "copy") -> DataFrame:
+    """Deterministic weighted up/down-sampling — the "epochs per
+    source" mixing knob of a pretraining data recipe ("code ×2.5,
+    web ×0.8, wiki ×4"): each row appears ``floor(w)`` times plus one
+    more iff its md5 draw falls below ``frac(w)``, so a stratum's
+    expected token mass scales by EXACTLY ``w`` while every copy count
+    is a pure function of (id, salt, weights) — rebuilds, other
+    engines and resized clusters produce the identical multiset, which
+    is what makes a data-mixture ablation reproducible.  Strata absent
+    from ``weights`` drop (weight 0), matching
+    :func:`stratified_sample_exact`; a weight in [0, 1) is exact
+    deterministic downsampling (same draw as
+    :func:`stratified_sample_exact`, so ``w=0.25`` keeps ITS exact
+    quarter).  ``copy_col`` (0-based) distinguishes the replicas so
+    downstream shuffles/dedup treat them as distinct training
+    instances.
+
+    Pure JVM expressions + one ``explode(sequence(...))`` — no
+    shuffle, no Python, no RNG state; fan-out is bounded by
+    ``ceil(max(weights))`` per row.
+    """
+    weights = {k: float(v) for k, v in dict(weights).items()}
+    for name, w in weights.items():
+        if not w >= 0.0:
+            raise ValueError(f"weight for stratum {name!r} must be "
+                             f">= 0, got {w}")
+    if copy_col in df.columns:
+        raise ValueError(f"upsample_by_weight adds {copy_col!r} but "
+                         f"the input already has it — pass copy_col=")
+    w = None
+    for name, wv in weights.items():
+        cond = F.col(strata_col) == F.lit(name)
+        w = (F.when(cond, F.lit(wv)) if w is None
+             else w.when(cond, F.lit(wv)))
+    w = F.lit(0.0) if w is None else w.otherwise(F.lit(0.0))
+    base = F.floor(w).cast("long")
+    extra = (uniform_draw(id_col, salt) < (w - F.floor(w))).cast("long")
+    # sequence(0, n-1) DESCENDS for n=0 (Spark auto-steps -1): filter
+    # the zero-copy rows out BEFORE building the sequence
+    return (df.withColumn("__n_copies", base + extra)
+            .where(F.col("__n_copies") >= 1)
+            .withColumn(copy_col,
+                        F.explode(F.sequence(
+                            F.lit(0).cast("long"),
+                            F.col("__n_copies") - 1)))
+            .drop("__n_copies"))
+
+
 def sample_to_token_budget(df: DataFrame, *, id_col: str,
                            token_col: str,
                            budget: int,
