@@ -100,6 +100,22 @@ def main() -> None:
     # functions/text.py
     assert eff > 0.8
 
+    # 3c. data mixing: weighted upsampling per source — the "epochs
+    # per source" recipe knob.  Deterministic (copy counts are a pure
+    # function of the id), so the mixture replays bit-identically on
+    # any engine — a data-mixture ablation is reproducible by design.
+    from zcollection_spark.functions import upsample_by_weight
+    mix = upsample_by_weight(docs, id_col="doc_id", strata_col="lang",
+                             weights={"en": 2.0, "de": 1.0, "fr": 0.5})
+    mixed = {r["lang"]: r["n"] for r in
+             mix.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    print("mixture:", {k: f"{base.get(k, 0)}->{v}"
+                       for k, v in sorted(mixed.items())})
+    assert mixed["en"] == 2 * base["en"]          # integer weight: exact
+    assert 0 < mixed.get("fr", 0) < base["fr"]    # fractional: exact subset
+
     # 4. the commit ledger
     for row in coll.history(limit=3):
         print(f"gen {row['generation']}: +{len(row['added'])} "
