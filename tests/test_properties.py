@@ -476,3 +476,44 @@ def test_pack_sequences_matches_python_greedy(spark, data):
             fill += n
             want[(g, i)] = (b, fill)
     assert got == want
+
+
+# -- bucketed token budget vs a pure-Python replay of the md5 order ---------
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_token_budget_bucketing_matches_python_replay(spark, data):
+    """The r10 bucketed two-pass prefix sum must keep the EXACT
+    single-window semantics at every bucket boundary: random (id,
+    stratum, tokens) frames, random budgets and bucket counts
+    (1 degenerates to the old shape) against a pure-Python replay of
+    the md5-ordered running sum."""
+    import hashlib
+    from zcollection_spark.functions.sampling import sample_to_token_budget
+    n = data.draw(st.integers(1, 60))
+    ids = data.draw(st.lists(st.integers(0, 10_000), min_size=n,
+                             max_size=n, unique=True))
+    strata = [data.draw(st.sampled_from(["a", "b", None]))
+              for _ in range(n)]
+    toks = [data.draw(st.integers(0, 50)) for _ in range(n)]
+    budget = data.draw(st.integers(1, 300))
+    buckets = data.draw(st.sampled_from([1, 2, 7, 256]))
+    rows = list(zip(ids, strata, toks))
+    df = spark.createDataFrame(rows, "doc_id long, s string, n long")
+    got = sorted(r.doc_id for r in
+                 sample_to_token_budget(df, id_col="doc_id",
+                                        token_col="n", budget=budget,
+                                        strata_col="s",
+                                        num_buckets=buckets).collect())
+    want = []
+    bystratum: dict = {}
+    for i, s, t in rows:
+        bystratum.setdefault(s, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i, t))
+    for s, items in bystratum.items():
+        running = 0
+        for _, i, t in sorted(items):
+            if running < budget:
+                want.append(i)
+            running += t
+    assert got == sorted(want), (budget, buckets)
