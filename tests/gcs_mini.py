@@ -154,6 +154,25 @@ def make_handler(state: _State):
                 return self._error(404, "No such object")
             data, gen, updated = entry
             if params.get("alt") == "media":
+                rng = self.headers.get("Range")
+                if rng and rng.startswith("bytes="):
+                    spec = rng[len("bytes="):]
+                    if spec.startswith("-"):      # suffix range
+                        n = int(spec[1:])
+                        if len(data) == 0:
+                            return self._error(416, "empty object")
+                        return self._respond(
+                            206, data[-n:],
+                            {"x-goog-generation": str(gen)})
+                    start_s, _, end_s = spec.partition("-")
+                    start = int(start_s)
+                    if start >= len(data):
+                        return self._error(416, "range out of bounds")
+                    end = min(int(end_s), len(data) - 1) if end_s \
+                        else len(data) - 1
+                    return self._respond(
+                        206, data[start:end + 1],
+                        {"x-goog-generation": str(gen)})
                 return self._respond(200, data,
                                      {"x-goog-generation": str(gen)})
             return self._respond(200, _obj_json(name, data, gen, updated))

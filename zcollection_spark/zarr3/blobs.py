@@ -86,6 +86,15 @@ def capture_blob_conf() -> dict | None:
         conf.update({"az_account": az_account, "az_key": az_key,
                      "az_sas": az_sas,
                      "az_endpoint": os.environ.get("AZURE_BLOB_ENDPOINT")})
+    gs_bearer = os.environ.get("GCS_BEARER_TOKEN")
+    gs_meta = os.environ.get("GCE_METADATA_ENDPOINT")
+    if gs_bearer or gs_meta:
+        # a static token rides the plan (test rigs / short jobs); a
+        # metadata endpoint is BETTER for long jobs — each executor
+        # mints and refreshes its own tokens, so expiry never strands
+        # a worker mid-scan
+        conf.update({"gs_bearer": gs_bearer, "gs_meta": gs_meta,
+                     "gs_endpoint": os.environ.get("GCS_JSON_ENDPOINT")})
     return conf or None
 
 
@@ -201,6 +210,88 @@ class AzureBlobs:
             from ..errors import StoreError
             raise StoreError(f"ranged GET {path} failed: {status}")
         return body if status == 206 else body[-nbytes:]
+
+    def read_at(self, path: str, offset: int, nbytes: int) -> bytes:
+        status, _, body = self._ranged(
+            path, f"bytes={offset}-{offset + nbytes - 1}")
+        if status == 416:
+            # shard index pointed past EOF: truncation, not absence
+            from ..errors import StoreError
+            raise StoreError(
+                f"shard {path} is truncated/corrupt: range "
+                f"{offset}-{offset + nbytes - 1} past end of object")
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            from ..errors import StoreError
+            raise StoreError(f"ranged GET {path} failed: {status}")
+        out = body if status == 206 else body[offset:offset + nbytes]
+        if len(out) < nbytes:
+            # a 206 with a clamped short body means the object ends
+            # mid-range — same truncation class as the 416 above
+            from ..errors import StoreError
+            raise StoreError(
+                f"shard {path} is truncated/corrupt: ranged read at "
+                f"{offset} returned {len(out)} of {nbytes} bytes")
+        return out
+
+
+class GcsBlobs:
+    """GCS backend for zarr chunk/shard I/O under service-account
+    bearer auth: executors write chunk objects through the JSON API
+    upload endpoint and shard partial reads go out as Range requests
+    on ``?alt=media`` — same contract as :class:`S3Blobs` /
+    :class:`AzureBlobs`, built on :class:`..fs.GcsFS`'s bearer request
+    layer (token refresh-on-401 included, so a token expiring
+    mid-scan re-mints instead of failing the task).  HMAC-interop
+    deployments use :class:`S3Blobs` against the XML endpoint instead;
+    this class is the service-account path."""
+
+    def __init__(self, conf: dict | None = None):
+        from ..fs import GcsFS, gce_metadata_token_provider
+        conf = conf or {}
+        meta = conf.get("gs_meta") or os.environ.get(
+            "GCE_METADATA_ENDPOINT")
+        bearer = conf.get("gs_bearer") or os.environ.get(
+            "GCS_BEARER_TOKEN")
+        provider = (gce_metadata_token_provider(endpoint=meta)
+                    if meta and not bearer else None)
+        self._fs = GcsFS(conf.get("gs_endpoint"),
+                         bearer_token=bearer, token_provider=provider)
+
+    def mkdirs(self, path: str) -> None:
+        pass  # prefixes need no creation
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self._fs.write_bytes(path, data)
+
+    def write_text(self, path: str, text: str) -> None:
+        self._fs.write_text(path, text)
+
+    def read_text(self, path: str) -> str:
+        return self._fs.read_text(path)
+
+    def try_read_bytes(self, path: str) -> bytes | None:
+        try:
+            return self._fs.read_bytes(path)
+        except FileNotFoundError:
+            return None
+
+    def _ranged(self, path: str, range_header: str):
+        bucket, key = self._fs._bk(path)
+        return self._fs._request(
+            "GET", self._fs._obj_url(bucket, key, {"alt": "media"}),
+            headers={"Range": range_header})
+
+    def read_tail(self, path: str, nbytes: int) -> bytes | None:
+        status, _, body = self._ranged(path, f"bytes=-{nbytes}")
+        if status in (404, 416):
+            # 416 on a suffix range: zero-byte object — no tail
+            return None
+        if status >= 400:
+            from ..errors import StoreError
+            raise StoreError(f"ranged GET {path} failed: {status}")
+        return body
 
     def read_at(self, path: str, offset: int, nbytes: int) -> bytes:
         status, _, body = self._ranged(
@@ -347,6 +438,23 @@ def blobs_for(path: str, conf: dict | None = None):
         if key not in _CACHE:
             _CACHE[key] = AzureBlobs(c)
         return _CACHE[key]
+    if path.startswith("gs://"):
+        c = conf or {}
+        bearer = c.get("gs_bearer") or os.environ.get("GCS_BEARER_TOKEN")
+        meta = c.get("gs_meta") or os.environ.get("GCE_METADATA_ENDPOINT")
+        if bearer or meta:
+            key = ("gs",
+                   c.get("gs_endpoint")
+                   or os.environ.get("GCS_JSON_ENDPOINT"),
+                   # auth identity: a static token must not be reused
+                   # across tokens nor where a provider was configured
+                   bearer, meta)
+            if key not in _CACHE:
+                _CACHE[key] = GcsBlobs(c)
+            return _CACHE[key]
+        # no service-account config: HMAC-interop deployments speak the
+        # XML endpoint through S3Blobs via GCS_* envs mapped by the
+        # caller; anything else falls through (a local-path mirror)
     if path.startswith(("http://", "https://")):
         if "http" not in _CACHE:
             _CACHE["http"] = HttpBlobs()

@@ -126,6 +126,16 @@ class ZarrReader(DataSourceReader):
                              conf.get("az_key"),
                              conf.get("az_endpoint"),
                              sas_token=conf.get("az_sas"))
+        elif conf is not None and scheme_of(self.root) == "gs" \
+                and (conf.get("gs_bearer") or conf.get("gs_meta")):
+            from ..fs import GcsFS, gce_metadata_token_provider
+            provider = (gce_metadata_token_provider(
+                            endpoint=conf["gs_meta"])
+                        if conf.get("gs_meta")
+                        and not conf.get("gs_bearer") else None)
+            fs = GcsFS(conf.get("gs_endpoint"),
+                       bearer_token=conf.get("gs_bearer"),
+                       token_provider=provider)
         else:
             fs = fs_for(self.root, SparkSession.getActiveSession())
         relpaths = Catalog(fs, self.root).read()
