@@ -350,3 +350,73 @@ def test_zarr_collection_roundtrip_on_gcs(gcs_server, gcs_root, spark,
     out = open_zarr_collection(spark, path).query(filters="num >= 1")
     rows = sorted((r.num, r.v) for r in out.collect())
     assert rows == [(1, 3.0), (2, 4.0)]
+
+
+def test_gcs_publish_leaves_no_partial_state_on_crash(spark, gcs_server,
+                                                      gcs_root,
+                                                      monkeypatch):
+    """The staging protocol's no-partial-state guarantee holds on gs://
+    exactly as on s3:// and az://: a crash mid-publish (after k
+    rewrite+delete moves) is recoverable and queries converge to
+    exactly the new generation, never a mix."""
+    srv, _ = gcs_server
+    monkeypatch.delenv("GCS_ACCESS_KEY_ID", raising=False)
+    monkeypatch.delenv("GCS_SECRET_ACCESS_KEY", raising=False)
+    monkeypatch.setenv("GCS_BEARER_TOKEN", issue_token(srv.state))
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+
+    def df(coll, nums, value):
+        pdf = pd.DataFrame({
+            "i": np.arange(len(nums), dtype=np.int64),
+            "value": np.full(len(nums), value, dtype=np.float64),
+            "num": np.array(nums, dtype=np.int64)})
+        return spark.createDataFrame(pdf,
+                                     schema=coll.schema.to_struct_type())
+
+    class CrashAfterMoves:
+        def __init__(self, inner, allowed):
+            self._inner = inner
+            self._allowed = allowed
+            self.moves = 0
+
+        def _gate(self, src, dst):
+            if "_staging" in src or "_staging" in dst:
+                if self.moves >= self._allowed:
+                    raise RuntimeError("injected crash during publish")
+                self.moves += 1
+
+        def rename(self, src, dst):
+            self._gate(src, dst)
+            return self._inner.rename(src, dst)
+
+        def move_file(self, src, dst):  # the publish hot path
+            self._gate(src, dst)
+            return self._inner.move_file(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    for allowed in (0, 2):
+        path = f"{gcs_root}/coll-{allowed}"
+        coll = zc.create_collection(spark, path, schema=schema,
+                                    axis="i",
+                                    partitioning=zc.Sequence(("num",)))
+        assert isinstance(coll._fs, GcsFS)
+        coll.insert(df(coll, [0, 0, 1, 2], 1.0))
+
+        real_fs = coll._fs
+        coll._fs = CrashAfterMoves(real_fs, allowed)
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                coll.insert(df(coll, [0, 0, 1, 2], 9.0))
+        finally:
+            coll._fs = real_fs
+        assert coll.repair_catalog() == ["num=0", "num=1", "num=2"]
+        rows = coll.query().collect()
+        assert len(rows) == 4, f"allowed={allowed}"
+        assert all(r["value"] == 9.0 for r in rows)
