@@ -357,3 +357,31 @@ def test_zarr_filterless_query_after_filtered(spark, tmp_path):
                   coll.query(filters="num in (1, 2)").collect()) == [1, 2]
     # the poisoned read: same generation, no filters
     assert sorted(r.num for r in coll.query().collect()) == [1, 2, 3]
+
+
+def test_changes_between_two_generations(spark, tmp_path):
+    """Bounded diffs replay a historical window exactly, whatever was
+    committed after it — the CDC complement of at_generation reads."""
+    from zcollection_spark.errors import StoreError
+    coll = _mk(spark, str(tmp_path / "cw"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g2 = coll.generation()
+    coll.insert(_df(spark, coll, [(1, 9.0)]))   # replace num=1
+    g3 = coll.generation()
+    coll.insert(_df(spark, coll, [(3, 3.0)]))
+    # the g1->g2 window saw exactly num=2 arrive, regardless of the
+    # replace and the append that came later
+    assert coll.changes(g1, g2) == {"added": ["num=2"], "removed": [],
+                                    "from": g1, "to": g2}
+    # the g2->g3 window saw only the num=1 replacement
+    assert coll.changes(g2, g3) == {"added": ["num=1"], "removed": [],
+                                    "from": g2, "to": g3}
+    # identical endpoints -> empty; reversed endpoints -> loud
+    assert coll.changes(g2, g2)["added"] == []
+    with pytest.raises(ValueError, match="newer than"):
+        coll.changes(g3, g1)
+    # a pruned target raises like a pruned base does
+    with pytest.raises(StoreError, match="not available"):
+        coll.changes(g1, 999)

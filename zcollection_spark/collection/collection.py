@@ -809,7 +809,8 @@ class Collection:
         incremental consumers feed it to :meth:`changes`."""
         return self._catalog.generation() if self.catalog_enabled else 0
 
-    def changes(self, since_generation: int) -> dict:
+    def changes(self, since_generation: int,
+                to_generation: int | None = None) -> dict:
         """Partition-level diff since a previous commit: ``{"added":
         [...], "removed": [...], "from": g0, "to": g1}``.
 
@@ -819,15 +820,33 @@ class Collection:
         rescan, no file-mtime heuristics.  ``added`` includes REPLACED
         partitions (any partition republished since ``since_generation``
         counts as new content); a diff against a pruned snapshot raises
-        so consumers never silently treat everything as unchanged."""
+        so consumers never silently treat everything as unchanged.
+
+        ``to_generation`` (r10) bounds the diff at a RETAINED snapshot
+        instead of the live document — the historical-window complement
+        of ``at_generation`` reads: "what changed between the g0 and g1
+        checkpoints" replays exactly, whatever has been committed
+        since.  Both endpoints must still be retained (same pruned-
+        snapshot contract)."""
         if not self.catalog_enabled:
             raise StoreError("changes() requires the catalog")
-        current = self._catalog._read_doc() or {}
+        if to_generation is None:
+            current = self._catalog._read_doc() or {}
+        else:
+            current = self._catalog.read_at(int(to_generation))
+            if current is None:
+                raise StoreError(
+                    f"generation {to_generation} is not available "
+                    f"(pruned history?) — resync with a full scan")
         to_gen = int(current.get("generation", 0))
         since_generation = int(since_generation)
         if since_generation == to_gen:
             return {"added": [], "removed": [],
                     "from": since_generation, "to": to_gen}
+        if since_generation > to_gen:
+            raise ValueError(
+                f"since_generation {since_generation} is newer than "
+                f"the diff target {to_gen}")
         base_doc = self._catalog.read_at(since_generation)
         if base_doc is None:
             raise StoreError(
