@@ -592,7 +592,8 @@ class ZarrCollection:
             df = df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
         return df
 
-    def _zone_keys_predicate(self, relpaths: list[str]):
+    def _zone_keys_predicate(self, relpaths: list[str],
+                             exact: bool = False):
         """Catalyst predicate selecting exactly ``relpaths`` by their
         partition-key values — how zone-map pruning reaches the zarr3
         datasource (whose file pruning is driven by pushed key
@@ -600,14 +601,26 @@ class ZarrCollection:
         compile to one ``isin`` (scales to large surviving sets);
         multi-key layouts to an OR of conjunctions, skipped past a cap
         where the predicate itself would dominate planning — the
-        row-level ``where`` filter keeps correctness either way."""
+        row-level ``where`` filter keeps correctness either way when
+        pruning is the caller.  ``exact=True`` (time-travel: the
+        predicate IS the correctness boundary, nothing re-filters
+        below) compiles a composite-key ``isin`` past the cap instead
+        of returning None."""
         keys = list(self.partitioning.keys)
         decoded = [self.partitioning.decode(rel) for rel in relpaths]
         if len(keys) == 1:
             k = keys[0]
             return F.col(k).isin([d[k] for d in decoded])
         if len(decoded) > 512:
-            return None
+            if not exact:
+                return None
+            # one composite string key, one isin: O(1) predicate nodes
+            # at any partition count (keys are integers, so '/'-joined
+            # values are collision-free)
+            composite = F.concat_ws(
+                "/", *[F.col(k).cast("string") for k in keys])
+            return composite.isin(
+                ["/".join(str(d[k]) for k in keys) for d in decoded])
         clauses = []
         for d in decoded:
             conj = None
@@ -650,8 +663,10 @@ class ZarrCollection:
         if at_generation is not None:
             # restrict the scan to the HISTORICAL partition set (new
             # partitions committed after gen N must not be read even
-            # though the datasource lists them)
-            zone_pred = self._zone_keys_predicate(relpaths)
+            # though the datasource lists them) — exact=True: this
+            # predicate is the correctness boundary, so the multi-key
+            # planning cap must not silently drop it
+            zone_pred = self._zone_keys_predicate(relpaths, exact=True)
         if where is not None and (self.stats_columns
                                   or self.bloom_columns):
             if at_generation is not None:
@@ -684,7 +699,12 @@ class ZarrCollection:
                 if not kept:
                     return None
                 if len(kept) < len(relpaths):
-                    zone_pred = self._zone_keys_predicate(kept)
+                    # exact under time-travel: this replaces the
+                    # historical-set predicate, so it must never
+                    # degrade to None past the multi-key planning cap
+                    zone_pred = self._zone_keys_predicate(
+                        kept, exact=at_generation is not None) \
+                        or zone_pred
         read_vars = variables
         if variables is not None and where is not None:
             # the where predicate's columns must survive the scan
