@@ -1129,3 +1129,16 @@ def test_upsample_by_weight_shuffle_free_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan
+
+
+def test_sample_to_token_budget_rejects_negative_tokens(spark):
+    """The bucketed decomposition needs a monotone running sum: a
+    negative token count must fail loudly, never silently diverge from
+    the single-window semantics."""
+    from zcollection_spark.functions.sampling import sample_to_token_budget
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", -5), (3, "en", 10)],
+        "doc_id long, lang string, n long")
+    with pytest.raises(Exception, match="must be >= 0"):
+        sample_to_token_budget(df, id_col="doc_id", token_col="n",
+                               budget=100, strata_col="lang").collect()

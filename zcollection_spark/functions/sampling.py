@@ -230,8 +230,23 @@ def sample_to_token_budget(df: DataFrame, *, id_col: str,
     wb = (Window.partitionBy(*keys).orderBy("__tb_bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     totals = (work.groupBy(*keys, "__tb_bucket")
-              .agg(F.sum(F.col(token_col)).alias("__tb_tot")))
+              .agg(F.sum(F.col(token_col)).alias("__tb_tot"),
+                   F.min(F.col(token_col)).alias("__tb_mn")))
+    # the bucketed decomposition needs a MONOTONE running sum: a
+    # negative token count could re-qualify rows after the budget line,
+    # which the cutoff-bucket rule cannot see — fail loudly instead of
+    # silently diverging from the single-window semantics.  Evaluated
+    # on the metadata-sized totals table, not the input.
+    guard = F.assert_true(
+        F.col("__tb_mn").isNull() | (F.col("__tb_mn") >= 0),
+        F.lit(f"sample_to_token_budget: negative value in "
+              f"{token_col!r} — token counts must be >= 0"))
     cuts = (totals
+            # a filter can't be pruned away like an unused column: the
+            # assert evaluates (null on success -> coalesce keeps the
+            # row) or raises
+            .where(F.coalesce(guard.cast("boolean"), F.lit(True)))
+            .drop("__tb_mn")
             .withColumn("__tb_prefix",
                         F.sum(F.coalesce(F.col("__tb_tot"), F.lit(0)))
                         .over(wb) - F.coalesce(F.col("__tb_tot"),
