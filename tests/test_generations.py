@@ -385,6 +385,36 @@ def test_changes_between_two_generations(spark, tmp_path):
     # a pruned target raises like a pruned base does
     with pytest.raises(StoreError, match="not available"):
         coll.changes(g1, 999)
+    # the open-ended form keeps its resync contract for unknown/future
+    # generations (incremental consumers branch on StoreError)
+    with pytest.raises(StoreError, match="resync"):
+        coll.changes(999)
+
+
+def test_changes_between_two_generations_zarr_parity(spark, tmp_path):
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder().add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = create_zarr_collection(
+        spark, str(tmp_path / "zcw"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)))
+
+    def ins(num):
+        pdf = pd.DataFrame({"i": np.array([num], dtype=np.int64),
+                            "num": np.array([num], dtype=np.int64)})
+        coll.insert(spark.createDataFrame(
+            pdf, schema=coll.schema.to_struct_type()))
+
+    ins(1)
+    g1 = coll.generation()
+    ins(2)
+    g2 = coll.generation()
+    ins(3)
+    assert coll.changes(g1, g2)["added"] == ["num=2"]
+    with pytest.raises(ValueError, match="newer than"):
+        coll.changes(coll.generation(), g1)
 
 
 def test_zone_keys_predicate_exact_past_multikey_cap(spark, tmp_path):

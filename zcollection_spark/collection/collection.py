@@ -843,7 +843,12 @@ class Collection:
         if since_generation == to_gen:
             return {"added": [], "removed": [],
                     "from": since_generation, "to": to_gen}
-        if since_generation > to_gen:
+        if to_generation is not None and since_generation > to_gen:
+            # only for an EXPLICIT window: reversed endpoints are a
+            # caller bug.  The open-ended form keeps its documented
+            # contract — an unknown/future since_generation falls
+            # through to the pruned-snapshot StoreError below ("resync
+            # with a full scan"), which incremental consumers handle
             raise ValueError(
                 f"since_generation {since_generation} is newer than "
                 f"the diff target {to_gen}")

@@ -316,11 +316,13 @@ class ZarrCollection:
         from ..collection.lease import WriterLease
         return WriterLease(self._fs, self.path, ttl=ttl, owner=owner)
 
-    def changes(self, since_generation: int) -> dict:
-        """Partition-level diff since a previous commit — see
-        ``Collection.changes`` (identical catalog machinery)."""
+    def changes(self, since_generation: int,
+                to_generation: int | None = None) -> dict:
+        """Partition-level diff since a previous commit (optionally
+        bounded at a retained generation) — see ``Collection.changes``
+        (identical catalog machinery)."""
         from ..collection.collection import Collection
-        return Collection.changes(self, since_generation)
+        return Collection.changes(self, since_generation, to_generation)
 
     def history(self, *, limit: int = 10) -> list[dict]:
         """Commit ledger, newest first — see ``Collection.history``
@@ -702,9 +704,12 @@ class ZarrCollection:
                     # exact under time-travel: this replaces the
                     # historical-set predicate, so it must never
                     # degrade to None past the multi-key planning cap
-                    zone_pred = self._zone_keys_predicate(
-                        kept, exact=at_generation is not None) \
-                        or zone_pred
+                    # (plain `or` would call Column.__bool__ — compare
+                    # against None explicitly)
+                    refined = self._zone_keys_predicate(
+                        kept, exact=at_generation is not None)
+                    if refined is not None:
+                        zone_pred = refined
         read_vars = variables
         if variables is not None and where is not None:
             # the where predicate's columns must survive the scan
