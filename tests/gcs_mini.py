@@ -132,11 +132,14 @@ def make_handler(state: _State):
                 # expires_in SECONDS (the real response shape)
                 if self.headers.get("Metadata-Flavor") != "Google":
                     return self._error(403, "Metadata-Flavor missing")
-                token = issue_token(state, state.meta_ttl)
-                return self._respond(200, {
-                    "access_token": token,
-                    "expires_in": int(state.meta_ttl),
-                    "token_type": "Bearer"})
+                token = issue_token(state, state.meta_ttl or 3600.0)
+                doc = {"access_token": token, "token_type": "Bearer"}
+                # meta_ttl <= 0 simulates a metadata server that omits
+                # expires_in (seen on some proxies) — the client must
+                # treat that as "no known expiry", not "expired now"
+                if state.meta_ttl > 0:
+                    doc["expires_in"] = int(state.meta_ttl)
+                return self._respond(200, doc)
             if not self._check_auth():
                 return
             if not path.startswith("/storage/v1/b/"):

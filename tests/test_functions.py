@@ -509,6 +509,26 @@ def test_jaccard_prefix_filter_lossless_on_borderline_pairs(spark):
     assert want, "0.9-threshold stratum empty; regenerate the corpus"
 
 
+def test_jaccard_prefix_filter_float_boundary_threshold(spark):
+    """r10-advice regression: thresholds whose double product rounds
+    strictly ABOVE an exact integer (0.07*100 = 7.000000000000001)
+    used to shorten the prefix by one AND fail the size filter, so an
+    exact-boundary pair (|A|=100, |B|=7, B ⊂ A, J = 7/100 = 0.07) was
+    missed by the prefix path while the full self-join found it."""
+    shared = [f"s{i}" for i in range(7)]
+    unique = [f"u{i:02d}" for i in range(93)]
+    df = spark.createDataFrame(
+        [(0, " ".join(unique + shared)), (1, " ".join(shared))],
+        "doc_id long, text string")
+    for pf in (True, False):
+        got = ngram_jaccard_pairs(df, id_col="doc_id", text_col="text",
+                                  shingle_size=1, threshold=0.07,
+                                  prefix_filter=pf).collect()
+        assert len(got) == 1, (pf, got)
+        assert got[0]["id_a"] == 0 and got[0]["id_b"] == 1
+        assert abs(got[0]["jaccard"] - 0.07) < 1e-12
+
+
 def test_embedding_block_guard_fails_fast_and_auto_sizes(spark):
     vecs = [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(64)]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")

@@ -204,6 +204,30 @@ def test_gce_metadata_provider_against_stub(gcs_server, gcs_root,
     assert routed.read_text(f"{gcs_root}/d.txt") == "dispatched"
 
 
+def test_gce_metadata_missing_expires_in_caches_token(gcs_server,
+                                                      gcs_root):
+    """r10-advice regression: a metadata response WITHOUT expires_in
+    used to produce expiry = now+0, which the 5-minute early-refresh
+    window read as already-expired — re-fetching a token on every
+    request.  Missing TTL must mean "no known expiry" (cache until a
+    real 401)."""
+    from zcollection_spark.fs import gce_metadata_token_provider
+    srv, endpoint = gcs_server
+    srv.state.meta_ttl = 0          # stub omits expires_in
+    try:
+        provider = gce_metadata_token_provider(endpoint=endpoint)
+        token, expires = provider()
+        assert expires is None
+        minted_before = len(srv.state.tokens)
+        fs = GcsFS(token_provider=provider)
+        fs.write_text(f"{gcs_root}/ttl.txt", "cached")
+        assert fs.read_text(f"{gcs_root}/ttl.txt") == "cached"
+        # several requests, exactly ONE more token minted
+        assert len(srv.state.tokens) == minted_before + 1
+    finally:
+        srv.state.meta_ttl = 3600.0
+
+
 def test_gcs_dispatch_matrix(gcs_server, gcs_root, monkeypatch):
     """Routing priority for gs://: HMAC pair -> S3 interop (existing
     path, unchanged); static bearer or metadata endpoint -> native

@@ -330,6 +330,51 @@ def test_zarr_query_at_generation_parity(spark, tmp_path):
         coll.query(at_generation=g2)
 
 
+def test_time_travel_where_verifies_snapshot_once(spark, tmp_path,
+                                                  monkeypatch):
+    """r10-advice regression: a where-clause time-travel query used to
+    fetch + staleness-verify the gen-N snapshot TWICE (once for the
+    partition list, once for zone stats) — two extra catalog GETs per
+    query on object stores.  Both layouts must verify exactly once."""
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    calls = []
+    real = catmod.verify_snapshot_readable
+
+    def counting(catalog, generation):
+        calls.append(generation)
+        return real(catalog, generation)
+
+    monkeypatch.setattr(catmod, "verify_snapshot_readable", counting)
+
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = zc.create_collection(
+        spark, str(tmp_path / "once"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)), stats_columns=["value"])
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g = coll.generation()
+    calls.clear()
+    rows = coll.query(where="value >= 1.5", at_generation=g).collect()
+    assert [r.num for r in rows] == [2]
+    assert len(calls) == 1, calls
+
+    zcoll = create_zarr_collection(
+        spark, str(tmp_path / "zonce"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)), stats_columns=["value"])
+    zcoll.insert(_df(spark, zcoll, [(1, 1.0)]))
+    zcoll.insert(_df(spark, zcoll, [(2, 2.0)]))
+    zg = zcoll.generation()
+    calls.clear()
+    zrows = zcoll.query(where="value >= 1.5", at_generation=zg).collect()
+    assert [r.num for r in zrows] == [2]
+    assert len(calls) == 1, calls
+
+
 def test_zarr_filterless_query_after_filtered(spark, tmp_path):
     """Regression: the cached zarr base scan shares ONE reader whose
     pushed-filter state is only reset when a query pushes filters — a

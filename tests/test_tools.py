@@ -64,42 +64,45 @@ def test_registry_window_invariant():
     # pin — and with it the rotation ledger — to be updated.
     assert len(names) == 74, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
-    # round-10 rotation (executes the r9 ledger): the ten r9 sit-outs
-    # return in-window and the three never-driver-graded r9 samplers
-    # promote (pack_sequences, stratified_sample, token_budget).
-    # Sitting out until r11 (all driver-green r9; covered-surface
-    # arguments in the queries() header): seven plain-SQL rows,
-    # capped_sample (dedup_keep_latest's surface), quality_filter /
-    # doc_repetition (pure-expression, covered by the returning text
-    # trio), the knn defaults (parameter twins of the returning _hi
-    # rows), and chunk_documents (runs inside pack_sequences).
-    tail_allowed = {"pricing_summary", "chunk_documents",
-                    "doc_repetition", "quality_filter",
-                    "knn_lsh", "knn_ivf",
-                    "priority_class_counts", "big_orders",
-                    "regional_revenue", "revenue_delta",
-                    "capped_sample", "browse_no_buy",
-                    "value_percentiles",
+    # round-11 rotation (executes the r10 ledger): the thirteen r10
+    # sit-outs return in-window and the two never-driver-graded r10
+    # operators promote (collection_time_travel, upsample_weights).
+    # Sitting out until r12 (all driver-green r10; covered-surface
+    # arguments in the queries() header): the text trio (returning
+    # quality_filter / doc_repetition cover the surface), three
+    # plain-SQL rows (covered by the seven returning plain-SQL rows),
+    # the knn _hi rows (parameter twins of the returning defaults),
+    # dedup_keep_latest (capped_sample's surface), multimodal_features
+    # (multimodal_decoded's machinery), the three first-graded-r10
+    # samplers, merge_upsert_tolerance (merge_upsert's twin), and
+    # dedup_embedding (dedup_embedding_lsh's exact-cosine twin).
+    tail_allowed = {"text_stats", "language_id", "fingerprint",
+                    "revenue_rollup", "event_gaps", "source_quality",
+                    "knn_lsh_hi", "knn_ivf_hi",
+                    "dedup_keep_latest", "multimodal_features",
+                    "pack_sequences", "stratified_sample",
+                    "token_budget",
+                    "merge_upsert_tolerance", "dedup_embedding",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",
-                    "langid_confusion", "top_ngrams",
-                    # built r10 out-of-window (window full); promote r11
-                    "collection_time_travel", "upsample_weights"}
+                    "langid_confusion", "top_ngrams"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
-                             "dedup_embedding_lsh", "knn_ivf_hi",
-                             "knn_lsh_hi", "knn_ivfpq",
-                             "knn_bruteforce",
+                             "dedup_embedding_lsh", "knn_ivfpq",
+                             "knn_bruteforce", "knn_lsh", "knn_ivf",
                              "collection_changes", "pii_scrub",
                              "decontaminate",
-                             "text_stats", "language_id", "fingerprint",
-                             "revenue_rollup", "event_gaps",
-                             "source_quality",
-                             "dedup_keep_latest", "multimodal_features",
-                             "pack_sequences", "stratified_sample",
-                             "token_budget",
+                             "pricing_summary", "chunk_documents",
+                             "doc_repetition", "quality_filter",
+                             "priority_class_counts", "big_orders",
+                             "regional_revenue", "revenue_delta",
+                             "capped_sample", "browse_no_buy",
+                             "value_percentiles",
+                             "collection_time_travel",
+                             "upsample_weights",
+                             "merge_upsert", "dedup_jaccard",
                              "hash_split",
                              "collection_bloom_skip",
                              "streaming_sink",

@@ -50,6 +50,15 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return digest
 
 
+def say(msg: str) -> None:
+    # Status lines start on a fresh line and flush immediately: Spark's
+    # console progress bar emits carriage-return frames that otherwise
+    # glue onto our output, breaking `grep -c '^OK'` (this tool is the
+    # local correctness gate — its output must be robustly greppable).
+    sys.stdout.write("\n" + msg + "\n")
+    sys.stdout.flush()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -70,19 +79,19 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
-            print(f"FAIL {name}: spark error: {exc}")
+            say(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows) "
-                  f"[{time.time()-t0:.1f}s]")
+            say(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows) "
+                f"[{time.time()-t0:.1f}s]")
             continue
         try:
             rel = con.execute(oracles[name])
             dcols = [d[0] for d in rel.description]
             drows = rel.fetchall()
         except Exception as exc:
-            print(f"FAIL {name}: duckdb error: {exc}")
+            say(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
             continue
         problems = []
@@ -121,13 +130,13 @@ def main() -> int:
                 only_d = list(dset - sset)[:3]
                 problems.append(f"spark-only={only_s} duck-only={only_d}")
         status = "OK  " if not problems else "FAIL"
-        print(f"{status} {name}: {len(srows)} rows "
-              f"[{time.time()-t0:.1f}s]"
-              + ("" if not problems else " :: " + "; ".join(problems)))
+        say(f"{status} {name}: {len(srows)} rows "
+            f"[{time.time()-t0:.1f}s]"
+            + ("" if not problems else " :: " + "; ".join(problems)))
         if problems:
             failures.append(name)
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures
-                                           else ""))
+    say(f"{len(failures)} failures" + (f": {failures}" if failures
+                                       else ""))
     return 1 if failures else 0
 
 

