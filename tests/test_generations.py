@@ -338,13 +338,15 @@ def test_time_travel_where_verifies_snapshot_once(spark, tmp_path,
     query on object stores.  Both layouts must verify exactly once."""
     from zcollection_spark.zarr3.collection import create_zarr_collection
     calls = []
-    real = catmod.verify_snapshot_readable
+    # count the shared resolution core: verify/resolve_snapshot_readable
+    # and both layouts' query paths all land in _snapshot_sources
+    real = catmod._snapshot_sources
 
     def counting(catalog, generation):
         calls.append(generation)
         return real(catalog, generation)
 
-    monkeypatch.setattr(catmod, "verify_snapshot_readable", counting)
+    monkeypatch.setattr(catmod, "_snapshot_sources", counting)
 
     schema = (zc.SchemaBuilder()
               .add_dimension("i")

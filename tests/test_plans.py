@@ -125,6 +125,26 @@ def test_dedup_candidates_are_equi_joins(spark, query):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_jaccard_stop_shingle_filter_is_broadcast_anti_join(spark):
+    """The max_df stop-shingle filter must broadcast the (small)
+    drop-list into an anti-join — the keep-list semi-join shape
+    sort-merge-shuffled the ENTIRE raw shingle expansion on __sh just
+    to apply the filter (r11: ~15% warm / 2.5x cold at sf0.1, and at
+    100 TB the difference between one bounded broadcast and a
+    full-corpus exchange)."""
+    from zcollection_spark.functions.dedup import ngram_jaccard_pairs
+    from zcollection_spark.data import load_table
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                shingle_size=5, threshold=0.5,
+                                max_df=100)
+    plan = executed_plan(pairs)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftSemi" not in plan
+    from zcollection_spark.functions.dedup import unpersist_intermediates
+    unpersist_intermediates(pairs)
+
+
 def test_knn_bruteforce_no_join_partial_topk(spark):
     # exact brute force must NOT plan a join at all: the query matrix is
     # a task broadcast, each Arrow batch emits only its partial top-k,

@@ -1,0 +1,314 @@
+"""Pinned-generation retention: time-travel survives republish.
+
+Partition directories are mutable, so a plain ``at_generation`` read is
+exact only while every historical partition is physically untouched
+(test_generations.py pins that refusal).  ``pin_generation`` upgrades
+the contract to the reference's icechunk store semantics — a retained
+snapshot stays readable
+(/root/reference/zcollection/store/icechunk_store.py:98-282) — via
+copy-on-republish: every later insert/merge/drop of a pinned
+generation's partition copies the old content into
+``_catalog/retained/gen-<stamp>/`` BEFORE the publish intent exists, so
+crash recovery can only roll forward with retention already complete.
+Cost model: zero store round-trips beyond one pins GET when nothing is
+pinned (the default), pay-per-divergence afterwards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import zcollection_spark as zc
+from zcollection_spark.collection.catalog import (
+    RETAINED_RELDIR, Catalog)
+from zcollection_spark.fs import LocalFS
+
+
+def _mk(spark, path):
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    return zc.create_collection(
+        spark, path, schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)))
+
+
+def _df(spark, coll, rows):
+    pdf = pd.DataFrame({
+        "i": np.arange(len(rows), dtype=np.int64) + rows[0][0] * 1000,
+        "value": np.array([v for _, v in rows], dtype=np.float64),
+        "num": np.array([n for n, _ in rows], dtype=np.int64)})
+    return spark.createDataFrame(pdf, schema=coll.schema.to_struct_type())
+
+
+def _rows(df):
+    return sorted((r.i, r.num, r.value) for r in df.collect())
+
+
+def test_pin_republish_reads_bit_identical(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "c"))
+    coll.insert(_df(spark, coll, [(1, 1.0), (1, 1.5)]))
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g2 = coll.generation()
+    before = _rows(coll.query(at_generation=g2))
+    assert coll.pin_generation(g2) == [g2]
+    # republish num=1 (overwrite-merge) — without the pin this bricks g2
+    coll.insert(_df(spark, coll, [(1, 9.0)]))
+    # the pinned generation reads bit-identical from the retained copy
+    assert _rows(coll.query(at_generation=g2)) == before
+    assert coll.partitions(at_generation=g2) == ["num=1", "num=2"]
+    assert coll.stale_partitions(g2) == []
+    # the live read sees the new content
+    assert _rows(coll.query()) == [(1000, 1, 9.0), (2000, 2, 2.0)]
+    # filters still compose with the retained union
+    got = coll.query(filters="num == 1", at_generation=g2)
+    assert _rows(got) == [(1000, 1, 1.0), (1001, 1, 1.5)]
+
+
+def test_pin_survives_drop_partitions(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "d"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g2 = coll.generation()
+    before = _rows(coll.query(at_generation=g2))
+    coll.pin_generation(g2)
+    coll.drop_partitions(filters="num == 1")
+    assert _rows(coll.query()) == [(2000, 2, 2.0)]
+    assert _rows(coll.query(at_generation=g2)) == before
+
+
+def test_pin_survives_prune_history(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "p"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    coll.pin_generation(g1)
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    coll.insert(_df(spark, coll, [(3, 3.0)]))
+    pruned = coll._catalog.prune_history(keep_last=1)
+    # the pinned snapshot is exempt; only the unpinned middle gen goes
+    assert g1 not in pruned and pruned
+    assert _rows(coll.query(at_generation=g1)) == [(1000, 1, 1.0)]
+
+
+def test_unpin_sweeps_unreferenced_retained(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "u"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    coll.pin_generation(g1)
+    coll.insert(_df(spark, coll, [(1, 2.0)]))   # republish -> copy
+    retained = tmp_path / "u" / RETAINED_RELDIR
+    assert list(retained.iterdir())
+    assert coll.unpin_generation(g1) == []
+    # nothing references the copy any more -> swept
+    assert not retained.exists() or not list(retained.iterdir())
+    with pytest.raises(ValueError, match="republished or dropped"):
+        coll.query(at_generation=g1)
+
+
+def test_stale_partitions_names_partial_read(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "s"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g2 = coll.generation()
+    coll.insert(_df(spark, coll, [(1, 9.0)]))   # no pin: g2 is stale
+    assert coll.stale_partitions(g2) == ["num=1"]
+    with pytest.raises(ValueError, match="no retained copy"):
+        coll.query(at_generation=g2)
+    # a consumer can do the partial read the API names
+    got = coll.query(filters="num == 2", at_generation=g2)
+    assert _rows(got) == [(2000, 2, 2.0)]
+
+
+def test_pin_stale_generation_raises(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "x"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    coll.insert(_df(spark, coll, [(1, 2.0)]))
+    # the content is gone — a pin cannot resurrect it
+    with pytest.raises(ValueError, match="no retained copy"):
+        coll.pin_generation(g1)
+    assert coll.pinned_generations() == []
+
+
+def test_no_pins_means_no_copies(spark, tmp_path):
+    coll = _mk(spark, str(tmp_path / "z"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    coll.insert(_df(spark, coll, [(1, 2.0)]))
+    coll.drop_partitions(filters="num == 1")
+    assert not (tmp_path / "z" / RETAINED_RELDIR).exists()
+
+
+def test_crash_mid_copy_is_retried_not_trusted(spark, tmp_path):
+    """The completion marker is the validity bit: a retained dir with
+    files but no marker (crash mid-copy) is invisible to resolution and
+    re-copied on the next retain pass."""
+    coll = _mk(spark, str(tmp_path / "r"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    coll.pin_generation(g1)
+    cat: Catalog = coll._catalog
+    stamp = int(cat.read_doc()["touched"]["num=1"])
+    # simulate the crash: partial copy, no marker
+    base = tmp_path / "r" / RETAINED_RELDIR / f"gen-{stamp:012d}" / "num=1"
+    base.mkdir(parents=True)
+    (base / "part-junk.parquet").write_bytes(b"partial")
+    assert not cat.has_retained(stamp, "num=1")
+    copied = cat.retain_for_pins(["num=1"])
+    assert copied == ["num=1"]
+    assert cat.has_retained(stamp, "num=1")
+    # and it is idempotent once complete
+    assert cat.retain_for_pins(["num=1"]) == []
+    # the retry produced a readable copy: republish, read at the pin
+    coll.insert(_df(spark, coll, [(1, 5.0)]))
+    assert _rows(coll.query(at_generation=g1)) == [(1000, 1, 1.0)]
+
+
+def test_shared_stamp_copy_serves_multiple_pins(spark, tmp_path):
+    """One retained copy is keyed by the generation that PRODUCED the
+    content, so every pin in [stamp, next-touch) resolves to it."""
+    coll = _mk(spark, str(tmp_path / "m"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g2 = coll.generation()
+    coll.pin_generation(g1)
+    coll.pin_generation(g2)
+    coll.insert(_df(spark, coll, [(1, 9.0)]))   # num=1 diverges
+    retained = tmp_path / "m" / RETAINED_RELDIR
+    assert len(list(retained.iterdir())) == 1   # one stamp dir
+    assert _rows(coll.query(at_generation=g1)) == [(1000, 1, 1.0)]
+    assert _rows(coll.query(at_generation=g2)) == [
+        (1000, 1, 1.0), (2000, 2, 2.0)]
+    # unpinning g1 keeps the copy: g2 still references it
+    coll.unpin_generation(g1)
+    assert _rows(coll.query(at_generation=g2)) == [
+        (1000, 1, 1.0), (2000, 2, 2.0)]
+
+
+def test_cli_pin_roundtrip(spark, tmp_path, capsys):
+    import json as jsonmod
+
+    from zcollection_spark import cli
+    coll = _mk(spark, str(tmp_path / "cli"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    assert cli.main(["pin", coll.path, "--add", str(g1)]) == 0
+    assert jsonmod.loads(capsys.readouterr().out)["pins"] == [g1]
+    coll.insert(_df(spark, coll, [(1, 2.0)]))
+    assert cli.main(["pin", coll.path, "--stale", str(g1)]) == 0
+    out = jsonmod.loads(capsys.readouterr().out)
+    assert out == {"pins": [g1], "stale": []}
+    assert cli.main(["pin", coll.path, "--remove", str(g1)]) == 0
+    assert jsonmod.loads(capsys.readouterr().out)["pins"] == []
+    # pinning a stale generation errors loudly, exit 1
+    assert cli.main(["pin", coll.path, "--add", str(g1)]) == 1
+    assert "error" in jsonmod.loads(capsys.readouterr().out)
+
+
+@pytest.fixture(params=["local", "memory", "hadoop"])
+def store(request, tmp_path, spark):
+    import uuid
+    from zcollection_spark.fs import fs_for
+    if request.param == "local":
+        return LocalFS(), str(tmp_path / "store")
+    if request.param == "memory":
+        return fs_for("memory://x"), f"memory://{uuid.uuid4().hex}/store"
+    from zcollection_spark.fs import HadoopFS
+    return HadoopFS(spark), f"file://{tmp_path}/store"
+
+
+def test_catalog_retention_over_store_matrix(store):
+    """The pin ledger, copy-on-republish byte copy, completion marker,
+    and reachability sweep are pure catalog/FS machinery — prove them
+    on every metadata backend (local / memory / JVM-Hadoop), not just
+    the POSIX path the Spark-level tests exercise."""
+    fs, root = store
+    cat = Catalog(fs, root, walk_depth=1)
+    assert cat.pins() == []                    # absent file = no pins
+    fs.write_bytes(f"{root}/num=1/data.bin", b"\x00\xffpayload")
+    cat.add(["num=1"])
+    g1 = cat.generation()
+    assert cat.pin(g1) == [g1]
+    assert cat.pins() == [g1]
+    stamp = int(cat.read_doc()["touched"]["num=1"])
+    copied = cat.retain_for_pins(["num=1"])
+    assert copied == ["num=1"]
+    assert cat.has_retained(stamp, "num=1")
+    # bit-identical byte copy (the \x00\xff exercises non-utf8 content)
+    dst = f"{cat.retained_root(stamp)}/num=1/data.bin"
+    assert fs.read_bytes(dst) == b"\x00\xffpayload"
+    # idempotent once complete
+    assert cat.retain_for_pins(["num=1"]) == []
+    # unpin -> sweep reclaims the unreferenced copy
+    assert cat.unpin(g1) == []
+    assert cat.sweep_retained() == [f"gen-{stamp:012d}/num=1"]
+    assert not cat.has_retained(stamp, "num=1")
+
+
+def _mk_zarr(spark, path, **kw):
+    from zcollection_spark.zarr3.collection import create_zarr_collection
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("value", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    return create_zarr_collection(
+        spark, path, schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)), **kw)
+
+
+def _zins(spark, coll, num, vals):
+    pdf = pd.DataFrame({
+        "i": np.arange(len(vals), dtype=np.int64) + num * 100,
+        "value": np.array(vals, dtype=np.float64),
+        "num": np.full(len(vals), num, dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        pdf, schema=coll.schema.to_struct_type()))
+
+
+def test_zarr_pin_republish_reads_bit_identical(spark, tmp_path):
+    """Zarr-layout parity: the retained scan is a second zarr3
+    datasource read rooted at the retained base (collection config
+    threaded from the live root), unioned with the live scan under the
+    historical key predicates."""
+    coll = _mk_zarr(spark, str(tmp_path / "zc"),
+                    stats_columns=["value"])
+    _zins(spark, coll, 1, [1.0, 1.5])
+    _zins(spark, coll, 2, [2.0])
+    g2 = coll.generation()
+    before = _rows(coll.query(at_generation=g2))
+    assert coll.pin_generation(g2) == [g2]
+    _zins(spark, coll, 1, [9.0])                 # republish num=1
+    assert _rows(coll.query(at_generation=g2)) == before
+    assert coll.stale_partitions(g2) == []
+    assert _rows(coll.query()) == [(100, 1, 9.0), (200, 2, 2.0)]
+    # a where clause composes with the retained union (zone stats come
+    # from the pinned snapshot, pruning stays sound across both scans)
+    got = coll.query(where="value >= 1.4", at_generation=g2)
+    assert _rows(got) == [(101, 1, 1.5), (200, 2, 2.0)]
+    # column projection over the union
+    proj = coll.query(variables=["value"], at_generation=g2)
+    assert sorted(r.value for r in proj.collect()) == [1.0, 1.5, 2.0]
+
+
+def test_zarr_pin_survives_drop_and_unpin_sweeps(spark, tmp_path):
+    coll = _mk_zarr(spark, str(tmp_path / "zd"))
+    _zins(spark, coll, 1, [1.0])
+    _zins(spark, coll, 2, [2.0])
+    g2 = coll.generation()
+    coll.pin_generation(g2)
+    coll.drop_partitions(filters="num == 1")
+    assert _rows(coll.query(at_generation=g2)) == [
+        (100, 1, 1.0), (200, 2, 2.0)]
+    retained = tmp_path / "zd" / RETAINED_RELDIR
+    assert list(retained.iterdir())
+    coll.unpin_generation(g2)
+    assert not retained.exists() or not list(retained.iterdir())
+    with pytest.raises(ValueError, match="republished or dropped"):
+        coll.query(at_generation=g2)

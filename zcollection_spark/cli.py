@@ -199,6 +199,30 @@ def cmd_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pin(args: argparse.Namespace) -> int:
+    """Pin/unpin/list generations kept readable forever (copy-on-
+    republish retention — ``Collection.pin_generation``).  ``--stale``
+    lists what a partial read of a generation would miss."""
+    coll = _open(args.path, mode="rw" if (args.add is not None
+                                          or args.remove is not None)
+                 else "r")
+    try:
+        if args.add is not None:
+            pins = coll.pin_generation(args.add)
+        elif args.remove is not None:
+            pins = coll.unpin_generation(args.remove)
+        else:
+            pins = coll.pinned_generations()
+        out = {"pins": pins}
+        if args.stale is not None:
+            out["stale"] = coll.stale_partitions(args.stale)
+        print(json.dumps(out, indent=1))
+        return 0
+    except ValueError as exc:
+        print(json.dumps({"error": str(exc)}, indent=1))
+        return 1
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     coll = _open(args.path, mode="rw")
     report = coll.compact(filters=args.filter,
@@ -305,6 +329,18 @@ def main(argv: list[str] | None = None) -> int:
     p_hi.add_argument("path")
     p_hi.add_argument("--limit", type=int, default=10)
     p_hi.set_defaults(fn=cmd_history)
+
+    p_pin = sub.add_parser(
+        "pin", help="pin/unpin/list generations kept readable forever "
+                    "(copy-on-republish retention)")
+    p_pin.add_argument("path")
+    p_pin.add_argument("--add", type=int, default=None, metavar="GEN")
+    p_pin.add_argument("--remove", type=int, default=None,
+                       metavar="GEN")
+    p_pin.add_argument("--stale", type=int, default=None, metavar="GEN",
+                       help="also list partitions a gen-GEN read "
+                            "cannot reconstruct")
+    p_pin.set_defaults(fn=cmd_pin)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -28,6 +28,23 @@ CATALOG_RELPATH = "_catalog/state.json"
 #: its 100-TB cost model)
 BLOOMS_RELDIR = "_catalog/blooms"
 
+#: pinned-generation ledger (``{"pins": [gen, ...]}``) — generations a
+#: user wants readable FOREVER, surviving republish (copy-on-republish
+#: retention) and ``prune_history``
+PINS_RELPATH = "_catalog/pins.json"
+
+#: copy-on-republish retained partition content, laid out as
+#: ``_catalog/retained/gen-<touched-stamp>/<relpath>/...`` — keyed by
+#: the generation that PRODUCED the content, so one copy serves every
+#: pin in ``[stamp, next-touch)``
+RETAINED_RELDIR = "_catalog/retained"
+
+#: completion marker inside a retained partition dir (hidden name:
+#: partition scans skip ``_``-prefixed files, and its presence is the
+#: validity bit — a crash mid-copy leaves no marker, so the partial
+#: copy is retried, never trusted)
+RETAINED_MARKER = "_retained.json"
+
 #: CAS commit attempts before giving up.  Each retry re-reads the
 #: winner's document, so N contending writers need at most N rounds;
 #: 16 covers far beyond any sane concurrent-ingest fan-in.
@@ -68,20 +85,15 @@ def diff_documents(base_doc: dict, cur_doc: dict,
     return rows
 
 
-def verify_snapshot_readable(catalog: "Catalog", generation: int) -> dict:
-    """The gen-``generation`` document, verified SAFE to read against
-    the current store state — the soundness gate behind time-travel
-    (``at_generation``) reads, shared by the parquet and zarr layouts.
+def _snapshot_sources(catalog: "Catalog",
+                      generation: int) -> tuple[dict, dict, list]:
+    """Shared resolution core: ``(snap, sources, stale)``.
 
-    Partition directories are MUTABLE (unlike the immutable data files
-    of Delta/Iceberg/icechunk), so an old partition LIST reconstructs
-    an old view only while every listed partition is physically
-    untouched since that generation.  The per-partition ``touched``
-    stamps (the same index ``diff_documents`` uses) prove exactly
-    that; a missing stamp (legacy document) counts as touched-now —
-    conservative refusal, never a lie.  Raises ``ValueError`` for a
-    pruned/unknown generation, an unverifiable current catalog, or any
-    republished/dropped partition.
+    ``sources[rel]`` is ``None`` for a live-directory read, or the
+    retained base dir (copy-on-republish — see
+    :meth:`Catalog.retain_for_pins`) when the live dir moved on.
+    ``stale`` lists partitions reconstructable from NEITHER.  Raises
+    only for availability (pruned snapshot / unreadable catalog).
     """
     generation = int(generation)
     snap = catalog.read_at(generation)
@@ -98,17 +110,81 @@ def verify_snapshot_readable(catalog: "Catalog", generation: int) -> dict:
     cur_gen = int(current.get("generation", 0))
     touched = current.get("touched", {})
     live = set(current.get("partitions", []))
-    stale = [rel for rel in snap.get("partitions", [])
-             if rel not in live
-             or int(touched.get(rel, cur_gen)) > generation]
+    snap_touched = snap.get("touched", {})
+    sources: dict = {}
+    stale: list = []
+    for rel in snap.get("partitions", []):
+        if rel in live and int(touched.get(rel, cur_gen)) <= generation:
+            sources[rel] = None                      # live dir is exact
+            continue
+        stamp = snap_touched.get(rel)
+        if stamp is not None and catalog.has_retained(int(stamp), rel):
+            sources[rel] = catalog.retained_root(int(stamp))
+        else:
+            stale.append(rel)
+    return snap, sources, stale
+
+
+def resolve_snapshot_readable(catalog: "Catalog",
+                              generation: int) -> tuple[dict, dict]:
+    """The gen-``generation`` document plus per-partition read SOURCES,
+    verified exact against the current store state — the soundness gate
+    behind time-travel (``at_generation``) reads, shared by the parquet
+    and zarr layouts.
+
+    Partition directories are MUTABLE (unlike the immutable data files
+    of Delta/Iceberg/icechunk), so an old partition LIST reconstructs
+    an old view only while every listed partition is physically
+    untouched since that generation — OR a pinned-generation retained
+    copy of its gen-``stamp`` content exists (``Catalog.pin`` +
+    copy-on-republish, the icechunk-parity contract: a retained
+    snapshot stays readable,
+    ``/root/reference/zcollection/store/icechunk_store.py:98-282``).
+    The per-partition ``touched`` stamps (the same index
+    ``diff_documents`` uses) prove exactly that; a missing stamp
+    (legacy document) counts as touched-now — conservative refusal,
+    never a lie.  Raises ``ValueError`` for a pruned/unknown
+    generation, an unverifiable current catalog, or any
+    republished/dropped partition with no retained copy
+    (``stale_partitions`` lists that subset without raising, for
+    consumers that want a partial historical read).
+    """
+    snap, sources, stale = _snapshot_sources(catalog, generation)
+    raise_for_stale(generation, stale)
+    return snap, sources
+
+
+def raise_for_stale(generation: int, stale: list) -> None:
+    """Shared staleness raiser — query paths call it on the FILTERED
+    partition subset (a key predicate that excludes every stale
+    partition makes the partial read the docstrings advertise), the
+    strict resolution on the whole snapshot."""
     if stale:
         raise ValueError(
             f"generation {generation} is no longer reconstructable: "
             f"{len(stale)} partition(s) were republished or dropped "
-            f"since (e.g. {stale[:3]}); partition directories are "
-            f"mutable, so time-travel is exact only while every "
-            f"generation-{generation} partition is untouched")
-    return snap
+            f"since with no retained copy (e.g. {stale[:3]}); "
+            f"partition directories are mutable, so time-travel is "
+            f"exact only while every generation-{generation} "
+            f"partition is untouched or pin-retained "
+            f"(pin_generation before mutating, or see "
+            f"stale_partitions for partial reads)")
+
+
+def verify_snapshot_readable(catalog: "Catalog", generation: int) -> dict:
+    """:func:`resolve_snapshot_readable` for callers that only need the
+    snapshot document (partition listings) — same soundness gate, same
+    errors, retained-aware."""
+    return resolve_snapshot_readable(catalog, generation)[0]
+
+
+def stale_partitions(catalog: "Catalog", generation: int) -> list[str]:
+    """The subset of gen-``generation`` partitions reconstructable from
+    NEITHER the live store nor a retained copy — empty means a
+    time-travel read of that generation succeeds in full; non-empty
+    lets a consumer plan a partial historical read instead of catching
+    the ``resolve_snapshot_readable`` ValueError."""
+    return _snapshot_sources(catalog, generation)[2]
 
 
 def _widen_stats(old: dict, new: dict, bloom_load=None) -> dict:
@@ -466,18 +542,199 @@ class Catalog:
                       bloom_grace_seconds: float = 900.0) -> list[int]:
         """Delete snapshot files beyond the newest ``keep_last`` (the
         state document is never touched).  Returns pruned generations.
-        Superseded sidecar blooms are swept in the same maintenance op
-        (``bloom_grace_seconds`` guards in-flight writers; see
-        :meth:`sweep_blooms` — the count lands in ``last_swept``)."""
+        PINNED generations are exempt — a pin is a promise the
+        generation stays readable, so its snapshot (the read's
+        partition list) must outlive any retention window.  Superseded
+        sidecar blooms and unreferenced retained partition copies are
+        swept in the same maintenance op (``bloom_grace_seconds``
+        guards in-flight writers; see :meth:`sweep_blooms` — the count
+        lands in ``last_swept``)."""
         gens = self.history()
-        doomed = gens[:-keep_last] if keep_last > 0 else gens
+        pinned = set(self.pins())
+        doomed = [g for g in (gens[:-keep_last] if keep_last > 0
+                              else gens) if g not in pinned]
         for gen in doomed:
             self._fs.delete(self._gen_path(gen))
         if doomed:
             # snapshots were the only thing keeping superseded sidecar
             # blooms reachable — sweep them in the same maintenance op
             self.sweep_blooms(grace_seconds=bloom_grace_seconds)
+            self.sweep_retained()
         return doomed
+
+    # -- pinned generations + copy-on-republish retention --------------
+
+    def _pins_path(self) -> str:
+        return f"{self._root}/{PINS_RELPATH}"
+
+    def pins(self) -> list[int]:
+        """Pinned generations, ascending (one small GET; absent file =
+        no pins, the zero-cost default).  ``read_versioned`` rather
+        than ``read_text``: its absent-file contract is ``(None,
+        None)`` on EVERY backend — JVM-side stores (HadoopFS) surface
+        a raw Py4J error from a bare read of a missing path."""
+        raw, _ = self._fs.read_versioned(self._pins_path())
+        if not raw:
+            return []
+        try:
+            doc = json.loads(raw)
+        except ValueError:
+            return []
+        return sorted(int(g) for g in doc.get("pins", []))
+
+    def _mutate_pins(self, fn) -> list[int]:
+        """Read-modify-write of the pin ledger — conditional-write loop
+        on stores that have one (same discipline as ``_commit_rmw``:
+        unpin must never be resurrected by a racing pin's last-wins
+        PUT)."""
+        path = self._pins_path()
+        cas = hasattr(self._fs, "write_if")
+        with _LOCKS[path]:
+            for attempt in range(_CAS_RETRIES):
+                token = None
+                if cas:
+                    raw, token = self._fs.read_versioned(path)
+                else:
+                    try:
+                        raw = self._fs.read_text(path)
+                    except (OSError, FileNotFoundError):
+                        raw = None
+                try:
+                    cur = ([int(g) for g in
+                            json.loads(raw).get("pins", [])]
+                           if raw else [])
+                except (ValueError, AttributeError):
+                    cur = []
+                new = sorted({int(g) for g in fn(list(cur))})
+                data = json.dumps({"format_version": 1, "pins": new})
+                if not cas:
+                    self._fs.write_text(path, data)
+                    return new
+                try:
+                    self._fs.write_if(path, data, token)
+                    return new
+                except CommitConflictError:
+                    continue
+        raise CommitConflictError(
+            f"{path}: pin ledger update lost {_CAS_RETRIES} races")
+
+    def pin(self, generation: int) -> list[int]:
+        """Add ``generation`` to the pin ledger; future republishes /
+        drops of its partitions copy the old content aside first
+        (:meth:`retain_for_pins`), so the generation stays readable.
+        Returns the full pin list."""
+        return self._mutate_pins(lambda p: p + [int(generation)])
+
+    def unpin(self, generation: int) -> list[int]:
+        """Remove a pin.  The caller decides when to reclaim the
+        retained copies (:meth:`sweep_retained`)."""
+        gen = int(generation)
+        return self._mutate_pins(lambda p: [g for g in p if g != gen])
+
+    def retained_root(self, stamp: int) -> str:
+        """Base dir of retained gen-``stamp`` partition copies (the
+        stamp is the generation that PRODUCED the content — one copy
+        serves every pin in ``[stamp, next-touch)``)."""
+        return f"{self._root}/{RETAINED_RELDIR}/gen-{int(stamp):012d}"
+
+    def _retained_marker(self, stamp: int, rel: str) -> str:
+        return f"{self.retained_root(stamp)}/{rel}/{RETAINED_MARKER}"
+
+    def has_retained(self, stamp: int, rel: str) -> bool:
+        """True when a COMPLETE retained copy exists (marker written
+        after the last file — a crash mid-copy is retried, not
+        trusted)."""
+        return self._fs.exists_file(self._retained_marker(stamp, rel))
+
+    def retain_for_pins(self, relpaths: "list[str]") -> list[str]:
+        """Copy-on-republish: called BEFORE ``relpaths`` are
+        overwritten, appended to, or dropped; copies the CURRENT
+        content of each one whose content generation a pin still covers
+        into the retained area.  Zero store round-trips beyond one pins
+        GET when nothing is pinned (the default).  Idempotent — a
+        completed copy (marker present) is never re-copied, so crash
+        retry and the publish/recover replay are both safe.  Runs
+        before the publish INTENT is written, so a crash either
+        published nothing (retention copies are harmless extra) or
+        rolls forward with retention already complete."""
+        pins = self.pins()
+        if not pins:
+            return []
+        doc = self.read_doc()
+        if doc is None:
+            return []
+        touched = doc.get("touched", {})
+        live = set(doc.get("partitions", []))
+        gmax = max(pins)
+        from .staging import _walk_files
+        out: list[str] = []
+        for rel in relpaths:
+            if rel not in live:
+                continue                  # brand-new partition: nothing old
+            stamp = touched.get(rel)
+            if stamp is None:
+                # legacy stamp-less entry: a time-travel read treats it
+                # as touched-now (stale), so a retained copy could never
+                # be resolved — skip rather than copy dead weight
+                continue
+            stamp = int(stamp)
+            if stamp > gmax:
+                continue                  # content newer than any pin
+            if self.has_retained(stamp, rel):
+                continue
+            src = f"{self._root}/{rel}"
+            dst = f"{self.retained_root(stamp)}/{rel}"
+            # no marker but files present = crash mid-copy: clear the
+            # partial dir first — stray partial files must never leak
+            # into a retained scan
+            if self._fs.exists(dst):
+                self._fs.delete(dst)
+            files = _walk_files(self._fs, src)
+            for f in files:
+                self._fs.write_bytes(f"{dst}/{f}",
+                                     self._fs.read_bytes(f"{src}/{f}"))
+            self._fs.write_text(
+                self._retained_marker(stamp, rel),
+                json.dumps({"format_version": 1, "stamp": stamp,
+                            "n_files": len(files)}))
+            out.append(rel)
+        return out
+
+    def sweep_retained(self) -> list[str]:
+        """Delete retained copies no PINNED generation references
+        (after unpin / prune).  Reachability: pin g keeps ``(stamp,
+        rel)`` for every partition of snapshot g at its recorded
+        stamp.  Returns removed ``gen-<stamp>/<rel>`` identifiers."""
+        base = f"{self._root}/{RETAINED_RELDIR}"
+        stamp_dirs = [d for d in self._fs.list_dirs(base)
+                      if d.startswith("gen-")]
+        if not stamp_dirs or self._walk_depth is None:
+            return []
+        reachable: set = set()
+        for g in self.pins():
+            snap = self.read_at(g)
+            if snap is None:
+                continue
+            snap_touched = snap.get("touched", {})
+            for rel in snap.get("partitions", []):
+                stamp = snap_touched.get(rel)
+                if stamp is not None:
+                    reachable.add((int(stamp), rel))
+        removed: list[str] = []
+        for d in stamp_dirs:
+            try:
+                stamp = int(d[len("gen-"):])
+            except ValueError:
+                continue
+            droot = f"{base}/{d}"
+            for rel in self._fs.list_partition_dirs(droot,
+                                                    self._walk_depth):
+                if (stamp, rel) not in reachable:
+                    self._fs.delete(f"{droot}/{rel}")
+                    removed.append(f"{d}/{rel}")
+            if not self._fs.list_partition_dirs(droot, self._walk_depth):
+                self._fs.delete(droot)
+        return removed
 
     def _commit_rmw(self, mutate, need_base: bool = True) -> list[str]:
         """Read-merge-write commit.  On stores with conditional writes

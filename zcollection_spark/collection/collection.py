@@ -274,6 +274,15 @@ class Collection:
         from .catalog import verify_snapshot_readable
         return verify_snapshot_readable(self._catalog, generation)
 
+    def _resolve_for_read(self, generation: int) -> "tuple[dict, dict]":
+        """:meth:`_snapshot_for_read` plus per-partition read sources
+        (None = live dir; else the pinned-generation retained base)."""
+        if not self.catalog_enabled:
+            raise ValueError("at_generation requires the catalog "
+                             "(this collection runs catalog-less)")
+        from .catalog import resolve_snapshot_readable
+        return resolve_snapshot_readable(self._catalog, generation)
+
     def partitions(self, *, filters: str | None = None,
                    at_generation: int | None = None) -> list[str]:
         """Matching partition relpaths in numeric key order (Q2 fixed).
@@ -334,14 +343,18 @@ class Collection:
     # ------------------------------------------------------------------
     # read path (collection/base.py:524-595)
     # ------------------------------------------------------------------
-    def _spark_read_base(self, relpaths: list[str]) -> str:
-        """Physical base dir for Spark scans.  Identity for stores the
-        JVM reads natively; stores flagged ``requires_localization``
-        (S3 without a connector) mirror the requested relpaths locally
-        first (ETag-cached — see ``S3FS.localize``)."""
+    def _spark_read_base(self, relpaths: list[str],
+                         root: "str | None" = None) -> str:
+        """Physical base dir for Spark scans of ``root`` (default: the
+        collection path; time-travel passes a retained base).  Identity
+        for stores the JVM reads natively; stores flagged
+        ``requires_localization`` (S3 without a connector) mirror the
+        requested relpaths locally first (ETag-cached — see
+        ``S3FS.localize``)."""
+        root = self.path if root is None else root
         if getattr(self._fs, "requires_localization", False):
-            return self._fs.localize(self.path, relpaths)
-        return self.path
+            return self._fs.localize(root, relpaths)
+        return root
 
     def _spark_parquet_write(self, target: str,
                              run_write: Callable[[str], None]) -> dict | None:
@@ -368,7 +381,8 @@ class Collection:
                                     []).append("/".join(comps[depth:]))
         return manifest
 
-    def _read_partitions(self, relpaths: list[str]) -> DataFrame:
+    def _read_partitions(self, relpaths: list[str],
+                         sources: "dict | None" = None) -> DataFrame:
         # explicit schema: no footer sampling (one less cold GET per read
         # at scale), and partitions written BEFORE a schema-evolution
         # add_variable read the new column as nulls instead of the scan
@@ -378,10 +392,29 @@ class Collection:
         for v in self.schema.partitioned_variables:
             struct = struct.add(v.name, v.spark_type(dims, self.axis))
         struct = struct.add(ROW_IDX, T.IntegerType())
-        base = self._spark_read_base(relpaths)
-        reader = (self.spark.read.schema(struct)
-                  .option("basePath", base))
-        return reader.parquet(*(f"{base}/{rel}" for rel in relpaths))
+
+        def scan(root: str, rels: list[str]) -> DataFrame:
+            base = self._spark_read_base(rels, root=root)
+            reader = (self.spark.read.schema(struct)
+                      .option("basePath", base))
+            return reader.parquet(*(f"{base}/{rel}" for rel in rels))
+
+        if not sources or all(v is None for v in sources.values()):
+            return scan(self.path, relpaths)
+        # time-travel with retained copies: group relpaths by physical
+        # root (live collection + one retained base per content stamp)
+        # and union the scans — each retained base uses ITS OWN
+        # basePath so Hive partition-key inference stays correct; the
+        # query-level final sort restores global order
+        groups: dict[str, list[str]] = {}
+        for rel in relpaths:
+            groups.setdefault(sources.get(rel) or self.path,
+                              []).append(rel)
+        parts = [scan(root, rels) for root, rels in sorted(groups.items())]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _immutable_df(self) -> DataFrame | None:
         imm_path = f"{self.path}/{IMMUTABLE_RELPATH}"
@@ -480,14 +513,29 @@ class Collection:
         zone-map-prunes partitions and filters the scanned rows.
         """
         predicate = compile_filter(filters)
+        sources = None
         if at_generation is not None:
             # fetch + staleness-verify the snapshot ONCE and thread it
             # to both the partition list and the zone-stats map — a
             # where-clause time-travel read used to verify twice (two
-            # extra GETs per query on object stores, r10 advice)
-            snap = self._snapshot_for_read(at_generation)
+            # extra GETs per query on object stores, r10 advice).
+            # ``sources`` routes republished partitions to their
+            # pinned-generation retained copies (copy-on-republish).
+            # Staleness is fatal only for partitions the filter
+            # MATCHES — a key predicate that excludes every stale
+            # partition is the partial-read path ``stale_partitions``
+            # documents.
+            if not self.catalog_enabled:
+                raise ValueError("at_generation requires the catalog "
+                                 "(this collection runs catalog-less)")
+            from .catalog import _snapshot_sources, raise_for_stale
+            snap, sources, stale = _snapshot_sources(
+                self._catalog, at_generation)
             relpaths = self._match_relpaths(
                 list(snap["partitions"]), filters)
+            if stale:
+                raise_for_stale(at_generation,
+                                sorted(set(relpaths) & set(stale)))
         else:
             snap = None
             relpaths = self.partitions(filters=filters)
@@ -497,7 +545,7 @@ class Collection:
             relpaths = self._zone_prune(relpaths, where, snap_stats)
         if not relpaths:
             return None
-        df = self._read_partitions(relpaths)
+        df = self._read_partitions(relpaths, sources=sources)
         if predicate.expr is not None:
             df = df.where(predicate.to_column())
         if where is not None:
@@ -825,6 +873,51 @@ class Collection:
         incremental consumers feed it to :meth:`changes`."""
         return self._catalog.generation() if self.catalog_enabled else 0
 
+    def pin_generation(self, generation: int) -> list[int]:
+        """Promise generation ``generation`` stays readable FOREVER:
+        its catalog snapshot survives ``prune_history`` and every later
+        republish/append/drop of one of its partitions copies the old
+        content aside first (copy-on-republish into
+        ``_catalog/retained/`` — the observable contract of the
+        reference's icechunk transactional store, where a retained
+        snapshot stays readable,
+        ``/root/reference/zcollection/store/icechunk_store.py:98-282``).
+        Storage cost is pay-per-divergence: nothing is copied until a
+        pinned partition actually changes.  Raises if the generation is
+        ALREADY unreconstructable (a pin cannot resurrect content that
+        was overwritten before it existed).  Returns the pin list."""
+        if not self.catalog_enabled:
+            raise ValueError("pin_generation requires the catalog")
+        # a pin of a stale generation would promise what we cannot
+        # serve — verify reconstructability first (retained-aware)
+        self._resolve_for_read(generation)
+        return self._catalog.pin(generation)
+
+    def unpin_generation(self, generation: int) -> list[int]:
+        """Drop a pin and reclaim retained copies nothing else
+        references.  Returns the remaining pin list."""
+        if not self.catalog_enabled:
+            raise ValueError("unpin_generation requires the catalog")
+        pins = self._catalog.unpin(generation)
+        self._catalog.sweep_retained()
+        return pins
+
+    def pinned_generations(self) -> list[int]:
+        """Currently pinned generations, ascending."""
+        return self._catalog.pins() if self.catalog_enabled else []
+
+    def stale_partitions(self, generation: int) -> list[str]:
+        """The gen-``generation`` partitions reconstructable from
+        NEITHER the live store nor a retained copy — empty means
+        ``query(at_generation=generation)`` succeeds in full; non-empty
+        names exactly what a partial historical read would miss
+        (filter them out with a key predicate instead of catching the
+        ValueError)."""
+        if not self.catalog_enabled:
+            raise ValueError("stale_partitions requires the catalog")
+        from .catalog import stale_partitions
+        return stale_partitions(self._catalog, generation)
+
     def changes(self, since_generation: int,
                 to_generation: int | None = None) -> dict:
         """Partition-level diff since a previous commit: ``{"added":
@@ -1149,6 +1242,9 @@ class Collection:
         (``base.py:599-634``; ≈ ALTER TABLE DROP PARTITION)."""
         self._require_writable()
         doomed = self.partitions(filters=filters)
+        if self.catalog_enabled:
+            # pinned generations keep their content past the drop
+            self._catalog.retain_for_pins(doomed)
         self._pooled_map(
             lambda rel: self._fs.delete(f"{self.path}/{rel}"), doomed)
         if self.catalog_enabled:

@@ -393,6 +393,13 @@ def staged_publish(fs, root: str, *, write_fn, depth: int,
         # computed AFTER the write job, BEFORE the intent: the stats are
         # part of the commit or absent from it — never half-applied
         stats = stats_fn(sorted(relpaths))
+    if catalog is not None:
+        # copy-on-republish retention for pinned generations — MUST
+        # complete before the intent exists: a crash before the intent
+        # published nothing (copies are harmless extra), a crash after
+        # rolls forward with the old content already safe.  One pins
+        # GET when nothing is pinned (the default).
+        catalog.retain_for_pins(sorted(relpaths))
     intent = write_intent(fs, staging, mode=mode, relpaths=relpaths,
                           manifests=manifests, txn=txn, stats=stats)
     apply_publish(fs, root, staging_id, staging, intent, catalog)

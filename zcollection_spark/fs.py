@@ -132,12 +132,22 @@ class LocalFS:
     def read_text(self, path: str) -> str:
         return Path(path).read_text()
 
+    def read_bytes(self, path: str) -> bytes:
+        return Path(path).read_bytes()
+
     def write_text(self, path: str, data: str) -> None:
         target = Path(path)
         target.parent.mkdir(parents=True, exist_ok=True)
         tmp = target.parent / f".{target.name}.{uuid.uuid4().hex}.tmp"
         tmp.write_text(data)
         os.replace(tmp, target)  # atomic on POSIX
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        target = Path(path)
+        target.parent.mkdir(parents=True, exist_ok=True)
+        tmp = target.parent / f".{target.name}.{uuid.uuid4().hex}.tmp"
+        tmp.write_bytes(data)
+        os.replace(tmp, target)
 
     def read_versioned(self, path: str) -> tuple[str | None, str | None]:
         """``(text, token)`` — ``(None, None)`` if the file is absent.
@@ -277,6 +287,14 @@ class MemoryFS:
             if p not in self._files:
                 raise FileNotFoundError(path)
             return self._files[p]
+
+    # latin-1 is a lossless byte<->str bijection: generic byte copies
+    # (catalog retention) work even though entries are stored as str
+    def read_bytes(self, path: str) -> bytes:
+        return self.read_text(path).encode("latin-1")
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self.write_text(path, data.decode("latin-1"))
 
     def write_text(self, path: str, data: str) -> None:
         p = self._norm(path)
@@ -433,6 +451,9 @@ class HadoopFS:
             return None
 
     def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def read_bytes(self, path: str) -> bytes:
         fs, jpath = self._fs_path(path)
         stream = fs.open(jpath)
         try:
@@ -441,15 +462,18 @@ class HadoopFS:
             # Drain the stream JVM-side and take the returned byte[] (py4j
             # maps Java byte[] return values to Python bytes).
             data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            return bytes(data).decode("utf-8")
+            return bytes(data)
         finally:
             stream.close()
 
     def write_text(self, path: str, data: str) -> None:
+        self.write_bytes(path, data.encode("utf-8"))
+
+    def write_bytes(self, path: str, data: bytes) -> None:
         fs, jpath = self._fs_path(path)
         stream = fs.create(jpath, True)
         try:
-            stream.write(bytearray(data.encode("utf-8")))
+            stream.write(bytearray(data))
         finally:
             stream.close()
 
@@ -596,6 +620,14 @@ class CountingFS:
     def write_text(self, path: str, data: str) -> None:
         self.counts["put"] += 1
         self.inner.write_text(path, data)
+
+    def read_bytes(self, path: str) -> bytes:
+        self.counts["get"] += 1
+        return self.inner.read_bytes(path)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self.counts["put"] += 1
+        self.inner.write_bytes(path, data)
 
     def read_versioned(self, path: str):
         self.counts["get"] += 1

@@ -335,6 +335,30 @@ class ZarrCollection:
         from ..collection.collection import Collection
         return Collection.history(self, limit=limit)
 
+    def pin_generation(self, generation: int) -> list[int]:
+        """Pin a generation readable-forever (copy-on-republish
+        retention) — see ``Collection.pin_generation`` (identical
+        catalog machinery; the retained copies are zarr partition
+        groups here)."""
+        from ..collection.catalog import resolve_snapshot_readable
+        resolve_snapshot_readable(self._catalog, generation)
+        return self._catalog.pin(generation)
+
+    def unpin_generation(self, generation: int) -> list[int]:
+        """See ``Collection.unpin_generation``."""
+        pins = self._catalog.unpin(generation)
+        self._catalog.sweep_retained()
+        return pins
+
+    def pinned_generations(self) -> list[int]:
+        """See ``Collection.pinned_generations``."""
+        return self._catalog.pins()
+
+    def stale_partitions(self, generation: int) -> list[str]:
+        """See ``Collection.stale_partitions``."""
+        from ..collection.catalog import stale_partitions
+        return stale_partitions(self._catalog, generation)
+
     def insert(self, df: DataFrame,
                merge: str | MergeCallable | None = None,
                txn: "tuple[str, int] | None" = None) -> list[str]:
@@ -662,28 +686,31 @@ class ZarrCollection:
         historical partition set is pushed into the reader as a key
         predicate."""
         predicate = compile_filter(filters)
+        sources = None
         if at_generation is not None:
             # fetch + staleness-verify the snapshot ONCE and thread it
             # to both the partition list and the zone-stats map (a
             # where-clause time-travel read used to verify twice —
-            # two extra catalog GETs per query, r10 advice)
-            from ..collection.catalog import verify_snapshot_readable
-            snap = verify_snapshot_readable(self._catalog, at_generation)
+            # two extra catalog GETs per query, r10 advice).
+            # ``sources`` routes republished partitions to their
+            # pinned-generation retained copies (copy-on-republish);
+            # staleness is fatal only for partitions the filter
+            # MATCHES (the documented partial-read path).
+            from ..collection.catalog import (_snapshot_sources,
+                                              raise_for_stale)
+            snap, sources, stale = _snapshot_sources(
+                self._catalog, at_generation)
             relpaths = self._match_relpaths(
                 list(snap["partitions"]), filters)
+            if stale:
+                raise_for_stale(at_generation,
+                                sorted(set(relpaths) & set(stale)))
         else:
             snap = None
             relpaths = self.partitions(filters=filters)
         if not relpaths:
             return None  # quirk Q6 parity
-        zone_pred = None
-        if at_generation is not None:
-            # restrict the scan to the HISTORICAL partition set (new
-            # partitions committed after gen N must not be read even
-            # though the datasource lists them) — exact=True: this
-            # predicate is the correctness boundary, so the multi-key
-            # planning cap must not silently drop it
-            zone_pred = self._zone_keys_predicate(relpaths, exact=True)
+        pruned = False
         if where is not None and (self.stats_columns
                                   or self.bloom_columns):
             if snap is not None:
@@ -711,16 +738,17 @@ class ZarrCollection:
                             if may_match(resolved[rel])]
                 if not kept:
                     return None
-                if len(kept) < len(relpaths):
-                    # exact under time-travel: this replaces the
-                    # historical-set predicate, so it must never
-                    # degrade to None past the multi-key planning cap
-                    # (plain `or` would call Column.__bool__ — compare
-                    # against None explicitly)
-                    refined = self._zone_keys_predicate(
-                        kept, exact=at_generation is not None)
-                    if refined is not None:
-                        zone_pred = refined
+                pruned = len(kept) < len(relpaths)
+                relpaths = kept
+        live_rels = (relpaths if sources is None
+                     else [r for r in relpaths
+                           if sources.get(r) is None])
+        retained_groups: dict[str, list[str]] = {}
+        if sources is not None:
+            for rel in relpaths:
+                base = sources.get(rel)
+                if base is not None:
+                    retained_groups.setdefault(base, []).append(rel)
         read_vars = variables
         if variables is not None and where is not None:
             # the where predicate's columns must survive the scan
@@ -728,11 +756,33 @@ class ZarrCollection:
             read_vars = sorted(
                 set(variables)
                 | compile_filter(where, allow_float=True).names)
-        df = self.to_df(variables=read_vars)
-        if predicate.expr is not None:
-            df = df.where(predicate.to_column())
-        if zone_pred is not None:
-            df = df.where(zone_pred)
+        parts = []
+        if live_rels:
+            ldf = self.to_df(variables=read_vars)
+            if predicate.expr is not None:
+                ldf = ldf.where(predicate.to_column())
+            if at_generation is not None or pruned:
+                # restrict the scan to exactly the resolved live set
+                # (under time travel: partitions committed OR
+                # republished after gen N must not be read) —
+                # exact=True is the correctness boundary, so the
+                # multi-key planning cap must never silently drop it
+                zp = self._zone_keys_predicate(
+                    live_rels, exact=at_generation is not None)
+                if zp is not None:
+                    ldf = ldf.where(zp)
+            parts.append(ldf)
+        for base, rels in sorted(retained_groups.items()):
+            rdf = self._retained_scan(base, read_vars)
+            if predicate.expr is not None:
+                rdf = rdf.where(predicate.to_column())
+            zp = self._zone_keys_predicate(rels, exact=True)
+            if zp is not None:
+                rdf = rdf.where(zp)
+            parts.append(rdf)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         if where is not None:
             df = df.where(compile_filter(where,
                                          allow_float=True).to_column())
@@ -776,10 +826,31 @@ class ZarrCollection:
                 df = df.withColumns(cols)
         return df
 
+    def _retained_scan(self, base: str, read_vars) -> DataFrame:
+        """Datasource scan over a retained partition base
+        (``_catalog/retained/gen-N``): DATA under ``base``, collection
+        config from the live root (the ``config_root`` option — a
+        retained copy carries no ``_zcollection.json`` of its own)."""
+        from .blobs import capture_blob_conf
+        conf = capture_blob_conf()
+        reader = (self.spark.read.format("zarr3")
+                  .option("path", base)
+                  .option("config_root", self.path))
+        if conf is not None:
+            reader = reader.option("blob_conf", json.dumps(conf))
+        if read_vars is not None:
+            cols = set(read_vars) | set(self.partitioning.keys)
+            reader = reader.option("columns", ",".join(sorted(cols)))
+        df = reader.load()
+        # same pushFilters-reset guard as to_df (keys are never null)
+        return df.where(F.col(self.partitioning.keys[0]).isNotNull())
+
     def drop_partitions(self, *, filters: str | None = None) -> list[str]:
         """Delete matching partition groups + catalog update
         (``collection/base.py:599-634`` parity)."""
         doomed = self.partitions(filters=filters)
+        # pinned generations keep their content past the drop
+        self._catalog.retain_for_pins(doomed)
         for rel in doomed:
             self._fs.delete(f"{self.path}/{rel}")
         self._catalog.remove(doomed)

@@ -58,15 +58,20 @@ def _np_to_arrow(values: np.ndarray) -> pa.Array:
 
 class ZarrReader(DataSourceReader):
     def __init__(self, root: str, schema: T.StructType,
-                 columns: str | None, blob_conf: dict | None = None):
+                 columns: str | None, blob_conf: dict | None = None,
+                 config_root: str | None = None):
         self.root = root
         self.spark_schema = schema
         # arrives via the "blob_conf" option (set by ZarrCollection):
         # DataSource instances run in Python WORKERS, which keep the env
         # they were born with — endpoint config must ride the plan
         self.blob_conf = blob_conf
-        self.dataset_schema, self.partitioning = _load_config(root,
-                                                              blob_conf)
+        # config_root: scan DATA under ``root`` but read the collection
+        # config (_zcollection.json) from elsewhere — time-travel scans
+        # of ``_catalog/retained/gen-N`` partition copies, which carry
+        # no config of their own
+        self.dataset_schema, self.partitioning = _load_config(
+            config_root or root, blob_conf)
         self.columns = ([c.strip() for c in columns.split(",")]
                         if columns else None)
         self._pruned: list[str] | None = None
@@ -282,7 +287,7 @@ class ZarrDataSource(DataSource):
         return json.loads(raw) if raw else None
 
     def schema(self) -> T.StructType:
-        root = self.options["path"]
+        root = self.options.get("config_root") or self.options["path"]
         dataset_schema, partitioning = _load_config(root,
                                                     self._blob_conf())
         # immutable (non-axis) variables live in _immutable/, not in the
@@ -308,7 +313,8 @@ class ZarrDataSource(DataSource):
     def reader(self, schema: T.StructType) -> ZarrReader:
         return ZarrReader(self.options["path"], schema,
                           self.options.get("columns"),
-                          self._blob_conf())
+                          self._blob_conf(),
+                          self.options.get("config_root"))
 
     def writer(self, schema: T.StructType, overwrite: bool) -> ZarrWriter:
         return ZarrWriter(self.options["path"])
