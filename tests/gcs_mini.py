@@ -35,9 +35,37 @@ class _State:
         self.tokens: dict[str, float] = {}
         #: TTL the metadata stub grants (tests shrink it to force refresh)
         self.meta_ttl: float = 3600.0
+        #: TTL the JWT-grant token endpoint mints (tests shrink it)
+        self.grant_ttl: float = 3600.0
+        #: registered service accounts: client_email -> public key
+        #: (cryptography RSAPublicKey — the emulator verifies RS256
+        #: assertions INDEPENDENTLY of the repo's pure-python signer)
+        self.service_accounts: dict[str, object] = {}
         #: default list page size (tests shrink it to force pagination)
         self.page_size: int = 1000
         self._gen = 1000
+
+
+def register_service_account(state: _State, endpoint: str,
+                             email: str = "svc@test.iam.example.com"
+                             ) -> dict:
+    """Generate an RSA keypair, register its PUBLIC half with the
+    emulator, and return the service-account JSON keyfile dict (the
+    ``GOOGLE_APPLICATION_CREDENTIALS`` shape: ``client_email``,
+    PKCS#8-PEM ``private_key``, ``token_uri`` at the emulator).  The
+    keypair comes from ``cryptography`` so the signature check is an
+    independent implementation, not the repo's signer verifying
+    itself."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()).decode()
+    state.service_accounts[email] = key.public_key()
+    return {"type": "service_account", "client_email": email,
+            "private_key": pem, "token_uri": f"{endpoint}/token"}
 
 
 def issue_token(state: _State, ttl: float = 3600.0) -> str:
@@ -180,10 +208,65 @@ def make_handler(state: _State):
                                      {"x-goog-generation": str(gen)})
             return self._respond(200, _obj_json(name, data, gen, updated))
 
+        def _jwt_grant(self, body: bytes):
+            """OAuth2 token endpoint for the service-account JWT-bearer
+            grant: verifies the RS256 assertion against the REGISTERED
+            public key (via ``cryptography`` — an implementation
+            independent of the client's pure-python signer), checks
+            iss/aud/exp, and mints a live token.  Failures are 400
+            ``invalid_grant`` like the real endpoint."""
+            import base64
+
+            from cryptography.exceptions import InvalidSignature
+            from cryptography.hazmat.primitives import hashes
+            from cryptography.hazmat.primitives.asymmetric import (
+                padding)
+            form = dict(parse_qsl(body.decode()))
+            if form.get("grant_type") != \
+                    "urn:ietf:params:oauth:grant-type:jwt-bearer":
+                return self._error(400, "invalid_grant: grant_type")
+            try:
+                signing_input, _, sig_b64 = form["assertion"]\
+                    .rpartition(".")
+                hdr_b64, _, claims_b64 = signing_input.partition(".")
+
+                def unb64(s: str) -> bytes:
+                    return base64.urlsafe_b64decode(
+                        s + "=" * (-len(s) % 4))
+                header = json.loads(unb64(hdr_b64))
+                claims = json.loads(unb64(claims_b64))
+                sig = unb64(sig_b64)
+            except Exception:
+                return self._error(400, "invalid_grant: malformed JWT")
+            if header.get("alg") != "RS256":
+                return self._error(400, "invalid_grant: alg")
+            pub = state.service_accounts.get(claims.get("iss", ""))
+            if pub is None:
+                return self._error(400, "invalid_grant: unknown iss")
+            if not str(claims.get("aud", "")).endswith("/token"):
+                return self._error(400, "invalid_grant: aud")
+            if float(claims.get("exp", 0)) < time.time():
+                return self._error(400, "invalid_grant: assertion "
+                                        "expired")
+            try:
+                pub.verify(sig, signing_input.encode(),
+                           padding.PKCS1v15(), hashes.SHA256())
+            except InvalidSignature:
+                return self._error(400, "invalid_grant: bad signature")
+            token = issue_token(state, state.grant_ttl or 3600.0)
+            doc = {"access_token": token, "token_type": "Bearer"}
+            if state.grant_ttl > 0:
+                doc["expires_in"] = int(state.grant_ttl)
+            return self._respond(200, doc)
+
         def do_POST(self):
             path, params = self._parse()
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length) if length else b""
+            if path == "/token":
+                # the token endpoint is the one UNauthenticated route:
+                # the assertion IS the credential
+                return self._jwt_grant(body)
             if not self._check_auth():
                 return
             if path.startswith("/upload/storage/v1/b/"):

@@ -444,3 +444,120 @@ def test_gcs_publish_leaves_no_partial_state_on_crash(spark, gcs_server,
         rows = coll.query().collect()
         assert len(rows) == 4, f"allowed={allowed}"
         assert all(r["value"] == 9.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# JSON-keyfile (service-account JWT-bearer) grant — the off-GCE mode
+# ---------------------------------------------------------------------------
+
+def _keyfile(gcs_server, **kw):
+    from tests.gcs_mini import register_service_account
+    srv, endpoint = gcs_server
+    return register_service_account(srv.state, endpoint, **kw)
+
+
+def test_pem_parser_matches_cryptography_numbers(gcs_server):
+    """The hand-built DER walk recovers exactly the (n, e, d) that
+    generated the key — checked against cryptography's own numbers,
+    for BOTH PEM encodings (PKCS#8, what Google keyfiles carry, and
+    PKCS#1)."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    from zcollection_spark.fs import _pem_rsa_private_numbers
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    nums = key.private_numbers()
+    want = (nums.public_numbers.n, nums.public_numbers.e, nums.d)
+    for fmt in (serialization.PrivateFormat.PKCS8,
+                serialization.PrivateFormat.TraditionalOpenSSL):
+        pem = key.private_bytes(serialization.Encoding.PEM, fmt,
+                                serialization.NoEncryption()).decode()
+        assert _pem_rsa_private_numbers(pem) == want, fmt
+
+
+def test_rs256_signature_verifies_independently():
+    """A pure-python signature must verify under cryptography's
+    RSASSA-PKCS1-v1_5/SHA-256 — the signer and verifier are different
+    implementations, so an EMSA encoding bug cannot self-cancel."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding, rsa
+
+    from zcollection_spark.fs import (_pem_rsa_private_numbers,
+                                      _rs256_sign)
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()).decode()
+    n, _, d = _pem_rsa_private_numbers(pem)
+    msg = b"header.payload"
+    key.public_key().verify(_rs256_sign(msg, n, d), msg,
+                            padding.PKCS1v15(), hashes.SHA256())
+
+
+def test_gcs_keyfile_grant_end_to_end(gcs_server, gcs_root):
+    """Keyfile provider -> RS256 JWT assertion -> emulator /token
+    (which verifies the signature with an independent implementation)
+    -> minted bearer -> store ops."""
+    from zcollection_spark.fs import gcs_keyfile_token_provider
+    kf = _keyfile(gcs_server)
+    fs = GcsFS(token_provider=gcs_keyfile_token_provider(kf))
+    fs.write_text(f"{gcs_root}/a.txt", "payload")
+    assert fs.read_text(f"{gcs_root}/a.txt") == "payload"
+    assert fs.list_files(gcs_root) == ["a.txt"]
+    tok = fs.write_if(f"{gcs_root}/state.json", "v1", None)
+    with pytest.raises(CommitConflictError):
+        fs.write_if(f"{gcs_root}/state.json", "v1b", None)
+    assert fs.write_if(f"{gcs_root}/state.json", "v2", tok) != tok
+
+
+def test_gcs_keyfile_refreshes_on_401(gcs_server, gcs_root):
+    """Mid-session token expiry under the keyfile grant: the 401 path
+    re-runs the JWT grant (a fresh assertion, a fresh token) without
+    surfacing an error."""
+    from zcollection_spark.fs import gcs_keyfile_token_provider
+    srv, _ = gcs_server
+    kf = _keyfile(gcs_server, email="svc-r401@test.iam.example.com")
+    fs = GcsFS(token_provider=gcs_keyfile_token_provider(kf))
+    fs.write_text(f"{gcs_root}/a.txt", "1")
+    # kill the live token server-side; the next request 401s and the
+    # client must mint a new assertion
+    srv.state.tokens[fs._bearer] = 0.0
+    first = fs._bearer
+    assert fs.read_text(f"{gcs_root}/a.txt") == "1"
+    assert fs._bearer != first
+
+
+def test_gcs_keyfile_bad_signature_rejected(gcs_server, gcs_root):
+    """An assertion signed by a key the emulator has NOT registered
+    (same iss, different keypair) is 400 invalid_grant — surfaced as a
+    loud StoreError, never a silent retry loop."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    from zcollection_spark.fs import gcs_keyfile_token_provider
+    kf = _keyfile(gcs_server, email="svc-bad@test.iam.example.com")
+    rogue = rsa.generate_private_key(public_exponent=65537,
+                                     key_size=2048)
+    kf["private_key"] = rogue.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()).decode()
+    fs = GcsFS(token_provider=gcs_keyfile_token_provider(kf))
+    with pytest.raises(StoreError, match="JWT grant failed"):
+        fs.write_text(f"{gcs_root}/a.txt", "x")
+
+
+def test_gcs_keyfile_env_dispatch(gcs_server, gcs_root, tmp_path,
+                                  monkeypatch):
+    """GCS_KEYFILE routes gs:// to the native client with the keyfile
+    provider (static GCS_BEARER_TOKEN still wins when both are set)."""
+    import json as jsonmod
+    kf = _keyfile(gcs_server, email="svc-env@test.iam.example.com")
+    path = tmp_path / "sa.json"
+    path.write_text(jsonmod.dumps(kf))
+    monkeypatch.delenv("GCS_BEARER_TOKEN", raising=False)
+    monkeypatch.setenv("GCS_KEYFILE", str(path))
+    routed = fs_for(gcs_root)
+    assert isinstance(routed, GcsFS)
+    routed.write_text(f"{gcs_root}/a.txt", "via-env")
+    assert routed.read_text(f"{gcs_root}/a.txt") == "via-env"
+    assert fs_for(gcs_root) is routed          # cache hit

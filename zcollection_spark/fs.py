@@ -2088,6 +2088,155 @@ def gce_metadata_token_provider(endpoint: str | None = None,
     return provider
 
 
+def _der_tlv(buf: bytes, pos: int) -> tuple[int, bytes, int]:
+    """One DER TLV: ``(tag, value, next_pos)`` — the minimal ASN.1
+    walk an RSA keyfile needs (definite lengths only, which is all DER
+    permits)."""
+    tag = buf[pos]
+    ln = buf[pos + 1]
+    pos += 2
+    if ln & 0x80:
+        nbytes = ln & 0x7F
+        ln = int.from_bytes(buf[pos:pos + nbytes], "big")
+        pos += nbytes
+    return tag, buf[pos:pos + ln], pos + ln
+
+
+def _pem_rsa_private_numbers(pem: str) -> tuple[int, int, int]:
+    """``(n, e, d)`` from a PEM RSA private key — PKCS#8
+    (``BEGIN PRIVATE KEY``, what Google service-account keyfiles
+    carry) or PKCS#1 (``BEGIN RSA PRIVATE KEY``).  Hand-built DER
+    parse, no dependency — the same discipline as the Azure SharedKey
+    signer (this module signs, it does not import a crypto SDK)."""
+    import base64 as _b64
+    import re as _re
+    m = _re.search(
+        r"-----BEGIN (RSA )?PRIVATE KEY-----(.*?)-----END",
+        pem, _re.S)
+    if not m:
+        raise StoreError("keyfile private_key is not a PEM private key")
+    der = _b64.b64decode("".join(m.group(2).split()))
+    tag, body, _ = _der_tlv(der, 0)
+    if tag != 0x30:
+        raise StoreError("keyfile DER does not start with a SEQUENCE")
+    if m.group(1) is None:
+        # PKCS#8 PrivateKeyInfo: version INT, algorithm SEQ, OCTET
+        # STRING wrapping the PKCS#1 RSAPrivateKey
+        pos = 0
+        _, _, pos = _der_tlv(body, pos)           # version
+        _, _, pos = _der_tlv(body, pos)           # AlgorithmIdentifier
+        tag, inner, _ = _der_tlv(body, pos)       # privateKey
+        if tag != 0x04:
+            raise StoreError("PKCS#8 privateKey is not an OCTET STRING")
+        tag, body, _ = _der_tlv(inner, 0)
+        if tag != 0x30:
+            raise StoreError("inner PKCS#1 key is not a SEQUENCE")
+    # PKCS#1 RSAPrivateKey: version, n, e, d, p, q, dP, dQ, qInv
+    pos = 0
+    ints = []
+    while pos < len(body) and len(ints) < 4:
+        tag, val, pos = _der_tlv(body, pos)
+        if tag != 0x02:
+            raise StoreError("RSAPrivateKey field is not an INTEGER")
+        ints.append(int.from_bytes(val, "big"))
+    if len(ints) < 4:
+        raise StoreError("RSAPrivateKey is truncated")
+    _, n, e, d = ints
+    return n, e, d
+
+
+def _rs256_sign(message: bytes, n: int, d: int) -> bytes:
+    """RSASSA-PKCS1-v1_5 over SHA-256 (RFC 8017 §8.2): EMSA encode
+    (0x00 0x01 PS 0x00 DigestInfo‖hash) then one modular
+    exponentiation with the private exponent."""
+    h = hashlib.sha256(message).digest()
+    # DigestInfo for SHA-256 (RFC 8017 §9.2 note 1)
+    prefix = bytes.fromhex(
+        "3031300d060960864801650304020105000420")
+    k = (n.bit_length() + 7) // 8
+    pad = k - len(prefix) - len(h) - 3
+    if pad < 8:
+        raise StoreError("RSA modulus too small for RS256")
+    em = b"\x00\x01" + b"\xff" * pad + b"\x00" + prefix + h
+    return pow(int.from_bytes(em, "big"), d, n).to_bytes(k, "big")
+
+
+def gcs_keyfile_token_provider(
+        keyfile: "str | dict | None" = None,
+        token_uri: str | None = None,
+        scope: str = "https://www.googleapis.com/auth/devstorage"
+                     ".read_write"):
+    """Token provider for the service-account JSON **keyfile** grant —
+    the first auth mode users OUTSIDE GCE hit (no metadata server to
+    ask): RS256-sign a JWT assertion with the keyfile's private key
+    (pure-python RSA — :func:`_rs256_sign`, same hand-built discipline
+    as the Azure SharedKey signer), POST it to the keyfile's
+    ``token_uri`` as the documented
+    ``urn:ietf:params:oauth:grant-type:jwt-bearer`` grant, and return
+    the minted access token.  The reference gets this mode free via
+    obstore (``/root/reference/zcollection/store/obstore_store.py:27``).
+
+    ``keyfile`` is a path or the parsed dict; defaults to the
+    ``GCS_KEYFILE`` env var (the usual
+    ``GOOGLE_APPLICATION_CREDENTIALS`` shape).  ``token_uri``
+    overrides the keyfile's own (tests point it at the emulator).
+
+    Returns ``() -> (token, expires_at_epoch)`` for
+    :class:`GcsFS`'s ``token_provider`` — cached by the client,
+    re-invoked 5 minutes before expiry or on a 401.
+    """
+    import base64 as _b64
+    import json as _json
+    import time as _time
+    import urllib.request
+    from urllib.parse import urlencode
+    if keyfile is None:
+        keyfile = os.environ.get("GCS_KEYFILE")
+    if isinstance(keyfile, str):
+        with open(keyfile, encoding="utf-8") as fh:
+            keyfile = _json.load(fh)
+    if not isinstance(keyfile, dict):
+        raise StoreError("gcs_keyfile_token_provider needs a keyfile "
+                         "path/dict (or GCS_KEYFILE set)")
+    email = keyfile["client_email"]
+    n, _, d = _pem_rsa_private_numbers(keyfile["private_key"])
+    aud = (token_uri or keyfile.get("token_uri")
+           or "https://oauth2.googleapis.com/token")
+
+    def _b64url(raw: bytes) -> bytes:
+        return _b64.urlsafe_b64encode(raw).rstrip(b"=")
+
+    def provider():
+        iat = int(_time.time())
+        header = _b64url(_json.dumps(
+            {"alg": "RS256", "typ": "JWT"}).encode())
+        claims = _b64url(_json.dumps(
+            {"iss": email, "scope": scope, "aud": aud,
+             "iat": iat, "exp": iat + 3600}).encode())
+        signing_input = header + b"." + claims
+        assertion = (signing_input + b"."
+                     + _b64url(_rs256_sign(signing_input, n, d)))
+        body = urlencode({
+            "grant_type": "urn:ietf:params:oauth:grant-type:jwt-bearer",
+            "assertion": assertion.decode()}).encode()
+        req = urllib.request.Request(
+            aud, data=body, method="POST",
+            headers={"Content-Type":
+                     "application/x-www-form-urlencoded"})
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                doc = _json.loads(resp.read())
+            ttl = float(doc.get("expires_in") or 0)
+            return (doc["access_token"],
+                    _time.time() + ttl if ttl > 0 else None)
+        except Exception as exc:
+            raise StoreError(
+                f"service-account JWT grant failed at {aud} "
+                f"(iss={email}): {exc}") from exc
+
+    return provider
+
+
 class GcsFS:
     """Google Cloud Storage backend speaking the public JSON API
     directly (urllib + OAuth2 ``Authorization: Bearer`` — no SDK
@@ -2141,13 +2290,17 @@ class GcsFS:
         bearer = bearer_token or None
         if bearer is None and token_provider is None:
             bearer = os.environ.get("GCS_BEARER_TOKEN")
-            if bearer is None and os.environ.get("GCE_METADATA_ENDPOINT"):
+            if bearer is None and os.environ.get("GCS_KEYFILE"):
+                token_provider = gcs_keyfile_token_provider()
+            elif bearer is None \
+                    and os.environ.get("GCE_METADATA_ENDPOINT"):
                 token_provider = gce_metadata_token_provider()
         if bearer is None and token_provider is None:
             raise KeyError(
-                "GcsFS needs GCS_BEARER_TOKEN or GCE_METADATA_ENDPOINT "
-                "(or constructor equivalents); for HMAC interop keys "
-                "use the gs:// S3-interop path instead")
+                "GcsFS needs GCS_BEARER_TOKEN, GCS_KEYFILE or "
+                "GCE_METADATA_ENDPOINT (or constructor equivalents); "
+                "for HMAC interop keys use the gs:// S3-interop path "
+                "instead")
         self._bearer = bearer
         self._bearer_exp: "float | None" = None
         self._token_provider = token_provider
@@ -2623,17 +2776,21 @@ def fs_for(path: str, spark: SparkSession | None = None):
         # the az AAD/MSI pattern) before surrendering to the JVM
         # gcs-connector
         gsbearer = os.environ.get("GCS_BEARER_TOKEN")
+        gskeyfile = os.environ.get("GCS_KEYFILE")
         gsmeta = os.environ.get("GCE_METADATA_ENDPOINT")
-        if gsbearer or gsmeta:
+        if gsbearer or gskeyfile or gsmeta:
             endpoint = (os.environ.get("GCS_JSON_ENDPOINT")
                         or "https://storage.googleapis.com")
             cred = hashlib.sha256(
-                f"{gsbearer or ''}\x00{gsmeta or ''}"
-                .encode()).hexdigest()
-            # metadata endpoint configured and no static token wins:
-            # provider-backed bearer auth with automatic refresh
-            provider = (gce_metadata_token_provider()
-                        if gsmeta and not gsbearer else None)
+                f"{gsbearer or ''}\x00{gskeyfile or ''}"
+                f"\x00{gsmeta or ''}".encode()).hexdigest()
+            # static token wins; then the JSON keyfile (JWT grant —
+            # the off-GCE mode); then the metadata server.  Both
+            # provider modes refresh automatically (pre-expiry + 401)
+            provider = None
+            if not gsbearer:
+                provider = (gcs_keyfile_token_provider() if gskeyfile
+                            else gce_metadata_token_provider())
             with _GCS_CACHE_LOCK:
                 cache_key = (endpoint, cred)
                 if cache_key not in _GCS_CACHE:
