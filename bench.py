@@ -391,6 +391,20 @@ def main() -> None:
         def _():
             _consume(eq.q_text_stats(spark, sf_dir))
 
+        # the two r10 surfaces get round-over-round perf tracking like
+        # everything else (r10 verdict ask #5): a VERSION-AS-OF read
+        # resolving partition list + zone stats from a catalog
+        # snapshot, and the pure-JVM explode(sequence) upsampler.  The
+        # first repeat builds the collection (eq caches it); best-of-3
+        # records the warm query, matching the other collection reads.
+        @timed("collection_time_travel")
+        def _():
+            eq.q_collection_time_travel(spark, sf_dir).count()
+
+        @timed("upsample_weights")
+        def _():
+            _consume(eq.q_upsample_weights(spark, sf_dir))
+
         @timed("streaming_hourly")
         def _():
             eq.q_streaming_hourly(spark, sf_dir).collect()

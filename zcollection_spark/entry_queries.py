@@ -862,9 +862,11 @@ def q_dedup_jaccard(spark, sf_dir):
     bounded by max_df²/2 at any corpus size).  When the guard is OFF —
     exact Jaccard over the full vocabulary — the operator auto-switches
     to the lossless AllPairs/PPJoin prefix-filtered join (r10), the
-    shape that survives corpus-wide boilerplate: measured at sf1, the
-    unguarded full self-join did not finish in 10 min where the prefix
-    path returned the identical pairs in 54 s (dedup.py docstring)."""
+    shape that survives corpus-wide boilerplate: the r11 crossover
+    grid (SCALING.md) puts the trade at ~10% boilerplate frequency at
+    sf1 (prefix 43 s vs self-join 149 s; clean corpus 40 s vs 30 s),
+    degenerating to self-join DNF at corpus-wide boilerplate (the r10
+    10-min measurement)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
                                shingle_size=5, threshold=0.5,

@@ -389,13 +389,22 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
       pair survives while frequent shingles (deep in every ordering)
       never reach the join.  A size filter (``min(n) ≥ t·max(n)``)
       prunes candidates; exact Jaccard is verified per candidate with
-      ``array_intersect`` over the two shingle sets.  Measured niche
-      (sf1, 50 k docs, ten boilerplate words shared corpus-wide,
-      no max_df): the full self-join would build ≥7.5·10⁹ joined rows
-      and did not finish one run in 10 min; the prefix path returns
-      the identical 328 pairs in 54 s — and at 10⁹ docs the unguarded
-      join is 5·10¹³ rows per 1%-frequency shingle, i.e. the
-      difference between a job and an outage.
+      ``array_intersect`` over the two shingle sets.  Measured
+      crossover (r11 grid, SCALING.md; sf1 = 60 k docs, a shared
+      sentence prepended to f% of docs, no max_df, identical pairs
+      from both paths at every cell): on a CLEAN corpus the plain
+      self-join wins (sf1: 30 s vs prefix 40 s — the prefix pays a
+      per-document window + dfreq join, ~30% overhead); at f = 1%
+      it still wins (31 s vs 41 s); at f = 10% the quadratic term
+      takes over and prefix wins 3.4× (43 s vs 149 s); at
+      corpus-wide boilerplate (the r10 measurement: ten shared
+      words in every doc) the self-join built ≥7.5·10⁹ joined rows
+      and did not finish in 10 min where prefix returned the
+      identical 328 pairs in 54 s.  At 10⁹ docs the unguarded join
+      is 5·10¹³ rows per 1%-frequency shingle — the difference
+      between a job and an outage, which is why unbounded-vocabulary
+      (max_df=None) defaults to prefix: its worst case is bounded,
+      the self-join's is not.
 
     Returns (id_a, id_b, jaccard) from exact distinct counts:
     ``|∩| / (|A| + |B| - |∩|)``.
