@@ -62,7 +62,7 @@ def test_registry_window_invariant():
     # totals in the queries() header comment rotted in r8 ("all 66")
     # and again in r9 ("all 71"), so adding a query now forces this
     # pin — and with it the rotation ledger — to be updated.
-    assert len(names) == 74, len(names)
+    assert len(names) == 75, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
     # round-11 rotation (executes the r10 ledger): the thirteen r10
     # sit-outs return in-window and the two never-driver-graded r10
@@ -83,6 +83,9 @@ def test_registry_window_invariant():
                     "pack_sequences", "stratified_sample",
                     "token_budget",
                     "merge_upsert_tolerance", "dedup_embedding",
+                    # NEW r11, born out-of-window (the r11 window was
+                    # fixed by the r10 ledger); promote in r12
+                    "collection_retained_read",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",

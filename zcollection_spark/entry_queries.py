@@ -244,6 +244,38 @@ SELECT event_id, value FROM events WHERE day(ts) < 10
 """
 
 
+def q_collection_retained_read(spark, sf_dir):
+    """Pinned-generation retention (NEW r11): a VERSION-AS-OF read
+    that SURVIVES republish.  Build: insert days < 10 (remember and
+    PIN g), then OVERWRITE the day-3 partitions with zeroed values —
+    without the pin this bricks every historical read of g
+    (test_generations pins that refusal); with it, the old content was
+    copied aside at publish time (copy-on-republish into
+    ``_catalog/retained/``, the icechunk-parity contract) and
+    ``query(at_generation=g)`` unions the retained scan with the live
+    one.  Expected: the ORIGINAL day < 10 events, bit-identical —
+    exactly the time-travel oracle, which is the point: the republish
+    must be invisible at generation g."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/events3_rr_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(df.where(F.dayofmonth("ts") < 10))
+        gen = coll.generation()
+        coll.pin_generation(gen)
+        coll.insert(df.where(F.dayofmonth("ts") == 3)
+                    .withColumn("value", F.lit(0.0)))
+        return coll, gen
+    coll, gen = _cached(("events3_rr", sf_dir), build)
+    return (coll.query(at_generation=gen)
+            .select("event_id", "value"))
+
+
+ORACLE_RETAINED_READ = ORACLE_TIME_TRAVEL
+
+
 def q_collection_sequence(spark, sf_dir):
     """Sequence partitioning round-trip + pruning
     (partitioning/sequence.py:20-156)."""
@@ -2524,6 +2556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "merge_upsert_tolerance": q_merge_upsert_tolerance,
         "dedup_embedding": q_dedup_embedding,
+        # NEW r11, built out-of-window (the r11 window was set by the
+        # r10 ledger): pinned-generation retention — a VERSION-AS-OF
+        # read that survives republish.  check_oracle-gated now;
+        # promote in r12 alongside the returning sit-outs.
+        "collection_retained_read": q_collection_retained_read,
     }
 
 
@@ -2546,6 +2583,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "collection_zonemap_skip": ORACLE_ZONEMAP_SKIP,
         "collection_changes": ORACLE_CHANGES,
         "collection_time_travel": ORACLE_TIME_TRAVEL,
+        "collection_retained_read": ORACLE_RETAINED_READ,
         "upsample_weights": ORACLE_UPSAMPLE_WEIGHTS,
         "collection_projection": ORACLE_PROJECTION,
         "collection_sequence": ORACLE_SEQUENCE,
