@@ -474,3 +474,32 @@ def test_gs_scheme_routes_through_s3_surface(s3_endpoint, monkeypatch):
     assert fs.read_text(f"{root}/b/file.txt") == "payload"
     # distinct client cache entry from the s3:// one (different creds)
     assert fs_for(f"s3://{bucket}/store") is not fs
+
+
+def test_s3_pinned_retention_is_server_side_copy(spark, seq_schema,
+                                                 s3_root):
+    """Pinned-generation retention on s3://: the copy-on-republish
+    copies run as SERVER-SIDE CopyObject (bytes never reach the
+    driver — the contract that keeps retention viable for a pinned
+    100-GB partition), and the pinned generation reads bit-identical
+    after the republish."""
+    path = f"{s3_root}/coll_pin"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    coll.insert(_seq_df(spark, seq_schema, [0, 1], 1.0))
+    gen = coll.generation()
+    coll.pin_generation(gen)
+    before = sorted((r["num"], tuple(r["value"]))
+                    for r in coll.query().collect())
+    copies_before = coll._fs.api_counts["copy"]
+    coll.insert(_seq_df(spark, seq_schema, [0], 9.0))   # republish num=0
+    # retention happened via CopyObject (no driver byte round-trip)
+    assert coll._fs.api_counts["copy"] > copies_before
+    assert sorted((r["num"], tuple(r["value"])) for r in
+                  coll.query(at_generation=gen).collect()) == before
+    assert coll.stale_partitions(gen) == []
+    # unpin reclaims
+    coll.unpin_generation(gen)
+    with pytest.raises(ValueError, match="republished or dropped"):
+        coll.query(at_generation=gen)

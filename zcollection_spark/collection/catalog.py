@@ -690,9 +690,18 @@ class Catalog:
             if self._fs.exists(dst):
                 self._fs.delete(dst)
             files = _walk_files(self._fs, src)
+            # server-side copy when the store has one (S3 CopyObject,
+            # GCS rewrite, Azure Copy Blob, Hadoop FileUtil) — a
+            # pinned 100-GB partition must never round-trip through
+            # the driver; the byte path is the small-store fallback
+            copier = getattr(self._fs, "copy_file", None)
             for f in files:
-                self._fs.write_bytes(f"{dst}/{f}",
-                                     self._fs.read_bytes(f"{src}/{f}"))
+                if copier is not None:
+                    copier(f"{src}/{f}", f"{dst}/{f}")
+                else:
+                    self._fs.write_bytes(
+                        f"{dst}/{f}",
+                        self._fs.read_bytes(f"{src}/{f}"))
             self._fs.write_text(
                 self._retained_marker(stamp, rel),
                 json.dumps({"format_version": 1, "stamp": stamp,

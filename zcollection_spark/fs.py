@@ -199,6 +199,20 @@ class LocalFS:
         except OSError:
             return False
 
+    def copy_file(self, src: str, dst: str) -> bool:
+        """Non-destructive single-file copy (retention copies use this
+        so bytes never round-trip through Python objects); False ONLY
+        for a missing source.  Tmp+replace keeps the visible dst
+        all-or-nothing, matching write_bytes."""
+        target = Path(dst)
+        if not Path(src).is_file():
+            return False
+        target.parent.mkdir(parents=True, exist_ok=True)
+        tmp = target.parent / f".{target.name}.{uuid.uuid4().hex}.tmp"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, target)
+        return True
+
     def list_files(self, path: str) -> list[str]:
         """Names of the plain files directly under ``path`` (sorted)."""
         target = Path(path)
@@ -295,6 +309,15 @@ class MemoryFS:
 
     def write_bytes(self, path: str, data: bytes) -> None:
         self.write_text(path, data.decode("latin-1"))
+
+    def copy_file(self, src: str, dst: str) -> bool:
+        """Non-destructive copy; False ONLY for a missing source."""
+        s, d = self._norm(src), self._norm(dst)
+        with self._lock:
+            if s not in self._files:
+                return False
+            self._files[d] = self._files[s]
+        return True
 
     def write_text(self, path: str, data: str) -> None:
         p = self._norm(path)
@@ -544,6 +567,18 @@ class HadoopFS:
         _, jdst = self._fs_path(dst)
         return bool(fs.rename(jsrc, jdst))
 
+    def copy_file(self, src: str, dst: str) -> bool:
+        """Non-destructive copy, bytes staying JVM-side
+        (``FileUtil.copy`` — no py4j byte round-trip); False ONLY for
+        a missing source."""
+        sfs, jsrc = self._fs_path(src)
+        dfs, jdst = self._fs_path(dst)
+        if not sfs.exists(jsrc):
+            return False
+        futil = self._jvm.org.apache.hadoop.fs.FileUtil
+        return bool(futil.copy(sfs, jsrc, dfs, jdst, False, True,
+                               self._conf))
+
     def _list_names(self, path: str, want_dirs: bool) -> list[str]:
         fs, jpath = self._fs_path(path)
         if not fs.exists(jpath):
@@ -648,6 +683,10 @@ class CountingFS:
     def rename(self, src: str, dst: str) -> bool:
         self.counts["rename"] += 1
         return self.inner.rename(src, dst)
+
+    def copy_file(self, src: str, dst: str) -> bool:
+        self.counts["copy"] += 1
+        return self.inner.copy_file(src, dst)
 
     def list_files(self, path: str) -> list[str]:
         self.counts["list"] += 1
@@ -933,6 +972,27 @@ class S3FS:
             raise
         self.api_counts["delete"] += 1
         self._client.delete_object(Bucket=sb, Key=sk)
+        return True
+
+    def copy_file(self, src: str, dst: str) -> bool:
+        """Non-destructive server-side copy (one CopyObject — the
+        bytes never leave S3; retention copies of pinned partitions
+        use this instead of a driver byte round-trip).  Same
+        missing-source contract as ``move_file``."""
+        sb, sk = self._bk(src)
+        db, dk = self._bk(dst)
+        self.api_counts["copy"] += 1
+        try:
+            self._client.copy_object(Bucket=db, Key=dk,
+                                     CopySource={"Bucket": sb,
+                                                 "Key": sk})
+        except self._client.exceptions.ClientError as exc:
+            status = exc.response.get("ResponseMetadata", {}) \
+                .get("HTTPStatusCode")
+            code = exc.response.get("Error", {}).get("Code", "")
+            if status == 404 or code in ("404", "NoSuchKey", "NotFound"):
+                return False
+            raise
         return True
 
     def _delimited(self, path: str) -> tuple[list[str], list[str]]:
@@ -1890,6 +1950,18 @@ class AzureBlobFS:
         self._delete_source(sc, sk)
         return True
 
+    def copy_file(self, src: str, dst: str) -> bool:
+        """Non-destructive server-side copy (one Copy Blob — bytes
+        never leave the account; retention copies use this).  False
+        ONLY for a missing source."""
+        sc, sk = self._ck(src)
+        dc, dk = self._ck(dst)
+        if self._head(sc, sk) is None:
+            return False
+        self._copy_blob(sc, sk, dk) if sc == dc else \
+            self._copy_cross(sc, sk, dc, dk)
+        return True
+
     def _delete_source(self, container: str, key: str) -> None:
         """Post-copy source delete: a silent failure would leave BOTH
         src and dst visible as duplicate data, so anything but success
@@ -2593,6 +2665,17 @@ class GcsFS:
             return False
         self._rewrite(sb, sk, db, dk)
         self._delete_source(sb, sk)
+        return True
+
+    def copy_file(self, src: str, dst: str) -> bool:
+        """Non-destructive server-side copy (one Objects: rewrite —
+        bytes never leave GCS; retention copies use this).  False ONLY
+        for a missing source."""
+        sb, sk = self._bk(src)
+        db, dk = self._bk(dst)
+        if self._meta(sb, sk) is None:
+            return False
+        self._rewrite(sb, sk, db, dk)
         return True
 
     def rename(self, src: str, dst: str) -> bool:
