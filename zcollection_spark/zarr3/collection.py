@@ -908,11 +908,20 @@ class ZarrCollection:
     def partitions(self, *, filters: str | None = None,
                    at_generation: int | None = None) -> list[str]:
         if at_generation is not None:
-            from ..collection.catalog import verify_snapshot_readable
-            relpaths = list(verify_snapshot_readable(
-                self._catalog, at_generation)["partitions"])
-        else:
-            relpaths = self._catalog.read()
+            # staleness is fatal only for partitions the filter
+            # MATCHES (parquet-layout parity: the documented
+            # partial-read workflow)
+            from ..collection.catalog import (_snapshot_sources,
+                                              raise_for_stale)
+            snap, _, stale = _snapshot_sources(self._catalog,
+                                               at_generation)
+            matched = self._match_relpaths(
+                list(snap["partitions"]), filters)
+            if stale:
+                raise_for_stale(at_generation,
+                                sorted(set(matched) & set(stale)))
+            return matched
+        relpaths = self._catalog.read()
         if relpaths is None:
             relpaths = self._fs.list_partition_dirs(
                 self.path, self.partitioning.depth)
