@@ -122,3 +122,30 @@ def test_zarr_crash_mid_publish_recovers_on_s3(spark, zschema, s3_root):
         assert len(rows) == 2, f"allowed={allowed}"
         assert all(r["v"] == 9.0 for r in rows)
         assert coll.repair_catalog() == ["num=0", "num=1"]
+
+
+def test_zarr_pinned_retention_on_s3(spark, zschema, s3_root):
+    """Zarr-layout retention on s3://: the copy-on-republish copies the
+    partition's zarr group server-side (CopyObject), and the pinned
+    read's RETAINED SCAN — a second zarr3 datasource rooted at
+    _catalog/retained/gen-N with the collection config threaded from
+    the live root — runs in Python workers against the S3 blob conf."""
+    path = f"{s3_root}/zpin"
+    coll = create_zarr_collection(spark, path, schema=zschema,
+                                  axis="num",
+                                  partitioning=zc.Sequence(("num",)))
+    coll.insert(_zdf(spark, zschema, [0, 0, 1, 2], 1.0))
+    g = coll.generation()
+    coll.pin_generation(g)
+    before = sorted((r["num"], r["v"]) for r in coll.query().collect())
+    copies0 = coll._fs.api_counts["copy"]
+    coll.insert(_zdf(spark, zschema, [0, 0], 7.0))   # republish num=0
+    assert coll._fs.api_counts["copy"] > copies0     # server-side copy
+    got = sorted((r["num"], r["v"])
+                 for r in coll.query(at_generation=g).collect())
+    assert got == before
+    live = sorted((r["num"], r["v"]) for r in coll.query().collect())
+    assert live != before and len(live) == 4
+    coll.unpin_generation(g)
+    with pytest.raises(ValueError, match="republished or dropped"):
+        coll.query(at_generation=g)
