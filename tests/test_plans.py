@@ -382,3 +382,35 @@ def test_graded_bloom_skip_reads_two_partitions(spark):
     dirs = {f.rsplit("/", 1)[0] for f in df.inputFiles()}
     assert 1 <= len(dirs) <= 2, sorted(dirs)
     assert df.count() == 2
+
+
+def test_retained_union_read_plans_two_scans_no_join(spark, tmp_path):
+    """A pinned-generation read that mixes live and retained partitions
+    must plan as exactly (live scan) UNION (retained scan) + the final
+    order's range exchange — no join, no extra shuffle, no third scan.
+    The union is the whole price of retention on the read side."""
+    import pyspark.sql.functions as F
+
+    from zcollection_spark.data import load_table
+    from zcollection_spark.schema import infer_schema
+    events = load_table(spark, SF_DIR, "events")
+    coll = zc.create_collection(
+        spark, str(tmp_path / "ret"),
+        schema=infer_schema(events.schema, axis="ts"),
+        axis="ts", partitioning=zc.Date(("ts",), resolution="D"))
+    coll.insert(events)
+    g = coll.generation()
+    coll.pin_generation(g)
+    day3 = coll.query(filters="day == 3")
+    coll.insert(day3.withColumn("value", F.lit(0.0)))
+    df = coll.query(filters="day in (3, 4)", at_generation=g)
+    assert df.count() > 0
+    # AQE's string repeats the plan ("Final" + "Initial") — audit the
+    # final section only
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 2
+    assert "Union" in plan
+    assert "Join" not in plan
+    # one exchange only: the query-level final sort
+    assert len(re.findall(r"Exchange \w+", plan)) == 1
+    assert "rangepartitioning" in plan
