@@ -561,3 +561,27 @@ def test_gcs_keyfile_env_dispatch(gcs_server, gcs_root, tmp_path,
     routed.write_text(f"{gcs_root}/a.txt", "via-env")
     assert routed.read_text(f"{gcs_root}/a.txt") == "via-env"
     assert fs_for(gcs_root) is routed          # cache hit
+
+
+def test_gcs_keyfile_rotation_is_picked_up(gcs_server, gcs_root,
+                                           tmp_path):
+    """Standard GCP key rotation swaps the keyfile CONTENTS at the same
+    path: the provider must re-read per grant, or every refresh after
+    rotation signs with the revoked key forever."""
+    import json as jsonmod
+
+    from tests.gcs_mini import register_service_account
+    from zcollection_spark.fs import gcs_keyfile_token_provider
+    srv, endpoint = gcs_server
+    email = "svc-rot@test.iam.example.com"
+    kf1 = register_service_account(srv.state, endpoint, email=email)
+    path = tmp_path / "sa.json"
+    path.write_text(jsonmod.dumps(kf1))
+    fs = GcsFS(token_provider=gcs_keyfile_token_provider(str(path)))
+    fs.write_text(f"{gcs_root}/a.txt", "1")
+    # rotate: a NEW keypair replaces both the registered public half
+    # and the keyfile contents at the same path; the old key is revoked
+    kf2 = register_service_account(srv.state, endpoint, email=email)
+    path.write_text(jsonmod.dumps(kf2))
+    srv.state.tokens[fs._bearer] = 0.0        # kill the live token
+    assert fs.read_text(f"{gcs_root}/a.txt") == "1"   # re-grant works

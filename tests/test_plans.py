@@ -414,3 +414,38 @@ def test_retained_union_read_plans_two_scans_no_join(spark, tmp_path):
     # one exchange only: the query-level final sort
     assert len(re.findall(r"Exchange \w+", plan)) == 1
     assert "rangepartitioning" in plan
+
+
+def test_jaccard_stop_filter_broadcast_is_size_gated(spark, monkeypatch):
+    """max_df is an absolute count, so on a big corpus the stop set
+    grows with the VOCABULARY — past the cap the anti-join must fall
+    back to a shuffled join instead of forcing a broadcast that would
+    die at the driver (the gate, not the hint, is the contract)."""
+    import zcollection_spark.functions.dedup as dd
+    from zcollection_spark.data import load_table
+    monkeypatch.setattr(dd, "_STOP_BROADCAST_CAP", 0)
+    docs = load_table(spark, SF_DIR, "documents")
+    # max_df=1 makes the stop list genuinely non-empty at sf0.001 (an
+    # empty build side would let AQE eliminate the join entirely)
+    pairs = dd.ngram_jaccard_pairs(docs, id_col="doc_id",
+                                   text_col="text", shingle_size=5,
+                                   threshold=0.5, max_df=1)
+    # the contract is "no FORCED broadcast hint past the cap" — Spark
+    # may still choose broadcast from its own (bounded, stats-based)
+    # size estimate, and that estimator is exactly the fallback that
+    # backs off when the list is genuinely large.  The planted hint is
+    # visible as ResolvedHint in the ANALYZED plan (the optimizer
+    # consumes it); the gated path must not plant one.
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" not in analyzed
+    assert pairs.count() >= 0              # and it still executes
+    dd.unpersist_intermediates(pairs)
+
+    # control: under the default cap the hint IS planted
+    monkeypatch.undo()
+    pairs2 = dd.ngram_jaccard_pairs(docs, id_col="doc_id",
+                                    text_col="text", shingle_size=5,
+                                    threshold=0.5, max_df=1)
+    analyzed2 = pairs2._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" in analyzed2
+    dd.unpersist_intermediates(pairs2)

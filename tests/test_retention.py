@@ -242,6 +242,94 @@ def test_partial_listing_and_read_via_filter(spark, tmp_path):
     assert _rows(got) == [(200, 2, 2.0)]
 
 
+def test_corrupt_pin_ledger_is_loud_not_empty(spark, tmp_path):
+    """A durability ledger must never read corrupt as 'no pins': that
+    would silently skip copy-on-republish at the only moment the
+    pinned bytes still exist, and a read-modify-write would wipe every
+    existing pin."""
+    from zcollection_spark.errors import StoreError
+    coll = _mk(spark, str(tmp_path / "cl"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g = coll.generation()
+    coll.pin_generation(g)
+    (tmp_path / "cl" / "_catalog" / "pins.json").write_text("{broken")
+    with pytest.raises(StoreError, match="pin ledger is corrupt"):
+        coll.pinned_generations()
+    with pytest.raises(StoreError, match="pin ledger is corrupt"):
+        coll.pin_generation(g)          # RMW must not wipe pins
+    with pytest.raises(StoreError, match="pin ledger is corrupt"):
+        coll.insert(_df(spark, coll, [(1, 2.0)]))   # publish gated too
+
+
+def test_vanished_file_mid_copy_never_marks_complete(spark, tmp_path):
+    """copy_file's False (source vanished between the listing and the
+    copy = concurrent mutation) must abort retention loudly — writing
+    the completion marker would certify a partial copy as valid
+    forever."""
+    from zcollection_spark.errors import StoreError
+    coll = _mk(spark, str(tmp_path / "vf"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g = coll.generation()
+    coll.pin_generation(g)
+    cat: Catalog = coll._catalog
+    real_fs = cat._fs
+
+    class VanishingCopy:
+        def copy_file(self, src, dst):
+            return False                  # every source "vanished"
+
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+    cat._fs = VanishingCopy()
+    try:
+        with pytest.raises(StoreError, match="vanished during retention"):
+            cat.retain_for_pins(["num=1"])
+    finally:
+        cat._fs = real_fs
+    stamp = int(cat.read_doc()["touched"]["num=1"])
+    assert not cat.has_retained(stamp, "num=1")
+    # and the retry with a healthy store completes
+    assert cat.retain_for_pins(["num=1"]) == ["num=1"]
+
+
+def test_sweep_skips_when_pinned_snapshot_unreadable(spark, tmp_path):
+    """An unreadable pinned snapshot means the pin's reference set is
+    UNKNOWN — the sweep must delete nothing rather than convert a
+    repairable metadata fault into data loss."""
+    coll = _mk(spark, str(tmp_path / "us"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g2 = coll.generation()
+    coll.pin_generation(g1)
+    coll.pin_generation(g2)
+    coll.insert(_df(spark, coll, [(1, 9.0)]))   # retained copy for g1/g2
+    # corrupt g1's snapshot file: its references become unknown
+    cat: Catalog = coll._catalog
+    snap_path = tmp_path / "us" / "_catalog" / f"gen-{g1:012d}.json"
+    assert snap_path.exists()
+    snap_path.write_text("{broken")
+    assert cat.sweep_retained() == []           # nothing deleted
+    # the retained area is untouched: g2 still reads bit-identical
+    assert _rows(coll.query(at_generation=g2)) == [
+        (1000, 1, 1.0), (2000, 2, 2.0)]
+
+
+def test_cli_pin_reports_store_errors_as_json(spark, tmp_path, capsys):
+    """StoreError (corrupt ledger, store faults) must honor the CLI's
+    JSON error contract, not leak a traceback."""
+    import json as jsonmod
+
+    from zcollection_spark import cli
+    coll = _mk(spark, str(tmp_path / "ce"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    (tmp_path / "ce" / "_catalog" / "pins.json").write_text("{broken")
+    assert cli.main(["pin", coll.path]) == 1
+    out = jsonmod.loads(capsys.readouterr().out)
+    assert "pin ledger is corrupt" in out["error"]
+
+
 def test_cli_pin_roundtrip(spark, tmp_path, capsys):
     import json as jsonmod
 

@@ -503,3 +503,29 @@ def test_s3_pinned_retention_is_server_side_copy(spark, seq_schema,
     coll.unpin_generation(gen)
     with pytest.raises(ValueError, match="republished or dropped"):
         coll.query(at_generation=gen)
+
+
+def test_copy_file_multipart_past_single_call_limit(s3_root):
+    """Objects past S3's single-call CopyObject ceiling copy via
+    multipart UploadPartCopy with ranged parts — a pinned partition
+    holding a >5 GiB part-file must retain, not fail every publish.
+    The thresholds shrink so a small object drives the multipart
+    path."""
+    fs = S3FS()
+    mib = 1024 * 1024
+    payload = bytes(range(256)) * (12 * 4096)   # 12 MiB
+    fs.write_bytes(f"{s3_root}/big.bin", payload)
+    fs._COPY_SINGLE_MAX = 8 * mib               # instance-only override
+    fs._COPY_PART_SIZE = 5 * mib                # S3's real minimum part
+    copies0 = fs.api_counts["copy"]
+    assert fs.copy_file(f"{s3_root}/big.bin", f"{s3_root}/big2.bin")
+    assert fs.api_counts["copy"] - copies0 == 3   # 5+5+2 MiB parts
+    assert fs.read_bytes(f"{s3_root}/big2.bin") == payload
+    # small objects still take the one-call path
+    fs.write_bytes(f"{s3_root}/small.bin", b"x")
+    copies1 = fs.api_counts["copy"]
+    assert fs.copy_file(f"{s3_root}/small.bin", f"{s3_root}/small2.bin")
+    assert fs.api_counts["copy"] - copies1 == 1
+    # missing source contract survives both paths
+    assert fs.copy_file(f"{s3_root}/nope.bin", f"{s3_root}/x.bin") \
+        is False

@@ -203,6 +203,7 @@ def cmd_pin(args: argparse.Namespace) -> int:
     """Pin/unpin/list generations kept readable forever (copy-on-
     republish retention — ``Collection.pin_generation``).  ``--stale``
     lists what a partial read of a generation would miss."""
+    from .errors import CommitConflictError, StoreError
     coll = _open(args.path, mode="rw" if (args.add is not None
                                           or args.remove is not None)
                  else "r")
@@ -218,7 +219,10 @@ def cmd_pin(args: argparse.Namespace) -> int:
             out["stale"] = coll.stale_partitions(args.stale)
         print(json.dumps(out, indent=1))
         return 0
-    except ValueError as exc:
+    except (ValueError, StoreError, CommitConflictError) as exc:
+        # StoreError covers store faults / a corrupt pin ledger;
+        # CommitConflictError a lost pin-ledger CAS race — all must
+        # honor the JSON error contract, not leak a traceback
         print(json.dumps({"error": str(exc)}, indent=1))
         return 1
 

@@ -19,7 +19,7 @@ import json
 import threading
 from collections import defaultdict
 
-from ..errors import CommitConflictError
+from ..errors import CommitConflictError, StoreError
 
 CATALOG_RELPATH = "_catalog/state.json"
 
@@ -152,6 +152,21 @@ def resolve_snapshot_readable(catalog: "Catalog",
     snap, sources, stale = _snapshot_sources(catalog, generation)
     raise_for_stale(generation, stale)
     return snap, sources
+
+
+def resolve_matched(catalog: "Catalog", generation: int,
+                    matcher) -> tuple[dict, dict, list]:
+    """``(snap, sources, matched)`` — the shared resolve-match-raise
+    both layouts' ``query()`` and ``partitions()`` use: fetch + verify
+    the snapshot once, let ``matcher`` (the layout's filter +
+    numeric-sort) pick relpaths from its partition list, and raise only
+    when a MATCHED relpath is stale (the filter-lenient partial-read
+    contract, in exactly one place)."""
+    snap, sources, stale = _snapshot_sources(catalog, generation)
+    matched = matcher(list(snap.get("partitions", [])))
+    if stale:
+        raise_for_stale(generation, sorted(set(matched) & set(stale)))
+    return snap, sources, matched
 
 
 def raise_for_stale(generation: int, stale: list) -> None:
@@ -578,9 +593,17 @@ class Catalog:
             return []
         try:
             doc = json.loads(raw)
-        except ValueError:
-            return []
-        return sorted(int(g) for g in doc.get("pins", []))
+            return sorted(int(g) for g in doc.get("pins", []))
+        except (ValueError, TypeError) as exc:
+            # the pin ledger is a DURABILITY promise: corrupt must be
+            # loud, never "no pins" — a silent [] here would skip
+            # copy-on-republish at the only moment the pinned bytes
+            # still exist (contrast the catalog state document, whose
+            # corrupt-means-missing only degrades to a store walk)
+            raise StoreError(
+                f"{self._pins_path()}: pin ledger is corrupt "
+                f"({exc}); refusing to treat it as empty — restore or "
+                f"delete the file explicitly") from exc
 
     def _mutate_pins(self, fn) -> list[int]:
         """Read-modify-write of the pin ledger — conditional-write loop
@@ -603,8 +626,15 @@ class Catalog:
                     cur = ([int(g) for g in
                             json.loads(raw).get("pins", [])]
                            if raw else [])
-                except (ValueError, AttributeError):
-                    cur = []
+                except (ValueError, AttributeError, TypeError) as exc:
+                    # corrupt-means-empty would make this very write
+                    # WIPE every existing pin (last-wins PUT of []) —
+                    # the one mutation a durability ledger must never
+                    # perform silently
+                    raise StoreError(
+                        f"{path}: pin ledger is corrupt ({exc}); "
+                        f"refusing a read-modify-write that would "
+                        f"drop existing pins") from exc
                 new = sorted({int(g) for g in fn(list(cur))})
                 data = json.dumps({"format_version": 1, "pins": new})
                 if not cas:
@@ -662,7 +692,16 @@ class Catalog:
             return []
         doc = self.read_doc()
         if doc is None:
-            return []
+            # pins exist but the current catalog is unreadable: the
+            # content stamps retention keys on cannot be determined, so
+            # proceeding would silently break the pins' promise at the
+            # only moment the old bytes still exist.  Loud stop — the
+            # caller repairs the catalog (or unpins) and retries.
+            raise StoreError(
+                f"{self._root}: catalog state unreadable while "
+                f"generations {pins} are pinned — refusing to publish "
+                f"over possibly-pinned content (repair_catalog, or "
+                f"unpin, then retry)")
         touched = doc.get("touched", {})
         live = set(doc.get("partitions", []))
         gmax = max(pins)
@@ -697,7 +736,17 @@ class Catalog:
             copier = getattr(self._fs, "copy_file", None)
             for f in files:
                 if copier is not None:
-                    copier(f"{src}/{f}", f"{dst}/{f}")
+                    if not copier(f"{src}/{f}", f"{dst}/{f}"):
+                        # a file listed a moment ago is gone: someone
+                        # is mutating the partition under us — writing
+                        # the marker would certify a PARTIAL copy as
+                        # complete forever.  Loud stop; the publish
+                        # retries retention from the marker check.
+                        raise StoreError(
+                            f"{src}/{f} vanished during retention "
+                            f"copy (concurrent mutation?) — retained "
+                            f"copy of {rel} is incomplete, not "
+                            f"marked")
                 else:
                     self._fs.write_bytes(
                         f"{dst}/{f}",
@@ -723,7 +772,14 @@ class Catalog:
         for g in self.pins():
             snap = self.read_at(g)
             if snap is None:
-                continue
+                # a LIVE pin whose snapshot is unreadable (pruned by
+                # hand, corrupt, transient store fault): its reference
+                # set is UNKNOWN — deleting "unreferenced" copies now
+                # would turn a repairable one-file metadata problem
+                # into unrecoverable data loss.  Skip the sweep; it
+                # reruns on the next unpin/prune once the snapshot is
+                # readable again.
+                return []
             snap_touched = snap.get("touched", {})
             for rel in snap.get("partitions", []):
                 stamp = snap_touched.get(rel)

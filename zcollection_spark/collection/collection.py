@@ -301,15 +301,10 @@ class Collection:
             if not self.catalog_enabled:
                 raise ValueError("at_generation requires the catalog "
                                  "(this collection runs catalog-less)")
-            from .catalog import _snapshot_sources, raise_for_stale
-            snap, _, stale = _snapshot_sources(self._catalog,
-                                               at_generation)
-            matched = self._match_relpaths(
-                list(snap["partitions"]), filters)
-            if stale:
-                raise_for_stale(at_generation,
-                                sorted(set(matched) & set(stale)))
-            return matched
+            from .catalog import resolve_matched
+            return resolve_matched(
+                self._catalog, at_generation,
+                lambda rels: self._match_relpaths(rels, filters))[2]
         else:
             relpaths = (self._catalog.read() if self.catalog_enabled
                         else None)
@@ -532,22 +527,16 @@ class Collection:
             # where-clause time-travel read used to verify twice (two
             # extra GETs per query on object stores, r10 advice).
             # ``sources`` routes republished partitions to their
-            # pinned-generation retained copies (copy-on-republish).
-            # Staleness is fatal only for partitions the filter
-            # MATCHES — a key predicate that excludes every stale
-            # partition is the partial-read path ``stale_partitions``
-            # documents.
+            # pinned-generation retained copies (copy-on-republish);
+            # staleness is fatal only for MATCHED partitions
+            # (catalog.resolve_matched — the partial-read contract).
             if not self.catalog_enabled:
                 raise ValueError("at_generation requires the catalog "
                                  "(this collection runs catalog-less)")
-            from .catalog import _snapshot_sources, raise_for_stale
-            snap, sources, stale = _snapshot_sources(
-                self._catalog, at_generation)
-            relpaths = self._match_relpaths(
-                list(snap["partitions"]), filters)
-            if stale:
-                raise_for_stale(at_generation,
-                                sorted(set(relpaths) & set(stale)))
+            from .catalog import resolve_matched
+            snap, sources, relpaths = resolve_matched(
+                self._catalog, at_generation,
+                lambda rels: self._match_relpaths(rels, filters))
         else:
             snap = None
             relpaths = self.partitions(filters=filters)

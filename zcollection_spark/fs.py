@@ -974,24 +974,63 @@ class S3FS:
         self._client.delete_object(Bucket=sb, Key=sk)
         return True
 
+    #: single-call CopyObject ceiling (the documented S3 limit is
+    #: 5 GiB; bigger objects need multipart UploadPartCopy) and the
+    #: ranged part size used past it.  Class attributes so tests can
+    #: shrink them and drive the multipart path on small objects.
+    _COPY_SINGLE_MAX = 5 * 1024 ** 3
+    _COPY_PART_SIZE = 1024 ** 3
+
     def copy_file(self, src: str, dst: str) -> bool:
-        """Non-destructive server-side copy (one CopyObject — the
-        bytes never leave S3; retention copies of pinned partitions
-        use this instead of a driver byte round-trip).  Same
-        missing-source contract as ``move_file``."""
+        """Non-destructive server-side copy (bytes never leave S3;
+        retention copies of pinned partitions use this instead of a
+        driver byte round-trip): one CopyObject up to the documented
+        5 GiB single-call limit, multipart UploadPartCopy with ranged
+        parts past it — a pinned partition holding a >5 GiB part-file
+        must retain, not fail every publish.  Same missing-source
+        contract as ``move_file``."""
         sb, sk = self._bk(src)
         db, dk = self._bk(dst)
-        self.api_counts["copy"] += 1
+        head = self._head(sb, sk)
+        if head is None:
+            return False
+        size = int(head.get("ContentLength", 0))
+        if size <= self._COPY_SINGLE_MAX:
+            self.api_counts["copy"] += 1
+            try:
+                self._client.copy_object(Bucket=db, Key=dk,
+                                         CopySource={"Bucket": sb,
+                                                     "Key": sk})
+            except self._client.exceptions.ClientError as exc:
+                status = exc.response.get("ResponseMetadata", {}) \
+                    .get("HTTPStatusCode")
+                code = exc.response.get("Error", {}).get("Code", "")
+                if status == 404 or code in ("404", "NoSuchKey",
+                                             "NotFound"):
+                    return False
+                raise
+            return True
+        mp = self._client.create_multipart_upload(Bucket=db, Key=dk)
+        upload_id = mp["UploadId"]
         try:
-            self._client.copy_object(Bucket=db, Key=dk,
-                                     CopySource={"Bucket": sb,
-                                                 "Key": sk})
-        except self._client.exceptions.ClientError as exc:
-            status = exc.response.get("ResponseMetadata", {}) \
-                .get("HTTPStatusCode")
-            code = exc.response.get("Error", {}).get("Code", "")
-            if status == 404 or code in ("404", "NoSuchKey", "NotFound"):
-                return False
+            parts = []
+            for i, start in enumerate(
+                    range(0, size, self._COPY_PART_SIZE), start=1):
+                end = min(start + self._COPY_PART_SIZE, size) - 1
+                self.api_counts["copy"] += 1
+                part = self._client.upload_part_copy(
+                    Bucket=db, Key=dk, UploadId=upload_id, PartNumber=i,
+                    CopySource={"Bucket": sb, "Key": sk},
+                    CopySourceRange=f"bytes={start}-{end}")
+                parts.append({"PartNumber": i,
+                              "ETag": part["CopyPartResult"]["ETag"]})
+            self._client.complete_multipart_upload(
+                Bucket=db, Key=dk, UploadId=upload_id,
+                MultipartUpload={"Parts": parts})
+        except Exception:
+            # abort so the incomplete upload does not bill forever
+            self._client.abort_multipart_upload(
+                Bucket=db, Key=dk, UploadId=upload_id)
             raise
         return True
 
@@ -2264,35 +2303,51 @@ def gcs_keyfile_token_provider(
     from urllib.parse import urlencode
     if keyfile is None:
         keyfile = os.environ.get("GCS_KEYFILE")
-    if isinstance(keyfile, str):
-        with open(keyfile, encoding="utf-8") as fh:
-            keyfile = _json.load(fh)
-    if not isinstance(keyfile, dict):
-        raise StoreError("gcs_keyfile_token_provider needs a keyfile "
-                         "path/dict (or GCS_KEYFILE set)")
-    email = keyfile["client_email"]
-    n, _, d = _pem_rsa_private_numbers(keyfile["private_key"])
-    aud = (token_uri or keyfile.get("token_uri")
-           or "https://oauth2.googleapis.com/token")
+    keyfile_path = keyfile if isinstance(keyfile, str) else None
+
+    def _load(source) -> tuple[str, int, int, str]:
+        if isinstance(source, str):
+            with open(source, encoding="utf-8") as fh:
+                source = _json.load(fh)
+        if not isinstance(source, dict):
+            raise StoreError("gcs_keyfile_token_provider needs a "
+                             "keyfile path/dict (or GCS_KEYFILE set)")
+        n, _, d = _pem_rsa_private_numbers(source["private_key"])
+        return (source["client_email"], n, d,
+                token_uri or source.get("token_uri")
+                or "https://oauth2.googleapis.com/token")
+
+    # parse eagerly so a bad keyfile fails at construction, not at the
+    # first store op deep inside a publish
+    email, n, d, aud = _load(keyfile)
 
     def _b64url(raw: bytes) -> bytes:
         return _b64.urlsafe_b64encode(raw).rstrip(b"=")
 
     def provider():
+        # path-backed keyfiles are RE-READ per grant: standard GCP key
+        # rotation swaps the file contents in place, and a provider
+        # pinned to the construction-time key would sign every refresh
+        # with a revoked key forever (grants are rare — pre-expiry or
+        # 401 — so the re-read costs nothing measurable)
+        if keyfile_path is not None:
+            email_, n_, d_, aud_ = _load(keyfile_path)
+        else:
+            email_, n_, d_, aud_ = email, n, d, aud
         iat = int(_time.time())
         header = _b64url(_json.dumps(
             {"alg": "RS256", "typ": "JWT"}).encode())
         claims = _b64url(_json.dumps(
-            {"iss": email, "scope": scope, "aud": aud,
+            {"iss": email_, "scope": scope, "aud": aud_,
              "iat": iat, "exp": iat + 3600}).encode())
         signing_input = header + b"." + claims
         assertion = (signing_input + b"."
-                     + _b64url(_rs256_sign(signing_input, n, d)))
+                     + _b64url(_rs256_sign(signing_input, n_, d_)))
         body = urlencode({
             "grant_type": "urn:ietf:params:oauth:grant-type:jwt-bearer",
             "assertion": assertion.decode()}).encode()
         req = urllib.request.Request(
-            aud, data=body, method="POST",
+            aud_, data=body, method="POST",
             headers={"Content-Type":
                      "application/x-www-form-urlencoded"})
         try:
@@ -2303,8 +2358,8 @@ def gcs_keyfile_token_provider(
                     _time.time() + ttl if ttl > 0 else None)
         except Exception as exc:
             raise StoreError(
-                f"service-account JWT grant failed at {aud} "
-                f"(iss={email}): {exc}") from exc
+                f"service-account JWT grant failed at {aud_} "
+                f"(iss={email_}): {exc}") from exc
 
     return provider
 

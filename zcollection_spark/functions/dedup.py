@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 
 from .text import word_shingles, words
 
+#: stop-shingle drop lists up to this many entries ride a broadcast
+#: hint (~40 B/shingle → low hundreds of MB, far under the 8 GB
+#: broadcast cap); bigger lists anti-join by shuffle instead — the
+#: absolute-count max_df makes the stop set grow with VOCABULARY on a
+#: big corpus, so "bounded" must be checked, never assumed
+_STOP_BROADCAST_CAP = 2_000_000
+
 #: Mersenne prime 2^31-1: modulus of the minhash permutation family.
 #: Small enough that (x % P) * a + b stays below 2^63 (Spark 4 runs ANSI
 #: mode — integer overflow is an error, not a wrap).
@@ -428,20 +435,28 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
         # instead of once per branch (it is the widest intermediate)
         sh = sh.persist()
         cached.append(sh)
-        # drop-list shape (r11): broadcast the STOP shingles (df >
-        # max_df) into an anti-join instead of semi-joining the keep
-        # list — the raw expansion then never exchanges for the filter
-        # (the keep-list semi-join sort-merge-shuffled every raw row on
-        # __sh; measured ~15% faster warm / 2.5x faster cold at sf0.1).
-        # The broadcast is bounded by construction: stop shingles are
-        # corpus-wide boilerplate, a set that grows with the LANGUAGE,
-        # not the corpus — and a vocabulary where it is unbounded is
-        # exactly the max_df=None case, which takes the prefix path.
+        # drop-list shape (r11): anti-join the STOP shingles (df >
+        # max_df) instead of semi-joining the keep list — broadcast,
+        # and the raw expansion never exchanges for the filter (the
+        # keep-list semi-join sort-merge-shuffled every raw row on
+        # __sh; measured ~15% faster warm / 2.5x faster cold at
+        # sf0.1).  The broadcast is SIZE-GATED, not assumed: max_df is
+        # an absolute count, so on a big enough corpus the stop set
+        # grows with the vocabulary (Heaps' law), not just the
+        # language — an unconditional hint would collect it to the
+        # driver and die at the broadcast cap.  The stop frame is
+        # persisted and counted first (one small action over the
+        # already-persisted raw expansion); past the cap the anti-join
+        # runs as a plain shuffled join, which always completes.
         stop = (sh.groupBy("__sh")
                 .agg(F.count(F.lit(1)).alias("__df"))
                 .where(F.col("__df") > max_df)
-                .select("__sh"))
-        sh = sh.join(F.broadcast(stop), on="__sh", how="left_anti")
+                .select("__sh")).persist()
+        cached.append(stop)
+        n_stop = stop.limit(_STOP_BROADCAST_CAP + 1).count()
+        drop = (F.broadcast(stop) if n_stop <= _STOP_BROADCAST_CAP
+                else stop)
+        sh = sh.join(drop, on="__sh", how="left_anti")
     # the (filtered) shingle expansion feeds every downstream branch
     # (frequency order, prefix join sides, verification sets); Spark has
     # no cross-branch CSE, so materialize it once.  At 100 TB the

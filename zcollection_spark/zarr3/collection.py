@@ -694,17 +694,12 @@ class ZarrCollection:
             # two extra catalog GETs per query, r10 advice).
             # ``sources`` routes republished partitions to their
             # pinned-generation retained copies (copy-on-republish);
-            # staleness is fatal only for partitions the filter
-            # MATCHES (the documented partial-read path).
-            from ..collection.catalog import (_snapshot_sources,
-                                              raise_for_stale)
-            snap, sources, stale = _snapshot_sources(
-                self._catalog, at_generation)
-            relpaths = self._match_relpaths(
-                list(snap["partitions"]), filters)
-            if stale:
-                raise_for_stale(at_generation,
-                                sorted(set(relpaths) & set(stale)))
+            # staleness is fatal only for MATCHED partitions
+            # (catalog.resolve_matched — the partial-read contract).
+            from ..collection.catalog import resolve_matched
+            snap, sources, relpaths = resolve_matched(
+                self._catalog, at_generation,
+                lambda rels: self._match_relpaths(rels, filters))
         else:
             snap = None
             relpaths = self.partitions(filters=filters)
@@ -908,19 +903,12 @@ class ZarrCollection:
     def partitions(self, *, filters: str | None = None,
                    at_generation: int | None = None) -> list[str]:
         if at_generation is not None:
-            # staleness is fatal only for partitions the filter
-            # MATCHES (parquet-layout parity: the documented
-            # partial-read workflow)
-            from ..collection.catalog import (_snapshot_sources,
-                                              raise_for_stale)
-            snap, _, stale = _snapshot_sources(self._catalog,
-                                               at_generation)
-            matched = self._match_relpaths(
-                list(snap["partitions"]), filters)
-            if stale:
-                raise_for_stale(at_generation,
-                                sorted(set(matched) & set(stale)))
-            return matched
+            # staleness fatal only for MATCHED partitions
+            # (catalog.resolve_matched — parquet-layout parity)
+            from ..collection.catalog import resolve_matched
+            return resolve_matched(
+                self._catalog, at_generation,
+                lambda rels: self._match_relpaths(rels, filters))[2]
         relpaths = self._catalog.read()
         if relpaths is None:
             relpaths = self._fs.list_partition_dirs(
