@@ -190,6 +190,32 @@ def test_shared_stamp_copy_serves_multiple_pins(spark, tmp_path):
         (1000, 1, 1.0), (2000, 2, 2.0)]
 
 
+def test_snapshot_resolution_batches_retained_checks(tmp_path):
+    """Resolving a snapshot with K republished partitions must spend
+    ONE partition-dir LIST per retained stamp — not K marker HEADs —
+    when nothing is retained (the common unpinned case); marker HEADs
+    remain only for relpaths a retained dir actually exists for."""
+    from zcollection_spark.collection.catalog import _snapshot_sources
+    from zcollection_spark.fs import CountingFS
+    fs = CountingFS(LocalFS())
+    cat = Catalog(fs, str(tmp_path / "c"), walk_depth=1)
+    rels = [f"num={i}" for i in range(20)]
+    for rel in rels:
+        (tmp_path / "c" / rel).mkdir(parents=True)
+        (tmp_path / "c" / rel / "f.bin").write_bytes(b"x")
+    cat.add(rels)
+    g1 = cat.generation()
+    cat.add(rels)                       # re-touch ALL 20 -> all stale
+    fs.reset()
+    snap, sources, stale = _snapshot_sources(cat, g1)
+    assert len(stale) == 20 and not sources
+    # one stamp-dir LIST; HEAD/GET stay CONSTANT catalog overhead
+    # (snapshot + state reads), never one per republished partition
+    assert fs.counts["list"] <= 1, dict(fs.counts)
+    assert fs.counts["head"] <= 3, dict(fs.counts)
+    assert fs.counts["get"] <= 4, dict(fs.counts)
+
+
 def test_compact_respects_pins(spark, tmp_path):
     """compact() rewrites partition files — the exact maintenance op
     that bricked historical reads before retention (r10 verdict,

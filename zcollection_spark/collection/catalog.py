@@ -111,18 +111,39 @@ def _snapshot_sources(catalog: "Catalog",
     touched = current.get("touched", {})
     live = set(current.get("partitions", []))
     snap_touched = snap.get("touched", {})
+    # candidates first, then BATCH the retained checks per stamp: one
+    # partition-dir LIST per stamp dir replaces a marker HEAD per
+    # republished partition — on an object store a heavily-republished
+    # pinned collection would otherwise pay thousands of HEADs per
+    # time-travel query; the marker HEAD remains only for relpaths a
+    # retained dir actually exists for (crash-mid-copy is the rare
+    # case it guards)
     sources: dict = {}
     stale: list = []
+    pending: dict = {}          # stamp -> [rel, ...]
     for rel in snap.get("partitions", []):
         if rel in live and int(touched.get(rel, cur_gen)) <= generation:
             sources[rel] = None                      # live dir is exact
             continue
         stamp = snap_touched.get(rel)
-        if stamp is not None and catalog.has_retained(int(stamp), rel):
-            sources[rel] = catalog.retained_root(int(stamp))
+        if stamp is not None:
+            pending.setdefault(int(stamp), []).append(rel)
         else:
             stale.append(rel)
-    return snap, sources, stale
+    for stamp, rels in sorted(pending.items()):
+        root = catalog.retained_root(stamp)
+        present = (set(catalog._fs.list_partition_dirs(
+                       root, catalog._walk_depth))
+                   if catalog._walk_depth is not None else None)
+        for rel in rels:
+            if (present is None or rel in present) \
+                    and catalog.has_retained(stamp, rel):
+                sources[rel] = root
+            else:
+                stale.append(rel)
+    # the batched pass appends in stamp order — sort so stale listings
+    # and error messages are deterministic regardless of grouping
+    return snap, sources, sorted(stale)
 
 
 def resolve_snapshot_readable(catalog: "Catalog",
