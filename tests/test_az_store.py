@@ -633,3 +633,28 @@ def test_az_bearer_401_refresh_survives_throttle_streak(monkeypatch):
     assert [c for c, _ in calls] == [429, 429, 429, 401, 200]
     assert len(tokens) == 2  # initial mint + the post-401 refresh
     assert calls[-1][1] == "Bearer tok1"  # retried with the NEW token
+
+
+def test_az_pinned_retention_is_server_side_copy(spark, seq_schema,
+                                                 az_root):
+    """Retention on az://: copy-on-republish runs as server-side Copy
+    Blob (the emulator independently verifies each request signature)
+    and the pinned generation reads bit-identical after the
+    republish."""
+    path = f"{az_root}/coll_pin"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    coll.insert(_seq_df(spark, seq_schema, [0, 1], 1.0))
+    g = coll.generation()
+    coll.pin_generation(g)
+    before = sorted((r["num"], tuple(r["value"]))
+                    for r in coll.query().collect())
+    copies0 = coll._fs.api_counts["copy"]
+    coll.insert(_seq_df(spark, seq_schema, [0], 9.0), merge="replace")
+    assert coll._fs.api_counts["copy"] > copies0   # Copy Blob, no bytes
+    assert sorted((r["num"], tuple(r["value"])) for r in
+                  coll.query(at_generation=g).collect()) == before
+    coll.unpin_generation(g)
+    with pytest.raises(ValueError, match="republished or dropped"):
+        coll.query(at_generation=g)

@@ -585,3 +585,41 @@ def test_gcs_keyfile_rotation_is_picked_up(gcs_server, gcs_root,
     path.write_text(jsonmod.dumps(kf2))
     srv.state.tokens[fs._bearer] = 0.0        # kill the live token
     assert fs.read_text(f"{gcs_root}/a.txt") == "1"   # re-grant works
+
+
+def test_gcs_pinned_retention_is_server_side_rewrite(gcs_server,
+                                                     gcs_root, spark,
+                                                     seq_schema,
+                                                     monkeypatch):
+    """Retention on gs:// under bearer auth: copy-on-republish runs as
+    Objects:rewrite (server-side, bearer carried) and the pinned
+    generation reads bit-identical after the republish."""
+    srv, _ = gcs_server
+    monkeypatch.delenv("GCS_ACCESS_KEY_ID", raising=False)
+    monkeypatch.delenv("GCS_SECRET_ACCESS_KEY", raising=False)
+    monkeypatch.setenv("GCS_BEARER_TOKEN", issue_token(srv.state))
+    path = f"{gcs_root}/coll_pin"
+    coll = zc.create_collection(spark, path, schema=seq_schema,
+                                axis="num",
+                                partitioning=zc.Sequence(("num",)))
+    bound = seq_schema.with_partition_axis("num")
+
+    def df(nums, value):
+        pdf = pd.DataFrame({
+            "num": np.array(nums, dtype=np.int64),
+            "value": [[value] * 3] * len(nums),
+            "static": [[10.0, 20.0, 30.0]] * len(nums)})
+        return spark.createDataFrame(pdf, schema=bound.to_struct_type())
+
+    coll.insert(df([0, 1], 1.0))
+    g = coll.generation()
+    coll.pin_generation(g)
+    copies0 = coll._fs.api_counts["copy"]
+    coll.insert(df([0], 9.0), merge="replace")
+    assert coll._fs.api_counts["copy"] > copies0   # Objects:rewrite
+    rows = sorted((r["num"], tuple(r["value"])) for r in
+                  coll.query(at_generation=g).collect())
+    assert rows == [(0, (1.0, 1.0, 1.0)), (1, (1.0, 1.0, 1.0))]
+    live = sorted((r["num"], tuple(r["value"])) for r in
+                  coll.query().collect())
+    assert (0, (9.0, 9.0, 9.0)) in live
