@@ -203,7 +203,7 @@ def cmd_pin(args: argparse.Namespace) -> int:
     """Pin/unpin/list generations kept readable forever (copy-on-
     republish retention — ``Collection.pin_generation``).  ``--stale``
     lists what a partial read of a generation would miss."""
-    from .errors import CommitConflictError, StoreError
+    from .errors import StoreError
     coll = _open(args.path, mode="rw" if (args.add is not None
                                           or args.remove is not None)
                  else "r")
@@ -219,10 +219,10 @@ def cmd_pin(args: argparse.Namespace) -> int:
             out["stale"] = coll.stale_partitions(args.stale)
         print(json.dumps(out, indent=1))
         return 0
-    except (ValueError, StoreError, CommitConflictError) as exc:
-        # StoreError covers store faults / a corrupt pin ledger;
-        # CommitConflictError a lost pin-ledger CAS race — all must
-        # honor the JSON error contract, not leak a traceback
+    except (ValueError, StoreError) as exc:
+        # StoreError covers store faults, a corrupt pin ledger, and a
+        # lost pin-ledger CAS race (CommitConflictError subclasses it)
+        # — all must honor the JSON error contract, not a traceback
         print(json.dumps({"error": str(exc)}, indent=1))
         return 1
 

@@ -111,13 +111,15 @@ def _snapshot_sources(catalog: "Catalog",
     touched = current.get("touched", {})
     live = set(current.get("partitions", []))
     snap_touched = snap.get("touched", {})
-    # candidates first, then BATCH the retained checks per stamp: one
-    # partition-dir LIST per stamp dir replaces a marker HEAD per
-    # republished partition — on an object store a heavily-republished
-    # pinned collection would otherwise pay thousands of HEADs per
-    # time-travel query; the marker HEAD remains only for relpaths a
-    # retained dir actually exists for (crash-mid-copy is the rare
-    # case it guards)
+    # candidates first, then BATCH the retained checks per stamp: ONE
+    # existence probe of the stamp dir answers the common case (no
+    # retained copies at all — unpinned collections, or stamps never
+    # diverged) for every candidate at once, where the naive shape
+    # paid a marker HEAD per republished partition (thousands of
+    # round-trips per time-travel query on an object store).  When the
+    # stamp dir DOES exist, per-rel marker HEADs stay — they are exact
+    # (no false-stale from hidden-name-skipping partition listings),
+    # and their count is bounded by the retained set, not the corpus.
     sources: dict = {}
     stale: list = []
     pending: dict = {}          # stamp -> [rel, ...]
@@ -132,12 +134,11 @@ def _snapshot_sources(catalog: "Catalog",
             stale.append(rel)
     for stamp, rels in sorted(pending.items()):
         root = catalog.retained_root(stamp)
-        present = (set(catalog._fs.list_partition_dirs(
-                       root, catalog._walk_depth))
-                   if catalog._walk_depth is not None else None)
+        if not catalog._fs.exists(root):
+            stale.extend(rels)
+            continue
         for rel in rels:
-            if (present is None or rel in present) \
-                    and catalog.has_retained(stamp, rel):
+            if catalog.has_retained(stamp, rel):
                 sources[rel] = root
             else:
                 stale.append(rel)
@@ -205,13 +206,6 @@ def raise_for_stale(generation: int, stale: list) -> None:
             f"partition is untouched or pin-retained "
             f"(pin_generation before mutating, or see "
             f"stale_partitions for partial reads)")
-
-
-def verify_snapshot_readable(catalog: "Catalog", generation: int) -> dict:
-    """:func:`resolve_snapshot_readable` for callers that only need the
-    snapshot document (partition listings) — same soundness gate, same
-    errors, retained-aware."""
-    return resolve_snapshot_readable(catalog, generation)[0]
 
 
 def stale_partitions(catalog: "Catalog", generation: int) -> list[str]:

@@ -251,32 +251,16 @@ class Collection:
     # ------------------------------------------------------------------
     # partition enumeration + pruning (collection/base.py:302-386)
     # ------------------------------------------------------------------
-    def _snapshot_for_read(self, generation: int) -> dict:
-        """The gen-``generation`` catalog document, verified SAFE to
-        read against the current store state — the soundness gate of
-        time-travel (``at_generation``) reads.
-
-        Partition directories here are MUTABLE (unlike the immutable
-        data files of Delta/Iceberg/icechunk), so an old partition
-        LIST only reconstructs an old view while every listed
-        partition is physically untouched since that generation.  The
-        catalog's per-partition ``touched`` stamps (the same index
-        ``changes()`` diffs with) prove exactly that: refuse loudly
-        when any gen-N partition was republished, appended to, or
-        dropped after N — a time-travel read either returns the exact
-        historical answer or raises, never silently mixes generations.
-        Snapshots themselves are retained by ``prune_history``
-        (default: last 16 generations).
-        """
-        if not self.catalog_enabled:
-            raise ValueError("at_generation requires the catalog "
-                             "(this collection runs catalog-less)")
-        from .catalog import verify_snapshot_readable
-        return verify_snapshot_readable(self._catalog, generation)
-
     def _resolve_for_read(self, generation: int) -> "tuple[dict, dict]":
-        """:meth:`_snapshot_for_read` plus per-partition read sources
-        (None = live dir; else the pinned-generation retained base)."""
+        """The gen-``generation`` catalog document plus per-partition
+        read sources (None = live dir; else the pinned-generation
+        retained base), verified SAFE against the current store state —
+        the strict soundness gate behind ``pin_generation`` (the query
+        paths use the filter-lenient ``catalog.resolve_matched``).
+        Partition directories are MUTABLE, so an old partition list
+        reconstructs an old view only while every listed partition is
+        untouched since that generation or pin-retained; see
+        ``catalog.resolve_snapshot_readable``."""
         if not self.catalog_enabled:
             raise ValueError("at_generation requires the catalog "
                              "(this collection runs catalog-less)")

@@ -1027,10 +1027,20 @@ class S3FS:
             self._client.complete_multipart_upload(
                 Bucket=db, Key=dk, UploadId=upload_id,
                 MultipartUpload={"Parts": parts})
-        except Exception:
+        except Exception as exc:
             # abort so the incomplete upload does not bill forever
             self._client.abort_multipart_upload(
                 Bucket=db, Key=dk, UploadId=upload_id)
+            # the missing-source contract holds MID-copy too: a source
+            # vanishing between the HEAD and an upload_part_copy must
+            # surface as False (the caller's concurrent-mutation
+            # signal), not a raw botocore error
+            resp = getattr(exc, "response", None) or {}
+            status = resp.get("ResponseMetadata", {}) \
+                .get("HTTPStatusCode")
+            code = resp.get("Error", {}).get("Code", "")
+            if status == 404 or code in ("404", "NoSuchKey", "NotFound"):
+                return False
             raise
         return True
 
@@ -2324,16 +2334,24 @@ def gcs_keyfile_token_provider(
     def _b64url(raw: bytes) -> bytes:
         return _b64.urlsafe_b64encode(raw).rstrip(b"=")
 
+    last_good = [email, n, d, aud]
+
     def provider():
         # path-backed keyfiles are RE-READ per grant: standard GCP key
         # rotation swaps the file contents in place, and a provider
         # pinned to the construction-time key would sign every refresh
         # with a revoked key forever (grants are rare — pre-expiry or
-        # 401 — so the re-read costs nothing measurable)
+        # 401 — so the re-read costs nothing measurable).  An
+        # unreadable/half-swapped file falls back to the LAST-GOOD
+        # parsed key (short-lived secret mounts, mid-rotation writes):
+        # a still-valid old key keeps working, a revoked one fails the
+        # grant with the normal loud StoreError.
         if keyfile_path is not None:
-            email_, n_, d_, aud_ = _load(keyfile_path)
-        else:
-            email_, n_, d_, aud_ = email, n, d, aud
+            try:
+                last_good[:] = _load(keyfile_path)
+            except Exception:
+                pass
+        email_, n_, d_, aud_ = last_good
         iat = int(_time.time())
         header = _b64url(_json.dumps(
             {"alg": "RS256", "typ": "JWT"}).encode())

@@ -682,7 +682,7 @@ class ZarrCollection:
         ``at_generation`` reads AS OF a committed generation (parquet-
         layout parity: partition list + zone statistics from the gen-N
         snapshot, staleness-gated — see
-        ``collection.catalog.verify_snapshot_readable``); the
+        ``collection.catalog.resolve_snapshot_readable``); the
         historical partition set is pushed into the reader as a key
         predicate."""
         predicate = compile_filter(filters)
