@@ -201,10 +201,27 @@ def main() -> None:
                 reopened = zc.open_collection(spark, "s3://bench/events")
                 reopened._fs.api_counts.clear()
                 n_parts = len(reopened.partitions())
+                # retention-republish leg: pin the live generation,
+                # republish a 5-day slice — the op diff is the real
+                # publish-latency cost of copy-on-republish (per-file
+                # server-side CopyObject calls, no driver bytes; the
+                # bounded pool in retain_for_pins overlaps them).
+                # Regressions in retention copy COUNT show up here.
+                s3coll.pin_generation(s3coll.generation())
+                pre_retain = dict(s3coll._fs.api_counts)
+                _t0 = time.perf_counter()
+                s3coll.insert(jan.where(F.dayofmonth("ts") <= 5))
+                retain_sec = time.perf_counter() - _t0
+                retain_ops = {
+                    k: v - pre_retain.get(k, 0)
+                    for k, v in s3coll._fs.api_counts.items()
+                    if v - pre_retain.get(k, 0)}
                 counters["s3_op_budget"] = {
                     "insert_jan": insert_ops,
                     "cold_open": dict(reopened._fs.api_counts),
-                    "partitions": n_parts}
+                    "partitions": n_parts,
+                    "pinned_republish_5d": retain_ops,
+                    "pinned_republish_5d_sec": round(retain_sec, 3)}
             finally:
                 fsmod.fs_for = _probe_fs_for
                 for _k, _v in _old_env.items():

