@@ -418,6 +418,17 @@ def main() -> None:
         def _():
             eq.q_collection_time_travel(spark, sf_dir).count()
 
+        # pinned-generation retention (r11 surface, gated r12): the
+        # same VERSION-AS-OF read AFTER a republish of day-3 — the
+        # first repeat builds + pins + republishes (eq caches it), so
+        # the warm timing is the retained-union read (retained scan +
+        # live scan + union ahead of the ordered-concat sort; pinned
+        # in test_plans).  Tracks the read-side overhead of retention
+        # vs the plain snapshot read above.
+        @timed("collection_retained_read")
+        def _():
+            eq.q_collection_retained_read(spark, sf_dir).count()
+
         @timed("upsample_weights")
         def _():
             _consume(eq.q_upsample_weights(spark, sf_dir))

@@ -33,6 +33,20 @@ def test_guard_noise_floor_absorbs_tiny_scenarios(capsys):
     assert _run({"q1": 0.05, "q2": 5.0}, {"q1": 0.2, "q2": 5.0}) == 0
 
 
+def test_guard_floored_slowdown_never_prints_as_speedup(capsys):
+    """r11 verdict: 0.126s -> 0.181s used to print 'x0.60' — a 44%
+    slowdown rendered as an apparent improvement.  Floored rows must
+    show the RAW ratio and say they are floored; gating unchanged."""
+    assert _run({"q1": 0.126, "q2": 5.0}, {"q1": 0.181, "q2": 5.0}) == 0
+    out = capsys.readouterr().out
+    line = next(ln for ln in out.splitlines() if ln.startswith("q1"))
+    assert "x1.44" in line and "floored" in line
+    assert "x0.60" not in line.split("gate")[0]
+    # un-floored rows keep the plain single-ratio display
+    line2 = next(ln for ln in out.splitlines() if ln.startswith("q2"))
+    assert "floored" not in line2
+
+
 def test_guard_flags_dropped_scenarios(capsys):
     assert _run({"q1": 1.0, "q2": 1.0}, {"q1": 1.0}) == 1
     assert "dropped" in capsys.readouterr().out

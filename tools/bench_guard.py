@@ -44,14 +44,21 @@ def compare(anchor: dict, current: dict, max_ratio: float) -> int:
         cur = c_q[name]
         floor = max(base, NOISE_FLOOR_SEC)
         ratio = cur / floor if floor else 0.0
+        raw = cur / base if base else 0.0
         flag = ""
         if ratio > max_ratio:
             breaches.append(name)
             flag = "  <-- BREACH"
         if ratio > worst[1]:
             worst = (name, ratio)
+        # sub-floor anchors gate on absolute slack, but the GATED ratio
+        # must never read as a speedup when the raw one is a slowdown
+        # (0.126s -> 0.181s used to print "x0.60"): show the raw ratio
+        # and mark the row as floored
+        shown = (f"x{raw:4.2f} (floored, gate x{ratio:4.2f})"
+                 if base < NOISE_FLOOR_SEC else f"x{ratio:4.2f}")
         print(f"{name:28s} anchor {base:7.3f}s  now {cur:7.3f}s  "
-              f"x{ratio:4.2f}{flag}")
+              f"{shown}{flag}")
     total_ratio = current["value"] / anchor["value"]
     print(f"{'TOTAL':28s} anchor {anchor['value']:7.3f}s  "
           f"now {current['value']:7.3f}s  x{total_ratio:4.2f}")

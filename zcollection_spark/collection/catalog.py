@@ -731,7 +731,7 @@ class Catalog:
         live = set(doc.get("partitions", []))
         gmax = max(pins)
         from .staging import _walk_files
-        jobs: list[tuple[str, int, str, str, list[str]]] = []
+        candidates: list[tuple[str, int]] = []
         for rel in relpaths:
             if rel not in live:
                 continue                  # brand-new partition: nothing old
@@ -744,8 +744,23 @@ class Catalog:
             stamp = int(stamp)
             if stamp > gmax:
                 continue                  # content newer than any pin
+            candidates.append((rel, stamp))
+        if not candidates:
+            return []
+        # server-side copy when the store has one (S3 CopyObject,
+        # GCS rewrite, Azure Copy Blob, Hadoop FileUtil) — a
+        # pinned 100-GB partition must never round-trip through
+        # the driver; the byte path is the small-store fallback
+        copier = getattr(self._fs, "copy_file", None)
+
+        def _prep(cand: "tuple[str, int]"):
+            """Per-partition store probes (marker HEAD, partial-dir
+            clear, source walk) — independent across partitions, so
+            they share the copy pool; a republish over K pinned
+            partitions pays ~K/W prep round-trips, not K."""
+            rel, stamp = cand
             if self.has_retained(stamp, rel):
-                continue
+                return None               # completed copy: idempotent skip
             src = f"{self._root}/{rel}"
             dst = f"{self.retained_root(stamp)}/{rel}"
             # no marker but files present = crash mid-copy: clear the
@@ -753,15 +768,7 @@ class Catalog:
             # into a retained scan
             if self._fs.exists(dst):
                 self._fs.delete(dst)
-            jobs.append((rel, stamp, src, dst,
-                         _walk_files(self._fs, src)))
-        if not jobs:
-            return []
-        # server-side copy when the store has one (S3 CopyObject,
-        # GCS rewrite, Azure Copy Blob, Hadoop FileUtil) — a
-        # pinned 100-GB partition must never round-trip through
-        # the driver; the byte path is the small-store fallback
-        copier = getattr(self._fs, "copy_file", None)
+            return rel, stamp, src, dst, _walk_files(self._fs, src)
 
         def _copy_one(rel: str, src_f: str, dst_f: str) -> None:
             if copier is not None:
@@ -788,12 +795,15 @@ class Catalog:
         # the submission thread, so a crash or a vanished-file error
         # leaves the rel unmarked (= retried), never certified.
         out: list[str] = []
-        n_files = sum(len(files) for _, _, _, _, files in jobs)
-        workers = max(1, min(_RETAIN_COPY_WORKERS, n_files))
+        # full width even for one candidate partition: its file count
+        # is unknown until _prep lists it, and idle threads are free
+        workers = _RETAIN_COPY_WORKERS
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(
                 max_workers=workers,
                 thread_name_prefix="zcs-retain") as pool:
+            jobs = [j for j in pool.map(_prep, candidates)
+                    if j is not None]
             futures = [
                 (rel, stamp, len(files),
                  [pool.submit(_copy_one, rel, f"{src}/{f}",
