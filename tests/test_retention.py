@@ -546,3 +546,133 @@ def test_retention_copies_run_concurrently(spark, tmp_path):
     import json as _json
     doc = _json.loads(real_fs.read_text(marker))
     assert doc["n_files"] >= 13
+
+
+def test_concurrent_pin_unpin_no_lost_updates(spark, tmp_path):
+    """The pin ledger is a read-modify-write document: concurrent
+    pin/unpin from driver threads must converge to the exact expected
+    set (the in-process path lock + the CAS loop both defend this;
+    losing a pin here would silently skip copy-on-republish later)."""
+    import threading
+
+    coll = _mk(spark, str(tmp_path / "cp"))
+    for g in range(1, 9):
+        coll.insert(_df(spark, coll, [(g, float(g))]))
+    gens = coll._catalog.history()
+    cat: Catalog = coll._catalog
+    errs = []
+
+    def worker(gen, also_unpin):
+        try:
+            cat.pin(gen)
+            if also_unpin is not None:
+                cat.unpin(also_unpin)
+        except Exception as exc:          # pragma: no cover
+            errs.append(exc)
+
+    # pin all 8; afterwards unpin the four odd INDEXES concurrently
+    threads = [threading.Thread(target=worker, args=(g, None))
+               for g in gens]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs and cat.pins() == sorted(gens)
+    threads = [threading.Thread(target=worker,
+                                args=(gens[0], gens[i]))
+               for i in (1, 3, 5, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert cat.pins() == sorted(set(gens) -
+                                {gens[1], gens[3], gens[5], gens[7]})
+
+
+def test_pin_rmw_survives_cas_conflict(spark, tmp_path):
+    """Cross-process race: another writer lands a pins.json PUT between
+    this catalog's read and its conditional write.  The CAS loop must
+    retry and preserve BOTH writers' pins — last-wins would resurrect
+    an unpin or drop a pin."""
+    import json as _json
+
+    coll = _mk(spark, str(tmp_path / "cr"))
+    coll.insert(_df(spark, coll, [(1, 1.0)]))
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g1, g2 = coll._catalog.history()[-2:]
+    cat: Catalog = coll._catalog
+    real_fs = cat._fs
+    pins_path = cat._pins_path()
+    fired = {"n": 0}
+
+    class RacingFS:
+        def read_versioned(self, path):
+            raw, token = real_fs.read_versioned(path)
+            if path == pins_path and fired["n"] == 0:
+                # the "other process" wins the first round: its pin of
+                # g2 lands after our read, invalidating our token
+                fired["n"] = 1
+                doc = _json.loads(raw) if raw else {"pins": []}
+                doc["pins"] = sorted(set(doc.get("pins", [])) | {g2})
+                real_fs.write_text(path, _json.dumps(
+                    {"format_version": 1, "pins": doc["pins"]}))
+                _, token = raw, None  # our stale token
+                return raw, token if token is not None else "stale"
+            return raw, token
+
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+    cat._fs = RacingFS()
+    try:
+        got = cat.pin(g1)
+    finally:
+        cat._fs = real_fs
+    assert fired["n"] == 1
+    assert got == sorted({g1, g2}) == cat.pins()
+
+
+def test_distributed_retention_copies_for_huge_pin_sets(spark, tmp_path):
+    """Past ``retention.distribute_min_files`` the copies run as a
+    Spark job over the executors (the 100-TB escalation: 500 k copies
+    at cluster parallelism instead of 16 driver threads).  Same
+    completion contract: markers only after the WHOLE job succeeds,
+    and the pinned read stays bit-identical."""
+    from zcollection_spark import config
+    from zcollection_spark.collection.catalog import RETAINED_MARKER
+
+    coll = _mk(spark, str(tmp_path / "dist"))
+    coll.insert(_df(spark, coll, [(1, 1.0), (1, 1.5)]))
+    coll.insert(_df(spark, coll, [(2, 2.0)]))
+    g = coll.generation()
+    before = _rows(coll.query(at_generation=g))
+    coll.pin_generation(g)
+    cat: Catalog = coll._catalog
+    assert cat._retention_spark_session(12) is None   # default floor: no
+    with config.override(**{"retention.distribute_min_files": 1}):
+        assert cat._retention_spark_session(12) is spark
+        copied = cat.retain_for_pins(["num=1", "num=2"])
+    assert sorted(copied) == ["num=1", "num=2"]
+    stamp1 = int(cat.read_doc()["touched"]["num=1"])
+    assert cat.has_retained(stamp1, "num=1")
+    # the marker certifies the distributed copy's exact file count
+    import json as _json
+    marker = _json.loads(cat._fs.read_text(
+        f"{cat.retained_root(stamp1)}/num=1/{RETAINED_MARKER}"))
+    assert marker["n_files"] >= 1
+    # end-to-end: republish, pinned read bit-identical
+    coll.insert(_df(spark, coll, [(1, 9.0)]))
+    assert _rows(coll.query(at_generation=g)) == before
+
+
+def test_distributed_retention_excluded_for_memory_store(spark):
+    """memory:// is process-local — Python workers would rebuild an
+    EMPTY store; the escalation must refuse it at any file count."""
+    from zcollection_spark import config
+    from zcollection_spark.collection.catalog import Catalog
+    from zcollection_spark.fs import fs_for
+
+    cat = Catalog(fs_for("memory://ret-gate"), "memory://ret-gate")
+    with config.override(**{"retention.distribute_min_files": 1}):
+        assert cat._retention_spark_session(10**6) is None

@@ -41,3 +41,53 @@ def test_jaccard_override_flag_identical_both_directions_sf1(spark):
         spark.catalog.clearCache()
     assert results[True] == results[False]
     assert len(results[True]) > 100   # sf1 really has near-dup mass
+
+
+def test_retention_pinned_read_bit_identical_at_sf1(spark, tmp_path):
+    """r12 gate for the r11 retention surface: pin → republish → the
+    pinned VERSION-AS-OF read is bit-identical at sf1 row counts, and
+    the retained-union read costs at most a small constant over the
+    plain (no-republish) time-travel read — the union adds one scan,
+    never a join or an extra exchange (plan pinned in test_plans)."""
+    import time
+
+    import zcollection_spark as zc
+    from pyspark.sql import functions as F
+    from zcollection_spark.data import load_table
+    from zcollection_spark.schema import infer_schema
+
+    events = load_table(spark, str(SF1), "events")
+    sub = events.where(F.month("ts") == 1)
+    coll = zc.create_collection(
+        spark, str(tmp_path / "ev"),
+        schema=infer_schema(events.schema, axis="ts"),
+        axis="ts", partitioning=zc.Date(("ts",), resolution="D"))
+    coll.insert(sub)
+    gen = coll.generation()
+    base = coll.query(at_generation=gen)
+    want_rows = base.count()
+    want_sum = base.agg(F.sum("value")).collect()[0][0]
+    # warm plain time-travel read (pre-republish: all-live resolution)
+    for _ in range(2):
+        coll.query(at_generation=gen).count()
+    t0 = time.perf_counter()
+    coll.query(at_generation=gen).count()
+    plain_sec = time.perf_counter() - t0
+    coll.pin_generation(gen)
+    # republish a third of the partitions with poisoned values
+    coll.insert(sub.where(F.dayofmonth("ts") <= 10)
+                .withColumn("value", F.lit(0.0)))
+    pinned = coll.query(at_generation=gen)
+    assert pinned.count() == want_rows
+    got_sum = pinned.agg(F.sum("value")).collect()[0][0]
+    assert got_sum == pytest.approx(want_sum, rel=0, abs=1e-9)
+    # live read sees the poison (the republish really happened)
+    live_sum = coll.query().agg(F.sum("value")).collect()[0][0]
+    assert live_sum != pytest.approx(want_sum, rel=0, abs=1e-9)
+    # retained-union read: small constant over the plain read
+    for _ in range(2):
+        coll.query(at_generation=gen).count()
+    t0 = time.perf_counter()
+    coll.query(at_generation=gen).count()
+    union_sec = time.perf_counter() - t0
+    assert union_sec < plain_sec + 1.0, (union_sec, plain_sec)

@@ -37,7 +37,10 @@ def test_tree_repr_is_xarray_style(seq_collection):
 def test_to_xarray_gated_or_bridged(seq_collection):
     """Without xarray installed the bridge raises a clear ImportError;
     with it, the round-trip produces a real xarray.Dataset."""
-    xr = pytest.importorskip("xarray", reason="optional dependency")
+    xr = pytest.importorskip(
+        "xarray",
+        reason="optional extra not installed in this env: "
+               "pip install 'zcollection-spark[xarray]' auto-unskips")
     ds = seq_collection.to_xarray()
     assert dict(ds.sizes)["num"] == 7
     assert ds["value"].dims == ("num", "x")
@@ -58,7 +61,10 @@ def test_to_xarray_import_error_message(seq_collection, monkeypatch):
 
 
 def test_from_xarray_roundtrip_if_available(spark):
-    xr = pytest.importorskip("xarray", reason="optional dependency")
+    xr = pytest.importorskip(
+        "xarray",
+        reason="optional extra not installed in this env: "
+               "pip install 'zcollection-spark[xarray]' auto-unskips")
     import numpy as np
     ds = xr.Dataset({
         "num": (("num",), np.arange(4, dtype=np.int64)),

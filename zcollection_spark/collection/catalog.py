@@ -711,7 +711,18 @@ class Catalog:
         retry and the publish/recover replay are both safe.  Runs
         before the publish INTENT is written, so a crash either
         published nothing (retention copies are harmless extra) or
-        rolls forward with retention already complete."""
+        rolls forward with retention already complete.
+
+        Concurrency contract with pin/unpin: the pin set is read ONCE
+        at the start of this call.  A ``pin`` that lands after that
+        read is honored from the NEXT publish on (the racing publish
+        may overwrite content the new pin wanted — the pin call's
+        snapshot-readability check catches this, same as pinning any
+        already-stale generation); an ``unpin`` racing this call only
+        means one extra harmless copy that the next
+        :meth:`sweep_retained` reclaims.  The ledger itself is
+        conditional-write-safe (:meth:`_mutate_pins`; pinned by
+        test_retention.py::test_pin_rmw_survives_cas_conflict)."""
         pins = self.pins()
         if not pins:
             return []
@@ -804,11 +815,17 @@ class Catalog:
                 thread_name_prefix="zcs-retain") as pool:
             jobs = [j for j in pool.map(_prep, candidates)
                     if j is not None]
-            futures = [
-                (rel, stamp, len(files),
-                 [pool.submit(_copy_one, rel, f"{src}/{f}",
-                              f"{dst}/{f}") for f in files])
-                for rel, stamp, src, dst, files in jobs]
+            total_files = sum(len(files) for *_, files in jobs)
+            if self._retention_spark_session(total_files) is not None:
+                # huge pin set: escalate past the driver pool — copies
+                # fan out over the executors (see _retain_distributed)
+                futures = []
+            else:
+                futures = [
+                    (rel, stamp, len(files),
+                     [pool.submit(_copy_one, rel, f"{src}/{f}",
+                                  f"{dst}/{f}") for f in files])
+                    for rel, stamp, src, dst, files in jobs]
             try:
                 for rel, stamp, count, futs in futures:
                     for fut in futs:
@@ -826,6 +843,87 @@ class Catalog:
                     for fut in futs:
                         fut.cancel()
                 raise
+        if not futures and jobs:
+            out = self._retain_distributed(jobs)
+        return out
+
+    def _retention_spark_session(self, total_files: int):
+        """The active SparkSession IFF this retention pass should run
+        its copies as a Spark job: the file count reaches the
+        ``retention.distribute_min_files`` config (0 = disabled) and
+        the store is executor-visible (the same precondition the data
+        plane already relies on — executors write partition files to
+        this store; ``memory://`` is process-local and always stays on
+        the driver pool)."""
+        from .. import config
+        floor = config.get("retention.distribute_min_files")
+        if not floor or total_files < floor:
+            return None
+        # executor-reconstructible clients only: object-store backends
+        # rebuild from env/creds; bare/file paths assume the shared
+        # filesystem the data plane already writes through.  memory://
+        # is process-local; hdfs:// etc. ride the DRIVER's py4j
+        # gateway, which a Python worker does not have.
+        scheme = self._root.split("://", 1)[0] if "://" in self._root \
+            else "file"
+        if scheme not in ("s3", "gs", "az", "file"):
+            return None
+        from pyspark.sql import SparkSession
+        return SparkSession.getActiveSession()
+
+    def _retain_distributed(self, jobs) -> list[str]:
+        """Retention copies as a Spark job — the 100-TB escalation.
+
+        A republish touching 10 k pinned partitions × 50 files is
+        500 k independent server-side copy calls; the driver pool's
+        16 threads serialize that into tens of minutes, while the
+        cluster disposes of it at executor-count parallelism.  Workers
+        rebuild the store client by scheme/env (``fs_for`` — exactly
+        how partition writes already reach the store) and issue the
+        same idempotent copy calls; failures come back as (rel, path)
+        pairs and raise the same loud vanished-file stop, with every
+        touched partition left UNMARKED (= retried), never certified.
+        Markers are written on the driver only after the whole job
+        succeeds — same completion contract as the pool path."""
+        spark = self._retention_spark_session(
+            sum(len(files) for *_, files in jobs))
+        pairs = [(rel, f"{src}/{f}", f"{dst}/{f}")
+                 for rel, stamp, src, dst, files in jobs
+                 for f in files]
+        # ~512 copies per task: enough to amortize task launch, small
+        # enough that stragglers re-run cheaply
+        n_slices = max(1, min(len(pairs) // 512 + 1,
+                              spark.sparkContext.defaultParallelism * 4))
+
+        def _copy_chunk(it):
+            from zcollection_spark import fs as fsmod
+            fs = None
+            for rel, src_f, dst_f in it:
+                if fs is None:
+                    fs = fsmod.fs_for(src_f)
+                copier = getattr(fs, "copy_file", None)
+                if copier is not None:
+                    if not copier(src_f, dst_f):
+                        yield (rel, src_f)
+                else:
+                    fs.write_bytes(dst_f, fs.read_bytes(src_f))
+
+        failures = (spark.sparkContext
+                    .parallelize(pairs, numSlices=n_slices)
+                    .mapPartitions(_copy_chunk).collect())
+        if failures:
+            raise StoreError(
+                f"{len(failures)} file(s) vanished during distributed "
+                f"retention copy (concurrent mutation?) — e.g. "
+                f"{failures[0][1]} of partition {failures[0][0]}; no "
+                f"retained copy was marked complete")
+        out: list[str] = []
+        for rel, stamp, _src, _dst, files in jobs:
+            self._fs.write_text(
+                self._retained_marker(stamp, rel),
+                json.dumps({"format_version": 1, "stamp": stamp,
+                            "n_files": len(files)}))
+            out.append(rel)
         return out
 
     def sweep_retained(self) -> list[str]:

@@ -45,6 +45,12 @@ _DEFAULTS: dict[str, Any] = {
     "codec.profile": "cloud-balanced",   # reference default
     "catalog.enabled": True,
     "partition.files": 1,                # output files per partition write
+    # retention copy fan-out escalation: a pinned republish whose
+    # retained-file count reaches this runs its server-side copies as
+    # a Spark job over the executors (cluster-wide parallelism)
+    # instead of the driver's bounded 16-thread pool.  0 disables the
+    # distributed path entirely.
+    "retention.distribute_min_files": 4096,
 }
 
 _config: dict[str, Any] = dict(_DEFAULTS)
