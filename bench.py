@@ -201,6 +201,10 @@ def main() -> None:
                 reopened = zc.open_collection(spark, "s3://bench/events")
                 reopened._fs.api_counts.clear()
                 n_parts = len(reopened.partitions())
+                # SNAPSHOT cold_open NOW: fs_for caches one S3FS per
+                # endpoint, so the retention leg below writes into the
+                # same counter
+                cold_open_ops = dict(reopened._fs.api_counts)
                 # retention-republish leg: pin the live generation,
                 # republish a 5-day slice — the op diff is the real
                 # publish-latency cost of copy-on-republish (per-file
@@ -218,7 +222,7 @@ def main() -> None:
                     if v - pre_retain.get(k, 0)}
                 counters["s3_op_budget"] = {
                     "insert_jan": insert_ops,
-                    "cold_open": dict(reopened._fs.api_counts),
+                    "cold_open": cold_open_ops,
                     "partitions": n_parts,
                     "pinned_republish_5d": retain_ops,
                     "pinned_republish_5d_sec": round(retain_sec, 3)}
