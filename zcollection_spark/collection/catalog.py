@@ -953,7 +953,7 @@ class Catalog:
                 stamp = snap_touched.get(rel)
                 if stamp is not None:
                     reachable.add((int(stamp), rel))
-        removed: list[str] = []
+        doomed: list[tuple[str, str]] = []
         for d in stamp_dirs:
             try:
                 stamp = int(d[len("gen-"):])
@@ -963,10 +963,28 @@ class Catalog:
             for rel in self._fs.list_partition_dirs(droot,
                                                     self._walk_depth):
                 if (stamp, rel) not in reachable:
-                    self._fs.delete(f"{droot}/{rel}")
-                    removed.append(f"{d}/{rel}")
-            if not self._fs.list_partition_dirs(droot, self._walk_depth):
-                self._fs.delete(droot)
+                    doomed.append((d, rel))
+        # the per-copy deletes are independent idempotent prefix
+        # removals — same bounded fan-out as retain_for_pins' copies
+        # (each one is a LIST + batch-delete round-trip on object
+        # stores; serializing K of them from the driver is the same
+        # publish-latency tax the copy pool removed)
+        removed: list[str] = []
+        if doomed:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(_RETAIN_COPY_WORKERS, len(doomed)),
+                    thread_name_prefix="zcs-sweep") as pool:
+                list(pool.map(
+                    lambda dr: self._fs.delete(f"{base}/{dr[0]}/{dr[1]}"),
+                    doomed))
+            removed = [f"{d}/{rel}" for d, rel in doomed]
+            # a stamp dir whose last copy just left goes too
+            for d in sorted({d for d, _rel in doomed}):
+                droot = f"{base}/{d}"
+                if not self._fs.list_partition_dirs(droot,
+                                                    self._walk_depth):
+                    self._fs.delete(droot)
         return removed
 
     def _commit_rmw(self, mutate, need_base: bool = True) -> list[str]:
