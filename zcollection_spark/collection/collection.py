@@ -87,6 +87,7 @@ def create_collection(spark: SparkSession, path: str, *,
                       stats_columns: "Iterable[str] | None" = None,
                       bloom_columns: "Iterable[str] | None" = None,
                       bloom_bits: int = 1024,
+                      cluster_by: "Iterable[str] | None" = None,
                       overwrite: bool = False) -> "Collection":
     """DDL: bind the schema to the axis and write the root config
     (``/root/reference/zcollection/api.py:19-62`` →
@@ -104,7 +105,22 @@ def create_collection(spark: SparkSession, path: str, *,
     ``query(where="doc_id == K")`` skips every partition whose filter
     proves K absent (Delta/Iceberg-style point-lookup skipping; see
     collection/stats.py).  Like zone maps, pruning is an optimization
-    only: the exact predicate always also runs over scanned rows."""
+    only: the exact predicate always also runs over scanned rows.
+
+    ``cluster_by`` opts into a RANGE-CLUSTERED file layout: every
+    partition write task-locally sorts its rows by the named columns
+    before writing (``sortWithinPartitions`` — no extra shuffle; the
+    partitioned write needs a sort on the partition keys anyway, this
+    widens it).  Within each partition the parquet row groups — and,
+    with file splitting via chunked axis dims, the files — then cover
+    near-disjoint ranges of the clustered columns, so Spark's native
+    parquet row-group pruning skips most of a partition under a range
+    predicate the zone map alone can only accept or reject WHOLE
+    (zone maps prune across partitions, clustering prunes within —
+    the Delta/Iceberg ``clusterBy``/sort-order layer).  Trade-off:
+    physical order within a file tracks the cluster columns instead of
+    the axis, so row-range reads (index lookups) touch more row groups
+    on clustered collections — opt in per collection accordingly."""
     path = fsmod.strip_scheme(path).rstrip("/")
     fs = fsmod.fs_for(path, spark)
     config_path = f"{path}/{CONFIG_NAME}"
@@ -165,6 +181,18 @@ def create_collection(spark: SparkSession, path: str, *,
                     f"bloom column {col!r} must be integer or string "
                     f"typed (got {np_kind}): the cross-side hash canon "
                     f"is only exact for those")
+    cluster_by = list(cluster_by) if cluster_by else None
+    if cluster_by:
+        for col in cluster_by:
+            if col not in var_map or var_map[col].immutable:
+                raise SchemaError(
+                    f"cluster column {col!r} is not a partitioned "
+                    f"variable of the schema")
+            if col in partitioning.variables:
+                raise SchemaError(
+                    f"cluster column {col!r} is already a partitioning "
+                    f"variable — clustering inside a partition by its "
+                    f"own key is a no-op")
     doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
            "partitioning": partitioning.to_json(),
            "catalog_enabled": catalog_enabled}
@@ -173,12 +201,15 @@ def create_collection(spark: SparkSession, path: str, *,
     if bloom_columns:
         doc["bloom_columns"] = bloom_columns
         doc["bloom_bits"] = int(bloom_bits)
+    if cluster_by:
+        doc["cluster_by"] = cluster_by
     fs.write_text(config_path, json.dumps(doc, indent=1, sort_keys=True))
     coll = Collection(spark, path, bound, partitioning, mode="rw",
                       catalog_enabled=catalog_enabled,
                       stats_columns=stats_columns,
                       bloom_columns=bloom_columns,
-                      bloom_bits=bloom_bits)
+                      bloom_bits=bloom_bits,
+                      cluster_by=cluster_by)
     if catalog_enabled:
         coll._catalog.write([])
     return coll
@@ -217,7 +248,8 @@ def open_collection(spark: SparkSession, path: str, *,
                       catalog_enabled=doc.get("catalog_enabled", True),
                       stats_columns=stats_columns,
                       bloom_columns=bloom_columns,
-                      bloom_bits=bloom_bits)
+                      bloom_bits=bloom_bits,
+                      cluster_by=doc.get("cluster_by"))
 
 
 class Collection:
@@ -228,7 +260,8 @@ class Collection:
                  mode: str = "r", catalog_enabled: bool = True,
                  stats_columns: "list[str] | None" = None,
                  bloom_columns: "list[str] | None" = None,
-                 bloom_bits: int = 1024):
+                 bloom_bits: int = 1024,
+                 cluster_by: "list[str] | None" = None):
         if schema.axis is None:
             raise SchemaError("collection schema must be axis-bound")
         self.spark = spark
@@ -240,6 +273,7 @@ class Collection:
         self.catalog_enabled = catalog_enabled
         self.stats_columns = list(stats_columns) if stats_columns else []
         self.bloom_columns = list(bloom_columns) if bloom_columns else []
+        self.cluster_by = list(cluster_by) if cluster_by else []
         self.bloom_bits = int(bloom_bits)
         self._fs = fsmod.fs_for(self.path, spark)
         self._catalog = Catalog(self._fs, self.path,
@@ -696,8 +730,19 @@ class Collection:
         if axis_dim is not None and axis_dim.chunks:
             chunks = axis_dim.chunks
 
+        out = df
+        if self.cluster_by:
+            present = [c for c in self.cluster_by if c in df.columns]
+            if present:
+                # range-clustered layout: task-local sort (no exchange —
+                # the partitioned write sorts on the keys regardless;
+                # this widens that sort) so row groups and split files
+                # cover near-disjoint ranges of the cluster columns and
+                # parquet row-group pruning skips inside partitions
+                out = df.sortWithinPartitions(*keys, *present)
+
         def run_write(path: str) -> None:
-            writer = (df.write.mode("overwrite").partitionBy(*keys)
+            writer = (out.write.mode("overwrite").partitionBy(*keys)
                       .options(**engine_config.profile().writer_options()))
             if chunks:
                 # chunk geometry → row-group/file sizing (the reference's
