@@ -104,3 +104,16 @@ def test_cluster_order_survives_merge_paths(spark, tmp_path):
     for f in files:
         vals = pd.read_parquet(f)["value"].to_numpy()
         assert (np.diff(vals) >= 0).all(), f
+
+
+def test_cli_inspect_shows_cluster_by(spark, tmp_path, capsys):
+    import json
+
+    from zcollection_spark import cli
+    coll = zc.create_collection(
+        spark, str(tmp_path / "ci"), schema=_schema(), axis="i",
+        partitioning=zc.Sequence(("num",)), cluster_by=["value"])
+    coll.insert(_data(spark, coll, n=40))
+    assert cli.main(["inspect", coll.path]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["cluster_by"] == ["value"]

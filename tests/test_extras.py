@@ -93,6 +93,7 @@ def test_cli_ls_and_inspect(spark, seq_collection, capsys):
     doc = json.loads(capsys.readouterr().out)
     assert doc["axis"] == "num"
     assert doc["n_partitions"] == 3
+    assert doc["cluster_by"] == []      # unclustered default is visible
     assert {v["name"] for v in doc["variables"]} == {"num", "value",
                                                      "static"}
 

@@ -44,6 +44,7 @@ def cmd_inspect(args: argparse.Namespace) -> int:
         "catalog_enabled": coll.catalog_enabled,
         "generation": coll.generation(),
         "stats_columns": getattr(coll, "stats_columns", []),
+        "cluster_by": getattr(coll, "cluster_by", []),
         "n_partitions": len(coll.partitions()),
         "dimensions": [
             {"name": d.name, "size": d.size} for d in
