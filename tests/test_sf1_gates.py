@@ -91,3 +91,39 @@ def test_retention_pinned_read_bit_identical_at_sf1(spark, tmp_path):
     coll.query(at_generation=gen).count()
     union_sec = time.perf_counter() - t0
     assert union_sec < plain_sec + 1.0, (union_sec, plain_sec)
+
+
+def test_clustered_layout_identical_and_sorted_at_sf1(spark, tmp_path):
+    """r12 gate for the r12 cluster_by surface: at sf1 row counts the
+    clustered collection answers a range predicate identically to the
+    raw table, and every partition file really is value-sorted (the
+    property that makes row-group pruning effective at 100 TB)."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import zcollection_spark as zc
+    from pyspark.sql import functions as F
+    from zcollection_spark.data import load_table
+    from zcollection_spark.schema import infer_schema
+
+    events = load_table(spark, str(SF1), "events") \
+        .select("event_id", "ts", "value").where(F.month("ts") == 1)
+    coll = zc.create_collection(
+        spark, str(tmp_path / "cl"),
+        schema=infer_schema(events.schema, axis="ts"),
+        axis="ts", partitioning=zc.Date(("ts",), resolution="D"),
+        stats_columns=["value"], cluster_by=["value"])
+    coll.insert(events)
+    got = coll.query(where="value >= 40.0 and value < 60.0") \
+        .agg(F.count("*").alias("n"),
+             F.sum("event_id").alias("s")).collect()[0]
+    want = events.where("value >= 40.0 and value < 60.0") \
+        .agg(F.count("*").alias("n"),
+             F.sum("event_id").alias("s")).collect()[0]
+    assert (got.n, got.s) == (want.n, want.s) and got.n > 0
+    files = glob.glob(str(tmp_path / "cl" / "year=*/month=*/day=*/*.parquet"))
+    assert files
+    for f in files:
+        vals = pd.read_parquet(f)["value"].to_numpy()
+        assert (np.diff(vals) >= 0).all(), f
