@@ -884,7 +884,13 @@ class Catalog:
         pairs and raise the same loud vanished-file stop, with every
         touched partition left UNMARKED (= retried), never certified.
         Markers are written on the driver only after the whole job
-        succeeds — same completion contract as the pool path."""
+        succeeds — same completion contract as the pool path.
+
+        Observability note: copies issued by executors do NOT tick the
+        driver-side CountingFS/api_counts probes (each worker has its
+        own client) — op-budget assertions and the bench retention
+        counter run below the distribute threshold by construction, so
+        they keep exact counts on the pool path."""
         spark = self._retention_spark_session(
             sum(len(files) for *_, files in jobs))
         pairs = [(rel, f"{src}/{f}", f"{dst}/{f}")
