@@ -117,3 +117,92 @@ def test_cli_inspect_shows_cluster_by(spark, tmp_path, capsys):
     assert cli.main(["inspect", coll.path]) == 0
     doc = json.loads(capsys.readouterr().out)
     assert doc["cluster_by"] == ["value"]
+
+
+def _schema_xy(chunks=2000):
+    return (zc.SchemaBuilder()
+            .add_dimension("i", chunks=chunks)
+            .add_variable("i", "int64", ("i",))
+            .add_variable("x", "int64", ("i",))
+            .add_variable("y", "int64", ("i",))
+            .add_variable("num", "int64", ("i",))
+            .build())
+
+
+def _data_xy(spark, coll, n=40_000, seed=11):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "i": np.arange(n, dtype=np.int64),
+        "x": rng.integers(0, 100_000, n).astype(np.int64),
+        "y": rng.integers(0, 100_000, n).astype(np.int64),
+        "num": np.zeros(n, dtype=np.int64)})
+    return spark.createDataFrame(pdf, schema=coll.schema.to_struct_type())
+
+
+def _overlap_fraction(files, col, lo, hi):
+    """Fraction of parquet files whose [min,max] of ``col`` intersects
+    [lo, hi] — the footer-stat skip a scan gets for free."""
+    import pyarrow.parquet as pq
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(c for c in range(md.num_columns)
+                   if md.row_group(0).column(c).path_in_schema == col)
+        st = [md.row_group(g).column(idx).statistics
+              for g in range(md.num_row_groups)]
+        if any(s.min <= hi and s.max >= lo for s in st):
+            hit += 1
+    return hit / len(files)
+
+
+def test_zorder_bounds_every_cluster_column(spark, tmp_path):
+    """A Z-curve layout must prune on the TRAILING cluster column too —
+    the property lexicographic range clustering cannot have."""
+    zcoll = zc.create_collection(
+        spark, str(tmp_path / "z"), schema=_schema_xy(), axis="i",
+        partitioning=zc.Sequence(("num",)),
+        cluster_by=["x", "y"], cluster_mode="zorder")
+    zcoll.insert(_data_xy(spark, zcoll))
+    rcoll = zc.create_collection(
+        spark, str(tmp_path / "r"), schema=_schema_xy(), axis="i",
+        partitioning=zc.Sequence(("num",)), cluster_by=["x", "y"])
+    rcoll.insert(_data_xy(spark, rcoll))
+    zfiles = glob.glob(str(tmp_path / "z" / "num=0" / "*.parquet"))
+    rfiles = glob.glob(str(tmp_path / "r" / "num=0" / "*.parquet"))
+    assert len(zfiles) > 4 and len(rfiles) > 4
+    lo, hi = 40_000, 45_000                       # 5% of the y domain
+    z_y = _overlap_fraction(zfiles, "y", lo, hi)
+    r_y = _overlap_fraction(rfiles, "y", lo, hi)
+    # range mode: y spans everything inside each x run -> ~every file
+    # overlaps; zorder bounds y per file
+    assert r_y > 0.9, r_y
+    assert z_y <= 0.7, (z_y, r_y)
+    # and zorder still prunes on x as well (bounded, not perfect)
+    z_x = _overlap_fraction(zfiles, "x", lo, hi)
+    assert z_x <= 0.7, z_x
+    # logical results identical across modes
+    got = sorted(r.i for r in zcoll.query().where(
+        f"y >= {lo} AND y <= {hi}").collect())
+    want = sorted(r.i for r in rcoll.query().where(
+        f"y >= {lo} AND y <= {hi}").collect())
+    assert got == want and got
+    # mode survives the config round-trip
+    assert zc.open_collection(spark, str(tmp_path / "z")) \
+        .cluster_mode == "zorder"
+
+
+def test_zorder_validation(spark, tmp_path):
+    with pytest.raises(SchemaError, match="at least two"):
+        zc.create_collection(
+            spark, str(tmp_path / "v1"), schema=_schema_xy(), axis="i",
+            partitioning=zc.Sequence(("num",)),
+            cluster_by=["x"], cluster_mode="zorder")
+    with pytest.raises(SchemaError, match="must be 'range' or 'zorder'"):
+        zc.create_collection(
+            spark, str(tmp_path / "v2"), schema=_schema_xy(), axis="i",
+            partitioning=zc.Sequence(("num",)),
+            cluster_by=["x", "y"], cluster_mode="hilbert")
+    with pytest.raises(SchemaError, match="has no effect"):
+        zc.create_collection(
+            spark, str(tmp_path / "v3"), schema=_schema_xy(), axis="i",
+            partitioning=zc.Sequence(("num",)), cluster_mode="zorder")

@@ -45,6 +45,7 @@ def cmd_inspect(args: argparse.Namespace) -> int:
         "generation": coll.generation(),
         "stats_columns": getattr(coll, "stats_columns", []),
         "cluster_by": getattr(coll, "cluster_by", []),
+        "cluster_mode": getattr(coll, "cluster_mode", "range"),
         "n_partitions": len(coll.partitions()),
         "dimensions": [
             {"name": d.name, "size": d.size} for d in

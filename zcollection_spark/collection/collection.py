@@ -88,6 +88,7 @@ def create_collection(spark: SparkSession, path: str, *,
                       bloom_columns: "Iterable[str] | None" = None,
                       bloom_bits: int = 1024,
                       cluster_by: "Iterable[str] | None" = None,
+                      cluster_mode: str = "range",
                       overwrite: bool = False) -> "Collection":
     """DDL: bind the schema to the axis and write the root config
     (``/root/reference/zcollection/api.py:19-62`` →
@@ -120,7 +121,15 @@ def create_collection(spark: SparkSession, path: str, *,
     the Delta/Iceberg ``clusterBy``/sort-order layer).  Trade-off:
     physical order within a file tracks the cluster columns instead of
     the axis, so row-range reads (index lookups) touch more row groups
-    on clustered collections — opt in per collection accordingly."""
+    on clustered collections — opt in per collection accordingly.
+
+    ``cluster_mode`` picks the curve: ``"range"`` (default) sorts
+    lexicographically — tight on the LEADING column only; ``"zorder"``
+    (two or more numeric/temporal cluster columns) interleaves
+    batch-normalized bucket bits into a Z-curve, bounding every row
+    group's extent in EVERY clustered column, so predicates on any of
+    them prune (collection/cluster.py; costs one extra min/max
+    aggregate job per write)."""
     path = fsmod.strip_scheme(path).rstrip("/")
     fs = fsmod.fs_for(path, spark)
     config_path = f"{path}/{CONFIG_NAME}"
@@ -182,6 +191,10 @@ def create_collection(spark: SparkSession, path: str, *,
                     f"typed (got {np_kind}): the cross-side hash canon "
                     f"is only exact for those")
     cluster_by = list(cluster_by) if cluster_by else None
+    if cluster_mode not in ("range", "zorder"):
+        raise SchemaError(
+            f"cluster_mode must be 'range' or 'zorder', got "
+            f"{cluster_mode!r}")
     if cluster_by:
         for col in cluster_by:
             if col not in var_map or var_map[col].immutable:
@@ -193,6 +206,23 @@ def create_collection(spark: SparkSession, path: str, *,
                     f"cluster column {col!r} is already a partitioning "
                     f"variable — clustering inside a partition by its "
                     f"own key is a no-op")
+        if cluster_mode == "zorder":
+            if len(cluster_by) < 2:
+                raise SchemaError(
+                    "cluster_mode='zorder' needs at least two cluster "
+                    "columns — with one, plain range clustering is "
+                    "strictly better")
+            for col in cluster_by:
+                kind = var_map[col].dtype
+                if not (kind.startswith(("int", "uint", "float"))
+                        or _is_temporal_dtype(kind)):
+                    raise SchemaError(
+                        f"zorder cluster column {col!r} must be "
+                        f"numeric or temporal (got {kind}): bucket "
+                        f"interleaving needs an ordered numeric domain")
+    elif cluster_mode != "range":
+        raise SchemaError("cluster_mode without cluster_by has no "
+                          "effect — pass the columns to cluster")
     doc = {"format_version": FORMAT_VERSION, "schema": bound.to_json(),
            "partitioning": partitioning.to_json(),
            "catalog_enabled": catalog_enabled}
@@ -203,13 +233,16 @@ def create_collection(spark: SparkSession, path: str, *,
         doc["bloom_bits"] = int(bloom_bits)
     if cluster_by:
         doc["cluster_by"] = cluster_by
+        if cluster_mode != "range":
+            doc["cluster_mode"] = cluster_mode
     fs.write_text(config_path, json.dumps(doc, indent=1, sort_keys=True))
     coll = Collection(spark, path, bound, partitioning, mode="rw",
                       catalog_enabled=catalog_enabled,
                       stats_columns=stats_columns,
                       bloom_columns=bloom_columns,
                       bloom_bits=bloom_bits,
-                      cluster_by=cluster_by)
+                      cluster_by=cluster_by,
+                      cluster_mode=cluster_mode)
     if catalog_enabled:
         coll._catalog.write([])
     return coll
@@ -249,7 +282,8 @@ def open_collection(spark: SparkSession, path: str, *,
                       stats_columns=stats_columns,
                       bloom_columns=bloom_columns,
                       bloom_bits=bloom_bits,
-                      cluster_by=doc.get("cluster_by"))
+                      cluster_by=doc.get("cluster_by"),
+                      cluster_mode=doc.get("cluster_mode", "range"))
 
 
 class Collection:
@@ -261,7 +295,8 @@ class Collection:
                  stats_columns: "list[str] | None" = None,
                  bloom_columns: "list[str] | None" = None,
                  bloom_bits: int = 1024,
-                 cluster_by: "list[str] | None" = None):
+                 cluster_by: "list[str] | None" = None,
+                 cluster_mode: str = "range"):
         if schema.axis is None:
             raise SchemaError("collection schema must be axis-bound")
         self.spark = spark
@@ -274,6 +309,7 @@ class Collection:
         self.stats_columns = list(stats_columns) if stats_columns else []
         self.bloom_columns = list(bloom_columns) if bloom_columns else []
         self.cluster_by = list(cluster_by) if cluster_by else []
+        self.cluster_mode = cluster_mode
         self.bloom_bits = int(bloom_bits)
         self._fs = fsmod.fs_for(self.path, spark)
         self._catalog = Catalog(self._fs, self.path,
@@ -733,7 +769,18 @@ class Collection:
         out = df
         if self.cluster_by:
             present = [c for c in self.cluster_by if c in df.columns]
-            if present:
+            if len(present) >= 2 and self.cluster_mode == "zorder":
+                # Z-curve layout: bucket each cluster column against
+                # the batch's min/max (one extra aggregate job) and
+                # interleave the bits — every row group gets a bounded
+                # extent in EVERY clustered column, so predicates on
+                # any of them prune (collection/cluster.py)
+                from .cluster import batch_bounds, zorder_column
+                z = zorder_column(present, batch_bounds(df, present))
+                out = (df.withColumn("__zorder", z)
+                       .sortWithinPartitions(*keys, "__zorder")
+                       .drop("__zorder"))
+            elif present:
                 # range-clustered layout: task-local sort (no exchange —
                 # the partitioned write sorts on the keys regardless;
                 # this widens that sort) so row groups and split files
