@@ -76,7 +76,7 @@ def test_registry_window_invariant():
     # totals in the queries() header comment rotted in r8 ("all 66")
     # and again in r9 ("all 71"), so adding a query now forces this
     # pin — and with it the rotation ledger — to be updated.
-    assert len(names) == 76, len(names)
+    assert len(names) == 77, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
     # round-12 rotation (executes the r11 ledger): the fifteen r11
     # sit-outs return in-window and the one never-driver-graded r11
@@ -107,6 +107,7 @@ def test_registry_window_invariant():
                     # NEW r12, born out-of-window (the r12 window was
                     # fixed by the r11 ledger); promote in r13
                     "collection_clustered_where",
+                    "collection_zorder_where",
                     "collection_projection",
                     "top_revenue_orders",
                     "promo_revenue", "order_priority_counts",

@@ -178,6 +178,35 @@ SELECT {EVENTS3} FROM events WHERE value >= 40.0 AND value < 60.0
 """
 
 
+def q_collection_zorder_where(spark, sf_dir):
+    """Z-order clustered layout (``cluster_mode="zorder"``, NEW r12):
+    batch-normalized bucket bits of BOTH cluster columns interleave
+    into the write sort key, bounding every row group in every
+    clustered column — a 2%-box predicate on (value, event_id) prunes
+    9/40 vs 40/40 row groups on the trailing column (SCALING.md r12).
+    Result is oracle-exact regardless of skipping."""
+    def build():
+        df = _events3(spark, sf_dir)
+        coll = create_collection(
+            spark, f"{_tmp()}/events3_zo_{abs(hash(sf_dir))}",
+            schema=infer_schema(df.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"),
+            cluster_by=["value", "event_id"], cluster_mode="zorder")
+        coll.insert(df)
+        return coll
+    coll = _cached(("events3_zo", sf_dir), build)
+    return coll.query(where="value >= 40.0 and value < 60.0 and "
+                            "event_id >= 1000 and event_id < 60000",
+                      variables=["event_id", "ts", "value"])
+
+
+ORACLE_ZORDER_WHERE = f"""
+SELECT {EVENTS3} FROM events
+WHERE value >= 40.0 AND value < 60.0
+  AND event_id >= 1000 AND event_id < 60000
+"""
+
+
 def q_collection_bloom_skip(spark, sf_dir):
     """Per-partition bloom-filter data skipping (``bloom_columns``,
     collection/stats.py:133, partitioning/zonemap.py): a point lookup
@@ -2594,9 +2623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         # NEW r12, built out-of-window (the r12 window was set by the
         # r11 ledger): range-clustered file layout — within-partition
-        # row-group skipping below the zone-map layer.
-        # check_oracle-gated now; promote in r13.
+        # row-group skipping below the zone-map layer — and its
+        # multi-column Z-order twin.  check_oracle-gated now; promote
+        # in r13.
         "collection_clustered_where": q_collection_clustered_where,
+        "collection_zorder_where": q_collection_zorder_where,
     }
 
 
@@ -2618,6 +2649,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "collection_query_prune": ORACLE_QUERY_PRUNE,
         "collection_zonemap_skip": ORACLE_ZONEMAP_SKIP,
         "collection_clustered_where": ORACLE_CLUSTERED_WHERE,
+        "collection_zorder_where": ORACLE_ZORDER_WHERE,
         "collection_changes": ORACLE_CHANGES,
         "collection_time_travel": ORACLE_TIME_TRAVEL,
         "collection_retained_read": ORACLE_RETAINED_READ,
