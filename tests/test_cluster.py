@@ -206,3 +206,22 @@ def test_zorder_validation(spark, tmp_path):
         zc.create_collection(
             spark, str(tmp_path / "v3"), schema=_schema_xy(), axis="i",
             partitioning=zc.Sequence(("num",)), cluster_mode="zorder")
+
+
+def test_compact_preserves_cluster_order(spark, tmp_path):
+    """compact() is the maintenance op a clustered collection WILL run;
+    its rewrite must re-apply the cluster sort, not silently destroy
+    the layout (it bypasses _write_tree, so this needs its own pin)."""
+    coll = zc.create_collection(
+        spark, str(tmp_path / "cc"), schema=_schema(), axis="i",
+        partitioning=zc.Sequence(("num",)), cluster_by=["value"])
+    # two concat batches -> 2+ files per partition -> compactable
+    coll.insert(_data(spark, coll, seed=3))
+    coll.insert(_data(spark, coll, seed=4), merge="concat")
+    report = coll.compact()
+    assert report                       # something was compacted
+    files = glob.glob(str(tmp_path / "cc" / "num=*" / "*.parquet"))
+    assert files
+    for f in files:
+        vals = pd.read_parquet(f)["value"].to_numpy()
+        assert (np.diff(vals) >= 0).all(), f

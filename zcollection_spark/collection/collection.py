@@ -752,6 +752,35 @@ class Collection:
                .orderBy(self._axis_order(df)))
         return df.withColumn(ROW_IDX, F.row_number().over(win) - F.lit(1))
 
+    def _apply_cluster_sort(self, df: DataFrame,
+                            keys: list[str]) -> DataFrame:
+        """Task-local cluster sort for every partition-writing path
+        (insert/merge/update via ``_write_tree`` AND ``compact`` — a
+        maintenance rewrite must not silently destroy the layout).
+        No-op for unclustered collections."""
+        if not self.cluster_by:
+            return df
+        present = [c for c in self.cluster_by if c in df.columns]
+        if len(present) >= 2 and self.cluster_mode == "zorder":
+            # Z-curve layout: bucket each cluster column against the
+            # batch's min/max (one extra aggregate job) and interleave
+            # the bits — every row group gets a bounded extent in
+            # EVERY clustered column, so predicates on any of them
+            # prune (collection/cluster.py)
+            from .cluster import batch_bounds, zorder_column
+            z = zorder_column(present, batch_bounds(df, present))
+            return (df.withColumn("__zorder", z)
+                    .sortWithinPartitions(*keys, "__zorder")
+                    .drop("__zorder"))
+        if present:
+            # range-clustered layout: task-local sort (no exchange —
+            # the partitioned write sorts on the keys regardless;
+            # this widens that sort) so row groups and split files
+            # cover near-disjoint ranges of the cluster columns and
+            # parquet row-group pruning skips inside partitions
+            return df.sortWithinPartitions(*keys, *present)
+        return df
+
     def _write_tree(self, df: DataFrame, target: str) -> dict | None:
         """Write ``df``'s partition tree under ``target`` (a staging dir).
 
@@ -766,27 +795,7 @@ class Collection:
         if axis_dim is not None and axis_dim.chunks:
             chunks = axis_dim.chunks
 
-        out = df
-        if self.cluster_by:
-            present = [c for c in self.cluster_by if c in df.columns]
-            if len(present) >= 2 and self.cluster_mode == "zorder":
-                # Z-curve layout: bucket each cluster column against
-                # the batch's min/max (one extra aggregate job) and
-                # interleave the bits — every row group gets a bounded
-                # extent in EVERY clustered column, so predicates on
-                # any of them prune (collection/cluster.py)
-                from .cluster import batch_bounds, zorder_column
-                z = zorder_column(present, batch_bounds(df, present))
-                out = (df.withColumn("__zorder", z)
-                       .sortWithinPartitions(*keys, "__zorder")
-                       .drop("__zorder"))
-            elif present:
-                # range-clustered layout: task-local sort (no exchange —
-                # the partitioned write sorts on the keys regardless;
-                # this widens that sort) so row groups and split files
-                # cover near-disjoint ranges of the cluster columns and
-                # parquet row-group pruning skips inside partitions
-                out = df.sortWithinPartitions(*keys, *present)
+        out = self._apply_cluster_sort(df, keys)
 
         def run_write(path: str) -> None:
             writer = (out.write.mode("overwrite").partitionBy(*keys)
@@ -1226,10 +1235,12 @@ class Collection:
         # staged swap: the rewrite job reads the live partition files while
         # writing into _staging, then renames — readers never observe a
         # partition mid-rewrite
+        compacted = self._apply_cluster_sort(
+            df.repartition(*[F.col(k) for k in keys]), keys)
         self._staged_write(
             lambda staging: self._spark_parquet_write(
                 staging,
-                lambda t: (df.repartition(*[F.col(k) for k in keys])
+                lambda t: (compacted
                            .write.mode("overwrite").partitionBy(*keys)
                            .options(**engine_config.profile()
                                     .writer_options())
