@@ -2527,11 +2527,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry count and window split are PINNED in
     # tests/test_tools.py::test_registry_window_invariant (the
     # hand-counted totals in this comment rotted twice — r8 and r9 —
-    # so the test owns the numbers now).  r13 ledger note: the
-    # sixteen r12 sit-outs return in r13; free the slots by sitting
-    # out r12's returning rows on the same symmetric arguments
-    # (collection_retained_read may sit out once driver-graded, with
-    # collection_time_travel returning to cover version-as-of reads).
+    # so the test owns the numbers now).  r13 ledger note — EIGHTEEN
+    # slots: the sixteen r12 sit-outs return (driver-green r11, age
+    # out after r13) and the two never-driver-graded r12 layout
+    # entries promote (collection_clustered_where,
+    # collection_zorder_where).  Free them by sitting out r12's
+    # sixteen returning rows on the reversed symmetric arguments,
+    # plus collection_retained_read (driver-graded r12;
+    # returning collection_time_travel covers version-as-of) and one
+    # twin swap (e.g. dedup_embedding_lsh out while dedup_embedding
+    # stays, or knn_lsh_hi/knn_ivf_hi out as the _hi twins of
+    # returning knn_lsh/knn_ivf — pick ONE, count with the test).
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
