@@ -225,3 +225,73 @@ def test_compact_preserves_cluster_order(spark, tmp_path):
     for f in files:
         vals = pd.read_parquet(f)["value"].to_numpy()
         assert (np.diff(vals) >= 0).all(), f
+
+
+def test_zorder_interleave_is_bijective(spark):
+    """Property: the interleaved z-value losslessly encodes the bucket
+    tuple — de-interleaving the bits recovers every bucket exactly
+    (so sorting by z never conflates distinct cells)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zcollection_spark.collection.cluster import zorder_column
+
+    import pyspark.sql.functions as F
+
+    # evaluate the EXACT production expression once over a grid of
+    # corner + random bucket pairs, then de-interleave in python
+    pairs = [(0, 0), (0, 65535), (65535, 0), (65535, 65535),
+             (1, 2), (32768, 32767), (12345, 54321), (99, 64000)]
+    bounds = {"a": (0.0, 65535.0), "b": (0.0, 65535.0)}
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in pairs], "a double, b double")
+    z = [r[0] for r in df.select(
+        zorder_column(["a", "b"], bounds).alias("z")).collect()]
+
+    def deinterleave(v, n, bits):
+        out = [0] * n
+        for i in range(bits):
+            for j in range(n):
+                out[j] |= ((v >> (i * n + j)) & 1) << i
+        return tuple(out)
+
+    for (a, b), zv in zip(pairs, z):
+        assert 0 <= zv < (1 << 63)
+        assert deinterleave(zv, 2, 16) == (a, b), (a, b, zv)
+
+    @given(st.integers(0, 65535), st.integers(0, 65535))
+    @settings(max_examples=200, deadline=None)
+    def roundtrip(a, b):
+        # pure-python replay of the expression's bit plan
+        v = 0
+        for i in range(16):
+            v |= ((a >> i) & 1) << (i * 2)
+            v |= ((b >> i) & 1) << (i * 2 + 1)
+        assert deinterleave(v, 2, 16) == (a, b)
+
+    roundtrip()
+
+
+def test_zorder_handles_nulls_and_constant_columns(spark, tmp_path):
+    """Nulls and constant cluster columns land in bucket 0 — the write
+    must not crash and every row must survive the round-trip."""
+    import pyspark.sql.types as T
+
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("x", "float64", ("i",))
+              .add_variable("y", "float64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = zc.create_collection(
+        spark, str(tmp_path / "n"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)),
+        cluster_by=["x", "y"], cluster_mode="zorder")
+    rows = [(0, None, 7.0, 0), (1, 1.5, 7.0, 0), (2, None, 7.0, 0),
+            (3, 9.9, 7.0, 0)]                   # y constant, x has nulls
+    df = spark.createDataFrame(rows, schema=coll.schema.to_struct_type())
+    coll.insert(df)
+    got = sorted((r.i, r.x) for r in coll.query().collect())
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+    assert got[0][1] is None and got[2][1] is None
