@@ -295,3 +295,30 @@ def test_zorder_handles_nulls_and_constant_columns(spark, tmp_path):
     got = sorted((r.i, r.x) for r in coll.query().collect())
     assert [i for i, _ in got] == [0, 1, 2, 3]
     assert got[0][1] is None and got[2][1] is None
+
+
+def test_add_variable_preserves_optional_root_config(spark, tmp_path):
+    """Regression (found in r12 review): add_variable rewrote the root
+    config WITHOUT the optional fields, so schema evolution silently
+    disabled zone maps, blooms and clustering on the next open."""
+    coll = zc.create_collection(
+        spark, str(tmp_path / "ev"), schema=_schema(), axis="i",
+        partitioning=zc.Sequence(("num",)),
+        stats_columns=["value"], bloom_columns=["i"], bloom_bits=2048,
+        cluster_by=["value"])
+    coll.insert(_data(spark, coll, n=40))
+    coll.add_variable("extra", "float64", fill_value=0.0)
+    re = zc.open_collection(spark, str(tmp_path / "ev"))
+    assert re.stats_columns == ["value"]
+    assert re.bloom_columns == ["i"] and re.bloom_bits == 2048
+    assert re.cluster_by == ["value"] and re.cluster_mode == "range"
+    assert "extra" in re.schema.variable_map
+    # zorder variant keeps its mode too
+    z = zc.create_collection(
+        spark, str(tmp_path / "ez"), schema=_schema_xy(), axis="i",
+        partitioning=zc.Sequence(("num",)),
+        cluster_by=["x", "y"], cluster_mode="zorder")
+    z.insert(_data_xy(spark, z, n=50))
+    z.add_variable("extra", "float64", fill_value=0.0)
+    assert zc.open_collection(
+        spark, str(tmp_path / "ez")).cluster_mode == "zorder"

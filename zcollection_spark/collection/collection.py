@@ -1172,6 +1172,19 @@ class Collection:
                "schema": rebuilt.to_json(),
                "partitioning": self.partitioning.to_json(),
                "catalog_enabled": self.catalog_enabled}
+        # the rewrite must carry EVERY optional root-config field —
+        # dropping one here silently disables its feature on the next
+        # open (this bit zone maps/blooms before r12 caught it while
+        # adding cluster_by)
+        if self.stats_columns:
+            doc["stats_columns"] = sorted(self.stats_columns)
+        if self.bloom_columns:
+            doc["bloom_columns"] = sorted(self.bloom_columns)
+            doc["bloom_bits"] = int(self.bloom_bits)
+        if self.cluster_by:
+            doc["cluster_by"] = list(self.cluster_by)
+            if self.cluster_mode != "range":
+                doc["cluster_mode"] = self.cluster_mode
         self._fs.write_text(f"{self.path}/{CONFIG_NAME}",
                             json.dumps(doc, indent=1, sort_keys=True))
         self.schema = rebuilt
