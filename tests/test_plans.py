@@ -449,3 +449,51 @@ def test_jaccard_stop_filter_broadcast_is_size_gated(spark, monkeypatch):
     analyzed2 = pairs2._jdf.queryExecution().analyzed().toString()
     assert "strategy=broadcast" in analyzed2
     dd.unpersist_intermediates(pairs2)
+
+
+# -- clustered layouts (SCALING.md r12: cluster_by / zorder) ----------------
+
+def test_cluster_sort_adds_no_exchange(spark, tmp_path):
+    """The clustered write's claim is "task-local sort, no extra
+    shuffle": applying the cluster sort must add ZERO Exchange nodes
+    over the unclustered write plan — only a Sort with global=false."""
+    import numpy as np
+    import pandas as pd
+
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("x", "int64", ("i",))
+              .add_variable("y", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    for label, kw in (("r", {"cluster_by": ["x"]}),
+                      ("z", {"cluster_by": ["x", "y"],
+                             "cluster_mode": "zorder"})):
+        coll = zc.create_collection(
+            spark, str(tmp_path / f"pc{label}"), schema=schema,
+            axis="i", partitioning=zc.Sequence(("num",)), **kw)
+        rng = np.random.default_rng(1)
+        pdf = pd.DataFrame({
+            "i": np.arange(300, dtype=np.int64),
+            "x": rng.integers(0, 1000, 300).astype(np.int64),
+            "y": rng.integers(0, 1000, 300).astype(np.int64),
+            "num": np.zeros(300, dtype=np.int64)})
+        df = spark.createDataFrame(pdf, schema=coll.schema.to_struct_type())
+        keys = list(coll.partitioning.keys)
+        derived = coll.partitioning.derive(
+            df.select(*[v.name for v in coll.schema.partitioned_variables
+                        if v.name in df.columns]))
+        base = coll._with_row_idx(derived)
+        plain_plan = executed_plan(base)
+        sorted_plan = executed_plan(coll._apply_cluster_sort(base, keys))
+        assert len(count_exchanges(sorted_plan)) == \
+            len(count_exchanges(plain_plan)), (label, sorted_plan)
+        # the sort is there and is task-local, never a global sort
+        # (SortExec prints as "Sort [keys], <global>, <offset>")
+        sorts = re.findall(r"Sort \[[^\]]*\], (\w+), ",
+                           final_plan(sorted_plan))
+        assert sorts and all(g == "false" for g in sorts), sorted_plan
+        # zorder stays entirely JVM-side: no Python eval nodes
+        assert "BatchEvalPython" not in sorted_plan
+        assert "ArrowEvalPython" not in sorted_plan
