@@ -322,3 +322,35 @@ def test_add_variable_preserves_optional_root_config(spark, tmp_path):
     z.add_variable("extra", "float64", fill_value=0.0)
     assert zc.open_collection(
         spark, str(tmp_path / "ez")).cluster_mode == "zorder"
+
+
+def test_zorder_temp_column_never_clobbers_user_variable(spark, tmp_path):
+    """r12 advice: the Z-value used to live in a hard-coded '__zorder'
+    temp column — a schema variable literally named '__zorder' would be
+    silently overwritten by the curve value and dropped from every
+    written partition.  The temp name must dodge user columns."""
+    schema = (zc.SchemaBuilder()
+              .add_dimension("i")
+              .add_variable("i", "int64", ("i",))
+              .add_variable("x", "int64", ("i",))
+              .add_variable("y", "int64", ("i",))
+              .add_variable("__zorder", "int64", ("i",))
+              .add_variable("num", "int64", ("i",))
+              .build())
+    coll = zc.create_collection(
+        spark, str(tmp_path / "guard"), schema=schema, axis="i",
+        partitioning=zc.Sequence(("num",)),
+        cluster_by=["x", "y"], cluster_mode="zorder")
+    n = 64
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "i": np.arange(n, dtype=np.int64),
+        "x": rng.integers(0, 1000, n).astype(np.int64),
+        "y": rng.integers(0, 1000, n).astype(np.int64),
+        "__zorder": np.arange(n, dtype=np.int64) * 7,
+        "num": np.zeros(n, dtype=np.int64)})
+    coll.insert(spark.createDataFrame(
+        pdf, schema=coll.schema.to_struct_type()))
+    got = {r.i: r["__zorder"]
+           for r in coll.query().select("i", "__zorder").collect()}
+    assert got == {int(k): int(k) * 7 for k in range(n)}

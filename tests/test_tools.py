@@ -78,66 +78,61 @@ def test_registry_window_invariant():
     # pin — and with it the rotation ledger — to be updated.
     assert len(names) == 77, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
-    # round-12 rotation (executes the r11 ledger): the fifteen r11
-    # sit-outs return in-window and the one never-driver-graded r11
-    # operator promotes (collection_retained_read).  Sitting out
-    # until r13 (all driver-green r11; covered-surface arguments in
-    # the queries() header): seven plain-SQL rows (join/agg/window/
-    # anti-join surfaces covered by returning revenue_rollup,
-    # event_gaps, source_quality + in-window decontaminate), knn_lsh
-    # / knn_ivf (parameter twins of the returning _hi rows),
-    # capped_sample (dedup_keep_latest's keyed-cap surface),
-    # chunk_documents (pack_sequences' chunk/pack stage),
-    # doc_repetition / quality_filter (covered by the returning text
-    # trio), collection_time_travel (promoted
-    # collection_retained_read is a strict superset: version-as-of +
-    # republish survival), upsample_weights (sampling family covered
-    # by returning stratified_sample + token_budget + in-window
-    # hash_split), and merge_upsert (exact twin of returning
-    # merge_upsert_tolerance).
-    tail_allowed = {"pricing_summary", "chunk_documents",
-                    "doc_repetition", "quality_filter",
-                    "knn_lsh", "knn_ivf",
-                    "priority_class_counts", "big_orders",
-                    "regional_revenue", "revenue_delta",
-                    "capped_sample", "browse_no_buy",
-                    "value_percentiles",
-                    "collection_time_travel", "upsample_weights",
-                    "merge_upsert",
-                    # NEW r12, born out-of-window (the r12 window was
-                    # fixed by the r11 ledger); promote in r13
-                    "collection_clustered_where",
-                    "collection_zorder_where",
+    # round-13 rotation (executes the r12 ledger + the r12 verdict's
+    # stale-tail directive): the sixteen r12 sit-outs return
+    # in-window, the two never-driver-graded r12 layout entries
+    # promote (collection_clustered_where, collection_zorder_where),
+    # and promo_revenue + rollup_hourly cycle in from the r02-r04
+    # permanent tail for a fresh driver row.  Sitting out until r14
+    # (all driver-green r12; covered-surface arguments in the
+    # queries() header): the fifteen r11-sit-out returns + the r12
+    # promotion collection_retained_read, plus four twin swaps
+    # (zarr_documents / collection_bloom_skip / dedup_jaccard /
+    # interval_match, each with an in-window family peer).
+    tail_allowed = {"text_stats", "language_id", "fingerprint",
+                    "revenue_rollup", "event_gaps", "source_quality",
+                    "knn_lsh_hi", "knn_ivf_hi",
+                    "dedup_keep_latest", "multimodal_features",
+                    "pack_sequences", "stratified_sample",
+                    "token_budget", "merge_upsert_tolerance",
+                    "dedup_embedding", "collection_retained_read",
+                    "zarr_documents", "collection_bloom_skip",
+                    "dedup_jaccard", "interval_match",
+                    # permanent plain-SQL tail, cycling through the
+                    # window 2-3 per round since r13 (verdict task 2)
                     "collection_projection",
                     "top_revenue_orders",
-                    "promo_revenue", "order_priority_counts",
-                    "returned_item_losses", "trade_flows", "rollup_hourly",
+                    "order_priority_counts",
+                    "returned_item_losses", "trade_flows",
                     "langid_confusion", "top_ngrams"}
     assert set(names[50:]) <= tail_allowed, names[50:]
-    # every operator promoted by the r11 ledger must actually be
-    # in-window this round
-    for promoted in ("collection_retained_read",
-                     "merge_upsert_tolerance", "dedup_embedding",
-                     "multimodal_features", "pack_sequences",
-                     "stratified_sample", "token_budget",
-                     "dedup_keep_latest", "knn_lsh_hi", "knn_ivf_hi",
-                     "text_stats", "language_id", "fingerprint",
-                     "revenue_rollup", "event_gaps", "source_quality"):
+    # every operator promoted/returned by the r12 ledger (and the
+    # verdict's tail cycle) must actually be in-window this round
+    for promoted in ("collection_clustered_where",
+                     "collection_zorder_where",
+                     "promo_revenue", "rollup_hourly",
+                     "pricing_summary", "chunk_documents",
+                     "doc_repetition", "quality_filter",
+                     "knn_lsh", "knn_ivf",
+                     "priority_class_counts", "big_orders",
+                     "regional_revenue", "revenue_delta",
+                     "capped_sample", "browse_no_buy",
+                     "value_percentiles", "collection_time_travel",
+                     "upsample_weights", "merge_upsert"):
         assert promoted in names[:50], promoted
     for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivfpq",
                              "knn_bruteforce",
                              "collection_changes", "pii_scrub",
                              "decontaminate",
-                             "dedup_jaccard", "dedup_minhash",
+                             "dedup_minhash",
                              "dedup_simhash", "dedup_exact",
                              "dedup_clusters",
                              "hash_split",
-                             "collection_bloom_skip",
                              "streaming_sink",
                              "collection_zonemap_skip",
-                             "zarr_roundtrip", "zarr_documents",
-                             "asof_enrich", "interval_match",
+                             "zarr_roundtrip",
+                             "asof_enrich",
                              "merge_time_series", "merge_concat",
                              "map_partition_stats", "update_derived",
                              "view_overlay", "index_lookup",

@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import json
 import threading
+import warnings
 from collections import defaultdict
 
 from ..errors import CommitConflictError, StoreError
@@ -816,16 +817,37 @@ class Catalog:
             jobs = [j for j in pool.map(_prep, candidates)
                     if j is not None]
             total_files = sum(len(files) for *_, files in jobs)
-            if self._retention_spark_session(total_files) is not None:
+            # resolve the session ONCE and thread it through (r12
+            # advice: a second lookup inside _retain_distributed could
+            # disagree with this one if the config override or active
+            # session changes in between)
+            spark = self._retention_spark_session(total_files)
+            if spark is not None and jobs:
                 # huge pin set: escalate past the driver pool — copies
-                # fan out over the executors (see _retain_distributed)
-                futures = []
-            else:
-                futures = [
-                    (rel, stamp, len(files),
-                     [pool.submit(_copy_one, rel, f"{src}/{f}",
-                                  f"{dst}/{f}") for f in files])
-                    for rel, stamp, src, dst, files in jobs]
+                # fan out over the executors (see _retain_distributed).
+                # A failure of the Spark JOB itself (workers missing
+                # the store SDK, serialization, cluster trouble) is an
+                # availability problem, not a data problem: degrade to
+                # the bounded driver pool below, which needs only the
+                # driver's own client.  The deliberate vanished-file
+                # StoreError stays loud — that one means the copy set
+                # is wrong, and no pool retry can make it right.
+                try:
+                    return self._retain_distributed(jobs, spark)
+                except StoreError:
+                    raise
+                except Exception as exc:  # noqa: BLE001 — degrade wide
+                    warnings.warn(
+                        f"distributed retention copy failed "
+                        f"({type(exc).__name__}: {exc}); falling back "
+                        f"to the driver copy pool for "
+                        f"{total_files} file(s)", RuntimeWarning,
+                        stacklevel=2)
+            futures = [
+                (rel, stamp, len(files),
+                 [pool.submit(_copy_one, rel, f"{src}/{f}",
+                              f"{dst}/{f}") for f in files])
+                for rel, stamp, src, dst, files in jobs]
             try:
                 for rel, stamp, count, futs in futures:
                     for fut in futs:
@@ -843,8 +865,6 @@ class Catalog:
                     for fut in futs:
                         fut.cancel()
                 raise
-        if not futures and jobs:
-            out = self._retain_distributed(jobs)
         return out
 
     def _retention_spark_session(self, total_files: int):
@@ -868,10 +888,22 @@ class Catalog:
             else "file"
         if scheme not in ("s3", "gs", "az", "file"):
             return None
+        # the scheme alone is not enough (r12 advice): the DRIVER may
+        # itself have fallen back to the py4j HadoopFS client (boto3
+        # missing, az/gs creds outside the env) — a worker-side
+        # fs_for() would then raise instead of rebuilding a client,
+        # and the whole publish would fail on an availability detail.
+        # Require the driver's own metadata client to be one of the
+        # env-reconstructible classes before fanning out.
+        from .. import fs as fsmod
+        inner = getattr(self._fs, "inner", self._fs)  # unwrap CountingFS
+        if not isinstance(inner, (fsmod.LocalFS, fsmod.S3FS,
+                                  fsmod.AzureBlobFS, fsmod.GcsFS)):
+            return None
         from pyspark.sql import SparkSession
         return SparkSession.getActiveSession()
 
-    def _retain_distributed(self, jobs) -> list[str]:
+    def _retain_distributed(self, jobs, spark) -> list[str]:
         """Retention copies as a Spark job — the 100-TB escalation.
 
         A republish touching 10 k pinned partitions × 50 files is
@@ -890,9 +922,11 @@ class Catalog:
         driver-side CountingFS/api_counts probes (each worker has its
         own client) — op-budget assertions and the bench retention
         counter run below the distribute threshold by construction, so
-        they keep exact counts on the pool path."""
-        spark = self._retention_spark_session(
-            sum(len(files) for *_, files in jobs))
+        they keep exact counts on the pool path.
+
+        ``spark`` is resolved ONCE by the caller (retain_for_pins) —
+        re-resolving here could race a config override or session swap
+        between the two lookups (r12 advice)."""
         pairs = [(rel, f"{src}/{f}", f"{dst}/{f}")
                  for rel, stamp, src, dst, files in jobs
                  for f in files]
@@ -985,12 +1019,16 @@ class Catalog:
                     lambda dr: self._fs.delete(f"{base}/{dr[0]}/{dr[1]}"),
                     doomed))
             removed = [f"{d}/{rel}" for d, rel in doomed]
-            # a stamp dir whose last copy just left goes too
-            for d in sorted({d for d, _rel in doomed}):
-                droot = f"{base}/{d}"
-                if not self._fs.list_partition_dirs(droot,
-                                                    self._walk_depth):
-                    self._fs.delete(droot)
+        # a stamp dir with zero partition dirs goes too — EVERY one we
+        # visited, not just those that lost copies this sweep: a prior
+        # sweep that crashed between its copy deletes and this dir
+        # delete leaves an empty stamp dir no later doomed-set would
+        # ever revisit (r12 advice).  Empty-prefix deletes are no-ops
+        # on object stores, so re-checking all of them is free.
+        for d in sorted(stamp_dirs):
+            droot = f"{base}/{d}"
+            if not self._fs.list_partition_dirs(droot, self._walk_depth):
+                self._fs.delete(droot)
         return removed
 
     def _commit_rmw(self, mutate, need_base: bool = True) -> list[str]:

@@ -769,9 +769,17 @@ class Collection:
             # prune (collection/cluster.py)
             from .cluster import batch_bounds, zorder_column
             z = zorder_column(present, batch_bounds(df, present))
-            return (df.withColumn("__zorder", z)
-                    .sortWithinPartitions(*keys, "__zorder")
-                    .drop("__zorder"))
+            # derive a non-colliding temp name: a schema variable
+            # literally named '__zorder' must not be overwritten by
+            # the Z-value and silently dropped from every written
+            # partition (r12 advice; same reserved-name discipline as
+            # layout.py's '__salt' guard)
+            zcol = "__zorder"
+            while zcol in df.columns:
+                zcol += "_"
+            return (df.withColumn(zcol, z)
+                    .sortWithinPartitions(*keys, zcol)
+                    .drop(zcol))
         if present:
             # range-clustered layout: task-local sort (no exchange —
             # the partitioned write sorts on the keys regardless;

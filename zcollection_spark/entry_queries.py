@@ -2491,57 +2491,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 12, executing the r11
-    # ledger): the fifteen r11 sit-outs come BACK in-window
-    # (text_stats, language_id, fingerprint, revenue_rollup,
-    # event_gaps, source_quality, knn_lsh_hi, knn_ivf_hi,
-    # dedup_keep_latest, multimodal_features, pack_sequences,
-    # stratified_sample, token_budget, merge_upsert_tolerance,
-    # dedup_embedding — all driver-green r10) and the one
-    # never-driver-graded r11 operator PROMOTES in-window
-    # (collection_retained_read).  Sitting out in exchange (ALL
-    # driver-green r11, so their greens stay <=2 rounds old through
-    # r13 when they return) — the symmetric covered-surface arguments
-    # of the r11 rotation, reversed: the seven plain-SQL rows
-    # pricing_summary / priority_class_counts / big_orders /
-    # regional_revenue / revenue_delta / browse_no_buy /
-    # value_percentiles (join + grouped-agg + window + anti-join
-    # surfaces covered by returning revenue_rollup, event_gaps,
-    # source_quality plus in-window decontaminate's broadcast
-    # anti-join and map_partition_stats' per-group stats), knn_lsh /
-    # knn_ivf (parameter twins of returning knn_lsh_hi / knn_ivf_hi;
-    # knn_bruteforce + knn_ivfpq stay in-window), capped_sample
-    # (keyed row_number cap — exactly returning dedup_keep_latest's
-    # surface), chunk_documents (returning pack_sequences covers the
-    # chunk/pack stage), doc_repetition / quality_filter (pure-JVM
-    # expression passes over documents — returning text_stats,
-    # language_id, fingerprint cover the surface),
-    # collection_time_travel (promoting collection_retained_read IS a
-    # version-as-of read, plus republish survival — a strict
-    # superset), upsample_weights (explode-based deterministic
-    # sampling — returning stratified_sample + token_budget and
-    # in-window hash_split cover the sampling family), and
-    # merge_upsert (exact twin of returning merge_upsert_tolerance,
-    # whose tolerance path is a superset of the exact path).  Every
-    # rotating entry's newest driver green stays <=2 rounds old; the
-    # registry count and window split are PINNED in
+    # in-window peer come last.  ROTATION (round 13, executing the r12
+    # ledger PLUS the r12 verdict's stale-tail directive): the sixteen
+    # r12 sit-outs come BACK in-window (pricing_summary,
+    # chunk_documents, doc_repetition, quality_filter, knn_lsh,
+    # knn_ivf, priority_class_counts, big_orders, regional_revenue,
+    # revenue_delta, capped_sample, browse_no_buy, value_percentiles,
+    # collection_time_travel, upsample_weights, merge_upsert — all
+    # driver-green r11, aging out after this round), the two
+    # never-driver-graded r12 layout entries PROMOTE
+    # (collection_clustered_where, collection_zorder_where), and —
+    # beginning the retirement of the r02–r04-graded permanent tail
+    # (r12 verdict task 2) — promo_revenue + rollup_hourly cycle
+    # in-window for a fresh driver row (they are also the two most
+    # expensive bench queries, so the row doubles as plan
+    # re-certification).  TWENTY slots freed, every outgoing row
+    # driver-green r12 so its green stays <=2 rounds old through r14
+    # when it returns: the sixteen rows first graded in r12 — the
+    # fifteen r11-sit-out returns (text_stats, language_id,
+    # fingerprint covered by returning doc_repetition +
+    # quality_filter, the same pure-JVM expression-pass family over
+    # documents; revenue_rollup covered by returning regional_revenue
+    # + revenue_delta + rollup_hourly; event_gaps covered by
+    # returning browse_no_buy + in-window user_sessions;
+    # source_quality covered by returning quality_filter; knn_lsh_hi
+    # / knn_ivf_hi are parameter twins of returning knn_lsh /
+    # knn_ivf; dedup_keep_latest covered by returning capped_sample's
+    # keyed row_number cap; multimodal_features covered by in-window
+    # multimodal_decoded; pack_sequences covered by returning
+    # chunk_documents; stratified_sample + token_budget covered by
+    # returning upsample_weights + in-window hash_split;
+    # merge_upsert_tolerance is the superset twin of returning
+    # merge_upsert; dedup_embedding's block path covered by in-window
+    # dedup_embedding_lsh, the scale path) plus the r12 promotion
+    # collection_retained_read (returning collection_time_travel is
+    # the version-as-of read it extends) — and four twin swaps:
+    # zarr_documents (twin of in-window zarr_roundtrip, same zarr3
+    # datasource), collection_bloom_skip (skipping layer keeps THREE
+    # in-window rows: zonemap + promoting clustered_where +
+    # zorder_where), dedup_jaccard (in-window dedup_minhash is the
+    # same shingle->banded-LSH bucket join; in-window decontaminate
+    # covers the broadcast anti-join), interval_match (in-window
+    # asof_enrich covers the range-join family).  The registry count
+    # and window split are PINNED in
     # tests/test_tools.py::test_registry_window_invariant (the
     # hand-counted totals in this comment rotted twice — r8 and r9 —
-    # so the test owns the numbers now).  r13 ledger note — EIGHTEEN
-    # slots: the sixteen r12 sit-outs return (driver-green r11, age
-    # out after r13) and the two never-driver-graded r12 layout
-    # entries promote (collection_clustered_where,
-    # collection_zorder_where).  Free them by sitting out r12's
-    # sixteen returning rows on the reversed symmetric arguments,
-    # plus collection_retained_read (driver-graded r12;
-    # returning collection_time_travel covers version-as-of) and one
-    # twin swap (e.g. dedup_embedding_lsh out while dedup_embedding
-    # stays, or knn_lsh_hi/knn_ivf_hi out as the _hi twins of
-    # returning knn_lsh/knn_ivf — pick ONE, count with the test).
+    # so the test owns the numbers now).  r14 ledger note — the
+    # twenty r13 sit-outs return (driver-green r12, age out after
+    # r14) and streaming_changes_agg (built r13 out-of-window, the
+    # changes-stream SOURCE query the r12 verdict asked for) promotes
+    # = twenty-one slots.  Free them by sitting out the twenty rows
+    # returning/promoting this round on the reversed symmetric
+    # arguments (the sixteen r12 sit-outs + clustered/zorder — their
+    # skipping surface is covered by returning collection_bloom_skip
+    # + in-window zonemap — + promo_revenue/rollup_hourly whose fresh
+    # r13 green holds) plus ONE more twin swap (e.g. streaming_dedup
+    # out while promoting streaming_changes_agg and in-window
+    # streaming_stateful cover the stateful-streaming surface); then
+    # continue the stale-tail cycle with 2-3 of the seven remaining
+    # r02-r04 rows (top_revenue_orders, trade_flows next) in r14/r15,
+    # counting with the test.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
-        "collection_bloom_skip": q_collection_bloom_skip,
         "collection_sequence": q_collection_sequence,
         "collection_grouped_sequence": q_collection_grouped_sequence,
         "merge_time_series": q_merge_time_series,
@@ -2553,11 +2565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_changes": q_collection_changes,
         "knn_ivfpq": q_knn_ivfpq,
         "asof_enrich": q_asof_enrich,
-        "interval_match": q_interval_match,
         "user_sessions": q_user_sessions,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -2568,49 +2578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "multimodal_decoded": q_multimodal_decoded,
         "zarr_roundtrip": q_zarr_roundtrip,
-        "zarr_documents": q_zarr_documents,
         "streaming_hourly": q_streaming_hourly,
         "streaming_stateful": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sink": q_streaming_sink,
-        # returning r12 (sat out r11; driver-green r10)
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
-        "revenue_rollup": q_revenue_rollup,
-        "event_gaps": q_event_gaps,
-        "source_quality": q_source_quality,
-        "knn_lsh_hi": q_knn_lsh_hi,
-        "knn_ivf_hi": q_knn_ivf_hi,
-        "dedup_keep_latest": q_dedup_keep_latest,
-        "multimodal_features": q_multimodal_features,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "token_budget": q_token_budget,
-        "merge_upsert_tolerance": q_merge_upsert_tolerance,
-        "dedup_embedding": q_dedup_embedding,
-        # PROMOTED r12 (built r11 out-of-window; first driver
-        # grading): pinned-generation retention — a VERSION-AS-OF read
-        # that SURVIVES republish (copy-on-republish retained copies
-        # unioned with live scans)
-        "collection_retained_read": q_collection_retained_read,
-        # --- entries below fall outside the driver's 50-slot window;
-        # all were driver-verified green in earlier rounds (the 16
-        # r12 sit-outs in r11; the permanent plain-SQL tail in r1-r4),
-        # their operator surface is covered by in-window peers (see
-        # the rotation ledger above), and tools/check_oracle.py still
-        # gates every one of them ---
-        "collection_projection": q_collection_projection,
-        "top_revenue_orders": q_top_revenue_orders,
-        "promo_revenue": q_promo_revenue,
-        "order_priority_counts": q_order_priority_counts,
-        "returned_item_losses": q_returned_item_losses,
-        "trade_flows": q_trade_flows,
-        "rollup_hourly": q_rollup_hourly,
-        "langid_confusion": q_langid_confusion,
-        "top_ngrams": q_top_ngrams,
-        # rotated out round 12 (all driver-green r11; back in r13):
-        # covered-surface arguments in the queries() header comment
+        # returning r13 (sat out r12; driver-green r11)
         "pricing_summary": q_pricing_summary,
         "chunk_documents": q_chunk_documents,
         "doc_repetition": q_doc_repetition,
@@ -2627,13 +2599,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_time_travel": q_collection_time_travel,
         "upsample_weights": q_upsample_weights,
         "merge_upsert": q_merge_upsert,
-        # NEW r12, built out-of-window (the r12 window was set by the
-        # r11 ledger): range-clustered file layout — within-partition
-        # row-group skipping below the zone-map layer — and its
-        # multi-column Z-order twin.  check_oracle-gated now; promote
-        # in r13.
+        # PROMOTED r13 (built r12 out-of-window; first driver
+        # grading): range-clustered and Z-ordered file layouts —
+        # within-partition row-group skipping below the zone-map layer
         "collection_clustered_where": q_collection_clustered_where,
         "collection_zorder_where": q_collection_zorder_where,
+        # CYCLED IN r13 (r12 verdict task 2 — retiring the stale
+        # permanent tail, newest driver rows dated r02-r04): fresh
+        # driver grading doubles as plan re-certification for the two
+        # most expensive bench queries
+        "promo_revenue": q_promo_revenue,
+        "rollup_hourly": q_rollup_hourly,
+        # --- entries below fall outside the driver's 50-slot window;
+        # all were driver-verified green in earlier rounds (the 20
+        # r13 sit-outs in r12; the permanent plain-SQL tail in r1-r4),
+        # their operator surface is covered by in-window peers (see
+        # the rotation ledger above), and tools/check_oracle.py still
+        # gates every one of them ---
+        "collection_projection": q_collection_projection,
+        "top_revenue_orders": q_top_revenue_orders,
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_losses": q_returned_item_losses,
+        "trade_flows": q_trade_flows,
+        "langid_confusion": q_langid_confusion,
+        "top_ngrams": q_top_ngrams,
+        # rotated out round 13 (all driver-green r12; back in r14):
+        # covered-surface arguments in the queries() header comment
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "revenue_rollup": q_revenue_rollup,
+        "event_gaps": q_event_gaps,
+        "source_quality": q_source_quality,
+        "knn_lsh_hi": q_knn_lsh_hi,
+        "knn_ivf_hi": q_knn_ivf_hi,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "multimodal_features": q_multimodal_features,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
+        "merge_upsert_tolerance": q_merge_upsert_tolerance,
+        "dedup_embedding": q_dedup_embedding,
+        "collection_retained_read": q_collection_retained_read,
+        "zarr_documents": q_zarr_documents,
+        "collection_bloom_skip": q_collection_bloom_skip,
+        "dedup_jaccard": q_dedup_jaccard,
+        "interval_match": q_interval_match,
     }
 
 
