@@ -898,11 +898,10 @@ class Collection:
                       if v.name in df.columns]
         derived = self.partitioning.derive(df.select(*part_names))
         keys = list(self.partitioning.keys)
-        incoming_keys = [tuple(int(row[k]) for k in keys)
-                         for row in derived.select(*keys).distinct().collect()]
+        incoming_keys = self.partitioning.enumerate_keys(derived)
         if not incoming_keys:
             return []
-        incoming_rel = [self.partitioning.encode(dict(zip(keys, key)))
+        incoming_rel = [self.partitioning.encode(key)
                         for key in incoming_keys]
         existing_rel = set(self.partitions())
         colliding = sorted(set(incoming_rel) & existing_rel)

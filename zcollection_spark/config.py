@@ -51,6 +51,12 @@ _DEFAULTS: dict[str, Any] = {
     # instead of the driver's bounded 16-thread pool.  0 disables the
     # distributed path entirely.
     "retention.distribute_min_files": 4096,
+    # hard caps on the documented driver-side collects (r12 verdict):
+    # exceeding one raises DriverBoundExceededError instead of OOMing
+    # the driver.  Each names a cardinality, never a byte volume.
+    "similarity.broadcast_query_cap": 200_000,   # brute_force_topk queries
+    "similarity.broadcast_rows_cap": 1_000_000,  # dup-pairs method="broadcast"
+    "insert.partition_key_cap": 100_000,         # distinct keys per insert
 }
 
 _config: dict[str, Any] = dict(_DEFAULTS)

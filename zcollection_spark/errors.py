@@ -50,6 +50,20 @@ class ReadOnlyError(ZCollectionError):
     """Write attempted on a collection opened with mode='r'."""
 
 
+class DriverBoundExceededError(ZCollectionError):
+    """A documented driver-side bound was exceeded.
+
+    The engine keeps a handful of DELIBERATE driver-side collects —
+    ``brute_force_topk``'s query set, ``dup_pairs_embedding``'s
+    ``method="broadcast"`` comparison set, ``insert``'s partition-key
+    enumeration.  Each is bounded by cardinality (queries / comparison
+    rows / distinct keys), not data volume, and each has a distributed
+    alternative for the 100-TB regime.  This error makes the misuse
+    mode LOUD: instead of silently OOMing the driver, the offending
+    call fails fast, names the bound and the config key that moves it,
+    and points at the scale path to use instead."""
+
+
 class LeaseHeldError(StoreError):
     """An exclusive-writer lease is held by another live writer.
 

@@ -66,7 +66,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
     query_vec_col = query_vec_col or vec_col
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     id_type = corpus.schema[id_col].dataType.simpleString()
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    # hard cap (r12 verdict): the query collect is the ONE deliberate
+    # driver-side materialization here — bound it loudly instead of
+    # OOMing the driver.  limit(cap+1) keeps even the check bounded.
+    from .. import config
+    from ..errors import DriverBoundExceededError
+    cap = config.get("similarity.broadcast_query_cap")
+    qrows = (queries.select(query_id_col, query_vec_col)
+             .limit(cap + 1).collect())
+    if len(qrows) > cap:
+        raise DriverBoundExceededError(
+            f"brute_force_topk collects the query set onto the driver; "
+            f"got more than {cap} queries (config "
+            f"'similarity.broadcast_query_cap').  Use lsh_bucket_topk "
+            f"or ivf_topk for query sets this large — they keep both "
+            f"sides distributed.")
     if not qrows:
         spark = corpus.sparkSession
         return spark.createDataFrame(
@@ -541,7 +555,20 @@ def _dup_pairs_broadcast(df: DataFrame, *, id_col: str, vec_col: str,
                          threshold: float) -> DataFrame:
     """Exact pairs against a broadcast-sized comparison set."""
     id_type = df.schema[id_col].dataType.simpleString()
-    rows = df.select(id_col, vec_col).collect()
+    # hard cap (r12 verdict): method="broadcast" is documented for
+    # comparison sets up to ~10^6 rows — fail fast past the bound
+    # instead of OOMing the driver on the collect.
+    from .. import config
+    from ..errors import DriverBoundExceededError
+    cap = config.get("similarity.broadcast_rows_cap")
+    rows = df.select(id_col, vec_col).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise DriverBoundExceededError(
+            f"dup_pairs method='broadcast' collects the comparison set "
+            f"onto the driver; got more than {cap} rows (config "
+            f"'similarity.broadcast_rows_cap').  Use method='lsh' (or "
+            f"'block') — the bucketed paths never materialize the "
+            f"corpus on the driver.")
     ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)

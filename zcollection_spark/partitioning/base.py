@@ -77,6 +77,37 @@ class Partitioning(abc.ABC):
                     ) from None
         return out
 
+    def enumerate_keys(self, derived: DataFrame) -> list[dict[str, int]]:
+        """Distinct incoming partition keys of ``derived`` (a frame that
+        already carries the key columns), collected to the driver.
+
+        This is the ONE deliberate driver-side collect on the write
+        path — the standard dynamic-overwrite pattern, bounded by
+        partition-KEY cardinality, never by rows.  At pathological
+        cardinality (per-second keys over years of data) that bound is
+        a driver-memory cliff, so it is hard-capped (r12 verdict):
+        ``limit(cap + 1)`` keeps even the check itself bounded, and
+        exceeding the ``insert.partition_key_cap`` config raises a loud
+        :class:`~zcollection_spark.errors.DriverBoundExceededError`
+        instead of OOMing.  A cap-sized key set signals a partitioning
+        resolution mismatched to the data — coarsen the scheme (e.g.
+        ``Date`` resolution ``'D'`` instead of ``'s'``) rather than
+        raising the cap."""
+        from .. import config
+        from ..errors import DriverBoundExceededError
+        cap = config.get("insert.partition_key_cap")
+        keys = list(self.keys)
+        rows = derived.select(*keys).distinct().limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise DriverBoundExceededError(
+                f"insert would enumerate more than {cap} distinct "
+                f"partition keys on the driver (config "
+                f"'insert.partition_key_cap').  The partitioning "
+                f"resolution is too fine for this batch — coarsen "
+                f"{type(self).__name__}'s resolution or split the "
+                f"insert.")
+        return [{k: int(row[k]) for k in keys} for row in rows]
+
     # -- serde ------------------------------------------------------------
     @abc.abstractmethod
     def to_json(self) -> dict[str, Any]: ...

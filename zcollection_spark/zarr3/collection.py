@@ -376,9 +376,8 @@ class ZarrCollection:
         keys = list(self.partitioning.keys)
         derived = self.partitioning.derive(df)
         incoming_rel = [
-            self.partitioning.encode(
-                {k: int(row[k]) for k in keys})
-            for row in derived.select(*keys).distinct().collect()]
+            self.partitioning.encode(key)
+            for key in self.partitioning.enumerate_keys(derived)]
         if not incoming_rel:
             return []
         existing_rel = set(self.partitions())
