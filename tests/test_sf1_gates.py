@@ -127,3 +127,75 @@ def test_clustered_layout_identical_and_sorted_at_sf1(spark, tmp_path):
     for f in files:
         vals = pd.read_parquet(f)["value"].to_numpy()
         assert (np.diff(vals) >= 0).all(), f
+
+
+def test_zorder_beats_range_on_trailing_column_at_sf1(spark, tmp_path):
+    """r13 gate for the r12 zorder surface (r12 verdict task 4): at sf1
+    row counts a Z-ordered layout must (a) answer a two-predicate
+    workload bit-identically to the range-clustered twin, and (b) skip
+    MORE row groups on the TRAILING cluster column — the property
+    lexicographic range clustering cannot have, and the reason zorder
+    exists at 100 TB.  Measured skip ratios land in SCALING.md."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import zcollection_spark as zc
+    from pyspark.sql import functions as F
+    from zcollection_spark.data import load_table
+    from zcollection_spark.schema import infer_schema
+
+    events = load_table(spark, str(SF1), "events") \
+        .select("event_id", "ts", "user_id", "value")
+    # chunks=8000 -> maxRecordsPerFile: ~10 files per monthly partition
+    # at sf1, so the layouts expose real row-group/file granularity
+    schema = (zc.SchemaBuilder()
+              .add_dimension("ts", chunks=8000)
+              .add_variable("event_id", "int64", ("ts",))
+              .add_variable("ts", "datetime64[us]", ("ts",))
+              .add_variable("user_id", "int64", ("ts",))
+              .add_variable("value", "float64", ("ts",))
+              .build("ts"))
+    colls = {}
+    for mode, name in (("zorder", "z"), ("range", "r")):
+        coll = zc.create_collection(
+            spark, str(tmp_path / name), schema=schema,
+            axis="ts", partitioning=zc.Date(("ts",), resolution="M"),
+            cluster_by=["user_id", "value"], cluster_mode=mode)
+        coll.insert(events)
+        colls[mode] = coll
+
+    def rg_overlap(root, col, lo, hi):
+        """Fraction of row groups whose [min,max] of ``col`` intersects
+        [lo, hi] — the parquet footer-stat skip a scan gets for free."""
+        hit = total = 0
+        for f in glob.glob(str(root / "year=*/month=*/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = next(c for c in range(md.num_columns)
+                       if md.row_group(0).column(c).path_in_schema == col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        assert total > 20, total     # sf1 really produced many row groups
+        return hit / total
+
+    lo, hi = 100.0, 128.0            # ~5% of the value domain
+    z_skip = rg_overlap(tmp_path / "z", "value", lo, hi)
+    r_skip = rg_overlap(tmp_path / "r", "value", lo, hi)
+    # range mode: value spans everything inside each user_id run ->
+    # ~every row group overlaps; zorder bounds value per row group
+    assert r_skip > 0.9, r_skip
+    assert z_skip < 0.75 * r_skip, (z_skip, r_skip)
+    # two-predicate workload: bit-identical across modes and vs raw
+    pred = (f"user_id >= 2000 and user_id < 4000 "
+            f"and value >= {lo} and value <= {hi}")
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count("*").alias("n"), F.sum("event_id").alias("s"),
+        F.round(F.sum("value"), 6).alias("v")).collect()[0]
+    got_z = agg(colls["zorder"].query(where=pred))
+    got_r = agg(colls["range"].query(where=pred))
+    want = agg(events.where(pred))
+    assert tuple(got_z) == tuple(got_r) == tuple(want) and want.n > 0
+    print(f"\nsf1 zorder gate: row-group overlap on trailing column "
+          f"value∈[{lo},{hi}]: zorder={z_skip:.3f} range={r_skip:.3f}")
