@@ -1162,3 +1162,54 @@ def test_sample_to_token_budget_rejects_negative_tokens(spark):
     with pytest.raises(Exception, match="must be >= 0"):
         sample_to_token_budget(df, id_col="doc_id", token_col="n",
                                budget=100, strata_col="lang").collect()
+
+
+def test_shuffle_to_shards_deterministic_balanced_contiguous(spark):
+    """shuffle_to_shards: (a) pure function of (id, salt, n) — same
+    assignment across runs and input orderings; (b) every shard's
+    positions are a contiguous 0..k-1 range; (c) shards are roughly
+    balanced; (d) a different salt draws a different permutation."""
+    from zcollection_spark.functions import shuffle_to_shards
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = shuffle_to_shards(df, id_col="doc_id", n_shards=8)
+    rows = [(r.doc_id, r.shard, r.shard_pos) for r in out.collect()]
+    again = [(r.doc_id, r.shard, r.shard_pos)
+             for r in shuffle_to_shards(df.orderBy(F.rand(seed=7)),
+                                        id_col="doc_id",
+                                        n_shards=8).collect()]
+    assert sorted(rows) == sorted(again)
+    by_shard: dict = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == set(range(8))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+        assert 2000 / 8 * 0.6 < len(ps) < 2000 / 8 * 1.4, (s, len(ps))
+    salted = {(r.doc_id, r.shard) for r in shuffle_to_shards(
+        df, id_col="doc_id", n_shards=8, salt="v2").collect()}
+    assert salted != {(d, s) for d, s, _ in rows}
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_to_shards(df, id_col="doc_id", n_shards=0)
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """int8 quantization: values land in [-127, 127], dequantized
+    error is bounded by scale/2 per component, and the zero vector
+    quantizes to zeros with scale 1 (no divide-by-zero)."""
+    import numpy as np
+
+    from zcollection_spark.functions import quantize_embeddings
+    rng = np.random.default_rng(5)
+    vecs = [list(map(float, rng.normal(size=8))) for _ in range(50)]
+    vecs.append([0.0] * 8)                     # zero vector edge case
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    df = spark.createDataFrame(pdf)
+    out = quantize_embeddings(df, vec_col="embedding").collect()
+    for r in out:
+        q = r.qvec
+        assert all(-127 <= x <= 127 for x in q), r.vec_id
+        if all(v == 0.0 for v in r.embedding):
+            assert r.qscale == 1.0 and all(x == 0 for x in q)
+            continue
+        for v, x in zip(r.embedding, q):
+            assert abs(x * r.qscale - v) <= r.qscale / 2 + 1e-12

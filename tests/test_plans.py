@@ -497,3 +497,26 @@ def test_cluster_sort_adds_no_exchange(spark, tmp_path):
         # zorder stays entirely JVM-side: no Python eval nodes
         assert "BatchEvalPython" not in sorted_plan
         assert "ArrowEvalPython" not in sorted_plan
+
+
+def test_shuffle_shards_one_exchange_no_python(spark):
+    """The global shuffle is ONE hash exchange (the shard window's
+    partitionBy) + a task-local sort: no global Sort/range exchange,
+    no Python eval — the md5 bucket and rank are codegen'd JVM
+    expressions."""
+    plan = executed_plan(eq.q_shuffle_shards(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    ex = count_exchanges(plan)
+    assert len(ex) == 1, ex
+    assert "hashpartitioning" in ex[0], ex
+    assert "rangepartitioning" not in ex[0], ex
+
+
+def test_embedding_quantize_shuffle_free_no_python(spark):
+    """int8 quantization is a pure projection: zero Exchange, zero
+    Python eval node — it whole-stage-codegens into the scan."""
+    plan = executed_plan(eq.q_embedding_quantize(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert count_exchanges(plan) == []

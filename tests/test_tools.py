@@ -76,7 +76,7 @@ def test_registry_window_invariant():
     # totals in the queries() header comment rotted in r8 ("all 66")
     # and again in r9 ("all 71"), so adding a query now forces this
     # pin — and with it the rotation ledger — to be updated.
-    assert len(names) == 78, len(names)
+    assert len(names) == 80, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
     # round-13 rotation (executes the r12 ledger + the r12 verdict's
     # stale-tail directive): the sixteen r12 sit-outs return
@@ -99,8 +99,9 @@ def test_registry_window_invariant():
                     "zarr_documents", "collection_bloom_skip",
                     "dedup_jaccard", "interval_match",
                     # NEW r13, born out-of-window (the r13 window was
-                    # fixed by the r12 ledger); promote in r14
+                    # fixed by the r12 ledger); promote in r14/r15
                     "streaming_changes_agg",
+                    "shuffle_shards", "embedding_quantize",
                     # permanent plain-SQL tail, cycling through the
                     # window 2-3 per round since r13 (verdict task 2)
                     "collection_projection",

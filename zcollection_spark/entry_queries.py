@@ -1225,6 +1225,78 @@ FROM (SELECT doc_id, lang,
 """
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into training shards (NEW r13):
+    ``shard`` = md5 bucket of the doc id, ``shard_pos`` = within-shard
+    md5 order — the pre-training shuffle as a pure function of
+    (id, salt, n_shards), reproducible across runs, engines, cluster
+    sizes, and insertion order (a seeded ``orderBy(rand())`` is none
+    of those: it depends on the input's partition layout).  One hash
+    exchange + within-shard sort; no global sort, no driver
+    materialization (functions/sampling.py:shuffle_to_shards)."""
+    from .functions.sampling import shuffle_to_shards
+    docs = load_table(spark, sf_dir, "documents")
+    return (shuffle_to_shards(docs, id_col="doc_id", n_shards=8)
+            .select("doc_id", "lang", "shard",
+                    F.col("shard_pos").cast("long").alias("shard_pos")))
+
+
+ORACLE_SHUFFLE_SHARDS = """
+SELECT doc_id, lang, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY h ASC, doc_id ASC) - 1
+            AS BIGINT) AS shard_pos
+FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 8 AS INT) AS shard
+      FROM documents)
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding corpus
+    (NEW r13): the 4x float32->int8 shrink an embedding table takes
+    before shipping to an ANN index at 100 TB.  Pure JVM array
+    expressions (transform/array_max), shuffle-free, codegens into the
+    scan (functions/similarity.py:quantize_embeddings).  The oracle
+    replays the exact floor(x/scale + 0.5) arithmetic in DuckDB
+    (IEEE double division + floor agree across engines; engine
+    round() modes do not) and value-gates per-vector aggregate
+    signatures of the quantized arrays."""
+    from .functions.similarity import quantize_embeddings
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, vec_col="embedding")
+    return q.select(
+        "vec_id",
+        F.round("qscale", 9).alias("qscale_r"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")).alias("qsum"),
+        F.array_max("qvec").cast("int").alias("qmax"),
+        F.array_min("qvec").cast("int").alias("qmin"))
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+SELECT vec_id,
+       round(scale, 9) AS qscale_r,
+       CAST(list_sum(list_transform(
+           v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)))
+            AS BIGINT) AS qsum,
+       CAST(list_max(list_transform(
+           v, x -> CAST(floor(x / scale + 0.5) AS INT))) AS INT) AS qmax,
+       CAST(list_min(list_transform(
+           v, x -> CAST(floor(x / scale + 0.5) AS INT))) AS INT) AS qmin
+FROM (SELECT vec_id, v,
+             CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+      FROM (SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(
+                       embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS amax
+            FROM embeddings))
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing after chunking (NEW r9): 32/8 windows
     packed into 96-token training bins per document.  One hash
@@ -2710,9 +2782,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_match": q_interval_match,
         # NEW r13, built out-of-window (the r13 window was set by the
         # r12 ledger): the changes-stream SOURCE graded through an
-        # availableNow pass (r12 verdict task 6).  check_oracle-gated
-        # now; promote in r14 per the ledger above.
+        # availableNow pass (r12 verdict task 6), the deterministic
+        # global shuffle-to-shards, and int8 embedding quantization.
+        # check_oracle-gated now; promote in r14/r15 per the ledger
+        # above.
         "streaming_changes_agg": q_streaming_changes_agg,
+        "shuffle_shards": q_shuffle_shards,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -2803,6 +2879,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "streaming_sink": ORACLE_STREAMING_SINK,
         "streaming_changes_agg": ORACLE_STREAMING_CHANGES,
+        "shuffle_shards": ORACLE_SHUFFLE_SHARDS,
+        "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "value_percentiles": ORACLE_PERCENTILES,

@@ -27,8 +27,10 @@ from .text import (chunk_documents, fingerprint, language_id,
 from .curation import (contamination, quality_filter,
                        repetition_stats, scrub_pii)
 from .sampling import (cap_per_group, hash_split,
-                       sample_to_token_budget, stratified_sample,
-                       stratified_sample_exact, upsample_by_weight)
+                       sample_to_token_budget, shuffle_to_shards,
+                       stratified_sample, stratified_sample_exact,
+                       upsample_by_weight)
+from .similarity import quantize_embeddings
 
 __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
@@ -46,7 +48,7 @@ __all__ = [
     "word_shingles", "words", "chunk_documents", "pack_sequences",
     "cap_per_group", "hash_split", "stratified_sample",
     "stratified_sample_exact", "sample_to_token_budget",
-    "upsample_by_weight",
+    "upsample_by_weight", "shuffle_to_shards", "quantize_embeddings",
     "attach_fake_payload", "extract_image_features",
     "extract_audio_features", "sample_frames",
     "encode_ppm", "decode_ppm", "encode_wav", "decode_wav",

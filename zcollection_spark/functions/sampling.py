@@ -64,6 +64,40 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.sampleBy(strata_col, dict(fractions), seed)
 
 
+def shuffle_to_shards(df: DataFrame, *, id_col: str, n_shards: int,
+                      salt: str = "") -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    ``shard`` = md5 bucket of the id, ``shard_pos`` = 0-based position
+    within the shard in md5 order — the standard pre-training global
+    shuffle, as a pure function of (id, salt, n_shards).
+
+    Why not ``orderBy(rand())``: a seeded ``rand()`` is stable only for
+    a fixed Spark version AND a fixed partition layout of the input —
+    re-ingesting the same corpus through a different file split draws a
+    different permutation, which silently changes what a training run
+    sees.  The md5 bucket is reproducible across runs, engines, cluster
+    sizes, and insertion order, and the DuckDB twin replays it exactly
+    (``('0x' || substr(md5(id), 1, 15))::BIGINT % n``).
+
+    Scale shape: one hash exchange on ``shard`` (the window's
+    partitionBy) and a within-shard sort — no global sort, no driver
+    materialization.  Shards are balanced to ±O(√(rows/shards)) by the
+    uniformity of md5.  Write the result with
+    ``partitionBy("shard")`` and each training reader streams its own
+    shard in ``shard_pos`` order.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    rank = deterministic_rank(id_col, salt)
+    shard = (F.conv(F.substring(rank, 1, 15), 16, 10)
+             .cast("long") % F.lit(n_shards)).cast("int")
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(rank.asc(),
+                                            F.col(id_col).asc())
+    return out.withColumn(
+        "shard_pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
+
+
 def hash_split(df: DataFrame, *, id_col: str,
                splits: Mapping[str, float] | None = None,
                salt: str = "") -> DataFrame:

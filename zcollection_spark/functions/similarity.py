@@ -279,6 +279,33 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
             .where(F.col("rank") <= k))
 
 
+def quantize_embeddings(df: DataFrame, *, vec_col: str,
+                        out_col: str = "qvec",
+                        scale_col: str = "qscale") -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale`` =
+    max(|v|) / 127, ``qvec[i]`` = floor(v[i] / scale + 0.5) ∈
+    [-127, 127] — the 4× storage shrink (float32 → int8) an
+    embedding corpus takes before it ships to an ANN index or a
+    training job at 100-TB scale.  Dequantize as ``q · scale``;
+    worst-case per-component error is scale/2.
+
+    Entirely JVM-side array expressions (``transform`` /
+    ``array_max``), no Python, no shuffle — a pure projection that
+    whole-stage-codegens into the scan.  The rounding is written as
+    ``floor(x + 0.5)`` (round-half-up) rather than an engine
+    ``round()`` so the DuckDB twin replays it bit-identically:
+    IEEE-754 double division and floor agree across engines, engine
+    round() modes do not.  A zero vector gets scale 1.0 (all-zero
+    qvec), never a divide-by-zero.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5))
+                    .cast("int"))
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
 def embedding_dup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
                         threshold: float = 0.95,
                         method: str = "block",
