@@ -517,3 +517,65 @@ def test_token_budget_bucketing_matches_python_replay(spark, data):
                 want.append(i)
             running += t
     assert got == sorted(want), (budget, buckets)
+
+
+# -- shuffle_to_shards vs a pure-Python hashlib replay ----------------------
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_shuffle_to_shards_matches_hashlib_spec(spark, data):
+    """The shard assignment and within-shard order are SPECIFIED as
+    md5 arithmetic — hashlib is the spec, Spark must replay it for
+    arbitrary id sets, salts, and shard counts."""
+    import hashlib
+
+    import pandas as pd
+    from zcollection_spark.functions import shuffle_to_shards
+    ids = data.draw(st.lists(st.integers(-10**6, 10**6), min_size=1,
+                             max_size=60, unique=True))
+    n = data.draw(st.integers(1, 7))
+    salt = data.draw(st.sampled_from(["", "s1", "epoch-2"]))
+
+    def spec(i):
+        h = hashlib.md5(f"{i}{salt}".encode()).hexdigest()
+        return int(h[:15], 16) % n, h
+
+    want = {}
+    per_shard = {}
+    for i in ids:
+        s, h = spec(i)
+        per_shard.setdefault(s, []).append((h, i))
+    for s, hs in per_shard.items():
+        for pos, (_, i) in enumerate(sorted(hs)):
+            want[i] = (s, pos)
+    got = shuffle_to_shards(
+        spark.createDataFrame(pd.DataFrame({"doc_id": ids})),
+        id_col="doc_id", n_shards=n, salt=salt).collect()
+    assert {r.doc_id: (r.shard, r.shard_pos) for r in got} == want
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_quantize_embeddings_matches_numpy_spec(spark, data):
+    """floor(v/scale + 0.5) with scale = max|v|/127 — numpy doubles are
+    the spec; Spark must agree bit-identically for arbitrary vectors
+    (including all-zero and single-element ones)."""
+    import math
+
+    import pandas as pd
+    from zcollection_spark.functions import quantize_embeddings
+    finite = st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False, width=32)
+    vecs = data.draw(st.lists(
+        st.lists(finite, min_size=1, max_size=12), min_size=1,
+        max_size=20))
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [list(v) for v in vecs]})
+    got = quantize_embeddings(
+        spark.createDataFrame(pdf), vec_col="embedding").collect()
+    for r in got:
+        v = [float(x) for x in vecs[r.vec_id]]
+        amax = max(abs(x) for x in v)
+        scale = amax / 127.0 if amax > 0 else 1.0
+        want = [int(math.floor(x / scale + 0.5)) for x in v]
+        assert r.qscale == scale and list(r.qvec) == want, r.vec_id
