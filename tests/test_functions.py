@@ -1213,3 +1213,48 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
             continue
         for v, x in zip(r.embedding, q):
             assert abs(x * r.qscale - v) <= r.qscale / 2 + 1e-12
+
+
+def test_semantic_dedup_within_cell_exact_and_keeps_min_id(spark):
+    """semantic_dedup: duplicates that share a cell collapse to the
+    min-id representative; singletons keep themselves; the pair stage
+    is exact within cells (no threshold-dependent recall loss)."""
+    import numpy as np
+
+    from zcollection_spark.functions.similarity import (
+        semantic_dedup, semantic_dedup_pairs)
+    rng = np.random.default_rng(9)
+    # two tight clusters of near-identical vectors + isolated points
+    base_a = rng.normal(size=6)
+    base_b = rng.normal(size=6)
+    vecs = ([list(base_a + rng.normal(scale=1e-3, size=6))
+             for _ in range(3)]
+            + [list(base_b + rng.normal(scale=1e-3, size=6))
+               for _ in range(2)]
+            + [list(rng.normal(size=6)) for _ in range(5)])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    out = {r.vec_id: (r.rep_id, r.keep)
+           for r in semantic_dedup(df, id_col="vec_id",
+                                   vec_col="embedding",
+                                   threshold=0.999,
+                                   n_cells=4, seed=3).collect()}
+    assert len(out) == len(vecs)           # every row gets a verdict
+    # cluster members that share a cell point at the min id; the
+    # representative itself is kept, duplicates are not
+    for i in (0, 1, 2):
+        rep = out[i][0]
+        assert rep == min(r for r in (0, 1, 2) if out[r][0] == rep)
+    assert out[0] == (0, 1)
+    assert sum(k for _, k in out.values()) < len(vecs)  # something dropped
+    # singletons keep themselves
+    for i in range(5, 10):
+        if out[i][0] == i:
+            assert out[i][1] == 1
+    # pair stage: exact cosine, ordered ids, >= threshold
+    pairs = semantic_dedup_pairs(df, id_col="vec_id",
+                                 vec_col="embedding", threshold=0.999,
+                                 n_cells=4, seed=3).collect()
+    assert pairs and all(p.id_a < p.id_b and p.cosine >= 0.999
+                         for p in pairs)

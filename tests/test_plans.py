@@ -520,3 +520,25 @@ def test_embedding_quantize_shuffle_free_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert count_exchanges(plan) == []
+
+
+def test_dedup_semantic_cell_equijoin_no_cartesian(spark):
+    """Semantic dedup's pair stage is a CELL EQUI-JOIN (the SemDeDup
+    blocking) — never a cartesian/nested-loop candidate join; the only
+    Python is the Arrow-batched cell assigner shared with ivf_topk."""
+    from zcollection_spark.entry_queries import (
+        SEMANTIC_DEDUP_CFG, _ivf_centroids_cached)
+    from zcollection_spark.functions.similarity import \
+        semantic_dedup_pairs
+    from zcollection_spark.data import load_table
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = semantic_dedup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=SEMANTIC_DEDUP_CFG["threshold"],
+        centroids=_ivf_centroids_cached(
+            SF_DIR, n_cells=SEMANTIC_DEDUP_CFG["n_cells"]))
+    plan = executed_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cell" in plan                      # the equi-join key
+    assert "BatchEvalPython" not in plan         # Arrow, not row-Python

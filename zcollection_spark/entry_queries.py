@@ -40,7 +40,8 @@ from .functions import (brute_force_topk, dedup_exact, fingerprint,
 from .functions.text import FP_MOD, LANG_MARKERS, TOKEN_PATTERN
 from .oracles import (_SPLIT, _dedup_lsh_oracle, _ivf_oracle,
                       _ivfpq_oracle, _lsh_oracle, _minhash_oracle,
-                      _shingle_df_sql, _shingle_sql, _simhash_oracle)
+                      _semantic_dedup_oracle, _shingle_df_sql,
+                      _shingle_sql, _simhash_oracle)
 
 # ---------------------------------------------------------------------------
 # collection cache (deterministic builds, one per process)
@@ -1046,6 +1047,32 @@ WHERE a.vec_id < b.vec_id
       / (sqrt(list_dot_product(a.v, a.v))
          * sqrt(list_dot_product(b.v, b.v))) >= 0.4
 """
+
+
+SEMANTIC_DEDUP_CFG = {"n_cells": 8, "threshold": 0.4}
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (NEW r13): k-means cells block
+    the comparison space, pairs are exact cosine within each cell,
+    connected components pick the min-id representative, and every
+    corpus row gets ``(rep_id, keep)`` — the low-threshold dedup path
+    (cell blocking is threshold-independent; the LSH path's recall
+    collapses below cosine ~0.9).  Deterministic: reuses the SAME
+    cached centroids knn_ivf trains (bit-identical literals in the
+    oracle, which replays cell argmin, within-cell pairs, the
+    recursive-CTE closure, and the keep flags exactly).
+    functions/similarity.py:semantic_dedup."""
+    from .functions.similarity import semantic_dedup
+    emb = load_table(spark, sf_dir, "embeddings")
+    cfg = SEMANTIC_DEDUP_CFG
+    out = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=cfg["threshold"],
+        centroids=_ivf_centroids_cached(sf_dir, n_cells=cfg["n_cells"]))
+    return out.select("vec_id",
+                      F.col("rep_id").cast("long").alias("rep_id"),
+                      "keep")
 
 
 def q_text_stats(spark, sf_dir):
@@ -2789,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_changes_agg": q_streaming_changes_agg,
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -2910,6 +2938,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         out["knn_ivfpq"] = _ivfpq_oracle(
             cent, books, n_probe=IVFPQ_CFG["n_probe"], k=10,
             refine_factor=IVFPQ_CFG["refine_factor"])
+        out["dedup_semantic"] = _semantic_dedup_oracle(
+            _ivf_centroids_cached(
+                sf_dir, n_cells=SEMANTIC_DEDUP_CFG["n_cells"]),
+            threshold=SEMANTIC_DEDUP_CFG["threshold"])
     except (FileNotFoundError, OSError, _duckdb.IOException) as exc:
         # missing sf_dir/parquet only: degrade that one query to the
         # driver's rows-only check.  Anything else (a kmeans bug, bad

@@ -30,7 +30,8 @@ from .sampling import (cap_per_group, hash_split,
                        sample_to_token_budget, shuffle_to_shards,
                        stratified_sample, stratified_sample_exact,
                        upsample_by_weight)
-from .similarity import quantize_embeddings
+from .similarity import (quantize_embeddings, semantic_dedup,
+                         semantic_dedup_pairs)
 
 __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
@@ -49,6 +50,7 @@ __all__ = [
     "cap_per_group", "hash_split", "stratified_sample",
     "stratified_sample_exact", "sample_to_token_budget",
     "upsample_by_weight", "shuffle_to_shards", "quantize_embeddings",
+    "semantic_dedup", "semantic_dedup_pairs",
     "attach_fake_payload", "extract_image_features",
     "extract_audio_features", "sample_frames",
     "encode_ppm", "decode_ppm", "encode_wav", "decode_wav",

@@ -279,6 +279,85 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
             .where(F.col("rank") <= k))
 
 
+def semantic_dedup_pairs(df: DataFrame, *, id_col: str, vec_col: str,
+                         threshold: float, n_cells: int = 16,
+                         seed: int = 42, train_cap: int = 100_000,
+                         max_iter: int = 10,
+                         centroids: "list[list[float]] | None" = None,
+                         ) -> DataFrame:
+    """SemDeDup-style centroid-blocked near-duplicate pairs
+    (Abbas et al. 2023): k-means cells block the comparison space, and
+    pairs are EXACT cosine within each cell — ``(id_a, id_b, cosine)``
+    with ``id_a < id_b`` and ``cosine >= threshold``.
+
+    Where this sits in the dedup family: ``method="block"`` all-pairs
+    is exact but O(n²) comparisons; ``method="lsh"`` is sub-quadratic
+    but its recall collapses at LOW thresholds (θ/π → ½).  Centroid
+    blocking is the low-threshold scale path: O(n²/k) comparisons,
+    threshold-independent within a cell, and cross-cell pairs are
+    missed BY DESIGN (the SemDeDup semantics — semantic duplicates
+    share a cluster; the paper dedups within k-means clusters only).
+
+    Scale shape: centroids train driver-side on a bounded id-ordered
+    sample (the faiss recipe — never k-means the full corpus); the
+    corpus takes ONE scan for cell assignment (Arrow-batched BLAS UDF,
+    shared with ``ivf_topk``); pairs form by a cell equi-join — never
+    a cartesian — and the cosine filter runs as JVM array expressions.
+    At 100 TB make ``n_cells`` grow with the corpus so cells stay
+    ~10³-10⁴ rows, and persist the ``centroids`` for reuse across
+    batches (consistent incremental dedup).
+    """
+    if centroids is None:
+        sample = train_centroid_sample(df, id_col, vec_col,
+                                       train_cap, n_cells)
+        cent = _lloyd_kmeans(sample, n_cells, seed=seed, iters=max_iter)
+    else:
+        cent = [list(map(float, c_)) for c_ in centroids]
+    cent_np, cent_sq = centroid_arrays(cent)
+    _assign = make_cell_assigner(cent_np, cent_sq)
+    base = (df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("__v"),
+        _assign(vec_col).alias("__cell"))
+        .withColumn("__n", _norm(F.col("__v"))))
+    a = base.select(F.col(id_col).alias("id_a"),
+                    F.col("__v").alias("__va"),
+                    F.col("__n").alias("__na"), "__cell")
+    b = base.select(F.col(id_col).alias("id_b"),
+                    F.col("__v").alias("__vb"),
+                    F.col("__n").alias("__nb"), "__cell")
+    sim = (_dot(F.col("__va"), F.col("__vb"))
+           / (F.col("__na") * F.col("__nb")))
+    return (a.join(b, on="__cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, *, id_col: str, vec_col: str,
+                   threshold: float, **kwargs) -> DataFrame:
+    """Per-row SemDeDup keep decision: ``(id, rep_id, keep)`` where
+    ``rep_id`` is the minimum id of the row's within-cell near-dup
+    component (itself if it has no duplicate) and ``keep`` = 1 iff the
+    row IS its component's representative.  ``filter(keep = 1)`` is the
+    deduplicated corpus; the representative choice is deterministic
+    (min id), so rebuilds keep the same rows.  Pair generation and its
+    scale shape: :func:`semantic_dedup_pairs`; the component closure is
+    the shared HashMin loop (functions/graph.py)."""
+    from .graph import dedup_clusters
+    pairs = semantic_dedup_pairs(df, id_col=id_col, vec_col=vec_col,
+                                 threshold=threshold, **kwargs) \
+        .select("id_a", "id_b")
+    comps = dedup_clusters(pairs, "id_a", "id_b") \
+        .withColumnRenamed("doc_id", "__node")
+    out = df.select(F.col(id_col)).join(
+        comps, on=F.col(id_col) == F.col("__node"), how="left")
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return out.select(
+        F.col(id_col), rep.alias("rep_id"),
+        (rep == F.col(id_col)).cast("int").alias("keep"))
+
+
 def quantize_embeddings(df: DataFrame, *, vec_col: str,
                         out_col: str = "qvec",
                         scale_col: str = "qscale") -> DataFrame:

@@ -338,3 +338,53 @@ SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
 FROM r WHERE rank <= {k}
 """
 
+
+
+def _semantic_dedup_oracle(centroids: "list[list[float]]",
+                           threshold: float) -> str:
+    """Exact DuckDB replay of :func:`q_dedup_semantic` with literal
+    centroids: cell argmin (the _ivf_oracle expansion, same |c|²
+    literals the Spark pandas UDF uses) → within-cell exact-cosine
+    pairs → connected components as a recursive CTE (the
+    ORACLE_DEDUP_CLUSTERS closure) → min-id representative + keep
+    flag for every corpus row."""
+    import numpy as np
+    cent_np = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cent_np * cent_np).sum(axis=1)
+    vals = []
+    for j, c in enumerate(centroids):
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        vals.append(f"({j}, CAST({lit} AS DOUBLE[]), "
+                    f"{float(cent_sq[j])!r})")
+    cents_sql = ",\n".join(vals)
+    return f"""
+WITH RECURSIVE cents(cell, p, csq) AS (VALUES {cents_sql}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (SELECT vec_id, cell,
+              row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY -2.0 * list_dot_product(v, p) + csq, cell) AS rn
+       FROM c, cents),
+cell_of AS (SELECT vec_id, cell FROM cd WHERE rn = 1),
+pairs AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+          FROM cell_of ca
+          JOIN cell_of cb ON ca.cell = cb.cell
+                         AND ca.vec_id < cb.vec_id
+          JOIN c a ON a.vec_id = ca.vec_id
+          JOIN c b ON b.vec_id = cb.vec_id
+          WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v)))
+                >= {threshold!r}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT DISTINCT a AS node, a AS label FROM edges
+          UNION
+          SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+SELECT c.vec_id,
+       coalesce(comp.cluster, c.vec_id) AS rep_id,
+       CAST(CASE WHEN coalesce(comp.cluster, c.vec_id) = c.vec_id
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM c LEFT JOIN comp ON comp.node = c.vec_id
+"""
