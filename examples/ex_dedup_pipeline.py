@@ -49,6 +49,19 @@ def main() -> None:
 
     # 5. order-sensitive fingerprints for downstream exact-match lookups
     final.select("doc_id", fingerprint("text").alias("fp")).show(5)
+
+    # 6. SemDeDup on the embedding table: k-means cells block the
+    # comparison space, pairs are exact cosine WITHIN a cell (the
+    # low-threshold regime where LSH recall collapses), min-id
+    # representative keeps the decision deterministic across rebuilds.
+    from zcollection_spark.functions import semantic_dedup
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    verdicts = semantic_dedup(emb, id_col="vec_id",
+                              vec_col="embedding", threshold=0.4,
+                              n_cells=8)
+    kept_n = verdicts.where("keep = 1").count()
+    print(f"semantic dedup: {emb.count()} -> {kept_n} representatives")
+    assert 0 < kept_n <= emb.count()
     spark.stop()
 
 

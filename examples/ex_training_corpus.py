@@ -116,6 +116,20 @@ def main() -> None:
     assert mixed["en"] == 2 * base["en"]          # integer weight: exact
     assert 0 < mixed.get("fr", 0) < base["fr"]    # fractional: exact subset
 
+    # 3d. deterministic global shuffle into training shards: shard =
+    # md5 bucket, shard_pos = within-shard md5 order — the SAME
+    # permutation on every rebuild, engine, and cluster size (a seeded
+    # orderBy(rand()) depends on the input's partition layout).  Write
+    # with partitionBy("shard"); each reader streams its shard in
+    # shard_pos order.
+    from zcollection_spark.functions import shuffle_to_shards
+    shards = shuffle_to_shards(docs, id_col="doc_id", n_shards=4)
+    sizes = {r["shard"]: r["n"] for r in
+             shards.groupBy("shard").agg(F.count("*").alias("n"))
+             .collect()}
+    print("shards:", dict(sorted(sizes.items())))
+    assert set(sizes) == set(range(4))
+
     # 4. the commit ledger
     for row in coll.history(limit=3):
         print(f"gen {row['generation']}: +{len(row['added'])} "
