@@ -527,16 +527,17 @@ def test_dedup_semantic_cell_equijoin_no_cartesian(spark):
     blocking) — never a cartesian/nested-loop candidate join; the only
     Python is the Arrow-batched cell assigner shared with ivf_topk."""
     from zcollection_spark.entry_queries import (
-        SEMANTIC_DEDUP_CFG, _ivf_centroids_cached)
+        SEMANTIC_DEDUP_THRESHOLD, _ivf_centroids_cached,
+        _semantic_dedup_cells)
     from zcollection_spark.functions.similarity import \
         semantic_dedup_pairs
     from zcollection_spark.data import load_table
     emb = load_table(spark, SF_DIR, "embeddings")
     pairs = semantic_dedup_pairs(
         emb, id_col="vec_id", vec_col="embedding",
-        threshold=SEMANTIC_DEDUP_CFG["threshold"],
+        threshold=SEMANTIC_DEDUP_THRESHOLD,
         centroids=_ivf_centroids_cached(
-            SF_DIR, n_cells=SEMANTIC_DEDUP_CFG["n_cells"]))
+            SF_DIR, n_cells=_semantic_dedup_cells(SF_DIR)))
     plan = executed_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

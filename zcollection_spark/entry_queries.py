@@ -1049,7 +1049,21 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-SEMANTIC_DEDUP_CFG = {"n_cells": 8, "threshold": 0.4}
+SEMANTIC_DEDUP_THRESHOLD = 0.4
+
+
+def _semantic_dedup_cells(sf_dir: str) -> int:
+    """Cell count grows with the corpus (the SemDeDup scale knob —
+    same sizing rule as IVF: ~125 vectors per cell) so within-cell
+    pair work stays ~n·cell/2, never quadratic: 8 cells at sf0.01,
+    16 at sf0.1, 160 at sf1.  Footer-probed, no Spark job; the
+    fixed-8 fallback keeps the Spark query and the oracle paired when
+    the table is unreadable."""
+    n = _emb_count(sf_dir)
+    if n is None:
+        return 8
+    from .functions.similarity import suggest_ivf_config
+    return suggest_ivf_config(n)[0]
 
 
 def q_dedup_semantic(spark, sf_dir):
@@ -1065,11 +1079,11 @@ def q_dedup_semantic(spark, sf_dir):
     functions/similarity.py:semantic_dedup."""
     from .functions.similarity import semantic_dedup
     emb = load_table(spark, sf_dir, "embeddings")
-    cfg = SEMANTIC_DEDUP_CFG
     out = semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding",
-        threshold=cfg["threshold"],
-        centroids=_ivf_centroids_cached(sf_dir, n_cells=cfg["n_cells"]))
+        threshold=SEMANTIC_DEDUP_THRESHOLD,
+        centroids=_ivf_centroids_cached(
+            sf_dir, n_cells=_semantic_dedup_cells(sf_dir)))
     return out.select("vec_id",
                       F.col("rep_id").cast("long").alias("rep_id"),
                       "keep")
@@ -2940,8 +2954,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             refine_factor=IVFPQ_CFG["refine_factor"])
         out["dedup_semantic"] = _semantic_dedup_oracle(
             _ivf_centroids_cached(
-                sf_dir, n_cells=SEMANTIC_DEDUP_CFG["n_cells"]),
-            threshold=SEMANTIC_DEDUP_CFG["threshold"])
+                sf_dir, n_cells=_semantic_dedup_cells(sf_dir)),
+            threshold=SEMANTIC_DEDUP_THRESHOLD)
     except (FileNotFoundError, OSError, _duckdb.IOException) as exc:
         # missing sf_dir/parquet only: degrade that one query to the
         # driver's rows-only check.  Anything else (a kmeans bug, bad
