@@ -1258,3 +1258,14 @@ def test_semantic_dedup_within_cell_exact_and_keeps_min_id(spark):
                                  n_cells=4, seed=3).collect()
     assert pairs and all(p.id_a < p.id_b and p.cosine >= 0.999
                          for p in pairs)
+
+
+def test_shuffle_to_shards_rejects_reserved_output_names(spark):
+    """The output contract is the fixed 'shard'/'shard_pos' names — a
+    frame already using them is refused, never silently overwritten
+    (the '__salt'/'__zorder' reserved-name discipline)."""
+    from zcollection_spark.functions import shuffle_to_shards
+    df = spark.range(0, 4).withColumnRenamed("id", "doc_id") \
+        .withColumn("shard", F.lit(9))
+    with pytest.raises(ValueError, match="reserved column name 'shard'"):
+        shuffle_to_shards(df, id_col="doc_id", n_shards=2)

@@ -994,14 +994,23 @@ class Catalog:
                 if stamp is not None:
                     reachable.add((int(stamp), rel))
         doomed: list[tuple[str, str]] = []
+        # stamp dirs already empty when first listed: orphans from a
+        # prior sweep that crashed between its copy deletes and the
+        # dir delete — no later doomed-set would ever revisit them
+        # (r12 advice).  Recorded during THIS pass's listing, so the
+        # reclaim costs zero extra LIST round-trips.
+        empty_dirs: list[str] = []
         for d in stamp_dirs:
             try:
                 stamp = int(d[len("gen-"):])
             except ValueError:
                 continue
             droot = f"{base}/{d}"
-            for rel in self._fs.list_partition_dirs(droot,
-                                                    self._walk_depth):
+            rels = self._fs.list_partition_dirs(droot, self._walk_depth)
+            if not rels:
+                empty_dirs.append(d)
+                continue
+            for rel in rels:
                 if (stamp, rel) not in reachable:
                     doomed.append((d, rel))
         # the per-copy deletes are independent idempotent prefix
@@ -1019,16 +1028,15 @@ class Catalog:
                     lambda dr: self._fs.delete(f"{base}/{dr[0]}/{dr[1]}"),
                     doomed))
             removed = [f"{d}/{rel}" for d, rel in doomed]
-        # a stamp dir with zero partition dirs goes too — EVERY one we
-        # visited, not just those that lost copies this sweep: a prior
-        # sweep that crashed between its copy deletes and this dir
-        # delete leaves an empty stamp dir no later doomed-set would
-        # ever revisit (r12 advice).  Empty-prefix deletes are no-ops
-        # on object stores, so re-checking all of them is free.
-        for d in sorted(stamp_dirs):
-            droot = f"{base}/{d}"
-            if not self._fs.list_partition_dirs(droot, self._walk_depth):
-                self._fs.delete(droot)
+            # a stamp dir whose last copy just left goes too — only
+            # dirs that lost copies THIS sweep need a fresh listing
+            for d in sorted({d for d, _rel in doomed}):
+                droot = f"{base}/{d}"
+                if not self._fs.list_partition_dirs(droot,
+                                                    self._walk_depth):
+                    empty_dirs.append(d)
+        for d in sorted(set(empty_dirs)):
+            self._fs.delete(f"{base}/{d}")
         return removed
 
     def _commit_rmw(self, mutate, need_base: bool = True) -> list[str]:

@@ -1903,11 +1903,11 @@ removed AS (
   FROM events WHERE day(ts) <= 5)
 SELECT 'added' AS change, count(*) AS n_partitions,
        min(relpath) AS first_relpath, max(relpath) AS last_relpath
-FROM added
+FROM added HAVING count(*) > 0
 UNION ALL
 SELECT 'removed' AS change, count(*) AS n_partitions,
        min(relpath) AS first_relpath, max(relpath) AS last_relpath
-FROM removed
+FROM removed HAVING count(*) > 0
 ORDER BY change
 """
 

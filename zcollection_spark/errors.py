@@ -54,7 +54,7 @@ class DriverBoundExceededError(ZCollectionError):
     """A documented driver-side bound was exceeded.
 
     The engine keeps a handful of DELIBERATE driver-side collects —
-    ``brute_force_topk``'s query set, ``dup_pairs_embedding``'s
+    ``brute_force_topk``'s query set, ``embedding_dup_pairs``'s
     ``method="broadcast"`` comparison set, ``insert``'s partition-key
     enumeration.  Each is bounded by cardinality (queries / comparison
     rows / distinct keys), not data volume, and each has a distributed

@@ -88,9 +88,20 @@ def shuffle_to_shards(df: DataFrame, *, id_col: str, n_shards: int,
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    # the output contract is these two fixed names — refuse a frame
+    # that already uses them rather than silently replacing its data
+    # (the '__salt'/'__zorder' reserved-name discipline)
+    for reserved in ("shard", "shard_pos"):
+        if reserved in df.columns:
+            raise ValueError(f"reserved column name {reserved!r}: "
+                             f"rename it before shuffle_to_shards")
+    from .dedup import md5_long
     rank = deterministic_rank(id_col, salt)
-    shard = (F.conv(F.substring(rank, 1, 15), 16, 10)
-             .cast("long") % F.lit(n_shards)).cast("int")
+    id_c = F.col(id_col) if isinstance(id_col, str) else id_col
+    # md5_long is THE canonical 15-hex-chars→int64 contract (one home,
+    # shared with the dedup family's DuckDB twins)
+    shard = (md5_long(F.concat(id_c.cast("string"), F.lit(salt)))
+             % F.lit(n_shards)).cast("int")
     out = df.withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy(rank.asc(),
                                             F.col(id_col).asc())
