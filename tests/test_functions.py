@@ -1269,3 +1269,21 @@ def test_shuffle_to_shards_rejects_reserved_output_names(spark):
         .withColumn("shard", F.lit(9))
     with pytest.raises(ValueError, match="reserved column name 'shard'"):
         shuffle_to_shards(df, id_col="doc_id", n_shards=2)
+
+
+def test_unigram_stats_matches_hand_count(spark):
+    """unigram_stats on a corpus small enough to count by hand: the
+    corpus frequency table, the per-doc mean token count, and the
+    hapax share are exact rational values."""
+    from zcollection_spark.functions import unigram_stats
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat",        # the:3 cat:2 sat:1
+                 "the cat ran",        # ran:1
+                 "the dog"]})          # dog:1
+    out = {r.doc_id: (r.n_tokens, r.avg_token_count, r.hapax_share)
+           for r in unigram_stats(
+               spark.createDataFrame(pdf)).collect()}
+    assert out[1] == (3, (3 + 2 + 1) / 3, 1 / 3)
+    assert out[2] == (3, (3 + 2 + 1) / 3, 1 / 3)
+    assert out[3] == (2, (3 + 1) / 2, 1 / 2)

@@ -543,3 +543,15 @@ def test_dedup_semantic_cell_equijoin_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__cell" in plan                      # the equi-join key
     assert "BatchEvalPython" not in plan         # Arrow, not row-Python
+
+
+def test_unigram_stats_no_python_no_cartesian(spark):
+    """Corpus-statistical scoring is two map-side-combined shuffles +
+    a token equi-join: no Python eval node, no cartesian, and the
+    vocab join is an equi-join on the token key."""
+    plan = executed_plan(eq.q_unigram_stats(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan       # map-side combine reached

@@ -1089,6 +1089,34 @@ def q_dedup_semantic(spark, sf_dir):
                       "keep")
 
 
+def q_unigram_stats(spark, sf_dir):
+    """Corpus-statistical quality scoring (NEW r13): the corpus
+    unigram frequency table, then per-document mean corpus-count and
+    hapax share — the vocabulary-ordinariness signal per-row
+    heuristics can't see.  Two map-side-combined shuffles + a token
+    equi-join, nothing driver-side; all rational arithmetic (no
+    transcendentals), so the twin hashes bit-identically
+    (functions/text.py:unigram_stats)."""
+    from .functions.text import unigram_stats
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_stats(docs, id_col="doc_id", text_col="text") \
+        .select("doc_id", "n_tokens", "avg_token_count", "hapax_share")
+
+
+ORACLE_UNIGRAM_STATS = rf"""
+WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS t FROM documents),
+vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(vocab.cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS avg_token_count,
+       CAST(sum(CASE WHEN vocab.cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_share
+FROM tok JOIN vocab USING (t)
+GROUP BY tok.doc_id
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Quality-scoring stats per doc (all JVM-side expressions)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2831,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
         "dedup_semantic": q_dedup_semantic,
+        "unigram_stats": q_unigram_stats,
     }
 
 
@@ -2923,6 +2952,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "streaming_changes_agg": ORACLE_STREAMING_CHANGES,
         "shuffle_shards": ORACLE_SHUFFLE_SHARDS,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+        "unigram_stats": ORACLE_UNIGRAM_STATS,
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "value_percentiles": ORACLE_PERCENTILES,

@@ -23,7 +23,7 @@ from .similarity import (cosine_similarity_col, brute_force_topk,
                          suggest_lsh_config, suggest_lsh_planes)
 from .text import (chunk_documents, fingerprint, language_id,
                    pack_sequences, text_stats, token_count,
-                   word_shingles, words)
+                   unigram_stats, word_shingles, words)
 from .curation import (contamination, quality_filter,
                        repetition_stats, scrub_pii)
 from .sampling import (cap_per_group, hash_split,
@@ -46,7 +46,8 @@ __all__ = [
     "write_ivf_index", "query_ivf_index",
     "write_ivfpq_index", "query_ivfpq_index",
     "fingerprint", "language_id", "text_stats", "token_count",
-    "word_shingles", "words", "chunk_documents", "pack_sequences",
+    "unigram_stats", "word_shingles", "words", "chunk_documents",
+    "pack_sequences",
     "cap_per_group", "hash_split", "stratified_sample",
     "stratified_sample_exact", "sample_to_token_budget",
     "upsample_by_weight", "shuffle_to_shards", "quantize_embeddings",

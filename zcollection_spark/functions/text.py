@@ -79,6 +79,44 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_stats(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-statistical quality scoring (two passes over the corpus):
+    build the corpus unigram frequency table, then aggregate each
+    document's tokens against it — the "how ordinary is this
+    document's vocabulary" signal that per-row length/ratio heuristics
+    (:func:`text_stats`) cannot see.
+
+    Returns ``(id, n_tokens, avg_token_count, hapax_share)``:
+    ``avg_token_count`` is the mean corpus count of the document's
+    tokens (high = boilerplate-common vocabulary — a dedup/quality
+    flag), ``hapax_share`` the fraction of its tokens appearing exactly
+    once in the whole corpus (high = rare or noisy vocabulary).  All
+    arithmetic is RATIONAL — integer counts and one exact IEEE double
+    division — no transcendental functions, so the DuckDB twin hashes
+    bit-identically (a log-probability variant would hinge on two
+    libms agreeing beyond the IEEE-guaranteed ops).
+
+    Scale shape: pass 1 is explode → groupBy(token) — one map-side-
+    combined shuffle whose output is |vocab| rows, not |corpus|;
+    pass 2 re-explodes and equi-joins token → count (AQE broadcasts a
+    small vocab; at web scale it is a shuffle join on the token key)
+    and re-aggregates per document.  Nothing lands on the driver.
+    """
+    tok_rows = df.select(F.col(id_col),
+                         F.explode(words(text_col)).alias("__tok"))
+    vocab = tok_rows.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    n = F.count(F.lit(1)).cast("double")
+    return (tok_rows.join(vocab, on="__tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 (F.sum("__cnt").cast("double") / n)
+                 .alias("avg_token_count"),
+                 (F.sum((F.col("__cnt") == 1).cast("long"))
+                  .cast("double") / n).alias("hapax_share")))
+
+
 def language_id(df: DataFrame, text_col: str = "text",
                 out_col: str = "lang_pred") -> DataFrame:
     """Marker-lexicon language heuristic: score = count of DISTINCT marker
