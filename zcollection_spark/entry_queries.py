@@ -2751,10 +2751,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + in-window zonemap — + promo_revenue/rollup_hourly whose fresh
     # r13 green holds) plus ONE more twin swap (e.g. streaming_dedup
     # out while promoting streaming_changes_agg and in-window
-    # streaming_stateful cover the stateful-streaming surface); then
-    # continue the stale-tail cycle with 2-3 of the seven remaining
-    # r02-r04 rows (top_revenue_orders, trade_flows next) in r14/r15,
-    # counting with the test.
+    # streaming_stateful cover the stateful-streaming surface).
+    # r15 then owes: the four remaining never-driver-graded r13 ops
+    # (shuffle_shards, embedding_quantize, dedup_semantic,
+    # unigram_stats) promote, and the stale-tail cycle continues with
+    # 2-3 of the seven remaining r02-r04 rows (top_revenue_orders,
+    # trade_flows next) — counting with the test each round.
     return {
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
@@ -2852,9 +2854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r13, built out-of-window (the r13 window was set by the
         # r12 ledger): the changes-stream SOURCE graded through an
         # availableNow pass (r12 verdict task 6), the deterministic
-        # global shuffle-to-shards, and int8 embedding quantization.
-        # check_oracle-gated now; promote in r14/r15 per the ledger
-        # above.
+        # global shuffle-to-shards, int8 embedding quantization,
+        # SemDeDup semantic dedup, and corpus-statistical unigram
+        # scoring.  ALL check_oracle-gated at sf0.01 AND sf1 now;
+        # streaming_changes_agg promotes in r14, the other four in
+        # r15, per the ledger above.
         "streaming_changes_agg": q_streaming_changes_agg,
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
