@@ -1287,3 +1287,159 @@ def test_unigram_stats_matches_hand_count(spark):
     assert out[1] == (3, (3 + 2 + 1) / 3, 1 / 3)
     assert out[2] == (3, (3 + 2 + 1) / 3, 1 / 3)
     assert out[3] == (2, (3 + 1) / 2, 1 / 2)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring / duplicated spans / BM25 (round 13 second batch)
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_score_hand_counts(spark):
+    from zcollection_spark.functions import bigram_lm_score
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    # corpus pair counts: "a b"x3, "b a"x1, "b c"x1; context counts:
+    # a->3, b->2.  P(a b)=1, P(b a)=.5, P(b c)=.5
+    assert set(out) == {0, 1}          # the 1-token doc has no bigrams
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["mean_cond_p"] == round((1 + 0.5 + 1) / 3, 6)
+    assert out[0]["rare_bigram_share"] == pytest.approx(1 / 3)
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["mean_cond_p"] == pytest.approx(0.75)
+    assert out[1]["rare_bigram_share"] == pytest.approx(0.5)
+
+
+def test_bigram_lm_score_matches_python_reference(spark):
+    """Randomized corpus vs a dict-counting reference implementation."""
+    from collections import Counter
+
+    from zcollection_spark.functions import bigram_lm_score
+    rng = np.random.RandomState(7)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.randint(2, 30))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pair_rows = [(i, (ws[j], ws[j + 1]))
+                 for i, t in rows for ws in [t.split()]
+                 for j in range(len(ws) - 1)]
+    cb = Counter(p for _, p in pair_rows)
+    cu = Counter(p[0] for _, p in pair_rows)
+    exp = {}
+    for i, _ in rows:
+        ps = [cb[p] / cu[p[0]] for j, p in pair_rows if j == i]
+        rare = [cb[p] <= 2 for j, p in pair_rows if j == i]
+        exp[i] = (len(ps), round(sum(ps) / len(ps), 6),
+                  sum(rare) / len(rare))
+    got = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    assert set(got) == set(exp)
+    for i, (n, mean_p, rare) in exp.items():
+        assert got[i]["n_bigrams"] == n
+        assert got[i]["mean_cond_p"] == pytest.approx(mean_p, abs=1e-6)
+        assert got[i]["rare_bigram_share"] == pytest.approx(rare)
+
+
+def test_duplicated_span_stats_cross_doc_only(spark):
+    from zcollection_spark.functions import duplicated_span_stats
+    rows = [(0, "a b c"),       # spans(n=2): [a b, b c]
+            (1, "b c d"),       # [b c, c d]
+            (2, "x y"),         # [x y]
+            (3, "q"),           # too short: absent
+            (4, "b c b c"),     # [b c, c b, b c] - dup span twice
+            (5, "m n m n")]     # within-doc repeat ONLY: not duplicated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in duplicated_span_stats(df, n=2).collect()}
+    assert set(out) == {0, 1, 2, 4, 5}
+    assert (out[0]["n_spans"], out[0]["n_dup_spans"]) == (2, 1)
+    assert out[0]["dup_ratio"] == pytest.approx(0.5)
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (2, 1)
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (1, 0)
+    # positions count with multiplicity: "b c" occurs twice in doc 4
+    assert (out[4]["n_spans"], out[4]["n_dup_spans"]) == (3, 2)
+    # within-document repetition alone never marks a span
+    assert (out[5]["n_spans"], out[5]["n_dup_spans"]) == (3, 0)
+    with pytest.raises(ValueError, match="n must be"):
+        duplicated_span_stats(df, n=0)
+
+
+def _bm25_reference(corpus: dict, queries: dict, k1=1.2, b=0.75):
+    """Dict-based BM25 (Robertson idf) over whitespace tokens."""
+    import math
+    from collections import Counter
+    tf = {d: Counter(t.split()) for d, t in corpus.items()}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / n
+    df = Counter(t for c in tf.values() for t in c)
+    out = {}
+    for q, qt in queries.items():
+        for d, c in tf.items():
+            s = 0.0
+            for t in set(qt.split()):
+                if t not in c:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * c[t] * (k1 + 1) / (
+                    c[t] + k1 * (1 - b + b * dl[d] / avgdl))
+            if s > 0:
+                out[(q, d)] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_python_reference_and_ranks(spark):
+    from zcollection_spark.functions import bm25_topk
+    rng = np.random.RandomState(11)
+    vocab = ["t%d" % i for i in range(15)]
+    corpus = {i: " ".join(rng.choice(vocab, size=rng.randint(3, 25)))
+              for i in range(30)}
+    queries = {100: "t0 t1 t2", 101: "t7", 102: corpus[5]}
+    cdf = spark.createDataFrame(list(corpus.items()),
+                                "doc_id long, text string")
+    qdf = spark.createDataFrame(list(queries.items()),
+                                "query_id long, query_text string")
+    got = bm25_topk(cdf, qdf, id_col="doc_id", text_col="text",
+                    k=1000).collect()
+    exp = _bm25_reference(corpus, queries)
+    assert {(r["query_id"], r["doc_id"]) for r in got} == set(exp)
+    for r in got:
+        assert r["score"] == pytest.approx(
+            exp[(r["query_id"], r["doc_id"])], abs=2e-6)
+    # ranks are dense, 1-based, ordered by (score desc, doc_id asc)
+    for q in queries:
+        rows = sorted((r for r in got if r["query_id"] == q),
+                      key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r["score"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_bm25_topk_k_cap_and_two_stage_consistency(spark):
+    """k is respected and the two-stage top-k equals a single global
+    window over bm25_scores (the salt pruning is lossless)."""
+    from pyspark.sql import Window
+
+    from zcollection_spark.functions import bm25_topk
+    from zcollection_spark.functions.retrieval import bm25_scores
+    rng = np.random.RandomState(3)
+    vocab = ["v%d" % i for i in range(8)]
+    corpus = {i: " ".join(rng.choice(vocab, size=10)) for i in range(50)}
+    cdf = spark.createDataFrame(list(corpus.items()),
+                                "doc_id long, text string")
+    qdf = spark.createDataFrame([(0, "v0 v1")],
+                                "query_id long, query_text string")
+    k = 7
+    got = bm25_topk(cdf, qdf, id_col="doc_id", text_col="text",
+                    k=k).collect()
+    assert len(got) == k
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    exp = (bm25_scores(cdf, qdf, id_col="doc_id", text_col="text")
+           .withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k).collect())
+    assert ({(r["doc_id"], r["score"], r["rank"]) for r in got}
+            == {(r["doc_id"], r["score"], r["rank"]) for r in exp})
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(cdf, qdf, id_col="doc_id", text_col="text", k=0)
+    with pytest.raises(ValueError, match="round_to"):
+        bm25_topk(cdf, qdf, id_col="doc_id", text_col="text", k=1,
+                  round_to=-1)

@@ -555,3 +555,47 @@ def test_unigram_stats_no_python_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan       # map-side combine reached
+
+
+def test_bigram_lm_no_python_no_cartesian(spark):
+    """Bigram LM scoring: pair explode + two map-side-combined count
+    shuffles + equi-joins on the pair/context keys — no Python, no
+    cartesian."""
+    plan = executed_plan(eq.q_bigram_lm(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan       # map-side combine reached
+
+
+def test_dup_spans_no_python_no_cartesian(spark):
+    """Duplicated-span stats: shingle explode -> distinct ->
+    count-per-span, then an equi-join back on the span key — never a
+    self-join of documents, never cartesian, no Python."""
+    plan = executed_plan(eq.q_dup_spans(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the ndocs-per-span join keys on the span hash, an equi-join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_bm25_query_terms_broadcast_corpus_distributed(spark):
+    """BM25: the probe-term table rides broadcast hash joins (the
+    corpus side never re-partitions for the probe set); the only
+    nested-loop join is the one-row (N, avgdl) scalar attach; the
+    per-(query, doc) aggregation is map-side combined."""
+    plan = executed_plan(eq.q_bm25_retrieval(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the scalar-stats cross join is a broadcast nested loop over ONE
+    # row — assert it stayed broadcast (never a shuffled NLJ)
+    nlj = [ln for ln in final_plan(plan).splitlines()
+           if "NestedLoopJoin" in ln]
+    assert all("Broadcast" in ln for ln in nlj), nlj
+    assert "partial_sum" in plan or "partial_count" in plan

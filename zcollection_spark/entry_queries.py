@@ -1117,6 +1117,113 @@ GROUP BY tok.doc_id
 """
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Corpus-bigram LM scoring (NEW r13): CCNet-style "reads like the
+    corpus" signal with the LM trained in the same job — conditional
+    MLE P(w2|w1) from corpus-wide pair/context counts, aggregated per
+    document.  Rational arithmetic except the 6-dp-rounded mean, so
+    the twin hashes bit-identically
+    (functions/text.py:bigram_lm_score)."""
+    from .functions.text import bigram_lm_score
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, id_col="doc_id", text_col="text") \
+        .select("doc_id", "n_bigrams", "mean_cond_p",
+                "rare_bigram_share")
+
+
+ORACLE_BIGRAM_LM = rf"""
+WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
+pairs AS (SELECT doc_id,
+            w[gs] AS w1, w[gs] || ' ' || w[gs+1] AS pair
+          FROM w, UNNEST(generate_series(1, len(w) - 1)) t(gs)
+          WHERE len(w) >= 2),
+cb AS (SELECT pair, count(*) AS cb FROM pairs GROUP BY pair),
+cu AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY w1)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(CAST(cb AS DOUBLE) / cu), 6) AS mean_cond_p,
+       CAST(sum(CASE WHEN cb <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS rare_bigram_share
+FROM pairs JOIN cb USING (pair) JOIN cu USING (w1)
+GROUP BY doc_id
+"""
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span stats (NEW r13): the Lee et al.
+    2021 exact-substring-dedup signal as a shuffle-native fixed-window
+    formulation — per document, how many of its 8-token spans occur
+    verbatim in at least one OTHER document.  All integer arithmetic
+    plus one exact division (functions/dedup.py:duplicated_span_stats).
+    """
+    from .functions.dedup import duplicated_span_stats
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, id_col="doc_id",
+                                 text_col="text", n=8) \
+        .select("doc_id", "n_spans", "n_dup_spans", "dup_ratio")
+
+
+ORACLE_DUP_SPANS = rf"""
+WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
+sp AS (SELECT doc_id, array_to_string(list_slice(w, gs, gs + 7), ' ') AS s
+       FROM w, UNNEST(generate_series(1, len(w) - 7)) t(gs)
+       WHERE len(w) >= 8),
+nd AS (SELECT s, count(*) AS ndocs
+       FROM (SELECT DISTINCT doc_id, s FROM sp) GROUP BY s)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_ratio
+FROM sp JOIN nd USING (s)
+GROUP BY doc_id
+"""
+
+
+def q_bm25_retrieval(spark, sf_dir):
+    """BM25 lexical retrieval (NEW r13): top-10 documents per probe
+    query (the first three documents' own text) by Robertson BM25 —
+    the sparse half of the retrieval family next to the dense knn_*
+    queries.  Scores are rounded to 6 dp BEFORE ranking so ranks and
+    values replay bit-identically in DuckDB
+    (functions/retrieval.py:bm25_topk)."""
+    from .functions.retrieval import bm25_topk
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"))
+    out = bm25_topk(docs, probes, id_col="doc_id", text_col="text",
+                    k=10)
+    return out.select("query_id", "doc_id", "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_BM25 = rf"""
+WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT doc_id AS query_id,
+              unnest(list_distinct({_SPLIT})) AS term
+       FROM documents WHERE doc_id < 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+scored AS (SELECT qt.query_id, tf.doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * (1.2 + 1)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+         AS score
+   FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id, stats
+   GROUP BY qt.query_id, tf.doc_id),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Quality-scoring stats per doc (all JVM-side expressions)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2752,9 +2859,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13 green holds) plus ONE more twin swap (e.g. streaming_dedup
     # out while promoting streaming_changes_agg and in-window
     # streaming_stateful cover the stateful-streaming surface).
-    # r15 then owes: the four remaining never-driver-graded r13 ops
+    # r15 then owes: the seven remaining never-driver-graded r13 ops
     # (shuffle_shards, embedding_quantize, dedup_semantic,
-    # unigram_stats) promote, and the stale-tail cycle continues with
+    # unigram_stats, bigram_lm, dup_spans, bm25_retrieval — the last
+    # three from the second r13 batch) promote, and the stale-tail
+    # cycle continues with
     # 2-3 of the seven remaining r02-r04 rows (top_revenue_orders,
     # trade_flows next) — counting with the test each round.
     return {
@@ -2864,6 +2973,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "dedup_semantic": q_dedup_semantic,
         "unigram_stats": q_unigram_stats,
+        # NEW r13 second batch, also born out-of-window: corpus-bigram
+        # LM scoring (CCNet-style quality signal), cross-document
+        # duplicated-span stats (Lee et al. exact-substring dedup
+        # signal), and BM25 lexical retrieval (the sparse half of the
+        # retrieval family).  check_oracle-gated at sf0.01 and sf1;
+        # promote alongside the first batch in r15.
+        "bigram_lm": q_bigram_lm,
+        "dup_spans": q_dup_spans,
+        "bm25_retrieval": q_bm25_retrieval,
     }
 
 
@@ -2957,6 +3075,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "shuffle_shards": ORACLE_SHUFFLE_SHARDS,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "unigram_stats": ORACLE_UNIGRAM_STATS,
+        "bigram_lm": ORACLE_BIGRAM_LM,
+        "dup_spans": ORACLE_DUP_SPANS,
+        "bm25_retrieval": ORACLE_BM25,
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "value_percentiles": ORACLE_PERCENTILES,

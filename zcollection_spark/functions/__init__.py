@@ -11,6 +11,7 @@ from .multimodal import (attach_fake_payload, decode_ppm, decode_wav,
                          encode_ppm, encode_wav, extract_audio_features,
                          extract_image_features, sample_frames)
 from .dedup import (dedup_exact, dedup_keep_latest,
+                    duplicated_span_stats,
                     exact_duplicate_groups, md5_long,
                     minhash_signatures, lsh_candidate_pairs,
                     ngram_jaccard_pairs, simhash, simhash_duplicate_pairs,
@@ -21,9 +22,10 @@ from .similarity import (cosine_similarity_col, brute_force_topk,
                          embedding_dup_pairs, ivf_topk, ivfpq_topk,
                          lsh_bucket_topk, suggest_ivf_config,
                          suggest_lsh_config, suggest_lsh_planes)
-from .text import (chunk_documents, fingerprint, language_id,
-                   pack_sequences, text_stats, token_count,
+from .text import (bigram_lm_score, chunk_documents, fingerprint,
+                   language_id, pack_sequences, text_stats, token_count,
                    unigram_stats, word_shingles, words)
+from .retrieval import bm25_scores, bm25_topk
 from .curation import (contamination, quality_filter,
                        repetition_stats, scrub_pii)
 from .sampling import (cap_per_group, hash_split,
@@ -37,7 +39,7 @@ __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
     "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
-    "unpersist_intermediates",
+    "duplicated_span_stats", "unpersist_intermediates",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "ivfpq_topk", "lsh_bucket_topk",
     "suggest_lsh_planes", "suggest_lsh_config", "suggest_ivf_config",
@@ -47,7 +49,7 @@ __all__ = [
     "write_ivfpq_index", "query_ivfpq_index",
     "fingerprint", "language_id", "text_stats", "token_count",
     "unigram_stats", "word_shingles", "words", "chunk_documents",
-    "pack_sequences",
+    "pack_sequences", "bigram_lm_score", "bm25_scores", "bm25_topk",
     "cap_per_group", "hash_split", "stratified_sample",
     "stratified_sample_exact", "sample_to_token_budget",
     "upsample_by_weight", "shuffle_to_shards", "quantize_embeddings",

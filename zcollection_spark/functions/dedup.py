@@ -562,3 +562,54 @@ def dedup_keep_latest(df: DataFrame, *, keys: list[str], order_col: str,
     w = Window.partitionBy(*keys).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def duplicated_span_stats(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          n: int = 8) -> DataFrame:
+    """Cross-document duplicated-span statistics: for each document,
+    how much of it also appears verbatim somewhere else in the corpus
+    — the per-document signal behind exact-substring deduplication
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better": memorized spans come from text repeated across
+    documents, and span-level dedup beats whole-document dedup on
+    boilerplate-heavy corpora).  The suffix-array formulation of the
+    paper is replaced by the shuffle-native fixed-window one: a span
+    is an ``n``-token shingle, and a shingle is *duplicated* when it
+    occurs in ≥ 2 distinct documents.
+
+    Returns one row per document with ≥ ``n`` tokens:
+    ``(id, n_spans, n_dup_spans, dup_ratio)`` where ``n_spans`` counts
+    all shingle positions (with multiplicity), ``n_dup_spans`` those
+    whose shingle is cross-document duplicated, and
+    ``dup_ratio = n_dup_spans / n_spans`` — all integer arithmetic
+    plus one exact division, so the DuckDB twin hashes bit-identically.
+    Within-document repetition alone does NOT mark a span (that
+    signal is ``curation.repetition_stats``); a document shorter than
+    ``n`` tokens has no spans and is absent.
+
+    Scale shape: explode → distinct(doc, shingle) → groupBy(shingle)
+    counts distinct containing docs (two map-side-combined shuffles on
+    the shingle key, never ``countDistinct``'s per-group hash sets);
+    the per-position rows then equi-join the count table on the
+    shingle key (AQE broadcasts it when small) and re-aggregate per
+    document.  No self-join, nothing quadratic, nothing driver-side.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    spans = (df.where(F.size(words(text_col)) >= n)
+             .select(F.col(id_col),
+                     F.explode(word_shingles(text_col, n))
+                     .alias("__span")))
+    ndocs = (spans.select(id_col, "__span").distinct()
+             .groupBy("__span")
+             .agg(F.count(F.lit(1)).alias("__ndocs")))
+    cnt = F.count(F.lit(1))
+    return (spans.join(ndocs, on="__span")
+            .groupBy(id_col)
+            .agg(cnt.cast("long").alias("n_spans"),
+                 F.sum((F.col("__ndocs") >= 2).cast("long"))
+                 .alias("n_dup_spans"),
+                 (F.sum((F.col("__ndocs") >= 2).cast("long"))
+                  .cast("double") / cnt.cast("double"))
+                 .alias("dup_ratio")))

@@ -1,0 +1,144 @@
+"""Lexical retrieval: BM25 scoring and top-k search over a document
+corpus.
+
+Completes the retrieval family: the embedding side (``similarity.py``,
+``ann_index.py``) covers dense ANN; this module covers the sparse
+term-matching half every retrieval / data-curation stack pairs with it
+(hard-negative mining, dedup-aware eval set construction, RAG corpus
+probes).
+
+Scale design — the corpus NEVER leaves the executors and nothing is
+quadratic:
+
+1. one explode → groupBy(doc, term) builds the term-frequency table
+   (map-side combined shuffle, the only pass over full text);
+2. document lengths and the corpus-wide (N, avgdl) scalars reduce from
+   that tf table (tiny outputs);
+3. the query-term table (small by contract — queries are a probe set,
+   not a second corpus) joins the tf table with a broadcast hint, so
+   document frequencies and per-(query, doc) scores are computed only
+   for matched terms — a stopword-ish query term matches many docs,
+   but never more than one row per (term, containing doc);
+4. top-k per query runs in two stages (partial top-k per deterministic
+   salt bucket, then global), so one query matching half the corpus
+   cannot serialize through a single window task.
+
+Every step is built-in Catalyst expressions (whole-stage codegen; no
+Python).  Scores use the Robertson/Sparck-Jones BM25 idf
+``ln(1 + (N - df + 0.5) / (df + 0.5))`` — always positive — with the
+standard ``k1``/``b`` saturation.  ``ln`` is the one non-IEEE-exact
+operation in this module: Java's ``Math.log`` and DuckDB's libm ``log``
+are each within 1 ulp, so scores are rounded (default 6 dp) BEFORE
+ranking, which keeps ranks and values bit-identical across engines in
+the oracle twin (the same device the cosine-similarity queries use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+from .text import words
+
+#: salt buckets for the two-stage top-k (stage 1 caps any single
+#: window task at ~matched_docs/64 rows; 64 keeps stage 2 at 64*k rows
+#: per query — trivially small for any practical k)
+_TOPK_SALT_BUCKETS = 64
+
+
+def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
+                id_col: str, text_col: str,
+                query_id_col: str = "query_id",
+                query_text_col: str = "query_text",
+                k1: float = 1.2, b: float = 0.75,
+                round_to: int = 6) -> DataFrame:
+    """BM25 score for every (query, document) pair sharing ≥1 term.
+
+    Returns ``(query_id_col, id_col, score)``.  Duplicate query terms
+    score once (the usual set-of-terms simplification).  Documents
+    sharing no term with a query are absent (their BM25 score is 0).
+
+    ``queries`` rides a broadcast hint — it is the probe set and must
+    be small (thousands, not millions); the corpus side stays fully
+    distributed.
+    """
+    if round_to < 0:
+        raise ValueError("round_to must be >= 0")
+    tok = corpus.select(F.col(id_col),
+                        F.explode(words(text_col)).alias("__term"))
+    tf = tok.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).alias("__tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    # corpus scalars: one row, exact integer sums then one division —
+    # deterministic; joined back via a broadcast cross join (no collect)
+    stats = dl.agg(F.count(F.lit(1)).alias("__n_docs"),
+                   F.avg("__dl").alias("__avgdl"))
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(words(query_text_col)))
+        .alias("__term"))
+    # prune FIRST: everything downstream sees only matched terms
+    matched = tf.join(F.broadcast(qterms.select("__term").distinct()),
+                      on="__term")
+    # per-term document frequency over the full corpus — counting the
+    # matched tf rows per term IS the corpus df (the broadcast
+    # semi-join above dropped terms, never containing docs)
+    dfreq = matched.groupBy("__term").agg(
+        F.count(F.lit(1)).alias("__df"))
+    scored_terms = (matched
+                    .join(F.broadcast(dfreq), on="__term")
+                    .join(dl, on=id_col)
+                    .crossJoin(F.broadcast(stats))
+                    .join(F.broadcast(qterms), on="__term"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5)))
+    tf_norm = (F.col("__tf") * F.lit(k1 + 1.0)
+               / (F.col("__tf")
+                  + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * F.col("__dl")
+                                 / F.col("__avgdl"))))
+    return (scored_terms
+            .groupBy(query_id_col, id_col)
+            .agg(F.round(F.sum(idf * tf_norm), round_to).alias("score")))
+
+
+def bm25_topk(corpus: DataFrame, queries: DataFrame, *,
+              id_col: str, text_col: str,
+              query_id_col: str = "query_id",
+              query_text_col: str = "query_text",
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              round_to: int = 6) -> DataFrame:
+    """Top-``k`` documents per query by BM25, deterministic ranks.
+
+    Returns ``(query_id_col, id_col, score, rank)`` with ``rank`` 1-based
+    per query; ties in the (rounded) score break by ascending document
+    id, so the result is a pure function of the corpus + queries.
+
+    Two-stage top-k: a partial top-k inside each of
+    ``_TOPK_SALT_BUCKETS`` deterministic md5 buckets of the doc id,
+    then the global rank over the ≤ ``64*k`` survivors per query —
+    identical result to a single global window (top-k of bucket top-ks
+    is the global top-k under one total order), without ever funneling
+    a popular query's full match set through one task.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    scored = bm25_scores(corpus, queries, id_col=id_col,
+                         text_col=text_col, query_id_col=query_id_col,
+                         query_text_col=query_text_col, k1=k1, b=b,
+                         round_to=round_to)
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    salt = F.pmod(md5_long(F.col(id_col).cast("string")),
+                  F.lit(_TOPK_SALT_BUCKETS))
+    stage1 = (scored
+              .withColumn("__salt", salt)
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy(query_id_col, "__salt")
+                  .orderBy(*order)))
+              .where(F.col("__rn") <= k).drop("__salt", "__rn"))
+    return (stage1
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(*order)))
+            .where(F.col("rank") <= k))

@@ -117,6 +117,67 @@ def unigram_stats(df: DataFrame, *, id_col: str = "doc_id",
                   .cast("double") / n).alias("hapax_share")))
 
 
+def bigram_lm_score(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    rare_max_count: int = 2) -> DataFrame:
+    """Corpus-bigram language-model scoring — the CCNet-style "does
+    this document read like the corpus" signal, without an external
+    KenLM model: the LM is trained on the corpus itself in the same
+    job.
+
+    For every adjacent token pair the conditional MLE
+    ``P(w2 | w1) = c(w1 w2) / c(w1·)`` is computed from corpus-wide
+    counts, where ``c(w1·)`` is the number of bigram rows whose first
+    token is ``w1`` — so the distribution sums to 1 per context and
+    every document bigram has count ≥ 1 by construction (it came from
+    the corpus; no smoothing needed).  Returns one row per document
+    with ≥ 2 tokens:
+
+    - ``n_bigrams`` — adjacent-pair count (exact long);
+    - ``mean_cond_p`` — mean conditional probability, rounded to 6 dp
+      (high = the document's word transitions are corpus-typical;
+      low = unusual phrasing, noise, or another register).  The mean
+      of IEEE-exact divisions is summed in engine order, hence the
+      rounding — the same device the cosine queries use;
+    - ``rare_bigram_share`` — fraction of its bigrams whose corpus
+      count is ≤ ``rare_max_count`` (exact: integer counts, one
+      division).
+
+    A true perplexity needs ``ln`` and is monotone in these per-pair
+    probabilities; the rational form is kept so the DuckDB twin hashes
+    bit-identically (same reasoning as :func:`unigram_stats`).
+
+    Scale shape: one explode of adjacent pairs, then TWO map-side-
+    combined groupBys over the pair rows (bigram counts, context
+    counts) whose outputs are |bigram vocab| / |vocab| rows, joined
+    back on the pair key and re-aggregated per document.  AQE
+    broadcasts small count tables; at web scale both joins are hash
+    shuffles on the token keys.  Nothing lands on the driver.
+    """
+    pair_rows = (df.where(F.size(words(text_col)) >= 2)
+                 .select(F.col(id_col),
+                         F.explode(word_shingles(text_col, 2))
+                         .alias("__pair"))
+                 .withColumn("__w1",
+                             F.substring_index("__pair", " ", 1)))
+    cb = pair_rows.groupBy("__pair").agg(
+        F.count(F.lit(1)).alias("__cb"))
+    cu = pair_rows.groupBy("__w1").agg(
+        F.count(F.lit(1)).alias("__cu"))
+    n = F.count(F.lit(1))
+    return (pair_rows
+            .join(cb, on="__pair")
+            .join(cu, on="__w1")
+            .groupBy(id_col)
+            .agg(n.cast("long").alias("n_bigrams"),
+                 F.round(F.avg(F.col("__cb").cast("double")
+                               / F.col("__cu")), 6)
+                 .alias("mean_cond_p"),
+                 (F.sum((F.col("__cb") <= rare_max_count).cast("long"))
+                  .cast("double") / n.cast("double"))
+                 .alias("rare_bigram_share")))
+
+
 def language_id(df: DataFrame, text_col: str = "text",
                 out_col: str = "lang_pred") -> DataFrame:
     """Marker-lexicon language heuristic: score = count of DISTINCT marker
