@@ -1443,3 +1443,38 @@ def test_bm25_topk_k_cap_and_two_stage_consistency(spark):
     with pytest.raises(ValueError, match="round_to"):
         bm25_topk(cdf, qdf, id_col="doc_id", text_col="text", k=1,
                   round_to=-1)
+
+
+def test_rrf_fuse_hand_computed_and_weights(spark):
+    from zcollection_spark.functions import rrf_fuse
+    sparse = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long")
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, doc_id long, rank long")
+    out = {r["doc_id"]: r
+           for r in rrf_fuse([sparse, dense], id_col="doc_id").collect()}
+    # doc 11 appears in both lists: 1/(60+2) + 1/(60+1)
+    assert out[11]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert out[11]["n_lists"] == 2
+    assert out[10]["rrf_score"] == round(1 / 61, 6)
+    assert out[13]["rrf_score"] == round(1 / 62, 6)
+    assert out[12]["rrf_score"] == round(1 / 63, 6)
+    # fused order: 11 (two lists) > 10 > 13 > 12
+    assert [d for d, r in sorted(out.items(),
+                                 key=lambda kv: kv[1]["rank"])] \
+        == [11, 10, 13, 12]
+    # weights scale contributions; topk truncates
+    w = rrf_fuse([sparse, dense], id_col="doc_id",
+                 weights=[0.0, 1.0], topk=1).collect()
+    assert len(w) == 1 and w[0]["doc_id"] == 11
+    assert w[0]["rrf_score"] == round(1 / 61, 6)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], id_col="doc_id")
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([sparse], id_col="doc_id", weights=[1.0, 2.0])
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([sparse], id_col="doc_id", k=0)
+    with pytest.raises(ValueError, match="topk"):
+        rrf_fuse([sparse], id_col="doc_id", topk=0)

@@ -599,3 +599,14 @@ def test_bm25_query_terms_broadcast_corpus_distributed(spark):
            if "NestedLoopJoin" in ln]
     assert all("Broadcast" in ln for ln in nlj), nlj
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_hybrid_rrf_fuses_topk_lists_only(spark):
+    """RRF fusion: the fused stage unions two already-top-k lists —
+    one map-side-combined groupBy + windows, no cartesian, and the
+    only Python eval is the dense component's Arrow-batched scorer."""
+    plan = executed_plan(eq.q_hybrid_rrf(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan    # Arrow batches only
+    assert "Union" in plan
+    assert "partial_sum" in plan or "partial_count" in plan

@@ -1224,6 +1224,85 @@ SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
 """
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (NEW r13): the BM25
+    lexical top-10 (documents, probe ids < 3) fused with the dense
+    exact-cosine top-10 (embeddings, query ids < 3) — the synthetic
+    tables stand in for the usual "same item, two modalities" setup.
+    RRF consumes only ranks, so the fused result replays exactly in
+    SQL (functions/retrieval.py:rrf_fuse)."""
+    from .functions import brute_force_topk
+    from .functions.retrieval import bm25_topk, rrf_fuse
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"))
+    sparse = bm25_topk(docs, probes, id_col="doc_id",
+                       text_col="text", k=10) \
+        .select("query_id", "doc_id", "rank")
+    dense = brute_force_topk(emb, emb.where(F.col("vec_id") < 3),
+                             id_col="vec_id", vec_col="embedding",
+                             query_id_col="vec_id", k=10) \
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    out = rrf_fuse([sparse, dense], id_col="doc_id")
+    return out.select("query_id", "doc_id", "rrf_score", "n_lists",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_HYBRID_RRF = rf"""
+WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT doc_id AS query_id,
+              unnest(list_distinct({_SPLIT})) AS term
+       FROM documents WHERE doc_id < 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+scored AS (SELECT qt.query_id, tf.doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * (1.2 + 1)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+         AS score
+   FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id, stats
+   GROUP BY qt.query_id, tf.doc_id),
+sparse AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+           FROM scored),
+qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id < 3),
+cv AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings),
+cos AS (SELECT query_id, cid,
+          list_dot_product(qv.v, cv.v)
+          / (sqrt(list_dot_product(qv.v, qv.v))
+             * sqrt(list_dot_product(cv.v, cv.v))) AS c
+        FROM qv, cv),
+dense AS (SELECT query_id, cid AS doc_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY c DESC, cid) AS rank
+          FROM cos),
+lists AS (
+  SELECT query_id, doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS contrib
+  FROM sparse WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, doc_id, CAST(1 AS DOUBLE) / (60 + rank)
+  FROM dense WHERE rank <= 10),
+fused AS (SELECT query_id, doc_id,
+            round(sum(contrib), 6) AS rrf_score,
+            CAST(count(*) AS BIGINT) AS n_lists
+          FROM lists GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rrf_score, n_lists,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, doc_id) AS rank
+FROM fused
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Quality-scoring stats per doc (all JVM-side expressions)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2859,11 +2938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13 green holds) plus ONE more twin swap (e.g. streaming_dedup
     # out while promoting streaming_changes_agg and in-window
     # streaming_stateful cover the stateful-streaming surface).
-    # r15 then owes: the seven remaining never-driver-graded r13 ops
+    # r15 then owes: the eight remaining never-driver-graded r13 ops
     # (shuffle_shards, embedding_quantize, dedup_semantic,
-    # unigram_stats, bigram_lm, dup_spans, bm25_retrieval — the last
-    # three from the second r13 batch) promote, and the stale-tail
-    # cycle continues with
+    # unigram_stats, bigram_lm, dup_spans, bm25_retrieval, hybrid_rrf
+    # — the last four from the second r13 batch) promote, and the
+    # stale-tail cycle continues with
     # 2-3 of the seven remaining r02-r04 rows (top_revenue_orders,
     # trade_flows next) — counting with the test each round.
     return {
@@ -2976,12 +3055,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r13 second batch, also born out-of-window: corpus-bigram
         # LM scoring (CCNet-style quality signal), cross-document
         # duplicated-span stats (Lee et al. exact-substring dedup
-        # signal), and BM25 lexical retrieval (the sparse half of the
-        # retrieval family).  check_oracle-gated at sf0.01 and sf1;
-        # promote alongside the first batch in r15.
+        # signal), BM25 lexical retrieval (the sparse half of the
+        # retrieval family), and hybrid sparse+dense fusion (RRF).
+        # check_oracle-gated at sf0.01 and sf1; promote alongside the
+        # first batch in r15.
         "bigram_lm": q_bigram_lm,
         "dup_spans": q_dup_spans,
         "bm25_retrieval": q_bm25_retrieval,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -3078,6 +3159,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "bigram_lm": ORACLE_BIGRAM_LM,
         "dup_spans": ORACLE_DUP_SPANS,
         "bm25_retrieval": ORACLE_BM25,
+        "hybrid_rrf": ORACLE_HYBRID_RRF,
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "value_percentiles": ORACLE_PERCENTILES,

@@ -142,3 +142,57 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, *,
             .withColumn("rank", F.row_number().over(
                 Window.partitionBy(query_id_col).orderBy(*order)))
             .where(F.col("rank") <= k))
+
+
+def rrf_fuse(ranked: list[DataFrame], *, id_col: str,
+             query_col: str = "query_id", rank_col: str = "rank",
+             k: int = 60, weights: list[float] | None = None,
+             topk: int | None = None,
+             round_to: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of N
+    ranked lists — the standard way to combine a sparse (BM25) and a
+    dense (ANN) ranking into one hybrid result without score
+    calibration, since it consumes only RANKS:
+
+        rrf(q, d) = Σ_i  w_i / (k + rank_i(q, d))
+
+    over the lists that contain ``(q, d)``.  Returns
+    ``(query_col, id_col, rrf_score, n_lists, rank)`` — ``n_lists``
+    is how many input lists ranked the item (an agreement signal),
+    ``rank`` the 1-based fused rank per query with ties broken by
+    ascending id.  ``rrf_score`` is rounded BEFORE ranking (each term
+    is one exact IEEE division; only the sum is engine-order-
+    dependent), so values and ranks replay bit-identically in SQL.
+
+    Scale shape: the inputs are already top-k lists (tiny by
+    construction), so this is a union + one map-side-combined groupBy
+    + one window — negligible next to the component retrievals.
+    """
+    if not ranked:
+        raise ValueError("ranked must contain at least one DataFrame")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if weights is not None and len(weights) != len(ranked):
+        raise ValueError("weights must match ranked in length")
+    parts = []
+    for i, df in enumerate(ranked):
+        w = 1.0 if weights is None else float(weights[i])
+        parts.append(df.select(
+            F.col(query_col), F.col(id_col),
+            (F.lit(w) / (F.lit(float(k)) + F.col(rank_col)))
+            .alias("__contrib")))
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = (allc.groupBy(query_col, id_col)
+             .agg(F.round(F.sum("__contrib"), round_to)
+                  .alias("rrf_score"),
+                  F.count(F.lit(1)).cast("long").alias("n_lists")))
+    out = fused.withColumn("rank", F.row_number().over(
+        Window.partitionBy(query_col)
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())))
+    if topk is not None:
+        if topk < 1:
+            raise ValueError("topk must be >= 1")
+        out = out.where(F.col("rank") <= topk)
+    return out
