@@ -597,9 +597,14 @@ def duplicated_span_stats(df: DataFrame, *, id_col: str = "doc_id",
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    # spans shuffle as fixed-width md5 digests, not raw n-token
+    # strings — the shuffled key is 32 bytes no matter how long the
+    # tokens are (md5 is the collision-free-in-practice primitive the
+    # whole dedup family already rests on)
     spans = (df.where(F.size(words(text_col)) >= n)
              .select(F.col(id_col),
-                     F.explode(word_shingles(text_col, n))
+                     F.explode(F.transform(word_shingles(text_col, n),
+                                           F.md5))
                      .alias("__span")))
     ndocs = (spans.select(id_col, "__span").distinct()
              .groupBy("__span")

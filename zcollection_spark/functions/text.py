@@ -39,14 +39,24 @@ def word_shingles(col: Column | str, n: int) -> Column:
     yield their full token string as the single shingle.
 
     Built from ``transform(sequence(...), slice(...))`` — pure Catalyst
-    expressions, no UDF.
+    expressions, no UDF.  The token array is LET-BOUND as the lambda
+    variable of an outer single-element ``transform`` before the
+    per-position inner lambda runs: higher-order functions evaluate
+    interpreted per element, so referencing ``split(text)`` directly
+    inside the inner lambda re-splits the text at EVERY position —
+    O(tokens²) per document (measured 29 s vs 1.3 s for the same
+    explode at the 10× scale tier).  The binding makes it O(tokens).
     """
     toks = words(col)
+    grams_bound = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "))),
+        1)
     full = F.array(F.array_join(toks, " "))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(F.size(toks) >= n, grams).otherwise(full)
+    return F.when(F.size(toks) >= n, grams_bound).otherwise(full)
 
 
 def token_count(col: Column | str,
@@ -157,22 +167,26 @@ def bigram_lm_score(df: DataFrame, *, id_col: str = "doc_id",
     pair_rows = (df.where(F.size(words(text_col)) >= 2)
                  .select(F.col(id_col),
                          F.explode(word_shingles(text_col, 2))
-                         .alias("__pair"))
-                 .withColumn("__w1",
-                             F.substring_index("__pair", " ", 1)))
+                         .alias("__pair")))
     cb = pair_rows.groupBy("__pair").agg(
         F.count(F.lit(1)).alias("__cb"))
-    cu = pair_rows.groupBy("__w1").agg(
-        F.count(F.lit(1)).alias("__cu"))
+    # context counts reduce from the SMALL bigram-count table —
+    # c(w1·) = Σ_w2 c(w1 w2) — so the exploded pair table shuffles
+    # for exactly one join (on the pair key) instead of two
+    cu = (cb.groupBy(F.substring_index("__pair", " ", 1).alias("__w1"))
+          .agg(F.sum("__cb").alias("__cu")))
+    probs = (cb.withColumn("__w1",
+                           F.substring_index("__pair", " ", 1))
+             .join(cu, on="__w1")
+             .select("__pair", "__cb",
+                     (F.col("__cb").cast("double") / F.col("__cu"))
+                     .alias("__p")))
     n = F.count(F.lit(1))
     return (pair_rows
-            .join(cb, on="__pair")
-            .join(cu, on="__w1")
+            .join(probs, on="__pair")
             .groupBy(id_col)
             .agg(n.cast("long").alias("n_bigrams"),
-                 F.round(F.avg(F.col("__cb").cast("double")
-                               / F.col("__cu")), 6)
-                 .alias("mean_cond_p"),
+                 F.round(F.avg("__p"), 6).alias("mean_cond_p"),
                  (F.sum((F.col("__cb") <= rare_max_count).cast("long"))
                   .cast("double") / n.cast("double"))
                  .alias("rare_bigram_share")))
