@@ -1478,3 +1478,18 @@ def test_rrf_fuse_hand_computed_and_weights(spark):
         rrf_fuse([sparse], id_col="doc_id", k=0)
     with pytest.raises(ValueError, match="topk"):
         rrf_fuse([sparse], id_col="doc_id", topk=0)
+
+
+def test_rrf_fuse_best_rank_wins_on_duplicate_rows(spark):
+    """Duplicate (query, doc) rows within ONE list never inflate
+    rrf_score or n_lists — the best rank wins for that list."""
+    from zcollection_spark.functions import rrf_fuse
+    dup = spark.createDataFrame(
+        [(0, 10, 1), (0, 10, 4), (0, 11, 2)],
+        "query_id long, doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse([dup], id_col="doc_id").collect()}
+    assert out[10]["rrf_score"] == round(1 / 61, 6)   # rank 1, not 1+4
+    assert out[10]["n_lists"] == 1
+    assert out[11]["rrf_score"] == round(1 / 62, 6)
+    with pytest.raises(ValueError, match="non-negative"):
+        rrf_fuse([dup], id_col="doc_id", weights=[-1.0])

@@ -1197,8 +1197,10 @@ def q_bm25_retrieval(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
-ORACLE_BM25 = rf"""
-WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS term FROM documents),
+#: shared BM25 ``scored`` CTE chain (tok/tf/dl/stats/qt/dfreq/scored)
+#: — interpolated into BOTH ORACLE_BM25 and ORACLE_HYBRID_RRF so the
+#: scoring function cannot silently diverge between the two twins
+_BM25_SCORED_CTE = rf"""tok AS (SELECT doc_id, unnest({_SPLIT}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
        GROUP BY doc_id, term),
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
@@ -1215,7 +1217,10 @@ scored AS (SELECT qt.query_id, tf.doc_id,
          AS score
    FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
         JOIN dl ON tf.doc_id = dl.doc_id, stats
-   GROUP BY qt.query_id, tf.doc_id),
+   GROUP BY qt.query_id, tf.doc_id)"""
+
+ORACLE_BM25 = f"""
+WITH {_BM25_SCORED_CTE},
 r AS (SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, doc_id) AS rank
@@ -1250,25 +1255,13 @@ def q_hybrid_rrf(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
-ORACLE_HYBRID_RRF = rf"""
-WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS term FROM documents),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-       GROUP BY doc_id, term),
-dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-qt AS (SELECT doc_id AS query_id,
-              unnest(list_distinct({_SPLIT})) AS term
-       FROM documents WHERE doc_id < 3),
-dfreq AS (SELECT term, count(*) AS df FROM tf
-          WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
-scored AS (SELECT qt.query_id, tf.doc_id,
-       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-             * tf * (1.2 + 1)
-             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
-         AS score
-   FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
-        JOIN dl ON tf.doc_id = dl.doc_id, stats
-   GROUP BY qt.query_id, tf.doc_id),
+#: The dense ranks below order by UNROUNDED float cosine — the same
+#: convention ORACLE_KNN uses (and the driver has hash-matched for 12
+#: rounds): a cross-engine 1-ulp flip would already break
+#: knn_bruteforce's own rank column, so feeding the rank into the RRF
+#: arithmetic adds no new risk class.
+ORACLE_HYBRID_RRF = f"""
+WITH {_BM25_SCORED_CTE},
 sparse AS (SELECT query_id, doc_id,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, doc_id) AS rank

@@ -164,6 +164,12 @@ def rrf_fuse(ranked: list[DataFrame], *, id_col: str,
     is one exact IEEE division; only the sum is engine-order-
     dependent), so values and ranks replay bit-identically in SQL.
 
+    If one input list carries the same ``(query, id)`` more than once
+    (a retriever output unioned across shards, say), its BEST rank
+    wins for that list — duplicates never inflate ``rrf_score`` or
+    ``n_lists``.  The dedup is one aggregate per list; the lists are
+    top-k sized by contract, so the cost is negligible.
+
     Scale shape: the inputs are already top-k lists (tiny by
     construction), so this is a union + one map-side-combined groupBy
     + one window — negligible next to the component retrievals.
@@ -174,13 +180,17 @@ def rrf_fuse(ranked: list[DataFrame], *, id_col: str,
         raise ValueError("k must be >= 1")
     if weights is not None and len(weights) != len(ranked):
         raise ValueError("weights must match ranked in length")
+    if weights is not None and any(w < 0 for w in weights):
+        # a negative weight would also invert the best-rank-wins
+        # dedup (max contribution would pick the WORST rank)
+        raise ValueError("weights must be non-negative")
     parts = []
     for i, df in enumerate(ranked):
         w = 1.0 if weights is None else float(weights[i])
-        parts.append(df.select(
-            F.col(query_col), F.col(id_col),
-            (F.lit(w) / (F.lit(float(k)) + F.col(rank_col)))
-            .alias("__contrib")))
+        contrib = F.lit(w) / (F.lit(float(k)) + F.col(rank_col))
+        # best-rank-wins within a list: max contribution == min rank
+        parts.append(df.groupBy(query_col, id_col)
+                     .agg(F.max(contrib).alias("__contrib")))
     allc = parts[0]
     for p in parts[1:]:
         allc = allc.unionByName(p)
