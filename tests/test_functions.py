@@ -1493,3 +1493,36 @@ def test_rrf_fuse_best_rank_wins_on_duplicate_rows(spark):
     assert out[11]["rrf_score"] == round(1 / 62, 6)
     with pytest.raises(ValueError, match="non-negative"):
         rrf_fuse([dup], id_col="doc_id", weights=[-1.0])
+
+
+def test_drop_duplicated_spans_removes_covered_tokens(spark):
+    from zcollection_spark.functions import drop_duplicated_spans
+    rows = [(0, "a b c x"),    # span(n=2) "a b","b c","c x"
+            (1, "z a b q"),    # shares "a b" with doc 0
+            (2, "p q"),        # unique span: untouched
+            (3, "k")]          # shorter than n: untouched
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in drop_duplicated_spans(df, n=2).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # "a b" is cross-doc duplicated: tokens a,b cut from BOTH docs
+    assert out[0]["text_scrubbed"] == "c x"
+    assert (out[0]["n_tokens"], out[0]["n_tokens_kept"]) == (4, 2)
+    assert out[1]["text_scrubbed"] == "z q"
+    assert out[2]["text_scrubbed"] == "p q"
+    assert out[3]["text_scrubbed"] == "k"
+    assert out[3]["n_tokens_kept"] == 1
+    # overlapping coverage: a doc that is ENTIRELY duplicated text
+    rows2 = [(0, "a b c d e"), (1, "a b c d e"), (2, "m n o p q")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {r["doc_id"]: r
+            for r in drop_duplicated_spans(df2, n=3).collect()}
+    assert out2[0]["text_scrubbed"] == "" and out2[0]["n_tokens_kept"] == 0
+    assert out2[1]["text_scrubbed"] == ""
+    assert out2[2]["text_scrubbed"] == "m n o p q"
+    # reserved output names guard + bad n
+    with pytest.raises(ValueError, match="n must be"):
+        drop_duplicated_spans(df, n=0)
+    with pytest.raises(ValueError, match="already has"):
+        drop_duplicated_spans(
+            df.withColumn("n_tokens", F.lit(1)), n=2)

@@ -610,3 +610,16 @@ def test_hybrid_rrf_fuses_topk_lists_only(spark):
     assert "BatchEvalPython" not in plan    # Arrow batches only
     assert "Union" in plan
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_span_scrub_no_python_no_cartesian(spark):
+    """Span removal: the span-count pipeline plus a per-doc start-set
+    gather and ONE pure-JVM array rebuild — no Python eval anywhere,
+    no cartesian, and the dup-span join is an equi-join on the md5
+    span key."""
+    plan = executed_plan(eq.q_span_scrub(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan

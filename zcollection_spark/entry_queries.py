@@ -1179,6 +1179,47 @@ GROUP BY doc_id
 """
 
 
+def q_span_scrub(spark, sf_dir):
+    """Duplicated-span REMOVAL (NEW r13): the apply half of dup_spans
+    — tokens covered by any 8-token span occurring in ≥ 2 documents
+    are cut, both sides of the pair (Lee et al. span removal).  The
+    scrubbed text itself is graded (md5), not just counts
+    (functions/dedup.py:drop_duplicated_spans)."""
+    from .functions.dedup import drop_duplicated_spans
+    docs = load_table(spark, sf_dir, "documents")
+    out = drop_duplicated_spans(docs, id_col="doc_id",
+                                text_col="text", n=8)
+    return out.select("doc_id", "n_tokens", "n_tokens_kept",
+                      F.md5("text_scrubbed").alias("scrub_md5"))
+
+
+ORACLE_SPAN_SCRUB = rf"""
+WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
+sp AS (SELECT doc_id, gs - 1 AS s,
+         md5(array_to_string(list_slice(w, gs, gs + 7), ' ')) AS h
+       FROM w, UNNEST(generate_series(1, len(w) - 7)) t(gs)
+       WHERE len(w) >= 8),
+nd AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
+       GROUP BY h HAVING count(*) >= 2),
+st AS (SELECT doc_id, list_sort(list(DISTINCT s)) AS ss
+       FROM sp JOIN nd USING (h) GROUP BY doc_id),
+base AS (SELECT w.doc_id, w.w, coalesce(ss, []) AS ss
+         FROM w LEFT JOIN st USING (doc_id)),
+kept AS (SELECT doc_id, w,
+           list_filter(generate_series(0, len(w) - 1),
+             j -> len(list_filter(ss,
+                      s -> s <= j AND j <= s + 7)) = 0) AS kj
+         FROM base)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(kj) AS BIGINT) AS n_tokens_kept,
+       md5(coalesce(array_to_string(
+            list_transform(kj, j -> w[j + 1]), ' '), ''))
+         AS scrub_md5
+FROM kept
+"""
+
+
 def q_bm25_retrieval(spark, sf_dir):
     """BM25 lexical retrieval (NEW r13): top-10 documents per probe
     query (the first three documents' own text) by Robertson BM25 —
@@ -2931,11 +2972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13 green holds) plus ONE more twin swap (e.g. streaming_dedup
     # out while promoting streaming_changes_agg and in-window
     # streaming_stateful cover the stateful-streaming surface).
-    # r15 then owes: the eight remaining never-driver-graded r13 ops
+    # r15 then owes: the nine remaining never-driver-graded r13 ops
     # (shuffle_shards, embedding_quantize, dedup_semantic,
-    # unigram_stats, bigram_lm, dup_spans, bm25_retrieval, hybrid_rrf
-    # — the last four from the second r13 batch) promote, and the
-    # stale-tail cycle continues with
+    # unigram_stats, bigram_lm, dup_spans, span_scrub,
+    # bm25_retrieval, hybrid_rrf — the last five from the second r13
+    # batch) promote, and the stale-tail cycle continues with
     # 2-3 of the seven remaining r02-r04 rows (top_revenue_orders,
     # trade_flows next) — counting with the test each round.
     return {
@@ -3047,13 +3088,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_stats": q_unigram_stats,
         # NEW r13 second batch, also born out-of-window: corpus-bigram
         # LM scoring (CCNet-style quality signal), cross-document
-        # duplicated-span stats (Lee et al. exact-substring dedup
-        # signal), BM25 lexical retrieval (the sparse half of the
-        # retrieval family), and hybrid sparse+dense fusion (RRF).
+        # duplicated-span stats + removal (Lee et al. exact-substring
+        # dedup, signal AND apply halves), BM25 lexical retrieval (the
+        # sparse half of the retrieval family), and hybrid
+        # sparse+dense fusion (RRF).
         # check_oracle-gated at sf0.01 and sf1; promote alongside the
         # first batch in r15.
         "bigram_lm": q_bigram_lm,
         "dup_spans": q_dup_spans,
+        "span_scrub": q_span_scrub,
         "bm25_retrieval": q_bm25_retrieval,
         "hybrid_rrf": q_hybrid_rrf,
     }
@@ -3151,6 +3194,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "unigram_stats": ORACLE_UNIGRAM_STATS,
         "bigram_lm": ORACLE_BIGRAM_LM,
         "dup_spans": ORACLE_DUP_SPANS,
+        "span_scrub": ORACLE_SPAN_SCRUB,
         "bm25_retrieval": ORACLE_BM25,
         "hybrid_rrf": ORACLE_HYBRID_RRF,
         "revenue_delta": ORACLE_REVENUE_DELTA,

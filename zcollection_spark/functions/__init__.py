@@ -11,7 +11,7 @@ from .multimodal import (attach_fake_payload, decode_ppm, decode_wav,
                          encode_ppm, encode_wav, extract_audio_features,
                          extract_image_features, sample_frames)
 from .dedup import (dedup_exact, dedup_keep_latest,
-                    duplicated_span_stats,
+                    drop_duplicated_spans, duplicated_span_stats,
                     exact_duplicate_groups, md5_long,
                     minhash_signatures, lsh_candidate_pairs,
                     ngram_jaccard_pairs, simhash, simhash_duplicate_pairs,
@@ -39,7 +39,8 @@ __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
     "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
-    "duplicated_span_stats", "unpersist_intermediates",
+    "duplicated_span_stats", "drop_duplicated_spans",
+    "unpersist_intermediates",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "ivfpq_topk", "lsh_bucket_topk",
     "suggest_lsh_planes", "suggest_lsh_config", "suggest_ivf_config",

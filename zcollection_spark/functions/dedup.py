@@ -618,3 +618,68 @@ def duplicated_span_stats(df: DataFrame, *, id_col: str = "doc_id",
                  (F.sum((F.col("__ndocs") >= 2).cast("long"))
                   .cast("double") / cnt.cast("double"))
                  .alias("dup_ratio")))
+
+
+def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8,
+                          out_col: str = "text_scrubbed") -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the apply half of
+    :func:`duplicated_span_stats` (Lee et al. 2021 remove repeated
+    substrings rather than whole documents; span removal beats
+    document dropping on boilerplate-heavy corpora because it keeps
+    the unique remainder).  Every token covered by any ``n``-token
+    span that occurs verbatim in ≥ 2 distinct documents is cut;
+    ``out_col`` holds the surviving tokens re-joined by single spaces
+    (whitespace is normalized as a side effect; null text scrubs to
+    the empty string).  Adds ``n_tokens``/``n_tokens_kept`` so the
+    removal rate is queryable without re-tokenizing.
+
+    Deterministic in the corpus alone — both removal sides of a
+    duplicate pair are cut (the paper's choice: what remains is
+    guaranteed unique at span granularity, and no victim-ordering
+    coordination is needed across 1000 executors).
+
+    Scale shape: the span-count pipeline of
+    :func:`duplicated_span_stats` (explode → distinct → count → join,
+    md5 span keys), then the per-document duplicated START POSITIONS
+    gather with ``collect_set`` (bounded by tokens-per-document, never
+    corpus-sized), left-join back to the documents, and one pure-JVM
+    array pass rebuilds the text.  The rebuild is
+    O(tokens × dup_starts) per document — fine for chunk-sized
+    documents; chunk first (``chunk_documents``) when feeding
+    pathological million-token documents with heavy duplication.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    clash = {out_col, "n_tokens", "n_tokens_kept"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"drop_duplicated_spans adds {sorted(clash)} but the input "
+            f"already has such column(s) — drop or rename them first")
+    base = df.withColumn(
+        "__toks", words(F.coalesce(F.col(text_col), F.lit(""))))
+    spans = (base.where(F.size("__toks") >= n)
+             .select(F.col(id_col),
+                     F.posexplode(
+                         F.transform(word_shingles(text_col, n), F.md5))
+                     .alias("__s", "__h")))
+    dup = (spans.select(id_col, "__h").distinct()
+           .groupBy("__h").agg(F.count(F.lit(1)).alias("__ndocs"))
+           .where(F.col("__ndocs") >= 2).select("__h"))
+    starts = (spans.join(dup, on="__h")
+              .groupBy(id_col)
+              .agg(F.sort_array(F.collect_set("__s")).alias("__ss")))
+    joined = (base.join(starts, on=id_col, how="left")
+              .withColumn("__ss", F.coalesce(
+                  F.col("__ss"), F.array().cast("array<int>"))))
+    idx = F.sequence(F.lit(0), F.size("__toks") - 1)
+    kept = F.filter(idx, lambda j: ~F.exists(
+        F.col("__ss"), lambda s: (s <= j) & (j <= s + F.lit(n - 1))))
+    return (joined
+            .withColumn("n_tokens", F.size("__toks").cast("long"))
+            .withColumn("n_tokens_kept", F.size(kept).cast("long"))
+            .withColumn(out_col, F.array_join(
+                F.transform(kept,
+                            lambda j: F.element_at("__toks", j + 1)),
+                " "))
+            .drop("__toks", "__ss"))
