@@ -440,6 +440,31 @@ def main() -> None:
         @timed("streaming_hourly")
         def _():
             eq.q_streaming_hourly(spark, sf_dir).collect()
+
+        # the r13 retrieval/curation batch: corpus-bigram LM scoring,
+        # duplicated-span stats + removal, BM25 and the RRF hybrid —
+        # appended to the suite (and to BENCH_ANCHOR.json with a
+        # SCALING.md note) so the new family gets the same
+        # round-over-round tracking as everything else
+        @timed("bigram_lm")
+        def _():
+            _consume(eq.q_bigram_lm(spark, sf_dir))
+
+        @timed("dup_spans")
+        def _():
+            _consume(eq.q_dup_spans(spark, sf_dir))
+
+        @timed("span_scrub")
+        def _():
+            _consume(eq.q_span_scrub(spark, sf_dir))
+
+        @timed("bm25_retrieval")
+        def _():
+            _consume(eq.q_bm25_retrieval(spark, sf_dir))
+
+        @timed("hybrid_rrf")
+        def _():
+            _consume(eq.q_hybrid_rrf(spark, sf_dir))
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

@@ -62,6 +62,21 @@ def main() -> None:
     kept_n = verdicts.where("keep = 1").count()
     print(f"semantic dedup: {emb.count()} -> {kept_n} representatives")
     assert 0 < kept_n <= emb.count()
+
+    # 7. span-level dedup (Lee et al. 2021): instead of dropping whole
+    # documents, CUT every 8-token span that occurs verbatim in >= 2
+    # documents — the unique remainder survives.  Both sides of a pair
+    # are cut, so no victim ordering is needed across executors.
+    from zcollection_spark.functions import drop_duplicated_spans
+    scrubbed = drop_duplicated_spans(unique.select("doc_id", "text"),
+                                     id_col="doc_id",
+                                     text_col="text", n=8)
+    cut = scrubbed.agg(
+        F.sum("n_tokens").alias("before"),
+        F.sum("n_tokens_kept").alias("after")).first()
+    print(f"span scrub: {cut['before']} -> {cut['after']} tokens "
+          f"({1 - cut['after'] / cut['before']:.1%} cut)")
+    assert 0 < cut["after"] <= cut["before"]
     spark.stop()
 
 
