@@ -1526,3 +1526,54 @@ def test_drop_duplicated_spans_removes_covered_tokens(spark):
     with pytest.raises(ValueError, match="already has"):
         drop_duplicated_spans(
             df.withColumn("n_tokens", F.lit(1)), n=2)
+
+
+def test_ngram_containment_subset_doc(spark):
+    """A short doc fully embedded in a long one: containment 1.0 in
+    the short->long direction even though Jaccard is far below any
+    dedup threshold — the case the asymmetric measure exists for."""
+    from zcollection_spark.functions import (ngram_containment_pairs,
+                                             unpersist_intermediates)
+    rows = [
+        (0, "alpha beta gamma delta"),                       # subset doc
+        (1, "intro words alpha beta gamma delta more tail words here"),
+        (2, "entirely different content with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_containment_pairs(df, id_col="doc_id",
+                                    text_col="text", shingle_size=3,
+                                    threshold=0.9, max_df=100)
+    got = pairs.collect()
+    unpersist_intermediates(pairs)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    # all 2 of doc 0's 3-shingles appear in doc 1
+    assert r["containment_a_in_b"] == pytest.approx(1.0)
+    assert r["containment_b_in_a"] < 0.5   # jaccard-style symmetric
+    with pytest.raises(ValueError, match="threshold"):
+        ngram_containment_pairs(df, id_col="doc_id", text_col="text",
+                                threshold=0.0, max_df=10)
+    with pytest.raises(ValueError, match="max_df"):
+        ngram_containment_pairs(df, id_col="doc_id", text_col="text",
+                                threshold=0.5, max_df=0)
+
+
+def test_ngram_containment_stop_shingle_guard(spark):
+    """Shingles above max_df drop from the WHOLE computation — sizes
+    and intersections stay mutually consistent over the pruned
+    vocabulary (the Jaccard guard contract, asymmetric edition)."""
+    from zcollection_spark.functions import (ngram_containment_pairs,
+                                             unpersist_intermediates)
+    # "x y z" appears in all 4 docs -> df=4 > max_df=3: dropped, so
+    # docs 2/3 share NOTHING after the guard
+    rows = [(0, "a b c d x y z"), (1, "a b c d x y z"),
+            (2, "p q r x y z"), (3, "s t u x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_containment_pairs(df, id_col="doc_id",
+                                    text_col="text", shingle_size=3,
+                                    threshold=0.5, max_df=3)
+    got = {(r["id_a"], r["id_b"]): r for r in pairs.collect()}
+    unpersist_intermediates(pairs)
+    assert (0, 1) in got
+    assert all(k == (0, 1) for k in got)

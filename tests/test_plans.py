@@ -623,3 +623,14 @@ def test_span_scrub_no_python_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_containment_equi_join_guarded(spark):
+    """Containment candidates: shared-shingle EQUI-join over the
+    max_df-pruned vocabulary — no cartesian, no Python, stop-shingle
+    anti-join present."""
+    plan = executed_plan(eq.q_dedup_containment(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan

@@ -978,6 +978,42 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (NEW r13):
+    C(A→B) = |A∩B| / |A| over distinct 3-shingles — the
+    quote-inclusion / subset-document case Jaccard structurally
+    misses (a short doc fully embedded in a long one scores
+    J ≈ |A|/|B| but C = 1).  Shared-shingle self-join with the same
+    max_df stop-shingle skew guard as dedup_jaccard; max_df is
+    REQUIRED by the operator because the asymmetric measure has no
+    lossless prefix filter (functions/dedup.py:
+    ngram_containment_pairs)."""
+    from .functions.dedup import ngram_containment_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, id_col="doc_id",
+                                   text_col="text", shingle_size=3,
+                                   threshold=0.8,
+                                   max_df=JACCARD_MAX_DF)
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH {_shingle_sql(3)},
+{_shingle_df_sql(JACCARD_MAX_DF)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+           FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(c AS DOUBLE) / sa.n AS containment_a_in_b,
+       CAST(c AS DOUBLE) / sb.n AS containment_b_in_a
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(CAST(c AS DOUBLE) / sa.n,
+               CAST(c AS DOUBLE) / sb.n) >= 0.8
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs: 48-bit signatures, Hamming distance ≤ 1
     via exact pigeonhole banding (2 bands × 24 bits → equi-join on
@@ -2972,11 +3008,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13 green holds) plus ONE more twin swap (e.g. streaming_dedup
     # out while promoting streaming_changes_agg and in-window
     # streaming_stateful cover the stateful-streaming surface).
-    # r15 then owes: the nine remaining never-driver-graded r13 ops
+    # r15 then owes: the ten remaining never-driver-graded r13 ops
     # (shuffle_shards, embedding_quantize, dedup_semantic,
     # unigram_stats, bigram_lm, dup_spans, span_scrub,
-    # bm25_retrieval, hybrid_rrf — the last five from the second r13
-    # batch) promote, and the stale-tail cycle continues with
+    # bm25_retrieval, hybrid_rrf, dedup_containment — the last six
+    # from the second r13 batch) promote, and the stale-tail cycle
+    # continues with
     # 2-3 of the seven remaining r02-r04 rows (top_revenue_orders,
     # trade_flows next) — counting with the test each round.
     return {
@@ -3099,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrub": q_span_scrub,
         "bm25_retrieval": q_bm25_retrieval,
         "hybrid_rrf": q_hybrid_rrf,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -3197,6 +3235,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "span_scrub": ORACLE_SPAN_SCRUB,
         "bm25_retrieval": ORACLE_BM25,
         "hybrid_rrf": ORACLE_HYBRID_RRF,
+        "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "value_percentiles": ORACLE_PERCENTILES,

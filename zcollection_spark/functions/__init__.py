@@ -14,6 +14,7 @@ from .dedup import (dedup_exact, dedup_keep_latest,
                     drop_duplicated_spans, duplicated_span_stats,
                     exact_duplicate_groups, md5_long,
                     minhash_signatures, lsh_candidate_pairs,
+                    ngram_containment_pairs,
                     ngram_jaccard_pairs, simhash, simhash_duplicate_pairs,
                     unpersist_intermediates)
 from .ann_index import (query_ivf_index, query_ivfpq_index,
@@ -38,6 +39,7 @@ from .similarity import (quantize_embeddings, semantic_dedup,
 __all__ = [
     "dedup_exact", "exact_duplicate_groups", "md5_long",
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
     "duplicated_span_stats", "drop_duplicated_spans",
     "unpersist_intermediates",

@@ -683,3 +683,77 @@ def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
                             lambda j: F.element_at("__toks", j + 1)),
                 " "))
             .drop("__toks", "__ss"))
+
+
+def ngram_containment_pairs(df: DataFrame, *, id_col: str,
+                            text_col: str, shingle_size: int = 5,
+                            threshold: float = 0.9,
+                            max_df: int) -> DataFrame:
+    """Pairs where one document's shingle set is mostly CONTAINED in
+    the other's: ``C(A→B) = |A∩B| / |A|`` — the asymmetric complement
+    of :func:`ngram_jaccard_pairs`.  Jaccard misses the
+    quote-inclusion / boilerplate-wrapper case (a short document fully
+    embedded in a long one scores J = |A|/|B| ≈ 0 but C(A→B) = 1);
+    containment is how a corpus finds "this doc is a subset of that
+    one" — near-dup news wire copies, quoted forwards, template
+    expansions.
+
+    Returns ``(id_a, id_b, containment_a_in_b, containment_b_in_a)``
+    (``id_a < id_b``) for pairs whose LARGER containment ≥
+    ``threshold``; both directions are reported so the caller can pick
+    the victim (usually the contained side).  All counts are exact
+    distinct-shingle integers; the divisions are single exact IEEE
+    ops, so the DuckDB twin hashes bit-identically.
+
+    ``max_df`` is REQUIRED, not defaulted: candidates come from a
+    shared-shingle self-join, and unlike Jaccard there is no lossless
+    AllPairs/PPJoin prefix filter implemented for the asymmetric
+    measure (the prefix lemma bounds |A∩B| relative to BOTH sizes;
+    containment only bounds it relative to |A|, so a frequent shingle
+    deep in B's ordering can still complete a qualifying pair).  The
+    stop-shingle guard is therefore the scale contract: per-shingle
+    join fan-out is bounded by ``max_df²/2`` at any corpus size, and
+    containment is computed over the pruned vocabulary (sizes and
+    intersections stay mutually consistent, same as the Jaccard
+    guard).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    if max_df < 1:
+        raise ValueError("max_df must be >= 1")
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            word_shingles(text_col, shingle_size))).alias("__sh"))
+    sh = sh.persist()
+    stop = (sh.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("__sh")).persist()
+    n_stop = stop.limit(_STOP_BROADCAST_CAP + 1).count()
+    drop = (F.broadcast(stop) if n_stop <= _STOP_BROADCAST_CAP
+            else stop)
+    kept = sh.join(drop, on="__sh", how="left_anti").persist()
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    left, right = kept.alias("l"), kept.alias("r")
+    shared = (left.join(right, on="__sh")
+              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+              .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                       F.col(f"r.{id_col}").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("__c")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("__n").alias("__nb"))
+    c_ab = F.col("__c").cast("double") / F.col("__na")
+    c_ba = F.col("__c").cast("double") / F.col("__nb")
+    return _attach_cached(
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .where(F.greatest(F.col("containment_a_in_b"),
+                          F.col("containment_b_in_a"))
+               >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "containment_a_in_b",
+                "containment_b_in_a"),
+        sh, stop, kept)
