@@ -1577,3 +1577,63 @@ def test_ngram_containment_stop_shingle_guard(spark):
     unpersist_intermediates(pairs)
     assert (0, 1) in got
     assert all(k == (0, 1) for k in got)
+
+
+def test_winnow_selection_guarantee_and_density(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a substring of >= k + w - 1 tokens share at least one
+    fingerprint; and ~2/(w+1) of gram hashes are kept."""
+    from zcollection_spark.functions import winnow_fingerprints
+    rng = np.random.RandomState(5)
+    vocab = ["w%d" % i for i in range(50)]
+    shared = " ".join(rng.choice(vocab, size=12))   # >= k+w-1 = 8 tokens
+    rows = [
+        (0, " ".join(rng.choice(vocab, size=30)) + " " + shared),
+        (1, shared + " " + " ".join(rng.choice(vocab, size=30))),
+        (2, " ".join(rng.choice(vocab, size=40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, window=4)
+    by_doc = {i: {r["fp"] for r in fps.where(F.col("doc_id") == i)
+                  .collect()} for i in range(3)}
+    assert by_doc[0] & by_doc[1], "shared 12-token substring must share a fp"
+    # density: kept fps well below the full gram count (43-ish grams)
+    assert len(by_doc[2]) < 40 * 0.8
+    with pytest.raises(ValueError, match="k must be"):
+        winnow_fingerprints(df, k=0)
+    with pytest.raises(ValueError, match="window"):
+        winnow_fingerprints(df, window=0)
+
+
+def test_winnow_matches_python_reference(spark):
+    """Window minima vs a pure-python winnower over the same md5_long
+    hash family."""
+    import hashlib
+
+    from zcollection_spark.functions import winnow_fingerprints
+    rng = np.random.RandomState(9)
+    vocab = ["t%d" % i for i in range(20)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.randint(5, 40))))
+            for i in range(25)]
+    k, w = 5, 4
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    exp = {}
+    for i, t in rows:
+        toks = t.split()
+        if len(toks) < k:
+            continue
+        hs = [md5_long(" ".join(toks[j:j + k]))
+              for j in range(len(toks) - k + 1)]
+        if len(hs) >= w:
+            sel = {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+        else:
+            sel = {min(hs)}
+        exp[i] = sel
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got == exp

@@ -634,3 +634,14 @@ def test_dedup_containment_equi_join_guarded(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winnow_fingerprint_shuffle_shape(spark):
+    """Winnowing selection is a pure per-row array expression — the
+    only shuffles are the graded query's own dfreq groupBy + join; no
+    Python, no cartesian."""
+    plan = executed_plan(eq.q_winnow_fingerprint(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan

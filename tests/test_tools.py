@@ -76,7 +76,7 @@ def test_registry_window_invariant():
     # totals in the queries() header comment rotted in r8 ("all 66")
     # and again in r9 ("all 71"), so adding a query now forces this
     # pin — and with it the rotation ledger — to be updated.
-    assert len(names) == 88, len(names)
+    assert len(names) == 89, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
     # round-13 rotation (executes the r12 ledger + the r12 verdict's
     # stale-tail directive): the sixteen r12 sit-outs return
@@ -105,7 +105,7 @@ def test_registry_window_invariant():
                     "dedup_semantic", "unigram_stats",
                     "bigram_lm", "dup_spans", "span_scrub",
                     "bm25_retrieval", "hybrid_rrf",
-                    "dedup_containment",
+                    "dedup_containment", "winnow_fingerprint",
                     # permanent plain-SQL tail, cycling through the
                     # window 2-3 per round since r13 (verdict task 2)
                     "collection_projection",

@@ -1256,6 +1256,51 @@ FROM kept
 """
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (NEW r13, Schleimer et al. 2003 / MOSS):
+    per-window-minimum k-gram hash selection — guaranteed to catch any
+    shared substring of ≥ k+w-1 tokens from a ~(w+1)/2× smaller index
+    than full shingling.  Graded per doc: fingerprint count plus how
+    many of its fingerprints appear in ≥ 2 documents (the dedup /
+    provenance signal).  All integer arithmetic
+    (functions/text.py:winnow_fingerprints)."""
+    from .functions.text import winnow_fingerprints
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, id_col="doc_id", text_col="text",
+                              k=5, window=4)
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__nd"))
+    return (fps.join(dfreq, on="fp")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fp"),
+                 F.sum((F.col("__nd") >= 2).cast("long"))
+                 .alias("n_shared_fp")))
+
+
+ORACLE_WINNOW = rf"""
+WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
+h AS (SELECT doc_id,
+        list_transform(generate_series(1, len(w) - 4),
+          gs -> ('0x' || substr(md5(array_to_string(
+                   list_slice(w, gs, gs + 4), ' ')), 1, 15))::BIGINT)
+          AS hs
+      FROM w WHERE len(w) >= 5),
+sel AS (SELECT doc_id,
+          CASE WHEN len(hs) >= 4
+               THEN list_distinct(list_transform(
+                      generate_series(1, len(hs) - 3),
+                      i -> list_min(list_slice(hs, i, i + 3))))
+               ELSE [list_min(hs)] END AS fps
+        FROM h),
+e AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel),
+dfreq AS (SELECT fp, count(*) AS nd FROM e GROUP BY fp)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_fp
+FROM e JOIN dfreq USING (fp)
+GROUP BY doc_id
+"""
+
+
 def q_bm25_retrieval(spark, sf_dir):
     """BM25 lexical retrieval (NEW r13): top-10 documents per probe
     query (the first three documents' own text) by Robertson BM25 —
@@ -3008,12 +3053,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13 green holds) plus ONE more twin swap (e.g. streaming_dedup
     # out while promoting streaming_changes_agg and in-window
     # streaming_stateful cover the stateful-streaming surface).
-    # r15 then owes: the ten remaining never-driver-graded r13 ops
-    # (shuffle_shards, embedding_quantize, dedup_semantic,
+    # r15 then owes: the eleven remaining never-driver-graded r13
+    # ops (shuffle_shards, embedding_quantize, dedup_semantic,
     # unigram_stats, bigram_lm, dup_spans, span_scrub,
-    # bm25_retrieval, hybrid_rrf, dedup_containment — the last six
-    # from the second r13 batch) promote, and the stale-tail cycle
-    # continues with
+    # bm25_retrieval, hybrid_rrf, dedup_containment,
+    # winnow_fingerprint — the last seven from the second r13 batch)
+    # promote, and the stale-tail cycle continues with
     # 2-3 of the seven remaining r02-r04 rows (top_revenue_orders,
     # trade_flows next) — counting with the test each round.
     return {
@@ -3137,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": q_bm25_retrieval,
         "hybrid_rrf": q_hybrid_rrf,
         "dedup_containment": q_dedup_containment,
+        "winnow_fingerprint": q_winnow_fingerprint,
     }
 
 
@@ -3236,6 +3282,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "bm25_retrieval": ORACLE_BM25,
         "hybrid_rrf": ORACLE_HYBRID_RRF,
         "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
+        "winnow_fingerprint": ORACLE_WINNOW,
         "revenue_delta": ORACLE_REVENUE_DELTA,
         "priority_class_counts": ORACLE_PRIORITY_CLASS,
         "value_percentiles": ORACLE_PERCENTILES,

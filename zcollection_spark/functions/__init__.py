@@ -25,7 +25,8 @@ from .similarity import (cosine_similarity_col, brute_force_topk,
                          suggest_lsh_config, suggest_lsh_planes)
 from .text import (bigram_lm_score, chunk_documents, fingerprint,
                    language_id, pack_sequences, text_stats, token_count,
-                   unigram_stats, word_shingles, words)
+                   unigram_stats, winnow_fingerprints, word_shingles,
+                   words)
 from .retrieval import bm25_scores, bm25_topk, rrf_fuse
 from .curation import (contamination, quality_filter,
                        repetition_stats, scrub_pii)
@@ -53,7 +54,7 @@ __all__ = [
     "fingerprint", "language_id", "text_stats", "token_count",
     "unigram_stats", "word_shingles", "words", "chunk_documents",
     "pack_sequences", "bigram_lm_score", "bm25_scores", "bm25_topk",
-    "rrf_fuse",
+    "rrf_fuse", "winnow_fingerprints",
     "cap_per_group", "hash_split", "stratified_sample",
     "stratified_sample_exact", "sample_to_token_budget",
     "upsample_by_weight", "shuffle_to_shards", "quantize_embeddings",

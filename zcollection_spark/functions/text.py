@@ -369,3 +369,51 @@ def pack_sequences(df: DataFrame, *, id_col: str,
             yield out
 
     return parts.mapInPandas(pack_stream, out_schema)
+
+
+def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-token gram,
+    then keep the MINIMUM hash of each window of ``window`` consecutive
+    gram hashes.  The selection guarantee is what makes it the classic
+    substring-fingerprint scheme: any shared substring of at least
+    ``k + window - 1`` tokens contributes at least one IDENTICAL
+    fingerprint to both documents, while only ~``2/(window+1)`` of all
+    gram hashes are kept — an index ~``(window+1)/2``× smaller than
+    full shingling for the same long-match recall.
+
+    Returns exploded ``(id, fp)`` rows, DISTINCT per document —
+    shared-fingerprint equi-joins (dedup candidates, plagiarism /
+    provenance lookups) compose directly.  Documents with fewer than
+    ``k`` tokens have no grams and are absent; with fewer than
+    ``window`` grams the single global minimum is kept.  The hash is
+    ``md5_long`` (60-bit), so ties inside a window are ~impossible and
+    min-by-VALUE selection is deterministic and replayed exactly by
+    the DuckDB twin.
+
+    Scale shape: one projection builds the gram-hash array per
+    document (token array let-bound — O(tokens), see
+    :func:`word_shingles`), the window minima are a per-row array
+    expression (no shuffle at all), and the only exchange is whatever
+    the CALLER does with the fingerprints.  Per-row cost is
+    O(grams × window) comparisons — ``window`` is a small constant.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from .dedup import md5_long
+    hashes = (df.where(F.size(words(text_col)) >= k)
+              .select(F.col(id_col),
+                      F.transform(word_shingles(text_col, k), md5_long)
+                      .alias("__h")))
+    mins = F.when(
+        F.size("__h") >= window,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("__h") - F.lit(window - 1)),
+            lambda i: F.array_min(F.slice("__h", i, window))))
+    ).otherwise(F.array(F.array_min("__h")))
+    return (hashes.select(F.col(id_col), F.explode(mins).alias("fp"))
+            .distinct())
