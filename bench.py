@@ -465,6 +465,14 @@ def main() -> None:
         @timed("hybrid_rrf")
         def _():
             _consume(eq.q_hybrid_rrf(spark, sf_dir))
+
+        @timed("dedup_containment")
+        def _():
+            _consume(eq.q_dedup_containment(spark, sf_dir))
+
+        @timed("winnow_fingerprint")
+        def _():
+            _consume(eq.q_winnow_fingerprint(spark, sf_dir))
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

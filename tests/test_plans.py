@@ -634,6 +634,7 @@ def test_dedup_containment_equi_join_guarded(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan          # the max_df stop-shingle guard
 
 
 def test_winnow_fingerprint_shuffle_shape(spark):

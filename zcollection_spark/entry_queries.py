@@ -1230,7 +1230,9 @@ def q_span_scrub(spark, sf_dir):
 
 
 ORACLE_SPAN_SCRUB = rf"""
-WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
+WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+           FROM documents),
 sp AS (SELECT doc_id, gs - 1 AS s,
          md5(array_to_string(list_slice(w, gs, gs + 7), ' ')) AS h
        FROM w, UNNEST(generate_series(1, len(w) - 7)) t(gs)
@@ -3172,8 +3174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LM scoring (CCNet-style quality signal), cross-document
         # duplicated-span stats + removal (Lee et al. exact-substring
         # dedup, signal AND apply halves), BM25 lexical retrieval (the
-        # sparse half of the retrieval family), and hybrid
-        # sparse+dense fusion (RRF).
+        # sparse half of the retrieval family), hybrid sparse+dense
+        # fusion (RRF), asymmetric containment pairs (the subset-doc
+        # case Jaccard misses), and winnowing fingerprints (MOSS).
         # check_oracle-gated at sf0.01 and sf1; promote alongside the
         # first batch in r15.
         "bigram_lm": q_bigram_lm,

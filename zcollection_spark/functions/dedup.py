@@ -430,33 +430,8 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
             word_shingles(text_col, shingle_size))).alias("__sh"))
     cached = []
     if max_df is not None:
-        # the RAW expansion feeds both the document-frequency branch and
-        # the anti-join below; persist it so the explode/scan runs once
-        # instead of once per branch (it is the widest intermediate)
-        sh = sh.persist()
-        cached.append(sh)
-        # drop-list shape (r11): anti-join the STOP shingles (df >
-        # max_df) instead of semi-joining the keep list — broadcast,
-        # and the raw expansion never exchanges for the filter (the
-        # keep-list semi-join sort-merge-shuffled every raw row on
-        # __sh; measured ~15% faster warm / 2.5x faster cold at
-        # sf0.1).  The broadcast is SIZE-GATED, not assumed: max_df is
-        # an absolute count, so on a big enough corpus the stop set
-        # grows with the vocabulary (Heaps' law), not just the
-        # language — an unconditional hint would collect it to the
-        # driver and die at the broadcast cap.  The stop frame is
-        # persisted and counted first (one small action over the
-        # already-persisted raw expansion); past the cap the anti-join
-        # runs as a plain shuffled join, which always completes.
-        stop = (sh.groupBy("__sh")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .where(F.col("__df") > max_df)
-                .select("__sh")).persist()
-        cached.append(stop)
-        n_stop = stop.limit(_STOP_BROADCAST_CAP + 1).count()
-        drop = (F.broadcast(stop) if n_stop <= _STOP_BROADCAST_CAP
-                else stop)
-        sh = sh.join(drop, on="__sh", how="left_anti")
+        sh, guard_handles = _stop_shingle_guard(sh, max_df)
+        cached.extend(guard_handles)
     # the (filtered) shingle expansion feeds every downstream branch
     # (frequency order, prefix join sides, verification sets); Spark has
     # no cross-branch CSE, so materialize it once.  At 100 TB the
@@ -520,11 +495,46 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
         .select("id_a", "id_b", "jaccard"), *cached)
 
 
-def _jaccard_full_selfjoin(sh: DataFrame, *, id_col: str,
-                           threshold: float) -> DataFrame:
-    """The pre-r10 candidate shape: full shared-shingle self-join +
-    count-based Jaccard.  Same answer as the prefix-filtered path;
-    quadratic in every frequent shingle's document frequency."""
+def _stop_shingle_guard(
+        sh: DataFrame, max_df: int) -> tuple[DataFrame, list[DataFrame]]:
+    """Apply the ``max_df`` stop-shingle drop-list to a raw
+    ``(id, __sh)`` expansion; returns (filtered expansion, persisted
+    handles for ``unpersist_intermediates``).  Shared by the Jaccard
+    and containment families.
+
+    The raw expansion feeds both the document-frequency branch and the
+    anti-join, so it is persisted first (it is the widest
+    intermediate).  Drop-list shape (r11): anti-join the STOP shingles
+    (df > max_df) instead of semi-joining the keep list — broadcast,
+    and the raw expansion never exchanges for the filter (the
+    keep-list semi-join sort-merge-shuffled every raw row on __sh;
+    measured ~15% faster warm / 2.5x faster cold at sf0.1).  The
+    broadcast is SIZE-GATED, not assumed: max_df is an absolute count,
+    so on a big enough corpus the stop set grows with the VOCABULARY
+    (Heaps' law), not just the language — an unconditional hint would
+    collect it to the driver and die at the broadcast cap.  The stop
+    frame is persisted and counted first (one small action over the
+    already-persisted raw expansion); past the cap the anti-join runs
+    as a plain shuffled join, which always completes.
+    """
+    sh = sh.persist()
+    stop = (sh.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("__sh")).persist()
+    n_stop = stop.limit(_STOP_BROADCAST_CAP + 1).count()
+    drop = (F.broadcast(stop) if n_stop <= _STOP_BROADCAST_CAP
+            else stop)
+    return sh.join(drop, on="__sh", how="left_anti"), [sh, stop]
+
+
+def _shared_shingle_counts(sh: DataFrame, *, id_col: str) -> DataFrame:
+    """Full shared-shingle self-join: exact per-pair intersection and
+    per-doc set sizes — ``(id_a, id_b, __shared, __na, __nb)`` with
+    ``id_a < id_b``.  Quadratic in every frequent shingle's document
+    frequency, so callers bound it (max_df guard or prefix filter).
+    The Jaccard and containment measures are projections of these
+    counts."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     left, right = sh.alias("l"), sh.alias("r")
     shared = (left.join(right, on="__sh")
@@ -536,7 +546,15 @@ def _jaccard_full_selfjoin(sh: DataFrame, *, id_col: str,
                       F.col("__n").alias("__na"))
     sb = sizes.select(F.col(id_col).alias("id_b"),
                       F.col("__n").alias("__nb"))
-    return (shared.join(sa, "id_a").join(sb, "id_b")
+    return shared.join(sa, "id_a").join(sb, "id_b")
+
+
+def _jaccard_full_selfjoin(sh: DataFrame, *, id_col: str,
+                           threshold: float) -> DataFrame:
+    """The pre-r10 candidate shape: full shared-shingle self-join +
+    count-based Jaccard.  Same answer as the prefix-filtered path;
+    quadratic in every frequent shingle's document frequency."""
+    return (_shared_shingle_counts(sh, id_col=id_col)
             .withColumn("jaccard",
                         F.col("__shared")
                         / (F.col("__na") + F.col("__nb")
@@ -658,11 +676,15 @@ def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
             f"already has such column(s) — drop or rename them first")
     base = df.withColumn(
         "__toks", words(F.coalesce(F.col(text_col), F.lit(""))))
+    # the span expansion (explode + md5, the widest intermediate)
+    # feeds BOTH the dup-count branch and the starts gather —
+    # materialize it once; released by the caller via
+    # unpersist_intermediates() (the shared dedup-family contract)
     spans = (base.where(F.size("__toks") >= n)
              .select(F.col(id_col),
                      F.posexplode(
                          F.transform(word_shingles(text_col, n), F.md5))
-                     .alias("__s", "__h")))
+                     .alias("__s", "__h"))).persist()
     dup = (spans.select(id_col, "__h").distinct()
            .groupBy("__h").agg(F.count(F.lit(1)).alias("__ndocs"))
            .where(F.col("__ndocs") >= 2).select("__h"))
@@ -675,14 +697,15 @@ def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
     idx = F.sequence(F.lit(0), F.size("__toks") - 1)
     kept = F.filter(idx, lambda j: ~F.exists(
         F.col("__ss"), lambda s: (s <= j) & (j <= s + F.lit(n - 1))))
-    return (joined
-            .withColumn("n_tokens", F.size("__toks").cast("long"))
-            .withColumn("n_tokens_kept", F.size(kept).cast("long"))
-            .withColumn(out_col, F.array_join(
-                F.transform(kept,
-                            lambda j: F.element_at("__toks", j + 1)),
-                " "))
-            .drop("__toks", "__ss"))
+    return _attach_cached(
+        joined
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        .withColumn("n_tokens_kept", F.size(kept).cast("long"))
+        .withColumn(out_col, F.array_join(
+            F.transform(kept,
+                        lambda j: F.element_at("__toks", j + 1)),
+            " "))
+        .drop("__toks", "__ss"), spans)
 
 
 def ngram_containment_pairs(df: DataFrame, *, id_col: str,
@@ -725,30 +748,14 @@ def ngram_containment_pairs(df: DataFrame, *, id_col: str,
         F.col(id_col),
         F.explode(F.array_distinct(
             word_shingles(text_col, shingle_size))).alias("__sh"))
+    sh, handles = _stop_shingle_guard(sh, max_df)
+    # the guarded expansion feeds sizes AND both self-join sides
     sh = sh.persist()
-    stop = (sh.groupBy("__sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > max_df)
-            .select("__sh")).persist()
-    n_stop = stop.limit(_STOP_BROADCAST_CAP + 1).count()
-    drop = (F.broadcast(stop) if n_stop <= _STOP_BROADCAST_CAP
-            else stop)
-    kept = sh.join(drop, on="__sh", how="left_anti").persist()
-    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    left, right = kept.alias("l"), kept.alias("r")
-    shared = (left.join(right, on="__sh")
-              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-              .groupBy(F.col(f"l.{id_col}").alias("id_a"),
-                       F.col(f"r.{id_col}").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("__c")))
-    sa = sizes.select(F.col(id_col).alias("id_a"),
-                      F.col("__n").alias("__na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"),
-                      F.col("__n").alias("__nb"))
-    c_ab = F.col("__c").cast("double") / F.col("__na")
-    c_ba = F.col("__c").cast("double") / F.col("__nb")
+    handles.append(sh)
+    c_ab = F.col("__shared").cast("double") / F.col("__na")
+    c_ba = F.col("__shared").cast("double") / F.col("__nb")
     return _attach_cached(
-        shared.join(sa, "id_a").join(sb, "id_b")
+        _shared_shingle_counts(sh, id_col=id_col)
         .withColumn("containment_a_in_b", c_ab)
         .withColumn("containment_b_in_a", c_ba)
         .where(F.greatest(F.col("containment_a_in_b"),
@@ -756,4 +763,4 @@ def ngram_containment_pairs(df: DataFrame, *, id_col: str,
                >= F.lit(float(threshold)))
         .select("id_a", "id_b", "containment_a_in_b",
                 "containment_b_in_a"),
-        sh, stop, kept)
+        *handles)
