@@ -4,6 +4,7 @@ these run in milliseconds and probe the corners example tests miss."""
 
 import ast
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -579,3 +580,142 @@ def test_quantize_embeddings_matches_numpy_spec(spark, data):
         scale = amax / 127.0 if amax > 0 else 1.0
         want = [int(math.floor(x / scale + 0.5)) for x in v]
         assert r.qscale == scale and list(r.qvec) == want, r.vec_id
+
+
+# -- round-13 second batch: python-reference replays on arbitrary corpora ---
+
+def _word_docs(data, n_docs=12, vocab=8, max_len=20, min_len=1):
+    vs = ["w%d" % i for i in range(vocab)]
+    return [(i, " ".join(data.draw(st.lists(
+        st.sampled_from(vs), min_size=min_len, max_size=max_len))))
+        for i in range(data.draw(st.integers(2, n_docs)))]
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_span_scrub_matches_python_reference_property(spark, data):
+    """drop_duplicated_spans == a dict-based reference scrubber on
+    arbitrary small-vocab corpora (small vocab forces heavy span
+    collisions — the interesting regime)."""
+    from zcollection_spark.functions import (drop_duplicated_spans,
+                                             unpersist_intermediates)
+    n = data.draw(st.integers(1, 4))
+    rows = _word_docs(data)
+    spans = {}          # span -> set of docs
+    toks = {i: t.split() for i, t in rows}
+    for i, ws in toks.items():
+        for j in range(len(ws) - n + 1):
+            spans.setdefault(tuple(ws[j:j + n]), set()).add(i)
+    exp = {}
+    for i, ws in toks.items():
+        covered = set()
+        for j in range(len(ws) - n + 1):
+            if len(spans[tuple(ws[j:j + n])]) >= 2:
+                covered.update(range(j, j + n))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        exp[i] = (len(ws), len(kept), " ".join(kept))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = drop_duplicated_spans(df, n=n)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_tokens_kept"],
+                         r["text_scrubbed"]) for r in out.collect()}
+    unpersist_intermediates(out)
+    assert got == exp
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_containment_matches_python_reference_property(spark, data):
+    """ngram_containment_pairs == set-based reference containment with
+    the df guard disabled (max_df above corpus size)."""
+    from zcollection_spark.functions import (ngram_containment_pairs,
+                                             unpersist_intermediates)
+    k = data.draw(st.integers(1, 3))
+    t = data.draw(st.sampled_from([0.3, 0.5, 0.9, 1.0]))
+    rows = _word_docs(data)
+    sets = {}
+    for i, txt in rows:
+        ws = txt.split()
+        if len(ws) >= k:
+            s = {" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)}
+        else:
+            s = {" ".join(ws)}
+        sets[i] = s
+    exp = {}
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            c = len(sets[x] & sets[y])
+            if not c:
+                continue
+            cab, cba = c / len(sets[x]), c / len(sets[y])
+            if max(cab, cba) >= t:
+                exp[(x, y)] = (cab, cba)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_containment_pairs(df, id_col="doc_id",
+                                    text_col="text", shingle_size=k,
+                                    threshold=t, max_df=10 ** 6)
+    got = {(r["id_a"], r["id_b"]): (r["containment_a_in_b"],
+                                    r["containment_b_in_a"])
+           for r in pairs.collect()}
+    unpersist_intermediates(pairs)
+    assert set(got) == set(exp)
+    for key, (a, b) in exp.items():
+        assert got[key][0] == pytest.approx(a)
+        assert got[key][1] == pytest.approx(b)
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_bigram_lm_matches_python_reference_property(spark, data):
+    """bigram_lm_score == dict-counting reference on arbitrary
+    corpora, including 1-token docs (excluded) and heavy repetition."""
+    from collections import Counter
+
+    from zcollection_spark.functions import bigram_lm_score
+    rows = _word_docs(data, vocab=5)
+    pair_rows = [(i, (ws[j], ws[j + 1]))
+                 for i, t in rows for ws in [t.split()]
+                 for j in range(len(ws) - 1)]
+    cb = Counter(p for _, p in pair_rows)
+    cu = Counter(p[0] for _, p in pair_rows)
+    exp = {}
+    for i, _ in rows:
+        ps = [cb[p] / cu[p[0]] for j, p in pair_rows if j == i]
+        if not ps:
+            continue
+        rare = [cb[p] <= 2 for j, p in pair_rows if j == i]
+        exp[i] = (len(ps), round(sum(ps) / len(ps), 6),
+                  sum(rare) / len(rare))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    assert set(got) == set(exp)
+    for i, (nb, mp, rs) in exp.items():
+        assert got[i]["n_bigrams"] == nb
+        assert got[i]["mean_cond_p"] == pytest.approx(mp, abs=1e-6)
+        assert got[i]["rare_bigram_share"] == pytest.approx(rs)
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_winnow_guarantee_property(spark, data):
+    """The winnowing guarantee on arbitrary corpora: inject a shared
+    run of >= k + w - 1 tokens into two random docs -> they must share
+    at least one fingerprint."""
+    from zcollection_spark.functions import winnow_fingerprints
+    k = data.draw(st.integers(2, 4))
+    w = data.draw(st.integers(2, 4))
+    vs = ["v%d" % i for i in range(30)]
+    shared = " ".join(data.draw(st.lists(
+        st.sampled_from(vs), min_size=k + w - 1, max_size=k + w + 4)))
+    pre = lambda: " ".join(data.draw(st.lists(        # noqa: E731
+        st.sampled_from(vs), min_size=0, max_size=15)))
+    rows = [(0, (pre() + " " + shared + " " + pre()).strip()),
+            (1, (pre() + " " + shared + " " + pre()).strip())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=k, window=w)
+    by_doc = {0: set(), 1: set()}
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[0] & by_doc[1]
