@@ -608,10 +608,13 @@ def duplicated_span_stats(df: DataFrame, *, id_col: str = "doc_id",
 
     Scale shape: explode → distinct(doc, shingle) → groupBy(shingle)
     counts distinct containing docs (two map-side-combined shuffles on
-    the shingle key, never ``countDistinct``'s per-group hash sets);
-    the per-position rows then equi-join the count table on the
-    shingle key (AQE broadcasts it when small) and re-aggregate per
-    document.  No self-join, nothing quadratic, nothing driver-side.
+    the shingle key, never ``countDistinct``'s per-group hash sets),
+    filtered down to the DUPLICATED spans only before any join — on a
+    mostly-unique corpus that set is a tiny fraction of the
+    vocabulary, so the per-position rows equi-join a small frame (AQE
+    broadcasts it) instead of the full count table, and ``n_spans``
+    itself is a pure expression (``tokens - n + 1``), no join needed.
+    No self-join, nothing quadratic, nothing driver-side.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -619,23 +622,27 @@ def duplicated_span_stats(df: DataFrame, *, id_col: str = "doc_id",
     # strings — the shuffled key is 32 bytes no matter how long the
     # tokens are (md5 is the collision-free-in-practice primitive the
     # whole dedup family already rests on)
-    spans = (df.where(F.size(words(text_col)) >= n)
-             .select(F.col(id_col),
-                     F.explode(F.transform(word_shingles(text_col, n),
-                                           F.md5))
-                     .alias("__span")))
-    ndocs = (spans.select(id_col, "__span").distinct()
-             .groupBy("__span")
-             .agg(F.count(F.lit(1)).alias("__ndocs")))
-    cnt = F.count(F.lit(1))
-    return (spans.join(ndocs, on="__span")
-            .groupBy(id_col)
-            .agg(cnt.cast("long").alias("n_spans"),
-                 F.sum((F.col("__ndocs") >= 2).cast("long"))
-                 .alias("n_dup_spans"),
-                 (F.sum((F.col("__ndocs") >= 2).cast("long"))
-                  .cast("double") / cnt.cast("double"))
-                 .alias("dup_ratio")))
+    eligible = df.where(F.size(words(text_col)) >= n)
+    spans = eligible.select(
+        F.col(id_col),
+        F.explode(F.transform(word_shingles(text_col, n), F.md5))
+        .alias("__span"))
+    dup = (spans.select(id_col, "__span").distinct()
+           .groupBy("__span")
+           .agg(F.count(F.lit(1)).alias("__ndocs"))
+           .where(F.col("__ndocs") >= 2).select("__span"))
+    dup_hits = (spans.join(dup, on="__span")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__ndup")))
+    n_spans = (F.size(words(text_col)) - F.lit(n - 1)).cast("long")
+    return (eligible.select(F.col(id_col), n_spans.alias("n_spans"))
+            .join(dup_hits, on=id_col, how="left")
+            .select(id_col, "n_spans",
+                    F.coalesce(F.col("__ndup"), F.lit(0).cast("long"))
+                    .alias("n_dup_spans"),
+                    (F.coalesce(F.col("__ndup"), F.lit(0.0))
+                     .cast("double") / F.col("n_spans").cast("double"))
+                    .alias("dup_ratio")))
 
 
 def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
