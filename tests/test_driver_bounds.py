@@ -110,3 +110,25 @@ def test_zarr_insert_partition_key_cap(spark, tmp_path):
         with pytest.raises(DriverBoundExceededError):
             coll.insert(df)
     assert coll.partitions() == []
+
+
+def test_bm25_broadcast_terms_cap(spark):
+    """bm25_scores enforces the probe-set contract: an exploded
+    (query, term) frame past the cap raises loudly BEFORE any
+    broadcast hint applies; at the bound the scores are unaffected."""
+    from zcollection_spark.functions import bm25_scores
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha delta")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "delta gamma epsilon")],
+        "query_id long, query_text string")   # 5 (query, term) rows
+    with config.override(**{"retrieval.broadcast_terms_cap": 4}):
+        with pytest.raises(DriverBoundExceededError,
+                           match="broadcast_terms_cap"):
+            bm25_scores(corpus, queries, id_col="doc_id",
+                        text_col="text").collect()
+    with config.override(**{"retrieval.broadcast_terms_cap": 5}):
+        out = bm25_scores(corpus, queries, id_col="doc_id",
+                          text_col="text")
+        assert out.count() == 4   # (q0,d0) (q0,d1) (q1,d0) (q1,d1)

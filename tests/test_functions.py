@@ -1637,3 +1637,78 @@ def test_winnow_matches_python_reference(spark):
     for r in winnow_fingerprints(df, k=k, window=w).collect():
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     assert got == exp
+
+
+def test_drop_duplicated_spans_gap_boundaries(spark):
+    """The interval-gap rebuild at its exact boundaries: consecutive
+    duplicated starts b - a == n leave NO gap (coverage is adjacent),
+    b - a == n + 1 leaves exactly one surviving token, and coverage
+    touching the document start/end empties the head/tail segments."""
+    from zcollection_spark.functions import drop_duplicated_spans
+    rows = [
+        # starts 1 and 4 (b-a=3 > n=2): one-token gap at position 3
+        (0, "x0 A B y0 C D z0"),
+        # starts 1 and 3 (b-a=2 == n): adjacent coverage, no gap
+        (1, "x1 A B C D z1"),
+        # coverage at both edges: head and tail segments empty
+        (2, "A B m2 C D"),
+        # two-token gap, coverage at both edges
+        (3, "A B q1 q2 C D"),
+    ]
+    # the duplicated 2-grams are exactly "A B" and "C D" (every joiner
+    # gram carries a doc-unique token, so no accidental duplicates)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in drop_duplicated_spans(df, n=2).collect()}
+    assert out[0]["text_scrubbed"] == "x0 y0 z0"
+    assert out[1]["text_scrubbed"] == "x1 z1"
+    assert out[2]["text_scrubbed"] == "m2"
+    assert out[3]["text_scrubbed"] == "q1 q2"
+    assert out[2]["n_tokens_kept"] == 1 and out[2]["n_tokens"] == 5
+
+
+def test_released_scopes_the_cache_contract(spark, docs):
+    """`with released(pairs):` releases the attached band/shingle
+    frames on exit (errors included); a forgotten release stays
+    DETECTABLE via cached_intermediates' storage-level inspection."""
+    import pytest
+    from zcollection_spark.functions import (cached_intermediates,
+                                             released)
+    from zcollection_spark.functions.dedup import (lsh_candidate_pairs,
+                                                   minhash_signatures,
+                                                   unpersist_intermediates)
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    sigs = minhash_signatures(docs, id_col="doc_id", text_col="text",
+                              shingle_size=3)
+    with released(lsh_candidate_pairs(sigs, id_col="doc_id")) as pairs:
+        pairs.count()
+        assert len(cached_intermediates(pairs)) > 0   # live inside
+    assert cached_intermediates(pairs) == []          # gone on exit
+    assert jsc.getPersistentRDDs().size() == base
+    # exceptions still release
+    with pytest.raises(RuntimeError, match="boom"):
+        with released(lsh_candidate_pairs(sigs, id_col="doc_id")) as p2:
+            p2.count()
+            raise RuntimeError("boom")
+    assert cached_intermediates(p2) == []
+    assert jsc.getPersistentRDDs().size() == base
+    # the forgotten-release misuse mode is observable, then fixable
+    leaked = lsh_candidate_pairs(sigs, id_col="doc_id")
+    leaked.count()
+    assert len(cached_intermediates(leaked)) > 0      # detected
+    unpersist_intermediates(leaked)
+    assert cached_intermediates(leaked) == []
+    # multi-frame form releases every frame's intermediates
+    with released(lsh_candidate_pairs(sigs, id_col="doc_id"),
+                  lsh_candidate_pairs(sigs, id_col="doc_id")) as (a, b):
+        a.count(); b.count()
+    assert cached_intermediates(a) == [] and cached_intermediates(b) == []
+    assert jsc.getPersistentRDDs().size() == base
+    # plain frames (no attached intermediates) pass through untouched:
+    # released() scopes the CONTRACT, it never unpersists the result
+    docs.persist().count()
+    with released(docs) as d:
+        d.count()
+    assert docs.storageLevel.useMemory   # caller's own persist survives
+    docs.unpersist()

@@ -57,6 +57,7 @@ _DEFAULTS: dict[str, Any] = {
     "similarity.broadcast_query_cap": 200_000,   # brute_force_topk queries
     "similarity.broadcast_rows_cap": 1_000_000,  # dup-pairs method="broadcast"
     "insert.partition_key_cap": 100_000,         # distinct keys per insert
+    "retrieval.broadcast_terms_cap": 1_000_000,  # bm25 (query, term) rows
 }
 
 _config: dict[str, Any] = dict(_DEFAULTS)

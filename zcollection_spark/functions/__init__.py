@@ -10,13 +10,13 @@ Spark lacks a primitive).
 from .multimodal import (attach_fake_payload, decode_ppm, decode_wav,
                          encode_ppm, encode_wav, extract_audio_features,
                          extract_image_features, sample_frames)
-from .dedup import (dedup_exact, dedup_keep_latest,
+from .dedup import (cached_intermediates, dedup_exact, dedup_keep_latest,
                     drop_duplicated_spans, duplicated_span_stats,
                     exact_duplicate_groups, md5_long,
                     minhash_signatures, lsh_candidate_pairs,
                     ngram_containment_pairs,
-                    ngram_jaccard_pairs, simhash, simhash_duplicate_pairs,
-                    unpersist_intermediates)
+                    ngram_jaccard_pairs, released, simhash,
+                    simhash_duplicate_pairs, unpersist_intermediates)
 from .ann_index import (query_ivf_index, query_ivfpq_index,
                         write_ivf_index, write_ivfpq_index)
 from .similarity import (cosine_similarity_col, brute_force_topk,
@@ -43,7 +43,7 @@ __all__ = [
     "ngram_containment_pairs",
     "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
     "duplicated_span_stats", "drop_duplicated_spans",
-    "unpersist_intermediates",
+    "unpersist_intermediates", "released", "cached_intermediates",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "ivfpq_topk", "lsh_bucket_topk",
     "suggest_lsh_planes", "suggest_lsh_config", "suggest_ivf_config",

@@ -55,7 +55,10 @@ def unpersist_intermediates(df: DataFrame) -> DataFrame:
 
     No-op (and safe) on DataFrames without attached intermediates.
     Long-lived sessions that skip this accumulate cached band frames;
-    one-shot jobs may let executor teardown reclaim them.
+    one-shot jobs may let executor teardown reclaim them.  The
+    :func:`released` context manager scopes the call automatically,
+    and :func:`cached_intermediates` makes a forgotten release
+    auditable (it lists the still-persisted handles).
     """
     for cached in getattr(df, "_zc_cached", ()):
         cached.unpersist()
@@ -65,6 +68,43 @@ def unpersist_intermediates(df: DataFrame) -> DataFrame:
 def _attach_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
     result._zc_cached = cached
     return result
+
+
+def cached_intermediates(df: DataFrame) -> list[DataFrame]:
+    """The intermediate frames a dedup-family result still holds
+    persisted — empty once :func:`unpersist_intermediates` (or the
+    :func:`released` context manager) has run, or for results that
+    never attach any.  A long-lived session can audit for forgotten
+    releases by checking ``cached_intermediates(df)`` against each
+    frame's ``storageLevel`` (``useMemory``/``useDisk`` both False
+    after release)."""
+    return [c for c in getattr(df, "_zc_cached", ())
+            if c.storageLevel.useMemory or c.storageLevel.useDisk]
+
+
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def released(*dfs: DataFrame):
+    """Scope the persist/unpersist caller contract: yield the result
+    frame(s) and release their attached intermediates on exit, errors
+    included — the misuse-proof form of calling
+    :func:`unpersist_intermediates` by hand:
+
+    >>> with released(lsh_candidate_pairs(docs, ...)) as pairs:
+    ...     pairs.count()
+
+    Multiple frames release together (``with released(a, b) as (a, b)``).
+    The yielded plans stay LAZY — consume them inside the block; after
+    exit the cached band/shingle frames are gone and re-running the
+    plan recomputes them from scratch (correct, just slower).
+    """
+    try:
+        yield dfs[0] if len(dfs) == 1 else dfs
+    finally:
+        for df in dfs:
+            unpersist_intermediates(df)
 
 
 def md5_long(col: Column | str) -> Column:
@@ -623,10 +663,15 @@ def duplicated_span_stats(df: DataFrame, *, id_col: str = "doc_id",
     # tokens are (md5 is the collision-free-in-practice primitive the
     # whole dedup family already rests on)
     eligible = df.where(F.size(words(text_col)) >= n)
+    # the span expansion (explode + md5, the widest intermediate)
+    # feeds BOTH the dup-count branch and the per-doc hit count —
+    # materialize it once (Spark has no cross-branch CSE); released
+    # by the caller via unpersist_intermediates(), the shared
+    # dedup-family contract (same as drop_duplicated_spans).
     spans = eligible.select(
         F.col(id_col),
         F.explode(F.transform(word_shingles(text_col, n), F.md5))
-        .alias("__span"))
+        .alias("__span")).persist()
     dup = (spans.select(id_col, "__span").distinct()
            .groupBy("__span")
            .agg(F.count(F.lit(1)).alias("__ndocs"))
@@ -635,14 +680,15 @@ def duplicated_span_stats(df: DataFrame, *, id_col: str = "doc_id",
                 .groupBy(id_col)
                 .agg(F.count(F.lit(1)).alias("__ndup")))
     n_spans = (F.size(words(text_col)) - F.lit(n - 1)).cast("long")
-    return (eligible.select(F.col(id_col), n_spans.alias("n_spans"))
-            .join(dup_hits, on=id_col, how="left")
-            .select(id_col, "n_spans",
-                    F.coalesce(F.col("__ndup"), F.lit(0).cast("long"))
-                    .alias("n_dup_spans"),
-                    (F.coalesce(F.col("__ndup"), F.lit(0.0))
-                     .cast("double") / F.col("n_spans").cast("double"))
-                    .alias("dup_ratio")))
+    return _attach_cached(
+        eligible.select(F.col(id_col), n_spans.alias("n_spans"))
+        .join(dup_hits, on=id_col, how="left")
+        .select(id_col, "n_spans",
+                F.coalesce(F.col("__ndup"), F.lit(0).cast("long"))
+                .alias("n_dup_spans"),
+                (F.coalesce(F.col("__ndup"), F.lit(0.0))
+                 .cast("double") / F.col("n_spans").cast("double"))
+                .alias("dup_ratio")), spans)
 
 
 def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
@@ -669,10 +715,16 @@ def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
     md5 span keys), then the per-document duplicated START POSITIONS
     gather with ``collect_set`` (bounded by tokens-per-document, never
     corpus-sized), left-join back to the documents, and one pure-JVM
-    array pass rebuilds the text.  The rebuild is
-    O(tokens × dup_starts) per document — fine for chunk-sized
-    documents; chunk first (``chunk_documents``) when feeding
-    pathological million-token documents with heavy duplication.
+    array pass rebuilds the text.  The rebuild is LINEAR,
+    O(tokens + dup_starts) per document: every start opens the fixed
+    interval ``[s, s+n-1]``, so on the SORTED start array the kept
+    indices are exactly the head before the first start, the gaps
+    between consecutive starts more than ``n`` apart, and the tail
+    after the last interval — three ``sequence`` constructions, each
+    index generated once, no per-token scan of the start array (the
+    r13 shape was O(tokens × dup_starts): an ``exists`` probe of the
+    array at every token position — measured 28 s → 6 s at 16k-token
+    boilerplate-heavy docs, see SCALING.md r14).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -701,9 +753,29 @@ def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
     joined = (base.join(starts, on=id_col, how="left")
               .withColumn("__ss", F.coalesce(
                   F.col("__ss"), F.array().cast("array<int>"))))
-    idx = F.sequence(F.lit(0), F.size("__toks") - 1)
-    kept = F.filter(idx, lambda j: ~F.exists(
-        F.col("__ss"), lambda s: (s <= j) & (j <= s + F.lit(n - 1))))
+    # interval-merged coverage on the sorted start array: kept =
+    # head ∪ between-interval gaps ∪ tail.  Every branch is guarded
+    # (CASE WHEN evaluates lazily) so sequence() never sees a
+    # descending range; words() never yields an empty array, so the
+    # no-duplicates head sequence(0, t-1) is always well-formed.
+    ss = F.col("__ss")
+    t = F.size("__toks")
+    k = F.size(ss)
+    empty_i = F.array().cast("array<int>")
+    head_end = F.when(k > 0, F.element_at(ss, 1) - 1).otherwise(t - 1)
+    head = (F.when(head_end >= 0, F.sequence(F.lit(0), head_end))
+            .otherwise(empty_i))
+    gaps = (F.when(k >= 2, F.flatten(F.zip_with(
+        F.slice(ss, 1, k - 1), F.slice(ss, 2, k - 1),
+        lambda a, b: F.when(b - a > F.lit(n),
+                            F.sequence(a + F.lit(n), b - 1))
+        .otherwise(F.array().cast("array<int>")))))
+        .otherwise(empty_i))
+    last_end = F.element_at(ss, -1) + F.lit(n)
+    tail = (F.when((k > 0) & (last_end <= t - 1),
+                   F.sequence(last_end, t - 1))
+            .otherwise(empty_i))
+    kept = F.concat(head, gaps, tail)
     return _attach_cached(
         joined
         .withColumn("n_tokens", F.size("__toks").cast("long"))

@@ -61,10 +61,18 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
 
     ``queries`` rides a broadcast hint — it is the probe set and must
     be small (thousands, not millions); the corpus side stays fully
-    distributed.
+    distributed.  The probe-set contract is ENFORCED, not assumed: the
+    exploded (query, term) frame is counted against the
+    ``retrieval.broadcast_terms_cap`` config before any broadcast hint
+    applies, and an oversized probe set raises a loud
+    :class:`~zcollection_spark.errors.DriverBoundExceededError`
+    instead of dying as an executor broadcast / driver OOM (the same
+    bounded-collect discipline as ``brute_force_topk``).
     """
     if round_to < 0:
         raise ValueError("round_to must be >= 0")
+    from .. import config
+    from ..errors import DriverBoundExceededError
     tok = corpus.select(F.col(id_col),
                         F.explode(words(text_col)).alias("__term"))
     tf = tok.groupBy(id_col, "__term").agg(
@@ -78,6 +86,18 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
         F.col(query_id_col),
         F.explode(F.array_distinct(words(query_text_col)))
         .alias("__term"))
+    # size gate: one bounded action over the (small) query frame only —
+    # limit(cap+1) keeps even the check itself bounded.  Both broadcast
+    # frames below (qterms and the per-term dfreq derived from it) are
+    # ≤ this row count, so one gate covers them.
+    cap = config.get("retrieval.broadcast_terms_cap")
+    if qterms.limit(cap + 1).count() > cap:
+        raise DriverBoundExceededError(
+            f"bm25_scores broadcasts the exploded (query, term) probe "
+            f"frame; it exceeds {cap} rows (config "
+            f"'retrieval.broadcast_terms_cap').  The query side is a "
+            f"probe set by contract — batch the queries, or raise the "
+            f"cap if the cluster's broadcast budget allows.")
     # prune FIRST: everything downstream sees only matched terms
     matched = tf.join(F.broadcast(qterms.select("__term").distinct()),
                       on="__term")
