@@ -78,73 +78,69 @@ def test_registry_window_invariant():
     # pin — and with it the rotation ledger — to be updated.
     assert len(names) == 89, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
-    # round-13 rotation (executes the r12 ledger + the r12 verdict's
-    # stale-tail directive): the sixteen r12 sit-outs return
-    # in-window, the two never-driver-graded r12 layout entries
-    # promote (collection_clustered_where, collection_zorder_where),
-    # and promo_revenue + rollup_hourly cycle in from the r02-r04
-    # permanent tail for a fresh driver row.  Sitting out until r14
-    # (all driver-green r12; covered-surface arguments in the
-    # queries() header): the fifteen r11-sit-out returns + the r12
-    # promotion collection_retained_read, plus four twin swaps
-    # (zarr_documents / collection_bloom_skip / dedup_jaccard /
-    # interval_match, each with an in-window family peer).
-    tail_allowed = {"text_stats", "language_id", "fingerprint",
-                    "revenue_rollup", "event_gaps", "source_quality",
-                    "knn_lsh_hi", "knn_ivf_hi",
-                    "dedup_keep_latest", "multimodal_features",
-                    "pack_sequences", "stratified_sample",
-                    "token_budget", "merge_upsert_tolerance",
-                    "dedup_embedding", "collection_retained_read",
-                    "zarr_documents", "collection_bloom_skip",
-                    "dedup_jaccard", "interval_match",
-                    # NEW r13, born out-of-window (the r13 window was
-                    # fixed by the r12 ledger); promote in r14/r15
-                    "streaming_changes_agg",
-                    "shuffle_shards", "embedding_quantize",
-                    "dedup_semantic", "unigram_stats",
-                    "bigram_lm", "dup_spans", "span_scrub",
-                    "bm25_retrieval", "hybrid_rrf",
-                    "dedup_containment", "winnow_fingerprint",
-                    # permanent plain-SQL tail, cycling through the
-                    # window 2-3 per round since r13 (verdict task 2)
-                    "collection_projection",
-                    "top_revenue_orders",
-                    "order_priority_counts",
-                    "returned_item_losses", "trade_flows",
-                    "langid_confusion", "top_ngrams"}
+    # round-14 rotation (executes the r13 ledger + the r13 verdict's
+    # pull-forward and stale-tail directives): the twenty r13
+    # sit-outs return in-window, streaming_changes_agg promotes, the
+    # dup_spans + dedup_containment pair pulls forward from the r15
+    # batch, and top_revenue_orders + trade_flows cycle in from the
+    # permanent tail.  Sitting out until r15 (all driver-green r13;
+    # covered-surface arguments in the queries() header): the twenty
+    # rows the r13 ledger named on the reversed symmetric arguments,
+    # plus five twin swaps (streaming_dedup / dedup_exact /
+    # dedup_minhash / user_sessions / asof_enrich, each with an
+    # in-window family peer).
+    tail_allowed = {
+        # rotated out round 14 (all driver-green r13; back in r15)
+        "pricing_summary", "chunk_documents", "doc_repetition",
+        "quality_filter", "knn_lsh", "knn_ivf",
+        "priority_class_counts", "big_orders", "regional_revenue",
+        "revenue_delta", "capped_sample", "browse_no_buy",
+        "value_percentiles", "collection_time_travel",
+        "upsample_weights", "merge_upsert",
+        "collection_clustered_where", "collection_zorder_where",
+        "promo_revenue", "rollup_hourly",
+        "streaming_dedup", "dedup_exact", "dedup_minhash",
+        "user_sessions", "asof_enrich",
+        # permanent plain-SQL tail, cycling through the window 2-3
+        # per round since r13 (five remaining after this round's
+        # top_revenue_orders + trade_flows cycle-in)
+        "collection_projection", "order_priority_counts",
+        "returned_item_losses", "langid_confusion", "top_ngrams",
+        # NEW r13, born out-of-window; promote in r15
+        "shuffle_shards", "embedding_quantize", "dedup_semantic",
+        "unigram_stats", "bigram_lm", "span_scrub",
+        "bm25_retrieval", "hybrid_rrf", "winnow_fingerprint"}
     assert set(names[50:]) <= tail_allowed, names[50:]
-    # every operator promoted/returned by the r12 ledger (and the
-    # verdict's tail cycle) must actually be in-window this round
-    for promoted in ("collection_clustered_where",
-                     "collection_zorder_where",
-                     "promo_revenue", "rollup_hourly",
-                     "pricing_summary", "chunk_documents",
-                     "doc_repetition", "quality_filter",
-                     "knn_lsh", "knn_ivf",
-                     "priority_class_counts", "big_orders",
-                     "regional_revenue", "revenue_delta",
-                     "capped_sample", "browse_no_buy",
-                     "value_percentiles", "collection_time_travel",
-                     "upsample_weights", "merge_upsert"):
+    # every operator promoted/returned by the r13 ledger (and the
+    # verdict's pull-forward + tail cycle) must actually be in-window
+    # this round
+    for promoted in ("streaming_changes_agg", "dup_spans",
+                     "dedup_containment",
+                     "top_revenue_orders", "trade_flows",
+                     "text_stats", "language_id", "fingerprint",
+                     "revenue_rollup", "event_gaps", "source_quality",
+                     "knn_lsh_hi", "knn_ivf_hi", "dedup_keep_latest",
+                     "multimodal_features", "pack_sequences",
+                     "stratified_sample", "token_budget",
+                     "merge_upsert_tolerance", "dedup_embedding",
+                     "collection_retained_read", "zarr_documents",
+                     "collection_bloom_skip", "dedup_jaccard",
+                     "interval_match"):
         assert promoted in names[:50], promoted
-    for must_be_recorded in ("streaming_dedup", "multimodal_decoded",
+    for must_be_recorded in ("multimodal_decoded",
                              "dedup_embedding_lsh", "knn_ivfpq",
                              "knn_bruteforce",
                              "collection_changes", "pii_scrub",
-                             "decontaminate",
-                             "dedup_minhash",
-                             "dedup_simhash", "dedup_exact",
-                             "dedup_clusters",
-                             "hash_split",
+                             "decontaminate", "dedup_simhash",
+                             "dedup_clusters", "hash_split",
+                             "streaming_hourly", "streaming_stateful",
                              "streaming_sink",
                              "collection_zonemap_skip",
                              "zarr_roundtrip",
-                             "asof_enrich",
                              "merge_time_series", "merge_concat",
                              "map_partition_stats", "update_derived",
                              "view_overlay", "index_lookup",
-                             "embedding_centroids", "user_sessions"):
+                             "embedding_centroids"):
         assert names.index(must_be_recorded) < 50
     oracles = entry_queries.oracle_sql()
     assert set(oracles) <= set(names)

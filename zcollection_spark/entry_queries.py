@@ -2998,72 +2998,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 13, executing the r12
-    # ledger PLUS the r12 verdict's stale-tail directive): the sixteen
-    # r12 sit-outs come BACK in-window (pricing_summary,
-    # chunk_documents, doc_repetition, quality_filter, knn_lsh,
-    # knn_ivf, priority_class_counts, big_orders, regional_revenue,
-    # revenue_delta, capped_sample, browse_no_buy, value_percentiles,
-    # collection_time_travel, upsample_weights, merge_upsert — all
-    # driver-green r11, aging out after this round), the two
-    # never-driver-graded r12 layout entries PROMOTE
-    # (collection_clustered_where, collection_zorder_where), and —
-    # beginning the retirement of the r02–r04-graded permanent tail
-    # (r12 verdict task 2) — promo_revenue + rollup_hourly cycle
-    # in-window for a fresh driver row (they are also the two most
-    # expensive bench queries, so the row doubles as plan
-    # re-certification).  TWENTY slots freed, every outgoing row
-    # driver-green r12 so its green stays <=2 rounds old through r14
-    # when it returns: the sixteen rows first graded in r12 — the
-    # fifteen r11-sit-out returns (text_stats, language_id,
-    # fingerprint covered by returning doc_repetition +
-    # quality_filter, the same pure-JVM expression-pass family over
-    # documents; revenue_rollup covered by returning regional_revenue
-    # + revenue_delta + rollup_hourly; event_gaps covered by
-    # returning browse_no_buy + in-window user_sessions;
-    # source_quality covered by returning quality_filter; knn_lsh_hi
-    # / knn_ivf_hi are parameter twins of returning knn_lsh /
-    # knn_ivf; dedup_keep_latest covered by returning capped_sample's
-    # keyed row_number cap; multimodal_features covered by in-window
-    # multimodal_decoded; pack_sequences covered by returning
-    # chunk_documents; stratified_sample + token_budget covered by
-    # returning upsample_weights + in-window hash_split;
-    # merge_upsert_tolerance is the superset twin of returning
-    # merge_upsert; dedup_embedding's block path covered by in-window
-    # dedup_embedding_lsh, the scale path) plus the r12 promotion
-    # collection_retained_read (returning collection_time_travel is
-    # the version-as-of read it extends) — and four twin swaps:
-    # zarr_documents (twin of in-window zarr_roundtrip, same zarr3
-    # datasource), collection_bloom_skip (skipping layer keeps THREE
-    # in-window rows: zonemap + promoting clustered_where +
-    # zorder_where), dedup_jaccard (in-window dedup_minhash is the
-    # same shingle->banded-LSH bucket join; in-window decontaminate
-    # covers the broadcast anti-join), interval_match (in-window
-    # asof_enrich covers the range-join family).  The registry count
-    # and window split are PINNED in
+    # in-window peer come last.  ROTATION (round 14, executing the r13
+    # ledger PLUS the r13 verdict's pull-forward and stale-tail
+    # directives): the twenty r13 sit-outs come BACK in-window
+    # (text_stats, language_id, fingerprint, revenue_rollup, event_gaps,
+    # source_quality, knn_lsh_hi, knn_ivf_hi, dedup_keep_latest,
+    # multimodal_features, pack_sequences, stratified_sample,
+    # token_budget, merge_upsert_tolerance, dedup_embedding,
+    # collection_retained_read, zarr_documents, collection_bloom_skip,
+    # dedup_jaccard, interval_match — all driver-green r12, aging out
+    # after this round), streaming_changes_agg PROMOTES for its first
+    # driver row (the ledger's named promotion), dup_spans +
+    # dedup_containment PULL FORWARD from the r15 batch (r13 verdict
+    # task 2: the two never-driver-graded ops with the most novel join
+    # shapes — the filtered exact-substring span join and the
+    # asymmetric shared-shingle containment join), and the stale-tail
+    # retirement continues on the ledger's cadence with
+    # top_revenue_orders + trade_flows (newest driver rows r02-r04)
+    # cycling in for fresh greens.  TWENTY-FIVE slots freed, every
+    # outgoing row driver-green r13 so its green stays <=2 rounds old
+    # through r15 when it returns: the twenty rows the r13 ledger
+    # named on the reversed symmetric arguments — the sixteen r12
+    # sit-outs (pricing_summary, chunk_documents, doc_repetition,
+    # quality_filter, knn_lsh, knn_ivf, priority_class_counts,
+    # big_orders, regional_revenue, revenue_delta, capped_sample,
+    # browse_no_buy, value_percentiles, collection_time_travel,
+    # upsample_weights, merge_upsert — each covered by the returning
+    # r13 sit-out that covered IT last round, arguments symmetric to
+    # the r13 header), clustered_where + zorder_where (skipping
+    # surface held by returning collection_bloom_skip + in-window
+    # zonemap), promo_revenue + rollup_hourly (fresh r13 greens hold;
+    # they return to the permanent tail) — plus FIVE twin swaps
+    # covering the promotions and cycle-ins: streaming_dedup out
+    # (promoting streaming_changes_agg + in-window streaming_stateful
+    # hold the stateful-streaming surface — the ledger's named swap),
+    # dedup_exact out (returning dedup_keep_latest is the same
+    # hash-groupBy exact-dedup surface, keyed variant; promoting
+    # dup_spans extends exact dedup to span granularity), dedup_minhash
+    # out (returning dedup_jaccard is the same shingle->banded-LSH
+    # bucket self-join; in-window dedup_clusters still executes the
+    # minhash pair pipeline end-to-end as its input), user_sessions out
+    # (returning event_gaps is the same event-sequence sessionization
+    # window family), asof_enrich out (returning interval_match covers
+    # the range-join family — the r13 swap reversed).  The registry
+    # count and window split are PINNED in
     # tests/test_tools.py::test_registry_window_invariant (the
     # hand-counted totals in this comment rotted twice — r8 and r9 —
-    # so the test owns the numbers now).  r14 ledger note — the
-    # twenty r13 sit-outs return (driver-green r12, age out after
-    # r14) and streaming_changes_agg (built r13 out-of-window, the
-    # changes-stream SOURCE query the r12 verdict asked for) promotes
-    # = twenty-one slots.  Free them by sitting out the twenty rows
-    # returning/promoting this round on the reversed symmetric
-    # arguments (the sixteen r12 sit-outs + clustered/zorder — their
-    # skipping surface is covered by returning collection_bloom_skip
-    # + in-window zonemap — + promo_revenue/rollup_hourly whose fresh
-    # r13 green holds) plus ONE more twin swap (e.g. streaming_dedup
-    # out while promoting streaming_changes_agg and in-window
-    # streaming_stateful cover the stateful-streaming surface).
-    # r15 then owes: the eleven remaining never-driver-graded r13
-    # ops (shuffle_shards, embedding_quantize, dedup_semantic,
-    # unigram_stats, bigram_lm, dup_spans, span_scrub,
-    # bm25_retrieval, hybrid_rrf, dedup_containment,
-    # winnow_fingerprint — the last seven from the second r13 batch)
-    # promote, and the stale-tail cycle continues with
-    # 2-3 of the seven remaining r02-r04 rows (top_revenue_orders,
-    # trade_flows next) — counting with the test each round.
+    # so the test owns the numbers now).  r15 ledger note — the
+    # twenty-five r14 sit-outs return (driver-green r13, age out after
+    # r15), the NINE remaining never-driver-graded r13 ops promote
+    # (shuffle_shards, embedding_quantize, dedup_semantic,
+    # unigram_stats, bigram_lm, span_scrub, bm25_retrieval, hybrid_rrf,
+    # winnow_fingerprint), and the stale-tail cycle continues with 2-3
+    # of the five remaining r02-r04 rows (order_priority_counts +
+    # returned_item_losses next) = 36-37 slots.  Free them by sitting
+    # out the twenty rows returning this round plus the three r14
+    # promotions (all driver-green r14 by then; symmetric coverage
+    # arguments as above) and 13-14 of the 25 held-over permanents
+    # with in-window family peers (the dedup/knn/streaming families
+    # each hold several) — counting with the test each round.
     return {
+        # --- in-window 50: held-over permanents (25) ---
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
         "collection_sequence": q_collection_sequence,
@@ -3076,10 +3071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_lookup": q_index_lookup,
         "collection_changes": q_collection_changes,
         "knn_ivfpq": q_knn_ivfpq,
-        "asof_enrich": q_asof_enrich,
-        "user_sessions": q_user_sessions,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -3092,51 +3083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_hourly": q_streaming_hourly,
         "streaming_stateful": q_streaming_stateful,
-        "streaming_dedup": q_streaming_dedup,
         "streaming_sink": q_streaming_sink,
-        # returning r13 (sat out r12; driver-green r11)
-        "pricing_summary": q_pricing_summary,
-        "chunk_documents": q_chunk_documents,
-        "doc_repetition": q_doc_repetition,
-        "quality_filter": q_quality_filter,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
-        "priority_class_counts": q_priority_class_counts,
-        "big_orders": q_big_orders,
-        "regional_revenue": q_regional_revenue,
-        "revenue_delta": q_revenue_delta,
-        "capped_sample": q_capped_sample,
-        "browse_no_buy": q_browse_no_buy,
-        "value_percentiles": q_value_percentiles,
-        "collection_time_travel": q_collection_time_travel,
-        "upsample_weights": q_upsample_weights,
-        "merge_upsert": q_merge_upsert,
-        # PROMOTED r13 (built r12 out-of-window; first driver
-        # grading): range-clustered and Z-ordered file layouts —
-        # within-partition row-group skipping below the zone-map layer
-        "collection_clustered_where": q_collection_clustered_where,
-        "collection_zorder_where": q_collection_zorder_where,
-        # CYCLED IN r13 (r12 verdict task 2 — retiring the stale
-        # permanent tail, newest driver rows dated r02-r04): fresh
-        # driver grading doubles as plan re-certification for the two
-        # most expensive bench queries
-        "promo_revenue": q_promo_revenue,
-        "rollup_hourly": q_rollup_hourly,
-        # --- entries below fall outside the driver's 50-slot window;
-        # all were driver-verified green in earlier rounds (the 20
-        # r13 sit-outs in r12; the permanent plain-SQL tail in r1-r4),
-        # their operator surface is covered by in-window peers (see
-        # the rotation ledger above), and tools/check_oracle.py still
-        # gates every one of them ---
-        "collection_projection": q_collection_projection,
-        "top_revenue_orders": q_top_revenue_orders,
-        "order_priority_counts": q_order_priority_counts,
-        "returned_item_losses": q_returned_item_losses,
-        "trade_flows": q_trade_flows,
-        "langid_confusion": q_langid_confusion,
-        "top_ngrams": q_top_ngrams,
-        # rotated out round 13 (all driver-green r12; back in r14):
-        # covered-surface arguments in the queries() header comment
+        # --- returning r14 (sat out r13; driver-green r12) (20) ---
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -3157,34 +3105,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_bloom_skip": q_collection_bloom_skip,
         "dedup_jaccard": q_dedup_jaccard,
         "interval_match": q_interval_match,
-        # NEW r13, built out-of-window (the r13 window was set by the
-        # r12 ledger): the changes-stream SOURCE graded through an
-        # availableNow pass (r12 verdict task 6), the deterministic
-        # global shuffle-to-shards, int8 embedding quantization,
-        # SemDeDup semantic dedup, and corpus-statistical unigram
-        # scoring.  ALL check_oracle-gated at sf0.01 AND sf1 now;
-        # streaming_changes_agg promotes in r14, the other four in
-        # r15, per the ledger above.
+        # --- PROMOTED r14 (first driver grading) (3): the
+        # changes-stream source (ledger), plus the two r13
+        # second-batch ops pulled forward (verdict task 2) ---
         "streaming_changes_agg": q_streaming_changes_agg,
+        "dup_spans": q_dup_spans,
+        "dedup_containment": q_dedup_containment,
+        # --- CYCLED IN r14 (stale-tail retirement, ledger cadence;
+        # newest driver rows r02-r04) (2) ---
+        "top_revenue_orders": q_top_revenue_orders,
+        "trade_flows": q_trade_flows,
+        # --- entries below fall outside the driver's 50-slot window;
+        # all were driver-verified green in earlier rounds (the 25 r14
+        # sit-outs in r13; the permanent plain-SQL tail in r1-r4) or
+        # are the r13-built ops awaiting their r15 promotion, their
+        # operator surface is covered by in-window peers (see the
+        # rotation ledger above), and tools/check_oracle.py still
+        # gates every one of them ---
+        # rotated out round 14 (all driver-green r13; back in r15):
+        "pricing_summary": q_pricing_summary,
+        "chunk_documents": q_chunk_documents,
+        "doc_repetition": q_doc_repetition,
+        "quality_filter": q_quality_filter,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "priority_class_counts": q_priority_class_counts,
+        "big_orders": q_big_orders,
+        "regional_revenue": q_regional_revenue,
+        "revenue_delta": q_revenue_delta,
+        "capped_sample": q_capped_sample,
+        "browse_no_buy": q_browse_no_buy,
+        "value_percentiles": q_value_percentiles,
+        "collection_time_travel": q_collection_time_travel,
+        "upsample_weights": q_upsample_weights,
+        "merge_upsert": q_merge_upsert,
+        "collection_clustered_where": q_collection_clustered_where,
+        "collection_zorder_where": q_collection_zorder_where,
+        "promo_revenue": q_promo_revenue,
+        "rollup_hourly": q_rollup_hourly,
+        "streaming_dedup": q_streaming_dedup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "user_sessions": q_user_sessions,
+        "asof_enrich": q_asof_enrich,
+        # permanent plain-SQL tail (5 remaining; cycling through the
+        # window 2-3 per round since r13)
+        "collection_projection": q_collection_projection,
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_losses": q_returned_item_losses,
+        "langid_confusion": q_langid_confusion,
+        "top_ngrams": q_top_ngrams,
+        # NEW r13, still awaiting first driver grading; ALL
+        # check_oracle-gated at sf0.01 AND sf1; promote in r15 per the
+        # ledger above
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
         "dedup_semantic": q_dedup_semantic,
         "unigram_stats": q_unigram_stats,
-        # NEW r13 second batch, also born out-of-window: corpus-bigram
-        # LM scoring (CCNet-style quality signal), cross-document
-        # duplicated-span stats + removal (Lee et al. exact-substring
-        # dedup, signal AND apply halves), BM25 lexical retrieval (the
-        # sparse half of the retrieval family), hybrid sparse+dense
-        # fusion (RRF), asymmetric containment pairs (the subset-doc
-        # case Jaccard misses), and winnowing fingerprints (MOSS).
-        # check_oracle-gated at sf0.01 and sf1; promote alongside the
-        # first batch in r15.
         "bigram_lm": q_bigram_lm,
-        "dup_spans": q_dup_spans,
         "span_scrub": q_span_scrub,
         "bm25_retrieval": q_bm25_retrieval,
         "hybrid_rrf": q_hybrid_rrf,
-        "dedup_containment": q_dedup_containment,
         "winnow_fingerprint": q_winnow_fingerprint,
     }
 
