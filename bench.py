@@ -473,6 +473,21 @@ def main() -> None:
         @timed("winnow_fingerprint")
         def _():
             _consume(eq.q_winnow_fingerprint(spark, sf_dir))
+
+        # --- the r14 batch: DSIR importance resampling, TF-IDF
+        # top-k terms, cross-split near-dup leakage — appended with
+        # the same anchor-amendment discipline as the r13 batch
+        @timed("dsir_sample")
+        def _():
+            _consume(eq.q_dsir_sample(spark, sf_dir))
+
+        @timed("tfidf_topk")
+        def _():
+            _consume(eq.q_tfidf_topk(spark, sf_dir))
+
+        @timed("split_leakage")
+        def _():
+            _consume(eq.q_split_leakage(spark, sf_dir))
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1712,3 +1712,162 @@ def test_released_scopes_the_cache_contract(spark, docs):
         d.count()
     assert docs.storageLevel.useMemory   # caller's own persist survives
     docs.unpersist()
+
+
+def _importance_reference(corpus: dict, target_texts: list):
+    """Pure-python DSIR bag-of-words log-ratio (add-one over the union
+    vocabulary) — the independent check on importance_weights."""
+    import math
+    from collections import Counter
+    cs, ct = Counter(), Counter()
+    for t in corpus.values():
+        cs.update(t.split())
+    for t in target_texts:
+        ct.update(t.split())
+    vocab = set(cs) | set(ct)
+    v, ts, tt = float(len(vocab)), float(sum(cs.values())), \
+        float(sum(ct.values()))
+    lr = {w: math.log((ct[w] + 1.0) * (ts + v))
+          - math.log((cs[w] + 1.0) * (tt + v)) for w in vocab}
+    return {i: (len(t.split()), sum(lr[w] for w in t.split()))
+            for i, t in corpus.items()}
+
+
+def test_importance_weights_matches_python_reference(spark):
+    from zcollection_spark.functions import (importance_weights,
+                                             unpersist_intermediates)
+    rng = np.random.RandomState(7)
+    common = ["c%d" % i for i in range(10)]
+    target_only = ["good%d" % i for i in range(5)]
+    off = ["junk%d" % i for i in range(5)]
+    corpus = {}
+    for i in range(40):
+        pool = common + (target_only if i % 2 == 0 else off)
+        corpus[i] = " ".join(rng.choice(pool, size=rng.randint(4, 30)))
+    target_ids = [i for i in corpus if i % 4 == 0]
+    cdf = spark.createDataFrame(list(corpus.items()),
+                                "doc_id long, text string")
+    tdf = cdf.where(F.col("doc_id") % 4 == 0)
+    out = importance_weights(cdf, tdf, id_col="doc_id")
+    got = {r["doc_id"]: (r["n_tokens"], r["log_weight"])
+           for r in out.collect()}
+    unpersist_intermediates(out)
+    exp = _importance_reference(corpus,
+                                [corpus[i] for i in target_ids])
+    assert set(got) == set(corpus)
+    for i, (n_exp, w_exp) in exp.items():
+        assert got[i][0] == n_exp
+        assert got[i][1] == pytest.approx(w_exp, abs=2e-6)
+    # documents built from target-flavored vocabulary must outscore
+    # off-target ones per token (the signal the op exists for)
+    import statistics
+    per_tok = {i: got[i][1] / got[i][0] for i in got}
+    on = statistics.mean(per_tok[i] for i in got if i % 2 == 0)
+    offm = statistics.mean(per_tok[i] for i in got if i % 2 == 1)
+    assert on > offm
+
+
+def test_importance_resample_is_deterministic_gumbel_topk(spark):
+    from zcollection_spark.functions import (importance_resample,
+                                             importance_weights,
+                                             unpersist_intermediates)
+    from zcollection_spark.functions.sampling import uniform_draw
+    rng = np.random.RandomState(19)
+    vocab = ["w%d" % i for i in range(12)]
+    corpus = {i: " ".join(rng.choice(vocab, size=8)) for i in range(60)}
+    cdf = spark.createDataFrame(list(corpus.items()),
+                                "doc_id long, text string")
+    tdf = cdf.where(F.col("doc_id") < 10)
+    out = importance_resample(cdf, tdf, id_col="doc_id", k=15)
+    rows = out.collect()
+    unpersist_intermediates(out)
+    assert len(rows) == 15
+    assert [r["rank"] for r in
+            sorted(rows, key=lambda r: r["rank"])] == list(range(1, 16))
+    # the sample IS the global top-k of (log_weight + gumbel(md5 u))
+    w = importance_weights(cdf, tdf, id_col="doc_id")
+    u = F.greatest(uniform_draw("doc_id"), F.lit(1e-15))
+    keyed = w.withColumn(
+        "k2", F.round(F.col("log_weight") - F.log(-F.log(u)), 6))
+    exp = keyed.orderBy(F.col("k2").desc(), F.col("doc_id")).limit(15)
+    assert ({(r["doc_id"], r["gumbel_key"]) for r in rows}
+            == {(r["doc_id"], r["k2"]) for r in exp.collect()})
+    unpersist_intermediates(w)
+    # a different salt draws a different sample; the same salt replays
+    out_b = importance_resample(cdf, tdf, id_col="doc_id", k=15)
+    assert ({r["doc_id"] for r in out_b.collect()}
+            == {r["doc_id"] for r in rows})
+    unpersist_intermediates(out_b)
+    out_s = importance_resample(cdf, tdf, id_col="doc_id", k=15,
+                                salt="other")
+    assert ({r["doc_id"] for r in out_s.collect()}
+            != {r["doc_id"] for r in rows})
+    unpersist_intermediates(out_s)
+    with pytest.raises(ValueError, match="k must be"):
+        importance_resample(cdf, tdf, id_col="doc_id", k=0)
+
+
+def test_tfidf_topk_matches_python_reference(spark):
+    import math
+    from collections import Counter
+    from zcollection_spark.functions import tfidf_topk
+    corpus = {0: "apple apple banana cherry",
+              1: "banana banana banana date",
+              2: "apple date date egg egg egg",
+              3: "fig"}
+    cdf = spark.createDataFrame(list(corpus.items()),
+                                "doc_id long, text string")
+    got = tfidf_topk(cdf, id_col="doc_id", text_col="text",
+                     k=2).collect()
+    dfreq = Counter(w for t in corpus.values() for w in set(t.split()))
+    n = float(len(corpus))
+    exp = {}
+    for i, t in corpus.items():
+        scores = {w: c * (math.log((n + 1.0) / (dfreq[w] + 1.0)) + 1.0)
+                  for w, c in Counter(t.split()).items()}
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for rank, (w, s) in enumerate(top, 1):
+            exp[(i, w)] = (s, rank)
+    assert {(r["doc_id"], r["term"]) for r in got} == set(exp)
+    for r in got:
+        s, rank = exp[(r["doc_id"], r["term"])]
+        assert r["score"] == pytest.approx(s, abs=2e-6)
+        assert r["rank"] == rank
+    with pytest.raises(ValueError, match="k must be"):
+        tfidf_topk(cdf, id_col="doc_id", text_col="text", k=0)
+
+
+def test_split_leakage_flags_only_cross_split_near_dups(spark):
+    import hashlib
+    from zcollection_spark.functions import (split_leakage,
+                                             unpersist_intermediates)
+    # three exact near-dup pairs + unrelated docs; the hash split is
+    # predictable from python's md5, so the expectation is exact
+    base = {0: "alpha beta gamma delta epsilon zeta",
+            2: "one two three four five six seven",
+            4: "red orange yellow green blue indigo"}
+    rows = []
+    for i, t in base.items():
+        rows += [(i, t), (i + 1, t)]           # identical twin
+    rows += [(100, "totally unrelated content words here"),
+             (101, "other disjoint vocabulary tokens")]
+    splits = {"train": 0.5, "val": 0.25, "test": 0.25}
+
+    def py_split(doc_id):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15],
+                16) / 16.0 ** 15
+        return ("train" if u < 0.5 else "val" if u < 0.75 else "test")
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage(df, id_col="doc_id", text_col="text",
+                        splits=splits, shingle_size=3, threshold=0.9,
+                        max_df=100)
+    got = {(r["id_a"], r["id_b"]): (r["split_a"], r["split_b"])
+           for r in out.collect()}
+    unpersist_intermediates(out)
+    exp = {(i, i + 1): (py_split(i), py_split(i + 1))
+           for i in base if py_split(i) != py_split(i + 1)}
+    assert got == exp
+    # sanity: the fixture actually exercises both outcomes (at least
+    # one leaking pair and at least one same-split pair)
+    assert 0 < len(exp) < len(base)

@@ -646,3 +646,50 @@ def test_winnow_fingerprint_shuffle_shape(spark):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_dsir_sample_vocab_joins_takeordered(spark):
+    """DSIR resampling: corpus tokens equi-join the vocab-sized
+    log-ratio table (hash/SMJ, never cartesian); the only nested-loop
+    join is the one-row (V, T_s, T_t) scalar attach, broadcast; the
+    global top-k is TakeOrdered (k-bounded), not a full sort; no
+    Python anywhere."""
+    plan = executed_plan(eq.q_dsir_sample(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    nlj = [ln for ln in final_plan(plan).splitlines()
+           if "NestedLoopJoin" in ln]
+    assert all("Broadcast" in ln for ln in nlj), nlj
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_tfidf_topk_per_doc_window_no_python(spark):
+    """TF-IDF top-k: one map-side-combined tf groupBy, vocab-sized df
+    reduction, broadcast scalar attach, and a per-DOCUMENT window
+    (group size bounded by the doc's own terms) — no cartesian, no
+    Python."""
+    plan = executed_plan(eq.q_tfidf_topk(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    nlj = [ln for ln in final_plan(plan).splitlines()
+           if "NestedLoopJoin" in ln]
+    assert all("Broadcast" in ln for ln in nlj), nlj
+    assert "Window" in plan
+    assert "partial_count" in plan
+
+
+def test_split_leakage_bounded_join_guarded(spark):
+    """Split leakage: the candidate stage is the max_df-guarded
+    shared-shingle EQUI-join (anti-join guard present); the split
+    assignment is a pure md5 expression joined to the small pair list
+    — no cartesian, no Python."""
+    plan = executed_plan(eq.q_split_leakage(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan          # the max_df stop-shingle guard
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan

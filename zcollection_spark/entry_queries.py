@@ -2994,6 +2994,137 @@ def q_knn_ivfpq(spark, sf_dir):
                        F.col("rank").cast("long").alias("rank"))
 
 
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (NEW r14): documents drawn without
+    replacement with probability ∝ exp(bag-of-words log-likelihood
+    ratio) under add-one-smoothed unigram LMs of a TARGET corpus (the
+    English subset) vs. the full corpus — Data Selection via
+    Importance Resampling (Xie et al. 2023), with the Gumbel-top-k
+    draw made deterministic through the repo's md5 uniform so the
+    SAMPLE is a pure function of (corpus, target, salt).  Two
+    map-side-combined vocab groupBys + one token equi-join + a
+    k-bounded TakeOrdered; nothing corpus-sized leaves the executors
+    (functions/importance.py:importance_resample)."""
+    from .functions.importance import importance_resample
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return (importance_resample(docs, target, id_col="doc_id", k=50)
+            .select("doc_id", "n_tokens", "log_weight", "gumbel_key",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+ORACLE_DSIR_SAMPLE = rf"""
+WITH src_tok AS (SELECT doc_id, unnest({_SPLIT}) AS t FROM documents),
+tgt_tok AS (SELECT unnest({_SPLIT}) AS t FROM documents
+            WHERE lang = 'en'),
+cs AS (SELECT t, count(*) AS c FROM src_tok GROUP BY t),
+ct AS (SELECT t, count(*) AS c FROM tgt_tok GROUP BY t),
+vocab AS (SELECT coalesce(cs.t, ct.t) AS t,
+                 coalesce(cs.c, 0) AS csn, coalesce(ct.c, 0) AS ctn
+          FROM cs FULL JOIN ct ON cs.t = ct.t),
+scal AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+                CAST(sum(csn) AS DOUBLE) AS ts,
+                CAST(sum(ctn) AS DOUBLE) AS tt FROM vocab),
+lr AS (SELECT t, ln((ctn + 1.0) * (ts + v))
+                 - ln((csn + 1.0) * (tt + v)) AS lr
+       FROM vocab, scal),
+w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(sum(lr), 6) AS log_weight
+      FROM src_tok JOIN lr USING (t) GROUP BY doc_id),
+keyed AS (SELECT *, round(log_weight - ln(-ln(greatest(
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            / 16.0 ** 15, 1e-15))), 6) AS gumbel_key
+          FROM w)
+SELECT doc_id, n_tokens, log_weight, gumbel_key,
+       CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+            AS BIGINT) AS rank
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT 50
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-k TF-IDF terms (NEW r14): the classic sparse
+    document representation — keyword extraction / cluster naming —
+    with the sklearn smooth-idf form and round-before-rank
+    determinism.  One explode + tf groupBy (the only full-text pass),
+    vocab-sized df reduction, and a per-DOCUMENT top-k window whose
+    group size is bounded by the document's own distinct terms, never
+    the corpus (functions/retrieval.py:tfidf_topk)."""
+    from .functions.retrieval import tfidf_topk
+    docs = load_table(spark, sf_dir, "documents")
+    return (tfidf_topk(docs, id_col="doc_id", text_col="text", k=3)
+            .select("doc_id", "term", "tf", "score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+ORACLE_TFIDF_TOPK = rf"""
+WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+scored AS (SELECT doc_id, term, tf,
+                  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6)
+                    AS score
+           FROM tf JOIN dfreq USING (term), n)
+SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split near-duplicate leakage (NEW r14): the quarantine
+    list of n-gram Jaccard near-dup pairs whose two sides landed in
+    DIFFERENT hash splits — the eval-hygiene signal that held-out
+    metrics are measuring memorization.  Composes the bounded
+    shared-shingle Jaccard join with hash_split's bit-exact md5
+    assignment; the split join touches only the (small) pair list
+    (functions/curation.py:split_leakage)."""
+    from .functions.curation import split_leakage
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage(
+        docs, id_col="doc_id", text_col="text",
+        splits={"train": 0.4, "val": 0.3, "test": 0.3},
+        shingle_size=3, threshold=0.5, max_df=JACCARD_MAX_DF)
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH {_shingle_sql(3)},
+{_shingle_df_sql(JACCARD_MAX_DF)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+           FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b,
+                 CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+          FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+splits AS (SELECT doc_id,
+                  CASE WHEN u < 0.4 THEN 'train'
+                       WHEN u < 0.7 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT
+                        / 16.0 ** 15 AS u
+                 FROM documents))
+SELECT id_a, id_b, jaccard,
+       a.split AS split_a, b.split AS split_b
+FROM pairs
+JOIN splits a ON a.doc_id = id_a
+JOIN splits b ON b.doc_id = id_b
+WHERE a.split != b.split
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
@@ -3049,12 +3180,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r15), the NINE remaining never-driver-graded r13 ops promote
     # (shuffle_shards, embedding_quantize, dedup_semantic,
     # unigram_stats, bigram_lm, span_scrub, bm25_retrieval, hybrid_rrf,
-    # winnow_fingerprint), and the stale-tail cycle continues with 2-3
-    # of the five remaining r02-r04 rows (order_priority_counts +
-    # returned_item_losses next) = 36-37 slots.  Free them by sitting
+    # winnow_fingerprint) along with the three r14-born ops
+    # (dsir_sample, tfidf_topk, split_leakage — twelve promotions
+    # total), and the stale-tail cycle continues with 2-3 of the five
+    # remaining r02-r04 rows (order_priority_counts +
+    # returned_item_losses next) = 39-40 slots.  Free them by sitting
     # out the twenty rows returning this round plus the three r14
     # promotions (all driver-green r14 by then; symmetric coverage
-    # arguments as above) and 13-14 of the 25 held-over permanents
+    # arguments as above) and 16-17 of the 25 held-over permanents
     # with in-window family peers (the dedup/knn/streaming families
     # each hold several) — counting with the test each round.
     return {
@@ -3167,6 +3300,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": q_bm25_retrieval,
         "hybrid_rrf": q_hybrid_rrf,
         "winnow_fingerprint": q_winnow_fingerprint,
+        # NEW r14, born out-of-window (the r14 window executed the r13
+        # ledger): DSIR importance resampling, per-document TF-IDF
+        # top-k terms, and cross-split near-dup leakage.
+        # check_oracle-gated at sf0.01 AND sf1; promote r15 alongside
+        # the nine r13 holdovers per the ledger above.
+        "dsir_sample": q_dsir_sample,
+        "tfidf_topk": q_tfidf_topk,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -3274,6 +3415,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "revenue_rollup": ORACLE_REVENUE_ROLLUP,
         "big_orders": ORACLE_BIG_ORDERS,
         "event_gaps": ORACLE_EVENT_GAPS,
+        "dsir_sample": ORACLE_DSIR_SAMPLE,
+        "tfidf_topk": ORACLE_TFIDF_TOPK,
+        "split_leakage": ORACLE_SPLIT_LEAKAGE,
     }
     try:
         # duckdb imported inside the guard: its absence degrades the

@@ -27,9 +27,10 @@ from .text import (bigram_lm_score, chunk_documents, fingerprint,
                    language_id, pack_sequences, text_stats, token_count,
                    unigram_stats, winnow_fingerprints, word_shingles,
                    words)
-from .retrieval import bm25_scores, bm25_topk, rrf_fuse
+from .retrieval import bm25_scores, bm25_topk, rrf_fuse, tfidf_topk
+from .importance import importance_resample, importance_weights
 from .curation import (contamination, quality_filter,
-                       repetition_stats, scrub_pii)
+                       repetition_stats, scrub_pii, split_leakage)
 from .sampling import (cap_per_group, hash_split,
                        sample_to_token_budget, shuffle_to_shards,
                        stratified_sample, stratified_sample_exact,
@@ -54,7 +55,8 @@ __all__ = [
     "fingerprint", "language_id", "text_stats", "token_count",
     "unigram_stats", "word_shingles", "words", "chunk_documents",
     "pack_sequences", "bigram_lm_score", "bm25_scores", "bm25_topk",
-    "rrf_fuse", "winnow_fingerprints",
+    "rrf_fuse", "winnow_fingerprints", "tfidf_topk",
+    "importance_weights", "importance_resample", "split_leakage",
     "cap_per_group", "hash_split", "stratified_sample",
     "stratified_sample_exact", "sample_to_token_budget",
     "upsample_by_weight", "shuffle_to_shards", "quantize_embeddings",

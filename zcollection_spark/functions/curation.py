@@ -182,3 +182,51 @@ def repetition_stats(df: DataFrame, *, text_col: str = "text",
             .withColumn("dup_ngram_ratio",
                         F.lit(1.0) - F.size(F.array_distinct(grams))
                         / F.size(grams).cast("double")))
+
+
+def split_leakage(df: DataFrame, *, id_col: str, text_col: str = "text",
+                  splits=None, salt: str = "",
+                  shingle_size: int = 5, threshold: float = 0.8,
+                  max_df: int | None = None) -> DataFrame:
+    """Near-duplicate LEAKAGE across train/val/test splits: document
+    pairs that are n-gram near-duplicates of each other yet land in
+    DIFFERENT hash splits — the eval-hygiene check every training
+    pipeline needs before trusting held-out metrics (a test document
+    whose near-copy sits in train is measured as memorization, not
+    generalization; splitting uniformly at the document level
+    guarantees this happens for every near-dup cluster that straddles
+    the split boundary).
+
+    Returns the quarantine list ``(id_a, id_b, jaccard, split_a,
+    split_b)`` with ``id_a < id_b``, restricted to pairs whose two
+    sides landed in different splits.  ``splits``/``salt`` are
+    :func:`~zcollection_spark.functions.sampling.hash_split`'s
+    parameters (the assignment replayed here is bit-identical to the
+    one a pipeline using ``hash_split`` trained with); ``threshold`` /
+    ``shingle_size`` / ``max_df`` are
+    :func:`~zcollection_spark.functions.dedup.ngram_jaccard_pairs`'
+    (exact Jaccard, prefix-filtered when ``max_df`` is None).
+
+    Scale shape: the pair generation is the bounded Jaccard join (its
+    scale contract applies unchanged); the split assignment is a pure
+    md5 expression on a two-column projection of the corpus, joined to
+    the (small) pair list twice by id — AQE broadcasts the pair side.
+    Persisted shingle intermediates ride the result under the
+    dedup-family cache contract (``unpersist_intermediates`` /
+    ``released``).
+    """
+    from .dedup import _attach_cached, ngram_jaccard_pairs
+    from .sampling import hash_split
+    pairs = ngram_jaccard_pairs(df, id_col=id_col, text_col=text_col,
+                                shingle_size=shingle_size,
+                                threshold=threshold, max_df=max_df)
+    assigned = hash_split(df.select(id_col), id_col=id_col,
+                          splits=splits, salt=salt)
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col("split").alias("split_a"))
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col("split").alias("split_b"))
+    out = (pairs.join(a, on="id_a").join(b, on="id_b")
+           .where(F.col("split_a") != F.col("split_b"))
+           .select("id_a", "id_b", "jaccard", "split_a", "split_b"))
+    return _attach_cached(out, *getattr(pairs, "_zc_cached", ()))

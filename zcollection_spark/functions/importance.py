@@ -1,0 +1,139 @@
+"""Importance-weighted data selection (DSIR-style).
+
+Data Selection via Importance Resampling (Xie et al. 2023) selects
+pretraining documents whose token distribution resembles a TARGET
+corpus (a high-quality seed set): each document gets an importance
+weight — its likelihood ratio under bag-of-words unigram language
+models of the target vs. the source corpus — and documents are sampled
+WITHOUT replacement with probability proportional to the softmax of
+those weights.  The published recipe hashes n-grams into buckets; on a
+whitespace-tokenized corpus the plain unigram form below is the same
+estimator with an exact vocabulary.
+
+Scale design — two passes over the corpus, nothing driver-side:
+
+1. two map-side-combined groupBys build the source and target unigram
+   count tables (|vocab| rows each, not |corpus|), full-outer-joined
+   into one smoothed log-ratio table;
+2. the corpus token rows equi-join that table (AQE broadcasts a small
+   vocabulary; at web scale it is a shuffle join on the token key)
+   and re-aggregate per document — the same shape as
+   ``text.unigram_stats``;
+3. resampling is the Gumbel top-k device: adding an i.i.d. Gumbel draw
+   to each log-weight and taking the global top-k IS sampling without
+   replacement from the softmax distribution (Vieira 2014) — and the
+   Gumbel comes from the repo's deterministic md5 uniform
+   (``sampling.uniform_draw``), so the SAMPLE is a pure function of
+   (corpus, target, salt): reproducible across engines, cluster sizes
+   and insertion orders, exactly like ``hash_split``.  The global
+   top-k is ``orderBy().limit(k)`` — Spark's TakeOrdered, a
+   per-partition partial top-k merged on the driver, k-bounded.
+
+``ln`` is the one non-IEEE-exact operation (1 ulp in both engines);
+log-weights and Gumbel keys are rounded (default 6 dp) before any
+ranking or hashing, the same device the BM25/cosine families use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _attach_cached
+from .sampling import uniform_draw
+from .text import words
+
+
+def importance_weights(corpus: DataFrame, target: DataFrame, *,
+                       id_col: str, text_col: str = "text",
+                       target_text_col: str | None = None,
+                       round_to: int = 6) -> DataFrame:
+    """Per-document DSIR importance weight: the bag-of-words
+    log-likelihood ratio of the document under add-one-smoothed unigram
+    models of ``target`` vs. ``corpus``.
+
+    Returns one row per corpus document: ``(id_col, n_tokens,
+    log_weight)`` where ``log_weight = Σ_tokens ln(p̂_target(w) /
+    p̂_corpus(w))`` with both models smoothed over the UNION vocabulary
+    (so every corpus token has a finite ratio even when absent from the
+    target).  High = the document reads like the target distribution;
+    the weight is length-coupled by construction (a long on-target
+    document outweighs a short one), which is the paper's estimator —
+    normalize by ``n_tokens`` downstream if a per-token score is
+    wanted.
+
+    The smoothed ratio is computed as one ``ln`` of exact double
+    products (``(c_t+1)·(T_s+V)`` vs ``(c_s+1)·(T_t+V)``) per VOCAB
+    row, not per token occurrence; the per-document sum is rounded to
+    ``round_to`` dp.  The vocab table is persisted (it feeds the
+    scalar totals and the per-token join) and attached under the
+    dedup-family cache contract — release with
+    ``unpersist_intermediates`` / ``released``.
+    """
+    if round_to < 0:
+        raise ValueError("round_to must be >= 0")
+    src_tok = corpus.select(F.col(id_col),
+                            F.explode(words(text_col)).alias("__tok"))
+    tgt_tok = target.select(
+        F.explode(words(target_text_col or text_col)).alias("__tok"))
+    c_s = src_tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cs"))
+    c_t = tgt_tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__ct"))
+    vocab = (c_s.join(c_t, on="__tok", how="full")
+             .select(F.col("__tok"),
+                     F.coalesce("__cs", F.lit(0)).alias("__cs"),
+                     F.coalesce("__ct", F.lit(0)).alias("__ct"))
+             ).persist()
+    # scalar totals reduce from the (small) vocab table; joined back
+    # via a broadcast cross join — no collect, no driver round-trip
+    scal = vocab.agg(F.count(F.lit(1)).cast("double").alias("__v"),
+                     F.sum("__cs").cast("double").alias("__ts"),
+                     F.sum("__ct").cast("double").alias("__tt"))
+    lr = (vocab.crossJoin(F.broadcast(scal))
+          .select("__tok",
+                  (F.log((F.col("__ct") + F.lit(1.0))
+                         * (F.col("__ts") + F.col("__v")))
+                   - F.log((F.col("__cs") + F.lit(1.0))
+                           * (F.col("__tt") + F.col("__v"))))
+                  .alias("__lr")))
+    out = (src_tok.join(lr, on="__tok")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.round(F.sum("__lr"), round_to).alias("log_weight")))
+    return _attach_cached(out, vocab)
+
+
+def importance_resample(corpus: DataFrame, target: DataFrame, *,
+                        id_col: str, k: int, text_col: str = "text",
+                        target_text_col: str | None = None,
+                        salt: str = "", round_to: int = 6) -> DataFrame:
+    """Gumbel top-``k`` importance resampling: ``k`` corpus documents
+    drawn WITHOUT replacement with probability ∝ exp(log_weight) —
+    the DSIR selection step, made deterministic.
+
+    Each document's key is ``log_weight + Gumbel(u)`` with
+    ``Gumbel(u) = -ln(-ln(u))`` and ``u`` the md5 uniform of
+    ``(id, salt)`` — the standard Gumbel-max construction, so the
+    top-``k`` by key is an exact softmax sample, yet a pure function
+    of the inputs (change ``salt`` to redraw).  Returns
+    ``(id_col, n_tokens, log_weight, gumbel_key, rank)``, rank
+    1-based by descending key with ties broken by ascending id.
+
+    The uniform is clamped away from 0 (probability 16⁻¹⁵ per row)
+    so the double ``ln`` never produces ±inf; keys are rounded before
+    ranking for the cross-engine replay contract.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = importance_weights(corpus, target, id_col=id_col,
+                           text_col=text_col,
+                           target_text_col=target_text_col,
+                           round_to=round_to)
+    u = F.greatest(uniform_draw(id_col, salt), F.lit(1e-15))
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), round_to)
+    order = [F.col("gumbel_key").desc(), F.col(id_col).asc()]
+    top = (w.withColumn("gumbel_key", key)
+           .orderBy(*order).limit(k))
+    # the rank window runs over the k survivors only (k-bounded)
+    out = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)))
+    return _attach_cached(out, *getattr(w, "_zc_cached", ()))

@@ -226,3 +226,50 @@ def rrf_fuse(ranked: list[DataFrame], *, id_col: str,
             raise ValueError("topk must be >= 1")
         out = out.where(F.col("rank") <= topk)
     return out
+
+
+def tfidf_topk(corpus: DataFrame, *, id_col: str, text_col: str,
+               k: int = 10, round_to: int = 6) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    — the classic sparse document representation (keyword extraction,
+    topic labeling, cluster naming, index-time term selection).
+
+    Returns ``(id_col, term, tf, score, rank)``: ``tf`` the exact
+    in-document term count, ``score = tf · (ln((N+1)/(df+1)) + 1)``
+    (the sklearn ``smooth_idf`` form — never negative, never a zero
+    divide), rounded to ``round_to`` dp BEFORE ranking; ``rank``
+    1-based per document by descending score with ties broken by
+    ascending term, so the result is a pure function of the corpus.
+
+    Scale shape: one explode → groupBy(doc, term) builds the tf table
+    (the only pass over full text, map-side combined); document
+    frequencies reduce from that table (|vocab| rows); N reduces from
+    the df rows and rides a broadcast cross join.  The top-k window
+    partitions by DOCUMENT — per-group row count is bounded by the
+    document's distinct-term count, never by the corpus, so no salt
+    stage is needed (unlike the per-query windows in ``bm25_topk``
+    where one query can match half the corpus).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if round_to < 0:
+        raise ValueError("round_to must be >= 0")
+    tok = corpus.select(F.col(id_col),
+                        F.explode(words(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = (tf.select(id_col).distinct()
+              .agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    scored = (tf.join(dfreq, on="term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.round(
+                  F.col("tf") * (F.log((F.col("__n") + F.lit(1.0))
+                                       / (F.col("__df") + F.lit(1.0)))
+                                 + F.lit(1.0)), round_to)))
+    return (scored
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy(id_col)
+                .orderBy(F.col("score").desc(), F.col("term").asc())))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "score", "rank"))
