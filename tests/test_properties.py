@@ -719,3 +719,91 @@ def test_winnow_guarantee_property(spark, data):
     for r in fps.collect():
         by_doc[r["doc_id"]].add(r["fp"])
     assert by_doc[0] & by_doc[1]
+
+
+# -- round-14 batch: python-reference replays on arbitrary corpora ---------
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_importance_weights_matches_python_reference_property(spark, data):
+    """importance_weights == the Counter-based DSIR log-ratio on
+    arbitrary small-vocab corpora with an arbitrary target subset
+    (small vocab forces heavy count collisions; the target can be any
+    slice, including nearly-all or a single doc)."""
+    import math
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from zcollection_spark.functions import (importance_weights,
+                                             unpersist_intermediates)
+    rows = _word_docs(data)
+    tgt_mod = data.draw(st.integers(2, 4))
+    target = [t for i, t in rows if i % tgt_mod == 0]
+    cs, ct = Counter(), Counter()
+    for _, t in rows:
+        cs.update(t.split())
+    for t in target:
+        ct.update(t.split())
+    vocab = set(cs) | set(ct)
+    v, ts, tt = float(len(vocab)), float(sum(cs.values())), \
+        float(sum(ct.values()))
+    lr = {w: math.log((ct[w] + 1.0) * (ts + v))
+          - math.log((cs[w] + 1.0) * (tt + v)) for w in vocab}
+    exp = {i: (len(t.split()), sum(lr[w] for w in t.split()))
+           for i, t in rows}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = importance_weights(df, df.where(F.col("doc_id") % tgt_mod == 0),
+                             id_col="doc_id")
+    got = {r["doc_id"]: (r["n_tokens"], r["log_weight"])
+           for r in out.collect()}
+    unpersist_intermediates(out)
+    assert set(got) == set(exp)
+    for i, (n, w) in exp.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(w, abs=2e-6)
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_split_leakage_matches_python_reference_property(spark, data):
+    """split_leakage == set-based Jaccard pairs x hashlib md5 splits on
+    arbitrary small-vocab corpora (guard disabled via max_df above the
+    corpus size)."""
+    import hashlib
+    from zcollection_spark.functions import (split_leakage,
+                                             unpersist_intermediates)
+    n = data.draw(st.integers(1, 3))
+    thr = data.draw(st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+    rows = _word_docs(data)
+
+    def shingles(t):
+        ws = t.split()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+
+    def py_split(doc_id):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15],
+                16) / 16.0 ** 15
+        return "train" if u < 0.5 else "val" if u < 0.75 else "test"
+
+    exp = {}
+    sh = {i: shingles(t) for i, t in rows}
+    for i, _ in rows:
+        for j, _ in rows:
+            if i < j and sh[i] and sh[j]:
+                inter = len(sh[i] & sh[j])
+                uni = len(sh[i] | sh[j])
+                jac = inter / uni
+                if jac >= thr and py_split(i) != py_split(j):
+                    exp[(i, j)] = (round(jac, 12), py_split(i),
+                                   py_split(j))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage(df, id_col="doc_id", text_col="text",
+                        splits={"train": 0.5, "val": 0.25,
+                                "test": 0.25},
+                        shingle_size=n, threshold=thr, max_df=10_000)
+    got = {(r["id_a"], r["id_b"]): (round(r["jaccard"], 12),
+                                    r["split_a"], r["split_b"])
+           for r in out.collect()}
+    unpersist_intermediates(out)
+    assert got == exp
