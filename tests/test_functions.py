@@ -1871,3 +1871,60 @@ def test_split_leakage_flags_only_cross_split_near_dups(spark):
     # sanity: the fixture actually exercises both outcomes (at least
     # one leaking pair and at least one same-split pair)
     assert 0 < len(exp) < len(base)
+
+
+def test_materialize_dir_swaps_persist_for_parquet_tables(spark, docs,
+                                                          tmp_path):
+    """With `dedup.materialize_dir` set, the wide shared intermediates
+    become write-once parquet tables under the directory (no cached
+    RDDs), results are IDENTICAL to the persist path, and release
+    deletes the tables — the documented 100-TB posture made real."""
+    from zcollection_spark import config
+    from zcollection_spark.functions import (cached_intermediates,
+                                             ngram_jaccard_pairs,
+                                             unpersist_intermediates)
+    from zcollection_spark.functions.dedup import (lsh_candidate_pairs,
+                                                   minhash_signatures)
+
+    def lsh_pairs():
+        sigs = minhash_signatures(docs, id_col="doc_id",
+                                  text_col="text", shingle_size=3)
+        return lsh_candidate_pairs(sigs, id_col="doc_id")
+
+    def jac_pairs():
+        return ngram_jaccard_pairs(docs, id_col="doc_id",
+                                   text_col="text", shingle_size=3,
+                                   threshold=0.3, max_df=100)
+
+    base_lsh = lsh_pairs()
+    base_jac = jac_pairs()
+    exp_lsh = {(r["id_a"], r["id_b"]) for r in base_lsh.collect()}
+    exp_jac = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+               for r in base_jac.collect()}
+    unpersist_intermediates(base_lsh)
+    unpersist_intermediates(base_jac)
+
+    jsc = spark.sparkContext._jsc.sc()
+    base_rdds = jsc.getPersistentRDDs().size()
+    mat = tmp_path / "intermediates"
+    mat.mkdir()
+    with config.override(**{"dedup.materialize_dir": str(mat)}):
+        p1, p2 = lsh_pairs(), jac_pairs()
+        got_lsh = {(r["id_a"], r["id_b"]) for r in p1.collect()}
+        got_jac = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                   for r in p2.collect()}
+    assert got_lsh == exp_lsh and got_jac == exp_jac
+    tables = sorted(mat.glob("zc-intermediate-*"))
+    # lsh banding + jaccard raw expansion + guarded expansion
+    assert len(tables) >= 3
+    # only the (small, counted) stop list still persists as a cache
+    assert jsc.getPersistentRDDs().size() <= base_rdds + 1
+    # the audit sees live table handles; release DELETES the tables
+    assert len(cached_intermediates(p1)) >= 1
+    assert len(cached_intermediates(p2)) >= 2
+    unpersist_intermediates(p1)
+    unpersist_intermediates(p2)
+    assert cached_intermediates(p1) == []
+    assert cached_intermediates(p2) == []
+    assert list(mat.glob("zc-intermediate-*")) == []
+    assert jsc.getPersistentRDDs().size() == base_rdds

@@ -58,6 +58,11 @@ _DEFAULTS: dict[str, Any] = {
     "similarity.broadcast_rows_cap": 1_000_000,  # dup-pairs method="broadcast"
     "insert.partition_key_cap": 100_000,         # distinct keys per insert
     "retrieval.broadcast_terms_cap": 1_000_000,  # bm25 (query, term) rows
+    # wide dedup-family intermediates (shingle/band/span expansions):
+    # None -> persist() (single-job default); a path -> write-once
+    # parquet tables under it, read back, DELETED on release (the
+    # multi-job / executor-loss-resilient posture for 100-TB runs)
+    "dedup.materialize_dir": None,
 }
 
 _config: dict[str, Any] = dict(_DEFAULTS)

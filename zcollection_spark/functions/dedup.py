@@ -70,6 +70,64 @@ def _attach_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+class _MaterializedHandle:
+    """Release handle for a parquet-materialized intermediate: quacks
+    like a persisted DataFrame for `unpersist_intermediates` /
+    `cached_intermediates` (``unpersist()`` deletes the table;
+    ``storageLevel`` reads DISK_ONLY until released)."""
+
+    def __init__(self, frame: DataFrame, path: str):
+        self._frame, self._path, self._released = frame, path, False
+
+    @property
+    def storageLevel(self):
+        from pyspark import StorageLevel
+        return (StorageLevel.NONE if self._released
+                else StorageLevel.DISK_ONLY)
+
+    def unpersist(self, blocking: bool = False):
+        if not self._released:
+            spark = self._frame.sparkSession
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(self._path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+            self._released = True
+        return self
+
+
+def _pin_wide(df: DataFrame) -> tuple[DataFrame, object]:
+    """Materialize a WIDE shared intermediate (a shingle/band/span
+    expansion that feeds several downstream branches — Spark has no
+    cross-branch CSE, so it must be computed once).
+
+    Default: ``persist()`` — right for a single-job run, where the
+    executors that wrote the blocks are the ones that re-read them.
+    With config ``dedup.materialize_dir`` set, the frame is instead
+    written ONCE as a parquet table under that directory and read
+    back — the 100-TB posture the family docstrings promise: lineage
+    truncation (a re-run branch re-reads the table instead of
+    re-exploding the corpus), resilience to executor loss (cached
+    blocks die with their executor mid-job; a table does not), and an
+    intermediate that outlives the session for multi-job pipelines.
+    Either way the returned handle releases through the SAME caller
+    contract (``unpersist_intermediates`` / ``released``) — for the
+    table form, release DELETES the table.
+
+    Returns ``(frame_to_build_on, release_handle)``.
+    """
+    from .. import config
+    root = config.get("dedup.materialize_dir")
+    if not root:
+        p = df.persist()
+        return p, p
+    import uuid
+    path = f"{str(root).rstrip('/')}/zc-intermediate-{uuid.uuid4().hex}"
+    df.write.parquet(path)
+    frame = df.sparkSession.read.parquet(path)
+    return frame, _MaterializedHandle(frame, path)
+
+
 def cached_intermediates(df: DataFrame) -> list[DataFrame]:
     """The intermediate frames a dedup-family result still holds
     persisted — empty once :func:`unpersist_intermediates` (or the
@@ -196,7 +254,7 @@ def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str,
     # both sides of the self-join read the banding — materialize once so
     # the signature aggregation (explode + k min-aggs) runs a single
     # time; released by the caller via unpersist_intermediates()
-    banded = banded.persist()
+    banded, handle = _pin_wide(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     return _attach_cached(
@@ -204,7 +262,7 @@ def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str,
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"))
-        .distinct(), banded)
+        .distinct(), handle)
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +415,8 @@ def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
         id_col, "simhash",
         F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "simhash", F.col("bb.band").alias("band"),
-             F.col("bb.bval").alias("bval")).persist()
+             F.col("bb.bval").alias("bval"))
+    banded, handle = _pin_wide(banded)
     if salt_buckets > 1:
         salt = (md5_long(F.col(id_col).cast("string"))
                 % F.lit(salt_buckets)).cast("int")
@@ -400,7 +459,7 @@ def simhash_duplicate_pairs(df: DataFrame, *, id_col: str, text_col: str,
         .where(hamming <= max_hamming)
         .where(first_match)
         .select(F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b")), banded)
+                F.col(f"r.{id_col}").alias("id_b")), handle)
 
 
 # ---------------------------------------------------------------------------
@@ -474,12 +533,13 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str, text_col: str,
         cached.extend(guard_handles)
     # the (filtered) shingle expansion feeds every downstream branch
     # (frequency order, prefix join sides, verification sets); Spark has
-    # no cross-branch CSE, so materialize it once.  At 100 TB the
-    # persists become explicit intermediate parquet tables.  Handles
-    # ride the result for `unpersist_intermediates` (the r9 caller
-    # contract, same as the minhash/simhash families).
-    sh = sh.persist()
-    cached.append(sh)
+    # no cross-branch CSE, so materialize it once — persist() by
+    # default, or an explicit parquet intermediate under
+    # `dedup.materialize_dir` (the 100-TB posture; see _pin_wide).
+    # Handles ride the result for `unpersist_intermediates` (the r9
+    # caller contract, same as the minhash/simhash families).
+    sh, _h = _pin_wide(sh)
+    cached.append(_h)
     if prefix_filter is None:
         prefix_filter = max_df is None   # unbounded vocab -> prefix
     if not prefix_filter:
@@ -557,7 +617,9 @@ def _stop_shingle_guard(
     already-persisted raw expansion); past the cap the anti-join runs
     as a plain shuffled join, which always completes.
     """
-    sh = sh.persist()
+    sh, sh_h = _pin_wide(sh)
+    # the stop list is vocab-tail-sized, counted, and (when small)
+    # broadcast — persist() is right for it at any scale
     stop = (sh.groupBy("__sh")
             .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") > max_df)
@@ -565,7 +627,7 @@ def _stop_shingle_guard(
     n_stop = stop.limit(_STOP_BROADCAST_CAP + 1).count()
     drop = (F.broadcast(stop) if n_stop <= _STOP_BROADCAST_CAP
             else stop)
-    return sh.join(drop, on="__sh", how="left_anti"), [sh, stop]
+    return sh.join(drop, on="__sh", how="left_anti"), [sh_h, stop]
 
 
 def _shared_shingle_counts(sh: DataFrame, *, id_col: str) -> DataFrame:
@@ -671,7 +733,8 @@ def duplicated_span_stats(df: DataFrame, *, id_col: str = "doc_id",
     spans = eligible.select(
         F.col(id_col),
         F.explode(F.transform(word_shingles(text_col, n), F.md5))
-        .alias("__span")).persist()
+        .alias("__span"))
+    spans, spans_h = _pin_wide(spans)
     dup = (spans.select(id_col, "__span").distinct()
            .groupBy("__span")
            .agg(F.count(F.lit(1)).alias("__ndocs"))
@@ -688,7 +751,7 @@ def duplicated_span_stats(df: DataFrame, *, id_col: str = "doc_id",
                 .alias("n_dup_spans"),
                 (F.coalesce(F.col("__ndup"), F.lit(0.0))
                  .cast("double") / F.col("n_spans").cast("double"))
-                .alias("dup_ratio")), spans)
+                .alias("dup_ratio")), spans_h)
 
 
 def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
@@ -743,7 +806,8 @@ def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
              .select(F.col(id_col),
                      F.posexplode(
                          F.transform(word_shingles(text_col, n), F.md5))
-                     .alias("__s", "__h"))).persist()
+                     .alias("__s", "__h")))
+    spans, spans_h = _pin_wide(spans)
     dup = (spans.select(id_col, "__h").distinct()
            .groupBy("__h").agg(F.count(F.lit(1)).alias("__ndocs"))
            .where(F.col("__ndocs") >= 2).select("__h"))
@@ -784,7 +848,7 @@ def drop_duplicated_spans(df: DataFrame, *, id_col: str = "doc_id",
             F.transform(kept,
                         lambda j: F.element_at("__toks", j + 1)),
             " "))
-        .drop("__toks", "__ss"), spans)
+        .drop("__toks", "__ss"), spans_h)
 
 
 def ngram_containment_pairs(df: DataFrame, *, id_col: str,
@@ -829,8 +893,8 @@ def ngram_containment_pairs(df: DataFrame, *, id_col: str,
             word_shingles(text_col, shingle_size))).alias("__sh"))
     sh, handles = _stop_shingle_guard(sh, max_df)
     # the guarded expansion feeds sizes AND both self-join sides
-    sh = sh.persist()
-    handles.append(sh)
+    sh, _h = _pin_wide(sh)
+    handles.append(_h)
     c_ab = F.col("__shared").cast("double") / F.col("__na")
     c_ba = F.col("__shared").cast("double") / F.col("__nb")
     return _attach_cached(

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _attach_cached
+from .dedup import _attach_cached, _pin_wide
 from .sampling import uniform_draw
 from .text import words
 
@@ -78,11 +78,14 @@ def importance_weights(corpus: DataFrame, target: DataFrame, *,
         F.explode(words(target_text_col or text_col)).alias("__tok"))
     c_s = src_tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cs"))
     c_t = tgt_tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__ct"))
-    vocab = (c_s.join(c_t, on="__tok", how="full")
-             .select(F.col("__tok"),
-                     F.coalesce("__cs", F.lit(0)).alias("__cs"),
-                     F.coalesce("__ct", F.lit(0)).alias("__ct"))
-             ).persist()
+    # the vocab table feeds the scalar totals AND the per-token join;
+    # it grows with the vocabulary (Heaps' law), so it pins through
+    # the family materialization knob like the shingle expansions
+    vocab, vocab_h = _pin_wide(
+        c_s.join(c_t, on="__tok", how="full")
+        .select(F.col("__tok"),
+                F.coalesce("__cs", F.lit(0)).alias("__cs"),
+                F.coalesce("__ct", F.lit(0)).alias("__ct")))
     # scalar totals reduce from the (small) vocab table; joined back
     # via a broadcast cross join — no collect, no driver round-trip
     scal = vocab.agg(F.count(F.lit(1)).cast("double").alias("__v"),
@@ -99,7 +102,7 @@ def importance_weights(corpus: DataFrame, target: DataFrame, *,
            .groupBy(id_col)
            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                 F.round(F.sum("__lr"), round_to).alias("log_weight")))
-    return _attach_cached(out, vocab)
+    return _attach_cached(out, vocab_h)
 
 
 def importance_resample(corpus: DataFrame, target: DataFrame, *,
