@@ -488,6 +488,10 @@ def main() -> None:
         @timed("split_leakage")
         def _():
             _consume(eq.q_split_leakage(spark, sf_dir))
+
+        @timed("lm_buckets")
+        def _():
+            _consume(eq.q_lm_buckets(spark, sf_dir))
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

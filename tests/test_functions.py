@@ -1928,3 +1928,60 @@ def test_materialize_dir_swaps_persist_for_parquet_tables(spark, docs,
     assert cached_intermediates(p2) == []
     assert list(mat.glob("zc-intermediate-*")) == []
     assert jsc.getPersistentRDDs().size() == base_rdds
+
+
+def test_lm_quality_buckets_matches_python_reference(spark):
+    """lm_quality_buckets == a Counter-based bigram-LM + exact
+    interpolated-percentile replay, including the boundary ties
+    (scores AT a rounded boundary go to the lower bucket)."""
+    import math
+    from collections import Counter
+    from zcollection_spark.functions import lm_quality_buckets
+    rng = np.random.RandomState(23)
+    vocab = ["b%d" % i for i in range(6)]
+    corpus = {i: " ".join(rng.choice(vocab, size=rng.randint(2, 18)))
+              for i in range(50)}
+    corpus[90] = "solo"                       # <2 tokens: absent
+    cdf = spark.createDataFrame(list(corpus.items()),
+                                "doc_id long, text string")
+    got = {r["doc_id"]: (r["lm_score"], r["bucket"])
+           for r in lm_quality_buckets(cdf, id_col="doc_id",
+                                       text_col="text").collect()}
+    # reference scores
+    cb, cu = Counter(), Counter()
+    pairs = {}
+    for i, t in corpus.items():
+        ws = t.split()
+        pairs[i] = [(ws[j], ws[j] + " " + ws[j + 1])
+                    for j in range(len(ws) - 1)]
+        for w1, pr in pairs[i]:
+            cb[pr] += 1
+            cu[w1] += 1
+    scores = {i: round(sum(cb[pr] / cu[w1] for w1, pr in ps)
+                       / len(ps), 6)
+              for i, ps in pairs.items() if ps}
+
+    def pct(vals, p):
+        vs = sorted(vals)
+        pos = (len(vs) - 1) * p
+        lo, hi = math.floor(pos), math.ceil(pos)
+        return round(vs[lo] * (hi - pos) + vs[hi] * (pos - lo), 6) \
+            if lo != hi else round(vs[lo], 6)
+
+    b1 = pct(scores.values(), 1 / 3)
+    b2 = pct(scores.values(), 2 / 3)
+    exp = {i: (s, "tail" if s <= b1 else "middle" if s <= b2
+               else "head") for i, s in scores.items()}
+    assert got == exp
+    assert 90 not in got
+    # all three buckets occupied, tail scores <= head scores
+    labs = {b for _, b in got.values()}
+    assert labs == {"tail", "middle", "head"}
+    assert (max(s for s, b in got.values() if b == "tail")
+            <= min(s for s, b in got.values() if b == "head"))
+    with pytest.raises(ValueError, match="labels"):
+        lm_quality_buckets(cdf, id_col="doc_id", text_col="text",
+                           labels=("a", "b"))
+    with pytest.raises(ValueError, match="cuts"):
+        lm_quality_buckets(cdf, id_col="doc_id", text_col="text",
+                           cuts=(0.9, 0.1), labels=("a", "b", "c"))

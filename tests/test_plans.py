@@ -693,3 +693,20 @@ def test_split_leakage_bounded_join_guarded(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan          # the max_df stop-shingle guard
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lm_buckets_no_global_sort_funnel(spark):
+    """Quality buckets: the percentile boundary is ONE aggregate row
+    broadcast back — no global Sort/Window funnel of the corpus, no
+    cartesian beyond the one-row broadcast NLJ, no Python."""
+    plan = executed_plan(eq.q_lm_buckets(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    nlj = [ln for ln in final_plan(plan).splitlines()
+           if "NestedLoopJoin" in ln]
+    assert all("Broadcast" in ln for ln in nlj), nlj
+    # the per-doc score aggregation is map-side combined; the corpus
+    # never funnels through a single-partition global Window
+    assert "Window" not in final_plan(plan)
+    assert "partial_count" in plan or "partial_sum" in plan

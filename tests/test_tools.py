@@ -76,7 +76,7 @@ def test_registry_window_invariant():
     # totals in the queries() header comment rotted in r8 ("all 66")
     # and again in r9 ("all 71"), so adding a query now forces this
     # pin — and with it the rotation ledger — to be updated.
-    assert len(names) == 92, len(names)
+    assert len(names) == 93, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
     # round-14 rotation (executes the r13 ledger + the r13 verdict's
     # pull-forward and stale-tail directives): the twenty r13
@@ -111,7 +111,7 @@ def test_registry_window_invariant():
         "unigram_stats", "bigram_lm", "span_scrub",
         "bm25_retrieval", "hybrid_rrf", "winnow_fingerprint",
         # NEW r14, born out-of-window; promote in r15
-        "dsir_sample", "tfidf_topk", "split_leakage"}
+        "dsir_sample", "tfidf_topk", "split_leakage", "lm_buckets"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     # every operator promoted/returned by the r13 ledger (and the
     # verdict's pull-forward + tail cycle) must actually be in-window

@@ -3125,6 +3125,43 @@ WHERE a.split != b.split
 """
 
 
+
+def q_lm_buckets(spark, sf_dir):
+    """CCNet-style corpus quality buckets (NEW r14): head/middle/tail
+    by corpus-bigram-LM score quantiles (Wenzek et al. 2020 bucket by
+    KenLM perplexity and train on the head) — exact percentile
+    boundaries, 6-dp-rounded, broadcast back and compared per row;
+    never a global sort/ntile funnel
+    (functions/text.py:lm_quality_buckets)."""
+    from .functions.text import lm_quality_buckets
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_quality_buckets(docs, id_col="doc_id", text_col="text") \
+        .select("doc_id", "lm_score", "bucket")
+
+
+ORACLE_LM_BUCKETS = rf"""
+WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
+pairs AS (SELECT doc_id,
+            w[gs] AS w1, w[gs] || ' ' || w[gs+1] AS pair
+          FROM w, UNNEST(generate_series(1, len(w) - 1)) t(gs)
+          WHERE len(w) >= 2),
+cb AS (SELECT pair, count(*) AS cb FROM pairs GROUP BY pair),
+cu AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY w1),
+scored AS (SELECT doc_id,
+                  round(avg(CAST(cb AS DOUBLE) / cu), 6) AS lm_score
+           FROM pairs JOIN cb USING (pair) JOIN cu USING (w1)
+           GROUP BY doc_id),
+bounds AS (SELECT round(quantile_cont(lm_score, {1/3!r}), 6) AS b1,
+                  round(quantile_cont(lm_score, {2/3!r}), 6) AS b2
+           FROM scored)
+SELECT doc_id, lm_score,
+       CASE WHEN lm_score <= b1 THEN 'tail'
+            WHEN lm_score <= b2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scored, bounds
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
@@ -3181,8 +3218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (shuffle_shards, embedding_quantize, dedup_semantic,
     # unigram_stats, bigram_lm, span_scrub, bm25_retrieval, hybrid_rrf,
     # winnow_fingerprint) along with the three r14-born ops
-    # (dsir_sample, tfidf_topk, split_leakage — twelve promotions
-    # total), and the stale-tail cycle continues with 2-3 of the five
+    # (dsir_sample, tfidf_topk, split_leakage, lm_buckets —
+    # thirteen promotions total), and the stale-tail cycle continues with 2-3 of the five
     # remaining r02-r04 rows (order_priority_counts +
     # returned_item_losses next) = 39-40 slots.  Free them by sitting
     # out the twenty rows returning this round plus the three r14
@@ -3302,12 +3339,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         # NEW r14, born out-of-window (the r14 window executed the r13
         # ledger): DSIR importance resampling, per-document TF-IDF
-        # top-k terms, and cross-split near-dup leakage.
+        # top-k terms, cross-split near-dup leakage, and CCNet-style
+        # LM quality buckets.
         # check_oracle-gated at sf0.01 AND sf1; promote r15 alongside
         # the nine r13 holdovers per the ledger above.
         "dsir_sample": q_dsir_sample,
         "tfidf_topk": q_tfidf_topk,
         "split_leakage": q_split_leakage,
+        "lm_buckets": q_lm_buckets,
     }
 
 
@@ -3418,6 +3457,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "dsir_sample": ORACLE_DSIR_SAMPLE,
         "tfidf_topk": ORACLE_TFIDF_TOPK,
         "split_leakage": ORACLE_SPLIT_LEAKAGE,
+        "lm_buckets": ORACLE_LM_BUCKETS,
     }
     try:
         # duckdb imported inside the guard: its absence degrades the

@@ -24,9 +24,9 @@ from .similarity import (cosine_similarity_col, brute_force_topk,
                          lsh_bucket_topk, suggest_ivf_config,
                          suggest_lsh_config, suggest_lsh_planes)
 from .text import (bigram_lm_score, chunk_documents, fingerprint,
-                   language_id, pack_sequences, text_stats, token_count,
-                   unigram_stats, winnow_fingerprints, word_shingles,
-                   words)
+                   language_id, lm_quality_buckets, pack_sequences,
+                   text_stats, token_count, unigram_stats,
+                   winnow_fingerprints, word_shingles, words)
 from .retrieval import bm25_scores, bm25_topk, rrf_fuse, tfidf_topk
 from .importance import importance_resample, importance_weights
 from .curation import (contamination, quality_filter,
@@ -54,6 +54,7 @@ __all__ = [
     "write_ivfpq_index", "query_ivfpq_index",
     "fingerprint", "language_id", "text_stats", "token_count",
     "unigram_stats", "word_shingles", "words", "chunk_documents",
+    "lm_quality_buckets",
     "pack_sequences", "bigram_lm_score", "bm25_scores", "bm25_topk",
     "rrf_fuse", "winnow_fingerprints", "tfidf_topk",
     "importance_weights", "importance_resample", "split_leakage",

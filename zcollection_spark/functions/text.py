@@ -417,3 +417,58 @@ def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
     ).otherwise(F.array(F.array_min("__h")))
     return (hashes.select(F.col(id_col), F.explode(mins).alias("fp"))
             .distinct())
+
+
+def lm_quality_buckets(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       cuts: tuple = (1 / 3, 2 / 3),
+                       labels: tuple = ("tail", "middle", "head"),
+                       rare_max_count: int = 2) -> DataFrame:
+    """CCNet-style corpus quality buckets: split the corpus into
+    head / middle / tail by language-model score quantiles (Wenzek et
+    al. 2020 bucket Common Crawl by KenLM perplexity and train on the
+    head; the bucket label is the standard mixing/curriculum knob).
+    The LM is :func:`bigram_lm_score`'s corpus-trained conditional
+    model — ``mean_cond_p`` is monotone-inverse to perplexity, so
+    ``head`` = highest scores = most corpus-typical.
+
+    Returns one row per document with ≥ 2 tokens:
+    ``(id_col, lm_score, bucket)`` where ``bucket`` is
+    ``labels[i]`` for scores ≤ the ``cuts[i]`` quantile boundary
+    (first match wins; the last label catches the rest).  Quantile
+    boundaries are EXACT percentiles of the rounded score
+    distribution with linear interpolation, ROUNDED to 6 dp before
+    comparison: Spark's ``percentile`` computes
+    ``a·(h−pos) + b·(pos−l)`` where DuckDB's ``quantile_cont``
+    computes ``a + frac·(b−a)`` — algebraically equal, not
+    bit-identical, so the raw boundary can differ by 1 ulp; rounding
+    both collapses the difference and assignment replays
+    bit-identically against the 6-dp score grid.
+
+    Scale shape: the bigram-LM pipeline (two vocab-sized groupBys +
+    one pair-key join), then ONE exact-percentile aggregate over the
+    per-document scores (map-side partial collection, |docs| rows in,
+    one row out — never a global sort of the corpus) broadcast back
+    via a cross join.  A global ``orderBy`` + ntile would funnel the
+    corpus through one task; the boundary-comparison form touches
+    each row once.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("labels must have exactly len(cuts) + 1 "
+                         "entries (one per quantile slice)")
+    if list(cuts) != sorted(cuts) or not all(0 < c < 1 for c in cuts):
+        raise ValueError("cuts must be strictly increasing, in (0, 1)")
+    scored = bigram_lm_score(df, id_col=id_col, text_col=text_col,
+                             rare_max_count=rare_max_count) \
+        .select(id_col, F.col("mean_cond_p").alias("lm_score"))
+    bounds = scored.agg(F.transform(
+        F.percentile("lm_score", F.lit([float(c) for c in cuts])),
+        lambda b: F.round(b, 6)).alias("__b"))
+    expr = None
+    for i, lab in enumerate(labels[:-1]):
+        cond = F.col("lm_score") <= F.element_at("__b", i + 1)
+        expr = (F.when(cond, F.lit(lab)) if expr is None
+                else expr.when(cond, F.lit(lab)))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return (scored.crossJoin(F.broadcast(bounds))
+            .select(id_col, "lm_score", expr.alias("bucket")))
