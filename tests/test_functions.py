@@ -1985,3 +1985,48 @@ def test_lm_quality_buckets_matches_python_reference(spark):
     with pytest.raises(ValueError, match="cuts"):
         lm_quality_buckets(cdf, id_col="doc_id", text_col="text",
                            cuts=(0.9, 0.1), labels=("a", "b", "c"))
+
+
+def test_suggest_minhash_config_is_the_scurve_argmin():
+    """The returned (bands, rows) minimizes the weighted FP+FN mass of
+    1-(1-s^r)^b over ALL factorizations (brute-force replay), the knee
+    tracks the threshold, and recall-weighting widens the bands."""
+    from zcollection_spark.functions import suggest_minhash_config
+
+    def masses(bands, rows, t, steps=1000):
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** rows) ** bands
+            if s < t:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        return fp, fn
+
+    for t in (0.3, 0.5, 0.8):
+        got = suggest_minhash_config(t, 16)
+        assert got["bands"] * got["rows"] == 16
+        best = min(((0.5 * sum(masses(b, 16 // b, t)), b)
+                    for b in range(1, 17) if 16 % b == 0))
+        assert got["bands"] == best[1]
+        fp, fn = masses(got["bands"], got["rows"], t)
+        assert got["fp_mass"] == pytest.approx(fp)
+        assert got["fn_mass"] == pytest.approx(fn)
+    # a recall-heavy weighting never narrows the bands (more bands =
+    # more candidate chances = fewer false negatives)
+    bal = suggest_minhash_config(0.8, 16)
+    recall = suggest_minhash_config(0.8, 16, fp_weight=0.1,
+                                    fn_weight=0.9)
+    assert recall["bands"] >= bal["bands"]
+    # knees decrease as thresholds decrease
+    knees = [suggest_minhash_config(t, 16)["knee"]
+             for t in (0.9, 0.5, 0.3)]
+    assert knees == sorted(knees, reverse=True)
+    for bad in (0.0, 1.0):
+        with pytest.raises(ValueError, match="threshold"):
+            suggest_minhash_config(bad, 16)
+    with pytest.raises(ValueError, match="num_hashes"):
+        suggest_minhash_config(0.5, 0)
+    with pytest.raises(ValueError, match="weights"):
+        suggest_minhash_config(0.5, 16, fp_weight=0, fn_weight=0)

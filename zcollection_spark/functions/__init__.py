@@ -16,7 +16,8 @@ from .dedup import (cached_intermediates, dedup_exact, dedup_keep_latest,
                     minhash_signatures, lsh_candidate_pairs,
                     ngram_containment_pairs,
                     ngram_jaccard_pairs, released, simhash,
-                    simhash_duplicate_pairs, unpersist_intermediates)
+                    simhash_duplicate_pairs, suggest_minhash_config,
+                    unpersist_intermediates)
 from .ann_index import (query_ivf_index, query_ivfpq_index,
                         write_ivf_index, write_ivfpq_index)
 from .similarity import (cosine_similarity_col, brute_force_topk,
@@ -45,6 +46,7 @@ __all__ = [
     "simhash", "simhash_duplicate_pairs", "dedup_keep_latest",
     "duplicated_span_stats", "drop_duplicated_spans",
     "unpersist_intermediates", "released", "cached_intermediates",
+    "suggest_minhash_config",
     "cosine_similarity_col", "brute_force_topk", "embedding_dup_pairs",
     "ivf_topk", "ivfpq_topk", "lsh_bucket_topk",
     "suggest_lsh_planes", "suggest_lsh_config", "suggest_ivf_config",

@@ -202,6 +202,53 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def suggest_minhash_config(threshold: float, num_hashes: int = 16, *,
+                           fp_weight: float = 0.5,
+                           fn_weight: float = 0.5) -> dict:
+    """Optimal LSH banding for a Jaccard ``threshold``: the
+    ``(bands, rows)`` factorization of ``num_hashes`` minimizing the
+    weighted false-positive + false-negative mass of the banding
+    S-curve ``P(candidate | J=s) = 1 - (1 - s^rows)^bands`` — the
+    datasketch ``_optimal_param`` recipe, so ``lsh_candidate_pairs``
+    can be tuned from the dedup threshold instead of hand-picked
+    (bands=4 on 16 hashes puts the curve's knee near J≈0.5; a 0.8
+    threshold wants fewer, wider bands).
+
+    ``fp_weight`` taxes candidates below the threshold (extra join
+    fan-out — wasted verification work at scale), ``fn_weight`` missed
+    pairs above it (lost recall).  Returns ``{"bands", "rows",
+    "fp_mass", "fn_mass", "knee"}``; ``knee`` is the similarity where
+    the curve crosses ½ (≈ ``(1/bands)^(1/rows)``).  Deterministic
+    fixed-step integration — no RNG, no data access.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if fp_weight < 0 or fn_weight < 0 or fp_weight + fn_weight == 0:
+        raise ValueError("weights must be non-negative, not both zero")
+    steps = 1000
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** rows) ** bands
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, bands, rows, fp, fn)
+    _, bands, rows, fp, fn = best
+    return {"bands": bands, "rows": rows, "fp_mass": fp,
+            "fn_mass": fn, "knee": (1.0 / bands) ** (1.0 / rows)}
+
+
 def _perm_params(i: int) -> tuple[int, int]:
     """Deterministic permutation family: h_i(x) = (a_i·x + b_i) mod P."""
     return 2 * i + 1, (i * 0x9E3779B1 + 7) % MINHASH_PRIME
