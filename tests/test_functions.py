@@ -2030,3 +2030,56 @@ def test_suggest_minhash_config_is_the_scurve_argmin():
         suggest_minhash_config(0.5, 0)
     with pytest.raises(ValueError, match="weights"):
         suggest_minhash_config(0.5, 16, fp_weight=0, fn_weight=0)
+
+
+def test_importance_weights_hashed_bigram_form(spark):
+    """shingle_size=2 + hash_buckets replays the paper's hashed-ngram
+    estimator: features are md5-bucketed word bigrams, collisions fold
+    into both models identically (python hashlib reference)."""
+    import hashlib
+    import math
+    from collections import Counter
+    from zcollection_spark.functions import (importance_weights,
+                                             unpersist_intermediates)
+    rng = np.random.RandomState(31)
+    vocab = ["h%d" % i for i in range(9)]
+    corpus = {i: " ".join(rng.choice(vocab, size=rng.randint(1, 14)))
+              for i in range(30)}
+    buckets = 16
+
+    def feats(t):
+        ws = t.split()
+        grams = ([" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
+                 if len(ws) >= 2 else [" ".join(ws)])
+        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                % buckets for g in grams]
+
+    cs, ct = Counter(), Counter()
+    for t in corpus.values():
+        cs.update(feats(t))
+    target_ids = [i for i in corpus if i % 3 == 0]
+    for i in target_ids:
+        ct.update(feats(corpus[i]))
+    fv = set(cs) | set(ct)
+    v, ts, tt = float(len(fv)), float(sum(cs.values())), \
+        float(sum(ct.values()))
+    lr = {w: math.log((ct[w] + 1.0) * (ts + v))
+          - math.log((cs[w] + 1.0) * (tt + v)) for w in fv}
+    exp = {i: (len(feats(t)), sum(lr[w] for w in feats(t)))
+           for i, t in corpus.items()}
+    cdf = spark.createDataFrame(list(corpus.items()),
+                                "doc_id long, text string")
+    out = importance_weights(cdf, cdf.where(F.col("doc_id") % 3 == 0),
+                             id_col="doc_id", shingle_size=2,
+                             hash_buckets=buckets)
+    got = {r["doc_id"]: (r["n_tokens"], r["log_weight"])
+           for r in out.collect()}
+    unpersist_intermediates(out)
+    assert set(got) == set(exp)
+    for i, (n, w) in exp.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(w, abs=2e-6)
+    with pytest.raises(ValueError, match="shingle_size"):
+        importance_weights(cdf, cdf, id_col="doc_id", shingle_size=0)
+    with pytest.raises(ValueError, match="hash_buckets"):
+        importance_weights(cdf, cdf, id_col="doc_id", hash_buckets=0)

@@ -807,3 +807,43 @@ def test_split_leakage_matches_python_reference_property(spark, data):
            for r in out.collect()}
     unpersist_intermediates(out)
     assert got == exp
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_lm_buckets_matches_python_reference_property(spark, data):
+    """lm_quality_buckets == the Counter + interpolated-percentile
+    replay on arbitrary small-vocab corpora — including degenerate
+    all-tied score distributions, where every boundary equals the one
+    score and everything lands in the first bucket."""
+    import math
+    from collections import Counter
+    from zcollection_spark.functions import lm_quality_buckets
+    rows = [(i, t) for i, t in _word_docs(data, min_len=2)]
+    cb, cu, pairs = Counter(), Counter(), {}
+    for i, t in rows:
+        ws = t.split()
+        pairs[i] = [(ws[j], ws[j] + " " + ws[j + 1])
+                    for j in range(len(ws) - 1)]
+        for w1, pr in pairs[i]:
+            cb[pr] += 1
+            cu[w1] += 1
+    scores = {i: round(sum(cb[p] / cu[w] for w, p in ps) / len(ps), 6)
+              for i, ps in pairs.items()}
+
+    def pct(p):
+        vs = sorted(scores.values())
+        pos = (len(vs) - 1) * p
+        lo, hi = math.floor(pos), math.ceil(pos)
+        raw = (vs[lo] if lo == hi
+               else vs[lo] * (hi - pos) + vs[hi] * (pos - lo))
+        return round(raw, 6)
+
+    b1, b2 = pct(1 / 3), pct(2 / 3)
+    exp = {i: (s, "tail" if s <= b1 else "middle" if s <= b2
+               else "head") for i, s in scores.items()}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["lm_score"], r["bucket"])
+           for r in lm_quality_buckets(df, id_col="doc_id",
+                                       text_col="text").collect()}
+    assert got == exp

@@ -41,22 +41,56 @@ from pyspark.sql import functions as F
 
 from .dedup import _attach_cached, _pin_wide
 from .sampling import uniform_draw
-from .text import words
+from .text import word_shingles, words
+
+
+def _features(frame: DataFrame, text_col: str, shingle_size: int,
+              hash_buckets: int | None, *extra_cols):
+    """The DSIR feature expansion: one row per token (unigram form) or
+    per word n-gram, optionally md5-hashed into ``hash_buckets``
+    buckets (the paper's fixed-dimension estimator — collisions are
+    part of the model, identical on both corpus sides and in the SQL
+    twin)."""
+    from .dedup import md5_long
+    if shingle_size == 1:
+        feat = F.explode(words(text_col))
+    else:
+        feat = F.explode(word_shingles(text_col, shingle_size))
+    feat = feat.alias("__tok")
+    out = frame.select(*extra_cols, feat)
+    if hash_buckets is not None:
+        out = out.select(*extra_cols,
+                         F.pmod(md5_long(F.col("__tok")),
+                                F.lit(hash_buckets)).alias("__tok"))
+    return out
 
 
 def importance_weights(corpus: DataFrame, target: DataFrame, *,
                        id_col: str, text_col: str = "text",
                        target_text_col: str | None = None,
+                       shingle_size: int = 1,
+                       hash_buckets: int | None = None,
                        round_to: int = 6) -> DataFrame:
-    """Per-document DSIR importance weight: the bag-of-words
+    """Per-document DSIR importance weight: the bag-of-features
     log-likelihood ratio of the document under add-one-smoothed unigram
     models of ``target`` vs. ``corpus``.
 
+    The default feature is the word itself (``shingle_size=1``,
+    exact vocabulary); ``shingle_size=2, hash_buckets=10_000`` is the
+    published recipe's hashed-bigram estimator — n-grams md5-hashed
+    into a FIXED feature dimension, so the count tables stay
+    ``hash_buckets``-sized however large the corpus vocabulary grows
+    (the scale knob: an unbounded n-gram vocab is Heaps-law-sized;
+    the hashed form is O(buckets) with collisions folded into both
+    models identically, which is exactly the paper's estimator).
+
     Returns one row per corpus document: ``(id_col, n_tokens,
-    log_weight)`` where ``log_weight = Σ_tokens ln(p̂_target(w) /
-    p̂_corpus(w))`` with both models smoothed over the UNION vocabulary
-    (so every corpus token has a finite ratio even when absent from the
-    target).  High = the document reads like the target distribution;
+    log_weight)`` where ``log_weight = Σ_features ln(p̂_target(w) /
+    p̂_corpus(w))`` with both models smoothed over the UNION feature
+    vocabulary (so every corpus feature has a finite ratio even when
+    absent from the target); ``n_tokens`` counts the document's
+    FEATURES — tokens at ``shingle_size=1``, n-grams (or hashed
+    buckets, with multiplicity) otherwise.  High = the document reads like the target distribution;
     the weight is length-coupled by construction (a long on-target
     document outweighs a short one), which is the paper's estimator —
     normalize by ``n_tokens`` downstream if a per-token score is
@@ -72,10 +106,14 @@ def importance_weights(corpus: DataFrame, target: DataFrame, *,
     """
     if round_to < 0:
         raise ValueError("round_to must be >= 0")
-    src_tok = corpus.select(F.col(id_col),
-                            F.explode(words(text_col)).alias("__tok"))
-    tgt_tok = target.select(
-        F.explode(words(target_text_col or text_col)).alias("__tok"))
+    if shingle_size < 1:
+        raise ValueError("shingle_size must be >= 1")
+    if hash_buckets is not None and hash_buckets < 1:
+        raise ValueError("hash_buckets must be >= 1")
+    src_tok = _features(corpus, text_col, shingle_size, hash_buckets,
+                        F.col(id_col))
+    tgt_tok = _features(target, target_text_col or text_col,
+                        shingle_size, hash_buckets)
     c_s = src_tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cs"))
     c_t = tgt_tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__ct"))
     # the vocab table feeds the scalar totals AND the per-token join;
@@ -108,6 +146,8 @@ def importance_weights(corpus: DataFrame, target: DataFrame, *,
 def importance_resample(corpus: DataFrame, target: DataFrame, *,
                         id_col: str, k: int, text_col: str = "text",
                         target_text_col: str | None = None,
+                        shingle_size: int = 1,
+                        hash_buckets: int | None = None,
                         salt: str = "", round_to: int = 6) -> DataFrame:
     """Gumbel top-``k`` importance resampling: ``k`` corpus documents
     drawn WITHOUT replacement with probability ∝ exp(log_weight) —
@@ -130,6 +170,8 @@ def importance_resample(corpus: DataFrame, target: DataFrame, *,
     w = importance_weights(corpus, target, id_col=id_col,
                            text_col=text_col,
                            target_text_col=target_text_col,
+                           shingle_size=shingle_size,
+                           hash_buckets=hash_buckets,
                            round_to=round_to)
     u = F.greatest(uniform_draw(id_col, salt), F.lit(1e-15))
     key = F.round(F.col("log_weight") - F.log(-F.log(u)), round_to)
