@@ -2556,7 +2556,10 @@ pairs AS (SELECT id_a, id_b FROM shared
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
-edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+-- MATERIALIZED: the recursive closure otherwise re-inlines (and
+-- re-evaluates) the whole shingle-join pipeline once per iteration
+-- (measured 130x on the semantic twin at sf1, r14)
+edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 reach AS (SELECT DISTINCT a AS node, a AS label FROM edges
           UNION

@@ -365,8 +365,8 @@ cd AS (SELECT vec_id, cell,
                 PARTITION BY vec_id
                 ORDER BY -2.0 * list_dot_product(v, p) + csq, cell) AS rn
        FROM c, cents),
-cell_of AS (SELECT vec_id, cell FROM cd WHERE rn = 1),
-pairs AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+cell_of AS MATERIALIZED (SELECT vec_id, cell FROM cd WHERE rn = 1),
+pairs AS MATERIALIZED (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
           FROM cell_of ca
           JOIN cell_of cb ON ca.cell = cb.cell
                          AND ca.vec_id < cb.vec_id
@@ -376,7 +376,7 @@ pairs AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
                 / (sqrt(list_dot_product(a.v, a.v))
                    * sqrt(list_dot_product(b.v, b.v)))
                 >= {threshold!r}),
-edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 reach AS (SELECT DISTINCT a AS node, a AS label FROM edges
           UNION
