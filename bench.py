@@ -454,9 +454,13 @@ def main() -> None:
         def _():
             _consume(eq.q_dup_spans(spark, sf_dir))
 
+        spark.catalog.clearCache()
+
         @timed("span_scrub")
         def _():
             _consume(eq.q_span_scrub(spark, sf_dir))
+
+        spark.catalog.clearCache()
 
         @timed("bm25_retrieval")
         def _():
@@ -470,16 +474,23 @@ def main() -> None:
         def _():
             _consume(eq.q_dedup_containment(spark, sf_dir))
 
+        spark.catalog.clearCache()
+
         @timed("winnow_fingerprint")
         def _():
             _consume(eq.q_winnow_fingerprint(spark, sf_dir))
 
         # --- the r14 batch: DSIR importance resampling, TF-IDF
         # top-k terms, cross-split near-dup leakage — appended with
-        # the same anchor-amendment discipline as the r13 batch
+        # the same anchor-amendment discipline as the r13 batch.
+        # Persisting scenarios clearCache() afterwards, same as the
+        # dedup block above — their shared subtrees are never reused
+        # across scenarios and accumulated blocks tax later rows
         @timed("dsir_sample")
         def _():
             _consume(eq.q_dsir_sample(spark, sf_dir))
+
+        spark.catalog.clearCache()
 
         @timed("tfidf_topk")
         def _():
@@ -488,6 +499,8 @@ def main() -> None:
         @timed("split_leakage")
         def _():
             _consume(eq.q_split_leakage(spark, sf_dir))
+
+        spark.catalog.clearCache()
 
         @timed("lm_buckets")
         def _():
