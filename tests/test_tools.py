@@ -78,71 +78,72 @@ def test_registry_window_invariant():
     # pin — and with it the rotation ledger — to be updated.
     assert len(names) == 93, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
-    # round-14 rotation (executes the r13 ledger + the r13 verdict's
-    # pull-forward and stale-tail directives): the twenty r13
-    # sit-outs return in-window, streaming_changes_agg promotes, the
-    # dup_spans + dedup_containment pair pulls forward from the r15
-    # batch, and top_revenue_orders + trade_flows cycle in from the
-    # permanent tail.  Sitting out until r15 (all driver-green r13;
-    # covered-surface arguments in the queries() header): the twenty
-    # rows the r13 ledger named on the reversed symmetric arguments,
-    # plus five twin swaps (streaming_dedup / dedup_exact /
-    # dedup_minhash / user_sessions / asof_enrich, each with an
-    # in-window family peer).
+    # round-15 rotation (executes the r14 ledger + the r14 verdict's
+    # tasks 1 and 3 verbatim): ALL THIRTEEN never-driver-graded ops
+    # promote (nine r13-born + four r14-born), the twenty-five r14
+    # sit-outs return in-window, and the stale tail cycles at 3/round
+    # (order_priority_counts + returned_item_losses +
+    # collection_projection).  Sitting out until r16-r17 (all
+    # driver-green r13/r14; covered-surface arguments in the
+    # queries() header): sixteen held-over permanents with in-window
+    # family peers, the twenty r14 returns, the three r14 promotions,
+    # the two r14 tail cycles, and the last two r04-stale tail rows.
     tail_allowed = {
-        # rotated out round 14 (all driver-green r13; back in r15)
-        "pricing_summary", "chunk_documents", "doc_repetition",
-        "quality_filter", "knn_lsh", "knn_ivf",
-        "priority_class_counts", "big_orders", "regional_revenue",
-        "revenue_delta", "capped_sample", "browse_no_buy",
-        "value_percentiles", "collection_time_travel",
-        "upsample_weights", "merge_upsert",
-        "collection_clustered_where", "collection_zorder_where",
-        "promo_revenue", "rollup_hourly",
-        "streaming_dedup", "dedup_exact", "dedup_minhash",
-        "user_sessions", "asof_enrich",
-        # permanent plain-SQL tail, cycling through the window 2-3
-        # per round since r13 (five remaining after this round's
-        # top_revenue_orders + trade_flows cycle-in)
-        "collection_projection", "order_priority_counts",
-        "returned_item_losses", "langid_confusion", "top_ngrams",
-        # NEW r13, born out-of-window; promote in r15
-        "shuffle_shards", "embedding_quantize", "dedup_semantic",
-        "unigram_stats", "bigram_lm", "span_scrub",
-        "bm25_retrieval", "hybrid_rrf", "winnow_fingerprint",
-        # NEW r14, born out-of-window; promote in r15
-        "dsir_sample", "tfidf_topk", "split_leakage", "lm_buckets"}
+        # permanents rotated out round 15 (driver-green r14)
+        "collection_grouped_sequence", "merge_time_series",
+        "merge_concat", "map_partition_stats", "collection_changes",
+        "knn_ivfpq", "dedup_clusters", "dedup_simhash",
+        "dedup_embedding_lsh", "hash_split", "pii_scrub",
+        "decontaminate", "knn_bruteforce", "embedding_centroids",
+        "streaming_hourly", "streaming_stateful",
+        # r14 returns now sitting out (driver-green r14)
+        "text_stats", "language_id", "fingerprint", "revenue_rollup",
+        "event_gaps", "source_quality", "knn_lsh_hi", "knn_ivf_hi",
+        "dedup_keep_latest", "multimodal_features", "pack_sequences",
+        "stratified_sample", "token_budget", "merge_upsert_tolerance",
+        "dedup_embedding", "collection_retained_read",
+        "zarr_documents", "collection_bloom_skip", "dedup_jaccard",
+        "interval_match",
+        # r14 promotions + tail cycles now sitting out (driver-green
+        # r14)
+        "streaming_changes_agg", "dup_spans", "dedup_containment",
+        "top_revenue_orders", "trade_flows",
+        # permanent plain-SQL tail (2 remaining r04-stale; cycle r16)
+        "langid_confusion", "top_ngrams"}
     assert set(names[50:]) <= tail_allowed, names[50:]
-    # every operator promoted/returned by the r13 ledger (and the
-    # verdict's pull-forward + tail cycle) must actually be in-window
+    # every operator promoted/returned/cycled by the r14 ledger (and
+    # the verdict's task 1/3 directives) must actually be in-window
     # this round
-    for promoted in ("streaming_changes_agg", "dup_spans",
-                     "dedup_containment",
-                     "top_revenue_orders", "trade_flows",
-                     "text_stats", "language_id", "fingerprint",
-                     "revenue_rollup", "event_gaps", "source_quality",
-                     "knn_lsh_hi", "knn_ivf_hi", "dedup_keep_latest",
-                     "multimodal_features", "pack_sequences",
-                     "stratified_sample", "token_budget",
-                     "merge_upsert_tolerance", "dedup_embedding",
-                     "collection_retained_read", "zarr_documents",
-                     "collection_bloom_skip", "dedup_jaccard",
-                     "interval_match"):
+    for promoted in (
+            # the thirteen first-time promotions (verdict task 1)
+            "shuffle_shards", "embedding_quantize", "dedup_semantic",
+            "unigram_stats", "bigram_lm", "span_scrub",
+            "bm25_retrieval", "hybrid_rrf", "winnow_fingerprint",
+            "dsir_sample", "tfidf_topk", "split_leakage",
+            "lm_buckets",
+            # the twenty-five r14 sit-outs returning
+            "pricing_summary", "chunk_documents", "doc_repetition",
+            "quality_filter", "knn_lsh", "knn_ivf",
+            "priority_class_counts", "big_orders", "regional_revenue",
+            "revenue_delta", "capped_sample", "browse_no_buy",
+            "value_percentiles", "collection_time_travel",
+            "upsample_weights", "merge_upsert",
+            "collection_clustered_where", "collection_zorder_where",
+            "promo_revenue", "rollup_hourly", "streaming_dedup",
+            "dedup_exact", "dedup_minhash", "user_sessions",
+            "asof_enrich",
+            # the 3/round stale-tail cycle (verdict task 3)
+            "order_priority_counts", "returned_item_losses",
+            "collection_projection"):
         assert promoted in names[:50], promoted
-    for must_be_recorded in ("multimodal_decoded",
-                             "dedup_embedding_lsh", "knn_ivfpq",
-                             "knn_bruteforce",
-                             "collection_changes", "pii_scrub",
-                             "decontaminate", "dedup_simhash",
-                             "dedup_clusters", "hash_split",
-                             "streaming_hourly", "streaming_stateful",
-                             "streaming_sink",
+    # the nine held-over permanents anchoring surfaces with no other
+    # in-window peer
+    for must_be_recorded in ("collection_query_prune",
                              "collection_zonemap_skip",
-                             "zarr_roundtrip",
-                             "merge_time_series", "merge_concat",
-                             "map_partition_stats", "update_derived",
+                             "collection_sequence", "update_derived",
                              "view_overlay", "index_lookup",
-                             "embedding_centroids"):
+                             "multimodal_decoded", "zarr_roundtrip",
+                             "streaming_sink"):
         assert names.index(must_be_recorded) < 50
     oracles = entry_queries.oracle_sql()
     assert set(oracles) <= set(names)

@@ -3169,133 +3169,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 14, executing the r13
-    # ledger PLUS the r13 verdict's pull-forward and stale-tail
-    # directives): the twenty r13 sit-outs come BACK in-window
-    # (text_stats, language_id, fingerprint, revenue_rollup, event_gaps,
-    # source_quality, knn_lsh_hi, knn_ivf_hi, dedup_keep_latest,
-    # multimodal_features, pack_sequences, stratified_sample,
-    # token_budget, merge_upsert_tolerance, dedup_embedding,
-    # collection_retained_read, zarr_documents, collection_bloom_skip,
-    # dedup_jaccard, interval_match — all driver-green r12, aging out
-    # after this round), streaming_changes_agg PROMOTES for its first
-    # driver row (the ledger's named promotion), dup_spans +
-    # dedup_containment PULL FORWARD from the r15 batch (r13 verdict
-    # task 2: the two never-driver-graded ops with the most novel join
-    # shapes — the filtered exact-substring span join and the
-    # asymmetric shared-shingle containment join), and the stale-tail
-    # retirement continues on the ledger's cadence with
-    # top_revenue_orders + trade_flows (newest driver rows r02-r04)
-    # cycling in for fresh greens.  TWENTY-FIVE slots freed, every
-    # outgoing row driver-green r13 so its green stays <=2 rounds old
-    # through r15 when it returns: the twenty rows the r13 ledger
-    # named on the reversed symmetric arguments — the sixteen r12
-    # sit-outs (pricing_summary, chunk_documents, doc_repetition,
-    # quality_filter, knn_lsh, knn_ivf, priority_class_counts,
-    # big_orders, regional_revenue, revenue_delta, capped_sample,
-    # browse_no_buy, value_percentiles, collection_time_travel,
-    # upsample_weights, merge_upsert — each covered by the returning
-    # r13 sit-out that covered IT last round, arguments symmetric to
-    # the r13 header), clustered_where + zorder_where (skipping
-    # surface held by returning collection_bloom_skip + in-window
-    # zonemap), promo_revenue + rollup_hourly (fresh r13 greens hold;
-    # they return to the permanent tail) — plus FIVE twin swaps
-    # covering the promotions and cycle-ins: streaming_dedup out
-    # (promoting streaming_changes_agg + in-window streaming_stateful
-    # hold the stateful-streaming surface — the ledger's named swap),
-    # dedup_exact out (returning dedup_keep_latest is the same
-    # hash-groupBy exact-dedup surface, keyed variant; promoting
-    # dup_spans extends exact dedup to span granularity), dedup_minhash
-    # out (returning dedup_jaccard is the same shingle->banded-LSH
-    # bucket self-join; in-window dedup_clusters still executes the
-    # minhash pair pipeline end-to-end as its input), user_sessions out
-    # (returning event_gaps is the same event-sequence sessionization
-    # window family), asof_enrich out (returning interval_match covers
-    # the range-join family — the r13 swap reversed).  The registry
-    # count and window split are PINNED in
+    # in-window peer come last.  ROTATION (round 15, executing the r14
+    # ledger + the r14 verdict's task 1/3 verbatim): ALL THIRTEEN
+    # never-driver-graded ops promote for their first driver rows — the
+    # nine r13-born (shuffle_shards, embedding_quantize, dedup_semantic,
+    # unigram_stats, bigram_lm, span_scrub, bm25_retrieval, hybrid_rrf,
+    # winnow_fingerprint) and the four r14-born (dsir_sample,
+    # tfidf_topk, split_leakage, lm_buckets) — the twenty-five r14
+    # sit-outs RETURN in-window (driver-green r13, aging out after this
+    # round), and the stale-tail retirement runs at 3/round
+    # (order_priority_counts + returned_item_losses, the ledger-named
+    # pair, plus collection_projection per verdict task 3 — newest
+    # driver rows all r04).  13 + 25 + 3 = 41 slots; the other NINE are
+    # held-over permanents whose surface has no in-window peer
+    # otherwise: collection_query_prune + collection_zonemap_skip
+    # (partition-prune / zone-map skipping on the live collection
+    # read path), collection_sequence (sequence partitioning;
+    # grouped_sequence sits out on it), update_derived (the map/update
+    # applyInPandas machinery; map_partition_stats sits out on it),
+    # view_overlay (view surface), index_lookup (indexer surface),
+    # multimodal_decoded (multimodal family anchor;
+    # multimodal_features sits out on it), zarr_roundtrip (zarr
+    # datasource anchor; zarr_documents sits out on it), and
+    # streaming_sink (exactly-once txn-ledger sink; returning
+    # streaming_dedup holds the applyInPandasWithState surface so
+    # hourly/stateful sit out).  FORTY-ONE rows sit out, every one
+    # driver-green r14 (or r13 for the returning-next cohort), each
+    # with an in-window family peer: grouped_sequence <-
+    # collection_sequence; merge_time_series/merge_concat <- returning
+    # merge_upsert; map_partition_stats <- update_derived;
+    # collection_changes <- returning collection_time_travel (same
+    # catalog-generations surface) and sat-out streaming_changes_agg's
+    # green is r14-fresh; knn_ivfpq/knn_bruteforce/knn_lsh_hi/
+    # knn_ivf_hi <- returning knn_lsh + knn_ivf; dedup_clusters/
+    # dedup_simhash/dedup_embedding_lsh/dedup_jaccard/
+    # dedup_keep_latest/dedup_embedding/dedup_containment/dup_spans <-
+    # returning dedup_exact + dedup_minhash and promoting
+    # dedup_semantic + span_scrub; hash_split/stratified_sample/
+    # token_budget <- promoting shuffle_shards + returning
+    # capped_sample + upsample_weights; pii_scrub/decontaminate <-
+    # returning quality_filter + promoting split_leakage;
+    # embedding_centroids <- promoting embedding_quantize +
+    # dedup_semantic (same k-means core); streaming_hourly/
+    # streaming_stateful/streaming_changes_agg <- returning
+    # streaming_dedup + in-window streaming_sink; multimodal_features
+    # <- multimodal_decoded; zarr_documents/collection_bloom_skip/
+    # collection_retained_read <- zarr_roundtrip + zonemap_skip +
+    # query_prune; text_stats/language_id/fingerprint/
+    # merge_upsert_tolerance/interval_match/event_gaps/revenue_rollup/
+    # source_quality <- the in-window text family (unigram_stats,
+    # bigram_lm, lm_buckets, winnow_fingerprint, tfidf_topk,
+    # chunk_documents, doc_repetition, quality_filter), returning
+    # merge_upsert, asof_enrich, user_sessions, and the SQL rollup
+    # returns.  The registry count and window split are PINNED in
     # tests/test_tools.py::test_registry_window_invariant (the
     # hand-counted totals in this comment rotted twice — r8 and r9 —
-    # so the test owns the numbers now).  r15 ledger note — the
-    # twenty-five r14 sit-outs return (driver-green r13, age out after
-    # r15), the NINE remaining never-driver-graded r13 ops promote
-    # (shuffle_shards, embedding_quantize, dedup_semantic,
-    # unigram_stats, bigram_lm, span_scrub, bm25_retrieval, hybrid_rrf,
-    # winnow_fingerprint) along with the three r14-born ops
-    # (dsir_sample, tfidf_topk, split_leakage, lm_buckets —
-    # thirteen promotions total), and the stale-tail cycle continues with 2-3 of the five
-    # remaining r02-r04 rows (order_priority_counts +
-    # returned_item_losses next) = 39-40 slots.  Free them by sitting
-    # out the twenty rows returning this round plus the three r14
-    # promotions (all driver-green r14 by then; symmetric coverage
-    # arguments as above) and 16-17 of the 25 held-over permanents
-    # with in-window family peers (the dedup/knn/streaming families
-    # each hold several) — counting with the test each round.
+    # so the test owns the numbers now).  r16 ledger note — the
+    # forty-one r15 sit-outs return over r16-r17 (driver-green r13/r14,
+    # ageing out), the thirteen r15 promotions age out after their
+    # first green, the stale-tail cycle finishes with langid_confusion
+    # + top_ngrams (the last two rows whose newest driver green is
+    # r04), and any r15-born ops (boilerplate_strip, source_overlap,
+    # cluster_sample if built) promote for their first rows.  Free the
+    # slots by sitting out the 13 promotions + the 3 tail cycles +
+    # enough of the 25 returns with family peers — counting with the
+    # test each round.
     return {
-        # --- in-window 50: held-over permanents (25) ---
+        # --- in-window 50: held-over permanents (9) ---
         "collection_query_prune": q_collection_query_prune,
         "collection_zonemap_skip": q_collection_zonemap_skip,
         "collection_sequence": q_collection_sequence,
-        "collection_grouped_sequence": q_collection_grouped_sequence,
-        "merge_time_series": q_merge_time_series,
-        "merge_concat": q_merge_concat,
-        "map_partition_stats": q_map_partition_stats,
         "update_derived": q_update_derived,
         "view_overlay": q_view_overlay,
         "index_lookup": q_index_lookup,
-        "collection_changes": q_collection_changes,
-        "knn_ivfpq": q_knn_ivfpq,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "hash_split": q_hash_split,
-        "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
-        "knn_bruteforce": q_knn_bruteforce,
-        "embedding_centroids": q_embedding_centroids,
         "multimodal_decoded": q_multimodal_decoded,
         "zarr_roundtrip": q_zarr_roundtrip,
-        "streaming_hourly": q_streaming_hourly,
-        "streaming_stateful": q_streaming_stateful,
         "streaming_sink": q_streaming_sink,
-        # --- returning r14 (sat out r13; driver-green r12) (20) ---
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
-        "revenue_rollup": q_revenue_rollup,
-        "event_gaps": q_event_gaps,
-        "source_quality": q_source_quality,
-        "knn_lsh_hi": q_knn_lsh_hi,
-        "knn_ivf_hi": q_knn_ivf_hi,
-        "dedup_keep_latest": q_dedup_keep_latest,
-        "multimodal_features": q_multimodal_features,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "token_budget": q_token_budget,
-        "merge_upsert_tolerance": q_merge_upsert_tolerance,
-        "dedup_embedding": q_dedup_embedding,
-        "collection_retained_read": q_collection_retained_read,
-        "zarr_documents": q_zarr_documents,
-        "collection_bloom_skip": q_collection_bloom_skip,
-        "dedup_jaccard": q_dedup_jaccard,
-        "interval_match": q_interval_match,
-        # --- PROMOTED r14 (first driver grading) (3): the
-        # changes-stream source (ledger), plus the two r13
-        # second-batch ops pulled forward (verdict task 2) ---
-        "streaming_changes_agg": q_streaming_changes_agg,
-        "dup_spans": q_dup_spans,
-        "dedup_containment": q_dedup_containment,
-        # --- CYCLED IN r14 (stale-tail retirement, ledger cadence;
-        # newest driver rows r02-r04) (2) ---
-        "top_revenue_orders": q_top_revenue_orders,
-        "trade_flows": q_trade_flows,
-        # --- entries below fall outside the driver's 50-slot window;
-        # all were driver-verified green in earlier rounds (the 25 r14
-        # sit-outs in r13; the permanent plain-SQL tail in r1-r4) or
-        # are the r13-built ops awaiting their r15 promotion, their
-        # operator surface is covered by in-window peers (see the
-        # rotation ledger above), and tools/check_oracle.py still
-        # gates every one of them ---
-        # rotated out round 14 (all driver-green r13; back in r15):
+        # --- returning r15 (sat out r14; driver-green r13) (25) ---
         "pricing_summary": q_pricing_summary,
         "chunk_documents": q_chunk_documents,
         "doc_repetition": q_doc_repetition,
@@ -3321,16 +3271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "user_sessions": q_user_sessions,
         "asof_enrich": q_asof_enrich,
-        # permanent plain-SQL tail (5 remaining; cycling through the
-        # window 2-3 per round since r13)
-        "collection_projection": q_collection_projection,
-        "order_priority_counts": q_order_priority_counts,
-        "returned_item_losses": q_returned_item_losses,
-        "langid_confusion": q_langid_confusion,
-        "top_ngrams": q_top_ngrams,
-        # NEW r13, still awaiting first driver grading; ALL
-        # check_oracle-gated at sf0.01 AND sf1; promote in r15 per the
-        # ledger above
+        # --- PROMOTED r15 (first driver grading) (13): the nine
+        # r13-born ops plus the four r14-born ops — after this round
+        # ZERO registry entries have never been driver-graded ---
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
         "dedup_semantic": q_dedup_semantic,
@@ -3340,16 +3283,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": q_bm25_retrieval,
         "hybrid_rrf": q_hybrid_rrf,
         "winnow_fingerprint": q_winnow_fingerprint,
-        # NEW r14, born out-of-window (the r14 window executed the r13
-        # ledger): DSIR importance resampling, per-document TF-IDF
-        # top-k terms, cross-split near-dup leakage, and CCNet-style
-        # LM quality buckets.
-        # check_oracle-gated at sf0.01 AND sf1; promote r15 alongside
-        # the nine r13 holdovers per the ledger above.
         "dsir_sample": q_dsir_sample,
         "tfidf_topk": q_tfidf_topk,
         "split_leakage": q_split_leakage,
         "lm_buckets": q_lm_buckets,
+        # --- CYCLED IN r15 (stale-tail retirement at 3/round per
+        # verdict task 3; newest driver rows all r04) (3) ---
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_losses": q_returned_item_losses,
+        "collection_projection": q_collection_projection,
+        # --- entries below fall outside the driver's 50-slot window;
+        # every one was driver-verified green in r12-r14, its operator
+        # surface is covered by an in-window peer (see the rotation
+        # ledger above), and tools/check_oracle.py still gates every
+        # one of them ---
+        # rotated out round 15 (driver-green r14; family peers above):
+        "collection_grouped_sequence": q_collection_grouped_sequence,
+        "merge_time_series": q_merge_time_series,
+        "merge_concat": q_merge_concat,
+        "map_partition_stats": q_map_partition_stats,
+        "collection_changes": q_collection_changes,
+        "knn_ivfpq": q_knn_ivfpq,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "hash_split": q_hash_split,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_centroids": q_embedding_centroids,
+        "streaming_hourly": q_streaming_hourly,
+        "streaming_stateful": q_streaming_stateful,
+        # r14 returns now sitting out (driver-green r14; back r16-r17):
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "revenue_rollup": q_revenue_rollup,
+        "event_gaps": q_event_gaps,
+        "source_quality": q_source_quality,
+        "knn_lsh_hi": q_knn_lsh_hi,
+        "knn_ivf_hi": q_knn_ivf_hi,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "multimodal_features": q_multimodal_features,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
+        "merge_upsert_tolerance": q_merge_upsert_tolerance,
+        "dedup_embedding": q_dedup_embedding,
+        "collection_retained_read": q_collection_retained_read,
+        "zarr_documents": q_zarr_documents,
+        "collection_bloom_skip": q_collection_bloom_skip,
+        "dedup_jaccard": q_dedup_jaccard,
+        "interval_match": q_interval_match,
+        # r14 promotions now sitting out (driver-green r14):
+        "streaming_changes_agg": q_streaming_changes_agg,
+        "dup_spans": q_dup_spans,
+        "dedup_containment": q_dedup_containment,
+        # r14 tail cycles now sitting out (driver-green r14):
+        "top_revenue_orders": q_top_revenue_orders,
+        "trade_flows": q_trade_flows,
+        # permanent plain-SQL tail (2 remaining r04-stale rows; cycle
+        # in r16 and the tail retirement is complete)
+        "langid_confusion": q_langid_confusion,
+        "top_ngrams": q_top_ngrams,
     }
 
 
