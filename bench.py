@@ -50,8 +50,22 @@ def main() -> None:
     # three repeats make the recorded best robust to a bad window
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
 
-    def timed(name):
+    # Tier split (r14 verdict task 7): the anchored headline suite is
+    # frozen at the 43 scenarios in BENCH_ANCHOR.json; scenarios added
+    # after the split are born into the ARCHIVE tier and run only on
+    # demand (BENCH_TIER=all or =archive), so anchor hygiene no longer
+    # requires an amendment per new operator.  tools/bench_guard.py is
+    # only meaningful against a headline-tier run (the default): it
+    # breaches on any anchored row missing and on the anchored total,
+    # and archive rows would inflate the total comparison.
+    run_tier = os.environ.get("BENCH_TIER", "headline")
+
+    def timed(name, tier="headline"):
         def deco(fn):
+            if tier == "archive" and run_tier == "headline":
+                return
+            if run_tier == "archive" and tier != "archive":
+                return
             best = None
             for _ in range(max(repeat, 1)):
                 t0 = time.time()
@@ -92,6 +106,26 @@ def main() -> None:
 
     try:
         events = load_table(spark, sf_dir, "events")
+
+        # Untimed warm-up (r14 verdict task 2): the suite's first Spark
+        # actions pay JVM JIT / codegen / Python-worker spawn /
+        # page-cache warm-up, and with insert_full_dataset as the very
+        # first timed() row that cost landed entirely on it — BENCH_r14
+        # read the four leading collection rows at x2-3 while their
+        # code was byte-identical to the r13 run.  Exercise the same
+        # paths (full source scan, collection write + catalog publish,
+        # cold open, pruned read) on a small slice BEFORE any timed()
+        # scenario so first-action cold-start can never again tax a
+        # recorded row.
+        _consume(events)
+        _warm = zc.create_collection(
+            spark, f"{tmp}/warmup", overwrite=True,
+            schema=infer_schema(events.schema, axis="ts"),
+            axis="ts", partitioning=zc.Date(("ts",), resolution="D"))
+        _warm.insert(events.where(F.dayofmonth("ts") <= 2))
+        _consume(zc.open_collection(spark, f"{tmp}/warmup").query(
+            filters="day == 1"))
+        shutil.rmtree(f"{tmp}/warmup", ignore_errors=True)
 
         @timed("insert_full_dataset")
         def _():

@@ -1979,12 +1979,22 @@ def test_lm_quality_buckets_matches_python_reference(spark):
     assert labs == {"tail", "middle", "head"}
     assert (max(s for s, b in got.values() if b == "tail")
             <= min(s for s, b in got.values() if b == "head"))
+    # percentile-buffer bound pin (r14 verdict task 5): the score
+    # column entering F.percentile is pre-rounded to 6 dp at its
+    # source, so the exact-percentile buffer is bounded by the
+    # <=1e6-point score grid at ANY corpus size, never by |docs|
+    assert all(s == round(s, 6) for s, _ in got.values())
     with pytest.raises(ValueError, match="labels"):
         lm_quality_buckets(cdf, id_col="doc_id", text_col="text",
                            labels=("a", "b"))
     with pytest.raises(ValueError, match="cuts"):
         lm_quality_buckets(cdf, id_col="doc_id", text_col="text",
                            cuts=(0.9, 0.1), labels=("a", "b", "c"))
+    # duplicate adjacent cuts are NOT strictly increasing (r14 advice:
+    # sorted() alone accepted (0.5, 0.5) and silently emptied a bucket)
+    with pytest.raises(ValueError, match="cuts"):
+        lm_quality_buckets(cdf, id_col="doc_id", text_col="text",
+                           cuts=(0.5, 0.5), labels=("a", "b", "c"))
 
 
 def test_suggest_minhash_config_is_the_scurve_argmin():

@@ -529,3 +529,61 @@ def test_copy_file_multipart_past_single_call_limit(s3_root):
     # missing source contract survives both paths
     assert fs.copy_file(f"{s3_root}/nope.bin", f"{s3_root}/x.bin") \
         is False
+
+
+def test_materialize_dir_on_object_store(spark, s3_root):
+    """`dedup.materialize_dir` pointed at an OBJECT store (the knob's
+    stated audience: clusters where executor loss is routine) runs the
+    full write-once / read-back / delete cycle through fs.py — Spark
+    writes local scratch, S3FS uploads the table, the read comes off
+    the ETag-validated localize mirror, release deletes the remote
+    table, and sweep_intermediates reclaims a leaked one."""
+    from zcollection_spark import config
+    from zcollection_spark.functions import (cached_intermediates,
+                                             ngram_jaccard_pairs,
+                                             unpersist_intermediates)
+    from zcollection_spark.functions.dedup import sweep_intermediates
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3))
+         for i in range(30)], "doc_id long, text string")
+    expected = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(
+                    docs, id_col="doc_id", text_col="text",
+                    shingle_size=3, threshold=0.3, max_df=100)
+                .collect()}
+
+    root = f"{s3_root}/intermediates"
+    fs = S3FS()
+    with config.override(**{"dedup.materialize_dir": root}):
+        pairs = ngram_jaccard_pairs(docs, id_col="doc_id",
+                                    text_col="text", shingle_size=3,
+                                    threshold=0.3, max_df=100)
+        got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+               for r in pairs.collect()}
+        assert got == expected
+        # the tables live on the OBJECT store, not the local FS
+        remote = [d for d in fs.list_dirs(root)
+                  if d.startswith("zc-intermediate-")]
+        assert len(remote) >= 2          # raw + guarded expansions
+        assert len(cached_intermediates(pairs)) >= 2
+        # release deletes the remote tables through the same handle
+        unpersist_intermediates(pairs)
+        assert cached_intermediates(pairs) == []
+        assert [d for d in fs.list_dirs(root)
+                if d.startswith("zc-intermediate-")] == []
+        # leak mode: a result constructed but never released leaves
+        # orphan tables behind; the sweep helper reclaims them
+        leaked = ngram_jaccard_pairs(docs, id_col="doc_id",
+                                     text_col="text", shingle_size=3,
+                                     threshold=0.3, max_df=100)
+        assert len([d for d in fs.list_dirs(root)
+                    if d.startswith("zc-intermediate-")]) >= 2
+        del leaked
+        swept = sweep_intermediates(spark)
+        assert len(swept) >= 2
+        assert all(p.startswith(root) for p in swept)
+        assert [d for d in fs.list_dirs(root)
+                if d.startswith("zc-intermediate-")] == []
+    # outside the override, sweep is a documented no-op
+    assert sweep_intermediates(spark, None) == []

@@ -21,6 +21,8 @@ deliberately so the driver can hash-match results.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,6 +61,14 @@ def unpersist_intermediates(df: DataFrame) -> DataFrame:
     :func:`released` context manager scopes the call automatically,
     and :func:`cached_intermediates` makes a forgotten release
     auditable (it lists the still-persisted handles).
+
+    With ``dedup.materialize_dir`` set the intermediates are parquet
+    tables, and release DELETES them: unlike the persist() default,
+    the released plan is NOT re-runnable (re-execution throws the
+    datasource's missing-file error instead of recomputing) and a
+    FORGOTTEN release leaks a ``zc-intermediate-*`` table that
+    session teardown never reclaims — :func:`sweep_intermediates`
+    cleans those up.
     """
     for cached in getattr(df, "_zc_cached", ()):
         cached.unpersist()
@@ -74,10 +84,19 @@ class _MaterializedHandle:
     """Release handle for a parquet-materialized intermediate: quacks
     like a persisted DataFrame for `unpersist_intermediates` /
     `cached_intermediates` (``unpersist()`` deletes the table;
-    ``storageLevel`` reads DISK_ONLY until released)."""
+    ``storageLevel`` reads DISK_ONLY until released).
 
-    def __init__(self, frame: DataFrame, path: str):
-        self._frame, self._path, self._released = frame, path, False
+    Divergence from persist() (documented, deliberate): release
+    DELETES the backing table, so a plan rooted at it is NOT
+    re-runnable after release — re-execution throws the datasource's
+    missing-file error instead of recomputing from lineage.  Consume
+    the result before releasing (the :func:`released` block enforces
+    exactly that scope).
+    """
+
+    def __init__(self, frame: DataFrame, path: str, store):
+        self._frame, self._path, self._store = frame, path, store
+        self._released = False
 
     @property
     def storageLevel(self):
@@ -87,11 +106,7 @@ class _MaterializedHandle:
 
     def unpersist(self, blocking: bool = False):
         if not self._released:
-            spark = self._frame.sparkSession
-            jvm = spark._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(self._path)
-            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.delete(hpath, True)
+            self._store.delete(self._path)
             self._released = True
         return self
 
@@ -114,18 +129,76 @@ def _pin_wide(df: DataFrame) -> tuple[DataFrame, object]:
     contract (``unpersist_intermediates`` / ``released``) — for the
     table form, release DELETES the table.
 
+    Two behavior changes the materialized mode brings to every
+    constructor built on this (lsh_candidate_pairs,
+    ngram_jaccard_pairs, simhash/jaccard/containment/span families,
+    importance_weights — the otherwise-LAZY plan builders):
+
+    - **eager at call time**: the write.parquet job runs when the
+      constructor is CALLED, not when the result is first consumed
+      (persist() defers to first action);
+    - **leak mode is a table, not a cache block**: a result that is
+      constructed but never released leaves its ``zc-intermediate-*``
+      table on disk — unlike persist(), session teardown reclaims
+      nothing.  :func:`sweep_intermediates` deletes the orphans.
+
+    ``materialize_dir`` may live on ANY fs.py store (local path or
+    ``s3://``/``az://``/``gs://``): object stores get the same
+    scratch-write → ``upload_tree`` → ETag-validated ``localize``
+    bridge the collection write path uses, so the mechanism works on
+    clusters whose Spark lacks the native connector jars.
+
     Returns ``(frame_to_build_on, release_handle)``.
     """
     from .. import config
+    from .. import fs as fsmod
     root = config.get("dedup.materialize_dir")
     if not root:
         p = df.persist()
         return p, p
     import uuid
+    spark = df.sparkSession
     path = f"{str(root).rstrip('/')}/zc-intermediate-{uuid.uuid4().hex}"
-    df.write.parquet(path)
-    frame = df.sparkSession.read.parquet(path)
-    return frame, _MaterializedHandle(frame, path)
+    store = fsmod.fs_for(path, spark)
+    if hasattr(store, "upload_tree"):
+        # object store without assuming a JVM connector: Spark writes
+        # to local scratch, the store uploads (upload_tree removes the
+        # scratch), and the read comes off the localize mirror
+        import tempfile
+        scratch = tempfile.mkdtemp(prefix="zc_pin_")
+        df.write.parquet(f"{scratch}/t")
+        store.upload_tree(f"{scratch}/t", path)
+        shutil.rmtree(scratch, ignore_errors=True)
+        frame = spark.read.parquet(store.localize(path))
+    else:
+        df.write.parquet(path)
+        frame = spark.read.parquet(path)
+    return frame, _MaterializedHandle(frame, path, store)
+
+
+def sweep_intermediates(spark: "SparkSession | None" = None,
+                        root: "str | None" = None) -> list[str]:
+    """Delete every ``zc-intermediate-*`` table under ``root``
+    (default: config ``dedup.materialize_dir``) and return the deleted
+    paths.  The recovery path for the materialized mode's leak: a
+    result constructed but never released leaves its table behind,
+    and — unlike persist() — session teardown reclaims nothing.  Run
+    it between pipeline jobs or from a janitor when no pipeline holds
+    a live materialized intermediate (it cannot tell a leaked table
+    from one still being consumed)."""
+    from .. import config
+    from .. import fs as fsmod
+    root = root if root is not None else config.get(
+        "dedup.materialize_dir")
+    if not root:
+        return []
+    base = str(root).rstrip("/")
+    store = fsmod.fs_for(base, spark)
+    doomed = [f"{base}/{name}" for name in store.list_dirs(base)
+              if name.startswith("zc-intermediate-")]
+    for path in doomed:
+        store.delete(path)
+    return sorted(doomed)
 
 
 def cached_intermediates(df: DataFrame) -> list[DataFrame]:
@@ -154,9 +227,14 @@ def released(*dfs: DataFrame):
     ...     pairs.count()
 
     Multiple frames release together (``with released(a, b) as (a, b)``).
-    The yielded plans stay LAZY — consume them inside the block; after
-    exit the cached band/shingle frames are gone and re-running the
-    plan recomputes them from scratch (correct, just slower).
+    The yielded plans stay LAZY — consume them inside the block.  After
+    exit the band/shingle intermediates are gone; what a post-release
+    re-run does depends on the mode: persisted (default) plans
+    recompute from scratch (correct, just slower), while
+    ``dedup.materialize_dir`` plans are rooted at a parquet table the
+    release just DELETED and fail with the datasource's missing-file
+    error — in materialized mode, treat release as end-of-life for
+    the plan, not a cache eviction.
     """
     try:
         yield dfs[0] if len(dfs) == 1 else dfs

@@ -68,6 +68,15 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
     :class:`~zcollection_spark.errors.DriverBoundExceededError`
     instead of dying as an executor broadcast / driver OOM (the same
     bounded-collect discipline as ``brute_force_topk``).
+
+    The gate makes this call EAGER on ``queries`` and evaluates its
+    lineage twice (once for the count, once for the real broadcast) —
+    so ``queries`` must be deterministic across evaluations: a
+    nondeterministic source (``rand()`` filter, unstable ``limit``
+    over an unordered scan) could pass the gate yet exceed the cap in
+    the join.  Persist or ``localCheckpoint()`` such a frame before
+    calling; a deterministic probe table (the normal case) needs
+    nothing.
     """
     if round_to < 0:
         raise ValueError("round_to must be >= 0")

@@ -452,11 +452,23 @@ def lm_quality_buckets(df: DataFrame, *, id_col: str = "doc_id",
     via a cross join.  A global ``orderBy`` + ntile would funnel the
     corpus through one task; the boundary-comparison form touches
     each row once.
+
+    The exact-percentile buffer is bounded by the SCORE GRID, not the
+    corpus: ``mean_cond_p`` is rounded to 6 dp at its source
+    (:func:`bigram_lm_score`) and lies in [0, 1], so the aggregate
+    holds at most 1e6 + 1 distinct (value, count) entries — ≲ 24 MB
+    at ANY corpus size.  The rounding is doing real scale work here;
+    a score column with unbounded precision would silently inherit an
+    unbounded buffer.  test_functions pins that the column entering
+    ``F.percentile`` is always pre-rounded.
     """
     if len(labels) != len(cuts) + 1:
         raise ValueError("labels must have exactly len(cuts) + 1 "
                          "entries (one per quantile slice)")
-    if list(cuts) != sorted(cuts) or not all(0 < c < 1 for c in cuts):
+    if (any(a >= b for a, b in zip(cuts, cuts[1:]))
+            or not all(0 < c < 1 for c in cuts)):
+        # pairwise strict: sorted() alone accepts duplicate adjacent
+        # cuts (e.g. (0.5, 0.5)), which silently empties a bucket
         raise ValueError("cuts must be strictly increasing, in (0, 1)")
     scored = bigram_lm_score(df, id_col=id_col, text_col=text_col,
                              rare_max_count=rare_max_count) \
