@@ -3165,6 +3165,145 @@ FROM scored, bounds
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram contamination matrix (NEW r15): for every
+    unordered source pair, the exact Jaccard overlap of their distinct
+    word-3-gram sets — the corpus-composition audit run before mixing
+    sources into a training run.  One distinct over (source, md5
+    shingle hash), a hash equi-join whose per-key fan-out is bounded
+    by #sources (never a cartesian), and a sources²-row broadcast join
+    against the tiny size table (functions/curation.py:
+    source_overlap)."""
+    from .functions.curation import source_overlap
+    docs = load_table(spark, sf_dir, "documents")
+    return (source_overlap(docs, group_col="source", text_col="text",
+                           shingle_size=3)
+            .select("source_a", "source_b", "n_a", "n_b", "n_common",
+                    "jaccard"))
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH words AS (SELECT source, {_SPLIT} AS w FROM documents),
+sh AS (SELECT DISTINCT source,
+         CASE WHEN len(w) >= 3
+              THEN array_to_string(list_slice(w, gs, gs + 2), ' ')
+              ELSE array_to_string(w, ' ') END AS s
+       FROM words,
+            UNNEST(generate_series(
+              1, CASE WHEN len(w) >= 3 THEN len(w) - 2
+                      ELSE 1 END)) t(gs)),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                 a.n AS n_a, b.n AS n_b
+          FROM sizes a, sizes b WHERE a.source < b.source)
+SELECT source_a, source_b, n_a, n_b,
+       CAST(coalesce(c, 0) AS BIGINT) AS n_common,
+       round(CAST(coalesce(c, 0) AS DOUBLE)
+             / (n_a + n_b - coalesce(c, 0)), 6) AS jaccard
+FROM pairs LEFT JOIN inter USING (source_a, source_b)
+"""
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """CCNet-style boilerplate removal (NEW r15): passages (4-token
+    non-overlapping windows — the paragraph proxy) occurring in ≥ 3
+    distinct documents are stripped from every document.  Only (id,
+    pos, md5 hash) rows shuffle — never passage text; the kept-position
+    set comes from an anti-join against the small boilerplate sliver
+    and reassembly is a per-row array expression
+    (functions/curation.py: strip_boilerplate)."""
+    from .functions.curation import strip_boilerplate
+    docs = load_table(spark, sf_dir, "documents")
+    return (strip_boilerplate(docs, id_col="doc_id", text_col="text",
+                              passage_size=4, min_docs=3)
+            .select("doc_id", "n_passages", "n_boilerplate",
+                    "clean_text"))
+
+
+ORACLE_BOILERPLATE_STRIP = f"""
+WITH t AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
+p AS (SELECT doc_id,
+             CAST(ceil(len(w) / 4.0) AS INT) AS np, w, i
+      FROM t, UNNEST(generate_series(
+               1, CAST(ceil(len(w) / 4.0) AS INT))) u(i)),
+k AS (SELECT doc_id, np, w, i,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(w, (i - 1) * 4 + 1, i * 4), ' ')),
+                1, 15))::BIGINT AS key
+      FROM p),
+bp AS (SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS nd
+                        FROM k GROUP BY key)
+       WHERE nd >= 3),
+kept AS (SELECT doc_id, list_sort(list(i)) AS keep
+         FROM k ANTI JOIN bp USING (key) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(ceil(len(t.w) / 4.0) AS BIGINT) AS n_passages,
+       CAST(ceil(len(t.w) / 4.0) AS BIGINT)
+         - CAST(coalesce(len(keep), 0) AS BIGINT) AS n_boilerplate,
+       coalesce(array_to_string(list_transform(keep,
+           i -> array_to_string(
+                  list_slice(t.w, (i - 1) * 4 + 1, i * 4), ' ')), ' '),
+         '') AS clean_text
+FROM t LEFT JOIN kept USING (doc_id)
+"""
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sample (NEW r15): k-means cells over
+    the embedding corpus, at most 25 rows kept per cell by
+    deterministic md5 rank — the semantic-coverage sampling step of an
+    embedding pipeline.  Deterministic end to end: reuses the
+    pre-trained knn_ivf centroids, so the DuckDB oracle replays cell
+    assignment from the same literals (functions/sampling.py:
+    cluster_balanced_sample)."""
+    from .functions.sampling import cluster_balanced_sample
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (cluster_balanced_sample(
+        emb, id_col="vec_id", vec_col="embedding", per_cell=25,
+        n_cells=8, centroids=_ivf_centroids_cached(sf_dir, n_cells=8))
+        .select("vec_id", "cell", "cell_rank"))
+
+
+def _cluster_sample_oracle(centroids: "list[list[float]]",
+                           per_cell: int = 25) -> str:
+    """Exact DuckDB replay of :func:`q_cluster_sample` with literal
+    centroids — the same cell-argmin expansion as ``_ivf_oracle``
+    (|c|² embedded as the numpy literal the Spark UDF uses), then a
+    per-cell row_number over the shared md5 rank."""
+    import numpy as np
+    cent_np = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cent_np * cent_np).sum(axis=1)
+    vals = []
+    for j, c in enumerate(centroids):
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        vals.append(f"({j}, CAST({lit} AS DOUBLE[]), "
+                    f"{float(cent_sq[j])!r})")
+    cents_sql = ",\n".join(vals)
+    return f"""
+WITH cents(cell, p, csq) AS (VALUES {cents_sql}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (SELECT vec_id, cell,
+              row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY -2.0 * list_dot_product(v, p) + csq, cell) AS rn
+       FROM c, cents),
+cell_of AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell
+            FROM cd WHERE rn = 1),
+ranked AS (SELECT vec_id, cell,
+                  row_number() OVER (
+                    PARTITION BY cell
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                  AS cell_rank
+           FROM cell_of)
+SELECT vec_id, cell, CAST(cell_rank AS BIGINT) AS cell_rank
+FROM ranked WHERE cell_rank <= {per_cell}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
@@ -3346,6 +3485,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in r16 and the tail retirement is complete)
         "langid_confusion": q_langid_confusion,
         "top_ngrams": q_top_ngrams,
+        # NEW r15, born out-of-window per the rotation discipline:
+        # cross-source contamination matrix, CCNet-style boilerplate
+        # strip, cluster-balanced diversity sampling.
+        # check_oracle-gated at sf0.01 AND sf1; promote r16 per the
+        # ledger above.
+        "source_overlap": q_source_overlap,
+        "boilerplate_strip": q_boilerplate_strip,
+        "cluster_sample": q_cluster_sample,
     }
 
 
@@ -3457,6 +3604,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "tfidf_topk": ORACLE_TFIDF_TOPK,
         "split_leakage": ORACLE_SPLIT_LEAKAGE,
         "lm_buckets": ORACLE_LM_BUCKETS,
+        "source_overlap": ORACLE_SOURCE_OVERLAP,
+        "boilerplate_strip": ORACLE_BOILERPLATE_STRIP,
     }
     try:
         # duckdb imported inside the guard: its absence degrades the
@@ -3483,6 +3632,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             _ivf_centroids_cached(
                 sf_dir, n_cells=_semantic_dedup_cells(sf_dir)),
             threshold=SEMANTIC_DEDUP_THRESHOLD)
+        out["cluster_sample"] = _cluster_sample_oracle(
+            _ivf_centroids_cached(sf_dir, n_cells=8), per_cell=25)
     except (FileNotFoundError, OSError, _duckdb.IOException) as exc:
         # missing sf_dir/parquet only: degrade that one query to the
         # driver's rows-only check.  Anything else (a kmeans bug, bad

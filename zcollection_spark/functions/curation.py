@@ -230,3 +230,129 @@ def split_leakage(df: DataFrame, *, id_col: str, text_col: str = "text",
            .where(F.col("split_a") != F.col("split_b"))
            .select("id_a", "id_b", "jaccard", "split_a", "split_b"))
     return _attach_cached(out, *getattr(pairs, "_zc_cached", ()))
+
+
+def source_overlap(df: DataFrame, *, group_col: str = "source",
+                   text_col: str = "text", shingle_size: int = 8,
+                   max_group_df: int | None = None) -> DataFrame:
+    """Cross-source n-gram contamination matrix: for every pair of
+    sources (domains, crawls, snapshot dates), the Jaccard overlap of
+    their distinct word-``shingle_size``-gram sets — the standard
+    corpus-composition audit before mixing sources into a training
+    run (two "different" crawls with 0.4 shingle overlap are one
+    source for dedup purposes, and a benchmark-derived source
+    overlapping a web source is a leak).
+
+    Returns every unordered pair ``(source_a < source_b)``:
+    ``(source_a, source_b, n_a, n_b, n_common, jaccard)`` where
+    ``n_*`` are distinct-shingle counts and ``jaccard`` =
+    ``n_common / (n_a + n_b - n_common)`` rounded to 6 dp (0.0 for
+    disjoint pairs — the full matrix is emitted, not just hits).
+
+    ``max_group_df`` (optional): drop shingles present in more than
+    that many groups from BOTH the intersection and the union counts
+    — "overlap over discriminative shingles".  Near-universal
+    shingles inflate every pairwise intersection equally while
+    generating O(groups²) join rows each; at a large group count
+    (thousands of domains) the guard bounds the join the same way
+    ``max_df`` bounds the Jaccard dedup join.
+
+    Scale shape: ONE distinct over (group, shingle-hash) — md5 long
+    keys, never shingle text — then a hash equi-join of that table
+    with itself (per-hash fan-out ≤ #groups, never a cartesian), a
+    map-side-combined pair count, and a groups²-row broadcast join
+    against the (tiny) per-group sizes.  The matrix itself is
+    O(groups²) rows — thousands of groups, not documents.
+    """
+    from .dedup import md5_long
+    sh = (df.select(F.col(group_col).alias("__g"),
+                    F.explode(word_shingles(text_col, shingle_size))
+                    .alias("__s"))
+          .select("__g", md5_long("__s").alias("__h"))
+          .distinct())
+    if max_group_df is not None:
+        hot = (sh.groupBy("__h")
+               .agg(F.count(F.lit(1)).alias("__gdf"))
+               .where(F.col("__gdf") > max_group_df)
+               .select("__h"))
+        sh = sh.join(hot, on="__h", how="left_anti")
+    sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (sh.select(F.col("__g").alias("source_a"), "__h")
+             .join(sh.select(F.col("__g").alias("source_b"), "__h"),
+                   on="__h")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("__common")))
+    pairs = (sizes.select(F.col("__g").alias("source_a"),
+                          F.col("__n").alias("n_a"))
+             .join(sizes.select(F.col("__g").alias("source_b"),
+                                F.col("__n").alias("n_b")))
+             .where(F.col("source_a") < F.col("source_b")))
+    n_common = F.coalesce(F.col("__common"), F.lit(0))
+    return (pairs.join(inter, on=["source_a", "source_b"], how="left")
+            .select("source_a", "source_b", "n_a", "n_b",
+                    n_common.alias("n_common"),
+                    F.round(n_common.cast("double")
+                            / (F.col("n_a") + F.col("n_b") - n_common),
+                            6).alias("jaccard")))
+
+
+def strip_boilerplate(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", passage_size: int = 10,
+                      min_docs: int = 3) -> DataFrame:
+    """CCNet-style corpus-level boilerplate removal (Wenzek et al.
+    2020 dedup Common Crawl by PARAGRAPH hash before any scoring:
+    headers, cookie banners, navigation chrome repeat verbatim across
+    documents and would dominate every downstream statistic).  The
+    paragraph proxy here is the non-overlapping window of
+    ``passage_size`` tokens (the corpus carries no line structure);
+    a passage is boilerplate when its exact text occurs in at least
+    ``min_docs`` DISTINCT documents.
+
+    Returns one row per input document: ``(id_col, n_passages,
+    n_boilerplate, clean_text)`` — ``clean_text`` is the document
+    with boilerplate passages removed, remaining passages joined in
+    original order by single spaces ('' when everything was
+    boilerplate).
+
+    Scale shape: passages hash per row as pure Catalyst expressions
+    (token array let-bound via projection — the O(tokens²)
+    higher-order-lambda trap measured in r13 — so hashing is
+    O(tokens) per doc); only ``(id, pos, hash)`` rows ever shuffle,
+    never passage text.  The distinct-doc count per hash is one
+    map-side-combinable aggregate; the kept-position set comes from
+    an anti-join against the (small) boilerplate-hash sliver — the
+    dup_spans lesson, filter to the sliver before joining — and the
+    text reassembly is a per-row array expression over the kept
+    positions (O(kept), no membership scans).
+    """
+    from .dedup import md5_long
+    npass = F.ceil(F.size("__toks") / F.lit(passage_size)).cast("int")
+    base = (df.select(F.col(id_col), F.col(text_col))
+            .withColumn("__toks", words(text_col))
+            .withColumn("__np", npass))
+    passage = lambda i: F.array_join(  # noqa: E731
+        F.slice("__toks", (i - F.lit(1)) * passage_size + F.lit(1),
+                passage_size), " ")
+    keyed = base.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.col("__np")),
+            lambda i: md5_long(passage(i)))).alias("__pos0", "__key"))
+    doc_counts = (keyed.select("__key", id_col).distinct()
+                  .groupBy("__key")
+                  .agg(F.count(F.lit(1)).alias("__nd")))
+    bp = doc_counts.where(F.col("__nd") >= min_docs).select("__key")
+    kept = (keyed.join(bp, on="__key", how="left_anti")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.col("__pos0") + 1))
+                 .alias("__keep")))
+    keep = F.coalesce(F.col("__keep"), F.array().cast("array<int>"))
+    return (base.join(kept, on=id_col, how="left")
+            .select(
+                F.col(id_col),
+                F.col("__np").cast("long").alias("n_passages"),
+                (F.col("__np") - F.size(keep)).cast("long")
+                .alias("n_boilerplate"),
+                F.array_join(F.transform(keep, passage), " ")
+                .alias("clean_text")))

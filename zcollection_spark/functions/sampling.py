@@ -317,3 +317,49 @@ def sample_to_token_budget(df: DataFrame, *, id_col: str,
             .where((F.col("__cum") - F.col(token_col)) < budget)
             .drop("__cum", "__tb_bucket", "__tb_c_bucket", "__tb_prefix",
                   *renames.values()))
+
+
+def cluster_balanced_sample(df: DataFrame, *, id_col: str, vec_col: str,
+                            per_cell: int, n_cells: int = 16,
+                            seed: int = 42, train_cap: int = 100_000,
+                            max_iter: int = 10,
+                            centroids: "list[list[float]] | None" = None,
+                            salt: str = "") -> DataFrame:
+    """Cluster-balanced (diversity) sampling over an embedding corpus:
+    k-means cells partition the semantic space, and at most
+    ``per_cell`` rows survive per cell, chosen by deterministic md5
+    rank — the embedding-space analog of :func:`cap_per_group` and
+    the standard corpus-diversification step (uniform sampling keeps
+    the head clusters' redundancy; capping per SEMANTIC cell keeps
+    coverage of the tails at a fraction of the rows).
+
+    Returns the kept rows as ``(id_col, cell, cell_rank)`` with
+    ``cell_rank`` 1-based within the cell (≤ ``per_cell``).  The
+    sample is a pure function of (centroids, id, salt): rebuilds and
+    incremental refreshes keep the same rows, and a different
+    ``salt`` draws a fresh balanced sample.
+
+    Scale shape: centroids train driver-side on a bounded id-ordered
+    sample and assignment is the ONE-scan Arrow-batched BLAS UDF
+    shared with ``ivf_topk`` / SemDeDup; the per-cell top-k is a
+    window over cells of ~n/k rows — grow ``n_cells`` with the corpus
+    (the SemDeDup guidance: cells of ~10³-10⁴ rows) so no single
+    cell's sort dominates, and pass pre-trained ``centroids`` to
+    reuse the index across batches.
+    """
+    from .similarity import (_lloyd_kmeans, centroid_arrays,
+                             make_cell_assigner, train_centroid_sample)
+    if centroids is None:
+        sample = train_centroid_sample(df, id_col, vec_col,
+                                       train_cap, n_cells)
+        cent = _lloyd_kmeans(sample, n_cells, seed=seed, iters=max_iter)
+    else:
+        cent = [list(map(float, c_)) for c_ in centroids]
+    cent_np, cent_sq = centroid_arrays(cent)
+    assign = make_cell_assigner(cent_np, cent_sq)
+    w = Window.partitionBy("cell").orderBy(
+        deterministic_rank(id_col, salt), F.col(id_col))
+    return (df.select(F.col(id_col),
+                      assign(vec_col).cast("long").alias("cell"))
+            .withColumn("cell_rank", F.row_number().over(w).cast("long"))
+            .where(F.col("cell_rank") <= per_cell))
