@@ -53,18 +53,19 @@ def main() -> None:
     # Tier split (r14 verdict task 7): the anchored headline suite is
     # frozen at the 43 scenarios in BENCH_ANCHOR.json; scenarios added
     # after the split are born into the ARCHIVE tier and run only on
-    # demand (BENCH_TIER=all or =archive), so anchor hygiene no longer
-    # requires an amendment per new operator.  tools/bench_guard.py is
-    # only meaningful against a headline-tier run (the default): it
+    # demand (BENCH_TIER=all), so anchor hygiene no longer requires an
+    # amendment per new operator.  tools/bench_guard.py is only
+    # meaningful against a headline-tier run (the default): it
     # breaches on any anchored row missing and on the anchored total,
-    # and archive rows would inflate the total comparison.
+    # and archive rows would inflate the total comparison.  There is
+    # deliberately no archive-only mode — headline scenarios build the
+    # collections later scenarios read, so skipping them would break
+    # the suite's dependency chain.
     run_tier = os.environ.get("BENCH_TIER", "headline")
 
     def timed(name, tier="headline"):
         def deco(fn):
-            if tier == "archive" and run_tier == "headline":
-                return
-            if run_tier == "archive" and tier != "archive":
+            if tier == "archive" and run_tier != "all":
                 return
             best = None
             for _ in range(max(repeat, 1)):
@@ -539,6 +540,26 @@ def main() -> None:
         @timed("lm_buckets")
         def _():
             _consume(eq.q_lm_buckets(spark, sf_dir))
+
+        # --- the r15 batch: cross-source overlap matrix, CCNet-style
+        # boilerplate strip, cluster-balanced sampling — the FIRST
+        # archive-tier scenarios (run with BENCH_TIER=all or
+        # =archive): tracked on demand, never anchored, per the r15
+        # headline/archive split.
+        if run_tier != "headline":
+            counters["bench_tier"] = run_tier
+
+        @timed("source_overlap", tier="archive")
+        def _():
+            eq.q_source_overlap(spark, sf_dir).collect()
+
+        @timed("boilerplate_strip", tier="archive")
+        def _():
+            _consume(eq.q_boilerplate_strip(spark, sf_dir))
+
+        @timed("cluster_sample", tier="archive")
+        def _():
+            eq.q_cluster_sample(spark, sf_dir).collect()
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

@@ -132,3 +132,22 @@ def test_bm25_broadcast_terms_cap(spark):
         out = bm25_scores(corpus, queries, id_col="doc_id",
                           text_col="text")
         assert out.count() == 4   # (q0,d0) (q0,d1) (q1,d0) (q1,d1)
+
+
+def test_importance_resample_gumbel_topk_cap(spark):
+    """importance_resample's single-task rank bound is loud: k past
+    sampling.gumbel_topk_cap raises BEFORE any job runs; at the bound
+    the draw is unaffected."""
+    from zcollection_spark.functions import importance_resample
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma"), (2, "gamma delta")],
+        "doc_id long, text string")
+    target = spark.createDataFrame([(0, "alpha beta")],
+                                   "t long, text string")
+    with config.override(**{"sampling.gumbel_topk_cap": 1}):
+        with pytest.raises(DriverBoundExceededError,
+                           match="gumbel_topk_cap"):
+            importance_resample(corpus, target, id_col="doc_id", k=2)
+    with config.override(**{"sampling.gumbel_topk_cap": 2}):
+        assert importance_resample(corpus, target, id_col="doc_id",
+                                   k=2).count() == 2

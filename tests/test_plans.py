@@ -710,3 +710,54 @@ def test_lm_buckets_no_global_sort_funnel(spark):
     # never funnels through a single-partition global Window
     assert "Window" not in final_plan(plan)
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_source_overlap_bounded_hash_join(spark):
+    """Source overlap: the intersection is a hash EQUI-join of the
+    distinct (source, hash) table with itself (fan-out per key ≤
+    #groups) feeding a map-side-combined pair count; the only
+    non-equi join is the groups²-row size cross — no Python, no
+    corpus-sized cartesian."""
+    plan = executed_plan(eq.q_source_overlap(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the only non-equi join is the broadcast-hinted groups² size cross
+    nlj = [ln for ln in final_plan(plan).splitlines()
+           if "NestedLoopJoin" in ln]
+    assert all("Broadcast" in ln for ln in nlj), nlj
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan     # map-side combine on the pairs
+
+
+def test_boilerplate_strip_shuffles_hashes_not_text(spark):
+    """Boilerplate strip: passage text never shuffles — the exploded
+    exchange carries only (id, pos, 64-bit hash); the boilerplate set
+    is removed by an anti-join and reassembly is a per-row array
+    expression.  No Python, no cartesian."""
+    plan = executed_plan(eq.q_boilerplate_strip(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan          # kept = passages ∉ boilerplate
+    # every shuffle of the exploded passage stream carries __key/__pos,
+    # never a passage-text column
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "__key" in ln:
+            assert "clean_text" not in ln and "passage" not in ln
+
+
+def test_cluster_sample_one_scan_bounded_window(spark):
+    """Cluster-balanced sample: ONE corpus scan through the Arrow
+    cell-assigner (the single allowed ArrowEvalPython), then a window
+    partitioned BY CELL — never a global (empty-partition) window —
+    and no join at all."""
+    plan = executed_plan(eq.q_cluster_sample(spark, SF_DIR))
+    assert final_plan(plan).count("ArrowEvalPython") == 1  # the assigner
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in final_plan(plan)
+    win = [ln for ln in plan.splitlines() if "Window" in ln
+           and "windowspecdefinition" in ln]
+    assert win and all("cell" in ln for ln in win), win

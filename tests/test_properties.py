@@ -847,3 +847,126 @@ def test_lm_buckets_matches_python_reference_property(spark, data):
            for r in lm_quality_buckets(df, id_col="doc_id",
                                        text_col="text").collect()}
     assert got == exp
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_source_overlap_matches_python_reference_property(spark, data):
+    """source_overlap == set-based per-group shingle Jaccard on
+    arbitrary small-vocab corpora, including disjoint pairs (emitted
+    with jaccard 0.0) and the optional max_group_df guard."""
+    from zcollection_spark.functions import source_overlap
+    n = data.draw(st.integers(1, 3))
+    gdf = data.draw(st.sampled_from([None, 1, 2, 100]))
+    rows = [(i, t, "g%d" % data.draw(st.integers(0, 3)))
+            for i, t in _word_docs(data)]
+
+    def shingles(t):
+        ws = t.split()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+
+    sets: dict = {}
+    for _, t, g in rows:
+        sets.setdefault(g, set()).update(shingles(t))
+    if gdf is not None:
+        hot = {s for s in set().union(*sets.values())
+               if sum(s in v for v in sets.values()) > gdf}
+        sets = {g: v - hot for g, v in sets.items()}
+    exp = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                exp[(a, b)] = (len(sets[a]), len(sets[b]), inter,
+                               round(inter / uni, 6) if uni else None)
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]):
+           (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+           for r in source_overlap(df, group_col="source",
+                                   text_col="text", shingle_size=n,
+                                   max_group_df=gdf).collect()}
+    assert got == exp
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_strip_boilerplate_matches_python_reference_property(spark,
+                                                             data):
+    """strip_boilerplate == a dict-based passage-count reference:
+    non-overlapping passage windows, boilerplate = passage text in >=
+    min_docs DISTINCT docs, kept passages rejoined in order (small
+    vocab forces heavy passage collisions — the interesting regime)."""
+    from zcollection_spark.functions import strip_boilerplate
+    p = data.draw(st.integers(1, 4))
+    min_docs = data.draw(st.integers(2, 3))
+    rows = _word_docs(data, vocab=3)
+
+    def passages(t):
+        ws = t.split()
+        np_ = -(-len(ws) // p)
+        return [" ".join(ws[i * p:(i + 1) * p]) for i in range(np_)]
+
+    docs_of: dict = {}
+    for i, t in rows:
+        for ptxt in passages(t):
+            docs_of.setdefault(ptxt, set()).add(i)
+    bp = {ptxt for ptxt, ds in docs_of.items() if len(ds) >= min_docs}
+    exp = {}
+    for i, t in rows:
+        ps = passages(t)
+        kept = [x for x in ps if x not in bp]
+        exp[i] = (len(ps), len(ps) - len(kept), " ".join(kept))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_passages"], r["n_boilerplate"],
+                         r["clean_text"])
+           for r in strip_boilerplate(df, id_col="doc_id",
+                                      text_col="text", passage_size=p,
+                                      min_docs=min_docs).collect()}
+    assert got == exp
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_cluster_sample_matches_python_reference_property(spark, data):
+    """cluster_balanced_sample with explicit centroids == a numpy
+    argmin (the -2·v·c + |c|² expansion, ties to the lowest cell) +
+    hashlib-md5 per-cell rank reference."""
+    import hashlib
+
+    import numpy as np
+
+    from zcollection_spark.functions import cluster_balanced_sample
+    dim = data.draw(st.integers(2, 4))
+    k = data.draw(st.integers(1, 3))
+    per_cell = data.draw(st.integers(1, 4))
+    cents = [[float(data.draw(st.integers(-3, 3))) for _ in range(dim)]
+             for _ in range(k)]
+    n = data.draw(st.integers(1, 20))
+    vecs = [(i, [float(data.draw(st.integers(-3, 3)))
+                 for _ in range(dim)]) for i in range(n)]
+    c_np = np.asarray(cents, dtype=np.float64)
+    csq = (c_np * c_np).sum(axis=1)
+
+    def cell_of(v):
+        d = -2.0 * (c_np @ np.asarray(v, dtype=np.float64)) + csq
+        return int(np.argmin(d))           # first min = lowest cell
+
+    by_cell: dict = {}
+    for i, v in vecs:
+        by_cell.setdefault(cell_of(v), []).append(i)
+    exp = {}
+    for cell, ids in by_cell.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode())
+                                .hexdigest(), i))
+        for rank, i in enumerate(ids[:per_cell], start=1):
+            exp[i] = (cell, rank)
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cell"], r["cell_rank"])
+           for r in cluster_balanced_sample(
+               df, id_col="vec_id", vec_col="embedding",
+               per_cell=per_cell, centroids=cents).collect()}
+    assert got == exp

@@ -58,6 +58,11 @@ _DEFAULTS: dict[str, Any] = {
     "similarity.broadcast_rows_cap": 1_000_000,  # dup-pairs method="broadcast"
     "insert.partition_key_cap": 100_000,         # distinct keys per insert
     "retrieval.broadcast_terms_cap": 1_000_000,  # bm25 (query, term) rows
+    # importance_resample's final rank stage sorts the k survivors in
+    # ONE task (correct and cheap for sampling-sized k); the cap makes
+    # that single-task bound loud instead of silently degrading when a
+    # caller asks for a corpus-sized k
+    "sampling.gumbel_topk_cap": 5_000_000,
     # wide dedup-family intermediates (shingle/band/span expansions):
     # None -> persist() (single-job default); a path -> write-once
     # parquet tables under it, read back, DELETED on release (the

@@ -276,18 +276,32 @@ def source_overlap(df: DataFrame, *, group_col: str = "source",
                .where(F.col("__gdf") > max_group_df)
                .select("__h"))
         sh = sh.join(hot, on="__h", how="left_anti")
-    sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    # sizes enumerate the INPUT's groups, not the post-guard table's:
+    # a group whose every shingle was dropped by the guard stays in
+    # the matrix with n = 0 (jaccard null on a 0/0 pair) instead of
+    # silently vanishing from the audit
+    sizes = (df.select(F.col(group_col).alias("__g")).distinct()
+             .join(sh.groupBy("__g").agg(F.count(F.lit(1))
+                                         .alias("__n0")),
+                   on="__g", how="left")
+             .select("__g", F.coalesce(F.col("__n0"), F.lit(0))
+                     .alias("__n")))
     inter = (sh.select(F.col("__g").alias("source_a"), "__h")
              .join(sh.select(F.col("__g").alias("source_b"), "__h"),
                    on="__h")
              .where(F.col("source_a") < F.col("source_b"))
              .groupBy("source_a", "source_b")
              .agg(F.count(F.lit(1)).alias("__common")))
+    # the groups² matrix skeleton: an inequality cross of the TINY
+    # size table with itself — broadcast-hinted so the plan is a
+    # BroadcastNestedLoopJoin on #groups rows, never a shuffle
+    # cartesian
     pairs = (sizes.select(F.col("__g").alias("source_a"),
                           F.col("__n").alias("n_a"))
-             .join(sizes.select(F.col("__g").alias("source_b"),
-                                F.col("__n").alias("n_b")))
-             .where(F.col("source_a") < F.col("source_b")))
+             .join(F.broadcast(sizes.select(
+                       F.col("__g").alias("source_b"),
+                       F.col("__n").alias("n_b"))),
+                   F.col("source_a") < F.col("source_b")))
     n_common = F.coalesce(F.col("__common"), F.lit(0))
     return (pairs.join(inter, on=["source_a", "source_b"], how="left")
             .select("source_a", "source_b", "n_a", "n_b",

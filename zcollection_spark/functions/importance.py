@@ -164,9 +164,29 @@ def importance_resample(corpus: DataFrame, target: DataFrame, *,
     The uniform is clamped away from 0 (probability 16⁻¹⁵ per row)
     so the double ``ln`` never produces ±inf; keys are rounded before
     ranking for the cross-engine replay contract.
+
+    The final rank is a window over the ``k`` survivors of the
+    TakeOrdered ``limit(k)`` — a single task sorting exactly ``k``
+    rows, which is the right plan for sampling-sized ``k`` and a
+    wrong one for corpus-sized ``k``; config
+    ``sampling.gumbel_topk_cap`` makes that bound loud
+    (:class:`~zcollection_spark.errors.DriverBoundExceededError`)
+    instead of letting a huge ``k`` silently funnel the corpus
+    through one task.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    from .. import config
+    from ..errors import DriverBoundExceededError
+    cap = config.get("sampling.gumbel_topk_cap")
+    if k > cap:
+        raise DriverBoundExceededError(
+            f"importance_resample ranks its k survivors in a single "
+            f"task; k={k} exceeds {cap} (config "
+            f"'sampling.gumbel_topk_cap').  A corpus-sized draw wants "
+            f"a threshold on gumbel_key, not a global top-k — or "
+            f"raise the cap if a {k}-row single-task sort is "
+            f"acceptable.")
     w = importance_weights(corpus, target, id_col=id_col,
                            text_col=text_col,
                            target_text_col=target_text_col,
