@@ -303,12 +303,14 @@ def source_overlap(df: DataFrame, *, group_col: str = "source",
                        F.col("__n").alias("n_b"))),
                    F.col("source_a") < F.col("source_b")))
     n_common = F.coalesce(F.col("__common"), F.lit(0))
+    union = F.col("n_a") + F.col("n_b") - n_common
+    # a pair of guard-emptied groups has union 0: jaccard is null
+    # there, never an ANSI divide-by-zero
+    jac = F.when(union > 0,
+                 F.round(n_common.cast("double") / union, 6))
     return (pairs.join(inter, on=["source_a", "source_b"], how="left")
             .select("source_a", "source_b", "n_a", "n_b",
-                    n_common.alias("n_common"),
-                    F.round(n_common.cast("double")
-                            / (F.col("n_a") + F.col("n_b") - n_common),
-                            6).alias("jaccard")))
+                    n_common.alias("n_common"), jac.alias("jaccard")))
 
 
 def strip_boilerplate(df: DataFrame, *, id_col: str = "doc_id",
