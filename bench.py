@@ -560,6 +560,10 @@ def main() -> None:
         @timed("cluster_sample", tier="archive")
         def _():
             eq.q_cluster_sample(spark, sf_dir).collect()
+
+        @timed("novelty_score", tier="archive")
+        def _():
+            _consume(eq.q_novelty_scores(spark, sf_dir))
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

@@ -761,3 +761,20 @@ def test_cluster_sample_one_scan_bounded_window(spark):
     win = [ln for ln in plan.splitlines() if "Window" in ln
            and "windowspecdefinition" in ln]
     assert win and all("cell" in ln for ln in win), win
+
+
+def test_novelty_scores_no_self_join(spark):
+    """Novelty: one distinct explode, a vocabulary-sized df aggregate,
+    ONE hash equi-join back, map-side-combined per-doc aggregate — no
+    Python, no cartesian, and exactly one join (the hash equi-join):
+    per-document semantics need no pair join and no guard."""
+    plan = executed_plan(eq.q_novelty_scores(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    fp = final_plan(plan)
+    joins = [ln for ln in fp.splitlines()
+             if "SortMergeJoin" in ln or "BroadcastHashJoin" in ln]
+    assert len(joins) == 1, joins
+    assert "partial_count" in plan or "partial_sum" in plan

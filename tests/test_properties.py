@@ -970,3 +970,38 @@ def test_cluster_sample_matches_python_reference_property(spark, data):
                df, id_col="vec_id", vec_col="embedding",
                per_cell=per_cell, centroids=cents).collect()}
     assert got == exp
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_novelty_scores_matches_python_reference_property(spark, data):
+    """novelty_scores == a Counter-based df + per-doc set reference on
+    arbitrary small-vocab corpora (small vocab forces shared shingles
+    — the interesting regime)."""
+    import math
+    from collections import Counter
+
+    from zcollection_spark.functions import novelty_scores
+    n = data.draw(st.integers(1, 3))
+    rows = _word_docs(data)
+
+    def shingles(t):
+        ws = t.split()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    dfreq = Counter(s for v in sets.values() for s in v)
+    exp = {}
+    for i, v in sets.items():
+        uniq = sum(dfreq[s] == 1 for s in v)
+        exp[i] = (len(v), uniq, round(uniq / len(v), 6),
+                  round(sum(math.log(dfreq[s]) for s in v) / len(v), 6))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shingles"], r["n_unique"], r["novelty"],
+                         r["mean_log_df"])
+           for r in novelty_scores(df, id_col="doc_id",
+                                   text_col="text",
+                                   shingle_size=n).collect()}
+    assert got == exp

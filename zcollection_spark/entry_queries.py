@@ -3165,6 +3165,35 @@ FROM scored, bounds
 """
 
 
+def q_novelty_scores(spark, sf_dir):
+    """Per-document n-gram novelty vs the corpus (NEW r15): fraction
+    of a document's distinct 3-grams with corpus document-frequency 1,
+    plus the mean log-df boilerplate-density signal.  One distinct
+    over (id, md5 hash), a vocabulary-sized df aggregate, one hash
+    equi-join back — per-document output, no self-join, no guard
+    needed (functions/curation.py: novelty_scores)."""
+    from .functions.curation import novelty_scores
+    docs = load_table(spark, sf_dir, "documents")
+    return (novelty_scores(docs, id_col="doc_id", text_col="text",
+                           shingle_size=3)
+            .select("doc_id", "n_shingles", "n_unique", "novelty",
+                    "mean_log_df"))
+
+
+ORACLE_NOVELTY_SCORES = f"""
+WITH {_shingle_sql(3)},
+dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS novelty,
+       round(avg(ln(df)), 6) AS mean_log_df
+FROM sh JOIN dfq USING (s) GROUP BY doc_id
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source n-gram contamination matrix (NEW r15): for every
     unordered source pair, the exact Jaccard overlap of their distinct
@@ -3493,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "boilerplate_strip": q_boilerplate_strip,
         "cluster_sample": q_cluster_sample,
+        "novelty_score": q_novelty_scores,
     }
 
 
@@ -3606,6 +3636,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "lm_buckets": ORACLE_LM_BUCKETS,
         "source_overlap": ORACLE_SOURCE_OVERLAP,
         "boilerplate_strip": ORACLE_BOILERPLATE_STRIP,
+        "novelty_score": ORACLE_NOVELTY_SCORES,
     }
     try:
         # duckdb imported inside the guard: its absence degrades the
