@@ -564,6 +564,10 @@ def main() -> None:
         @timed("novelty_score", tier="archive")
         def _():
             _consume(eq.q_novelty_scores(spark, sf_dir))
+
+        @timed("pipeline_funnel", tier="archive")
+        def _():
+            eq.q_pipeline_funnel(spark, sf_dir).collect()
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

@@ -778,3 +778,18 @@ def test_novelty_scores_no_self_join(spark):
              if "SortMergeJoin" in ln or "BroadcastHashJoin" in ln]
     assert len(joins) == 1, joins
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pipeline_funnel_stage_contracts_hold(spark):
+    """Funnel: quality is scan-speed expressions (no Python), the
+    benchmark shingle set broadcasts into the contamination semi-join,
+    the dedup stage is a groupBy + semi-join, and the four group-sized
+    count joins never plan a cartesian."""
+    plan = executed_plan(eq.q_pipeline_funnel(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan          # the decontamination drop
+    assert "LeftSemi" in plan          # the dedup representative join
+    assert "BroadcastHashJoin" in plan

@@ -1005,3 +1005,62 @@ def test_novelty_scores_matches_python_reference_property(spark, data):
                                    text_col="text",
                                    shingle_size=n).collect()}
     assert got == exp
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_pipeline_funnel_matches_python_reference_property(spark, data):
+    """pipeline_funnel == the composed python references of its
+    stages: rule-by-rule quality replay -> min-id-per-text dedup ->
+    set-based shingle contamination -> per-group counts (rules drawn
+    so the quality stage genuinely filters)."""
+    from zcollection_spark.functions import pipeline_funnel
+    n = data.draw(st.integers(1, 3))
+    min_words = data.draw(st.sampled_from([1, 3, 6]))
+    top_cap = data.draw(st.sampled_from([0.5, 1.0]))
+    rules = {"min_words": min_words, "max_words": 1000,
+             "min_mean_word_len": 0.0, "max_mean_word_len": 100.0,
+             "max_symbol_ratio": 1.0, "min_stopword_hits": 0,
+             "max_top_token_ratio": top_cap}
+    rows = [(i, t, "g%d" % data.draw(st.integers(0, 2)))
+            for i, t in _word_docs(data, vocab=4)]
+    bench_rows = [(1000 + j, t) for j, (_, t) in
+                  enumerate(_word_docs(data, n_docs=4, vocab=4))]
+
+    def shingles(t):
+        ws = t.split()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+
+    def keeps(t):
+        ws = t.split()
+        from collections import Counter
+        top = max(Counter(ws).values())
+        return len(ws) >= min_words and top / len(ws) <= top_cap
+
+    keepers = [(i, t, g) for i, t, g in rows if keeps(t)]
+    by_text: dict = {}
+    for i, t, g in keepers:
+        by_text.setdefault(t, []).append(i)
+    reps = {min(ids) for ids in by_text.values()}
+    bench_sh = set().union(*(shingles(t) for _, t in bench_rows)) \
+        if bench_rows else set()
+    clean = {i for i, t, g in keepers
+             if i in reps and not (shingles(t) & bench_sh)}
+    exp = {}
+    for i, t, g in rows:
+        raw, q, u, c = exp.get(g, (0, 0, 0, 0))
+        exp[g] = (raw + 1, q + (1 if keeps(t) else 0),
+                  u + (1 if i in reps else 0),
+                  c + (1 if i in clean else 0))
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, source string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {r["source"]: (r["n_raw"], r["n_quality"], r["n_unique"],
+                         r["n_clean"])
+           for r in pipeline_funnel(df, bench, id_col="doc_id",
+                                    text_col="text",
+                                    group_col="source", rules=rules,
+                                    shingle_size=n).collect()}
+    assert got == exp

@@ -76,7 +76,7 @@ def test_registry_window_invariant():
     # totals in the queries() header comment rotted in r8 ("all 66")
     # and again in r9 ("all 71"), so adding a query now forces this
     # pin — and with it the rotation ledger — to be updated.
-    assert len(names) == 97, len(names)
+    assert len(names) == 98, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
     # round-15 rotation (executes the r14 ledger + the r14 verdict's
     # tasks 1 and 3 verbatim): ALL THIRTEEN never-driver-graded ops
@@ -112,7 +112,7 @@ def test_registry_window_invariant():
         "langid_confusion", "top_ngrams",
         # NEW r15, born out-of-window; promote in r16
         "source_overlap", "boilerplate_strip", "cluster_sample",
-        "novelty_score"}
+        "novelty_score", "pipeline_funnel"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     # every operator promoted/returned/cycled by the r14 ledger (and
     # the verdict's task 1/3 directives) must actually be in-window

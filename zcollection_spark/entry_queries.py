@@ -2903,6 +2903,92 @@ FROM q
 """
 
 
+def q_pipeline_funnel(spark, sf_dir):
+    """End-to-end corpus-cleaning funnel (NEW r15): per-source
+    survivor counts through quality filter -> exact-text dedup ->
+    benchmark decontamination (benchmark = the doc_id %% 97 slice,
+    the decontaminate entry's convention — present in the raw corpus,
+    so the stage also demonstrates self-leak removal).  Each stage IS
+    the standalone operator; the funnel adds only four group-sized
+    aggregates (functions/curation.py: pipeline_funnel)."""
+    from .functions.curation import pipeline_funnel
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return pipeline_funnel(docs, bench, id_col="doc_id",
+                           text_col="text", group_col="source",
+                           rules=QF_RULES, shingle_size=3) \
+        .select("source", "n_raw", "n_quality", "n_unique", "n_clean")
+
+
+def _pipeline_funnel_oracle() -> str:
+    """DuckDB twin of :func:`q_pipeline_funnel`: the quality twin's
+    rule CTEs (same QF_RULES literals) -> min-id-per-text dedup ->
+    the decontaminate twin's shared-shingle flag -> four per-source
+    counts left-joined onto the raw census."""
+    from .functions.curation import GOPHER_RULES
+    from .functions.text import STOPWORDS
+    r = dict(GOPHER_RULES)
+    r.update(QF_RULES)
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH words AS (SELECT doc_id, source, text,
+                      regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t FROM words),
+freq AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+top AS (SELECT doc_id, max(c) AS mx FROM freq GROUP BY doc_id),
+base AS (SELECT doc_id, len(w) AS n,
+                (length(text) - (len(w) - 1)) / len(w) AS mean_len,
+                len(regexp_extract_all(text, '[#…]')) AS symbols,
+                len(list_intersect(list_distinct(w),
+                                   [{stops}])) AS stop_hits
+         FROM words),
+keepers AS (SELECT b.doc_id
+            FROM base b JOIN top t USING (doc_id)
+            WHERE COALESCE(b.n >= {r['min_words']}
+                    AND b.n <= {r['max_words']}, FALSE)
+              AND COALESCE(b.mean_len >= {r['min_mean_word_len']}
+                    AND b.mean_len <= {r['max_mean_word_len']}, FALSE)
+              AND COALESCE(b.symbols / b.n <= {r['max_symbol_ratio']},
+                    FALSE)
+              AND COALESCE(b.stop_hits >= {r['min_stopword_hits']},
+                    FALSE)
+              AND COALESCE(CAST(t.mx AS DOUBLE) / b.n
+                    <= {r['max_top_token_ratio']}, FALSE)),
+dedup AS (SELECT min(w.doc_id) AS doc_id
+          FROM words w JOIN keepers k USING (doc_id)
+          GROUP BY w.text),
+shing AS (SELECT DISTINCT doc_id,
+            CASE WHEN len(w) >= 3
+                 THEN array_to_string(list_slice(w, gs, gs + 2), ' ')
+                 ELSE array_to_string(w, ' ') END AS s
+          FROM words,
+               UNNEST(generate_series(
+                 1, CASE WHEN len(w) >= 3 THEN len(w) - 2
+                         ELSE 1 END)) u(gs)),
+bench AS (SELECT DISTINCT s FROM shing WHERE doc_id % 97 = 0),
+flagged AS (SELECT DISTINCT sh2.doc_id
+            FROM shing sh2 JOIN dedup USING (doc_id)
+                           JOIN bench USING (s)),
+clean AS (SELECT doc_id FROM dedup ANTI JOIN flagged USING (doc_id)),
+src AS (SELECT doc_id, source FROM documents),
+raw AS (SELECT source, count(*) AS n_raw FROM documents
+        GROUP BY source),
+qc AS (SELECT source, count(*) AS nq FROM keepers JOIN src
+       USING (doc_id) GROUP BY source),
+dc AS (SELECT source, count(*) AS nu FROM dedup JOIN src
+       USING (doc_id) GROUP BY source),
+cc AS (SELECT source, count(*) AS nc FROM clean JOIN src
+       USING (doc_id) GROUP BY source)
+SELECT source, n_raw,
+       CAST(coalesce(nq, 0) AS BIGINT) AS n_quality,
+       CAST(coalesce(nu, 0) AS BIGINT) AS n_unique,
+       CAST(coalesce(nc, 0) AS BIGINT) AS n_clean
+FROM raw LEFT JOIN qc USING (source) LEFT JOIN dc USING (source)
+         LEFT JOIN cc USING (source)
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Within-document repetition (functions/curation.py):
     top-token share (one aggregate pass over the sorted token array —
@@ -3523,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "cluster_sample": q_cluster_sample,
         "novelty_score": q_novelty_scores,
+        "pipeline_funnel": q_pipeline_funnel,
     }
 
 
@@ -3637,6 +3724,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "source_overlap": ORACLE_SOURCE_OVERLAP,
         "boilerplate_strip": ORACLE_BOILERPLATE_STRIP,
         "novelty_score": ORACLE_NOVELTY_SCORES,
+        "pipeline_funnel": _pipeline_funnel_oracle(),
     }
     try:
         # duckdb imported inside the guard: its absence degrades the

@@ -425,3 +425,54 @@ def novelty_scores(df: DataFrame, *, id_col: str = "doc_id",
                  .alias("novelty"),
                  F.round(F.avg(F.log(F.col("__df").cast("double"))), 6)
                  .alias("mean_log_df")))
+
+
+def pipeline_funnel(df: DataFrame, benchmark: DataFrame, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    group_col: str = "source", rules: dict | None = None,
+                    shingle_size: int = 5) -> DataFrame:
+    """The end-to-end corpus-cleaning funnel, audited per group: how
+    many documents survive each standard pipeline stage —
+
+    1. ``n_raw``      — documents in;
+    2. ``n_quality``  — pass the Gopher-style :func:`quality_filter`;
+    3. ``n_unique``   — exact-text dedup representatives (min id per
+       distinct text) among the quality survivors;
+    4. ``n_clean``    — survivors not flagged by
+       :func:`contamination` against ``benchmark`` (any shared word
+       ``shingle_size``-gram drops the document).
+
+    One row per ``group_col`` value with the four counts — the
+    per-source yield report every corpus build ends with (and the
+    first thing to diff when a source's contribution collapses
+    between builds).  Stage semantics are EXACTLY the standalone
+    operators': each stage is the same function the pipeline would
+    call, so the funnel is an integration audit, not a reimplementation.
+
+    Scale shape: the stages inherit their own contracts
+    (quality_filter is scan-speed expressions; exact dedup is a
+    groupBy + semi-join; contamination broadcasts the benchmark
+    shingle set); the funnel adds only four group-sized aggregates
+    joined group-to-group (AQE broadcasts every one).
+    """
+    from .dedup import dedup_exact
+    survivors = quality_filter(df, text_col=text_col, rules=rules) \
+        .where(F.col("keep")).select(*df.columns)
+    deduped = dedup_exact(survivors, [text_col], id_col)
+    flagged = contamination(deduped, benchmark, id_col=id_col,
+                            text_col=text_col, n=shingle_size) \
+        .select(id_col)
+    clean = deduped.join(flagged, on=id_col, how="left_anti")
+
+    def stage(frame: DataFrame, name: str) -> DataFrame:
+        return frame.groupBy(F.col(group_col)).agg(
+            F.count(F.lit(1)).alias(name))
+
+    out = stage(df, "n_raw")
+    for frame, name in ((survivors, "n_quality"),
+                        (deduped, "n_unique"), (clean, "n_clean")):
+        out = out.join(stage(frame, name), on=group_col, how="left")
+    return out.select(
+        group_col,
+        *(F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ("n_raw", "n_quality", "n_unique", "n_clean")))
