@@ -62,6 +62,15 @@ def main() -> None:
     # collections later scenarios read, so skipping them would break
     # the suite's dependency chain.
     run_tier = os.environ.get("BENCH_TIER", "headline")
+    # "archive" is an alias of "all" (headline scenarios build the
+    # collections archive scenarios read, so they always run); any
+    # other value is a typo that would silently run headline-only —
+    # reject it rather than mislabel the run's provenance.
+    if run_tier == "archive":
+        run_tier = "all"
+    if run_tier not in ("headline", "all"):
+        raise SystemExit(f"BENCH_TIER must be 'headline', 'all' or "
+                         f"'archive' (alias of all); got {run_tier!r}")
 
     def timed(name, tier="headline"):
         def deco(fn):
@@ -543,11 +552,12 @@ def main() -> None:
 
         # --- the r15 batch: cross-source overlap matrix, CCNet-style
         # boilerplate strip, cluster-balanced sampling — the FIRST
-        # archive-tier scenarios (run with BENCH_TIER=all or
-        # =archive): tracked on demand, never anchored, per the r15
-        # headline/archive split.
-        if run_tier != "headline":
-            counters["bench_tier"] = run_tier
+        # archive-tier scenarios (run with BENCH_TIER=all, or its
+        # alias =archive): tracked on demand, never anchored, per the
+        # r15 headline/archive split.  bench_tier is only stamped when
+        # the archive rows actually ran.
+        if run_tier == "all":
+            counters["bench_tier"] = "all"
 
         @timed("source_overlap", tier="archive")
         def _():

@@ -686,14 +686,19 @@ def test_bigram_lm_matches_python_reference_property(spark, data):
         if not ps:
             continue
         rare = [cb[p] <= 2 for j, p in pair_rows if j == i]
-        exp[i] = (len(ps), round(sum(ps) / len(ps), 6),
-                  sum(rare) / len(rare))
+        # Keep the mean UN-rounded: the engine rounds its own float sum
+        # to 6 dp, and rounding the reference too makes the comparison
+        # flip on x.xxxxxx5 ties when summation order differs (judge
+        # r15 flake: 0.320313 vs 0.320312 +/- 1e-6).  Compare the
+        # engine's rounded value to the true mean with a tolerance that
+        # covers round-to-6dp (5e-7) plus float-summation noise.
+        exp[i] = (len(ps), sum(ps) / len(ps), sum(rare) / len(rare))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
     assert set(got) == set(exp)
     for i, (nb, mp, rs) in exp.items():
         assert got[i]["n_bigrams"] == nb
-        assert got[i]["mean_cond_p"] == pytest.approx(mp, abs=1e-6)
+        assert got[i]["mean_cond_p"] == pytest.approx(mp, abs=6e-7)
         assert got[i]["rare_bigram_share"] == pytest.approx(rs)
 
 

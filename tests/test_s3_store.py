@@ -12,6 +12,7 @@ run here against genuine object-store behavior, not a simulated FS.
 """
 
 import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -567,11 +568,21 @@ def test_materialize_dir_on_object_store(spark, s3_root):
                   if d.startswith("zc-intermediate-")]
         assert len(remote) >= 2          # raw + guarded expansions
         assert len(cached_intermediates(pairs)) >= 2
-        # release deletes the remote tables through the same handle
+        # the read plan roots at the shared store's localize mirror
+        import glob
+        from zcollection_spark import fs as fsmod
+        pin_store = fsmod.fs_for(root, spark)
+        mirrors = glob.glob(os.path.join(
+            pin_store._scratch_root, "r", "*", "*zc-intermediate-*"))
+        assert len(mirrors) >= 2
+        # release deletes the remote tables AND their localize mirrors
+        # through the same handle — post-release the plan is not
+        # re-runnable from a stale mirror, and no local disk leaks
         unpersist_intermediates(pairs)
         assert cached_intermediates(pairs) == []
         assert [d for d in fs.list_dirs(root)
                 if d.startswith("zc-intermediate-")] == []
+        assert all(not os.path.exists(m) for m in mirrors)
         # leak mode: a result constructed but never released leaves
         # orphan tables behind; the sweep helper reclaims them
         leaked = ngram_jaccard_pairs(docs, id_col="doc_id",
@@ -580,10 +591,15 @@ def test_materialize_dir_on_object_store(spark, s3_root):
         assert len([d for d in fs.list_dirs(root)
                     if d.startswith("zc-intermediate-")]) >= 2
         del leaked
+        leaked_mirrors = glob.glob(os.path.join(
+            pin_store._scratch_root, "r", "*", "*zc-intermediate-*"))
+        assert len(leaked_mirrors) >= 2
         swept = sweep_intermediates(spark)
         assert len(swept) >= 2
         assert all(p.startswith(root) for p in swept)
         assert [d for d in fs.list_dirs(root)
                 if d.startswith("zc-intermediate-")] == []
+        # the sweep reclaims the leaked localize mirrors too
+        assert all(not os.path.exists(m) for m in leaked_mirrors)
     # outside the override, sweep is a documented no-op
     assert sweep_intermediates(spark, None) == []

@@ -94,8 +94,10 @@ class _MaterializedHandle:
     exactly that scope).
     """
 
-    def __init__(self, frame: DataFrame, path: str, store):
+    def __init__(self, frame: DataFrame, path: str, store,
+                 mirror: "str | None" = None):
         self._frame, self._path, self._store = frame, path, store
+        self._mirror = mirror
         self._released = False
 
     @property
@@ -107,6 +109,14 @@ class _MaterializedHandle:
     def unpersist(self, blocking: bool = False):
         if not self._released:
             self._store.delete(self._path)
+            if self._mirror:
+                # The object-store read plan is rooted at the localize
+                # mirror, not the remote table: deleting only the
+                # remote would leave a post-release re-run silently
+                # reading the stale mirror (and leak local disk until
+                # scratch teardown).  Remove both so the documented
+                # missing-file contract holds in both modes.
+                shutil.rmtree(self._mirror, ignore_errors=True)
             self._released = True
         return self
 
@@ -145,8 +155,14 @@ def _pin_wide(df: DataFrame) -> tuple[DataFrame, object]:
     ``materialize_dir`` may live on ANY fs.py store (local path or
     ``s3://``/``az://``/``gs://``): object stores get the same
     scratch-write → ``upload_tree`` → ETag-validated ``localize``
-    bridge the collection write path uses, so the mechanism works on
-    clusters whose Spark lacks the native connector jars.
+    bridge the collection write path uses.  NOTE the bridge's scratch
+    dir and localize mirror are DRIVER-LOCAL paths — on a single-node
+    / local-mode session (where driver and executors share a
+    filesystem) this makes connector-less object stores work; on a
+    multi-node cluster without the native connector jars the
+    executors cannot see either path, so distributed use of an
+    object-store ``materialize_dir`` requires the jars (direct
+    ``s3a://``-style scans) or a shared scratch/mirror filesystem.
 
     Returns ``(frame_to_build_on, release_handle)``.
     """
@@ -169,10 +185,11 @@ def _pin_wide(df: DataFrame) -> tuple[DataFrame, object]:
         df.write.parquet(f"{scratch}/t")
         store.upload_tree(f"{scratch}/t", path)
         shutil.rmtree(scratch, ignore_errors=True)
-        frame = spark.read.parquet(store.localize(path))
-    else:
-        df.write.parquet(path)
-        frame = spark.read.parquet(path)
+        mirror = store.localize(path)
+        frame = spark.read.parquet(mirror)
+        return frame, _MaterializedHandle(frame, path, store, mirror)
+    df.write.parquet(path)
+    frame = spark.read.parquet(path)
     return frame, _MaterializedHandle(frame, path, store)
 
 
@@ -198,6 +215,12 @@ def sweep_intermediates(spark: "SparkSession | None" = None,
               if name.startswith("zc-intermediate-")]
     for path in doomed:
         store.delete(path)
+        if hasattr(store, "localize"):
+            # Object-store mode also leaves a driver-local localize
+            # mirror per table; re-localizing the now-deleted prefix
+            # empties the mirror of files (the stale-object sweep) and
+            # the rmtree drops the empty tree.
+            shutil.rmtree(store.localize(path), ignore_errors=True)
     return sorted(doomed)
 
 
