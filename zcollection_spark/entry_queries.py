@@ -37,11 +37,51 @@ from .functions import (brute_force_topk, dedup_exact, fingerprint,
                         language_id, lsh_candidate_pairs, md5_long,
                         minhash_signatures, ngram_jaccard_pairs, text_stats,
                         attach_fake_payload, extract_image_features)
-from .functions.text import FP_MOD, LANG_MARKERS, TOKEN_PATTERN
+from .functions.text import LANG_MARKERS
 from .oracles import (_SPLIT, _dedup_lsh_oracle, _ivf_oracle,
                       _ivfpq_oracle, _lsh_oracle, _minhash_oracle,
-                      _semantic_dedup_oracle, _shingle_df_sql,
-                      _shingle_sql, _simhash_oracle)
+                      _semantic_dedup_oracle, _simhash_oracle)
+from .oracles_sql import (EVENTS3, JACCARD_MAX_DF, ORACLE_ASOF,
+                          ORACLE_BIGRAM_LM, ORACLE_BIG_ORDERS,
+                          ORACLE_BLOOM_SKIP, ORACLE_BM25,
+                          ORACLE_BOILERPLATE_STRIP, ORACLE_BROWSE_NO_BUY,
+                          ORACLE_CAPPED_SAMPLE, ORACLE_CHANGES,
+                          ORACLE_CHUNK_DOCUMENTS, ORACLE_CLUSTERED_WHERE,
+                          ORACLE_DECONTAMINATE, ORACLE_DEDUP_CLUSTERS,
+                          ORACLE_DEDUP_CONTAINMENT, ORACLE_DEDUP_EMBEDDING,
+                          ORACLE_DEDUP_EXACT, ORACLE_DEDUP_JACCARD,
+                          ORACLE_DEDUP_KEEP_LATEST, ORACLE_DOC_REPETITION,
+                          ORACLE_DSIR_SAMPLE, ORACLE_DUP_SPANS,
+                          ORACLE_EMBEDDING_CENTROIDS,
+                          ORACLE_EMBEDDING_QUANTIZE, ORACLE_EVENT_GAPS,
+                          ORACLE_FINGERPRINT, ORACLE_GROUPED_SEQUENCE,
+                          ORACLE_HASH_SPLIT, ORACLE_HYBRID_RRF, ORACLE_INDEX,
+                          ORACLE_INTERVAL_MATCH, ORACLE_KNN,
+                          ORACLE_LM_BUCKETS, ORACLE_MAP_STATS,
+                          ORACLE_MERGE_CONCAT, ORACLE_MERGE_TIME_SERIES,
+                          ORACLE_MERGE_UPSERT, ORACLE_MERGE_UPSERT_TOLERANCE,
+                          ORACLE_MULTIMODAL, ORACLE_MULTIMODAL_DECODED,
+                          ORACLE_NOVELTY_SCORES, ORACLE_ORDER_PRIORITY,
+                          ORACLE_PACK_SEQUENCES, ORACLE_PERCENTILES,
+                          ORACLE_PRICING, ORACLE_PRIORITY_CLASS,
+                          ORACLE_PROJECTION, ORACLE_PROMO_REVENUE,
+                          ORACLE_QUERY_PRUNE, ORACLE_REGIONAL_REVENUE,
+                          ORACLE_RETAINED_READ, ORACLE_RETURNED_LOSSES,
+                          ORACLE_REVENUE_DELTA, ORACLE_REVENUE_ROLLUP,
+                          ORACLE_ROLLUP, ORACLE_SEQUENCE, ORACLE_SESSIONS,
+                          ORACLE_SHUFFLE_SHARDS, ORACLE_SOURCE_OVERLAP,
+                          ORACLE_SOURCE_QUALITY, ORACLE_SPAN_SCRUB,
+                          ORACLE_SPLIT_LEAKAGE, ORACLE_STRATIFIED_SAMPLE,
+                          ORACLE_STREAMING, ORACLE_STREAMING_CHANGES,
+                          ORACLE_STREAMING_DEDUP, ORACLE_STREAMING_SINK,
+                          ORACLE_STREAMING_STATEFUL, ORACLE_TEXT_STATS,
+                          ORACLE_TFIDF_TOPK, ORACLE_TIME_TRAVEL,
+                          ORACLE_TOKEN_BUDGET, ORACLE_TOP_NGRAMS,
+                          ORACLE_TOP_REVENUE, ORACLE_TRADE_FLOWS,
+                          ORACLE_UNIGRAM_STATS, ORACLE_UPDATE,
+                          ORACLE_UPSAMPLE_WEIGHTS, ORACLE_VIEW, ORACLE_WINNOW,
+                          ORACLE_ZARR, ORACLE_ZARR_DOCUMENTS,
+                          ORACLE_ZONEMAP_SKIP, ORACLE_ZORDER_WHERE)
 
 # ---------------------------------------------------------------------------
 # collection cache (deterministic builds, one per process)
@@ -94,9 +134,6 @@ def _events3_coll(spark: SparkSession, sf_dir: str, tag: str):
     return _cached(("events3", tag, sf_dir), build)
 
 
-EVENTS3 = "event_id, ts, value"
-
-
 # ---------------------------------------------------------------------------
 # §2.2 scans, pruning, projection
 # ---------------------------------------------------------------------------
@@ -110,19 +147,10 @@ def q_collection_query_prune(spark, sf_dir):
                       variables=["event_id", "ts", "value"])
 
 
-ORACLE_QUERY_PRUNE = f"""
-SELECT {EVENTS3} FROM events
-WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) IN (3, 4, 5)
-"""
-
-
 def q_collection_projection(spark, sf_dir):
     """Column whitelist projection (variables=, io/partition.py:250-256)."""
     coll = _events_coll(spark, sf_dir)
     return coll.query(variables=["event_id", "event_type"])
-
-
-ORACLE_PROJECTION = "SELECT event_id, event_type FROM events"
 
 
 def q_collection_zonemap_skip(spark, sf_dir):
@@ -147,11 +175,6 @@ def q_collection_zonemap_skip(spark, sf_dir):
                       variables=["event_id", "ts", "value"])
 
 
-ORACLE_ZONEMAP_SKIP = f"""
-SELECT {EVENTS3} FROM events WHERE value > 150.0
-"""
-
-
 def q_collection_clustered_where(spark, sf_dir):
     """Range-clustered file layout (``cluster_by=``, NEW r12): partition
     writes task-locally sort by the hot filter column, so parquet
@@ -174,11 +197,6 @@ def q_collection_clustered_where(spark, sf_dir):
                       variables=["event_id", "ts", "value"])
 
 
-ORACLE_CLUSTERED_WHERE = f"""
-SELECT {EVENTS3} FROM events WHERE value >= 40.0 AND value < 60.0
-"""
-
-
 def q_collection_zorder_where(spark, sf_dir):
     """Z-order clustered layout (``cluster_mode="zorder"``, NEW r12):
     batch-normalized bucket bits of BOTH cluster columns interleave
@@ -199,13 +217,6 @@ def q_collection_zorder_where(spark, sf_dir):
     return coll.query(where="value >= 40.0 and value < 60.0 and "
                             "event_id >= 1000 and event_id < 60000",
                       variables=["event_id", "ts", "value"])
-
-
-ORACLE_ZORDER_WHERE = f"""
-SELECT {EVENTS3} FROM events
-WHERE value >= 40.0 AND value < 60.0
-  AND event_id >= 1000 AND event_id < 60000
-"""
 
 
 def q_collection_bloom_skip(spark, sf_dir):
@@ -234,13 +245,6 @@ def q_collection_bloom_skip(spark, sf_dir):
                       variables=["event_id", "ts", "value"])
 
 
-ORACLE_BLOOM_SKIP = f"""
-SELECT {EVENTS3} FROM events
-WHERE event_id = (SELECT min(event_id) FROM events)
-   OR event_id = (SELECT max(event_id) FROM events)
-"""
-
-
 def q_collection_changes(spark, sf_dir):
     """Incremental partition diff (``Collection.changes``): a consumer
     that processed generation g receives exactly the partitions
@@ -262,13 +266,6 @@ def q_collection_changes(spark, sf_dir):
     diff = coll.changes(gen)
     return spark.createDataFrame(
         [(rel,) for rel in diff["added"]], "relpath string")
-
-
-ORACLE_CHANGES = """
-SELECT DISTINCT 'year=' || year(ts) || '/month=' || month(ts)
-       || '/day=' || day(ts) AS relpath
-FROM events WHERE day(ts) >= 9
-"""
 
 
 def q_collection_time_travel(spark, sf_dir):
@@ -294,11 +291,6 @@ def q_collection_time_travel(spark, sf_dir):
     coll, gen = _cached(("events3_tt", sf_dir), build)
     return (coll.query(at_generation=gen)
             .select("event_id", "value"))
-
-
-ORACLE_TIME_TRAVEL = """
-SELECT event_id, value FROM events WHERE day(ts) < 10
-"""
 
 
 def q_collection_retained_read(spark, sf_dir):
@@ -330,9 +322,6 @@ def q_collection_retained_read(spark, sf_dir):
             .select("event_id", "value"))
 
 
-ORACLE_RETAINED_READ = ORACLE_TIME_TRAVEL
-
-
 def q_collection_sequence(spark, sf_dir):
     """Sequence partitioning round-trip + pruning
     (partitioning/sequence.py:20-156)."""
@@ -346,9 +335,6 @@ def q_collection_sequence(spark, sf_dir):
         return coll
     coll = _cached(("lineitem_seq", sf_dir), build)
     return coll.query(filters="l_linenumber >= 5")
-
-
-ORACLE_SEQUENCE = "SELECT * FROM lineitem WHERE l_linenumber >= 5"
 
 
 def q_collection_grouped_sequence(spark, sf_dir):
@@ -370,12 +356,6 @@ def q_collection_grouped_sequence(spark, sf_dir):
     res = coll.query(filters="user_id_bucket == 0",
                      variables=["event_id", "user_id", "value"])
     return res
-
-
-ORACLE_GROUPED_SEQUENCE = """
-SELECT event_id, user_id, value FROM events
-WHERE user_id >= 0 AND user_id < 50
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -405,21 +385,6 @@ def q_merge_time_series(spark, sf_dir):
     return coll.query()
 
 
-ORACLE_MERGE_TIME_SERIES = f"""
-WITH base AS (SELECT {EVENTS3} FROM events WHERE day(ts) <= 10),
-batch AS (SELECT event_id + 1000000 AS event_id, ts,
-                 value + 1000.0 AS value
-          FROM events WHERE day(ts) BETWEEN 8 AND 12),
-bounds AS (SELECT date_trunc('day', ts) AS d, min(ts) AS lo, max(ts) AS hi
-           FROM batch GROUP BY 1)
-SELECT b.event_id, b.ts, b.value FROM base b
-LEFT JOIN bounds ON date_trunc('day', b.ts) = bounds.d
-                AND b.ts BETWEEN bounds.lo AND bounds.hi
-WHERE bounds.d IS NULL
-UNION ALL SELECT {EVENTS3} FROM batch
-"""
-
-
 def q_merge_upsert(spark, sf_dir):
     """upsert: keep existing rows with unmatched axis, else replace
     (merge.py:189-279)."""
@@ -443,18 +408,6 @@ def q_merge_upsert(spark, sf_dir):
     return coll.query()
 
 
-ORACLE_MERGE_UPSERT = f"""
-WITH batch AS (
-  SELECT event_id, ts, value + 500.0 AS value FROM events
-  WHERE day(ts) IN (5, 6)
-  UNION ALL
-  SELECT event_id + 2000000 AS event_id, ts + INTERVAL 40 DAY AS ts, value
-  FROM events WHERE day(ts) = 7)
-SELECT {EVENTS3} FROM events WHERE ts NOT IN (SELECT ts FROM batch)
-UNION ALL SELECT {EVENTS3} FROM batch
-"""
-
-
 def q_merge_concat(spark, sf_dir):
     """concat merge: append without dedup (merge.py:109-129)."""
     def build():
@@ -471,14 +424,6 @@ def q_merge_concat(spark, sf_dir):
         return coll
     coll = _cached(("merge_cat", sf_dir), build)
     return coll.query()
-
-
-ORACLE_MERGE_CONCAT = f"""
-SELECT {EVENTS3} FROM events
-UNION ALL
-SELECT event_id + 3000000 AS event_id, ts, value FROM events
-WHERE day(ts) = 1
-"""
 
 
 def q_merge_upsert_tolerance(spark, sf_dir):
@@ -500,24 +445,6 @@ def q_merge_upsert_tolerance(spark, sf_dir):
         return coll
     coll = _cached(("merge_tol", sf_dir), build)
     return coll.query()
-
-
-# existing row dropped iff some batch ts within 60 s in the SAME day
-# partition (per-partition merge); jitter keeps rows inside day 3 except
-# possibly the last 30 s of the day — the EXISTS condition reproduces the
-# partition scoping exactly.
-ORACLE_MERGE_UPSERT_TOLERANCE = f"""
-WITH batch AS (
-  SELECT event_id + 4000000 AS event_id, ts + INTERVAL 30 SECOND AS ts,
-         value + 7.0 AS value
-  FROM events WHERE day(ts) = 3)
-SELECT e.event_id, e.ts, e.value FROM events e
-WHERE NOT EXISTS (
-  SELECT 1 FROM batch b
-  WHERE date_trunc('day', b.ts) = date_trunc('day', e.ts)
-    AND abs(epoch(b.ts) - epoch(e.ts)) <= 60.0)
-UNION ALL SELECT {EVENTS3} FROM batch
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -543,13 +470,6 @@ def q_map_partition_stats(spark, sf_dir):
                     "sum_value double")
 
 
-ORACLE_MAP_STATS = """
-SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
-       count(*) AS n, round(sum(value), 6) AS sum_value
-FROM events GROUP BY 1, 2, 3
-"""
-
-
 def q_update_derived(spark, sf_dir):
     """Collection.update: read → fn → dynamic-overwrite rewrite
     (collection/base.py:698-794)."""
@@ -573,11 +493,6 @@ def q_update_derived(spark, sf_dir):
                       variables=["event_id", "value"])
 
 
-ORACLE_UPDATE = """
-SELECT event_id, value * 2.0 AS value FROM events WHERE day(ts) <= 5
-"""
-
-
 def q_view_overlay(spark, sf_dir):
     """View overlay: positional (_row_idx) join of derived variables
     (view/base.py:232-407)."""
@@ -597,11 +512,6 @@ def q_view_overlay(spark, sf_dir):
     return view.query(variables=["event_id", "ts", "value", "derived"])
 
 
-ORACLE_VIEW = """
-SELECT event_id, ts, value, value * 3.0 + 1.0 AS derived FROM events
-"""
-
-
 def q_index_lookup(spark, sf_dir):
     """Secondary index: contiguous-run ranges + pushdown read
     (indexing/parquet.py:65-195)."""
@@ -615,11 +525,6 @@ def q_index_lookup(spark, sf_dir):
     coll, indexer = _cached(("index", sf_dir), build)
     return indexer.query(coll, event_type="click",
                          variables=["event_id", "ts", "event_type"])
-
-
-ORACLE_INDEX = """
-SELECT event_id, ts, event_type FROM events WHERE event_type = 'click'
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -667,39 +572,6 @@ def q_pricing_summary(spark, sf_dir):
                  F.count(F.lit(1)).alias("count_order")))
 
 
-#: Split decimal→double (floor + fraction, one IEEE add): DuckDB's
-#: direct cast double-rounds when the scaled mantissa exceeds 2^53
-#: (sf1 gate finding) — mirror of the Spark-side ``dbl`` helper.
-ORACLE_PRICING = """
-WITH s AS (
-  SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(12,4)))
-             AS DECIMAL(28,4)) AS s_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)))
-             AS DECIMAL(28,4)) AS s_base,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-             * CAST(1.0 - l_discount AS DECIMAL(12,4)))
-             AS DECIMAL(28,4)) AS s_disc,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-             * CAST(1.0 - l_discount AS DECIMAL(12,4))
-             * CAST(1.0 + l_tax AS DECIMAL(12,4)))
-             AS DECIMAL(30,6)) AS s_charge,
-         count(*) AS count_order
-  FROM lineitem GROUP BY l_returnflag, l_linestatus)
-SELECT l_returnflag, l_linestatus,
-       CAST(FLOOR(s_qty) AS DOUBLE)
-         + CAST(s_qty - FLOOR(s_qty) AS DOUBLE) AS sum_qty,
-       CAST(FLOOR(s_base) AS DOUBLE)
-         + CAST(s_base - FLOOR(s_base) AS DOUBLE) AS sum_base_price,
-       CAST(FLOOR(s_disc) AS DOUBLE)
-         + CAST(s_disc - FLOOR(s_disc) AS DOUBLE) AS sum_disc_price,
-       CAST(FLOOR(s_charge) AS DOUBLE)
-         + CAST(s_charge - FLOOR(s_charge) AS DOUBLE) AS sum_charge,
-       count_order
-FROM s
-"""
-
-
 def q_top_revenue_orders(spark, sf_dir):
     """TPC-H Q3-style join: decimal-exact revenue, deterministic
     top-10.  No forced broadcasts — AQE picks broadcast at small SF and
@@ -727,24 +599,6 @@ def q_top_revenue_orders(spark, sf_dir):
             .limit(10))
 
 
-ORACLE_TOP_REVENUE = """
-SELECT o_orderkey,
-       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-           * CAST(1.0 - l_discount AS DECIMAL(12,4)))
-           AS DECIMAL(28,4)) AS DOUBLE)
-         AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < DATE '1998-01-01'
-  AND l_shipdate > DATE '1998-01-01'
-GROUP BY o_orderkey
-ORDER BY revenue DESC, o_orderkey
-LIMIT 10
-"""
-
-
 def q_revenue_delta(spark, sf_dir):
     """TPC-H Q6-style filter-scan aggregation (predicate pushdown to the
     parquet scan; decimal-exact sum)."""
@@ -758,18 +612,6 @@ def q_revenue_delta(spark, sf_dir):
                      & (F.col("l_quantity") < 24))
             .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
                  .alias("revenue")))
-
-
-ORACLE_REVENUE_DELTA = """
-SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                * CAST(l_discount AS DECIMAL(12,4)))
-            AS DECIMAL(28,4)) AS DOUBLE)
-         AS revenue
-FROM lineitem
-WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-  AND CAST(l_discount AS DECIMAL(12,4)) BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-"""
 
 
 def q_regional_revenue(spark, sf_dir):
@@ -804,22 +646,6 @@ def q_regional_revenue(spark, sf_dir):
                  .alias("revenue")))
 
 
-ORACLE_REGIONAL_REVENUE = """
-SELECT n_name,
-       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                * CAST(1.0 - l_discount AS DECIMAL(12,4)))
-            AS DECIMAL(28,4)) AS DOUBLE) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-GROUP BY n_name
-"""
-
-
 def q_promo_revenue(spark, sf_dir):
     """TPC-H Q14-style promo revenue by ship year: fact⋈broadcast part
     dim, decimal-exact sums (same widen-only cast discipline as Q1)."""
@@ -836,20 +662,6 @@ def q_promo_revenue(spark, sf_dir):
                  .alias("promo_revenue"),
                  F.sum(rev).cast("decimal(28,4)").cast("double")
                  .alias("total_revenue")))
-
-
-ORACLE_PROMO_REVENUE = """
-SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-       CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
-                     THEN CAST(l_extendedprice AS DECIMAL(12,4))
-                          * CAST(1.0 - l_discount AS DECIMAL(12,4)) END)
-            AS DECIMAL(28,4)) AS DOUBLE) AS promo_revenue,
-       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                * CAST(1.0 - l_discount AS DECIMAL(12,4)))
-            AS DECIMAL(28,4)) AS DOUBLE) AS total_revenue
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY year(l_shipdate)
-"""
 
 
 def q_rollup_hourly(spark, sf_dir):
@@ -878,14 +690,6 @@ def q_rollup_hourly(spark, sf_dir):
                  .alias("sum_value")))
 
 
-ORACLE_ROLLUP = """
-SELECT day(ts) AS day, hour(ts) AS hour, count(*) AS n,
-       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
-             / 1000000, 6) AS sum_value
-FROM events GROUP BY ROLLUP (day(ts), hour(ts))
-"""
-
-
 def q_user_sessions(spark, sf_dir):
     """Sessionization via window lag: sessions split on >30 min gaps."""
     from pyspark.sql import Window
@@ -900,20 +704,6 @@ def q_user_sessions(spark, sf_dir):
                  F.sum("new_session").cast("long").alias("n_sessions")))
 
 
-ORACLE_SESSIONS = """
-WITH flagged AS (
-  SELECT user_id,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-                                                   ORDER BY ts)) > 1800.0
-              THEN 1 ELSE 0 END AS new_session
-  FROM events)
-SELECT user_id, count(*) AS n_events,
-       CAST(sum(new_session) AS BIGINT) AS n_sessions
-FROM flagged GROUP BY user_id
-"""
-
-
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators
 # ---------------------------------------------------------------------------
@@ -924,11 +714,6 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(docs, ["text"], "doc_id").select("doc_id", "text")
 
 
-ORACLE_DEDUP_EXACT = """
-SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
-"""
-
-
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH candidate pairs — exact oracle via the shared md5
     permutation family."""
@@ -937,12 +722,6 @@ def q_dedup_minhash(spark, sf_dir):
                               num_hashes=8, shingle_size=3)
     return lsh_candidate_pairs(sigs, id_col="doc_id", num_hashes=8,
                                bands=4)
-
-
-#: Hot-shingle document-frequency cutoff used by the graded jaccard
-#: queries — shingles in more docs than this are stop-shingles (the
-#: skew guard; see ngram_jaccard_pairs).
-JACCARD_MAX_DF = 100
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -962,22 +741,6 @@ def q_dedup_jaccard(spark, sf_dir):
                                max_df=JACCARD_MAX_DF)
 
 
-ORACLE_DEDUP_JACCARD = f"""
-WITH {_shingle_sql(5)},
-{_shingle_df_sql(JACCARD_MAX_DF)},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
-shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
-           FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
-           GROUP BY 1, 2)
-SELECT id_a, id_b,
-       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-"""
-
-
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric containment near-dup pairs (NEW r13):
     C(A→B) = |A∩B| / |A| over distinct 3-shingles — the
@@ -994,24 +757,6 @@ def q_dedup_containment(spark, sf_dir):
                                    text_col="text", shingle_size=3,
                                    threshold=0.8,
                                    max_df=JACCARD_MAX_DF)
-
-
-ORACLE_DEDUP_CONTAINMENT = f"""
-WITH {_shingle_sql(3)},
-{_shingle_df_sql(JACCARD_MAX_DF)},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
-shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
-           FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
-           GROUP BY 1, 2)
-SELECT id_a, id_b,
-       CAST(c AS DOUBLE) / sa.n AS containment_a_in_b,
-       CAST(c AS DOUBLE) / sb.n AS containment_b_in_a
-FROM shared
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE greatest(CAST(c AS DOUBLE) / sa.n,
-               CAST(c AS DOUBLE) / sb.n) >= 0.8
-"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1070,21 +815,6 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                         F.round("cosine", 6).alias("cosine"))
 
 
-ORACLE_DEDUP_EMBEDDING = """
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-FROM c a, c b
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v))
-         * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-"""
-
-
 SEMANTIC_DEDUP_THRESHOLD = 0.4
 
 
@@ -1139,20 +869,6 @@ def q_unigram_stats(spark, sf_dir):
         .select("doc_id", "n_tokens", "avg_token_count", "hapax_share")
 
 
-ORACLE_UNIGRAM_STATS = rf"""
-WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS t FROM documents),
-vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t)
-SELECT tok.doc_id,
-       count(*) AS n_tokens,
-       CAST(sum(vocab.cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         AS avg_token_count,
-       CAST(sum(CASE WHEN vocab.cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         / CAST(count(*) AS DOUBLE) AS hapax_share
-FROM tok JOIN vocab USING (t)
-GROUP BY tok.doc_id
-"""
-
-
 def q_bigram_lm(spark, sf_dir):
     """Corpus-bigram LM scoring (NEW r13): CCNet-style "reads like the
     corpus" signal with the LM trained in the same job — conditional
@@ -1165,23 +881,6 @@ def q_bigram_lm(spark, sf_dir):
     return bigram_lm_score(docs, id_col="doc_id", text_col="text") \
         .select("doc_id", "n_bigrams", "mean_cond_p",
                 "rare_bigram_share")
-
-
-ORACLE_BIGRAM_LM = rf"""
-WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
-pairs AS (SELECT doc_id,
-            w[gs] AS w1, w[gs] || ' ' || w[gs+1] AS pair
-          FROM w, UNNEST(generate_series(1, len(w) - 1)) t(gs)
-          WHERE len(w) >= 2),
-cb AS (SELECT pair, count(*) AS cb FROM pairs GROUP BY pair),
-cu AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY w1)
-SELECT doc_id, count(*) AS n_bigrams,
-       round(avg(CAST(cb AS DOUBLE) / cu), 6) AS mean_cond_p,
-       CAST(sum(CASE WHEN cb <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-         / count(*) AS rare_bigram_share
-FROM pairs JOIN cb USING (pair) JOIN cu USING (w1)
-GROUP BY doc_id
-"""
 
 
 def q_dup_spans(spark, sf_dir):
@@ -1198,23 +897,6 @@ def q_dup_spans(spark, sf_dir):
         .select("doc_id", "n_spans", "n_dup_spans", "dup_ratio")
 
 
-ORACLE_DUP_SPANS = rf"""
-WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
-sp AS (SELECT doc_id, array_to_string(list_slice(w, gs, gs + 7), ' ') AS s
-       FROM w, UNNEST(generate_series(1, len(w) - 7)) t(gs)
-       WHERE len(w) >= 8),
-nd AS (SELECT s, count(*) AS ndocs
-       FROM (SELECT DISTINCT doc_id, s FROM sp) GROUP BY s)
-SELECT doc_id, count(*) AS n_spans,
-       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dup_spans,
-       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-         / count(*) AS dup_ratio
-FROM sp JOIN nd USING (s)
-GROUP BY doc_id
-"""
-
-
 def q_span_scrub(spark, sf_dir):
     """Duplicated-span REMOVAL (NEW r13): the apply half of dup_spans
     — tokens covered by any 8-token span occurring in ≥ 2 documents
@@ -1227,35 +909,6 @@ def q_span_scrub(spark, sf_dir):
                                 text_col="text", n=8)
     return out.select("doc_id", "n_tokens", "n_tokens_kept",
                       F.md5("text_scrubbed").alias("scrub_md5"))
-
-
-ORACLE_SPAN_SCRUB = rf"""
-WITH w AS (SELECT doc_id,
-             regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
-           FROM documents),
-sp AS (SELECT doc_id, gs - 1 AS s,
-         md5(array_to_string(list_slice(w, gs, gs + 7), ' ')) AS h
-       FROM w, UNNEST(generate_series(1, len(w) - 7)) t(gs)
-       WHERE len(w) >= 8),
-nd AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
-       GROUP BY h HAVING count(*) >= 2),
-st AS (SELECT doc_id, list_sort(list(DISTINCT s)) AS ss
-       FROM sp JOIN nd USING (h) GROUP BY doc_id),
-base AS (SELECT w.doc_id, w.w, coalesce(ss, []) AS ss
-         FROM w LEFT JOIN st USING (doc_id)),
-kept AS (SELECT doc_id, w,
-           list_filter(generate_series(0, len(w) - 1),
-             j -> len(list_filter(ss,
-                      s -> s <= j AND j <= s + 7)) = 0) AS kj
-         FROM base)
-SELECT doc_id,
-       CAST(len(w) AS BIGINT) AS n_tokens,
-       CAST(len(kj) AS BIGINT) AS n_tokens_kept,
-       md5(coalesce(array_to_string(
-            list_transform(kj, j -> w[j + 1]), ' '), ''))
-         AS scrub_md5
-FROM kept
-"""
 
 
 def q_winnow_fingerprint(spark, sf_dir):
@@ -1278,31 +931,6 @@ def q_winnow_fingerprint(spark, sf_dir):
                  .alias("n_shared_fp")))
 
 
-ORACLE_WINNOW = rf"""
-WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
-h AS (SELECT doc_id,
-        list_transform(generate_series(1, len(w) - 4),
-          gs -> ('0x' || substr(md5(array_to_string(
-                   list_slice(w, gs, gs + 4), ' ')), 1, 15))::BIGINT)
-          AS hs
-      FROM w WHERE len(w) >= 5),
-sel AS (SELECT doc_id,
-          CASE WHEN len(hs) >= 4
-               THEN list_distinct(list_transform(
-                      generate_series(1, len(hs) - 3),
-                      i -> list_min(list_slice(hs, i, i + 3))))
-               ELSE [list_min(hs)] END AS fps
-        FROM h),
-e AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel),
-dfreq AS (SELECT fp, count(*) AS nd FROM e GROUP BY fp)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
-       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_shared_fp
-FROM e JOIN dfreq USING (fp)
-GROUP BY doc_id
-"""
-
-
 def q_bm25_retrieval(spark, sf_dir):
     """BM25 lexical retrieval (NEW r13): top-10 documents per probe
     query (the first three documents' own text) by Robertson BM25 —
@@ -1319,38 +947,6 @@ def q_bm25_retrieval(spark, sf_dir):
                     k=10)
     return out.select("query_id", "doc_id", "score",
                       F.col("rank").cast("long").alias("rank"))
-
-
-#: shared BM25 ``scored`` CTE chain (tok/tf/dl/stats/qt/dfreq/scored)
-#: — interpolated into BOTH ORACLE_BM25 and ORACLE_HYBRID_RRF so the
-#: scoring function cannot silently diverge between the two twins
-_BM25_SCORED_CTE = rf"""tok AS (SELECT doc_id, unnest({_SPLIT}) AS term FROM documents),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-       GROUP BY doc_id, term),
-dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-qt AS (SELECT doc_id AS query_id,
-              unnest(list_distinct({_SPLIT})) AS term
-       FROM documents WHERE doc_id < 3),
-dfreq AS (SELECT term, count(*) AS df FROM tf
-          WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
-scored AS (SELECT qt.query_id, tf.doc_id,
-       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-             * tf * (1.2 + 1)
-             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
-         AS score
-   FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
-        JOIN dl ON tf.doc_id = dl.doc_id, stats
-   GROUP BY qt.query_id, tf.doc_id)"""
-
-ORACLE_BM25 = f"""
-WITH {_BM25_SCORED_CTE},
-r AS (SELECT query_id, doc_id, score,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, doc_id) AS rank
-      FROM scored)
-SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
-"""
 
 
 def q_hybrid_rrf(spark, sf_dir):
@@ -1379,47 +975,6 @@ def q_hybrid_rrf(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
-#: The dense ranks below order by UNROUNDED float cosine — the same
-#: convention ORACLE_KNN uses (and the driver has hash-matched for 12
-#: rounds): a cross-engine 1-ulp flip would already break
-#: knn_bruteforce's own rank column, so feeding the rank into the RRF
-#: arithmetic adds no new risk class.
-ORACLE_HYBRID_RRF = f"""
-WITH {_BM25_SCORED_CTE},
-sparse AS (SELECT query_id, doc_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, doc_id) AS rank
-           FROM scored),
-qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-       FROM embeddings WHERE vec_id < 3),
-cv AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
-       FROM embeddings),
-cos AS (SELECT query_id, cid,
-          list_dot_product(qv.v, cv.v)
-          / (sqrt(list_dot_product(qv.v, qv.v))
-             * sqrt(list_dot_product(cv.v, cv.v))) AS c
-        FROM qv, cv),
-dense AS (SELECT query_id, cid AS doc_id,
-            row_number() OVER (PARTITION BY query_id
-                               ORDER BY c DESC, cid) AS rank
-          FROM cos),
-lists AS (
-  SELECT query_id, doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS contrib
-  FROM sparse WHERE rank <= 10
-  UNION ALL
-  SELECT query_id, doc_id, CAST(1 AS DOUBLE) / (60 + rank)
-  FROM dense WHERE rank <= 10),
-fused AS (SELECT query_id, doc_id,
-            round(sum(contrib), 6) AS rrf_score,
-            CAST(count(*) AS BIGINT) AS n_lists
-          FROM lists GROUP BY query_id, doc_id)
-SELECT query_id, doc_id, rrf_score, n_lists,
-       row_number() OVER (PARTITION BY query_id
-                          ORDER BY rrf_score DESC, doc_id) AS rank
-FROM fused
-"""
-
-
 def q_text_stats(spark, sf_dir):
     """Quality-scoring stats per doc (all JVM-side expressions)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1431,20 +986,6 @@ def q_text_stats(spark, sf_dir):
         F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.col("distinct_ratio"))
-
-
-ORACLE_TEXT_STATS = f"""
-WITH t AS (SELECT doc_id, length(text) AS n_chars_computed,
-                  {_SPLIT} AS w,
-                  regexp_extract_all(text, '{TOKEN_PATTERN}') AS bpe
-           FROM documents)
-SELECT doc_id, n_chars_computed,
-       len(w) AS n_tokens,
-       len(list_distinct(w)) AS n_distinct_tokens,
-       len(bpe) AS n_bpe_tokens,
-       CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio
-FROM t
-"""
 
 
 def q_language_id(spark, sf_dir):
@@ -1505,32 +1046,10 @@ def q_source_quality(spark, sf_dir):
                  F.sum("n_distinct_tokens").alias("total_distinct")))
 
 
-ORACLE_SOURCE_QUALITY = f"""
-WITH t AS (SELECT source, {_SPLIT} AS w FROM documents)
-SELECT source, count(*) AS n_docs,
-       CAST(sum(len(w)) AS BIGINT) AS total_tokens,
-       min(len(w)) AS min_tokens,
-       max(len(w)) AS max_tokens,
-       CAST(sum(len(list_distinct(w))) AS BIGINT) AS total_distinct
-FROM t GROUP BY source
-"""
-
-
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint("text").alias("fp"))
-
-
-ORACLE_FINGERPRINT = f"""
-SELECT doc_id,
-       list_reduce(
-         list_prepend(CAST(0 AS BIGINT),
-           list_transform({_SPLIT},
-             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {FP_MOD})),
-         (acc, h) -> (acc * 31 + h) % {FP_MOD}) AS fp
-FROM documents
-"""
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -1548,28 +1067,6 @@ def q_chunk_documents(spark, sf_dir):
         .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
 
 
-# DuckDB twin of chunk_documents(chunk_tokens=32, overlap=8):
-# stride 24, n_chunks = max(ceil((n-8)/24), 1), window i covers
-# 1-based tokens [i*24+1, i*24+32]; list_slice clamps like Spark slice.
-ORACLE_CHUNK_DOCUMENTS = f"""
-WITH t AS (SELECT doc_id,
-                  regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
-                  AS w
-           FROM documents),
-c AS (SELECT doc_id, w,
-             unnest(generate_series(0,
-               greatest(CAST(ceil((len(w) - 8) / 24.0) AS INT), 1) - 1))
-             AS i
-      FROM t)
-SELECT doc_id,
-       CAST(i AS BIGINT) AS chunk_id,
-       array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' ')
-         AS chunk_text,
-       CAST(least(len(w) - i * 24, 32) AS BIGINT) AS n_tokens
-FROM c
-"""
-
-
 def q_hash_split(spark, sf_dir):
     """Deterministic md5 train/val/test assignment (75/12.5/12.5 —
     exact binary fractions so the double-precision thresholds compare
@@ -1583,18 +1080,6 @@ def q_hash_split(spark, sf_dir):
                       splits={"train": 0.75, "val": 0.125,
                               "test": 0.125}) \
         .select("doc_id", "lang", "split")
-
-
-ORACLE_HASH_SPLIT = """
-SELECT doc_id, lang,
-       CASE WHEN u < 0.75 THEN 'train'
-            WHEN u < 0.875 THEN 'val'
-            ELSE 'test' END AS split
-FROM (SELECT doc_id, lang,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-             / 16.0 ** 15 AS u
-      FROM documents)
-"""
 
 
 def q_shuffle_shards(spark, sf_dir):
@@ -1611,18 +1096,6 @@ def q_shuffle_shards(spark, sf_dir):
     return (shuffle_to_shards(docs, id_col="doc_id", n_shards=8)
             .select("doc_id", "lang", "shard",
                     F.col("shard_pos").cast("long").alias("shard_pos")))
-
-
-ORACLE_SHUFFLE_SHARDS = """
-SELECT doc_id, lang, shard,
-       CAST(row_number() OVER (PARTITION BY shard
-                               ORDER BY h ASC, doc_id ASC) - 1
-            AS BIGINT) AS shard_pos
-FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                  ::BIGINT % 8 AS INT) AS shard
-      FROM documents)
-"""
 
 
 def q_embedding_quantize(spark, sf_dir):
@@ -1647,28 +1120,6 @@ def q_embedding_quantize(spark, sf_dir):
         F.array_min("qvec").cast("int").alias("qmin"))
 
 
-ORACLE_EMBEDDING_QUANTIZE = """
-SELECT vec_id,
-       round(scale, 9) AS qscale_r,
-       CAST(list_sum(list_transform(
-           v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)))
-            AS BIGINT) AS qsum,
-       CAST(list_max(list_transform(
-           v, x -> CAST(floor(x / scale + 0.5) AS INT))) AS INT) AS qmax,
-       CAST(list_min(list_transform(
-           v, x -> CAST(floor(x / scale + 0.5) AS INT))) AS INT) AS qmin
-FROM (SELECT vec_id, v,
-             CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
-      FROM (SELECT vec_id,
-                   list_transform(embedding,
-                                  x -> CAST(x AS DOUBLE)) AS v,
-                   list_max(list_transform(
-                       embedding,
-                       x -> abs(CAST(x AS DOUBLE)))) AS amax
-            FROM embeddings))
-"""
-
-
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing after chunking (NEW r9): 32/8 windows
     packed into 96-token training bins per document.  One hash
@@ -1690,38 +1141,6 @@ def q_pack_sequences(spark, sf_dir):
                          "bin", "bin_fill")
 
 
-# the packing recurrence, replayed exactly: next-fit greedy over
-# chunk_id order, reset when the bin would exceed 96 tokens
-ORACLE_PACK_SEQUENCES = """
-WITH RECURSIVE
-t AS (SELECT doc_id,
-             regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
-      FROM documents),
-c AS (SELECT doc_id, w,
-             unnest(generate_series(0,
-               greatest(CAST(ceil((len(w) - 8) / 24.0) AS INT), 1) - 1))
-             AS i
-      FROM t),
-chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-                  CAST(least(len(w) - i * 24, 32) AS BIGINT) AS n_tokens
-           FROM c),
-r AS (
-  SELECT doc_id, chunk_id, n_tokens,
-         CAST(0 AS BIGINT) AS bin, n_tokens AS bin_fill
-  FROM chunks WHERE chunk_id = 0
-  UNION ALL
-  SELECT ch.doc_id, ch.chunk_id, ch.n_tokens,
-         CASE WHEN r.bin_fill + ch.n_tokens > 96
-              THEN r.bin + 1 ELSE r.bin END,
-         CASE WHEN r.bin_fill + ch.n_tokens > 96
-              THEN ch.n_tokens ELSE r.bin_fill + ch.n_tokens END
-  FROM chunks ch
-  JOIN r ON ch.doc_id = r.doc_id AND ch.chunk_id = r.chunk_id + 1
-)
-SELECT doc_id, chunk_id, n_tokens, bin, bin_fill FROM r
-"""
-
-
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (NEW r9): per-language
     down-sampling where the SAMPLE itself is a pure function of the
@@ -1736,17 +1155,6 @@ def q_stratified_sample(spark, sf_dir):
         docs, id_col="doc_id", strata_col="lang",
         fractions={"en": 0.5, "de": 0.25, "fr": 0.125}) \
         .select("doc_id", "lang", "source")
-
-
-ORACLE_STRATIFIED_SAMPLE = """
-SELECT doc_id, lang, source
-FROM (SELECT doc_id, lang, source,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-             / 16.0 ** 15 AS u
-      FROM documents)
-WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
-                    WHEN 'fr' THEN 0.125 ELSE 0.0 END
-"""
 
 
 def q_token_budget(spark, sf_dir):
@@ -1783,35 +1191,6 @@ def q_upsample_weights(spark, sf_dir):
                 .alias("copy"))
 
 
-ORACLE_UPSAMPLE_WEIGHTS = """
-SELECT doc_id, lang, c AS copy
-FROM (
-  SELECT doc_id, lang,
-         CAST(floor(w) AS BIGINT)
-         + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n
-  FROM (SELECT doc_id, lang,
-               CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
-                         WHEN 'fr' THEN 0.25 ELSE 0.0 END AS w,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                 ::BIGINT / 16.0 ** 15 AS u
-        FROM documents)
-) base, LATERAL unnest(generate_series(0, n - 1)) AS g(c)
-WHERE n >= 1
-"""
-
-
-ORACLE_TOKEN_BUDGET = """
-SELECT doc_id, lang, n_chars
-FROM (SELECT doc_id, lang, n_chars,
-             sum(n_chars) OVER (
-               PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM documents)
-WHERE cum - n_chars < 20000
-"""
-
-
 def q_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-10 per query vector (vec_id < 5)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1822,26 +1201,6 @@ def q_knn_bruteforce(spark, sf_dir):
     return topk.select("query_id", "vec_id",
                        F.round("cosine", 6).alias("cosine"),
                        F.col("rank").cast("long").alias("rank"))
-
-
-ORACLE_KNN = """
-WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings),
-s AS (SELECT qid, cid,
-             list_dot_product(qv, cv)
-             / (sqrt(list_dot_product(qv, qv))
-                * sqrt(list_dot_product(cv, cv))) AS cos
-      FROM q, c),
-r AS (SELECT qid, cid, cos,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY cos DESC, cid) AS rank
-      FROM s)
-SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
-       CAST(rank AS BIGINT) AS rank
-FROM r WHERE rank <= 10
-"""
 
 
 _EMB_DIM_CACHE: dict[str, int] = {}
@@ -2029,14 +1388,6 @@ def q_multimodal_features(spark, sf_dir):
                         F.col("first_byte").cast("long").alias("first_byte"))
 
 
-ORACLE_MULTIMODAL = """
-SELECT doc_id AS id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
-FROM documents
-"""
-
-
 def q_multimodal_decoded(spark, sf_dir):
     """REAL multimodal decode (not the fake stand-in): each doc gets a
     genuine RIFF/WAV payload (PCM8, 64 samples derived from doc_id),
@@ -2070,19 +1421,6 @@ def q_multimodal_decoded(spark, sf_dir):
         F.round("rms", 6).alias("rms"))
 
 
-ORACLE_MULTIMODAL_DECODED = """
-WITH s AS (
-  SELECT doc_id,
-         ((doc_id * 31 + i * 7) % 256 - 128) / 128.0 AS v
-  FROM documents, UNNEST(generate_series(0, 63)) t(i)
-)
-SELECT doc_id AS id, CAST(64 AS INTEGER) AS n_samples,
-       round(64 / 16000.0, 6) AS duration_s,
-       round(sqrt(avg(v * v)), 6) AS rms
-FROM s GROUP BY doc_id
-"""
-
-
 def q_zarr_roundtrip(spark, sf_dir):
     """Zarr v3 custom datasource round-trip: distributed executor-side
     group writes, pruned + projected read through the registered Python
@@ -2101,22 +1439,11 @@ def q_zarr_roundtrip(spark, sf_dir):
     return coll.query(filters="day in (3, 4, 5)")
 
 
-ORACLE_ZARR = f"""
-SELECT {EVENTS3} FROM events WHERE day(ts) IN (3, 4, 5)
-"""
-
-
 def q_streaming_hourly(spark, sf_dir):
     """Structured Streaming (availableNow) hourly event counts — the
     stream path of the engine; batch-equivalent oracle."""
     from .streaming import hourly_event_counts
     return hourly_event_counts(spark, sf_dir)
-
-
-ORACLE_STREAMING = """
-SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
-FROM events GROUP BY 1
-"""
 
 
 def _sink_coll(spark: SparkSession, sf_dir: str):
@@ -2172,14 +1499,6 @@ def q_streaming_sink(spark, sf_dir):
             .orderBy("m", "d"))
 
 
-ORACLE_STREAMING_SINK = """
-SELECT month(ts) AS m, day(ts) AS d, count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
-         AS sum_value
-FROM events GROUP BY 1, 2 ORDER BY m, d
-"""
-
-
 _CDC_QUERY_SEQ = [0]
 
 
@@ -2223,39 +1542,12 @@ def q_streaming_changes_agg(spark, sf_dir):
             .orderBy("change"))
 
 
-ORACLE_STREAMING_CHANGES = """
-WITH added AS (
-  SELECT DISTINCT 'year=' || year(ts) || '/month=' || month(ts)
-         || '/day=' || day(ts) AS relpath
-  FROM events WHERE day(ts) >= 15),
-removed AS (
-  SELECT DISTINCT 'year=' || year(ts) || '/month=' || month(ts)
-         || '/day=' || day(ts) AS relpath
-  FROM events WHERE day(ts) <= 5)
-SELECT 'added' AS change, count(*) AS n_partitions,
-       min(relpath) AS first_relpath, max(relpath) AS last_relpath
-FROM added HAVING count(*) > 0
-UNION ALL
-SELECT 'removed' AS change, count(*) AS n_partitions,
-       min(relpath) AS first_relpath, max(relpath) AS last_relpath
-FROM removed HAVING count(*) > 0
-ORDER BY change
-"""
-
-
 def q_streaming_stateful(spark, sf_dir):
     """applyInPandasWithState custom stateful operator (per-user running
     totals); with one availableNow batch the final state equals the batch
     aggregation — which is the oracle."""
     from .streaming import stateful_user_totals
     return stateful_user_totals(spark, sf_dir)
-
-
-ORACLE_STREAMING_STATEFUL = """
-SELECT user_id, count(*) AS n_events,
-       round(sum(value), 6) AS total_value
-FROM events GROUP BY user_id
-"""
 
 
 def q_order_priority_counts(spark, sf_dir):
@@ -2272,17 +1564,6 @@ def q_order_priority_counts(spark, sf_dir):
     return (orders.join(li, on=cond, how="left_semi")
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("order_count")))
-
-
-ORACLE_ORDER_PRIORITY = """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders o
-WHERE EXISTS (
-    SELECT 1 FROM lineitem l
-    WHERE l.l_orderkey = o.o_orderkey
-      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
-GROUP BY o_orderpriority
-"""
 
 
 def q_returned_item_losses(spark, sf_dir):
@@ -2314,25 +1595,6 @@ def q_returned_item_losses(spark, sf_dir):
             .limit(20))
 
 
-ORACLE_RETURNED_LOSSES = """
-SELECT c_custkey, c_name, n_name,
-       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-           * CAST(1.0 - l_discount AS DECIMAL(12,4)))
-           AS DECIMAL(28,4)) AS DOUBLE)
-         AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1996-07-01'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
-"""
-
-
 def q_priority_class_counts(spark, sf_dir):
     """TPC-H Q12-style conditional aggregation: late-shipped lines per
     order status, split into high/low-priority counts with a single
@@ -2354,19 +1616,6 @@ def q_priority_class_counts(spark, sf_dir):
                  .alias("low_line_count")))
 
 
-ORACLE_PRIORITY_CLASS = """
-SELECT o_orderstatus,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
-GROUP BY o_orderstatus
-"""
-
-
 def q_asof_enrich(spark, sf_dir):
     """As-of join: each non-purchase event picks up the user's most
     recent purchase value at-or-before its timestamp (the standalone
@@ -2383,16 +1632,6 @@ def q_asof_enrich(spark, sf_dir):
     return asof_join(left, right, on="ts", by="user_id")
 
 
-ORACLE_ASOF = """
-SELECT l.event_id, l.user_id, l.ts, r.value AS last_purchase_value
-FROM (SELECT event_id, user_id, ts FROM events
-      WHERE event_type <> 'purchase') l
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                WHERE event_type = 'purchase') r
-  ON l.user_id = r.user_id AND l.ts >= r.ts
-"""
-
-
 def q_dedup_keep_latest(spark, sf_dir):
     """Snapshot dedup: keep each user's most recent event per type
     (training-data 'latest version wins' compaction) — one window
@@ -2402,15 +1641,6 @@ def q_dedup_keep_latest(spark, sf_dir):
         .select("event_id", "user_id", "event_type", "ts", "value")
     return dedup_keep_latest(ev, keys=["user_id", "event_type"],
                              order_col="ts", tiebreak="event_id")
-
-
-ORACLE_DEDUP_KEEP_LATEST = """
-SELECT event_id, user_id, event_type, ts, value FROM (
-  SELECT event_id, user_id, event_type, ts, value,
-         row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events) WHERE rn = 1
-"""
 
 
 def q_interval_match(spark, sf_dir):
@@ -2432,19 +1662,6 @@ def q_interval_match(spark, sf_dir):
                          bucket=3600.0)
 
 
-ORACLE_INTERVAL_MATCH = """
-WITH iv AS (
-  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
-         min(ts) AS win_lo, max(ts) AS win_hi
-  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
-SELECT p.event_id, p.user_id, p.ts, iv.day_start, iv.win_lo, iv.win_hi
-FROM events p
-JOIN iv ON p.user_id = iv.user_id
-       AND p.ts >= iv.win_lo AND p.ts <= iv.win_hi
-WHERE p.event_type = 'purchase'
-"""
-
-
 def q_value_percentiles(spark, sf_dir):
     """Exact continuous percentiles per event type (``F.percentile`` is
     the exact linear-interpolation aggregate; at 100 TB swap in
@@ -2455,15 +1672,6 @@ def q_value_percentiles(spark, sf_dir):
             .agg(F.round(F.percentile("value", 0.5), 6).alias("p50"),
                  F.round(F.percentile("value", 0.95), 6).alias("p95"),
                  F.count(F.lit(1)).alias("n")))
-
-
-ORACLE_PERCENTILES = """
-SELECT event_type,
-       round(quantile_cont(value, 0.5), 6) AS p50,
-       round(quantile_cont(value, 0.95), 6) AS p95,
-       count(*) AS n
-FROM events GROUP BY event_type
-"""
 
 
 def q_revenue_rollup(spark, sf_dir):
@@ -2479,27 +1687,12 @@ def q_revenue_rollup(spark, sf_dir):
                  F.grouping_id().alias("gid")))
 
 
-ORACLE_REVENUE_ROLLUP = """
-SELECT l_returnflag, l_linestatus, count(*) AS n,
-       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4)))
-           AS DECIMAL(28,4)) AS DOUBLE)
-         AS sum_qty,
-       GROUPING(l_returnflag, l_linestatus) AS gid
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-"""
-
-
 def q_streaming_dedup(spark, sf_dir):
     """Streaming dedup (``dropDuplicatesWithinWatermark``): first arrival
     per event_id wins, state expires with the watermark.  One-pass
     deterministic source -> equals batch DISTINCT (the oracle)."""
     from .streaming import deduped_events
     return deduped_events(spark, sf_dir)
-
-
-ORACLE_STREAMING_DEDUP = """
-SELECT event_id, ts, user_id, value FROM events
-"""
 
 
 def q_embedding_centroids(spark, sf_dir):
@@ -2518,18 +1711,6 @@ def q_embedding_centroids(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
-ORACLE_EMBEDDING_CENTROIDS = """
-SELECT label, pos,
-       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000) AS BIGINT))
-            AS BIGINT) AS qsum,
-       count(*) AS n
-FROM (SELECT label, unnest(embedding) AS v,
-             generate_subscripts(embedding, 1) - 1 AS pos
-      FROM embeddings)
-GROUP BY label, pos
-"""
-
-
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: jaccard pairs → connected components →
     ``(doc_id, cluster_id)`` with the min doc id as the canonical
@@ -2543,29 +1724,6 @@ def q_dedup_clusters(spark, sf_dir):
                                 max_df=JACCARD_MAX_DF) \
         .select("id_a", "id_b")
     return dedup_clusters(pairs, "id_a", "id_b")
-
-
-ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_shingle_sql(5)},
-{_shingle_df_sql(JACCARD_MAX_DF)},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
-shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
-           FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
-           GROUP BY 1, 2),
-pairs AS (SELECT id_a, id_b FROM shared
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
--- MATERIALIZED: the recursive closure otherwise re-inlines (and
--- re-evaluates) the whole shingle-join pipeline once per iteration
--- (measured 130x on the semantic twin at sf1, r14)
-edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-reach AS (SELECT DISTINCT a AS node, a AS label FROM edges
-          UNION
-          SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node)
-SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
-"""
 
 
 def q_big_orders(spark, sf_dir):
@@ -2584,17 +1742,6 @@ def q_big_orders(spark, sf_dir):
                         on=F.col("o_orderkey") == F.col("l_orderkey"))
             .select("o_orderkey", "o_custkey", "o_orderdate",
                     "total_qty"))
-
-
-ORACLE_BIG_ORDERS = """
-SELECT o_orderkey, o_custkey, o_orderdate, total_qty
-FROM orders
-JOIN (SELECT l_orderkey,
-             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4)))
-                  AS DECIMAL(28,4)) AS DOUBLE) AS total_qty
-      FROM lineitem GROUP BY l_orderkey
-      HAVING total_qty > 180) ON o_orderkey = l_orderkey
-"""
 
 
 def q_event_gaps(spark, sf_dir):
@@ -2616,19 +1763,6 @@ def q_event_gaps(spark, sf_dir):
                  F.max("gap_us").alias("max_gap_us")))
 
 
-ORACLE_EVENT_GAPS = """
-WITH g AS (
-  SELECT epoch_us(ts)
-         - epoch_us(lag(ts) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id)) AS gap_us
-  FROM events)
-SELECT CAST(floor(gap_us / 3600000000.0) AS BIGINT) AS gap_hours,
-       count(*) AS n, min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
-FROM g WHERE gap_us IS NOT NULL
-GROUP BY 1
-"""
-
-
 def q_capped_sample(spark, sf_dir):
     """Budget capping: at most 30 documents per language, chosen by a
     deterministic md5 rank — the reproducible corpus-downsampling
@@ -2637,16 +1771,6 @@ def q_capped_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return cap_per_group(docs, keys="lang", id_col="doc_id", n=30) \
         .select("doc_id", "lang", "source")
-
-
-ORACLE_CAPPED_SAMPLE = """
-SELECT doc_id, lang, source FROM (
-  SELECT doc_id, lang, source,
-         row_number() OVER (
-           PARTITION BY lang
-           ORDER BY md5(CAST(doc_id AS VARCHAR) || ''), doc_id) AS rn
-  FROM documents) WHERE rn <= 30
-"""
 
 
 def q_trade_flows(spark, sf_dir):
@@ -2684,23 +1808,6 @@ def q_trade_flows(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_lines")))
 
 
-ORACLE_TRADE_FLOWS = """
-SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-           * CAST(1.0 - l_discount AS DECIMAL(12,4)))
-           AS DECIMAL(28,4)) AS DOUBLE)
-         AS revenue,
-       count(*) AS n_lines
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation sn ON s_nationkey = sn.n_nationkey
-JOIN nation cn ON c_nationkey = cn.n_nationkey
-GROUP BY sn.n_name, cn.n_name
-"""
-
-
 def q_zarr_documents(spark, sf_dir):
     """Text corpus stored AS ZARR: documents round-trip through the v3
     ``string`` data type (vlen-utf8 codec) and come back hash-exact —
@@ -2725,12 +1832,6 @@ def q_zarr_documents(spark, sf_dir):
                     F.md5(F.col("text")).alias("text_md5")))
 
 
-ORACLE_ZARR_DOCUMENTS = """
-SELECT doc_id, lang, length(text) AS n_chars_rt, md5(text) AS text_md5
-FROM documents
-"""
-
-
 def q_top_ngrams(spark, sf_dir):
     """Corpus-level n-gram document frequencies: top-20 bigrams by the
     number of documents containing them (the shingle-DF table MinHash
@@ -2746,13 +1847,6 @@ def q_top_ngrams(spark, sf_dir):
             .limit(20))
 
 
-ORACLE_TOP_NGRAMS = f"""
-WITH {_shingle_sql(2)}
-SELECT s AS gram, count(*) AS df FROM sh
-GROUP BY s ORDER BY df DESC, gram LIMIT 20
-"""
-
-
 def q_browse_no_buy(spark, sf_dir):
     """Set-operator family: (user, day) pairs with views but no
     purchases — ``except_`` over distinct keys plans as a left-anti
@@ -2765,15 +1859,6 @@ def q_browse_no_buy(spark, sf_dir):
     bought = (ev.where(F.col("event_type") == "purchase")
               .select("user_id", day).distinct())
     return viewed.exceptAll(bought)
-
-
-ORACLE_BROWSE_NO_BUY = """
-SELECT DISTINCT user_id, day(ts) AS d FROM events
-WHERE event_type = 'view'
-EXCEPT
-SELECT DISTINCT user_id, day(ts) FROM events
-WHERE event_type = 'purchase'
-"""
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -2832,16 +1917,6 @@ def q_decontaminate(spark, sf_dir):
     out = contamination(train, bench, id_col="doc_id", n=3)
     return out.select("doc_id",
                       F.col("n_overlap").cast("long").alias("n_overlap"))
-
-
-ORACLE_DECONTAMINATE = f"""
-WITH {_shingle_sql(3)},
-bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-FROM train JOIN bench USING (s)
-GROUP BY doc_id
-"""
 
 
 #: Entry-query thresholds for the Gopher-style filter, tuned to the
@@ -3002,31 +2077,6 @@ def q_doc_repetition(spark, sf_dir):
         F.round("dup_ngram_ratio", 6).alias("dup_ngram_ratio"))
 
 
-ORACLE_DOC_REPETITION = """
-WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
-                      AS w FROM documents),
-tok AS (SELECT doc_id, unnest(w) AS t, len(w) AS n FROM words),
-freq AS (SELECT doc_id, t, count(*) AS c, any_value(n) AS n
-         FROM tok GROUP BY doc_id, t),
-top AS (SELECT doc_id, max(c) AS mx, any_value(n) AS n
-        FROM freq GROUP BY doc_id),
-shall AS (SELECT doc_id,
-            CASE WHEN len(w) >= 5
-                 THEN array_to_string(list_slice(w, gs, gs + 4), ' ')
-                 ELSE array_to_string(w, ' ') END AS s
-          FROM words,
-               UNNEST(generate_series(
-                 1, CASE WHEN len(w) >= 5 THEN len(w) - 4
-                         ELSE 1 END)) u(gs)),
-dup AS (SELECT doc_id,
-               1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*) AS r
-        FROM shall GROUP BY doc_id)
-SELECT t.doc_id, round(CAST(t.mx AS DOUBLE) / t.n, 6) AS top_token_ratio,
-       round(d.r, 6) AS dup_ngram_ratio
-FROM top t JOIN dup d ON d.doc_id = t.doc_id
-"""
-
-
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3103,37 +2153,6 @@ def q_dsir_sample(spark, sf_dir):
                     F.col("rank").cast("long").alias("rank")))
 
 
-ORACLE_DSIR_SAMPLE = rf"""
-WITH src_tok AS (SELECT doc_id, unnest({_SPLIT}) AS t FROM documents),
-tgt_tok AS (SELECT unnest({_SPLIT}) AS t FROM documents
-            WHERE lang = 'en'),
-cs AS (SELECT t, count(*) AS c FROM src_tok GROUP BY t),
-ct AS (SELECT t, count(*) AS c FROM tgt_tok GROUP BY t),
-vocab AS (SELECT coalesce(cs.t, ct.t) AS t,
-                 coalesce(cs.c, 0) AS csn, coalesce(ct.c, 0) AS ctn
-          FROM cs FULL JOIN ct ON cs.t = ct.t),
-scal AS (SELECT CAST(count(*) AS DOUBLE) AS v,
-                CAST(sum(csn) AS DOUBLE) AS ts,
-                CAST(sum(ctn) AS DOUBLE) AS tt FROM vocab),
-lr AS (SELECT t, ln((ctn + 1.0) * (ts + v))
-                 - ln((csn + 1.0) * (tt + v)) AS lr
-       FROM vocab, scal),
-w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             round(sum(lr), 6) AS log_weight
-      FROM src_tok JOIN lr USING (t) GROUP BY doc_id),
-keyed AS (SELECT *, round(log_weight - ln(-ln(greatest(
-            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-            / 16.0 ** 15, 1e-15))), 6) AS gumbel_key
-          FROM w)
-SELECT doc_id, n_tokens, log_weight, gumbel_key,
-       CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
-            AS BIGINT) AS rank
-FROM keyed
-ORDER BY gumbel_key DESC, doc_id
-LIMIT 50
-"""
-
-
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-k TF-IDF terms (NEW r14): the classic sparse
     document representation — keyword extraction / cluster naming —
@@ -3147,24 +2166,6 @@ def q_tfidf_topk(spark, sf_dir):
     return (tfidf_topk(docs, id_col="doc_id", text_col="text", k=3)
             .select("doc_id", "term", "tf", "score",
                     F.col("rank").cast("long").alias("rank")))
-
-
-ORACLE_TFIDF_TOPK = rf"""
-WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS term FROM documents),
-tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-       FROM tok GROUP BY doc_id, term),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
-scored AS (SELECT doc_id, term, tf,
-                  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6)
-                    AS score
-           FROM tf JOIN dfreq USING (term), n)
-SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS rank
-FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY score DESC, term) AS rnk
-      FROM scored)
-WHERE rnk <= 3
-"""
 
 
 def q_split_leakage(spark, sf_dir):
@@ -3183,38 +2184,6 @@ def q_split_leakage(spark, sf_dir):
         shingle_size=3, threshold=0.5, max_df=JACCARD_MAX_DF)
 
 
-ORACLE_SPLIT_LEAKAGE = f"""
-WITH {_shingle_sql(3)},
-{_shingle_df_sql(JACCARD_MAX_DF)},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
-shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
-           FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
-           GROUP BY 1, 2),
-pairs AS (SELECT id_a, id_b,
-                 CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-          FROM shared
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
-splits AS (SELECT doc_id,
-                  CASE WHEN u < 0.4 THEN 'train'
-                       WHEN u < 0.7 THEN 'val'
-                       ELSE 'test' END AS split
-           FROM (SELECT doc_id,
-                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                        1, 15))::BIGINT
-                        / 16.0 ** 15 AS u
-                 FROM documents))
-SELECT id_a, id_b, jaccard,
-       a.split AS split_a, b.split AS split_b
-FROM pairs
-JOIN splits a ON a.doc_id = id_a
-JOIN splits b ON b.doc_id = id_b
-WHERE a.split != b.split
-"""
-
-
-
 def q_lm_buckets(spark, sf_dir):
     """CCNet-style corpus quality buckets (NEW r14): head/middle/tail
     by corpus-bigram-LM score quantiles (Wenzek et al. 2020 bucket by
@@ -3226,29 +2195,6 @@ def q_lm_buckets(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return lm_quality_buckets(docs, id_col="doc_id", text_col="text") \
         .select("doc_id", "lm_score", "bucket")
-
-
-ORACLE_LM_BUCKETS = rf"""
-WITH w AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
-pairs AS (SELECT doc_id,
-            w[gs] AS w1, w[gs] || ' ' || w[gs+1] AS pair
-          FROM w, UNNEST(generate_series(1, len(w) - 1)) t(gs)
-          WHERE len(w) >= 2),
-cb AS (SELECT pair, count(*) AS cb FROM pairs GROUP BY pair),
-cu AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY w1),
-scored AS (SELECT doc_id,
-                  round(avg(CAST(cb AS DOUBLE) / cu), 6) AS lm_score
-           FROM pairs JOIN cb USING (pair) JOIN cu USING (w1)
-           GROUP BY doc_id),
-bounds AS (SELECT round(quantile_cont(lm_score, {1/3!r}), 6) AS b1,
-                  round(quantile_cont(lm_score, {2/3!r}), 6) AS b2
-           FROM scored)
-SELECT doc_id, lm_score,
-       CASE WHEN lm_score <= b1 THEN 'tail'
-            WHEN lm_score <= b2 THEN 'middle'
-            ELSE 'head' END AS bucket
-FROM scored, bounds
-"""
 
 
 def q_novelty_scores(spark, sf_dir):
@@ -3264,20 +2210,6 @@ def q_novelty_scores(spark, sf_dir):
                            shingle_size=3)
             .select("doc_id", "n_shingles", "n_unique", "novelty",
                     "mean_log_df"))
-
-
-ORACLE_NOVELTY_SCORES = f"""
-WITH {_shingle_sql(3)},
-dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
-SELECT doc_id,
-       count(*) AS n_shingles,
-       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_unique,
-       round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6)
-         AS novelty,
-       round(avg(ln(df)), 6) AS mean_log_df
-FROM sh JOIN dfq USING (s) GROUP BY doc_id
-"""
 
 
 def q_source_overlap(spark, sf_dir):
@@ -3297,32 +2229,6 @@ def q_source_overlap(spark, sf_dir):
                     "jaccard"))
 
 
-ORACLE_SOURCE_OVERLAP = f"""
-WITH words AS (SELECT source, {_SPLIT} AS w FROM documents),
-sh AS (SELECT DISTINCT source,
-         CASE WHEN len(w) >= 3
-              THEN array_to_string(list_slice(w, gs, gs + 2), ' ')
-              ELSE array_to_string(w, ' ') END AS s
-       FROM words,
-            UNNEST(generate_series(
-              1, CASE WHEN len(w) >= 3 THEN len(w) - 2
-                      ELSE 1 END)) t(gs)),
-sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
-inter AS (SELECT a.source AS source_a, b.source AS source_b,
-                 count(*) AS c
-          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
-          GROUP BY 1, 2),
-pairs AS (SELECT a.source AS source_a, b.source AS source_b,
-                 a.n AS n_a, b.n AS n_b
-          FROM sizes a, sizes b WHERE a.source < b.source)
-SELECT source_a, source_b, n_a, n_b,
-       CAST(coalesce(c, 0) AS BIGINT) AS n_common,
-       round(CAST(coalesce(c, 0) AS DOUBLE)
-             / (n_a + n_b - coalesce(c, 0)), 6) AS jaccard
-FROM pairs LEFT JOIN inter USING (source_a, source_b)
-"""
-
-
 def q_boilerplate_strip(spark, sf_dir):
     """CCNet-style boilerplate removal (NEW r15): passages (4-token
     non-overlapping windows — the paragraph proxy) occurring in ≥ 3
@@ -3337,34 +2243,6 @@ def q_boilerplate_strip(spark, sf_dir):
                               passage_size=4, min_docs=3)
             .select("doc_id", "n_passages", "n_boilerplate",
                     "clean_text"))
-
-
-ORACLE_BOILERPLATE_STRIP = f"""
-WITH t AS (SELECT doc_id, {_SPLIT} AS w FROM documents),
-p AS (SELECT doc_id,
-             CAST(ceil(len(w) / 4.0) AS INT) AS np, w, i
-      FROM t, UNNEST(generate_series(
-               1, CAST(ceil(len(w) / 4.0) AS INT))) u(i)),
-k AS (SELECT doc_id, np, w, i,
-             ('0x' || substr(md5(array_to_string(
-                list_slice(w, (i - 1) * 4 + 1, i * 4), ' ')),
-                1, 15))::BIGINT AS key
-      FROM p),
-bp AS (SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS nd
-                        FROM k GROUP BY key)
-       WHERE nd >= 3),
-kept AS (SELECT doc_id, list_sort(list(i)) AS keep
-         FROM k ANTI JOIN bp USING (key) GROUP BY doc_id)
-SELECT t.doc_id,
-       CAST(ceil(len(t.w) / 4.0) AS BIGINT) AS n_passages,
-       CAST(ceil(len(t.w) / 4.0) AS BIGINT)
-         - CAST(coalesce(len(keep), 0) AS BIGINT) AS n_boilerplate,
-       coalesce(array_to_string(list_transform(keep,
-           i -> array_to_string(
-                  list_slice(t.w, (i - 1) * 4 + 1, i * 4), ' ')), ' '),
-         '') AS clean_text
-FROM t LEFT JOIN kept USING (doc_id)
-"""
 
 
 def q_cluster_sample(spark, sf_dir):
