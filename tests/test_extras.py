@@ -354,3 +354,75 @@ def test_cli_ls_at_generation(spark, tmp_path, capsys):
     assert json.loads(capsys.readouterr().out) == ["num=1", "num=2"]
     with pytest.raises(ValueError, match="not available"):
         cli.main(["ls", coll.path, "--at-generation", "999"])
+
+
+# -- struct view of the group tree (r16; data/group.py:218-280) -------------
+
+@pytest.fixture()
+def hier3_collection(spark, tmp_path):
+    """3-level tree: time + data_01/{ku,c}/... + a root-level scalar."""
+    pdf = pd.DataFrame({
+        "time": np.arange(6, dtype=np.int64),
+        "lat": np.linspace(-3, 2, 6).astype(np.float64),
+        "data_01/ku/power": np.arange(6, dtype=np.float64) * 2.0,
+        "data_01/ku/swh": np.arange(6, dtype=np.float64) + 0.5,
+        "data_01/c/sig0": np.arange(6, dtype=np.float64) - 1.0,
+    })
+    schema = (zc.SchemaBuilder()
+              .add_dimension("time")
+              .add_group("data_01", {"product": "L2"})
+              .add_group("data_01/ku", {"band": "Ku"})
+              .add_group("data_01/c", {"band": "C"})
+              .add_variable("time", "int64", ("time",))
+              .add_variable("lat", "float64", ("time",))
+              .add_variable("data_01/ku/power", "float64", ("time",))
+              .add_variable("data_01/ku/swh", "float64", ("time",))
+              .add_variable("data_01/c/sig0", "float64", ("time",))
+              .build("time"))
+    coll = zc.create_collection(spark, str(tmp_path / "hier3"),
+                                schema=schema, axis="time",
+                                partitioning=zc.Sequence(("time",)))
+    coll.insert(spark.createDataFrame(pdf,
+                                      schema=schema.to_struct_type()))
+    return coll
+
+
+def test_query_nested_struct_roundtrip(spark, hier3_collection):
+    """query(nested=True) returns real StructType nesting with the flat
+    values intact and attribute-path selection working."""
+    from pyspark.sql import types as T
+    out = hier3_collection.query(nested=True)
+    assert out.columns == ["time", "lat", "data_01"]
+    f = out.schema["data_01"].dataType
+    assert isinstance(f, T.StructType)
+    assert set(f.names) == {"ku", "c"}
+    assert isinstance(f["ku"].dataType, T.StructType)
+    assert set(f["ku"].dataType.names) == {"power", "swh"}
+    # attribute-path access, the reference's tree semantics
+    rows = (out.select("time", "data_01.ku.power", "data_01.c.sig0")
+            .orderBy("time").collect())
+    assert [r["power"] for r in rows] == [i * 2.0 for i in range(6)]
+    assert [r["sig0"] for r in rows] == [i - 1.0 for i in range(6)]
+    # flat and nested views agree value-for-value
+    flat = hier3_collection.query().orderBy("time").collect()
+    assert [r["data_01/ku/swh"] for r in flat] == \
+        [r["swh"] for r in out.select("time", "data_01.ku.swh")
+         .orderBy("time").collect()]
+
+
+def test_query_nested_prunes_to_selected_leaf(spark, hier3_collection):
+    """Catalyst nested-schema pruning: selecting one struct leaf reads
+    only that flat column from parquet (ReadSchema check)."""
+    out = hier3_collection.query(nested=True, ordered=False)
+    plan = (out.select("data_01.ku.power")
+            ._jdf.queryExecution().executedPlan().toString())
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "power" in read
+    assert "swh" not in read and "sig0" not in read and "lat" not in read
+
+
+def test_nest_struct_columns_rejects_leaf_group_conflict(spark):
+    from zcollection_spark.errors import SchemaError
+    df = spark.createDataFrame([(1, 2)], ["a", "a/b"])
+    with pytest.raises(SchemaError, match="both a variable and a group"):
+        zc.nest_struct_columns(df)

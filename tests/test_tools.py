@@ -76,68 +76,64 @@ def test_registry_window_invariant():
     # totals in the queries() header comment rotted in r8 ("all 66")
     # and again in r9 ("all 71"), so adding a query now forces this
     # pin — and with it the rotation ledger — to be updated.
-    assert len(names) == 98, len(names)
+    assert len(names) == 99, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
-    # round-15 rotation (executes the r14 ledger + the r14 verdict's
-    # tasks 1 and 3 verbatim): ALL THIRTEEN never-driver-graded ops
-    # promote (nine r13-born + four r14-born), the twenty-five r14
-    # sit-outs return in-window, and the stale tail cycles at 3/round
-    # (order_priority_counts + returned_item_losses +
-    # collection_projection).  Sitting out until r16-r17 (all
-    # driver-green r13/r14; covered-surface arguments in the
-    # queries() header): sixteen held-over permanents with in-window
-    # family peers, the twenty r14 returns, the three r14 promotions,
-    # the two r14 tail cycles, and the last two r04-stale tail rows.
+    # round-16 rotation (executes the r15 ledger + the r15 verdict's
+    # tasks 2 and 4 verbatim): the FIVE r15-born never-driver-graded
+    # ops promote, the stale-tail retirement FINISHES with
+    # langid_confusion + top_ngrams (last r04-stale rows), and
+    # thirty-four of the forty-one r15 sit-outs return (driver-green
+    # r14).  Sitting out: the forty-one r15 in-window rows (all
+    # driver-green r15, freshest grade in the registry) and seven
+    # r14-green rows held to r17, each with an in-window family peer
+    # (covered-surface arguments in the queries() header).
     tail_allowed = {
-        # permanents rotated out round 15 (driver-green r14)
-        "collection_grouped_sequence", "merge_time_series",
-        "merge_concat", "map_partition_stats", "collection_changes",
-        "knn_ivfpq", "dedup_clusters", "dedup_simhash",
-        "dedup_embedding_lsh", "hash_split", "pii_scrub",
-        "decontaminate", "knn_bruteforce", "embedding_centroids",
-        "streaming_hourly", "streaming_stateful",
-        # r14 returns now sitting out (driver-green r14)
-        "text_stats", "language_id", "fingerprint", "revenue_rollup",
-        "event_gaps", "source_quality", "knn_lsh_hi", "knn_ivf_hi",
-        "dedup_keep_latest", "multimodal_features", "pack_sequences",
-        "stratified_sample", "token_budget", "merge_upsert_tolerance",
-        "dedup_embedding", "collection_retained_read",
-        "zarr_documents", "collection_bloom_skip", "dedup_jaccard",
-        "interval_match",
-        # r14 promotions + tail cycles now sitting out (driver-green
-        # r14)
-        "streaming_changes_agg", "dup_spans", "dedup_containment",
-        "top_revenue_orders", "trade_flows",
-        # permanent plain-SQL tail (2 remaining r04-stale; cycle r16)
-        "langid_confusion", "top_ngrams",
-        # NEW r15, born out-of-window; promote in r16
-        "source_overlap", "boilerplate_strip", "cluster_sample",
-        "novelty_score", "pipeline_funnel"}
+        # rotated out round 16 (driver-green r15; return r17-r18)
+        "pricing_summary", "chunk_documents", "doc_repetition",
+        "quality_filter", "knn_lsh", "knn_ivf",
+        "priority_class_counts", "big_orders", "regional_revenue",
+        "revenue_delta", "capped_sample", "browse_no_buy",
+        "value_percentiles", "collection_time_travel",
+        "upsample_weights", "merge_upsert",
+        "collection_clustered_where", "collection_zorder_where",
+        "promo_revenue", "rollup_hourly", "streaming_dedup",
+        "dedup_exact", "dedup_minhash", "user_sessions", "asof_enrich",
+        "shuffle_shards", "embedding_quantize", "dedup_semantic",
+        "unigram_stats", "bigram_lm", "span_scrub", "bm25_retrieval",
+        "hybrid_rrf", "winnow_fingerprint", "dsir_sample",
+        "tfidf_topk", "split_leakage", "lm_buckets",
+        "order_priority_counts", "returned_item_losses",
+        "collection_projection",
+        # r14-green held to r17 (MUST return r17 — oldest grade in
+        # the registry after this round)
+        "knn_lsh_hi", "knn_ivf_hi", "dedup_embedding", "language_id",
+        "stratified_sample", "top_revenue_orders", "trade_flows",
+        # NEW r16, born out-of-window; promote in r17
+        "collection_nested"}
     assert set(names[50:]) <= tail_allowed, names[50:]
-    # every operator promoted/returned/cycled by the r14 ledger (and
-    # the verdict's task 1/3 directives) must actually be in-window
+    # every operator promoted/returned/cycled by the r15 ledger (and
+    # the verdict's task 2/4 directives) must actually be in-window
     # this round
     for promoted in (
-            # the thirteen first-time promotions (verdict task 1)
-            "shuffle_shards", "embedding_quantize", "dedup_semantic",
-            "unigram_stats", "bigram_lm", "span_scrub",
-            "bm25_retrieval", "hybrid_rrf", "winnow_fingerprint",
-            "dsir_sample", "tfidf_topk", "split_leakage",
-            "lm_buckets",
-            # the twenty-five r14 sit-outs returning
-            "pricing_summary", "chunk_documents", "doc_repetition",
-            "quality_filter", "knn_lsh", "knn_ivf",
-            "priority_class_counts", "big_orders", "regional_revenue",
-            "revenue_delta", "capped_sample", "browse_no_buy",
-            "value_percentiles", "collection_time_travel",
-            "upsample_weights", "merge_upsert",
-            "collection_clustered_where", "collection_zorder_where",
-            "promo_revenue", "rollup_hourly", "streaming_dedup",
-            "dedup_exact", "dedup_minhash", "user_sessions",
-            "asof_enrich",
-            # the 3/round stale-tail cycle (verdict task 3)
-            "order_priority_counts", "returned_item_losses",
-            "collection_projection"):
+            # the five first-time promotions (verdict task 2)
+            "source_overlap", "boilerplate_strip", "cluster_sample",
+            "novelty_score", "pipeline_funnel",
+            # the final two stale-tail cycles (verdict task 2)
+            "langid_confusion", "top_ngrams",
+            # the thirty-four r15 sit-outs returning (verdict task 4)
+            "collection_grouped_sequence", "merge_time_series",
+            "merge_concat", "map_partition_stats", "collection_changes",
+            "knn_ivfpq", "dedup_clusters", "dedup_simhash",
+            "dedup_embedding_lsh", "hash_split", "pii_scrub",
+            "decontaminate", "knn_bruteforce", "embedding_centroids",
+            "streaming_hourly", "streaming_stateful", "text_stats",
+            "fingerprint", "revenue_rollup", "event_gaps",
+            "source_quality", "dedup_keep_latest",
+            "multimodal_features", "pack_sequences", "token_budget",
+            "merge_upsert_tolerance", "collection_retained_read",
+            "zarr_documents", "collection_bloom_skip", "dedup_jaccard",
+            "interval_match", "streaming_changes_agg", "dup_spans",
+            "dedup_containment"):
         assert promoted in names[:50], promoted
     # the nine held-over permanents anchoring surfaces with no other
     # in-window peer

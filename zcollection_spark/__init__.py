@@ -22,7 +22,7 @@ from .partitioning import (Date, GroupedSequence, Partitioning, Sequence,
                            compile_filter)
 from .changes_stream import stream_changes
 from .schema import (DatasetSchema, Dimension, SchemaBuilder, VariableSchema,
-                     infer_schema)
+                     infer_schema, nest_struct_columns)
 from .session import get_spark
 from .xbridge import dataset_nbytes, is_lazy, tree_repr
 
@@ -33,7 +33,7 @@ __all__ = [
     "replace", "concat", "time_series", "upsert", "upsert_within",
     "Date", "Sequence", "GroupedSequence", "Partitioning", "compile_filter",
     "DatasetSchema", "Dimension", "SchemaBuilder", "VariableSchema",
-    "infer_schema", "get_spark", "stream_changes",
+    "infer_schema", "nest_struct_columns", "get_spark", "stream_changes",
     "dataset_nbytes", "is_lazy", "tree_repr",
     "write_bucketed", "bucketed_join", "salted_join", "explain_shuffles",
     "ZCollectionError", "SchemaError", "PartitioningError",

@@ -617,7 +617,8 @@ class Collection:
               variables: Iterable[str] | None = None,
               where: str | None = None,
               ordered: bool = True,
-              at_generation: int | None = None) -> DataFrame | None:
+              at_generation: int | None = None,
+              nested: bool = False) -> DataFrame | None:
         """``filter → project → concat → attach immutables``
         (``base.py:524-595``).
 
@@ -644,7 +645,15 @@ class Collection:
         when a wanted partition was republished or dropped (mutable
         partition directories cannot reconstruct it) or the snapshot
         was pruned.  Immutable variables attach at their CURRENT value
-        (write-once by contract)."""
+        (write-once by contract).
+
+        ``nested=True`` returns the group tree as real ``StructType``
+        columns (``data_01/ku/power`` → ``data_01.ku.power``), the
+        struct view of the reference's attribute-path access
+        (``data/group.py:218-280``).  A pure final projection — no
+        shuffle, order-preserving, and Catalyst's nested-schema
+        pruning keeps a ``select("g.sub.leaf")`` on the result as
+        cheap as the flat column."""
         df = self._load(filters=filters, where=where,
                         at_generation=at_generation)
         if df is None:
@@ -680,6 +689,9 @@ class Collection:
                          if c in df.columns]
             if sort_cols:
                 df = df.orderBy(*sort_cols)
+        if nested:
+            from ..schema import nest_struct_columns
+            df = nest_struct_columns(df)
         return df
 
     # ------------------------------------------------------------------

@@ -42,6 +42,7 @@ from .oracles import (_SPLIT, _dedup_lsh_oracle, _ivf_oracle,
                       _ivfpq_oracle, _lsh_oracle, _minhash_oracle,
                       _semantic_dedup_oracle, _simhash_oracle)
 from .oracles_sql import (EVENTS3, JACCARD_MAX_DF, ORACLE_ASOF,
+                          ORACLE_COLLECTION_NESTED,
                           ORACLE_BIGRAM_LM, ORACLE_BIG_ORDERS,
                           ORACLE_BLOOM_SKIP, ORACLE_BM25,
                           ORACLE_BOILERPLATE_STRIP, ORACLE_BROWSE_NO_BUY,
@@ -151,6 +152,41 @@ def q_collection_projection(spark, sf_dir):
     """Column whitelist projection (variables=, io/partition.py:250-256)."""
     coll = _events_coll(spark, sf_dir)
     return coll.query(variables=["event_id", "event_type"])
+
+
+def _nested_coll(spark, sf_dir):
+    """Date-partitioned collection with a 3-level group tree (the F5
+    hier shape): value and user_id live under ``data_01/ku`` and
+    ``data_01/meta`` path-mangled groups."""
+    def build():
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts",
+            F.col("value").alias("data_01/ku/value"),
+            F.col("user_id").alias("data_01/meta/user_id"))
+        coll = create_collection(
+            spark, f"{_tmp()}/events_nested_{abs(hash(sf_dir))}",
+            schema=infer_schema(ev.schema, axis="ts"),
+            axis="ts", partitioning=Date(("ts",), resolution="D"))
+        coll.insert(ev)
+        return coll
+    return _cached(("nested", sf_dir), build)
+
+
+def q_collection_nested(spark, sf_dir):
+    """Struct view of the group tree (NEW r16): ``query(nested=True)``
+    rebuilds real ``StructType`` nesting from the path-mangled group
+    columns (the reference's attribute-path access,
+    data/group.py:218-280), then selects leaves by attribute path —
+    ``data_01.ku.value`` — through Catalyst's nested-schema pruning.
+    Partition pruning (the filters=) composes with the struct view:
+    the projection is applied after the pruned scan."""
+    coll = _nested_coll(spark, sf_dir)
+    out = coll.query(filters="year == 2024 and month == 1 and day <= 7",
+                     nested=True)
+    return out.select(
+        "event_id",
+        F.col("data_01.ku.value").alias("ku_value"),
+        F.col("data_01.meta.user_id").alias("meta_user_id"))
 
 
 def q_collection_zonemap_skip(spark, sf_dir):
@@ -2301,71 +2337,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
     # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 15, executing the r14
-    # ledger + the r14 verdict's task 1/3 verbatim): ALL THIRTEEN
-    # never-driver-graded ops promote for their first driver rows — the
-    # nine r13-born (shuffle_shards, embedding_quantize, dedup_semantic,
-    # unigram_stats, bigram_lm, span_scrub, bm25_retrieval, hybrid_rrf,
-    # winnow_fingerprint) and the four r14-born (dsir_sample,
-    # tfidf_topk, split_leakage, lm_buckets) — the twenty-five r14
-    # sit-outs RETURN in-window (driver-green r13, aging out after this
-    # round), and the stale-tail retirement runs at 3/round
-    # (order_priority_counts + returned_item_losses, the ledger-named
-    # pair, plus collection_projection per verdict task 3 — newest
-    # driver rows all r04).  13 + 25 + 3 = 41 slots; the other NINE are
-    # held-over permanents whose surface has no in-window peer
-    # otherwise: collection_query_prune + collection_zonemap_skip
-    # (partition-prune / zone-map skipping on the live collection
-    # read path), collection_sequence (sequence partitioning;
-    # grouped_sequence sits out on it), update_derived (the map/update
-    # applyInPandas machinery; map_partition_stats sits out on it),
-    # view_overlay (view surface), index_lookup (indexer surface),
-    # multimodal_decoded (multimodal family anchor;
-    # multimodal_features sits out on it), zarr_roundtrip (zarr
-    # datasource anchor; zarr_documents sits out on it), and
-    # streaming_sink (exactly-once txn-ledger sink; returning
-    # streaming_dedup holds the applyInPandasWithState surface so
-    # hourly/stateful sit out).  FORTY-ONE rows sit out, every one
-    # driver-green r14 (or r13 for the returning-next cohort), each
-    # with an in-window family peer: grouped_sequence <-
-    # collection_sequence; merge_time_series/merge_concat <- returning
-    # merge_upsert; map_partition_stats <- update_derived;
-    # collection_changes <- returning collection_time_travel (same
-    # catalog-generations surface) and sat-out streaming_changes_agg's
-    # green is r14-fresh; knn_ivfpq/knn_bruteforce/knn_lsh_hi/
-    # knn_ivf_hi <- returning knn_lsh + knn_ivf; dedup_clusters/
-    # dedup_simhash/dedup_embedding_lsh/dedup_jaccard/
-    # dedup_keep_latest/dedup_embedding/dedup_containment/dup_spans <-
-    # returning dedup_exact + dedup_minhash and promoting
-    # dedup_semantic + span_scrub; hash_split/stratified_sample/
-    # token_budget <- promoting shuffle_shards + returning
-    # capped_sample + upsample_weights; pii_scrub/decontaminate <-
-    # returning quality_filter + promoting split_leakage;
-    # embedding_centroids <- promoting embedding_quantize +
-    # dedup_semantic (same k-means core); streaming_hourly/
-    # streaming_stateful/streaming_changes_agg <- returning
-    # streaming_dedup + in-window streaming_sink; multimodal_features
-    # <- multimodal_decoded; zarr_documents/collection_bloom_skip/
-    # collection_retained_read <- zarr_roundtrip + zonemap_skip +
-    # query_prune; text_stats/language_id/fingerprint/
-    # merge_upsert_tolerance/interval_match/event_gaps/revenue_rollup/
-    # source_quality <- the in-window text family (unigram_stats,
-    # bigram_lm, lm_buckets, winnow_fingerprint, tfidf_topk,
-    # chunk_documents, doc_repetition, quality_filter), returning
-    # merge_upsert, asof_enrich, user_sessions, and the SQL rollup
-    # returns.  The registry count and window split are PINNED in
-    # tests/test_tools.py::test_registry_window_invariant (the
+    # in-window peer come last.  ROTATION (round 16, executing the r15
+    # ledger + the r15 verdict's tasks 2 and 4 verbatim): the FIVE
+    # r15-born never-driver-graded ops promote for their first rows
+    # (source_overlap, boilerplate_strip, cluster_sample, novelty_score,
+    # pipeline_funnel), the stale-tail retirement FINISHES with
+    # langid_confusion + top_ngrams (the last rows whose newest driver
+    # green was r04), THIRTY-FOUR of the forty-one r15 sit-outs return
+    # (all driver-green r14 — the freshest grade ages to r14 nowhere
+    # else), and the same NINE held-over permanents keep anchoring
+    # surfaces with no other in-window peer (collection_query_prune +
+    # collection_zonemap_skip: partition-prune / zone-map skipping on
+    # the live collection read path; collection_sequence: sequence
+    # partitioning, grouped_sequence returns beside it this round;
+    # update_derived: the map/update applyInPandas machinery;
+    # view_overlay: view surface; index_lookup: indexer surface;
+    # multimodal_decoded: multimodal family anchor; zarr_roundtrip:
+    # zarr datasource anchor; streaming_sink: exactly-once txn-ledger
+    # sink).  9 + 34 + 5 + 2 = 50.  SITTING OUT: the forty-one r15
+    # in-window rows (all driver-green r15, the freshest grade in the
+    # registry) and SEVEN r14-green rows held to r17, each with an
+    # in-window family peer: knn_lsh_hi + knn_ivf_hi <- knn_ivfpq +
+    # knn_bruteforce (ANN surface); dedup_embedding <-
+    # dedup_embedding_lsh (embedding-dedup surface); language_id <-
+    # langid_confusion (language-id surface, graded this round);
+    # stratified_sample <- hash_split + promoted cluster_sample
+    # (sampling surface); top_revenue_orders + trade_flows <- the
+    # returning plain-SQL rollups (revenue_rollup, event_gaps,
+    # source_quality).  The registry count and window split are PINNED
+    # in tests/test_tools.py::test_registry_window_invariant (the
     # hand-counted totals in this comment rotted twice — r8 and r9 —
-    # so the test owns the numbers now).  r16 ledger note — the
-    # forty-one r15 sit-outs return over r16-r17 (driver-green r13/r14,
-    # ageing out), the thirteen r15 promotions age out after their
-    # first green, the stale-tail cycle finishes with langid_confusion
-    # + top_ngrams (the last two rows whose newest driver green is
-    # r04), and any r15-born ops (boilerplate_strip, source_overlap,
-    # cluster_sample if built) promote for their first rows.  Free the
-    # slots by sitting out the 13 promotions + the 3 tail cycles +
-    # enough of the 25 returns with family peers — counting with the
-    # test each round.
+    # so the test owns the numbers now).  r17 ledger note — the seven
+    # r14-green holds MUST return first (they will be the oldest grade
+    # in the registry), the forty-one r15-green sit-outs return over
+    # r17-r18, the five r16 promotions and two r16 tail cycles age out
+    # after their first green, and any r16-born ops promote for their
+    # first rows.  Free the slots by sitting out this round's 34
+    # returns with family peers — counting with the test each round.
     return {
         # --- in-window 50: held-over permanents (9) ---
         "collection_query_prune": q_collection_query_prune,
@@ -2377,7 +2385,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decoded": q_multimodal_decoded,
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_sink": q_streaming_sink,
-        # --- returning r15 (sat out r14; driver-green r13) (25) ---
+        # --- returning r16 (sat out r15; driver-green r14) (34) ---
+        "collection_grouped_sequence": q_collection_grouped_sequence,
+        "merge_time_series": q_merge_time_series,
+        "merge_concat": q_merge_concat,
+        "map_partition_stats": q_map_partition_stats,
+        "collection_changes": q_collection_changes,
+        "knn_ivfpq": q_knn_ivfpq,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "hash_split": q_hash_split,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_centroids": q_embedding_centroids,
+        "streaming_hourly": q_streaming_hourly,
+        "streaming_stateful": q_streaming_stateful,
+        "text_stats": q_text_stats,
+        "fingerprint": q_fingerprint,
+        "revenue_rollup": q_revenue_rollup,
+        "event_gaps": q_event_gaps,
+        "source_quality": q_source_quality,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "multimodal_features": q_multimodal_features,
+        "pack_sequences": q_pack_sequences,
+        "token_budget": q_token_budget,
+        "merge_upsert_tolerance": q_merge_upsert_tolerance,
+        "collection_retained_read": q_collection_retained_read,
+        "zarr_documents": q_zarr_documents,
+        "collection_bloom_skip": q_collection_bloom_skip,
+        "dedup_jaccard": q_dedup_jaccard,
+        "interval_match": q_interval_match,
+        "streaming_changes_agg": q_streaming_changes_agg,
+        "dup_spans": q_dup_spans,
+        "dedup_containment": q_dedup_containment,
+        # --- PROMOTED r16 (first driver grading; born r15
+        # out-of-window per the rotation discipline) (5) ---
+        "source_overlap": q_source_overlap,
+        "boilerplate_strip": q_boilerplate_strip,
+        "cluster_sample": q_cluster_sample,
+        "novelty_score": q_novelty_scores,
+        "pipeline_funnel": q_pipeline_funnel,
+        # --- CYCLED IN r16: the LAST two r04-stale tail rows — the
+        # stale-tail retirement started r14 is complete (2) ---
+        "langid_confusion": q_langid_confusion,
+        "top_ngrams": q_top_ngrams,
+        # --- entries below fall outside the driver's 50-slot window;
+        # every one was driver-verified green in r14-r15, its operator
+        # surface is covered by an in-window peer (see the rotation
+        # ledger above), and tools/check_oracle.py still gates every
+        # one of them ---
+        # rotated out round 16 (driver-green r15; return r17-r18):
         "pricing_summary": q_pricing_summary,
         "chunk_documents": q_chunk_documents,
         "doc_repetition": q_doc_repetition,
@@ -2403,9 +2462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "user_sessions": q_user_sessions,
         "asof_enrich": q_asof_enrich,
-        # --- PROMOTED r15 (first driver grading) (13): the nine
-        # r13-born ops plus the four r14-born ops — after this round
-        # ZERO registry entries have never been driver-graded ---
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
         "dedup_semantic": q_dedup_semantic,
@@ -2419,75 +2475,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "split_leakage": q_split_leakage,
         "lm_buckets": q_lm_buckets,
-        # --- CYCLED IN r15 (stale-tail retirement at 3/round per
-        # verdict task 3; newest driver rows all r04) (3) ---
         "order_priority_counts": q_order_priority_counts,
         "returned_item_losses": q_returned_item_losses,
         "collection_projection": q_collection_projection,
-        # --- entries below fall outside the driver's 50-slot window;
-        # every one was driver-verified green in r12-r14, its operator
-        # surface is covered by an in-window peer (see the rotation
-        # ledger above), and tools/check_oracle.py still gates every
-        # one of them ---
-        # rotated out round 15 (driver-green r14; family peers above):
-        "collection_grouped_sequence": q_collection_grouped_sequence,
-        "merge_time_series": q_merge_time_series,
-        "merge_concat": q_merge_concat,
-        "map_partition_stats": q_map_partition_stats,
-        "collection_changes": q_collection_changes,
-        "knn_ivfpq": q_knn_ivfpq,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "hash_split": q_hash_split,
-        "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
-        "knn_bruteforce": q_knn_bruteforce,
-        "embedding_centroids": q_embedding_centroids,
-        "streaming_hourly": q_streaming_hourly,
-        "streaming_stateful": q_streaming_stateful,
-        # r14 returns now sitting out (driver-green r14; back r16-r17):
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
-        "revenue_rollup": q_revenue_rollup,
-        "event_gaps": q_event_gaps,
-        "source_quality": q_source_quality,
+        # r14-green held to r17 (in-window family peers per the
+        # ledger above; MUST return r17 — oldest grade in the
+        # registry after this round):
         "knn_lsh_hi": q_knn_lsh_hi,
         "knn_ivf_hi": q_knn_ivf_hi,
-        "dedup_keep_latest": q_dedup_keep_latest,
-        "multimodal_features": q_multimodal_features,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "token_budget": q_token_budget,
-        "merge_upsert_tolerance": q_merge_upsert_tolerance,
         "dedup_embedding": q_dedup_embedding,
-        "collection_retained_read": q_collection_retained_read,
-        "zarr_documents": q_zarr_documents,
-        "collection_bloom_skip": q_collection_bloom_skip,
-        "dedup_jaccard": q_dedup_jaccard,
-        "interval_match": q_interval_match,
-        # r14 promotions now sitting out (driver-green r14):
-        "streaming_changes_agg": q_streaming_changes_agg,
-        "dup_spans": q_dup_spans,
-        "dedup_containment": q_dedup_containment,
-        # r14 tail cycles now sitting out (driver-green r14):
+        "language_id": q_language_id,
+        "stratified_sample": q_stratified_sample,
         "top_revenue_orders": q_top_revenue_orders,
         "trade_flows": q_trade_flows,
-        # permanent plain-SQL tail (2 remaining r04-stale rows; cycle
-        # in r16 and the tail retirement is complete)
-        "langid_confusion": q_langid_confusion,
-        "top_ngrams": q_top_ngrams,
-        # NEW r15, born out-of-window per the rotation discipline:
-        # cross-source contamination matrix, CCNet-style boilerplate
-        # strip, cluster-balanced diversity sampling.
-        # check_oracle-gated at sf0.01 AND sf1; promote r16 per the
+        # NEW r16, born out-of-window per the rotation discipline:
+        # struct view of the nested group tree (query(nested=True)).
+        # check_oracle-gated at sf0.01 AND sf1; promote r17 per the
         # ledger above.
-        "source_overlap": q_source_overlap,
-        "boilerplate_strip": q_boilerplate_strip,
-        "cluster_sample": q_cluster_sample,
-        "novelty_score": q_novelty_scores,
-        "pipeline_funnel": q_pipeline_funnel,
+        "collection_nested": q_collection_nested,
     }
 
 
@@ -2515,6 +2520,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "collection_retained_read": ORACLE_RETAINED_READ,
         "upsample_weights": ORACLE_UPSAMPLE_WEIGHTS,
         "collection_projection": ORACLE_PROJECTION,
+        "collection_nested": ORACLE_COLLECTION_NESTED,
         "collection_sequence": ORACLE_SEQUENCE,
         "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,
         "merge_time_series": ORACLE_MERGE_TIME_SERIES,

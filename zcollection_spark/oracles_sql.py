@@ -1181,3 +1181,9 @@ FROM t LEFT JOIN kept USING (doc_id)
 """
 
 
+
+ORACLE_COLLECTION_NESTED = """
+SELECT event_id, value AS ku_value, user_id AS meta_user_id
+FROM events
+WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) <= 7
+"""

@@ -366,3 +366,56 @@ def infer_schema(struct: T.StructType, axis: str,
             builder.add_variable(field.name,
                                  _SPARK_TO_DTYPE.get(simple, simple), (axis,))
     return builder.build(axis)
+
+
+def nest_struct_columns(df):
+    """Regroup path-mangled group columns into real ``StructType``
+    nesting (the struct view of the reference's group tree,
+    ``data/group.py:218-280``): a frame with columns ``time``,
+    ``data_01/ku/power``, ``data_01/ku/swh`` becomes ``time``,
+    ``data_01: struct<ku: struct<power, swh>>`` — so
+    ``df.select("data_01.ku.power")`` works as the reference's
+    attribute-path access does, and Catalyst's nested-schema pruning
+    (``spark.sql.optimizer.nestedSchemaPruning.enabled``, on by
+    default) keeps column pruning effective through the structs.
+
+    Pure projection: one ``select``, no shuffle, order-preserving.
+    Top-level column order is preserved (a group appears at the
+    position of its first member).  A name that is both a leaf and a
+    group prefix (``a`` and ``a/b``) cannot nest — loud
+    :class:`SchemaError`.
+    """
+    from pyspark.sql import functions as F
+
+    tree: dict = {}
+    order: list[str] = []
+    for name in df.columns:
+        parts = name.split("/")
+        node = tree
+        for depth, part in enumerate(parts):
+            leaf = depth == len(parts) - 1
+            if depth == 0 and part not in node:
+                order.append(part)
+            if leaf:
+                if part in node:
+                    raise SchemaError(
+                        f"cannot nest {name!r}: {'/'.join(parts[:depth + 1])!r}"
+                        f" is both a variable and a group")
+                node[part] = name
+            else:
+                nxt = node.setdefault(part, {})
+                if not isinstance(nxt, dict):
+                    raise SchemaError(
+                        f"cannot nest {name!r}: "
+                        f"{'/'.join(parts[:depth + 1])!r}"
+                        f" is both a variable and a group")
+                node = nxt
+
+    def build(node: dict):
+        return F.struct(*(
+            (build(sub) if isinstance(sub, dict) else F.col(f"`{sub}`"))
+            .alias(key) for key, sub in node.items()))
+
+    return df.select(*(
+        (build(tree[top]) if isinstance(tree[top], dict)
+         else F.col(f"`{tree[top]}`")).alias(top) for top in order))
