@@ -578,6 +578,24 @@ def main() -> None:
         @timed("pipeline_funnel", tier="archive")
         def _():
             eq.q_pipeline_funnel(spark, sf_dir).collect()
+
+        # --- the r16 batch: nested-struct query view, domain mixture
+        # recipe, cross-reference LM scoring, content-defined chunking
+        @timed("collection_nested", tier="archive")
+        def _():
+            _consume(eq.q_collection_nested(spark, sf_dir))
+
+        @timed("domain_mix", tier="archive")
+        def _():
+            eq.q_domain_mix(spark, sf_dir).collect()
+
+        @timed("cross_lm", tier="archive")
+        def _():
+            _consume(eq.q_cross_lm(spark, sf_dir))
+
+        @timed("cdc_chunks", tier="archive")
+        def _():
+            _consume(eq.q_cdc_chunks(spark, sf_dir))
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

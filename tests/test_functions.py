@@ -2093,3 +2093,161 @@ def test_importance_weights_hashed_bigram_form(spark):
         importance_weights(cdf, cdf, id_col="doc_id", shingle_size=0)
     with pytest.raises(ValueError, match="hash_buckets"):
         importance_weights(cdf, cdf, id_col="doc_id", hash_buckets=0)
+
+
+# -- round-16 batch: domain mixing, cross-reference LM, CDC chunking -------
+
+def test_domain_mix_weights_matches_python_reference(spark):
+    import math
+    from zcollection_spark.functions import domain_mix_weights
+    docs = [(0, "the quick brown fox jumps over the lazy dog", "web"),
+            (1, "the quick brown fox naps all day long today", "web"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "wiki"),
+            (3, "one two", "wiki"), (4, "single", "code"),
+            (5, None, "code"), (6, "   ", "code")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, "
+                                     "source string")
+    out = {r["source"]: r for r in domain_mix_weights(df).collect()}
+    toks, nd = {}, {}
+    for _, t, s in docs:
+        toks[s] = toks.get(s, 0) + (len(t.split()) if t and t.strip()
+                                    else 0)
+        nd[s] = nd.get(s, 0) + 1
+    tot = sum(toks.values())
+    share = {s: toks[s] / tot for s in toks}
+    flat = {s: math.sqrt(share[s]) for s in share}
+    sflat = sum(flat.values())
+    assert set(out) == set(toks)
+    for s in toks:
+        tgt = flat[s] / sflat
+        r = out[s]
+        assert r["n_docs"] == nd[s] and r["n_tokens"] == toks[s]
+        assert r["natural_share"] == pytest.approx(share[s], abs=1e-6)
+        assert r["target_share"] == pytest.approx(tgt, abs=1e-6)
+        assert r["mix_weight"] == pytest.approx(tgt / share[s], abs=2e-6)
+    # temperature extremes: tau=1 keeps the natural mix exactly
+    nat = {r["source"]: r for r in
+           domain_mix_weights(df, temperature=1.0).collect()}
+    for s in toks:
+        assert nat[s]["mix_weight"] == pytest.approx(1.0, abs=2e-6)
+
+
+def test_domain_mix_weights_composes_with_upsample(spark):
+    """The recipe table's mix_weight drives upsample_by_weight: the
+    realized token mass per domain scales to ~the target share."""
+    from zcollection_spark.functions import (domain_mix_weights,
+                                             upsample_by_weight)
+    rows = [(i, "tok " * (1 + i % 3), "big" if i < 80 else "small")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    recipe = {r["source"]: r["mix_weight"]
+              for r in domain_mix_weights(df).collect()}
+    up = upsample_by_weight(df, id_col="doc_id", strata_col="source",
+                            weights=recipe)
+    got = {r["source"]: r["n"] for r in
+           up.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # small domain upweighted, big downweighted; both present
+    assert got["small"] > 20 * recipe["small"] * 0.5
+    assert got["big"] < 80 * recipe["big"] * 1.5
+
+
+def test_cross_lm_score_matches_python_reference(spark):
+    from collections import Counter
+    from zcollection_spark.functions import cross_lm_score
+    docs = [(0, "the quick brown fox jumps over the lazy dog", "web"),
+            (1, "the quick brown fox naps all day long today", "web"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "wiki"),
+            (3, "one two", "wiki"), (4, "single", "code"),
+            (5, None, "code")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, "
+                                     "source string")
+    ref = df.where("source = 'web'")
+    got = {r["doc_id"]: r for r in cross_lm_score(df, ref).collect()}
+    cb, cu, vocab = Counter(), Counter(), set()
+    for _, t, s in docs:
+        if s != "web":
+            continue
+        ws = t.split()
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] += 1
+            cu[a] += 1
+    V = len(vocab)
+    exp = {}
+    for i, t, _ in docs:
+        ws = (t or "").split()
+        if len(ws) < 2:
+            continue
+        ps = [(cb[(a, b)] + 1) / (cu[a] + V) for a, b in zip(ws, ws[1:])]
+        oov = sum((a, b) not in cb for a, b in zip(ws, ws[1:])) / len(ps)
+        exp[i] = (len(ps), sum(ps) / len(ps), oov)
+    assert set(got) == set(exp)
+    for i, (nb, mp, oov) in exp.items():
+        assert got[i]["n_bigrams"] == nb
+        assert got[i]["mean_cond_p"] == pytest.approx(mp, abs=6e-7)
+        assert got[i]["oov_bigram_share"] == pytest.approx(oov)
+    # an in-reference doc scores higher than an out-of-register one
+    assert got[0]["mean_cond_p"] > got[2]["mean_cond_p"]
+    assert got[2]["oov_bigram_share"] == 1.0
+
+
+def test_cdc_chunks_matches_python_reference(spark):
+    import hashlib
+    from zcollection_spark.functions import cdc_chunks
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    k, m = 3, 4
+    docs = [(0, "the quick brown fox jumps over the lazy dog and "
+                "then runs far away into the deep dark woods tonight"),
+            (1, "one two"), (2, "a b c d e f g h i j k l m n o p"),
+            (3, None), (4, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = cdc_chunks(df, shingle_size=k, boundary_mod=m).collect()
+    bydoc = {}
+    for r in rows:
+        bydoc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    for i, t in docs:
+        ws = t.split() if t else [""]
+        n = len(ws)
+        bs = ([j for j in range(k, n + 1)
+               if md5_long(" ".join(ws[j - k:j])) % m == 0]
+              if n >= k else [])
+        ends = bs + ([n] if (not bs or bs[-1] != n) else [])
+        starts = [0] + ends[:-1]
+        exp = [(ci, " ".join(ws[s:e]), e - s)
+               for ci, (s, e) in enumerate(zip(starts, ends))]
+        assert sorted(bydoc[i]) == exp, i
+    # reconstruction: chunks concatenate back to the token stream
+    for i, t in docs:
+        if not t:
+            continue
+        joined = " ".join(c[1] for c in sorted(bydoc[i]))
+        assert joined == " ".join(t.split())
+
+
+def test_cdc_chunks_boundaries_stable_under_prefix_insertion(spark):
+    """THE content-defined property: prepending text only changes
+    chunks near the edit; the downstream chunk set is preserved
+    (fixed-stride chunking shifts every boundary instead)."""
+    from zcollection_spark.functions import cdc_chunks
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten")
+    edited = "NEW TOKENS IN FRONT " + base
+    df = spark.createDataFrame([(0, base), (1, edited)],
+                               "doc_id long, text string")
+    rows = cdc_chunks(df, shingle_size=3, boundary_mod=4).collect()
+    chunks = {0: set(), 1: set()}
+    for r in rows:
+        chunks[r["doc_id"]].add(r["chunk_text"])
+    shared = chunks[0] & chunks[1]
+    # all but the first chunk(s) of each doc survive the edit
+    assert len(shared) >= len(chunks[0]) - 2
+    with pytest.raises(ValueError, match="shingle_size"):
+        cdc_chunks(df, shingle_size=0)
+    with pytest.raises(ValueError, match="boundary_mod"):
+        cdc_chunks(df, boundary_mod=0)

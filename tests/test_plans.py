@@ -793,3 +793,62 @@ def test_pipeline_funnel_stage_contracts_hold(spark):
     assert "LeftAnti" in plan          # the decontamination drop
     assert "LeftSemi" in plan          # the dedup representative join
     assert "BroadcastHashJoin" in plan
+
+
+def test_collection_nested_prunes_partitions_and_leaves(spark):
+    """The struct view composes with partition pruning: the scan reads
+    only the filtered day range, and nesting is a pure projection —
+    no Exchange beyond the final order, no Python."""
+    plan = executed_plan(eq.q_collection_nested(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the nested projection never introduces a join or a cartesian
+    assert "Join" not in final_plan(plan)
+
+
+def test_domain_mix_one_corpus_aggregate(spark):
+    """Domain mix: ONE map-side-combined groupBy over the corpus; the
+    share normalization windows over the |domains|-sized table, never
+    the corpus (the corpus-side plan has no Window before the
+    aggregate).  No Python, no join."""
+    plan = executed_plan(eq.q_domain_mix(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in final_plan(plan)
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the empty-partition window runs AFTER the group-sized aggregate:
+    # every Window node sits above HashAggregate in the tree (text
+    # order: Window lines precede the scan-side partial aggregate)
+    fp = final_plan(plan)
+    first_win = fp.find("Window")
+    first_partial = fp.find("partial_sum")
+    assert first_win != -1 and first_win < first_partial
+
+
+def test_cross_lm_left_joins_no_python(spark):
+    """Cross-reference LM: the scored side LEFT-joins the reference
+    count tables (absent rows take the smoothed-zero path — the join
+    never falls back to a corpus-sized non-equi form); the vocab
+    scalar broadcasts.  No Python, map-side combine on both count
+    tables."""
+    plan = executed_plan(eq.q_cross_lm(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    fp = final_plan(plan)
+    nlj = [ln for ln in fp.splitlines() if "NestedLoopJoin" in ln]
+    assert all("Broadcast" in ln for ln in nlj), nlj  # the 1-row vocab
+    assert "LeftOuter" in fp           # the smoothed-zero path
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cdc_chunks_shuffle_free_no_python(spark):
+    """Content-defined chunking is one Generate over per-row
+    expressions (md5 boundary filter + zip_with pairing): no Exchange,
+    no Python — scan speed at any corpus size, like the fixed-stride
+    chunker it complements."""
+    plan = executed_plan(eq.q_cdc_chunks(spark, SF_DIR))
+    assert "Generate" in plan          # the posexplode
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert count_exchanges(plan) == []

@@ -42,7 +42,9 @@ from .oracles import (_SPLIT, _dedup_lsh_oracle, _ivf_oracle,
                       _ivfpq_oracle, _lsh_oracle, _minhash_oracle,
                       _semantic_dedup_oracle, _simhash_oracle)
 from .oracles_sql import (EVENTS3, JACCARD_MAX_DF, ORACLE_ASOF,
-                          ORACLE_COLLECTION_NESTED,
+                          ORACLE_CDC_CHUNKS,
+                          ORACLE_COLLECTION_NESTED, ORACLE_CROSS_LM,
+                          ORACLE_DOMAIN_MIX,
                           ORACLE_BIGRAM_LM, ORACLE_BIG_ORDERS,
                           ORACLE_BLOOM_SKIP, ORACLE_BM25,
                           ORACLE_BOILERPLATE_STRIP, ORACLE_BROWSE_NO_BUY,
@@ -2333,6 +2335,53 @@ FROM ranked WHERE cell_rank <= {per_cell}
 """
 
 
+def q_domain_mix(spark, sf_dir):
+    """Temperature-flattened domain mixture recipe (NEW r16): the
+    per-source token census and the tau=0.5 mixing table — target
+    shares and per-domain epoch multipliers — in one group-sized
+    aggregate (functions/sampling.py: domain_mix_weights; composes
+    with upsample_by_weight to realize the recipe).  sqrt is
+    IEEE-correctly-rounded on both engines, so the whole table
+    hash-matches."""
+    from .functions.sampling import domain_mix_weights
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix_weights(docs, group_col="source",
+                              text_col="text", temperature=0.5) \
+        .select("source", "n_docs", "n_tokens", "natural_share",
+                "target_share", "mix_weight")
+
+
+def q_cross_lm(spark, sf_dir):
+    """Cross-reference bigram LM scoring (NEW r16): an add-one
+    smoothed bigram model trained on the src0 slice scores the whole
+    corpus (the CCNet/KenLM deployment shape — train on the clean
+    reference, score the crawl; functions/text.py: cross_lm_score).
+    Kept rational (integer counts, one division per pair) for
+    cross-engine bit-parity; mean rounded to 6 dp at the source."""
+    from .functions.text import cross_lm_score
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
+    return cross_lm_score(docs, ref, id_col="doc_id",
+                          text_col="text") \
+        .select("doc_id", "n_bigrams", "mean_cond_p",
+                "oov_bigram_share")
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (NEW r16): boundaries where the
+    rolling 4-token fingerprint hashes 0 mod 8, so edits only
+    reshuffle the chunks they touch — the dedup-stable alternative to
+    fixed-stride chunk_documents (functions/text.py: cdc_chunks).
+    Pure Catalyst with the token array let-bound once; md5-int64 is
+    the dedup family's shared cross-engine hash, so every boundary
+    replays bit-identically in DuckDB."""
+    from .functions.text import cdc_chunks
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, id_col="doc_id", text_col="text",
+                      shingle_size=4, boundary_mod=8) \
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
@@ -2489,10 +2538,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "trade_flows": q_trade_flows,
         # NEW r16, born out-of-window per the rotation discipline:
-        # struct view of the nested group tree (query(nested=True)).
-        # check_oracle-gated at sf0.01 AND sf1; promote r17 per the
-        # ledger above.
+        # struct view of the nested group tree (query(nested=True)),
+        # domain mixture recipe, cross-reference LM scoring,
+        # content-defined chunking.  check_oracle-gated at sf0.01 AND
+        # sf1; promote r17 per the ledger above.
         "collection_nested": q_collection_nested,
+        "domain_mix": q_domain_mix,
+        "cross_lm": q_cross_lm,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -2521,6 +2574,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "upsample_weights": ORACLE_UPSAMPLE_WEIGHTS,
         "collection_projection": ORACLE_PROJECTION,
         "collection_nested": ORACLE_COLLECTION_NESTED,
+        "domain_mix": ORACLE_DOMAIN_MIX,
+        "cross_lm": ORACLE_CROSS_LM,
+        "cdc_chunks": ORACLE_CDC_CHUNKS,
         "collection_sequence": ORACLE_SEQUENCE,
         "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,
         "merge_time_series": ORACLE_MERGE_TIME_SERIES,

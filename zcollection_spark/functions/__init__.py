@@ -24,7 +24,8 @@ from .similarity import (cosine_similarity_col, brute_force_topk,
                          embedding_dup_pairs, ivf_topk, ivfpq_topk,
                          lsh_bucket_topk, suggest_ivf_config,
                          suggest_lsh_config, suggest_lsh_planes)
-from .text import (bigram_lm_score, chunk_documents, fingerprint,
+from .text import (bigram_lm_score, cdc_chunks, chunk_documents,
+                   cross_lm_score, fingerprint,
                    language_id, lm_quality_buckets, pack_sequences,
                    text_stats, token_count, unigram_stats,
                    winnow_fingerprints, word_shingles, words)
@@ -35,7 +36,7 @@ from .curation import (contamination, pipeline_funnel,
                        novelty_scores, repetition_stats, scrub_pii, source_overlap,
                        split_leakage, strip_boilerplate)
 from .sampling import (cap_per_group, cluster_balanced_sample,
-                       hash_split,
+                       domain_mix_weights, hash_split,
                        sample_to_token_budget, shuffle_to_shards,
                        stratified_sample, stratified_sample_exact,
                        upsample_by_weight)
@@ -59,7 +60,8 @@ __all__ = [
     "write_ivfpq_index", "query_ivfpq_index",
     "fingerprint", "language_id", "text_stats", "token_count",
     "unigram_stats", "word_shingles", "words", "chunk_documents",
-    "lm_quality_buckets",
+    "lm_quality_buckets", "cdc_chunks", "cross_lm_score",
+    "domain_mix_weights",
     "pack_sequences", "bigram_lm_score", "bm25_scores", "bm25_topk",
     "rrf_fuse", "winnow_fingerprints", "tfidf_topk",
     "importance_weights", "importance_resample", "split_leakage",

@@ -363,3 +363,63 @@ def cluster_balanced_sample(df: DataFrame, *, id_col: str, vec_col: str,
                       assign(vec_col).cast("long").alias("cell"))
             .withColumn("cell_rank", F.row_number().over(w).cast("long"))
             .where(F.col("cell_rank") <= per_cell))
+
+
+def domain_mix_weights(df: DataFrame, *, group_col: str = "source",
+                       token_count_col: Column | str | None = None,
+                       text_col: str = "text",
+                       temperature: float = 0.5) -> DataFrame:
+    """Temperature-flattened domain mixture — the "how many epochs of
+    each source" table of a multi-source pretraining recipe (the
+    GPT-3 / LLaMA dataset-mixture pattern; DoReMi's static baseline):
+    the target share of domain *i* is
+    ``natural_share_i^τ / Σ_j natural_share_j^τ`` measured in TOKENS,
+    so τ=1 keeps the natural mix, τ→0 approaches uniform, and 0<τ<1
+    up-weights small high-value domains without discarding the head.
+    ``mix_weight = target_share / natural_share`` is exactly the
+    per-domain epoch multiplier :func:`upsample_by_weight` consumes —
+    the two compose into "compute the recipe, then realize it".
+
+    Returns one row per domain: ``(group_col, n_docs, n_tokens,
+    natural_share, target_share, mix_weight)`` — counts exact longs,
+    shares/weights rounded to 6 dp.  τ=0.5 (the default) uses
+    ``sqrt``, which IEEE-754 requires to be correctly rounded, so the
+    whole table replays bit-identically on any engine; other τ go
+    through ``pow`` (last-ulp parity not guaranteed cross-engine).
+
+    Scale shape: ONE map-side-combined groupBy over the corpus (the
+    token counting rides the scan), producing a |domains|-sized table;
+    the share normalization is a window over that tiny table.  Nothing
+    lands on the driver.
+    """
+    if token_count_col is None:
+        from .text import words
+        # null/blank documents contribute 0 tokens (size(split(NULL))
+        # is NULL and would silently vanish from the sum; split('')
+        # is [''] and would phantom-count 1)
+        token_count_col = F.when(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
+            F.lit(0)).otherwise(F.size(words(text_col)))
+    elif isinstance(token_count_col, str):
+        token_count_col = F.col(token_count_col)
+    per = (df.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(token_count_col.cast("long")).alias("n_tokens")))
+    # two window steps (share, then flattened-share normalization) —
+    # staged through real columns because a window over a window
+    # expression is not analyzable in one projection
+    w = Window.partitionBy()
+    per = per.withColumn(
+        "__share",
+        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w))
+    flat = (F.sqrt(F.col("__share")) if temperature == 0.5
+            else F.pow(F.col("__share"), F.lit(float(temperature))))
+    per = per.withColumn("__target", flat / F.sum(flat).over(w))
+    return per.select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("__share", 6).alias("natural_share"),
+        F.round("__target", 6).alias("target_share"),
+        F.round(F.col("__target") / F.col("__share"), 6)
+        .alias("mix_weight"))

@@ -484,3 +484,148 @@ def lm_quality_buckets(df: DataFrame, *, id_col: str = "doc_id",
     expr = expr.otherwise(F.lit(labels[-1]))
     return (scored.crossJoin(F.broadcast(bounds))
             .select(id_col, "lm_score", expr.alias("bucket")))
+
+
+def cross_lm_score(df: DataFrame, reference: DataFrame, *,
+                   id_col: str = "doc_id",
+                   text_col: str = "text",
+                   ref_text_col: str | None = None) -> DataFrame:
+    """Bigram LM scoring under a model trained on a SEPARATE reference
+    corpus — the actual CCNet/KenLM deployment shape (Wenzek et al.
+    2020 train on Wikipedia and score Common Crawl by perplexity;
+    :func:`bigram_lm_score` is the self-trained variant).  The model is
+    add-one–smoothed so out-of-reference bigrams score instead of
+    dividing by zero:
+
+    ``P(w2 | w1) = (c_ref(w1 w2) + 1) / (c_ref(w1·) + V)``
+
+    with ``V`` = the reference's distinct-token count (the smoothing
+    denominator covers every possible continuation, so the distribution
+    still sums to ≤ 1 per context and unseen contexts degrade to
+    ``1 / V``).  Returns one row per scored document with ≥ 2 tokens:
+
+    - ``n_bigrams`` — adjacent-pair count (exact long);
+    - ``mean_cond_p`` — mean smoothed conditional probability under
+      the REFERENCE model, rounded to 6 dp (monotone-inverse in
+      cross-entropy; high = reads like the reference corpus).  Kept
+      rational — integer counts, one division per pair — for the same
+      cross-engine bit-parity reasons as :func:`bigram_lm_score`;
+    - ``oov_bigram_share`` — fraction of the document's bigrams never
+      seen in the reference (exact), the "how much of this is new
+      territory for the model" companion signal.
+
+    Scale shape: the reference side reduces to a |ref bigram vocab|
+    count table + a |ref vocab|-derived context table (both built with
+    map-side combine; the context counts reduce from the SMALL bigram
+    table, as in :func:`bigram_lm_score`); the scored side explodes
+    adjacent pairs once and LEFT-joins the count tables on the pair
+    key — absent rows are the smoothed-zero path, so the join stays an
+    equi-join with no corpus-sized fallback.  AQE broadcasts the count
+    tables when the reference is small (the Wikipedia-vs-CommonCrawl
+    shape); at comparable scales both sides hash-shuffle on token keys.
+    Nothing lands on the driver.
+    """
+    ref_text = ref_text_col or text_col
+    ref_pairs = (reference.where(F.size(words(ref_text)) >= 2)
+                 .select(F.explode(word_shingles(ref_text, 2))
+                         .alias("__pair")))
+    cb = ref_pairs.groupBy("__pair").agg(
+        F.count(F.lit(1)).alias("__cb"))
+    cu = (cb.groupBy(F.substring_index("__pair", " ", 1).alias("__w1"))
+          .agg(F.sum("__cb").alias("__cu")))
+    vocab = (reference
+             .select(F.explode(words(ref_text)).alias("__w"))
+             .agg(F.count_distinct("__w").alias("__v")))
+    pair_rows = (df.where(F.size(words(text_col)) >= 2)
+                 .select(F.col(id_col),
+                         F.explode(word_shingles(text_col, 2))
+                         .alias("__pair"))
+                 .withColumn("__w1",
+                             F.substring_index("__pair", " ", 1)))
+    n = F.count(F.lit(1))
+    scored = (pair_rows
+              .join(cb, on="__pair", how="left")
+              .join(cu, on="__w1", how="left")
+              .crossJoin(F.broadcast(vocab))
+              .select(
+                  id_col,
+                  ((F.coalesce(F.col("__cb"), F.lit(0)).cast("double")
+                    + 1.0)
+                   / (F.coalesce(F.col("__cu"), F.lit(0)).cast("double")
+                      + F.col("__v").cast("double"))).alias("__p"),
+                  F.col("__cb").isNull().cast("long").alias("__oov")))
+    return (scored.groupBy(id_col)
+            .agg(n.cast("long").alias("n_bigrams"),
+                 F.round(F.avg("__p"), 6).alias("mean_cond_p"),
+                 (F.sum("__oov").cast("double") / n.cast("double"))
+                 .alias("oov_bigram_share")))
+
+
+def cdc_chunks(df: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text", shingle_size: int = 4,
+               boundary_mod: int = 8) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where the
+    rolling fingerprint of the last ``shingle_size`` tokens hashes to
+    0 mod ``boundary_mod`` — so an insertion or deletion reshuffles
+    only the chunks it touches, not every downstream boundary (the
+    property fixed-stride :func:`chunk_documents` lacks, and the
+    reason storage/dedup systems chunk this way).  Chunk-level exact
+    dedup over CDC chunks catches duplicated passages that
+    stride-chunking splits across windows.  Expected chunk length is
+    ``boundary_mod`` tokens; boundaries are a pure function of the
+    token stream (no RNG, no partitioning dependence).
+
+    Returns ``(id_col, chunk_id, chunk_text, n_tokens)`` — one row per
+    chunk, ``chunk_id`` 0-based in document order; a document shorter
+    than ``shingle_size`` tokens yields itself as a single chunk.
+
+    Pure Catalyst: the boundary scan is one ``filter`` over token
+    positions hashing the let-bound token array (md5 of the joined
+    shingle → first 15 hex chars as int64, the dedup family's shared
+    cross-engine primitive), the (start, end] pairing is a
+    ``zip_with`` over the boundary array bound ONCE as a lambda
+    variable (higher-order functions re-evaluate referenced
+    expressions per element — the O(n²) trap documented on
+    :func:`word_shingles`).  Exactly replayable in DuckDB
+    (``list_filter`` + ``list_slice`` + the same md5 arithmetic), so
+    chunk boundaries are oracle-checkable.
+    """
+    if shingle_size < 1:
+        raise ValueError("shingle_size must be >= 1")
+    if boundary_mod < 1:
+        raise ValueError("boundary_mod must be >= 1")
+    k, m = shingle_size, boundary_mod
+    toks = words(F.coalesce(F.col(text_col), F.lit("")))
+
+    def gram_hash(t, i):
+        return F.conv(
+            F.substring(F.md5(F.array_join(F.slice(t, i - F.lit(k - 1),
+                                                   k), " ")), 1, 15),
+            16, 10).cast("long")
+
+    # boundary positions in [k, n] (token index of each shingle END),
+    # always closed by n; n < k degenerates to the single chunk [0, n]
+    bounds = F.element_at(
+        F.transform(F.array(toks), lambda t: F.when(
+            F.size(t) >= k,
+            F.filter(F.sequence(F.lit(k), F.size(t)),
+                     lambda i: gram_hash(t, i) % m == 0))
+            .otherwise(F.array().cast("array<int>"))), 1)
+    ends = F.array_union(bounds, F.array(F.size(toks)))
+    # (start, end] pairs: ends bound once; starts = 0 ∥ ends[:-1]
+    pairs = F.element_at(
+        F.transform(F.array(ends), lambda e: F.zip_with(
+            F.concat(F.array(F.lit(0)),
+                     F.slice(e, 1, F.greatest(F.size(e) - 1, F.lit(0)))),
+            e, lambda s, t: F.struct(s.alias("s"), t.alias("t")))), 1)
+    return (df.select(F.col(id_col), toks.alias("__toks"),
+                      F.posexplode(pairs).alias("__i", "__p"))
+            .select(
+                id_col,
+                F.col("__i").cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice(F.col("__toks"), F.col("__p.s") + 1,
+                            F.col("__p.t") - F.col("__p.s")), " ")
+                .alias("chunk_text"),
+                (F.col("__p.t") - F.col("__p.s")).cast("long")
+                .alias("n_tokens")))

@@ -1187,3 +1187,86 @@ SELECT event_id, value AS ku_value, user_id AS meta_user_id
 FROM events
 WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) <= 7
 """
+
+ORACLE_DOMAIN_MIX = r"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+s AS (SELECT *, CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS sh
+      FROM per),
+t AS (SELECT *, sqrt(sh) / sum(sqrt(sh)) OVER () AS tgt FROM s)
+SELECT source, n_docs, n_tokens,
+       round(sh, 6) AS natural_share,
+       round(tgt, 6) AS target_share,
+       round(tgt / sh, 6) AS mix_weight
+FROM t
+"""
+
+ORACLE_CROSS_LM = rf"""
+WITH ref_pairs AS (
+  SELECT w FROM (SELECT {_SPLIT} AS w0 FROM documents
+                 WHERE source = 'src0' AND len({_SPLIT}) >= 2) r,
+       LATERAL (SELECT array_to_string(list_slice(w0, gs, gs + 1), ' ')
+                AS w FROM UNNEST(generate_series(1, len(w0) - 1)) t(gs))),
+cb AS (SELECT w AS pair, CAST(count(*) AS BIGINT) AS cb
+       FROM ref_pairs GROUP BY w),
+cu AS (SELECT split_part(pair, ' ', 1) AS w1,
+              CAST(sum(cb) AS BIGINT) AS cu
+       FROM cb GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+      FROM (SELECT unnest({_SPLIT}) AS t FROM documents
+            WHERE source = 'src0')),
+doc_pairs AS (
+  SELECT doc_id, pair, split_part(pair, ' ', 1) AS w1
+  FROM (SELECT doc_id, {_SPLIT} AS w0 FROM documents
+        WHERE len({_SPLIT}) >= 2) d,
+       LATERAL (SELECT array_to_string(list_slice(w0, gs, gs + 1), ' ')
+                AS pair
+                FROM UNNEST(generate_series(1, len(w0) - 1)) t(gs))),
+scored AS (
+  SELECT dp.doc_id,
+         (CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0)
+           / (CAST(coalesce(cu.cu, 0) AS DOUBLE) + CAST(v.v AS DOUBLE))
+           AS p,
+         CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS oov
+  FROM doc_pairs dp
+  LEFT JOIN cb ON dp.pair = cb.pair
+  LEFT JOIN cu ON dp.w1 = cu.w1
+  CROSS JOIN v)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(p), 6) AS mean_cond_p,
+       CAST(sum(oov) AS DOUBLE) / count(*) AS oov_bigram_share
+FROM scored GROUP BY doc_id
+"""
+
+ORACLE_CDC_CHUNKS = r"""
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+                  AS w
+           FROM documents),
+b AS (SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) >= 4 THEN
+               list_filter(generate_series(4, len(w)),
+                 i -> ('0x' || substr(md5(array_to_string(
+                        list_slice(w, i - 3, i), ' ')), 1, 15))::BIGINT
+                      % 8 = 0)
+             ELSE [] END AS bs
+      FROM t),
+e AS (SELECT doc_id, w, n,
+             CASE WHEN len(bs) > 0 AND bs[len(bs)] = n THEN bs
+                  ELSE list_append(bs, n) END AS ends
+      FROM b)
+SELECT doc_id,
+       CAST(j - 1 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(
+         w, (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END) + 1,
+         ends[j]), ' ') AS chunk_text,
+       CAST(ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END)
+            AS BIGINT) AS n_tokens
+FROM e, UNNEST(generate_series(1, len(ends))) u(j)
+"""
