@@ -21,6 +21,7 @@ from .layout import (bucketed_join, explain_shuffles, salted_join,
 from .partitioning import (Date, GroupedSequence, Partitioning, Sequence,
                            compile_filter)
 from .changes_stream import stream_changes
+from .icechunk_compat import open_icechunk_collection
 from .schema import (DatasetSchema, Dimension, SchemaBuilder, VariableSchema,
                      infer_schema, nest_struct_columns)
 from .session import get_spark
@@ -30,6 +31,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Collection", "create_collection", "open_collection",
+    "open_icechunk_collection",
     "replace", "concat", "time_series", "upsert", "upsert_within",
     "Date", "Sequence", "GroupedSequence", "Partitioning", "compile_filter",
     "DatasetSchema", "Dimension", "SchemaBuilder", "VariableSchema",

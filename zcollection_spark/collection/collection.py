@@ -250,7 +250,19 @@ def create_collection(spark: SparkSession, path: str, *,
 
 def open_collection(spark: SparkSession, path: str, *,
                     mode: str = "r") -> "Collection":
-    """Open an existing collection root (``api.py:65-95``)."""
+    """Open an existing collection root (``api.py:65-95``).
+
+    An ``icechunk://`` URL dispatches to the read-only format bridge
+    for reference-written icechunk repositories
+    (:mod:`zcollection_spark.icechunk_compat`, optional deps) —
+    returned handles carry the read vocabulary only (query /
+    partitions / history / at_snapshot)."""
+    if path.startswith("icechunk://"):
+        if mode != "r":
+            raise ReadOnlyError("icechunk repositories open read-only "
+                                "(the bridge has no write path)")
+        from ..icechunk_compat import open_icechunk_collection
+        return open_icechunk_collection(spark, path)
     path = fsmod.strip_scheme(path).rstrip("/")
     fs = fsmod.fs_for(path, spark)
     config_path = f"{path}/{CONFIG_NAME}"
