@@ -596,6 +596,10 @@ def main() -> None:
         @timed("cdc_chunks", tier="archive")
         def _():
             _consume(eq.q_cdc_chunks(spark, sf_dir))
+
+        @timed("hash_embeddings", tier="archive")
+        def _():
+            _consume(eq.q_hash_embeddings(spark, sf_dir))
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

@@ -2251,3 +2251,113 @@ def test_cdc_chunks_boundaries_stable_under_prefix_insertion(spark):
         cdc_chunks(df, shingle_size=0)
     with pytest.raises(ValueError, match="boundary_mod"):
         cdc_chunks(df, boundary_mod=0)
+
+
+def test_cdc_chunks_min_tokens_merges_close_boundaries(spark):
+    """min_tokens: a boundary closer than min_tokens to the last
+    ACCEPTED boundary is skipped (left fold semantics); the tail chunk
+    still closes at n and may be shorter; min_tokens=1 is the
+    unconstrained operator."""
+    import hashlib
+    from zcollection_spark.functions import cdc_chunks
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    k, m, mn = 2, 2, 4
+    docs = [(0, "a b c d e f g h i j k l m n o p q r s t"),
+            (1, "one two three"), (2, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = cdc_chunks(df, shingle_size=k, boundary_mod=m,
+                      min_tokens=mn).collect()
+    bydoc = {}
+    for r in rows:
+        bydoc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    for i, t in docs:
+        ws = t.split()
+        n = len(ws)
+        raw = ([j for j in range(k, n + 1)
+                if md5_long(" ".join(ws[j - k:j])) % m == 0]
+               if n >= k else [])
+        acc: list = []
+        for e in raw:
+            if e - (acc[-1] if acc else 0) >= mn:
+                acc.append(e)
+        ends = acc + ([n] if (not acc or acc[-1] != n) else [])
+        starts = [0] + ends[:-1]
+        exp = [(ci, " ".join(ws[s:e]), e - s)
+               for ci, (s, e) in enumerate(zip(starts, ends))]
+        assert sorted(bydoc[i]) == exp, i
+        # every non-tail chunk honors the minimum
+        for _, _, ntok in sorted(bydoc[i])[:-1]:
+            assert ntok >= mn
+    # min_tokens=1 is bit-identical to the unconstrained form
+    a = sorted(map(tuple, cdc_chunks(df, shingle_size=k, boundary_mod=m)
+                   .collect()))
+    b = sorted(map(tuple, cdc_chunks(df, shingle_size=k, boundary_mod=m,
+                                     min_tokens=1).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="min_tokens"):
+        cdc_chunks(df, min_tokens=0)
+
+
+def test_feature_hash_embeddings_matches_python_reference(spark):
+    import hashlib
+    import math
+    from zcollection_spark.functions import feature_hash_embeddings
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = [(0, "the quick brown fox the quick"),
+            (1, "alpha beta gamma"), (2, "x"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    dim = 16
+    got = {}
+    for r in feature_hash_embeddings(df, dim=dim).collect():
+        got.setdefault(r["doc_id"], {})[r["dim"]] = r["value"]
+    assert 3 not in got          # null text -> no embedding rows
+    for i, t in docs:
+        if not t or not t.strip():
+            continue
+        ws = t.split()
+        raw: dict = {}
+        for w in ws:
+            b = md5_long(w) % dim
+            sg = 1 if md5_long("s:" + w) % 2 == 0 else -1
+            raw[b] = raw.get(b, 0) + sg
+        nrm = math.sqrt(sum(v * v for v in raw.values()))
+        exp = {b: round(v / nrm, 6) if nrm > 0 else float(v)
+               for b, v in raw.items()}
+        assert got[i] == pytest.approx(exp, abs=1e-9), i
+    # normalized vectors are unit length (over the sparse rows)
+    for i in (0, 1):
+        assert sum(v * v for v in got[i].values()) == \
+            pytest.approx(1.0, abs=1e-4)
+    # unnormalized form returns the raw signed counts
+    rawdf = feature_hash_embeddings(df, dim=dim, normalize=False)
+    vals = {(r["doc_id"], r["dim"]): r["value"] for r in rawdf.collect()}
+    assert all(float(v).is_integer() for v in vals.values())
+    with pytest.raises(ValueError, match="dim"):
+        feature_hash_embeddings(df, dim=0)
+
+
+def test_feature_hash_embeddings_cosine_tracks_token_overlap(spark):
+    """The hashing-trick contract: near-identical documents have high
+    cosine; disjoint-vocabulary documents have low |cosine|."""
+    from zcollection_spark.functions import feature_hash_embeddings
+    docs = [(0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon eta"),
+            (2, "one two three four five six")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vecs = {}
+    for r in feature_hash_embeddings(df, dim=64).collect():
+        vecs.setdefault(r["doc_id"], {})[r["dim"]] = r["value"]
+
+    def cos(a, b):
+        return sum(a.get(k, 0.0) * b.get(k, 0.0)
+                   for k in set(a) | set(b))
+
+    assert cos(vecs[0], vecs[1]) > 0.6
+    assert abs(cos(vecs[0], vecs[2])) < 0.4

@@ -852,3 +852,16 @@ def test_cdc_chunks_shuffle_free_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert count_exchanges(plan) == []
+
+
+def test_hash_embeddings_codegen_hash_one_aggregate(spark):
+    """Feature hashing: md5 bucket/sign are codegen projections on the
+    exploded stream (never inside a higher-order lambda), ONE
+    map-side-combined groupBy on (id, bucket), and the norm windows
+    over the bounded per-doc bucket rows.  No Python, no join."""
+    plan = executed_plan(eq.q_hash_embeddings(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in final_plan(plan)
+    assert "partial_sum" in plan       # map-side combine
+    assert "Generate" in plan          # the explode

@@ -1069,3 +1069,142 @@ def test_pipeline_funnel_matches_python_reference_property(spark, data):
                                     group_col="source", rules=rules,
                                     shingle_size=n).collect()}
     assert got == exp
+
+
+# -- round-16 batch: python-reference replays on arbitrary corpora ---------
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_domain_mix_weights_matches_python_reference_property(spark, data):
+    """domain_mix_weights == the sqrt-flattened reference on arbitrary
+    corpora with arbitrary group assignment (including single-domain
+    corpora and empty/blank docs, which must count 0 tokens)."""
+    import math
+    from zcollection_spark.functions import domain_mix_weights
+    rows = _word_docs(data, min_len=0)
+    n_groups = data.draw(st.integers(1, 4))
+    docs = [(i, t if t else data.draw(st.sampled_from(["", "  "])),
+             "g%d" % (i % n_groups)) for i, t in rows]
+    df = spark.createDataFrame(docs, "doc_id long, text string, "
+                                     "source string")
+    toks, nd = {}, {}
+    for _, t, s in docs:
+        toks[s] = toks.get(s, 0) + (len(t.split()) if t.strip() else 0)
+        nd[s] = nd.get(s, 0) + 1
+    out = {r["source"]: r for r in domain_mix_weights(df).collect()}
+    tot = sum(toks.values())
+    if tot == 0:
+        # all-empty corpus: every ratio column is NULL, never a crash
+        for s in toks:
+            r = out[s]
+            assert r["n_tokens"] == 0
+            assert r["natural_share"] is None
+            assert r["mix_weight"] is None
+        return
+    share = {s: toks[s] / tot for s in toks}
+    flat = {s: math.sqrt(share[s]) for s in share}
+    sflat = sum(flat.values())
+    assert set(out) == set(toks)
+    for s in toks:
+        r = out[s]
+        assert r["n_docs"] == nd[s] and r["n_tokens"] == toks[s]
+        assert r["natural_share"] == pytest.approx(share[s], abs=6e-7)
+        tgt = flat[s] / sflat
+        assert r["target_share"] == pytest.approx(tgt, abs=6e-7)
+        if share[s] > 0:
+            assert r["mix_weight"] == pytest.approx(tgt / share[s],
+                                                    abs=2e-6)
+        else:
+            # hypothesis r16 find: an all-empty GROUP used to crash
+            # with ANSI divide-by-zero; now its ratio is NULL
+            assert r["mix_weight"] is None
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_cross_lm_score_matches_python_reference_property(spark, data):
+    """cross_lm_score == the Counter-based add-one reference on
+    arbitrary corpora with an arbitrary reference slice (small vocab
+    forces count collisions; the slice can be tiny or nearly-all)."""
+    from collections import Counter
+    from zcollection_spark.functions import cross_lm_score
+    from pyspark.sql import functions as F
+    rows = _word_docs(data, vocab=5)
+    mod = data.draw(st.integers(2, 4))
+    ref_rows = [(i, t) for i, t in rows
+                if i % mod == 0 and len(t.split()) >= 2]
+    if not ref_rows:
+        return  # empty reference: V = 0, cu = 0 — division semantics
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = df.where((F.col("doc_id") % mod == 0)
+                   & (F.size(F.split(F.trim("text"), r"\s+")) >= 2))
+    got = {r["doc_id"]: r for r in cross_lm_score(df, ref).collect()}
+    cb, cu, vocab = Counter(), Counter(), set()
+    for _, t in ref_rows:
+        ws = t.split()
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] += 1
+            cu[a] += 1
+    V = len(vocab)
+    exp = {}
+    for i, t in rows:
+        ws = t.split()
+        if len(ws) < 2:
+            continue
+        ps = [(cb[(a, b)] + 1) / (cu[a] + V)
+              for a, b in zip(ws, ws[1:])]
+        oov = sum((a, b) not in cb
+                  for a, b in zip(ws, ws[1:])) / len(ps)
+        exp[i] = (len(ps), sum(ps) / len(ps), oov)
+    assert set(got) == set(exp)
+    for i, (nb, mp, oov) in exp.items():
+        assert got[i]["n_bigrams"] == nb
+        assert got[i]["mean_cond_p"] == pytest.approx(mp, abs=6e-7)
+        assert got[i]["oov_bigram_share"] == pytest.approx(oov)
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_cdc_chunks_reconstruction_property(spark, data):
+    """On arbitrary corpora and (k, mod, min) settings: chunks
+    partition the token stream exactly (concatenation == tokens),
+    chunk_ids are dense from 0, and every non-tail chunk honors
+    min_tokens."""
+    import hashlib
+    from zcollection_spark.functions import cdc_chunks
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    k = data.draw(st.integers(1, 4))
+    m = data.draw(st.integers(1, 6))
+    mn = data.draw(st.integers(1, 5))
+    rows = _word_docs(data, vocab=4, max_len=30)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df, shingle_size=k, boundary_mod=m,
+                        min_tokens=mn).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    assert set(got) == {i for i, _ in rows}
+    for i, t in rows:
+        ws = t.split()
+        chunks = sorted(got[i])
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        assert " ".join(c[1] for c in chunks) == " ".join(ws)
+        assert sum(c[2] for c in chunks) == len(ws)
+        for _, _, ntok in chunks[:-1]:
+            assert ntok >= mn
+        # python replay of the exact boundary arithmetic
+        n = len(ws)
+        raw = ([j for j in range(k, n + 1)
+                if md5_long(" ".join(ws[j - k:j])) % m == 0]
+               if n >= k else [])
+        acc: list = []
+        for e in raw:
+            if e - (acc[-1] if acc else 0) >= mn:
+                acc.append(e)
+        ends = acc + ([n] if (not acc or acc[-1] != n) else [])
+        assert [c[2] for c in chunks] == \
+            [e - s for s, e in zip([0] + ends[:-1], ends)]

@@ -42,6 +42,7 @@ from .oracles import (_SPLIT, _dedup_lsh_oracle, _ivf_oracle,
                       _ivfpq_oracle, _lsh_oracle, _minhash_oracle,
                       _semantic_dedup_oracle, _simhash_oracle)
 from .oracles_sql import (EVENTS3, JACCARD_MAX_DF, ORACLE_ASOF,
+                          ORACLE_HASH_EMBEDDINGS,
                           ORACLE_CDC_CHUNKS,
                           ORACLE_COLLECTION_NESTED, ORACLE_CROSS_LM,
                           ORACLE_DOMAIN_MIX,
@@ -2382,6 +2383,21 @@ def q_cdc_chunks(spark, sf_dir):
         .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
 
 
+def q_hash_embeddings(spark, sf_dir):
+    """Signed feature-hashing document embeddings (NEW r16): the
+    model-free text-to-vector path (hashing trick, dim=32,
+    L2-normalized) that feeds the ANN/semantic-dedup family when no
+    learned embedding exists (functions/text.py:
+    feature_hash_embeddings).  Sparse (doc_id, dim, value) rows; the
+    only non-rational step is the IEEE-correctly-rounded sqrt, so the
+    table hash-matches cross-engine."""
+    from .functions.text import feature_hash_embeddings
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash_embeddings(docs, id_col="doc_id",
+                                   text_col="text", dim=32) \
+        .select("doc_id", "dim", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
@@ -2546,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "cross_lm": q_cross_lm,
         "cdc_chunks": q_cdc_chunks,
+        "hash_embeddings": q_hash_embeddings,
     }
 
 
@@ -2577,6 +2594,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "domain_mix": ORACLE_DOMAIN_MIX,
         "cross_lm": ORACLE_CROSS_LM,
         "cdc_chunks": ORACLE_CDC_CHUNKS,
+        "hash_embeddings": ORACLE_HASH_EMBEDDINGS,
         "collection_sequence": ORACLE_SEQUENCE,
         "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,
         "merge_time_series": ORACLE_MERGE_TIME_SERIES,

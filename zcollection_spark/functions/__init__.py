@@ -25,7 +25,7 @@ from .similarity import (cosine_similarity_col, brute_force_topk,
                          lsh_bucket_topk, suggest_ivf_config,
                          suggest_lsh_config, suggest_lsh_planes)
 from .text import (bigram_lm_score, cdc_chunks, chunk_documents,
-                   cross_lm_score, fingerprint,
+                   cross_lm_score, feature_hash_embeddings, fingerprint,
                    language_id, lm_quality_buckets, pack_sequences,
                    text_stats, token_count, unigram_stats,
                    winnow_fingerprints, word_shingles, words)
@@ -61,7 +61,7 @@ __all__ = [
     "fingerprint", "language_id", "text_stats", "token_count",
     "unigram_stats", "word_shingles", "words", "chunk_documents",
     "lm_quality_buckets", "cdc_chunks", "cross_lm_score",
-    "domain_mix_weights",
+    "domain_mix_weights", "feature_hash_embeddings",
     "pack_sequences", "bigram_lm_score", "bm25_scores", "bm25_topk",
     "rrf_fuse", "winnow_fingerprints", "tfidf_topk",
     "importance_weights", "importance_resample", "split_leakage",

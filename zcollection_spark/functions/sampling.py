@@ -409,9 +409,15 @@ def domain_mix_weights(df: DataFrame, *, group_col: str = "source",
     # staged through real columns because a window over a window
     # expression is not analyzable in one projection
     w = Window.partitionBy()
+    # degenerate groups are NULL, not a crash (hypothesis r16 find: a
+    # group whose docs are ALL empty has share 0, and an all-empty
+    # corpus has total 0 — either way the ratio columns are undefined
+    # and ANSI division would throw)
+    total = F.sum("n_tokens").over(w)
     per = per.withColumn(
         "__share",
-        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w))
+        F.when(total > 0,
+               F.col("n_tokens").cast("double") / total))
     flat = (F.sqrt(F.col("__share")) if temperature == 0.5
             else F.pow(F.col("__share"), F.lit(float(temperature))))
     per = per.withColumn("__target", flat / F.sum(flat).over(w))
@@ -421,5 +427,6 @@ def domain_mix_weights(df: DataFrame, *, group_col: str = "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("__share", 6).alias("natural_share"),
         F.round("__target", 6).alias("target_share"),
-        F.round(F.col("__target") / F.col("__share"), 6)
+        F.round(F.when(F.col("__share") > 0,
+                       F.col("__target") / F.col("__share")), 6)
         .alias("mix_weight"))

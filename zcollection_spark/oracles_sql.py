@@ -1196,13 +1196,15 @@ WITH per AS (
                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
                   END) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source),
-s AS (SELECT *, CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS sh
+s AS (SELECT *, CASE WHEN sum(n_tokens) OVER () > 0
+                 THEN CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()
+            END AS sh
       FROM per),
 t AS (SELECT *, sqrt(sh) / sum(sqrt(sh)) OVER () AS tgt FROM s)
 SELECT source, n_docs, n_tokens,
        round(sh, 6) AS natural_share,
        round(tgt, 6) AS target_share,
-       round(tgt / sh, 6) AS mix_weight
+       round(CASE WHEN sh > 0 THEN tgt / sh END, 6) AS mix_weight
 FROM t
 """
 
@@ -1269,4 +1271,20 @@ SELECT doc_id,
        CAST(ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END)
             AS BIGINT) AS n_tokens
 FROM e, UNNEST(generate_series(1, len(ends))) u(j)
+"""
+
+ORACLE_HASH_EMBEDDINGS = rf"""
+WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS t FROM documents
+             WHERE trim(coalesce(text, '')) <> ''),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % 32 AS dim,
+             CASE WHEN ('0x' || substr(md5('s:' || t), 1, 15))::BIGINT
+                       % 2 = 0 THEN 1 ELSE -1 END AS sg
+      FROM tok),
+v AS (SELECT doc_id, dim, CAST(sum(sg) AS DOUBLE) AS raw
+      FROM h GROUP BY doc_id, dim),
+n AS (SELECT doc_id, sqrt(sum(raw * raw)) AS nrm FROM v GROUP BY doc_id)
+SELECT v.doc_id, CAST(dim AS BIGINT) AS dim,
+       round(CASE WHEN nrm > 0 THEN raw / nrm ELSE raw END, 6) AS value
+FROM v JOIN n ON v.doc_id = n.doc_id
 """
