@@ -600,6 +600,10 @@ def main() -> None:
         @timed("hash_embeddings", tier="archive")
         def _():
             _consume(eq.q_hash_embeddings(spark, sf_dir))
+
+        @timed("text_knn", tier="archive")
+        def _():
+            eq.q_text_knn(spark, sf_dir).collect()
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

@@ -42,7 +42,7 @@ from .oracles import (_SPLIT, _dedup_lsh_oracle, _ivf_oracle,
                       _ivfpq_oracle, _lsh_oracle, _minhash_oracle,
                       _semantic_dedup_oracle, _simhash_oracle)
 from .oracles_sql import (EVENTS3, JACCARD_MAX_DF, ORACLE_ASOF,
-                          ORACLE_HASH_EMBEDDINGS,
+                          ORACLE_HASH_EMBEDDINGS, ORACLE_TEXT_KNN,
                           ORACLE_CDC_CHUNKS,
                           ORACLE_COLLECTION_NESTED, ORACLE_CROSS_LM,
                           ORACLE_DOMAIN_MIX,
@@ -2398,6 +2398,36 @@ def q_hash_embeddings(spark, sf_dir):
         .select("doc_id", "dim", "value")
 
 
+def q_text_knn(spark, sf_dir):
+    """Hashed-embedding text retrieval (NEW r16, a COMPOSITION query —
+    no new operator): feature_hash_embeddings vectors (dim=32,
+    L2-normalized sparse rows) self-joined on the bucket dimension to
+    score exact cosine of every document against the three probe
+    documents (doc_id < 3), top-10 per probe.  The probe side is
+    3 docs x <=32 rows — broadcast by construction; the corpus side is
+    the one map-side-combined embedding build.  Demonstrates the
+    model-free text->vector path feeding retrieval end-to-end."""
+    from pyspark.sql import Window
+    from .functions.text import feature_hash_embeddings
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = feature_hash_embeddings(docs, id_col="doc_id",
+                                   text_col="text", dim=32)
+    probes = (vecs.where(F.col("doc_id") < 3)
+              .select(F.col("doc_id").alias("query_id"), "dim",
+                      F.col("value").alias("qv")))
+    scored = (vecs.join(F.broadcast(probes), on="dim")
+              .where(F.col("doc_id") != F.col("query_id"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum(F.col("value") * F.col("qv")), 6)
+                   .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("query_id", "doc_id", "score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
@@ -2556,13 +2586,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r16, born out-of-window per the rotation discipline:
         # struct view of the nested group tree (query(nested=True)),
         # domain mixture recipe, cross-reference LM scoring,
-        # content-defined chunking.  check_oracle-gated at sf0.01 AND
-        # sf1; promote r17 per the ledger above.
+        # content-defined chunking, feature-hashing embeddings.
+        # check_oracle-gated at sf0.01 AND sf1; promote r17 per the
+        # ledger above.
         "collection_nested": q_collection_nested,
         "domain_mix": q_domain_mix,
         "cross_lm": q_cross_lm,
         "cdc_chunks": q_cdc_chunks,
         "hash_embeddings": q_hash_embeddings,
+        "text_knn": q_text_knn,
     }
 
 
@@ -2595,6 +2627,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "cross_lm": ORACLE_CROSS_LM,
         "cdc_chunks": ORACLE_CDC_CHUNKS,
         "hash_embeddings": ORACLE_HASH_EMBEDDINGS,
+        "text_knn": ORACLE_TEXT_KNN,
         "collection_sequence": ORACLE_SEQUENCE,
         "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,
         "merge_time_series": ORACLE_MERGE_TIME_SERIES,

@@ -1288,3 +1288,31 @@ SELECT v.doc_id, CAST(dim AS BIGINT) AS dim,
        round(CASE WHEN nrm > 0 THEN raw / nrm ELSE raw END, 6) AS value
 FROM v JOIN n ON v.doc_id = n.doc_id
 """
+
+ORACLE_TEXT_KNN = rf"""
+WITH tok AS (SELECT doc_id, unnest({_SPLIT}) AS t FROM documents
+             WHERE trim(coalesce(text, '')) <> ''),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % 32 AS dim,
+             CASE WHEN ('0x' || substr(md5('s:' || t), 1, 15))::BIGINT
+                       % 2 = 0 THEN 1 ELSE -1 END AS sg
+      FROM tok),
+v0 AS (SELECT doc_id, dim, CAST(sum(sg) AS DOUBLE) AS raw
+       FROM h GROUP BY doc_id, dim),
+n AS (SELECT doc_id, sqrt(sum(raw * raw)) AS nrm FROM v0 GROUP BY doc_id),
+v AS (SELECT v0.doc_id, dim,
+             round(CASE WHEN nrm > 0 THEN raw / nrm ELSE raw END, 6)
+             AS value
+      FROM v0 JOIN n ON v0.doc_id = n.doc_id),
+scored AS (SELECT q.doc_id AS query_id, d.doc_id,
+                  round(sum(d.value * q.value), 6) AS score
+           FROM v d JOIN v q USING (dim)
+           WHERE q.doc_id < 3 AND d.doc_id <> q.doc_id
+           GROUP BY q.doc_id, d.doc_id),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+"""
