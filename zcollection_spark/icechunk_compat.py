@@ -160,14 +160,35 @@ def _walk_partitions(zarr_mod, store, depth: int) -> list[str]:
     return out
 
 
-def _flat_arrays(zarr_mod, store, path: str) -> "dict[str, np.ndarray]":
-    """All arrays under a group, nested groups flattened to the same
-    path-mangled names the native schema uses (``a/b/c``)."""
-    out: dict[str, np.ndarray] = {}
+def _flat_arrays(zarr_mod, store, path: str,
+                 wanted: "set[str] | None" = None,
+                 meta_only: bool = False) -> dict:
+    """Arrays under a group, nested groups flattened to the same
+    path-mangled names the native schema uses (``a/b/c``).
+
+    Projection pushes down to the chunk reads: ``wanted`` (full or
+    short names) restricts which arrays are MATERIALIZED — unselected
+    arrays are never read, matching the native collection's
+    column-pruning contract.  ``meta_only=True`` returns zero-row
+    arrays of the right dtype/dimensionality from the zarr metadata
+    alone — the schema probe reads no chunk data at all.
+    """
+    out: dict = {}
+
+    def keep(name: str) -> bool:
+        return (wanted is None or name in wanted
+                or name.rsplit("/", 1)[-1] in wanted)
 
     def walk(prefix: str, grp) -> None:
         for name, arr in grp.arrays():
-            out[f"{prefix}{name}"] = np.asarray(arr[...])
+            full = f"{prefix}{name}"
+            if not keep(full):
+                continue
+            if meta_only:
+                out[full] = np.empty((0,) * max(arr.ndim, 1),
+                                     dtype=arr.dtype)
+            else:
+                out[full] = np.asarray(arr[...])
         for name, sub in grp.groups():
             walk(f"{prefix}{name}/", sub)
 
@@ -282,9 +303,10 @@ class IcechunkCollection:
         rels = self.partitions(filters=filters)
         if not rels:
             return None
-        # schema from the first partition's arrays (zarr is the source
-        # of truth for what was actually written)
-        first = _flat_arrays(self._zarr, self._session.store, rels[0])
+        # schema from the first partition's zarr METADATA (dtype/ndim
+        # only — no chunk data is read to plan the scan)
+        first = _flat_arrays(self._zarr, self._session.store, rels[0],
+                             meta_only=True)
         names = [n for n in first
                  if variables is None or n in set(variables)
                  or n.rsplit("/", 1)[-1] in set(variables or ())]
@@ -295,6 +317,7 @@ class IcechunkCollection:
                                for n in sorted(names)])
         path, snap, ordered_names = self.path, self.snapshot_id, \
             sorted(names)
+        wanted_set = set(ordered_names)
 
         def read(batches: Iterator[pd.DataFrame]) \
                 -> Iterator[pd.DataFrame]:
@@ -305,7 +328,10 @@ class IcechunkCollection:
             store = repo.readonly_session(snapshot_id=snap).store
             for pdf in batches:
                 for rel in pdf["rel"]:
-                    arrays = _flat_arrays(zarr_mod, store, rel)
+                    # projection pushdown: only the selected arrays
+                    # are materialized from the store
+                    arrays = _flat_arrays(zarr_mod, store, rel,
+                                          wanted=wanted_set)
                     yield pd.DataFrame({
                         n: _to_pandas_col(arrays[n])
                         for n in ordered_names})
