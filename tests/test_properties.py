@@ -1208,3 +1208,37 @@ def test_cdc_chunks_reconstruction_property(spark, data):
         ends = acc + ([n] if (not acc or acc[-1] != n) else [])
         assert [c[2] for c in chunks] == \
             [e - s for s, e in zip([0] + ends[:-1], ends)]
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_feature_hash_embeddings_matches_python_reference_property(
+        spark, data):
+    """feature_hash_embeddings == the dict-based hashing-trick
+    reference on arbitrary corpora and dims (small vocab forces bucket
+    collisions and sign cancellation — including fully-cancelled
+    documents, whose raw zeros must come back unnormalized)."""
+    import hashlib
+    import math
+    from zcollection_spark.functions import feature_hash_embeddings
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    dim = data.draw(st.sampled_from([2, 4, 16]))
+    rows = _word_docs(data, vocab=4)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in feature_hash_embeddings(df, dim=dim).collect():
+        got.setdefault(r["doc_id"], {})[r["dim"]] = r["value"]
+    for i, t in rows:
+        ws = t.split()
+        raw: dict = {}
+        for w in ws:
+            b = md5_long(w) % dim
+            raw[b] = raw.get(b, 0) + (1 if md5_long("s:" + w) % 2 == 0
+                                      else -1)
+        nrm = math.sqrt(sum(v * v for v in raw.values()))
+        exp = {b: round(v / nrm, 6) if nrm > 0 else float(v)
+               for b, v in raw.items()}
+        assert got.get(i, {}) == pytest.approx(exp, abs=1e-9), i
