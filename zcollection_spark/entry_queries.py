@@ -27,21 +27,21 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import (Date, GroupedSequence, Sequence, SchemaBuilder,
+from . import (Date, GroupedSequence, Sequence,
                create_collection, upsert_within)
 from .data import load_table
 from .indexing import Indexer, ranges_for
 from .schema import VariableSchema, infer_schema
 from .view import View
 from .functions import (brute_force_topk, dedup_exact, fingerprint,
-                        language_id, lsh_candidate_pairs, md5_long,
+                        language_id, lsh_candidate_pairs,
                         minhash_signatures, ngram_jaccard_pairs, text_stats,
                         attach_fake_payload, extract_image_features)
 from .functions.text import LANG_MARKERS
 from .oracles import (_SPLIT, _dedup_lsh_oracle, _ivf_oracle,
                       _ivfpq_oracle, _lsh_oracle, _minhash_oracle,
                       _semantic_dedup_oracle, _simhash_oracle)
-from .oracles_sql import (EVENTS3, JACCARD_MAX_DF, ORACLE_ASOF,
+from .oracles_sql import (JACCARD_MAX_DF, ORACLE_ASOF,
                           ORACLE_HASH_EMBEDDINGS, ORACLE_TEXT_KNN,
                           ORACLE_CDC_CHUNKS,
                           ORACLE_COLLECTION_NESTED, ORACLE_CROSS_LM,
