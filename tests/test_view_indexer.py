@@ -45,6 +45,10 @@ def test_view_update_query_roundtrip(spark, tmp_path, seq_collection):
     np.testing.assert_allclose(sorted(res["derived"]), sorted(want))
     # base is untouched
     assert "derived" not in seq_collection.query().columns
+    # struct-view parity (r16): a flat-named view queries nested too
+    nested = view.query(nested=True)
+    assert set(nested.columns) == set(res.columns)  # no groups -> no-op
+    assert nested.count() == len(res)
 
 
 def test_view_query_missing_overlay_partitions(spark, tmp_path,

@@ -401,6 +401,12 @@ def test_zarr_nested_group_variable(spark, tmp_path):
         assert doc["node_type"] == "group"
     out = coll.query().orderBy("num").toPandas()
     assert out["data_01/ku/power"].tolist() == [1.5, 2.5, 3.5]
+    # struct view parity with the parquet layout (r16)
+    nested = coll.query(nested=True)
+    assert nested.columns == ["num", "data_01"]
+    rows = (nested.select("num", "data_01.ku.power")
+            .orderBy("num", "power").collect())
+    assert [r["power"] for r in rows] == [1.5, 2.5, 3.5]
 
 
 def test_zarr_add_variable_evolution(spark, zarr_events):

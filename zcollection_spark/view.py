@@ -199,10 +199,12 @@ class View:
 
     def query(self, *, filters: str | None = None,
               variables: Iterable[str] | None = None,
-              ordered: bool = True) -> DataFrame | None:
+              ordered: bool = True,
+              nested: bool = False) -> DataFrame | None:
         """Merged base+overlay read (``view/base.py:232-314``): a left join
         on ``(keys, _row_idx)`` — base rows without overlay rows pass
-        through with nulls."""
+        through with nulls.  ``nested=True`` returns the group tree as
+        real struct columns (same contract as ``Collection.query``)."""
         base_df = self.base._load(filters=filters, keep_internal=True)
         if base_df is None:
             return None
@@ -246,6 +248,9 @@ class View:
                          if c in joined.columns]
             if sort_cols:
                 joined = joined.orderBy(*sort_cols)
+        if nested:
+            from .schema import nest_struct_columns
+            joined = nest_struct_columns(joined)
         return joined
 
     def drop(self) -> None:

@@ -667,7 +667,8 @@ class ZarrCollection:
               variables: Iterable[str] | None = None,
               where: str | None = None,
               ordered: bool = True,
-              at_generation: int | None = None) -> DataFrame | None:
+              at_generation: int | None = None,
+              nested: bool = False) -> DataFrame | None:
         """Pruned + projected read through the zarr3 datasource; the
         filter string compiles to a Catalyst predicate whose partition-key
         comparisons are pushed down into the reader.
@@ -818,6 +819,11 @@ class ZarrCollection:
                     var.spark_type(dims, self.axis))
             if cols:
                 df = df.withColumns(cols)
+        if nested:
+            # struct view of the group tree (same contract as the
+            # parquet layout's Collection.query(nested=True))
+            from ..schema import nest_struct_columns
+            df = nest_struct_columns(df)
         return df
 
     def _retained_scan(self, base: str, read_vars) -> DataFrame:
