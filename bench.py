@@ -604,6 +604,10 @@ def main() -> None:
         @timed("text_knn", tier="archive")
         def _():
             eq.q_text_knn(spark, sf_dir).collect()
+
+        @timed("cluster_reps", tier="archive")
+        def _():
+            eq.q_cluster_reps(spark, sf_dir).collect()
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

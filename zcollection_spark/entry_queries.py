@@ -42,6 +42,7 @@ from .oracles import (_SPLIT, _dedup_lsh_oracle, _ivf_oracle,
                       _ivfpq_oracle, _lsh_oracle, _minhash_oracle,
                       _semantic_dedup_oracle, _simhash_oracle)
 from .oracles_sql import (JACCARD_MAX_DF, ORACLE_ASOF,
+                          ORACLE_CLUSTER_REPS,
                           ORACLE_HASH_EMBEDDINGS, ORACLE_TEXT_KNN,
                           ORACLE_CDC_CHUNKS,
                           ORACLE_COLLECTION_NESTED, ORACLE_CROSS_LM,
@@ -2428,6 +2429,39 @@ def q_text_knn(spark, sf_dir):
                     F.col("rank").cast("long").alias("rank")))
 
 
+def q_cluster_reps(spark, sf_dir):
+    """Quality-aware cluster representatives (NEW r16, a COMPOSITION
+    query): near-dup clusters (jaccard pairs -> connected components,
+    the dedup_clusters machinery) keep their LONGEST member instead of
+    the min-id canonical — what production dedup does (pick the best
+    document of each near-dup cluster, drop the rest).  Tie-break on
+    doc_id keeps selection deterministic.  One bounded window per
+    cluster + one group-sized size join; no new operator."""
+    from pyspark.sql import Window
+    from .functions.graph import dedup_clusters
+    from .functions.text import words
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                shingle_size=5, threshold=0.5,
+                                max_df=JACCARD_MAX_DF) \
+        .select("id_a", "id_b")
+    clusters = dedup_clusters(pairs, "id_a", "id_b")
+    ntok = docs.select("doc_id",
+                       F.size(words("text")).alias("n_tokens"))
+    joined = clusters.join(ntok, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id"))
+    reps = (joined.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select("cluster_id",
+                    F.col("doc_id").alias("rep_id"),
+                    F.col("n_tokens").cast("long").alias("rep_tokens")))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return reps.join(sizes, "cluster_id") \
+        .select("cluster_id", "rep_id", "rep_tokens", "cluster_size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
@@ -2595,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "hash_embeddings": q_hash_embeddings,
         "text_knn": q_text_knn,
+        "cluster_reps": q_cluster_reps,
     }
 
 
@@ -2628,6 +2663,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "cdc_chunks": ORACLE_CDC_CHUNKS,
         "hash_embeddings": ORACLE_HASH_EMBEDDINGS,
         "text_knn": ORACLE_TEXT_KNN,
+        "cluster_reps": ORACLE_CLUSTER_REPS,
         "collection_sequence": ORACLE_SEQUENCE,
         "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,
         "merge_time_series": ORACLE_MERGE_TIME_SERIES,

@@ -1316,3 +1316,38 @@ r AS (SELECT query_id, doc_id, score,
 SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 10
 """
+
+ORACLE_CLUSTER_REPS = f"""
+WITH RECURSIVE {_shingle_sql(5)},
+{_shingle_df_sql(JACCARD_MAX_DF)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+shared AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+           FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT DISTINCT a AS node, a AS label FROM edges
+          UNION
+          SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+clusters AS (SELECT node AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY node),
+ntok AS (SELECT doc_id,
+                len(regexp_split_to_array(trim(text), '\\s+'))
+                AS n_tokens
+         FROM documents),
+ranked AS (SELECT c.cluster_id, c.doc_id, n.n_tokens,
+                  row_number() OVER (
+                    PARTITION BY c.cluster_id
+                    ORDER BY n.n_tokens DESC, c.doc_id) AS rk
+           FROM clusters c JOIN ntok n USING (doc_id)),
+csize AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM clusters GROUP BY cluster_id)
+SELECT r.cluster_id, r.doc_id AS rep_id,
+       CAST(r.n_tokens AS BIGINT) AS rep_tokens, s.cluster_size
+FROM ranked r JOIN csize s USING (cluster_id)
+WHERE r.rk = 1
+"""
