@@ -2620,9 +2620,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r16, born out-of-window per the rotation discipline:
         # struct view of the nested group tree (query(nested=True)),
         # domain mixture recipe, cross-reference LM scoring,
-        # content-defined chunking, feature-hashing embeddings.
-        # check_oracle-gated at sf0.01 AND sf1; promote r17 per the
-        # ledger above.
+        # content-defined chunking, feature-hashing embeddings, and
+        # two composition queries (hashed-embedding retrieval,
+        # quality-aware cluster representatives).  check_oracle-gated
+        # at sf0.01 AND sf1; all SEVEN promote r17 per the ledger
+        # above.
         "collection_nested": q_collection_nested,
         "domain_mix": q_domain_mix,
         "cross_lm": q_cross_lm,
