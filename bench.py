@@ -608,6 +608,14 @@ def main() -> None:
         @timed("cluster_reps", tier="archive")
         def _():
             eq.q_cluster_reps(spark, sf_dir).collect()
+
+        @timed("ngram_coverage", tier="archive")
+        def _():
+            _consume(eq.q_ngram_coverage(spark, sf_dir))
+
+        @timed("corpus_profile", tier="archive")
+        def _():
+            eq.q_corpus_profile(spark, sf_dir).collect()
     finally:
         fsmod.fs_for = real_fs_for
         shutil.rmtree(tmp, ignore_errors=True)

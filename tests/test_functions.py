@@ -2361,3 +2361,57 @@ def test_feature_hash_embeddings_cosine_tracks_token_overlap(spark):
 
     assert cos(vecs[0], vecs[1]) > 0.6
     assert abs(cos(vecs[0], vecs[2])) < 0.4
+
+
+def test_ngram_coverage_matches_python_reference(spark):
+    from zcollection_spark.functions import ngram_coverage
+    docs = [(0, "a b c d e f g h"), (1, "a b c d e x y z"),
+            (2, "p q r s t u v w"), (3, "one two")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d e f g")],
+                                  "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_coverage(df, bench).collect()}
+
+    def sh(t, n=5):
+        ws = t.split()
+        return (set(" ".join(ws[i:i + n])
+                    for i in range(len(ws) - n + 1))
+                if len(ws) >= n else {" ".join(ws)})
+
+    bs = sh("a b c d e f g")
+    for i, t in docs:
+        S = sh(t)
+        hit = len(S & bs)
+        r = out[i]
+        assert r["n_shingles"] == len(S)
+        assert r["n_contaminated"] == hit
+        assert r["coverage"] == pytest.approx(round(hit / len(S), 6))
+    # a benchmark member scores high; an unrelated doc scores 0
+    assert out[0]["coverage"] > 0.5
+    assert out[2]["coverage"] == 0.0
+
+
+def test_corpus_profile_matches_numpy_percentiles(spark):
+    import numpy as np
+    from zcollection_spark.functions import corpus_profile
+    from zcollection_spark.functions.text import STOPWORDS
+    docs = [(0, "the quick brown fox jumps", "s0"),
+            (1, "a b", "s0"), (2, "one two three four five six", "s0"),
+            (3, "p q r s t u v w x y", "s1"), (4, "of the and", "s1")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, "
+                                     "source string")
+    prof = {r["source"]: r for r in corpus_profile(df).collect()}
+    for s in ("s0", "s1"):
+        nts = [len(t.split()) for _, t, g in docs if g == s]
+        srs = [round(len(set(t.split()) & set(STOPWORDS))
+                     / max(len(t.split()), 1), 6)
+               for _, t, g in docs if g == s]
+        r = prof[s]
+        assert r["n_docs"] == len(nts) and r["n_tokens"] == sum(nts)
+        for q, col in ((10, "tokens_p10"), (50, "tokens_p50"),
+                       (90, "tokens_p90")):
+            want = float(np.percentile(nts, q, method="linear"))
+            assert r[col] == pytest.approx(round(want, 6), abs=1e-9)
+        assert r["stop_ratio_p50"] == pytest.approx(
+            round(float(np.percentile(srs, 50, method="linear")), 6),
+            abs=1.5e-6)

@@ -865,3 +865,30 @@ def test_hash_embeddings_codegen_hash_one_aggregate(spark):
     assert "Join" not in final_plan(plan)
     assert "partial_sum" in plan       # map-side combine
     assert "Generate" in plan          # the explode
+
+
+def test_ngram_coverage_broadcast_left_join(spark):
+    """Fractional contamination: the benchmark shingle set broadcasts
+    into a LEFT join (misses take the zero path — never a corpus-sized
+    non-equi fallback); map-side combine on the per-doc count.  No
+    Python, no cartesian."""
+    plan = executed_plan(eq.q_ngram_coverage(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    fp = final_plan(plan)
+    assert "BroadcastHashJoin" in fp and "LeftOuter" in fp
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_corpus_profile_one_aggregate_no_window(spark):
+    """Dataset-card profile: ONE map-side-combined groupBy, exact
+    percentiles inside the aggregate (value-grid-bounded buffers) —
+    no Window, no join, no Python."""
+    plan = executed_plan(eq.q_corpus_profile(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    fp = final_plan(plan)
+    assert "Join" not in fp and "Window" not in fp
+    assert "partial_count" in plan or "partial_percentile" in plan \
+        or "partial_sum" in plan

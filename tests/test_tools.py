@@ -76,7 +76,7 @@ def test_registry_window_invariant():
     # totals in the queries() header comment rotted in r8 ("all 66")
     # and again in r9 ("all 71"), so adding a query now forces this
     # pin — and with it the rotation ledger — to be updated.
-    assert len(names) == 105, len(names)
+    assert len(names) == 107, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
     # round-16 rotation (executes the r15 ledger + the r15 verdict's
     # tasks 2 and 4 verbatim): the FIVE r15-born never-driver-graded
@@ -110,7 +110,8 @@ def test_registry_window_invariant():
         "stratified_sample", "top_revenue_orders", "trade_flows",
         # NEW r16, born out-of-window; promote in r17
         "collection_nested", "domain_mix", "cross_lm", "cdc_chunks",
-        "hash_embeddings", "text_knn", "cluster_reps"}
+        "hash_embeddings", "text_knn", "cluster_reps",
+        "ngram_coverage", "corpus_profile"}
     assert set(names[50:]) <= tail_allowed, names[50:]
     # every operator promoted/returned/cycled by the r15 ledger (and
     # the verdict's task 2/4 directives) must actually be in-window

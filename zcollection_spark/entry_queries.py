@@ -42,7 +42,8 @@ from .oracles import (_SPLIT, _dedup_lsh_oracle, _ivf_oracle,
                       _ivfpq_oracle, _lsh_oracle, _minhash_oracle,
                       _semantic_dedup_oracle, _simhash_oracle)
 from .oracles_sql import (JACCARD_MAX_DF, ORACLE_ASOF,
-                          ORACLE_CLUSTER_REPS,
+                          ORACLE_CLUSTER_REPS, ORACLE_CORPUS_PROFILE,
+                          ORACLE_NGRAM_COVERAGE,
                           ORACLE_HASH_EMBEDDINGS, ORACLE_TEXT_KNN,
                           ORACLE_CDC_CHUNKS,
                           ORACLE_COLLECTION_NESTED, ORACLE_CROSS_LM,
@@ -2462,6 +2463,35 @@ def q_cluster_reps(spark, sf_dir):
         .select("cluster_id", "rep_id", "rep_tokens", "cluster_size")
 
 
+def q_ngram_coverage(spark, sf_dir):
+    """Fractional benchmark contamination (NEW r16): the share of each
+    training document's distinct 5-gram shingles found in the
+    benchmark slice (doc_id %% 97, the decontaminate convention) —
+    the rank-and-threshold complement to the hard-flag decontaminate
+    (functions/curation.py: ngram_coverage).  Broadcast benchmark
+    shingle set; exact counts, one rounded division."""
+    from .functions.curation import ngram_coverage
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_coverage(docs, bench, id_col="doc_id",
+                          text_col="text", n=5) \
+        .select("doc_id", "n_shingles", "n_contaminated", "coverage")
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Per-source dataset-card profile (NEW r16): document/token
+    census + exact p10/p50/p90 of per-doc token counts + median
+    stopword ratio, one row per source (functions/curation.py:
+    corpus_profile) — the datasheet numbers a corpus release reports
+    per slice.  ONE map-side-combined groupBy; percentile buffers
+    bounded by the value grids (the lm_buckets argument)."""
+    from .functions.curation import corpus_profile
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_profile(docs, group_col="source", text_col="text") \
+        .select("source", "n_docs", "n_tokens", "tokens_p10",
+                "tokens_p50", "tokens_p90", "stop_ratio_p50")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
@@ -2632,6 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embeddings": q_hash_embeddings,
         "text_knn": q_text_knn,
         "cluster_reps": q_cluster_reps,
+        "ngram_coverage": q_ngram_coverage,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -2666,6 +2698,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "hash_embeddings": ORACLE_HASH_EMBEDDINGS,
         "text_knn": ORACLE_TEXT_KNN,
         "cluster_reps": ORACLE_CLUSTER_REPS,
+        "ngram_coverage": ORACLE_NGRAM_COVERAGE,
+        "corpus_profile": ORACLE_CORPUS_PROFILE,
         "collection_sequence": ORACLE_SEQUENCE,
         "collection_grouped_sequence": ORACLE_GROUPED_SEQUENCE,
         "merge_time_series": ORACLE_MERGE_TIME_SERIES,

@@ -31,7 +31,8 @@ from .text import (bigram_lm_score, cdc_chunks, chunk_documents,
                    winnow_fingerprints, word_shingles, words)
 from .retrieval import bm25_scores, bm25_topk, rrf_fuse, tfidf_topk
 from .importance import importance_resample, importance_weights
-from .curation import (contamination, pipeline_funnel,
+from .curation import (contamination, corpus_profile,
+                       ngram_coverage, pipeline_funnel,
                        quality_filter,
                        novelty_scores, repetition_stats, scrub_pii, source_overlap,
                        split_leakage, strip_boilerplate)
@@ -66,7 +67,8 @@ __all__ = [
     "rrf_fuse", "winnow_fingerprints", "tfidf_topk",
     "importance_weights", "importance_resample", "split_leakage",
     "source_overlap", "strip_boilerplate", "cluster_balanced_sample",
-    "novelty_scores", "pipeline_funnel",
+    "novelty_scores", "pipeline_funnel", "ngram_coverage",
+    "corpus_profile",
     "cap_per_group", "hash_split", "stratified_sample",
     "stratified_sample_exact", "sample_to_token_budget",
     "upsample_by_weight", "shuffle_to_shards", "quantize_embeddings",

@@ -476,3 +476,88 @@ def pipeline_funnel(df: DataFrame, benchmark: DataFrame, *,
         group_col,
         *(F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
           for c in ("n_raw", "n_quality", "n_unique", "n_clean")))
+
+
+def ngram_coverage(train: DataFrame, benchmark: DataFrame, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 5) -> DataFrame:
+    """Fractional benchmark contamination per training document: the
+    share of the document's DISTINCT word ``n``-grams that appear
+    anywhere in the benchmark set — the rank-and-threshold complement
+    to :func:`contamination` (which hard-flags on ANY overlap).  A
+    doc quoting one benchmark sentence scores low; a doc that IS a
+    benchmark item scores ~1.0 — the cut is the caller's policy knob
+    (the GPT-3/PaLM appendices report exactly this distribution).
+
+    Returns one row per training document with ≥ 1 shingle:
+    ``(id_col, n_shingles, n_contaminated, coverage)`` — counts exact
+    longs, ``coverage`` their single IEEE division rounded to 6 dp.
+
+    Scale shape: the benchmark reduces to DISTINCT shingles and
+    broadcasts (same bound as :func:`contamination`); the training
+    side is one explode → per-doc distinct → LEFT broadcast join →
+    map-side-combined count.  Nothing lands on the driver.
+    """
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles(text_col, n))
+                        .alias("__s"))
+                .distinct()
+                .withColumn("__hit", F.lit(1)))
+    train_sh = (train
+                .select(F.col(id_col),
+                        F.explode(word_shingles(text_col, n))
+                        .alias("__s"))
+                .distinct())
+    tot = F.count(F.lit(1))
+    hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (train_sh.join(F.broadcast(bench_sh), on="__s", how="left")
+            .groupBy(id_col)
+            .agg(tot.cast("long").alias("n_shingles"),
+                 hits.cast("long").alias("n_contaminated"),
+                 F.round(hits.cast("double") / tot.cast("double"), 6)
+                 .alias("coverage")))
+
+
+def corpus_profile(df: DataFrame, *, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Per-source dataset-card profile — the numbers a datasheet /
+    data-statement reports per corpus slice: document and token
+    census plus the shape of the per-document token-count
+    distribution and the median stopword ratio.
+
+    Returns one row per group: ``(group_col, n_docs, n_tokens,
+    tokens_p10, tokens_p50, tokens_p90, stop_ratio_p50)`` — counts
+    exact longs; percentiles are EXACT (Spark ``percentile``, not
+    approx) with linear interpolation, rounded to 6 dp before the
+    result lands because Spark and DuckDB compute algebraically-equal
+    but not bit-identical interpolations (the lm_buckets device).
+    The stopword ratio is per-doc ``|distinct ∩ STOPWORDS| /
+    n_tokens`` rounded to 6 dp at the source so the percentile
+    aggregates over a bounded grid.
+
+    Scale shape: ONE map-side-combined groupBy over the corpus; the
+    exact-percentile buffers are bounded by the VALUE GRIDS (integer
+    token counts; 6-dp ratios in [0, 1]), not the corpus — the same
+    boundedness argument as lm_buckets.  No window, no join, nothing
+    on the driver.
+    """
+    from .text import STOPWORDS, words
+    toks = words(text_col)
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks), F.lit(list(STOPWORDS))))
+    per_doc = df.select(
+        group_col,
+        n_toks.alias("__nt"),
+        F.round(stop_hits.cast("double")
+                / F.greatest(n_toks, F.lit(1)).cast("double"), 6)
+        .alias("__sr"))
+    pct = F.percentile("__nt", F.lit([0.1, 0.5, 0.9]))
+    return (per_doc.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("__nt").cast("long").alias("n_tokens"),
+                 F.round(F.element_at(pct, 1), 6).alias("tokens_p10"),
+                 F.round(F.element_at(pct, 2), 6).alias("tokens_p50"),
+                 F.round(F.element_at(pct, 3), 6).alias("tokens_p90"),
+                 F.round(F.percentile("__sr", F.lit(0.5)), 6)
+                 .alias("stop_ratio_p50")))

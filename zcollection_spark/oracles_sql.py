@@ -1351,3 +1351,39 @@ SELECT r.cluster_id, r.doc_id AS rep_id,
 FROM ranked r JOIN csize s USING (cluster_id)
 WHERE r.rk = 1
 """
+
+
+ORACLE_NGRAM_COVERAGE = f"""
+WITH {_shingle_sql(5)},
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+scored AS (SELECT d.doc_id,
+                  count(*) AS tot,
+                  sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS hits
+           FROM sh d LEFT JOIN bench b ON d.s = b.s
+           GROUP BY d.doc_id)
+SELECT doc_id, CAST(tot AS BIGINT) AS n_shingles,
+       CAST(hits AS BIGINT) AS n_contaminated,
+       round(CAST(hits AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS coverage
+FROM scored
+"""
+
+ORACLE_CORPUS_PROFILE = rf"""
+WITH per AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+         round(CAST(len(list_intersect(
+                 list_distinct(regexp_split_to_array(trim(text), '\s+')),
+                 ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'])) AS DOUBLE)
+               / greatest(len(regexp_split_to_array(trim(text), '\s+')),
+                          1), 6) AS sr
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(quantile_cont(nt, 0.1), 6) AS tokens_p10,
+       round(quantile_cont(nt, 0.5), 6) AS tokens_p50,
+       round(quantile_cont(nt, 0.9), 6) AS tokens_p90,
+       round(quantile_cont(sr, 0.5), 6) AS stop_ratio_p50
+FROM per GROUP BY source
+"""
