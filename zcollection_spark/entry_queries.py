@@ -572,56 +572,99 @@ def q_index_lookup(spark, sf_dir):
 # relational showcase (bench headliners)
 # ---------------------------------------------------------------------------
 
+def _money(col, dp: int = 2):
+    """Exact scaled-long of a ≤``dp``-decimal monetary double.
+
+    The TPC-H money columns are 2-dp values stored as doubles; the
+    double is within ~1e-9 of value·10^dp, so ``round`` recovers the
+    exact integer.  Long inputs keep the aggregation inside the
+    primitive (non-decimal) codegen path — the r10 rollup_hourly
+    measurement put the decimal sum at 2-4× the long sum."""
+    return F.round(col * F.lit(float(10 ** dp))).cast("long")
+
+
+def _scaled_sum_cols(x, scale: int, prefix: str):
+    """Partial aggregates of an exact money sum over scaled longs
+    (optimization guide §2.3 "narrower types": the decimal(28,4)
+    sums this replaces ran outside primitive codegen and carried
+    16-byte sum buffers; these are two long sums).
+
+    ``x`` is a scale-``scale`` integer column (product of exact
+    cents factors).  Summed as TWO longs — whole units and residual
+    scaled fraction — so the overflow horizon is per-row-value-bounded
+    (~8e13 rows for TPC-H charge magnitudes, comfortably past 100 TB),
+    not total-bounded; ANSI mode makes any overflow a loud error,
+    never a wrap.  NULL rows (conditional sums) null-propagate exactly
+    like the decimal form."""
+    w_row = ((x - x % F.lit(scale)) / F.lit(scale)).cast("long")
+    f_row = x % F.lit(scale)
+    return [F.sum(w_row).alias(f"__{prefix}_w"),
+            F.sum(f_row).alias(f"__{prefix}_f")]
+
+
+def _scaled_sum_dbl(prefix: str, scale: int):
+    """Exact double of the :func:`_scaled_sum_cols` pair — the same
+    split conversion as the decimal form it replaces: integer part
+    (< 2^53, exact) + fraction (one exact IEEE division) with ONE
+    IEEE add, bit-identical to the DuckDB oracle's decimal cast while
+    the whole-unit total < 2^53 (~sf 1e5, the envelope the decimal
+    split already had).  ``div`` keeps the combine in long integer
+    arithmetic (the fraction sum can exceed 2^53 rows·scale)."""
+    w = (F.col(f"__{prefix}_w")
+         + F.expr(f"__{prefix}_f div {scale}"))
+    f = F.expr(f"__{prefix}_f % {scale}")
+    return w.cast("double") + f.cast("double") / F.lit(float(scale))
+
+
 def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-style aggregation; DECIMAL sums for exact cross-engine
-    arithmetic."""
+    """TPC-H Q1-style aggregation; scaled-LONG sums for exact
+    cross-engine arithmetic at primitive-codegen speed (r16
+    optimization; formerly decimal(28,4) sums — same exact rationals,
+    same split conversion, measured 1.37 → 0.84 s at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # DECIMAL(12,4) inputs keep every product EXACT (price*disc = (25,8),
-    # *tax = (38,12) — no precision overflow, hence no engine-specific
-    # rounding).  Final projection: shrink to the minimal ACTUAL scale
-    # (inputs have 2 dp, so products have <=4-6 dp — exact, no rounding),
-    # keeping the decimal mantissa < 2^53, then cast once to DOUBLE.
-    # Both engines then perform a single correctly-rounded conversion of
-    # the same exact rational -> bit-identical doubles.  (DECIMAL/HUGEINT
-    # final columns are unhashable cross-engine at the driver; a scale-12
-    # mantissa > 2^53 makes DuckDB's hugeint->double path double-round.)
-    qty = F.col("l_quantity").cast("decimal(12,4)")
-    price = F.col("l_extendedprice").cast("decimal(12,4)")
-    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)")
-    tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(12,4)")
-
-    def dbl(col):
-        # exact decimal → double: the direct cast double-rounds in
-        # DuckDB once the SCALED mantissa exceeds 2^53 (found by the
-        # sf1 gate: sum_charge ~5.2e10 at scale 6 = 5.2e16 > 2^53, 1
-        # ulp off).  Split conversion — integer part (< 2^53, exact) +
-        # fraction (mantissa < 10^scale, exact) with ONE IEEE add — is
-        # a single correctly-rounded operation on both engines, safe
-        # to ~sf 1e5.  Sums here are non-negative, so floor == trunc.
-        whole = F.floor(col)
-        return whole.cast("double") + (col - whole).cast("double")
-
+    # Inputs have ≤2 dp, so cents factors are exact integers and their
+    # products are the exact scale-4/-6 rationals the old decimal
+    # pipeline computed (price·disc exact at 4 dp, ·tax at 6 dp).
+    # The final split conversion reproduces the oracle's
+    # FLOOR-decimal-split bit-for-bit (see _scaled_sum_dbl).
+    qty2 = _money(F.col("l_quantity"))
+    price2 = _money(F.col("l_extendedprice"))
+    disc2 = _money(F.lit(1.0) - F.col("l_discount"))
+    tax2 = _money(F.lit(1.0) + F.col("l_tax"))
     return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(dbl(F.sum(qty).cast("decimal(28,4)"))
-                 .alias("sum_qty"),
-                 dbl(F.sum(price).cast("decimal(28,4)"))
-                 .alias("sum_base_price"),
-                 dbl(F.sum(price * disc).cast("decimal(28,4)"))
-                 .alias("sum_disc_price"),
-                 dbl(F.sum(price * disc * tax).cast("decimal(30,6)"))
-                 .alias("sum_charge"),
-                 F.count(F.lit(1)).alias("count_order")))
+            .agg(*_scaled_sum_cols(qty2, 100, "qty"),
+                 *_scaled_sum_cols(price2, 100, "base"),
+                 *_scaled_sum_cols(price2 * disc2, 10_000, "disc"),
+                 *_scaled_sum_cols(price2 * disc2 * tax2,
+                                   1_000_000, "chg"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .select("l_returnflag", "l_linestatus",
+                    _scaled_sum_dbl("qty", 100).alias("sum_qty"),
+                    _scaled_sum_dbl("base", 100)
+                    .alias("sum_base_price"),
+                    _scaled_sum_dbl("disc", 10_000)
+                    .alias("sum_disc_price"),
+                    _scaled_sum_dbl("chg", 1_000_000)
+                    .alias("sum_charge"),
+                    "count_order"))
+
+
+def _rev4():
+    """``l_extendedprice · (1 − l_discount)`` as an exact scale-4 long
+    (cents × cents) — the scaled-long revenue shared by the TPC-H
+    family queries (r16 optimization: long sums replace the decimal
+    sums; exact same rationals, see :func:`_scaled_sum_cols`)."""
+    return (_money(F.col("l_extendedprice"))
+            * _money(F.lit(1.0) - F.col("l_discount")))
 
 
 def q_top_revenue_orders(spark, sf_dir):
-    """TPC-H Q3-style join: decimal-exact revenue, deterministic
-    top-10.  No forced broadcasts — AQE picks broadcast at small SF and
-    shuffle joins at scale from runtime statistics."""
+    """TPC-H Q3-style join: exact revenue over scaled longs,
+    deterministic top-10.  No forced broadcasts — AQE picks broadcast
+    at small SF and shuffle joins at scale from runtime statistics."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
-           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
     return (li
             .join(orders.where(
                 F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
@@ -634,8 +677,9 @@ def q_top_revenue_orders(spark, sf_dir):
             .where(F.col("l_shipdate")
                    > F.lit("1998-01-01").cast("date"))
             .groupBy("o_orderkey")
-            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
-                 .alias("revenue"))
+            .agg(*_scaled_sum_cols(_rev4(), 10_000, "r"))
+            .select("o_orderkey",
+                    _scaled_sum_dbl("r", 10_000).alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
             .limit(10))
 
@@ -644,15 +688,14 @@ def q_revenue_delta(spark, sf_dir):
     """TPC-H Q6-style filter-scan aggregation (predicate pushdown to the
     parquet scan; decimal-exact sum)."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
-           * F.col("l_discount").cast("decimal(12,4)"))
+    rev = _money(F.col("l_extendedprice")) * _money(F.col("l_discount"))
     return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
                      & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
                      & (F.col("l_discount").cast("decimal(12,4)")
                         .between(0.05, 0.07))
                      & (F.col("l_quantity") < 24))
-            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
-                 .alias("revenue")))
+            .agg(*_scaled_sum_cols(rev, 10_000, "r"))
+            .select(_scaled_sum_dbl("r", 10_000).alias("revenue")))
 
 
 def q_regional_revenue(spark, sf_dir):
@@ -666,8 +709,6 @@ def q_regional_revenue(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
-           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
     return (li
             .join(orders.select("o_orderkey", "o_custkey"),
                   F.col("l_orderkey") == F.col("o_orderkey"))
@@ -683,8 +724,9 @@ def q_regional_revenue(spark, sf_dir):
                               .select("r_regionkey")),
                   F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("n_name")
-            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
-                 .alias("revenue")))
+            .agg(*_scaled_sum_cols(_rev4(), 10_000, "r"))
+            .select("n_name",
+                    _scaled_sum_dbl("r", 10_000).alias("revenue")))
 
 
 def q_promo_revenue(spark, sf_dir):
@@ -692,17 +734,18 @@ def q_promo_revenue(spark, sf_dir):
     dim, decimal-exact sums (same widen-only cast discipline as Q1)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
-           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
+    rev = _rev4()
     return (li
             .join(part.select("p_partkey", "p_type"),
                   F.col("l_partkey") == F.col("p_partkey"))
             .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
-            .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev))
-                 .cast("decimal(28,4)").cast("double")
-                 .alias("promo_revenue"),
-                 F.sum(rev).cast("decimal(28,4)").cast("double")
-                 .alias("total_revenue")))
+            .agg(*_scaled_sum_cols(
+                F.when(F.col("p_type") == "PROMO", rev), 10_000, "p"),
+                *_scaled_sum_cols(rev, 10_000, "t"))
+            .select("ship_year",
+                    _scaled_sum_dbl("p", 10_000).alias("promo_revenue"),
+                    _scaled_sum_dbl("t", 10_000)
+                    .alias("total_revenue")))
 
 
 def q_rollup_hourly(spark, sf_dir):
@@ -1616,8 +1659,6 @@ def q_returned_item_losses(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
-           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
     window = orders.where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))) \
@@ -1630,8 +1671,9 @@ def q_returned_item_losses(spark, sf_dir):
             .join(F.broadcast(nation.select("n_nationkey", "n_name")),
                   on=F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
-                 .alias("revenue"))
+            .agg(*_scaled_sum_cols(_rev4(), 10_000, "r"))
+            .select("c_custkey", "c_name", "n_name",
+                    _scaled_sum_dbl("r", 10_000).alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
             .limit(20))
 
@@ -1720,12 +1762,14 @@ def q_revenue_rollup(spark, sf_dir):
     grand-total rows in ONE pass (Expand + single shuffle), the way a
     100 TB report avoids N separate scans."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(12,4)")
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(qty).cast("decimal(28,4)").cast("double")
-                 .alias("sum_qty"),
-                 F.grouping_id().alias("gid")))
+                 *_scaled_sum_cols(_money(F.col("l_quantity")),
+                                   100, "q"),
+                 F.grouping_id().alias("gid"))
+            .select("l_returnflag", "l_linestatus", "n",
+                    _scaled_sum_dbl("q", 100).alias("sum_qty"),
+                    "gid"))
 
 
 def q_streaming_dedup(spark, sf_dir):
@@ -1774,10 +1818,11 @@ def q_big_orders(spark, sf_dir):
     with the predicate, so AQE usually broadcasts it at runtime."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    qty = F.col("l_quantity").cast("decimal(12,4)")
     big = (li.groupBy("l_orderkey")
-           .agg(F.sum(qty).cast("decimal(28,4)").cast("double")
-                .alias("total_qty"))
+           .agg(*_scaled_sum_cols(_money(F.col("l_quantity")),
+                                  100, "q"))
+           .select("l_orderkey",
+                   _scaled_sum_dbl("q", 100).alias("total_qty"))
            .where(F.col("total_qty") > 180))
     return (orders.join(big,
                         on=F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1828,8 +1873,6 @@ def q_trade_flows(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders") \
         .select("o_orderkey", "o_custkey")
     nation = load_table(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice").cast("decimal(12,4)")
-           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,4)"))
     return (li
             .join(supp,
                   on=F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1844,9 +1887,11 @@ def q_trade_flows(spark, sf_dir):
                 "n_nationkey AS cn_key", "n_name AS cust_nation")),
                 on=F.col("c_nationkey") == F.col("cn_key"))
             .groupBy("supp_nation", "cust_nation")
-            .agg(F.sum(rev).cast("decimal(28,4)").cast("double")
-                 .alias("revenue"),
-                 F.count(F.lit(1)).alias("n_lines")))
+            .agg(*_scaled_sum_cols(_rev4(), 10_000, "r"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .select("supp_nation", "cust_nation",
+                    _scaled_sum_dbl("r", 10_000).alias("revenue"),
+                    "n_lines"))
 
 
 def q_zarr_documents(spark, sf_dir):
