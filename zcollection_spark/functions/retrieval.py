@@ -84,11 +84,19 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
     from ..errors import DriverBoundExceededError
     tok = corpus.select(F.col(id_col),
                         F.explode(words(text_col)).alias("__term"))
-    tf = tok.groupBy(id_col, "__term").agg(
-        F.count(F.lit(1)).alias("__tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
-    # corpus scalars: one row, exact integer sums then one division —
-    # deterministic; joined back via a broadcast cross join (no collect)
+    # Document length is a PER-ROW expression — size(words(text)) —
+    # never an explode + re-aggregation (r16 optimization, guide
+    # §2.3/§1.2: the old tf→sum(dl) derivation re-tokenized and
+    # re-shuffled the whole corpus once per consumer; the executed
+    # plan held 7 Scan+Generate subtrees with zero exchange reuse).
+    # Null-text documents are absent from the token expansion, so the
+    # length/stats frames filter them identically.
+    dl = (corpus.where(F.col(text_col).isNotNull())
+          .select(F.col(id_col),
+                  F.size(words(text_col)).alias("__dl")))
+    # corpus scalars: one row, exact integer count then one division —
+    # deterministic; joined back via a broadcast cross join (no
+    # collect).  One scan, no explode, no shuffle (partial agg).
     stats = dl.agg(F.count(F.lit(1)).alias("__n_docs"),
                    F.avg("__dl").alias("__avgdl"))
     qterms = queries.select(
@@ -107,12 +115,19 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
             f"'retrieval.broadcast_terms_cap').  The query side is a "
             f"probe set by contract — batch the queries, or raise the "
             f"cap if the cluster's broadcast budget allows.")
-    # prune FIRST: everything downstream sees only matched terms
-    matched = tf.join(F.broadcast(qterms.select("__term").distinct()),
-                      on="__term")
+    # prune BEFORE the aggregation (r16, guide §3.2/§2.3): the
+    # broadcast term filter drops non-matching tokens at the SCAN, so
+    # the tf exchange carries only matched tokens — at any corpus
+    # size the aggregation shuffles probe-matched rows, never the
+    # full token expansion.  Filter-then-count equals the old
+    # count-then-semi-join row for row.
+    matched = (tok.join(F.broadcast(qterms.select("__term").distinct()),
+                        on="__term")
+               .groupBy(id_col, "__term")
+               .agg(F.count(F.lit(1)).alias("__tf")))
     # per-term document frequency over the full corpus — counting the
     # matched tf rows per term IS the corpus df (the broadcast
-    # semi-join above dropped terms, never containing docs)
+    # term filter above dropped terms, never containing docs)
     dfreq = matched.groupBy("__term").agg(
         F.count(F.lit(1)).alias("__df"))
     scored_terms = (matched
@@ -268,7 +283,11 @@ def tfidf_topk(corpus: DataFrame, *, id_col: str, text_col: str,
     tf = tok.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    n_docs = (tf.select(id_col).distinct()
+    # N is a plain corpus count (r16, guide §1.2): every non-null-text
+    # document contributes ≥1 token (words('') is ['']), so counting
+    # rows equals the old tf.select(id).distinct() — without that
+    # path's full re-tokenize + explode + distinct shuffle.
+    n_docs = (corpus.where(F.col(text_col).isNotNull())
               .agg(F.count(F.lit(1)).cast("double").alias("__n")))
     scored = (tf.join(dfreq, on="term")
               .crossJoin(F.broadcast(n_docs))
