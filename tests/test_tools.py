@@ -68,7 +68,7 @@ def test_guard_total_breach(capsys):
 def test_registry_window_invariant():
     """The correctness driver records only the FIRST 50 queries(): every
     operator-bearing query must stay inside that window; only the
-    documented plain-SQL tail may sit beyond it."""
+    documented tail may sit beyond it."""
     from zcollection_spark import entry_queries
 
     names = list(entry_queries.queries())
@@ -78,64 +78,65 @@ def test_registry_window_invariant():
     # pin — and with it the rotation ledger — to be updated.
     assert len(names) == 107, len(names)
     assert len(names[:50]) == len(set(names[:50])) == 50
-    # round-16 rotation (executes the r15 ledger + the r15 verdict's
-    # tasks 2 and 4 verbatim): the FIVE r15-born never-driver-graded
-    # ops promote, the stale-tail retirement FINISHES with
-    # langid_confusion + top_ngrams (last r04-stale rows), and
-    # thirty-four of the forty-one r15 sit-outs return (driver-green
-    # r14).  Sitting out: the forty-one r15 in-window rows (all
-    # driver-green r15, freshest grade in the registry) and seven
-    # r14-green rows held to r17, each with an in-window family peer
-    # (covered-surface arguments in the queries() header).
+    # round-17 rotation (executes the r16 ledger + the r16 verdict's
+    # task 1 verbatim): the seven r14-green holds return, the nine
+    # r16-born never-driver-graded ops promote, the nine remaining
+    # r16-restructured queries pull in for independent post-change
+    # oracle grades, four r17-optimization-touched queries stay or
+    # return in-window, and twelve r15-green sit-outs return.
+    # Sitting out: thirty-nine r16-graded rows (freshest grade) and
+    # eighteen r15-green rows held with in-window family peers.
     tail_allowed = {
-        # rotated out round 16 (driver-green r15; return r17-r18)
-        "pricing_summary", "chunk_documents", "doc_repetition",
-        "quality_filter", "knn_lsh", "knn_ivf",
-        "priority_class_counts", "big_orders", "regional_revenue",
-        "revenue_delta", "capped_sample", "browse_no_buy",
-        "value_percentiles", "collection_time_travel",
-        "upsample_weights", "merge_upsert",
-        "collection_clustered_where", "collection_zorder_where",
-        "promo_revenue", "rollup_hourly", "streaming_dedup",
-        "dedup_exact", "dedup_minhash", "user_sessions", "asof_enrich",
-        "shuffle_shards", "embedding_quantize", "dedup_semantic",
-        "unigram_stats", "bigram_lm", "span_scrub", "bm25_retrieval",
-        "hybrid_rrf", "winnow_fingerprint", "dsir_sample",
-        "tfidf_topk", "split_leakage", "lm_buckets",
-        "order_priority_counts", "returned_item_losses",
-        "collection_projection",
-        # r14-green held to r17 (MUST return r17 — oldest grade in
-        # the registry after this round)
-        "knn_lsh_hi", "knn_ivf_hi", "dedup_embedding", "language_id",
-        "stratified_sample", "top_revenue_orders", "trade_flows",
-        # NEW r16, born out-of-window; promote in r17
-        "collection_nested", "domain_mix", "cross_lm", "cdc_chunks",
-        "hash_embeddings", "text_knn", "cluster_reps",
-        "ngram_coverage", "corpus_profile"}
+        # rotated out r17 (driver-green r16; return in a future round)
+        "collection_grouped_sequence", "merge_time_series",
+        "merge_concat", "map_partition_stats", "collection_changes",
+        "knn_ivfpq", "dedup_clusters", "dedup_simhash",
+        "dedup_embedding_lsh", "hash_split", "pii_scrub",
+        "decontaminate", "knn_bruteforce", "embedding_centroids",
+        "streaming_hourly", "streaming_stateful", "text_stats",
+        "fingerprint", "revenue_rollup", "event_gaps",
+        "source_quality", "dedup_keep_latest", "multimodal_features",
+        "pack_sequences", "token_budget", "merge_upsert_tolerance",
+        "collection_retained_read", "zarr_documents",
+        "collection_bloom_skip", "dedup_jaccard", "interval_match",
+        "streaming_changes_agg", "dup_spans", "source_overlap",
+        "boilerplate_strip", "cluster_sample", "novelty_score",
+        "langid_confusion", "top_ngrams",
+        # r15-green still sitting out (in-window family peers per the
+        # queries() ledger; oldest grade after this round — MUST
+        # return first in any future rotation)
+        "chunk_documents", "doc_repetition", "knn_lsh", "knn_ivf",
+        "priority_class_counts", "capped_sample", "browse_no_buy",
+        "upsample_weights", "collection_zorder_where", "rollup_hourly",
+        "streaming_dedup", "dedup_minhash", "shuffle_shards",
+        "embedding_quantize", "dedup_semantic", "lm_buckets",
+        "order_priority_counts", "collection_projection"}
     assert set(names[50:]) <= tail_allowed, names[50:]
-    # every operator promoted/returned/cycled by the r15 ledger (and
-    # the verdict's task 2/4 directives) must actually be in-window
-    # this round
+    # every operator promoted/returned/pulled by the r16 ledger (and
+    # the r16 verdict's task 1) must actually be in-window this round
     for promoted in (
-            # the five first-time promotions (verdict task 2)
-            "source_overlap", "boilerplate_strip", "cluster_sample",
-            "novelty_score", "pipeline_funnel",
-            # the final two stale-tail cycles (verdict task 2)
-            "langid_confusion", "top_ngrams",
-            # the thirty-four r15 sit-outs returning (verdict task 4)
-            "collection_grouped_sequence", "merge_time_series",
-            "merge_concat", "map_partition_stats", "collection_changes",
-            "knn_ivfpq", "dedup_clusters", "dedup_simhash",
-            "dedup_embedding_lsh", "hash_split", "pii_scrub",
-            "decontaminate", "knn_bruteforce", "embedding_centroids",
-            "streaming_hourly", "streaming_stateful", "text_stats",
-            "fingerprint", "revenue_rollup", "event_gaps",
-            "source_quality", "dedup_keep_latest",
-            "multimodal_features", "pack_sequences", "token_budget",
-            "merge_upsert_tolerance", "collection_retained_read",
-            "zarr_documents", "collection_bloom_skip", "dedup_jaccard",
-            "interval_match", "streaming_changes_agg", "dup_spans",
-            "dedup_containment"):
+            # the seven r14-green holds returning
+            "knn_lsh_hi", "knn_ivf_hi", "dedup_embedding",
+            "language_id", "stratified_sample", "top_revenue_orders",
+            "trade_flows",
+            # the nine r16-born first-time promotions
+            "collection_nested", "domain_mix", "cross_lm",
+            "cdc_chunks", "hash_embeddings", "text_knn",
+            "cluster_reps", "ngram_coverage", "corpus_profile",
+            # the nine r16-restructured queries pulled in for their
+            # independent post-change oracle grades (verdict task 1)
+            "pricing_summary", "promo_revenue", "revenue_delta",
+            "regional_revenue", "returned_item_losses", "big_orders",
+            "bm25_retrieval", "hybrid_rrf", "tfidf_topk",
+            # the four r17-optimization-touched queries
+            "pipeline_funnel", "dedup_containment", "split_leakage",
+            "unigram_stats",
+            # the twelve r15-green returns
+            "user_sessions", "asof_enrich", "value_percentiles",
+            "merge_upsert", "collection_clustered_where",
+            "collection_time_travel", "dedup_exact", "bigram_lm",
+            "winnow_fingerprint", "dsir_sample", "quality_filter",
+            "span_scrub"):
         assert promoted in names[:50], promoted
     # the nine held-over permanents anchoring surfaces with no other
     # in-window peer

@@ -579,8 +579,43 @@ def _money(col, dp: int = 2):
     double is within ~1e-9 of value·10^dp, so ``round`` recovers the
     exact integer.  Long inputs keep the aggregation inside the
     primitive (non-decimal) codegen path — the r10 rollup_hourly
-    measurement put the decimal sum at 2-4× the long sum."""
+    measurement put the decimal sum at 2-4× the long sum.
+
+    DATA CONTRACT (r16 verdict item 2): inputs MUST be ≤``dp``-decimal
+    values — a >``dp``-dp input would be silently *rounded* here where
+    the decimal pipeline this replaced degraded exactly.  The contract
+    is enforced off the hot path by :func:`money_contract_violations`
+    (tests/test_entry_money.py asserts zero violations on every
+    testdata tier and that a 3-dp input is caught loudly); ANSI mode
+    already makes any long overflow a hard error."""
     return F.round(col * F.lit(float(10 ** dp))).cast("long")
+
+
+#: Columns covered by the ``_money`` ≤2-dp contract — exactly the
+#: inputs the scaled-long rewrite (r16) feeds through ``_money``.
+#: NOT ``orders.o_totalprice``: it is a multi-line total with >2-dp
+#: values in the data and is never scaled (big_orders sums it as-is).
+MONEY_CONTRACT_COLS = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"],
+}
+
+
+def money_contract_violations(df: DataFrame, cols: list[str],
+                              dp: int = 2) -> int:
+    """Count rows violating the :func:`_money` ≤``dp``-decimal
+    contract: ``|x·10^dp − round(x·10^dp)| > 1e-9`` for any of
+    ``cols``.  ONE cheap aggregate (no shuffle beyond the final
+    single-row reduce) — the loud-failure guard for the scaled-long
+    money sums, run on the oracle/test path, never per query."""
+    scale = F.lit(float(10 ** dp))
+    viol = None
+    for c in cols:
+        x = F.col(c) * scale
+        bad = (F.abs(x - F.round(x)) > F.lit(1e-9)).cast("long")
+        viol = bad if viol is None else viol + bad
+    row = df.agg(F.sum(viol).alias("n")).collect()[0]
+    return int(row["n"] or 0)
 
 
 def _scaled_sum_cols(x, scale: int, prefix: str):
@@ -590,13 +625,22 @@ def _scaled_sum_cols(x, scale: int, prefix: str):
     16-byte sum buffers; these are two long sums).
 
     ``x`` is a scale-``scale`` integer column (product of exact
-    cents factors).  Summed as TWO longs — whole units and residual
-    scaled fraction — so the overflow horizon is per-row-value-bounded
-    (~8e13 rows for TPC-H charge magnitudes, comfortably past 100 TB),
-    not total-bounded; ANSI mode makes any overflow a loud error,
-    never a wrap.  NULL rows (conditional sums) null-propagate exactly
-    like the decimal form."""
-    w_row = ((x - x % F.lit(scale)) / F.lit(scale)).cast("long")
+    cents factors), NON-NEGATIVE by contract: the %/div split is
+    trunc-semantics, which matches the oracle's floor-based decimal
+    split only for non-negative amounts (a signed caller would still
+    reconstruct w·scale+f exactly, but the w/f signs would diverge
+    from the floor convention — normalize with pmod before reusing
+    this for net-of-returns style signed money).  Summed as TWO longs
+    — whole units and residual scaled fraction — so the overflow
+    horizon is per-row-value-bounded (~8e13 rows for TPC-H charge
+    magnitudes, comfortably past 100 TB), not total-bounded; ANSI
+    mode makes any overflow a loud error, never a wrap.  NULL rows
+    (conditional sums) null-propagate exactly like the decimal form.
+    The per-row whole-unit extraction uses integer ``div`` (r16
+    advice): the old ``(x − x%s)/s`` double division was exact only
+    below 2^53 per row — ``div`` has no such envelope and is
+    bit-identical where both are defined."""
+    w_row = F.call_function("div", x, F.lit(scale))
     f_row = x % F.lit(scale)
     return [F.sum(w_row).alias(f"__{prefix}_w"),
             F.sum(f_row).alias(f"__{prefix}_f")]
@@ -2540,44 +2584,30 @@ def q_corpus_profile(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the correctness driver records the FIRST
     # 50 entries only, so every operator-bearing query sits in the first
-    # 50 and plain-SQL variants whose operator surface is covered by an
-    # in-window peer come last.  ROTATION (round 16, executing the r15
-    # ledger + the r15 verdict's tasks 2 and 4 verbatim): the FIVE
-    # r15-born never-driver-graded ops promote for their first rows
-    # (source_overlap, boilerplate_strip, cluster_sample, novelty_score,
-    # pipeline_funnel), the stale-tail retirement FINISHES with
-    # langid_confusion + top_ngrams (the last rows whose newest driver
-    # green was r04), THIRTY-FOUR of the forty-one r15 sit-outs return
-    # (all driver-green r14 — the freshest grade ages to r14 nowhere
-    # else), and the same NINE held-over permanents keep anchoring
-    # surfaces with no other in-window peer (collection_query_prune +
-    # collection_zonemap_skip: partition-prune / zone-map skipping on
-    # the live collection read path; collection_sequence: sequence
-    # partitioning, grouped_sequence returns beside it this round;
-    # update_derived: the map/update applyInPandas machinery;
-    # view_overlay: view surface; index_lookup: indexer surface;
-    # multimodal_decoded: multimodal family anchor; zarr_roundtrip:
-    # zarr datasource anchor; streaming_sink: exactly-once txn-ledger
-    # sink).  9 + 34 + 5 + 2 = 50.  SITTING OUT: the forty-one r15
-    # in-window rows (all driver-green r15, the freshest grade in the
-    # registry) and SEVEN r14-green rows held to r17, each with an
-    # in-window family peer: knn_lsh_hi + knn_ivf_hi <- knn_ivfpq +
-    # knn_bruteforce (ANN surface); dedup_embedding <-
-    # dedup_embedding_lsh (embedding-dedup surface); language_id <-
-    # langid_confusion (language-id surface, graded this round);
-    # stratified_sample <- hash_split + promoted cluster_sample
-    # (sampling surface); top_revenue_orders + trade_flows <- the
-    # returning plain-SQL rollups (revenue_rollup, event_gaps,
-    # source_quality).  The registry count and window split are PINNED
-    # in tests/test_tools.py::test_registry_window_invariant (the
-    # hand-counted totals in this comment rotted twice — r8 and r9 —
-    # so the test owns the numbers now).  r17 ledger note — the seven
-    # r14-green holds MUST return first (they will be the oldest grade
-    # in the registry), the forty-one r15-green sit-outs return over
-    # r17-r18, the five r16 promotions and two r16 tail cycles age out
-    # after their first green, and any r16-born ops promote for their
-    # first rows.  Free the slots by sitting out this round's 34
-    # returns with family peers — counting with the test each round.
+    # 50 and variants whose operator surface is covered by an in-window
+    # peer come last.  ROTATION (round 17, executing the r16 ledger +
+    # the r16 verdict's task 1 verbatim): the SEVEN r14-green holds
+    # return (they were the oldest grade in the registry), the NINE
+    # r16-born never-driver-graded ops promote for their first rows,
+    # the NINE remaining r16-restructured queries (money family +
+    # bm25_retrieval/hybrid_rrf/tfidf_topk — only revenue_rollup got an
+    # independent post-change grade in r16) pull in for their
+    # independent oracle grades, FOUR queries touched by this round's
+    # optimization session stay/return in-window (pipeline_funnel,
+    # dedup_containment, split_leakage, unigram_stats), and TWELVE of
+    # the thirty remaining r15-green sit-outs return.  The same NINE
+    # held-over permanents keep anchoring surfaces with no other
+    # in-window peer (see the r16 ledger rationale).  9 + 7 + 9 + 9 +
+    # 4 + 12 = 50.  SITTING OUT: the thirty-nine r16-graded rows that
+    # age out after their green (freshest grade in the registry) and
+    # EIGHTEEN r15-green rows held with in-window family peers
+    # (arguments inline below).  The registry count and window split
+    # are PINNED in tests/test_tools.py::test_registry_window_invariant
+    # (the hand-counted totals in this comment rotted twice — r8 and
+    # r9 — so the test owns the numbers).  FUTURE-ROUND ledger note —
+    # the eighteen r15-green holds are the oldest grade after this
+    # round and MUST return first; the r16-graded sit-outs return
+    # next; this round's fifty age out after their green.
     return {
         # --- in-window 50: held-over permanents (9) ---
         "collection_query_prune": q_collection_query_prune,
@@ -2589,7 +2619,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decoded": q_multimodal_decoded,
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_sink": q_streaming_sink,
-        # --- returning r16 (sat out r15; driver-green r14) (34) ---
+        # --- r14-green holds RETURNING r17 (the oldest grade in the
+        # registry; the r16 ledger scheduled them first) (7) ---
+        "knn_lsh_hi": q_knn_lsh_hi,
+        "knn_ivf_hi": q_knn_ivf_hi,
+        "dedup_embedding": q_dedup_embedding,
+        "language_id": q_language_id,
+        "stratified_sample": q_stratified_sample,
+        "top_revenue_orders": q_top_revenue_orders,
+        "trade_flows": q_trade_flows,
+        # --- PROMOTED r17: the nine r16-born never-driver-graded ops
+        # (first rows, per the rotation discipline) (9) ---
+        "collection_nested": q_collection_nested,
+        "domain_mix": q_domain_mix,
+        "cross_lm": q_cross_lm,
+        "cdc_chunks": q_cdc_chunks,
+        "hash_embeddings": q_hash_embeddings,
+        "text_knn": q_text_knn,
+        "cluster_reps": q_cluster_reps,
+        "ngram_coverage": q_ngram_coverage,
+        "corpus_profile": q_corpus_profile,
+        # --- r16-RESTRUCTURED queries pulled in for their independent
+        # post-change oracle grades (the r16 verdict's gate item:
+        # scaled-long money sums + the BM25/TF-IDF rewrite carried
+        # only self-certification) (9) ---
+        "pricing_summary": q_pricing_summary,
+        "promo_revenue": q_promo_revenue,
+        "revenue_delta": q_revenue_delta,
+        "regional_revenue": q_regional_revenue,
+        "returned_item_losses": q_returned_item_losses,
+        "big_orders": q_big_orders,
+        "bm25_retrieval": q_bm25_retrieval,
+        "hybrid_rrf": q_hybrid_rrf,
+        "tfidf_topk": q_tfidf_topk,
+        # --- TOUCHED by the r17 optimization session: kept/returned
+        # in-window so this round's restructurings are graded in the
+        # same round they land (4) ---
+        "pipeline_funnel": q_pipeline_funnel,
+        "dedup_containment": q_dedup_containment,
+        "split_leakage": q_split_leakage,
+        "unigram_stats": q_unigram_stats,
+        # --- returning r15-green sit-outs (12 of 30; the other 18 hold
+        # with in-window family peers, see the ledger note) ---
+        "user_sessions": q_user_sessions,
+        "asof_enrich": q_asof_enrich,
+        "value_percentiles": q_value_percentiles,
+        "merge_upsert": q_merge_upsert,
+        "collection_clustered_where": q_collection_clustered_where,
+        "collection_time_travel": q_collection_time_travel,
+        "dedup_exact": q_dedup_exact,
+        "bigram_lm": q_bigram_lm,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "dsir_sample": q_dsir_sample,
+        "quality_filter": q_quality_filter,
+        "span_scrub": q_span_scrub,
+        # --- entries below fall outside the driver's 50-slot window;
+        # every one is driver-green r15 or r16, its operator surface
+        # is covered by an in-window peer (ledger note above), and
+        # tools/check_oracle.py still gates all of them ---
+        # rotated out r17 (driver-green r16; return in a future round):
         "collection_grouped_sequence": q_collection_grouped_sequence,
         "merge_time_series": q_merge_time_series,
         "merge_concat": q_merge_concat,
@@ -2623,92 +2711,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_match": q_interval_match,
         "streaming_changes_agg": q_streaming_changes_agg,
         "dup_spans": q_dup_spans,
-        "dedup_containment": q_dedup_containment,
-        # --- PROMOTED r16 (first driver grading; born r15
-        # out-of-window per the rotation discipline) (5) ---
         "source_overlap": q_source_overlap,
         "boilerplate_strip": q_boilerplate_strip,
         "cluster_sample": q_cluster_sample,
         "novelty_score": q_novelty_scores,
-        "pipeline_funnel": q_pipeline_funnel,
-        # --- CYCLED IN r16: the LAST two r04-stale tail rows — the
-        # stale-tail retirement started r14 is complete (2) ---
         "langid_confusion": q_langid_confusion,
         "top_ngrams": q_top_ngrams,
-        # --- entries below fall outside the driver's 50-slot window;
-        # every one was driver-verified green in r14-r15, its operator
-        # surface is covered by an in-window peer (see the rotation
-        # ledger above), and tools/check_oracle.py still gates every
-        # one of them ---
-        # rotated out round 16 (driver-green r15; return r17-r18):
-        "pricing_summary": q_pricing_summary,
+        # r15-green still sitting out (held with in-window family peers:
+        # chunk_documents<-cdc_chunks; doc_repetition<-quality_filter;
+        # knn_lsh<-knn_lsh_hi; knn_ivf<-knn_ivf_hi; priority/order
+        # counts<-big_orders+dedup_exact semi-join; capped_sample+
+        # upsample_weights<-stratified_sample+dsir_sample;
+        # browse_no_buy<-dedup_containment anti-join; zorder<-
+        # clustered_where; rollup_hourly<-pricing_summary;
+        # streaming_dedup<-streaming_sink; dedup_minhash<-
+        # dedup_containment+dedup_embedding; shuffle_shards<-
+        # hash_embeddings; embedding_quantize<-hash_embeddings+
+        # text_knn; dedup_semantic<-dedup_embedding; lm_buckets<-
+        # bigram_lm; collection_projection<-collection_query_prune):
         "chunk_documents": q_chunk_documents,
         "doc_repetition": q_doc_repetition,
-        "quality_filter": q_quality_filter,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "priority_class_counts": q_priority_class_counts,
-        "big_orders": q_big_orders,
-        "regional_revenue": q_regional_revenue,
-        "revenue_delta": q_revenue_delta,
         "capped_sample": q_capped_sample,
         "browse_no_buy": q_browse_no_buy,
-        "value_percentiles": q_value_percentiles,
-        "collection_time_travel": q_collection_time_travel,
         "upsample_weights": q_upsample_weights,
-        "merge_upsert": q_merge_upsert,
-        "collection_clustered_where": q_collection_clustered_where,
         "collection_zorder_where": q_collection_zorder_where,
-        "promo_revenue": q_promo_revenue,
         "rollup_hourly": q_rollup_hourly,
         "streaming_dedup": q_streaming_dedup,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "user_sessions": q_user_sessions,
-        "asof_enrich": q_asof_enrich,
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
         "dedup_semantic": q_dedup_semantic,
-        "unigram_stats": q_unigram_stats,
-        "bigram_lm": q_bigram_lm,
-        "span_scrub": q_span_scrub,
-        "bm25_retrieval": q_bm25_retrieval,
-        "hybrid_rrf": q_hybrid_rrf,
-        "winnow_fingerprint": q_winnow_fingerprint,
-        "dsir_sample": q_dsir_sample,
-        "tfidf_topk": q_tfidf_topk,
-        "split_leakage": q_split_leakage,
         "lm_buckets": q_lm_buckets,
         "order_priority_counts": q_order_priority_counts,
-        "returned_item_losses": q_returned_item_losses,
         "collection_projection": q_collection_projection,
-        # r14-green held to r17 (in-window family peers per the
-        # ledger above; MUST return r17 — oldest grade in the
-        # registry after this round):
-        "knn_lsh_hi": q_knn_lsh_hi,
-        "knn_ivf_hi": q_knn_ivf_hi,
-        "dedup_embedding": q_dedup_embedding,
-        "language_id": q_language_id,
-        "stratified_sample": q_stratified_sample,
-        "top_revenue_orders": q_top_revenue_orders,
-        "trade_flows": q_trade_flows,
-        # NEW r16, born out-of-window per the rotation discipline:
-        # struct view of the nested group tree (query(nested=True)),
-        # domain mixture recipe, cross-reference LM scoring,
-        # content-defined chunking, feature-hashing embeddings, and
-        # two composition queries (hashed-embedding retrieval,
-        # quality-aware cluster representatives).  check_oracle-gated
-        # at sf0.01 AND sf1; all SEVEN promote r17 per the ledger
-        # above.
-        "collection_nested": q_collection_nested,
-        "domain_mix": q_domain_mix,
-        "cross_lm": q_cross_lm,
-        "cdc_chunks": q_cdc_chunks,
-        "hash_embeddings": q_hash_embeddings,
-        "text_knn": q_text_knn,
-        "cluster_reps": q_cluster_reps,
-        "ngram_coverage": q_ngram_coverage,
-        "corpus_profile": q_corpus_profile,
     }
 
 

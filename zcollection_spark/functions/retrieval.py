@@ -273,6 +273,14 @@ def tfidf_topk(corpus: DataFrame, *, id_col: str, text_col: str,
     document's distinct-term count, never by the corpus, so no salt
     stage is needed (unlike the per-query windows in ``bm25_topk``
     where one query can match half the corpus).
+
+    UNIQUE-ID CONTRACT (r16 advice): ``id_col`` must identify each
+    corpus row uniquely.  N is a plain count of non-null-text rows
+    (equal to the old ``tf.select(id).distinct()`` for unique ids,
+    since ``words('')`` is ``['']``); duplicate id rows would inflate
+    N while tf/df still merge those rows, silently shifting scores.
+    ``bm25_scores`` carries the same implicit assumption (its dl/tf
+    frames join on ``id_col``).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
