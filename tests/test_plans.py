@@ -781,18 +781,23 @@ def test_novelty_scores_no_self_join(spark):
 
 
 def test_pipeline_funnel_stage_contracts_hold(spark):
-    """Funnel: quality is scan-speed expressions (no Python), the
-    benchmark shingle set broadcasts into the contamination semi-join,
-    the dedup stage is a groupBy + semi-join, and the four group-sized
-    count joins never plan a cartesian."""
+    """Funnel (fused r17): quality is scan-speed expressions (no
+    Python), the benchmark shingle set broadcasts into the
+    contamination probe join, no join plans a cartesian, and the
+    fusion holds — exactly TWO corpus scans (census + dedup) and one
+    benchmark scan, where the old stage-per-operator form re-scanned
+    the corpus four times (plans/r17/pipeline_funnel_before.txt)."""
     plan = executed_plan(eq.q_pipeline_funnel(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftAnti" in plan          # the decontamination drop
-    assert "LeftSemi" in plan          # the dedup representative join
     assert "BroadcastHashJoin" in plan
+    # the fusion pin: 2 corpus scans + 1 benchmark scan, no more
+    # (the AQE toString prints the final AND the initial plan, so the
+    # scan count appears twice)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 3, final.count("Scan parquet")
 
 
 def test_collection_nested_prunes_partitions_and_leaves(spark):

@@ -445,37 +445,80 @@ def pipeline_funnel(df: DataFrame, benchmark: DataFrame, *,
     One row per ``group_col`` value with the four counts — the
     per-source yield report every corpus build ends with (and the
     first thing to diff when a source's contribution collapses
-    between builds).  Stage semantics are EXACTLY the standalone
-    operators': each stage is the same function the pipeline would
-    call, so the funnel is an integration audit, not a reimplementation.
+    between builds).  Stage SEMANTICS are exactly the standalone
+    operators' (:func:`quality_filter` verdicts, min-id-per-text
+    exact dedup, any-shared-shingle contamination against
+    ``benchmark``) — pinned by
+    tests/test_properties.py::test_pipeline_funnel_matches_python_reference_property,
+    which replays the composed stage references row by row — but the
+    EXECUTION is fused (r17 optimization, guide §2.1 "one pass"): the
+    old form ran each stage as its own operator call, which scanned
+    and re-evaluated the quality expressions over the corpus FOUR
+    times (Spark has no cross-branch CSE; the before-plan held 4
+    corpus-scan subtrees, 510 lines).  The fused form:
 
-    Scale shape: the stages inherit their own contracts
-    (quality_filter is scan-speed expressions; exact dedup is a
-    groupBy + semi-join; contamination broadcasts the benchmark
-    shingle set); the funnel adds only four group-sized aggregates
-    joined group-to-group (AQE broadcasts every one).
+    1. ``n_raw``/``n_quality`` reduce straight off the scan — one
+       map-side-combined group-sized aggregate, NO corpus exchange
+       (the old form exchanged nothing here either, but paid the scan
+       and quality expressions separately per stage);
+    2. representatives reduce per text among quality survivors (min
+       id + its group via ``min_by`` — equal to ``dedup_exact``'s
+       min-id-per-text + semi-join because ids are unique) — the one
+       text-keyed exchange the standalone dedup stage already paid;
+    3. ``n_unique``/``n_clean`` reduce from ONE consumer of the rep
+       table: rep texts explode to shingles, LEFT-join the broadcast
+       benchmark shingle set (the standalone contamination probe,
+       over exactly the deduped survivors it always scored), and a
+       per-rep max(hit) → per-group (count, dirty-count) pair of
+       map-side-combined aggregates yields both counts without
+       re-deriving the rep table.
+
+    Scale shape: two corpus scans (census + dedup — no shared-subtree
+    recompute beyond that), one corpus-sized text-keyed exchange; the
+    benchmark set broadcasts (same bound as :func:`contamination`);
+    everything after step 2 is distinct-text- or group-sized.
     """
-    from .dedup import dedup_exact
-    survivors = quality_filter(df, text_col=text_col, rules=rules) \
-        .where(F.col("keep")).select(*df.columns)
-    deduped = dedup_exact(survivors, [text_col], id_col)
-    flagged = contamination(deduped, benchmark, id_col=id_col,
-                            text_col=text_col, n=shingle_size) \
-        .select(id_col)
-    clean = deduped.join(flagged, on=id_col, how="left_anti")
-
-    def stage(frame: DataFrame, name: str) -> DataFrame:
-        return frame.groupBy(F.col(group_col)).agg(
-            F.count(F.lit(1)).alias(name))
-
-    out = stage(df, "n_raw")
-    for frame, name in ((survivors, "n_quality"),
-                        (deduped, "n_unique"), (clean, "n_clean")):
-        out = out.join(stage(frame, name), on=group_col, how="left")
+    qf = quality_filter(df, text_col=text_col, rules=rules)
+    q = F.col("keep")
+    counts = qf.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(q.cast("long")).alias("n_quality"))
+    # dedup stage: min id per distinct text among quality survivors;
+    # min_by picks that id's group (ids are unique, so no ties)
+    reps = (qf.where(q)
+            .groupBy(text_col)
+            .agg(F.min(id_col).alias("__rep_id"),
+                 F.min_by(group_col, id_col).alias("__rep_grp")))
+    # contamination stage: a representative is dirty iff ANY of its
+    # shingles appears in the benchmark's distinct shingle set; the
+    # left join + two-level aggregate produces n_unique AND n_dirty
+    # from one pass over the rep table
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles(text_col, shingle_size))
+                        .alias("__s"))
+                .distinct()
+                .withColumn("__hit", F.lit(1)))
+    per_rep = (reps.select("__rep_grp", "__rep_id",
+                           F.explode(word_shingles(text_col,
+                                                   shingle_size))
+                           .alias("__s"))
+               .join(F.broadcast(bench_sh), on="__s", how="left")
+               .groupBy("__rep_grp", "__rep_id")
+               .agg(F.max(F.coalesce(F.col("__hit"), F.lit(0)))
+                    .alias("__dirty")))
+    ucounts = per_rep.groupBy("__rep_grp").agg(
+        F.count(F.lit(1)).alias("__n_unique"),
+        F.sum("__dirty").alias("__n_dirty"))
+    out = counts.join(ucounts,
+                      counts[group_col] == ucounts["__rep_grp"], "left")
+    n_unique = F.coalesce(F.col("__n_unique"), F.lit(0))
     return out.select(
         group_col,
-        *(F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-          for c in ("n_raw", "n_quality", "n_unique", "n_clean")))
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_quality").cast("long").alias("n_quality"),
+        n_unique.cast("long").alias("n_unique"),
+        (n_unique - F.coalesce(F.col("__n_dirty"), F.lit(0)))
+        .cast("long").alias("n_clean"))
 
 
 def ngram_coverage(train: DataFrame, benchmark: DataFrame, *,
