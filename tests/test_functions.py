@@ -1289,6 +1289,37 @@ def test_unigram_stats_matches_hand_count(spark):
     assert out[3] == (2, (3 + 1) / 2, 1 / 2)
 
 
+def test_unigram_stats_size_gated_pin(spark):
+    """The r17 size-gated token-expansion pin: identical results with
+    the gate forced on, forced off, and at the default; the pin
+    actually engages (persisted handle attached + InMemoryRelation in
+    the plan) only when the input's estimated scan size reaches the
+    threshold."""
+    from zcollection_spark import config
+    from zcollection_spark.functions import unigram_stats
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog")],
+        "doc_id long, text string")
+
+    def run(threshold):
+        with config.override(
+                **{"text.pin_tokens_min_input_bytes": threshold}):
+            out = unigram_stats(df)
+            rows = sorted(map(tuple, out.collect()))
+            pinned = bool(getattr(out, "_zc_cached", ()))
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            for h in getattr(out, "_zc_cached", ()):
+                h.unpersist()
+            return rows, pinned, plan
+
+    base, pinned_off, _ = run(None)
+    rows0, pinned_on, plan0 = run(0)          # always pin
+    rows_def, _, _ = run(4 << 20)             # default: tiny df, no pin
+    assert not pinned_off
+    assert pinned_on and "InMemoryRelation" in plan0
+    assert base == rows0 == rows_def
+
+
 # ---------------------------------------------------------------------------
 # bigram LM scoring / duplicated spans / BM25 (round 13 second batch)
 # ---------------------------------------------------------------------------

@@ -58,11 +58,31 @@ _DEFAULTS: dict[str, Any] = {
     "similarity.broadcast_rows_cap": 1_000_000,  # dup-pairs method="broadcast"
     "insert.partition_key_cap": 100_000,         # distinct keys per insert
     "retrieval.broadcast_terms_cap": 1_000_000,  # bm25 (query, term) rows
+    # bm25_scores can pin the probe-matched tf table (persist) so the
+    # document-frequency reduction and the scoring join consume ONE
+    # corpus pass instead of re-tokenizing the corpus per consumer
+    # (Spark has no cross-branch CSE).  Default OFF: interleaved A/Bs
+    # at sf0.1 AND the synthetic sf1 tier both read the recompute
+    # shape faster or equal (bm25 1.59 vs 2.04 s best at sf0.1, 4.27
+    # vs 4.48 s at sf1 — the duplicate passes run in parallel across
+    # idle cores while the persist serializes through a
+    # materialization barrier; OPTIMIZATION_r17.md).  Flip ON for
+    # truly large corpora, where two full tokenize passes dwarf
+    # persisting the probe-selectivity-bounded matched frame.
+    "retrieval.pin_matched": False,
     # importance_resample's final rank stage sorts the k survivors in
     # ONE task (correct and cheap for sampling-sized k); the cap makes
     # that single-task bound loud instead of silently degrading when a
     # caller asks for a corpus-sized k
     "sampling.gumbel_topk_cap": 5_000_000,
+    # unigram_stats pins its token expansion (persist) when the
+    # input's optimizer-estimated scan size reaches this many bytes;
+    # below it the two explode passes recompute in parallel (measured
+    # crossover: pin loses 0.77->1.34 s at sf0.1 (~100 k docs,
+    # ~0.6 MB), wins 3.86->3.35 s at the synthetic sf1 tier (~1 M
+    # docs, ~6.7 MB) - the 4 MiB default sits between the tiers, far
+    # from both).  None disables the pin unconditionally.
+    "text.pin_tokens_min_input_bytes": 4 << 20,
     # wide dedup-family intermediates (shingle/band/span expansions):
     # None -> persist() (single-job default); a path -> write-once
     # parquet tables under it, read back, DELETED on release (the

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import md5_long
+from .dedup import _attach_cached, md5_long
 from .text import words
 
 #: salt buckets for the two-stage top-k (stage 1 caps any single
@@ -125,6 +125,20 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
                         on="__term")
                .groupBy(id_col, "__term")
                .agg(F.count(F.lit(1)).alias("__tf")))
+    handles: list[DataFrame] = []
+    if config.get("retrieval.pin_matched"):
+        # matched feeds TWO consumers (the df reduction and the
+        # scoring join); without a pin each re-tokenizes the corpus
+        # (no cross-branch CSE).  The pin is OFF by default on
+        # measured grounds — interleaved A/Bs at sf0.1 and sf1 both
+        # favored the recompute shape (parallel idle-core passes beat
+        # the materialization barrier; see the config key comment) —
+        # and exists for truly large corpora, where persisting the
+        # probe-selectivity-bounded frame (one row per matched
+        # (doc, term)) beats a second full tokenize pass.  Release
+        # through the dedup-family contract (unpersist_intermediates).
+        matched = matched.persist()
+        handles.append(matched)
     # per-term document frequency over the full corpus — counting the
     # matched tf rows per term IS the corpus df (the broadcast
     # term filter above dropped terms, never containing docs)
@@ -143,9 +157,11 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
                   + F.lit(k1) * (F.lit(1.0 - b)
                                  + F.lit(b) * F.col("__dl")
                                  / F.col("__avgdl"))))
-    return (scored_terms
-            .groupBy(query_id_col, id_col)
-            .agg(F.round(F.sum(idf * tf_norm), round_to).alias("score")))
+    return _attach_cached(
+        scored_terms
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(idf * tf_norm), round_to).alias("score")),
+        *handles)
 
 
 def bm25_topk(corpus: DataFrame, queries: DataFrame, *,
@@ -182,10 +198,12 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, *,
                   Window.partitionBy(query_id_col, "__salt")
                   .orderBy(*order)))
               .where(F.col("__rn") <= k).drop("__salt", "__rn"))
-    return (stage1
-            .withColumn("rank", F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(*order)))
-            .where(F.col("rank") <= k))
+    return _attach_cached(
+        stage1
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(*order)))
+        .where(F.col("rank") <= k),
+        *getattr(scored, "_zc_cached", ()))
 
 
 def rrf_fuse(ranked: list[DataFrame], *, id_col: str,
@@ -249,7 +267,11 @@ def rrf_fuse(ranked: list[DataFrame], *, id_col: str,
         if topk < 1:
             raise ValueError("topk must be >= 1")
         out = out.where(F.col("rank") <= topk)
-    return out
+    # propagate any pinned intermediates from the input lists so the
+    # caller's unpersist_intermediates releases them too
+    inherited = [h for df in ranked
+                 for h in getattr(df, "_zc_cached", ())]
+    return _attach_cached(out, *inherited) if inherited else out
 
 
 def tfidf_topk(corpus: DataFrame, *, id_col: str, text_col: str,

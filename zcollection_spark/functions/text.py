@@ -89,6 +89,18 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _scan_size_bytes(df: DataFrame) -> int:
+    """Driver-side estimate of the input's scan size (optimizer
+    statistics — file sizes for a parquet scan; NO Spark job).  −1
+    when the estimate is unavailable (e.g. Spark Connect), which
+    callers treat as "small"."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return -1
+
+
 def unigram_stats(df: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Corpus-statistical quality scoring (two passes over the corpus):
@@ -112,19 +124,43 @@ def unigram_stats(df: DataFrame, *, id_col: str = "doc_id",
     pass 2 re-explodes and equi-joins token → count (AQE broadcasts a
     small vocab; at web scale it is a shuffle join on the token key)
     and re-aggregates per document.  Nothing lands on the driver.
+
+    SIZE-GATED PIN (r17, landing the r16 sf1-crossover measurement):
+    the token expansion feeds both passes; on a SMALL corpus
+    recomputing it wins (the duplicate explode branches run in
+    parallel across idle cores while a persist serializes through a
+    materialization barrier — pin lost 0.77→1.34 s at sf0.1), on a
+    larger one the pin wins (3.86→3.35 s at the synthetic sf1 tier;
+    the crossover sits between 100 k and 1 M docs).  The choice is
+    gated on the input's optimizer-estimated scan size
+    (driver-side, no job) against config
+    ``text.pin_tokens_min_input_bytes``; the pinned frame releases
+    through the dedup-family caller contract
+    (``unpersist_intermediates``), and harnesses that repeat queries
+    clear the cache between repeats as before.
     """
+    from .. import config
     tok_rows = df.select(F.col(id_col),
                          F.explode(words(text_col)).alias("__tok"))
+    handles = []
+    gate = config.get("text.pin_tokens_min_input_bytes")
+    if gate is not None and 0 <= gate <= _scan_size_bytes(df):
+        tok_rows = tok_rows.persist()
+        handles.append(tok_rows)
     vocab = tok_rows.groupBy("__tok").agg(
         F.count(F.lit(1)).alias("__cnt"))
     n = F.count(F.lit(1)).cast("double")
-    return (tok_rows.join(vocab, on="__tok")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                 (F.sum("__cnt").cast("double") / n)
-                 .alias("avg_token_count"),
-                 (F.sum((F.col("__cnt") == 1).cast("long"))
-                  .cast("double") / n).alias("hapax_share")))
+    out = (tok_rows.join(vocab, on="__tok")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                (F.sum("__cnt").cast("double") / n)
+                .alias("avg_token_count"),
+                (F.sum((F.col("__cnt") == 1).cast("long"))
+                 .cast("double") / n).alias("hapax_share")))
+    if handles:
+        from .dedup import _attach_cached
+        out = _attach_cached(out, *handles)
+    return out
 
 
 def bigram_lm_score(df: DataFrame, *, id_col: str = "doc_id",
