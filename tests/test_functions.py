@@ -1868,6 +1868,39 @@ def test_tfidf_topk_matches_python_reference(spark):
         tfidf_topk(cdf, id_col="doc_id", text_col="text", k=0)
 
 
+def test_tfidf_topk_size_gated_pin(spark):
+    """The r17 size-gated tf-table pin (mirror of the unigram_stats
+    gate): identical results with the gate forced on, forced off, and
+    at the default; the pin actually engages (persisted handle
+    attached + InMemoryRelation in the plan) only when the corpus'
+    estimated scan size reaches the threshold."""
+    from zcollection_spark import config
+    from zcollection_spark.functions import tfidf_topk
+    cdf = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana date"),
+         (2, "apple date date egg")],
+        "doc_id long, text string")
+
+    def run(threshold):
+        with config.override(
+                **{"retrieval.pin_tf_min_input_bytes": threshold}):
+            out = tfidf_topk(cdf, id_col="doc_id", text_col="text",
+                             k=2)
+            rows = sorted(map(tuple, out.collect()))
+            pinned = bool(getattr(out, "_zc_cached", ()))
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            for h in getattr(out, "_zc_cached", ()):
+                h.unpersist()
+            return rows, pinned, plan
+
+    base, pinned_off, _ = run(None)
+    rows0, pinned_on, plan0 = run(0)          # always pin
+    rows_def, _, _ = run(4 << 20)             # default: tiny df, no pin
+    assert not pinned_off
+    assert pinned_on and "InMemoryRelation" in plan0
+    assert base == rows0 == rows_def
+
+
 def test_split_leakage_flags_only_cross_split_near_dups(spark):
     import hashlib
     from zcollection_spark.functions import (split_leakage,

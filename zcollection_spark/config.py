@@ -70,6 +70,12 @@ _DEFAULTS: dict[str, Any] = {
     # truly large corpora, where two full tokenize passes dwarf
     # persisting the probe-selectivity-bounded matched frame.
     "retrieval.pin_matched": False,
+    # tfidf_topk pins its corpus tf table (persist) when the corpus'
+    # optimizer-estimated scan size reaches this many bytes — same
+    # crossover-gated device as text.pin_tokens_min_input_bytes
+    # (measured: pin loses 1.08->1.32 s best at sf0.1, wins
+    # 4.95->3.78 s at the synthetic sf1 tier).  None disables.
+    "retrieval.pin_tf_min_input_bytes": 4 << 20,
     # importance_resample's final rank stage sorts the k survivors in
     # ONE task (correct and cheap for sampling-sized k); the cap makes
     # that single-task bound loud instead of silently degrading when a

@@ -303,15 +303,33 @@ def tfidf_topk(corpus: DataFrame, *, id_col: str, text_col: str,
     N while tf/df still merge those rows, silently shifting scores.
     ``bm25_scores`` carries the same implicit assumption (its dl/tf
     frames join on ``id_col``).
+
+    SIZE-GATED PIN (r17): the tf table feeds the df reduction and the
+    scoring join; without a pin each consumer re-tokenizes the corpus
+    (no cross-branch CSE).  Recompute wins on small corpora (the
+    duplicate passes overlap across idle cores — pin lost 1.08→1.32 s
+    best at sf0.1) and loses on larger ones (pin won 4.95→3.78 s at
+    the synthetic sf1 tier), so the pin engages when the corpus'
+    optimizer-estimated scan size reaches config
+    ``retrieval.pin_tf_min_input_bytes`` — the same crossover-gated
+    device as ``unigram_stats``.  The pinned frame releases through
+    the dedup-family caller contract (``unpersist_intermediates``).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     if round_to < 0:
         raise ValueError("round_to must be >= 0")
+    from .. import config
+    from .text import _scan_size_bytes
     tok = corpus.select(F.col(id_col),
                         F.explode(words(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"))
+    handles = []
+    gate = config.get("retrieval.pin_tf_min_input_bytes")
+    if gate is not None and 0 <= gate <= _scan_size_bytes(corpus):
+        tf = tf.persist()
+        handles.append(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     # N is a plain corpus count (r16, guide §1.2): every non-null-text
     # document contributes ≥1 token (words('') is ['']), so counting
@@ -325,9 +343,11 @@ def tfidf_topk(corpus: DataFrame, *, id_col: str, text_col: str,
                   F.col("tf") * (F.log((F.col("__n") + F.lit(1.0))
                                        / (F.col("__df") + F.lit(1.0)))
                                  + F.lit(1.0)), round_to)))
-    return (scored
-            .withColumn("rank", F.row_number().over(
-                Window.partitionBy(id_col)
-                .orderBy(F.col("score").desc(), F.col("term").asc())))
-            .where(F.col("rank") <= k)
-            .select(id_col, "term", "tf", "score", "rank"))
+    return _attach_cached(
+        scored
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy(id_col)
+            .orderBy(F.col("score").desc(), F.col("term").asc())))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank"),
+        *handles)
