@@ -601,6 +601,23 @@ def test_bm25_query_terms_broadcast_corpus_distributed(spark):
     assert "partial_sum" in plan or "partial_count" in plan
 
 
+def test_bm25_doc_length_rides_token_expansion(spark):
+    """r17: the document length is carried through the tf aggregation
+    (``max(__dl)`` over the let-bound token array) instead of a
+    separate per-row dl frame equi-joined into the scored rows — one
+    fewer corpus tokenize pass, and the scored subtree never joins on
+    the document id (at web scale that join is a corpus-sized
+    shuffle; here it was one extra broadcast exchange)."""
+    plan = final_plan(executed_plan(eq.q_bm25_retrieval(spark, SF_DIR)))
+    assert "max(__dl" in plan           # length rides the tf agg
+    # every equi-join keys on the probe term; a doc-id join key would
+    # mean the dl join crept back in
+    keys = re.findall(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]",
+                      plan)
+    assert keys and all("__term" in l and "__term" in r
+                        for l, r in keys), keys
+
+
 def test_hybrid_rrf_fuses_topk_lists_only(spark):
     """RRF fusion: the fused stage unions two already-top-k lists —
     one map-side-combined groupBy + windows, no cartesian, and the

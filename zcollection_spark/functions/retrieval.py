@@ -11,9 +11,12 @@ Scale design — the corpus NEVER leaves the executors and nothing is
 quadratic:
 
 1. one explode → groupBy(doc, term) builds the term-frequency table
-   (map-side combined shuffle, the only pass over full text);
-2. document lengths and the corpus-wide (N, avgdl) scalars reduce from
-   that tf table (tiny outputs);
+   (map-side combined shuffle, the only pass over full text); the
+   document length rides the same expansion (let-bound token array,
+   ``max`` through the aggregation) so it never needs its own pass or
+   join;
+2. the corpus-wide (N, avgdl) scalars reduce in one pass to a single
+   row that attaches via a broadcast cross join;
 3. the query-term table (small by contract — queries are a probe set,
    not a second corpus) joins the tf table with a broadcast hint, so
    document frequencies and per-(query, doc) scores are computed only
@@ -82,23 +85,30 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
         raise ValueError("round_to must be >= 0")
     from .. import config
     from ..errors import DriverBoundExceededError
-    tok = corpus.select(F.col(id_col),
-                        F.explode(words(text_col)).alias("__term"))
-    # Document length is a PER-ROW expression — size(words(text)) —
-    # never an explode + re-aggregation (r16 optimization, guide
-    # §2.3/§1.2: the old tf→sum(dl) derivation re-tokenized and
-    # re-shuffled the whole corpus once per consumer; the executed
-    # plan held 7 Scan+Generate subtrees with zero exchange reuse).
-    # Null-text documents are absent from the token expansion, so the
-    # length/stats frames filter them identically.
-    dl = (corpus.where(F.col(text_col).isNotNull())
-          .select(F.col(id_col),
-                  F.size(words(text_col)).alias("__dl")))
+    # Document length RIDES the token expansion (r17, guide §2.4/§1.2):
+    # the token array is let-bound in its own projection (split runs
+    # once per row — Catalyst does not collapse a non-cheap alias
+    # referenced twice), size() reads the bound array, and __dl is
+    # carried through the tf aggregation as max(__dl) (constant per
+    # document, so max == the value).  The r16 shape computed a
+    # separate per-row dl frame and equi-joined it into the scored
+    # rows — one extra full corpus tokenize pass, plus a corpus-sized
+    # join on the doc id that at web scale is a shuffle of |docs| rows
+    # (locally AQE broadcasts it; either way it is pure overhead).
+    # Interleaved A/B at sf0.1: best 1.68→1.34 s, median 1.81→1.44 s,
+    # collect() bit-identical.  Null-text documents are absent from
+    # the token expansion (explode of a null array yields no rows),
+    # matching the old dl frame's isNotNull filter.
+    tok = (corpus
+           .select(F.col(id_col), words(text_col).alias("__w"))
+           .select(F.col(id_col), F.size("__w").alias("__dl"),
+                   F.explode("__w").alias("__term")))
     # corpus scalars: one row, exact integer count then one division —
     # deterministic; joined back via a broadcast cross join (no
     # collect).  One scan, no explode, no shuffle (partial agg).
-    stats = dl.agg(F.count(F.lit(1)).alias("__n_docs"),
-                   F.avg("__dl").alias("__avgdl"))
+    stats = (corpus.where(F.col(text_col).isNotNull())
+             .agg(F.count(F.lit(1)).alias("__n_docs"),
+                  F.avg(F.size(words(text_col))).alias("__avgdl")))
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(words(query_text_col)))
@@ -124,7 +134,8 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
     matched = (tok.join(F.broadcast(qterms.select("__term").distinct()),
                         on="__term")
                .groupBy(id_col, "__term")
-               .agg(F.count(F.lit(1)).alias("__tf")))
+               .agg(F.count(F.lit(1)).alias("__tf"),
+                    F.max("__dl").alias("__dl")))
     handles: list[DataFrame] = []
     if config.get("retrieval.pin_matched"):
         # matched feeds TWO consumers (the df reduction and the
@@ -146,7 +157,6 @@ def bm25_scores(corpus: DataFrame, queries: DataFrame, *,
         F.count(F.lit(1)).alias("__df"))
     scored_terms = (matched
                     .join(F.broadcast(dfreq), on="__term")
-                    .join(dl, on=id_col)
                     .crossJoin(F.broadcast(stats))
                     .join(F.broadcast(qterms), on="__term"))
     idf = F.log(F.lit(1.0)
@@ -301,8 +311,8 @@ def tfidf_topk(corpus: DataFrame, *, id_col: str, text_col: str,
     (equal to the old ``tf.select(id).distinct()`` for unique ids,
     since ``words('')`` is ``['']``); duplicate id rows would inflate
     N while tf/df still merge those rows, silently shifting scores.
-    ``bm25_scores`` carries the same implicit assumption (its dl/tf
-    frames join on ``id_col``).
+    ``bm25_scores`` carries the same implicit assumption (its tf
+    aggregation groups on ``id_col``).
 
     SIZE-GATED PIN (r17): the tf table feeds the df reduction and the
     scoring join; without a pin each consumer re-tokenizes the corpus
